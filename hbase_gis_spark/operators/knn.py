@@ -1,0 +1,87 @@
+"""K-nearest-neighbor query over point tables.
+
+Reference semantics (SURVEY.md §2 K1-K5):
+- distance is planar Euclidean in DEGREE space, not haversine
+  (DistanceComparator.java:18-27; KNNEndpoint.java:75,94);
+- the client variant is *approximate*: candidates come only from the 9
+  geohash-precision-7 cells around the origin (KNNQuery.java:84-88);
+- the coprocessor variant computes exact per-region top-k but never
+  merges across regions (KNNClient.java:55-57).
+
+Spark-first: exact KNN is the default — ``orderBy(distance).limit(k)``
+plans as TakeOrderedAndProject, which is exactly the reference's
+bounded-heap-per-partition + merge, but correct across the whole table.
+``pruned=True`` reproduces the reference's 9-cell candidate semantics
+(same approximation) for parity testing; at scale it turns into
+partition pruning over geohash-prefixed storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hbase_gis_spark.functions.geo import planar_distance
+from hbase_gis_spark.geo.planner import knn_prefixes
+
+
+def with_distance(
+    df: DataFrame,
+    origin_lon: float,
+    origin_lat: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    dist_col: str = "distance",
+) -> DataFrame:
+    """Append the planar degree-space distance column."""
+    return df.withColumn(
+        dist_col,
+        planar_distance(
+            F.col(lon_col).cast("double"),
+            F.col(lat_col).cast("double"),
+            origin_lon,
+            origin_lat,
+        ),
+    )
+
+
+def knn(
+    df: DataFrame,
+    origin_lon: float,
+    origin_lat: float,
+    k: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    geohash_col: str | None = None,
+    pruned: bool = False,
+    prefix_precision: int = 7,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-``k`` rows nearest the origin in planar degree distance.
+
+    ``pruned=True`` (requires ``geohash_col``) restricts candidates to
+    the origin's geohash cell + 8 neighbors at ``prefix_precision`` —
+    the reference's approximate candidate set (may return < k rows;
+    KNNQuery.java:84-88). Default is exact over the full table.
+
+    ``tiebreak_col`` makes result sets deterministic under distance
+    ties (the reference's heap order is arbitrary on ties; for oracle
+    comparison we pin a total order).
+
+    Plan shape: per-partition bounded heap + single merge
+    (TakeOrderedAndProject) — no full sort, no shuffle of non-winners.
+    """
+    out = with_distance(df, origin_lon, origin_lat, lon_col, lat_col)
+    if pruned:
+        if geohash_col is None:
+            raise ValueError("pruned KNN needs a geohash column")
+        prefixes = knn_prefixes(origin_lat, origin_lon, prefix_precision)
+        out = out.filter(
+            F.substring(F.col(geohash_col), 1, prefix_precision).isin(prefixes)
+        )
+    # drop NaN coordinates like the reference (KNNEndpoint.java:93)
+    out = out.filter(~F.isnan(F.col("distance")))
+    order = [F.col("distance").asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    return out.orderBy(*order).limit(k)
