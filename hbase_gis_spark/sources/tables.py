@@ -1,0 +1,70 @@
+"""Driver-testdata table access + the derived geo point table.
+
+The synthetic tables (TESTDATA.md) carry TIMESTAMP(NANOS) parquet
+columns, which Spark only reads with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (a runtime-settable conf);
+timestamp columns then surface as **long nanoseconds**. DuckDB reads the
+same columns as µs-truncated timestamps, so every oracle-visible
+timestamp is exposed as epoch MICROseconds: ``ts div 1000`` (Spark)
+== ``epoch_us(ts)`` (DuckDB).
+
+``derived_points`` deterministically fabricates a geo point table from
+``events`` (the driver testdata has no native lon/lat table). The
+arithmetic is pure integer-mod + double ops, written identically in the
+DataFrame code and the oracle SQL (POINTS_SQL) so both engines produce
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- derived geo points (lon/lat grid fabricated from event ids) -------------
+
+LON0, LON_SPAN, LON_MOD = -74.05, 0.2, 997
+LAT0, LAT_SPAN, LAT_MOD, LAT_MUL = 40.60, 0.3, 991, 31
+
+# DuckDB twin of derived_points() — keep the operation ORDER identical.
+POINTS_SQL = f"""
+SELECT
+  event_id AS id,
+  {LON0} + CAST(event_id % {LON_MOD} AS DOUBLE) / {LON_MOD}.0 * {LON_SPAN} AS lon,
+  {LAT0} + CAST((event_id * {LAT_MUL}) % {LAT_MOD} AS DOUBLE) / {LAT_MOD}.0 * {LAT_SPAN} AS lat
+FROM events
+"""
+
+
+def derived_points(
+    spark: SparkSession, sf_dir: str, with_geohash: bool = False
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (
+            F.lit(LON0)
+            + (F.col("event_id") % LON_MOD).cast("double") / float(LON_MOD) * LON_SPAN
+        ).alias("lon"),
+        (
+            F.lit(LAT0)
+            + ((F.col("event_id") * LAT_MUL) % LAT_MOD).cast("double")
+            / float(LAT_MOD)
+            * LAT_SPAN
+        ).alias("lat"),
+    )
+    if with_geohash:
+        from hbase_gis_spark.functions.geo import geohash_col
+
+        pts = pts.withColumn("geohash", geohash_col(F.col("lat"), F.col("lon"), 12))
+    return pts
