@@ -26,7 +26,21 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hbase_gis_spark.operators.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
 from hbase_gis_spark.operators.knn import knn
+from hbase_gis_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from hbase_gis_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_features,
+)
 from hbase_gis_spark.operators.topx import binned_limit, top_x
 from hbase_gis_spark.operators.within import within
 from hbase_gis_spark.oracles import distance_sql, halfplane_predicate_sql
@@ -111,6 +125,76 @@ def _q_dedup_geocell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- training-data pipeline queries (documents / embeddings tables) --------
+
+JACCARD_N, JACCARD_T = 3, 0.5
+SIMHASH_MAX_HAMMING = 6
+EMB_DUP_T = 0.4
+ANN_QUERY_ID, ANN_K = 0, 10
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id", "n_chars")
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scale path; same output contract as the exact pairs (recall pinned
+    # by tests/test_dedup.py against the exact operator)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+
+
+def _q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text").alias("simhash"))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=EMB_DUP_T)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, ANN_QUERY_ID, ANN_K)
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate (hyperplane-LSH bucketed); rows-only driver check,
+    # recall vs exact pinned in tests/test_similarity.py
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, ANN_QUERY_ID, ANN_K)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "ttr", "mean_token_len", "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "within_polygon": _q_within,
@@ -119,6 +203,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topx_per_group": _q_topx,
         "binned_limit": _q_binned_limit,
         "dedup_geocell": _q_dedup_geocell,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_jaccard_pairs,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "simhash_signatures": _q_simhash_signatures,
+        "dedup_simhash": _q_simhash_pairs,
+        "embedding_dup_pairs": _q_embedding_dups,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "lang_id": _q_lang_id,
+        "text_quality": _q_text_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
     }
 
 
@@ -169,6 +264,133 @@ def oracle_sql() -> dict[str, str]:
       FROM pts
     ) WHERE rn = 1
     """
+    # ---- text / embedding oracles ------------------------------------
+    # shared fragments: whitespace tokens, word-3gram shingle sets
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    shingles_cte = f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= {JACCARD_N}
+                  THEN list_distinct(list_transform(
+                         range(1, len(w) - {JACCARD_N - 2}),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [] END AS s
+      FROM toks
+    )
+    """
+    dedup_exact_sql = """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """
+    jaccard_sql = f"""
+    {shingles_cte}
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+                  THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  ELSE 0.0 END AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= {JACCARD_T}
+    """
+    # 60-bit simhash: per-word md5-derived hash, per-bit majority vote
+    simhash_cte = """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ), wh AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words
+    ), votes AS (
+      SELECT doc_id, j,
+             2 * sum((h >> j) & 1) - count(*) AS v
+      FROM wh CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bits
+      GROUP BY doc_id, j
+    ), sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    """
+    simhash_sig_sql = f"{simhash_cte} SELECT doc_id, simhash FROM sig"
+    simhash_pairs_sql = f"""
+    {simhash_cte}
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """
+    # double-precision sequential-fold dot product (bit-matches Spark's
+    # aggregate(zip_with(...)) fold)
+    def _dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    def _cos(a: str, b: str) -> str:
+        return (
+            f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+        )
+
+    emb_dup_sql = f"""
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos('a.embedding', 'b.embedding')} AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= {EMB_DUP_T}
+    """
+    ann_sql = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID})
+    SELECT vec_id, {_cos('embedding', 'qv')} AS cosine
+    FROM embeddings CROSS JOIN q
+    WHERE vec_id != {ANN_QUERY_ID}
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {ANN_K}
+    """
+    # language-ID: marker-word argmax, ties break en > fr > de > es
+    def _mc(words: tuple[str, ...]) -> str:
+        lst = ", ".join(f"'{x}'" for x in words)
+        return f"len(list_filter({toks}, x -> x IN ({lst})))"
+
+    from hbase_gis_spark.operators.textstats import LANG_MARKERS
+
+    en, fr, de, es = (_mc(LANG_MARKERS[l]) for l in ("en", "fr", "de", "es"))
+    lang_sql = f"""
+    SELECT doc_id,
+           CASE WHEN {en} >= {fr} AND {en} >= {de} AND {en} >= {es} AND {en} > 0 THEN 'en'
+                WHEN {fr} >= {de} AND {fr} >= {es} AND {fr} > 0 THEN 'fr'
+                WHEN {de} >= {es} AND {de} > 0 THEN 'de'
+                WHEN {es} > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM documents
+    """
+    quality_sql = f"""
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr,
+           (CAST(length(trim(text)) AS DOUBLE) - (CAST(len(w) AS DOUBLE) - 1.0))
+             / CAST(len(w) AS DOUBLE) AS mean_token_len,
+           CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+             / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+           (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 0.5
+           + (CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+              / CAST(len(w) AS DOUBLE)) * 0.3
+           + (1.0 / (1.0 + abs((CAST(length(trim(text)) AS DOUBLE)
+                 - (CAST(len(w) AS DOUBLE) - 1.0)) / CAST(len(w) AS DOUBLE) - 5.0))) * 0.2
+             AS quality_score
+    FROM (SELECT doc_id, text, {toks} AS w FROM documents)
+    """
+    fingerprint_sql = """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """
     return {
         "within_polygon": within_sql,
         "within_polygon_pruned": within_sql,
@@ -176,4 +398,16 @@ def oracle_sql() -> dict[str, str]:
         "topx_per_group": topx_sql,
         "binned_limit": binned_sql,
         "dedup_geocell": dedup_sql,
+        "dedup_exact": dedup_exact_sql,
+        "dedup_ngram_jaccard": jaccard_sql,
+        "dedup_minhash_lsh": jaccard_sql,
+        "simhash_signatures": simhash_sig_sql,
+        "dedup_simhash": simhash_pairs_sql,
+        "embedding_dup_pairs": emb_dup_sql,
+        "ann_cosine_topk": ann_sql,
+        "lang_id": lang_sql,
+        "text_quality": quality_sql,
+        "doc_fingerprint": fingerprint_sql,
+        # ann_lsh_topk intentionally omitted: approximate operator,
+        # rows-only driver check; recall pinned in tests.
     }

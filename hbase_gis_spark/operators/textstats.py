@@ -1,0 +1,89 @@
+"""Text analysis operators: language ID, quality scoring, token stats,
+document fingerprinting.
+
+Pure JVM column expressions (split/size/filter/length arithmetic) so
+they vectorize under whole-stage codegen AND can be reproduced verbatim
+in DuckDB oracle SQL. Heuristics are deliberately simple + deterministic
+(marker-word counts, ratio features) — the point at 100 TB is the
+execution shape (one scan, no shuffle, no Python), not linguistic
+accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_gis_spark.operators.dedup import tokens
+
+# marker words per language; argmax with fixed precedence order breaks ties
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "los", "las", "es", "una"),
+}
+_LANG_ORDER = ("en", "fr", "de", "es")
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col))
+
+
+def marker_count(text_col, markers: tuple[str, ...]) -> Column:
+    w = tokens(text_col)
+    return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+
+def lang_id(text_col) -> Column:
+    """Marker-word argmax language guess ('und' when no marker hits).
+
+    Ties resolve in _LANG_ORDER precedence — the oracle SQL uses the
+    same CASE cascade."""
+    counts = {l: marker_count(text_col, m) for l, m in LANG_MARKERS.items()}
+    expr = F.lit("und")
+    # build the cascade back-to-front so earlier languages win ties
+    best = None
+    for lang in reversed(_LANG_ORDER):
+        c = counts[lang]
+        if best is None:
+            best = F.when(c > 0, F.lit(lang)).otherwise(F.lit("und"))
+            best_count = c
+        else:
+            best = F.when((c > 0) & (c >= best_count), F.lit(lang)).otherwise(best)
+            best_count = F.greatest(c, best_count)
+    return best
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns: token count, type-token ratio,
+    mean token length, stopword ratio, and a combined score.
+
+    Same shape as the classic Gopher/C4-style quality filters; all
+    ratios are double divisions in a fixed op order for oracle parity.
+    """
+    w = tokens(text_col)
+    n_tok = F.size(w).cast("double")
+    n_uniq = F.size(F.array_distinct(w)).cast("double")
+    n_chars = F.length(F.trim(F.col(text_col))).cast("double")
+    stop = marker_count(text_col, LANG_MARKERS["en"]).cast("double")
+    ttr = n_uniq / n_tok
+    mean_len = (n_chars - (n_tok - F.lit(1.0))) / n_tok  # chars net of separators
+    stop_ratio = stop / n_tok
+    score = ttr * F.lit(0.5) + stop_ratio * F.lit(0.3) + (
+        F.lit(1.0) / (F.lit(1.0) + F.abs(mean_len - F.lit(5.0)))
+    ) * F.lit(0.2)
+    return (
+        df.withColumn("n_tokens", F.size(w))
+        .withColumn("ttr", ttr)
+        .withColumn("mean_token_len", mean_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def fingerprint(text_col) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text. Identical expression in DuckDB."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))

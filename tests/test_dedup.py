@@ -1,0 +1,95 @@
+"""Dedup operator tests: exact, MinHash-LSH recall, SimHash banding."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_gis_spark.operators.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+    word_shingles,
+)
+from hbase_gis_spark.sources.tables import load_table
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF0001, "documents").cache()
+
+
+def test_dedup_exact_first_wins(spark):
+    df = spark.createDataFrame(
+        [(3, "a b c"), (1, "a b c"), (2, "x y z")], "doc_id int, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_exact(df).collect())
+    assert kept == [1, 2]
+
+
+def test_dedup_exact_normalized(spark):
+    df = spark.createDataFrame(
+        [(1, "A  b   C"), (2, "a b c"), (3, "other")], "doc_id int, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_exact(df, normalize=True).collect())
+    assert kept == [1, 3]
+
+
+def test_word_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three four")], "doc_id int, text string"
+    )
+    out = df.select("doc_id", word_shingles("text", 3).alias("s")).collect()
+    by_id = {r.doc_id: r.s for r in out}
+    assert by_id[1] == []
+    assert by_id[2] == ["one two three", "two three four"]
+
+
+def test_minhash_lsh_matches_exact_pairs(docs):
+    """LSH banding recall on the planted near-dups (the clean >=0.9
+    jaccard cluster) must be total: candidates then exact verify
+    reproduce the exact pairwise operator's output."""
+    exact = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_banding_is_exact(docs):
+    """Pigeonhole banding must find EXACTLY the pairs within the
+    Hamming ball — compare against brute-force pairwise popcount."""
+    d = 4
+    sh = docs.select(F.col("doc_id").alias("id"), simhash("text").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("h"),
+        )
+        .filter(F.col("h") <= d)
+        .collect()
+    }
+    banded = {
+        (r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=d).collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_simhash_insensitive_to_word_order(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")],
+        "doc_id int, text string",
+    )
+    vals = [r.s for r in df.select(simhash("text").alias("s")).collect()]
+    assert vals[0] == vals[1]
+
+
+def test_embedding_dup_pairs_symmetric_threshold(spark):
+    emb = load_table(spark, SF0001, "embeddings")
+    out = embedding_dup_pairs(emb, threshold=0.4).collect()
+    assert all(r.id_a < r.id_b and r.cosine >= 0.4 for r in out)
+    assert len(out) > 0

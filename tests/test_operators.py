@@ -1,0 +1,127 @@
+"""Spark operator tests: within, KNN, TopX, binned limit.
+
+Golden counts mirror the reference's test strategy (SURVEY.md §5):
+the boundary-inclusive rectangle counts, prefix-pruned == unpruned
+equivalence, KNN ordering, grouped top-N cardinalities.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import hbase_gis_spark as hgs
+from hbase_gis_spark.operators.topx import binned_limit
+from hbase_gis_spark.sources.tables import derived_points, load_table
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def line_points(spark):
+    # the reference's y=x fixture (TestWithinFilter.java:43-55)
+    return spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(1, 11)], "i int, lon double, lat double"
+    )
+
+
+def rect(x1, y1, x2, y2):
+    return f"POLYGON (({x1} {y1}, {x1} {y2}, {x2} {y2}, {x2} {y1}, {x1} {y1}))"
+
+
+def test_within_boundary_golden_counts(line_points):
+    # TestWithinFilter.java:107-135 golden counts: 2 then 3
+    assert hgs.within(line_points, rect(0, 0, 2.999, 2.999)).count() == 2
+    assert hgs.within(line_points, rect(0, 0, 3.0, 3.0)).count() == 3
+
+
+def test_within_nan_rows_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, float("nan"), 1.0), (2, 1.0, 1.0), (3, 1.0, float("nan"))],
+        "id int, lon double, lat double",
+    )
+    out = hgs.within(df, rect(0, 0, 5, 5))
+    assert [r.id for r in out.collect()] == [2]
+
+
+def test_within_pruned_equals_unpruned(spark):
+    pts = derived_points(spark, SF0001, with_geohash=True).cache()
+    wkt = (
+        "POLYGON ((-74.01 40.68, -73.96 40.86, -73.89 40.77, "
+        "-73.93 40.63, -74.01 40.68))"
+    )
+    plain = {r.id for r in hgs.within(pts, wkt).collect()}
+    pruned = {r.id for r in hgs.within(pts, wkt, geohash_col="geohash").collect()}
+    assert plain == pruned and len(plain) > 0
+
+
+def test_knn_exact_matches_bruteforce(spark):
+    pts = derived_points(spark, SF0001).cache()
+    ox, oy, k = -73.95, 40.75, 15
+    got = hgs.knn(pts, ox, oy, k, tiebreak_col="id").collect()
+    assert len(got) == k
+    rows = pts.collect()
+    expect = sorted(
+        rows, key=lambda r: (math.sqrt((r.lon - ox) ** 2 + (r.lat - oy) ** 2), r.id)
+    )[:k]
+    assert [r.id for r in got] == [r.id for r in expect]
+    # result arrives distance-ordered
+    dists = [r.distance for r in got]
+    assert dists == sorted(dists)
+
+
+def test_knn_pruned_is_subset_of_candidates(spark):
+    """Pruned KNN reproduces the reference's 9-cell approximation:
+    every result falls in the origin's precision-7 neighborhood
+    (KNNQuery.java:84-88) — and may return < k rows."""
+    from hbase_gis_spark.geo.planner import knn_prefixes
+
+    pts = derived_points(spark, SF0001, with_geohash=True).cache()
+    ox, oy = -73.95, 40.75
+    # precision 5 (the derived grid is too sparse for 7-char cells —
+    # the reference's approximation would likewise return 0 rows there)
+    p = 5
+    got = hgs.knn(
+        pts, ox, oy, 10, geohash_col="geohash", pruned=True,
+        prefix_precision=p, tiebreak_col="id",
+    ).collect()
+    prefixes = set(knn_prefixes(oy, ox, p))
+    assert 0 < len(got) <= 10
+    for r in got:
+        assert r.geohash[:p] in prefixes
+
+
+def test_topx_group_sizes(spark):
+    ev = load_table(spark, SF0001, "events")
+    x = 4
+    out = hgs.top_x(ev, "user_id", "ts", x, tiebreak_col="event_id")
+    sizes = out.groupBy("user_id").count().collect()
+    full = dict(ev.groupBy("user_id").count().collect())
+    for row in sizes:
+        assert row["count"] == min(x, full[row.user_id])
+    # every kept row's ts is <= the group's x-th smallest
+    ev_rows = ev.select("user_id", "ts", "event_id").collect()
+    import collections
+
+    by_group = collections.defaultdict(list)
+    for r in ev_rows:
+        by_group[r.user_id].append((r.ts, r.event_id))
+    kept = {(r.user_id, r.event_id) for r in out.collect()}
+    for uid, rows in by_group.items():
+        expect = set(uid for _ in range(1))  # placeholder to keep flake quiet
+        top = sorted(rows)[:x]
+        assert {(uid, eid) for _, eid in top} == {
+            (u, e) for (u, e) in kept if u == uid
+        }
+
+
+def test_binned_limit_respects_caps(spark):
+    ev = load_table(spark, SF0001, "events")
+    out = binned_limit(ev, F.col("event_id") % 5, "event_id", 3, total_limit=12)
+    rows = out.collect()
+    assert len(rows) == 12
+    import collections
+
+    per_bin = collections.Counter(r.bin for r in rows)
+    assert all(c <= 3 for c in per_bin.values())
+    # global limit is deterministic: lowest (bin, event_id) first
+    assert {r.bin for r in rows} == {0, 1, 2, 3}
