@@ -85,18 +85,41 @@ def prefix_predicate(
     return F.substring(geohash, 1, p).isin(prefixes)
 
 
+def partition_prefix_predicate(
+    wkt: str, partition_col: str, partition_len: int, max_precision: int = 7
+) -> Column:
+    """Pruning predicate against a *partition column* holding a fixed
+    geohash prefix (written by sources.ingest.write_geo_table).
+
+    Spark evaluates arbitrary deterministic predicates on partition
+    columns against partition VALUES (directory metadata), so this
+    prunes whole directories before any file I/O — the true Spark
+    analog of the reference's rowkey-range scan restriction."""
+    prefixes = minimum_bounding_prefixes(parse_wkt(wkt), max_precision)
+    p = len(prefixes[0])
+    if p <= partition_len:
+        return F.substring(F.col(partition_col), 1, p).isin(prefixes)
+    truncated = sorted({x[:partition_len] for x in prefixes})
+    return F.col(partition_col).isin(truncated)
+
+
 def within(
     df: DataFrame,
     wkt: str,
     lon_col: str = "lon",
     lat_col: str = "lat",
     geohash_col: str | None = None,
+    partition_prefix_col: str | None = None,
+    partition_prefix_len: int = 4,
     exact: bool = True,
 ) -> DataFrame:
     """All rows of ``df`` whose (lon, lat) point is covered by the WKT
     polygon (boundary inclusive).
 
-    ``geohash_col``: if given, adds the prefix-pruning predicate.
+    ``geohash_col``: if given, adds the row-level prefix predicate.
+    ``partition_prefix_col``: if the table is stored partitioned by a
+    geohash prefix (write_geo_table), adds the directory-pruning
+    predicate as well.
     ``exact=False`` skips the final covers() test (candidates only —
     useful for plan inspection; reference "no filter" scans).
     """
@@ -105,6 +128,13 @@ def within(
     pred = bbox_predicate(wkt, lon, lat)
     if geohash_col is not None:
         pred = prefix_predicate(wkt, F.col(geohash_col)) & pred
+    if partition_prefix_col is not None:
+        pred = (
+            partition_prefix_predicate(
+                wkt, partition_prefix_col, partition_prefix_len
+            )
+            & pred
+        )
     out = df.filter(pred)
     if exact:
         out = out.filter(covers_udf(wkt, lon, lat))
