@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video decode libraries are NOT in this container, so the
+decode kernels are stubbed (clearly-marked NotImplementedError, or a
+deterministic fake for tests). What IS real, and tested, is everything
+Spark-side: the schema convention, Arrow batch flow through
+mapInPandas, partition-sized batching, and metadata extraction shape —
+the parts that have to be right at 100 TB.
+
+Schema convention for a media table:
+    id        bigint
+    media     binary            -- opaque payload
+    media_meta struct<mime:string, n_bytes:bigint>
+
+Decode steps add typed columns next to the payload rather than nested
+structs, keeping Parquet column pruning useful (a downstream job that
+needs only `width` never reads `media`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # decode backends are optional; absent in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover - import guard
+    _HAS_PIL = False
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic binary payload fabricated from a text column —
+    stands in for real image bytes so the plumbing is testable."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("media", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("application/x-fake").alias("mime"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+        ),
+    )
+
+
+_DECODE_SCHEMA = (
+    "id bigint, width int, height int, channels int, mean_byte double"
+)
+
+
+def _decode_real(buf: bytes) -> tuple[int, int, int, float]:
+    """Real decoder — requires an image library.
+
+    STUB: PIL/opencv are not available in this environment."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; not present in this container"
+        )
+    raise NotImplementedError("real decode path not wired yet")
+
+
+def _decode_fake(buf: bytes) -> tuple[int, int, int, float]:
+    """Deterministic fake decode: derive (width, height, channels,
+    mean_byte) purely from the payload bytes."""
+    n = len(buf)
+    width = (n % 64) + 1
+    height = (n % 48) + 1
+    channels = 3
+    mean_byte = (sum(buf) / n) if n else 0.0
+    return width, height, channels, mean_byte
+
+
+def decode_media(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    fake: bool = True,
+) -> DataFrame:
+    """Decode the binary payload into typed feature columns via
+    mapInPandas (Arrow-batched; one python worker per partition).
+
+    ``fake=False`` uses the real decoder (NotImplementedError here —
+    the Spark-side contract is identical)."""
+    decode = _decode_fake if fake else _decode_real
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode(b) for b in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
+                    "mean_byte": [d[3] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(batches, _DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = "id bigint, frame_idx int, frame bytes".replace("bytes", "binary")
+
+
+def frame_sample(
+    df: DataFrame,
+    n_frames: int,
+    id_col: str = "id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Sample ``n_frames`` evenly spaced chunks from each payload —
+    the video-frame-sampling shape (explode to one row per frame).
+
+    Chunking is a deterministic fake for the codec; the row explosion,
+    schema, and batch flow match a real frame sampler."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for rid, buf in zip(pdf[id_col], pdf[media_col]):
+                if buf is None or len(buf) == 0:
+                    continue
+                step = max(len(buf) // n_frames, 1)
+                for k in range(min(n_frames, len(buf))):
+                    ids.append(rid)
+                    idxs.append(k)
+                    frames.append(bytes(buf[k * step : k * step + step]))
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, media_col).mapInPandas(batches, _FRAME_SCHEMA)

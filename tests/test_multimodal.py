@@ -1,0 +1,64 @@
+"""Multimodal plumbing tests: binary schema, mapInPandas batch flow."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_gis_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+    frame_sample,
+)
+from hbase_gis_spark.sources.tables import load_table
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF0001, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    return attach_fake_media(docs).cache()
+
+
+def test_media_schema(media):
+    fields = dict(media.dtypes)
+    assert fields["media"] == "binary"
+    assert fields["media_meta"].startswith("struct<mime:string,n_bytes:bigint")
+    r = media.select("media_meta.n_bytes", F.length("media").alias("l")).first()
+    assert r.n_bytes == r.l
+
+
+def test_decode_media_deterministic(media):
+    out = decode_media(media, fake=True)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    r = {x.id: x for x in rows}
+    again = {x.id: x for x in decode_media(media, fake=True).collect()}
+    sample = list(r)[:20]
+    assert all(
+        (r[i].width, r[i].height, r[i].mean_byte)
+        == (again[i].width, again[i].height, again[i].mean_byte)
+        for i in sample
+    )
+    assert all(1 <= r[i].width <= 64 for i in sample)
+
+
+def test_decode_media_real_path_stubbed(media):
+    with pytest.raises(Exception) as ei:
+        decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sample_explodes_rows(media):
+    n = 4
+    out = frame_sample(media, n)
+    counts = out.groupBy("id").count().collect()
+    assert all(r["count"] <= n for r in counts)
+    assert out.filter(F.col("frame_idx") >= n).count() == 0
+    # frames reassemble a prefix of the source payload bytes
+    one = out.filter(F.col("id") == 0).orderBy("frame_idx").collect()
+    src = media.filter(F.col("id") == 0).select("media").first()[0]
+    joined = b"".join(r.frame for r in one)
+    assert bytes(src).startswith(joined[: len(src)])
