@@ -1,0 +1,132 @@
+"""Streaming event operators: windowed aggregation and stateful
+grouped top-X.
+
+Batch/stream parity: both operators accept the events table either as a
+static DataFrame or a readStream source; the streaming variants use
+watermarks (late-data bound) and applyInPandasWithState (bounded
+per-group state), which is how the reference's TopX coprocessor
+(per-group bounded heap, TopXEndpoint.java:89-103) translates to an
+infinite input.
+
+The testdata 'ts' column arrives as long NANOseconds (see
+sources.tables); event_time() converts to a proper timestamp column.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def event_time(col: str = "ts"):
+    """long-nanos -> TimestampType (µs precision, matching DuckDB)."""
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+
+
+def read_event_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the events table is a single FILE; the file stream source demands a
+    # directory basePath, so address it via a glob (basePath := sf_dir)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet*")
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type.
+
+    Works identically on batch and streaming inputs; on streams the
+    watermark bounds state for late data."""
+    with_ts = events.withColumn("event_ts", event_time("ts"))
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("event_ts", watermark)
+    return (
+        with_ts.groupBy(F.window("event_ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def streaming_top_x_earliest(
+    events: DataFrame, x: int, group_col: str = "user_id"
+) -> DataFrame:
+    """Stateful streaming grouped top-X: per group, the x earliest
+    events seen so far (ties broken by event_id), emitted incrementally.
+
+    State per group is a bounded (x rows) frame — the streaming
+    translation of the reference's per-group MinMaxPriorityQueue
+    (TopXEndpoint.java:89-103). Emits each batch's new/changed top rows.
+    """
+    out_schema = "user_id bigint, event_id bigint, ts bigint"
+    state_schema = "ts array<bigint>, event_id array<bigint>"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            ts_list, id_list = state.get
+            cur = list(zip(ts_list, id_list))
+        else:
+            cur = []
+        for pdf in pdfs:
+            cur.extend(zip(pdf["ts"].tolist(), pdf["event_id"].tolist()))
+        cur.sort()
+        cur = cur[:x]
+        state.update((
+            [t for t, _ in cur],
+            [i for _, i in cur],
+        ))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(cur),
+                "event_id": [i for _, i in cur],
+                "ts": [t for t, _ in cur],
+            }
+        )
+
+    return (
+        events.select(group_col, "event_id", "ts")
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "update"
+) -> None:
+    """Drive a streaming query over all available input synchronously
+    (test/demo helper)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

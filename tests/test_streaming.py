@@ -1,0 +1,54 @@
+"""Streaming tests: windowed agg batch/stream parity, stateful top-X."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_gis_spark.sources.tables import load_table
+from hbase_gis_spark.streaming.events import (
+    read_event_stream,
+    run_stream_to_memory,
+    streaming_top_x_earliest,
+    windowed_event_counts,
+)
+from tests.conftest import SF0001
+
+
+def test_windowed_counts_stream_matches_batch(spark):
+    batch = load_table(spark, SF0001, "events")
+    expect = {
+        (r.ws, r.event_type): (r.n, r.value_sum)
+        for r in windowed_event_counts(batch).collect()
+    }
+
+    stream = read_event_stream(spark, SF0001)
+    assert stream.isStreaming
+    run_stream_to_memory(
+        windowed_event_counts(stream), "win_counts", output_mode="update"
+    )
+    got = {
+        (r.ws, r.event_type): (r.n, r.value_sum)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == expect and len(expect) > 0
+
+
+def test_streaming_topx_matches_batch_topx(spark):
+    from hbase_gis_spark.operators.topx import top_x
+
+    batch = load_table(spark, SF0001, "events")
+    x = 3
+    expect = {
+        (r.user_id, r.event_id)
+        for r in top_x(batch, "user_id", "ts", x, tiebreak_col="event_id").collect()
+    }
+
+    stream = read_event_stream(spark, SF0001)
+    run_stream_to_memory(
+        streaming_top_x_earliest(stream, x), "stream_topx", output_mode="update"
+    )
+    # final state per user = last emitted batch per user
+    got = {
+        (r.user_id, r.event_id)
+        for r in spark.sql("SELECT * FROM stream_topx").collect()
+    }
+    assert got == expect
