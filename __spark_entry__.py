@@ -35,7 +35,11 @@ from hbase_gis_spark.operators.dedup import (
     simhash_pairs,
 )
 from hbase_gis_spark.operators.knn import knn
-from hbase_gis_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from hbase_gis_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+)
 from hbase_gis_spark.operators.textstats import (
     fingerprint,
     lang_id,
@@ -172,9 +176,16 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate (hyperplane-LSH bucketed); rows-only driver check,
-    # recall vs exact pinned in tests/test_similarity.py
+    # candidate mechanics pinned in tests/test_similarity.py
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, ANN_QUERY_ID, ANN_K)
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate (IVF coarse-quantized, nprobe/nlist scan fraction);
+    # rows-only driver check, recall pinned in tests/test_similarity.py
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, ANN_QUERY_ID, ANN_K)
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -408,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": lang_sql,
         "text_quality": quality_sql,
         "doc_fingerprint": fingerprint_sql,
-        # ann_lsh_topk intentionally omitted: approximate operator,
-        # rows-only driver check; recall pinned in tests.
+        # ann_lsh_topk / ann_ivf_topk intentionally omitted: approximate
+        # operators, rows-only driver check; recall/mechanics pinned in
+        # tests/test_similarity.py.
     }

@@ -2,12 +2,21 @@
 
 Brute-force cosine top-k is the exact baseline (a single scan +
 TakeOrderedAndProject — fully parallel, no shuffle of non-winners).
-The scale path is random-hyperplane LSH: sign-bit signatures bucket
-vectors so ANN probes touch only matching buckets.
+Two scale paths:
 
-All arithmetic is double-precision JVM HOFs (zip_with + aggregate,
-sequential fold) — written to be bit-reproducible in DuckDB oracle SQL
-(list_transform + list_sum over the same op order).
+- **IVF** (inverted-file index): a driver-trained spherical-k-means
+  coarse quantizer assigns every vector to one of ``nlist`` cells; a
+  query probes only the ``nprobe`` nearest cells and exactly re-ranks.
+  At scale the cell id is a stored partition column → partition
+  pruning; scan cost drops to ~nprobe/nlist of the table.
+- **Hyperplane LSH**: sign-bit signatures bucket vectors; multiprobe
+  by signature hamming distance. Weaker on near-isotropic data (the
+  per-plane flip probability for a 70° neighbor is 0.39 vs 0.5 for a
+  random vector), kept for its O(1) signature storage.
+
+All cosine arithmetic is double-precision JVM HOFs (zip_with +
+aggregate, sequential fold) — written to be bit-reproducible in DuckDB
+oracle SQL (list_transform + list_sum over the same op order).
 """
 
 from __future__ import annotations
@@ -48,6 +57,97 @@ def cosine_topk(
     return (
         df.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine_expr(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 4096,
+    iters: int = 15,
+    seed: int = 13,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    bounded deterministic sample (first ``train_rows`` by id).
+
+    Training cost is O(train_rows · nlist · dim) on the driver and does
+    NOT grow with table size — the 100 TB path trains on the same-sized
+    sample and only the assignment scan is distributed."""
+    rows = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(train_rows)
+        .select(vec_col)
+        .collect()
+    )
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = V[rng.choice(len(V), nlist, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(V @ C.T, axis=1)
+        for j in range(nlist):
+            m = assign == j
+            if m.sum():
+                C[j] = V[m].mean(0)
+                C[j] /= np.linalg.norm(C[j])
+    return C
+
+
+def ivf_cell_expr(vec_col: Column, centroids: np.ndarray) -> Column:
+    """0-based index of the max-dot-product centroid, as a pure JVM
+    expression (array of fold-dots → array_position of array_max).
+    Cosine argmax == dot argmax because centroids are unit-norm and the
+    vector's own norm is a positive constant across cells."""
+    dots = F.array(
+        *[
+            dot_expr(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 6,
+    train_rows: int = 4096,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k via IVF: scan only the ``nprobe`` cells whose
+    centroids are nearest the query vector, exact cosine re-rank inside
+    them. Candidate generation is a single pushable ``isin`` filter —
+    with the cell id persisted as a partition column it prunes
+    directories, the Spark analog of probing an inverted list."""
+    C = train_ivf_centroids(
+        df, nlist, id_col, vec_col, train_rows=train_rows, seed=seed
+    )
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id} not found")
+    q = np.asarray(qrow[0], dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probes = [int(j) for j in np.argsort(-(C @ q))[:nprobe]]
+    qv = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    return (
+        df.filter(F.col(id_col) != query_id)
+        .withColumn("__cell", ivf_cell_expr(F.col(vec_col), C))
+        .filter(F.col("__cell").isin(probes))
+        .crossJoin(F.broadcast(qv))
         .select(
             F.col(id_col),
             cosine_expr(F.col(vec_col), F.col("__qv")).alias("cosine"),
