@@ -155,7 +155,9 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from hbase_gis_spark.operators.dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", simhash("text").alias("simhash"))
 
 

@@ -36,6 +36,18 @@ _MINHASH_P = 4294967311
 _MINHASH_A0, _MINHASH_B0 = 1048583, 97
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input arrives in fewer partitions (e.g. one small parquet file with
+    a single row group — the whole per-row pipeline would otherwise run
+    in ONE task). No-op at scale, where scans already yield >= cores
+    partitions; the round-robin shuffle moves only the narrow input."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def tokens(text_col) -> Column:
     """Whitespace tokenization — written identically in oracle SQL
     (regexp_split_to_array(trim(text), '\\s+'))."""
@@ -46,12 +58,20 @@ def tokens(text_col) -> Column:
 def word_shingles(text_col, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM HOFs only).
 
-    Documents with fewer than n words yield an empty set (guarded:
-    Spark's sequence(1, 0) would DESCEND, not return empty)."""
+    Built as a zip_with fold over n shifted slices of the token array so
+    that the (non-cheap) tokenization appears only in ROW-level
+    positions — a per-element ``element_at(tokens(...), i)`` formulation
+    would re-evaluate the regex split once per element per reference
+    under interpreted HOF eval (measured ~100× slowdown).
+
+    Documents with fewer than n words yield an empty set."""
     w = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    parts = lambda i: [F.element_at(w, i + k) for k in range(n)]  # noqa: E731
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    sh = F.slice(w, 1, m)
+    for k in range(1, n):
+        sh = F.zip_with(
+            sh, F.slice(w, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
     return F.when(
         F.size(w) >= n, F.array_distinct(sh)
     ).otherwise(F.array().cast("array<string>"))
@@ -97,44 +117,79 @@ def jaccard_pairs(
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-duplicate pairs (id_a < id_b).
 
-    O(n²) pair enumeration — correct at any size but only *affordable*
-    for modest corpora or within blocking buckets; the 100 TB path is
-    :func:`minhash_lsh_pairs`, which feeds its candidates through this
-    same exact verify.
+    Implemented as an inverted-index equality join, NOT an all-pairs
+    product: explode distinct shingles to (id, shingle) postings,
+    self-join on the shingle, count matches per pair = |A∩B|, then
+    |A∪B| = |A| + |B| − |A∩B| from per-doc sizes. Pairs sharing no
+    shingle have Jaccard 0 and can never pass a positive threshold, so
+    the result is identical to full enumeration while the join scales
+    with Σ df(shingle)² (shuffle on shingle keys) instead of n²
+    documents. With ``threshold = 0``, zero-overlap pairs are still
+    excluded by construction — enforce a positive threshold.
     """
-    sh = df.select(
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
+    sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("s")
     )
-    left = sh.alias("a")
-    right = sh.alias("b")
-    pairs = left.join(right, F.col("a.id") < F.col("b.id"))
+    sizes = sh.select("id", F.size("s").alias("sz"))
+    postings = sh.select("id", F.explode("s").alias("sh"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            _jaccard(F.col("a.s"), F.col("b.s")).alias("jaccard"),
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
 
 
+def shingle_hashes32(shingle_col) -> Column:
+    """xxhash64 of each shingle masked to 32 bits (array<bigint>)."""
+    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    return F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(4294967295)))
+
+
 def minhash_signature(text_col, n: int = 3, num_hashes: int = 64) -> Column:
-    """MinHash signature (array<bigint>, length ``num_hashes``).
+    """MinHash signature (array<bigint>, length ``num_hashes``) from a
+    text column, as one expression. Convenience form — inside operators
+    prefer the staged pipeline (shingles → hashes32 → signature as
+    separate projections, see :func:`minhash_lsh_pairs`) so the shingle
+    hashing isn't re-evaluated per permutation."""
+    return minhash_signature_from_hashes(
+        shingle_hashes32(word_shingles(text_col, n)), num_hashes
+    )
 
-    Permutation i: min over shingles of (a_i * h32(shingle) + b_i) % P,
-    where h32 = xxhash64 masked to 32 bits. Entirely JVM-side HOFs:
-    one xxhash per shingle, then ``num_hashes`` fused min-reductions.
-    """
-    sh = word_shingles(text_col, n)
-    h32 = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(4294967295)))
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
 
-    def perm_min(i):
-        a = i * F.lit(2) + F.lit(_MINHASH_A0)
-        b = i * F.lit(7) + F.lit(_MINHASH_B0)
-        return F.array_min(F.transform(h32, lambda h: (a * h + b) % F.lit(_MINHASH_P)))
+def minhash_signature_from_hashes(h32_col, num_hashes: int = 64) -> Column:
+    """MinHash signature from a materialized 32-bit shingle-hash array.
 
-    return F.transform(seeds, perm_min)
+    Permutation i: min over shingles of (a_i * h + b_i) % P. Built as an
+    explicit ``num_hashes``-element array (not a nested transform over a
+    seed sequence) so each permutation references the hash array as an
+    attribute — Catalyst keeps the producing projection materialized
+    (multi-reference, non-cheap) and each min-reduction reads the same
+    computed array instead of re-hashing every shingle."""
+    h32 = F.col(h32_col) if isinstance(h32_col, str) else h32_col
+    mins = []
+    for i in range(num_hashes):
+        a = F.lit(i * 2 + _MINHASH_A0)
+        b = F.lit(i * 7 + _MINHASH_B0)
+        mins.append(
+            F.array_min(F.transform(h32, lambda h: (a * h + b) % F.lit(_MINHASH_P)))
+        )
+    return F.array(*mins)
 
 
 def minhash_lsh_pairs(
@@ -157,10 +212,14 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, n).alias("s"),
-        minhash_signature(text_col, n, num_hashes).alias("sig"),
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("s")
+    )
+    # staged projections: shingles → 32-bit hashes → signature. Each
+    # stage's output is referenced many times downstream, so Catalyst
+    # keeps the boundaries (no CollapseProject) and nothing re-hashes.
+    sig = sh.select("id", shingle_hashes32("s").alias("__h32")).select(
+        "id", minhash_signature_from_hashes("__h32", num_hashes).alias("sig")
     )
     band_structs = F.array(
         *[
@@ -171,9 +230,11 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = base.select(
-        "id", "s", F.explode(band_structs).alias("bb")
-    ).select("id", "s", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # candidates are narrow (id, band-hash) rows — the shingle arrays
+    # never travel through the band explode/join
+    banded = sig.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -183,17 +244,16 @@ def minhash_lsh_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.s").alias("sa"),
-            F.col("b.s").alias("sb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.select(
-            "id_a", "id_b", _jaccard(F.col("sa"), F.col("sb")).alias("jaccard")
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            _jaccard(F.col("sa.s"), F.col("sb.s")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
@@ -207,37 +267,52 @@ _SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits signed bigint, oracle-portable
 def simhash(text_col) -> Column:
     """60-bit SimHash over the word multiset (md5-derived word hashes).
 
-    Bit j of the result is 1 iff the count of words with bit_j set
-    exceeds half the word count (2*ones_j > n_words, the integer form
-    of sum(bit*2-1) > 0). md5 (not xxhash) keeps it reproducible in
-    DuckDB oracle SQL; all comparisons are exact integer math.
+    Bit j of the result is 1 iff more words have bit_j set than not,
+    computed as the signed vote v_j = Σ(2·bit − 1) > 0 — the same
+    integer test as the oracle SQL's ``2*sum(bit) - count(*) > 0``.
+    md5 (not xxhash) keeps it reproducible in DuckDB; all comparisons
+    are exact integer math.
+
+    The expression is a single linear chain (tokens → word hashes →
+    per-word ±1 vote arrays → fold → pack): every intermediate is
+    referenced exactly once, so interpreted HOF evaluation computes each
+    stage once per row. An earlier form packed bits via 60
+    ``element_at(ones, j)`` references, which re-evaluated the entire
+    fold per bit (~60× the work).
     """
     w = tokens(text_col)
-    n_words = F.size(w).cast("bigint")
     hashes = F.transform(
         w, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
     )
-    # per word: 60-element bit array (bit positions fixed at expr build time)
-    bit_arrays = F.transform(
+    # per word: 60-element ±1 vote array (h is a lambda slot — cheap)
+    vote_arrays = F.transform(
         hashes,
         lambda h: F.array(
             *[
-                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("bigint")
+                (
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("bigint") * 2 - 1
+                )
                 for j in range(_SIMHASH_BITS)
             ]
         ),
     )
-    ones = F.aggregate(
-        bit_arrays,
+    votes = F.aggregate(
+        vote_arrays,
         F.array_repeat(F.lit(0).cast("bigint"), _SIMHASH_BITS),
         lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
     )
-    packed = F.lit(0).cast("bigint")
-    for j in range(_SIMHASH_BITS):
-        packed = packed + F.when(
-            F.element_at(ones, j + 1) * 2 > n_words, F.lit(1 << j)
-        ).otherwise(F.lit(0).cast("bigint"))
-    return packed
+    powers = F.array(
+        *[F.lit(1 << j).cast("bigint") for j in range(_SIMHASH_BITS)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_pairs(
@@ -253,7 +328,9 @@ def simhash_pairs(
     """
     blocks = max_hamming + 1
     width = _SIMHASH_BITS // blocks
-    base = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    base = _spread(df).select(
+        F.col(id_col).alias("id"), simhash(text_col).alias("sh")
+    )
     block_structs = F.array(
         *[
             F.struct(
@@ -302,18 +379,29 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs over an embedding column.
 
-    Pairwise — the oracle-checkable ground truth; the scale path is
-    hyperplane-LSH bucketing in operators.similarity."""
-    from hbase_gis_spark.operators.similarity import cosine_expr
+    Pairwise — the oracle-checkable ground truth; the scale paths are
+    IVF/LSH bucketing in operators.similarity. Per-row norms are
+    computed ONCE per side before the pair join (the norm fold is the
+    same expression either way, so cosine stays bit-identical to the
+    naive form the oracle uses) — the join then does one dot product
+    per pair instead of three."""
+    from hbase_gis_spark.operators.similarity import dot_expr, norm_expr
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
+    )
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            (
+                dot_expr(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
