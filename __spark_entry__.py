@@ -40,10 +40,18 @@ from hbase_gis_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
 )
+from hbase_gis_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+    frame_sample,
+)
 from hbase_gis_spark.operators.textstats import (
+    BPE_TOKEN_PATTERN,
+    bpe_token_count,
     fingerprint,
     lang_id,
     quality_features,
+    token_count,
 )
 from hbase_gis_spark.operators.topx import binned_limit, top_x
 from hbase_gis_spark.operators.within import within
@@ -208,6 +216,44 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws"),
+        bpe_token_count("text").alias("n_bpe"),
+    )
+
+
+N_FRAMES = 4
+
+
+def _q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: fake binary payload (UTF-8 of text) decoded
+    to typed features via mapInPandas. The fake decode is deterministic
+    from the payload bytes, so it is fully oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    media = attach_fake_media(docs)
+    return decode_media(media).select(
+        "id", "width", "height", "channels", "mean_byte"
+    )
+
+
+def _q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: N evenly spaced binary chunks per payload,
+    exploded to one row per frame. Frames surface hex-encoded so the
+    driver's value compare never has to hash raw binary."""
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    media = attach_fake_media(docs)
+    return frame_sample(media, N_FRAMES).select(
+        "id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "within_polygon": _q_within,
@@ -228,6 +274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
+        "token_counts": _q_token_counts,
+        "mm_decode": _q_mm_decode,
+        "mm_frames": _q_mm_frames,
     }
 
 
@@ -405,6 +454,38 @@ def oracle_sql() -> dict[str, str]:
            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
     FROM documents
     """
+    token_counts_sql = f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+'))::INTEGER AS n_ws,
+           len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::INTEGER AS n_bpe
+    FROM documents
+    """
+    # fake payload = UTF-8 bytes of text; the corpus is pure ASCII
+    # (verified: max codepoint 121) so ord(char) == byte value and the
+    # char-split sum equals the byte sum the Spark-side decoder computes
+    mm_decode_sql = """
+    SELECT id, ((n % 64) + 1)::INTEGER AS width, ((n % 48) + 1)::INTEGER AS height,
+           3::INTEGER AS channels,
+           CAST(list_sum(list_transform(split(text, ''), x -> ord(x))) AS DOUBLE)
+             / n AS mean_byte
+    FROM (SELECT doc_id AS id, text, octet_length(encode(text)) AS n
+          FROM documents)
+    """
+    # DuckDB substring works on VARCHAR only; ASCII corpus => char slice
+    # == byte slice, so slice the text then encode to bytes
+    mm_frames_sql = f"""
+    WITH m AS (
+      SELECT doc_id AS id, text,
+             octet_length(encode(text)) AS n,
+             greatest(octet_length(encode(text)) // {N_FRAMES}, 1) AS step
+      FROM documents
+    )
+    SELECT id, k::INTEGER AS frame_idx,
+           hex(encode(substring(text, (k * step + 1)::INTEGER, step::INTEGER)))
+             AS frame_hex
+    FROM m CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS k) ks
+    WHERE k < least({N_FRAMES}, n)
+    """
     return {
         "within_polygon": within_sql,
         "within_polygon_pruned": within_sql,
@@ -422,6 +503,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": lang_sql,
         "text_quality": quality_sql,
         "doc_fingerprint": fingerprint_sql,
+        "token_counts": token_counts_sql,
+        "mm_decode": mm_decode_sql,
+        "mm_frames": mm_frames_sql,
         # ann_lsh_topk / ann_ivf_topk intentionally omitted: approximate
         # operators, rows-only driver check; recall/mechanics pinned in
         # tests/test_similarity.py.

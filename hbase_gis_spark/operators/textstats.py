@@ -30,6 +30,21 @@ def token_count(text_col) -> Column:
     return F.size(tokens(text_col))
 
 
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
+# marks — the GPT-2-style shape without the tricky lookaheads, and with
+# mutually-disjoint alternatives so Java regex (Spark) and RE2 (DuckDB)
+# agree exactly.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text_col) -> Column:
+    """Count of BPE-ish pre-tokens (see BPE_TOKEN_PATTERN). A cheap
+    whole-corpus token budget estimator that runs JVM-side
+    (regexp_count, codegen) — no Python tokenizer in the scan."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
+
+
 def marker_count(text_col, markers: tuple[str, ...]) -> Column:
     w = tokens(text_col)
     return F.size(F.filter(w, lambda x: x.isin(*markers)))
