@@ -254,6 +254,21 @@ def _q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the batch side of the streaming
+    operator (identical code path runs under readStream with a
+    watermark; batch/stream parity pinned in tests/test_streaming.py).
+    The double `value` sum is excluded here: float addition order is
+    engine-dependent, so the oracle checks the exact aggregates
+    (count/min/max) and the streaming tests check the sum."""
+    from hbase_gis_spark.streaming.events import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(ev).select(
+        "ws", "we", "event_type", "n", "value_min", "value_max"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "within_polygon": _q_within,
@@ -277,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "mm_decode": _q_mm_decode,
         "mm_frames": _q_mm_frames,
+        "windowed_event_counts": _q_windowed_event_counts,
     }
 
 
@@ -506,6 +522,13 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": token_counts_sql,
         "mm_decode": mm_decode_sql,
         "mm_frames": mm_frames_sql,
+        "windowed_event_counts": """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+           event_type, count(*) AS n,
+           min(value) AS value_min, max(value) AS value_max
+    FROM events GROUP BY 1, 2, 3
+    """,
         # ann_lsh_topk / ann_ivf_topk intentionally omitted: approximate
         # operators, rows-only driver check; recall/mechanics pinned in
         # tests/test_similarity.py.

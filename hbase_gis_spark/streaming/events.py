@@ -55,13 +55,20 @@ def windowed_event_counts(
         with_ts = with_ts.withWatermark("event_ts", watermark)
     return (
         with_ts.groupBy(F.window("event_ts", window), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
         .select(
             F.col("window.start").alias("ws"),
             F.col("window.end").alias("we"),
             "event_type",
             "n",
             "value_sum",
+            "value_min",
+            "value_max",
         )
     )
 
