@@ -105,6 +105,45 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_PRUNE_PRECISION = 6  # reference uses 7 (KNNQuery.java:31); 6 keeps the
+# candidate set >= k on the sf0.01 derived grid — same machinery, same
+# approximate semantics (may return < k when cells are sparse)
+
+
+def _q_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful approximate KNN (K2): candidates restricted to
+    the origin's geohash cell + 8 neighbors, then bounded top-k."""
+    pts = derived_points(spark, sf_dir, with_geohash=True)
+    return knn(
+        pts,
+        KNN_LON,
+        KNN_LAT,
+        KNN_K,
+        geohash_col="geohash",
+        pruned=True,
+        prefix_precision=KNN_PRUNE_PRECISION,
+        tiebreak_col="id",
+    ).select("id", "lon", "lat", "distance")
+
+
+def _knn_pruned_cell_predicate_sql() -> str:
+    """The 9 candidate cells as (lon_bin, lat_bin) equality disjuncts —
+    geohash-6 equality == (15-bit lon bin, 15-bit lat bin) equality, the
+    identity pinned by tests/test_geohash.py."""
+    from hbase_gis_spark.geo.geohash import decode_bbox
+    from hbase_gis_spark.geo.planner import knn_prefixes
+
+    import math
+
+    terms = []
+    for p in knn_prefixes(KNN_LAT, KNN_LON, KNN_PRUNE_PRECISION):
+        lat_lo, lat_hi, lon_lo, lon_hi = decode_bbox(p)
+        lb = math.floor(((lon_lo + lon_hi) / 2.0 + 180.0) / 360.0 * 32768.0)
+        tb = math.floor(((lat_lo + lat_hi) / 2.0 + 90.0) / 180.0 * 32768.0)
+        terms.append(f"(lb = {lb} AND tb = {tb})")
+    return " OR ".join(terms)
+
+
 def _q_topx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts div 1000")
@@ -274,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_polygon": _q_within,
         "within_polygon_pruned": _q_within_pruned,
         "knn_top10": _q_knn,
+        "knn_pruned": _q_knn_pruned,
         "topx_per_group": _q_topx,
         "binned_limit": _q_binned_limit,
         "dedup_geocell": _q_dedup_geocell,
@@ -309,6 +349,19 @@ def oracle_sql() -> dict[str, str]:
     WITH pts AS ({POINTS_SQL})
     SELECT id, lon, lat, {distance_sql(KNN_LON, KNN_LAT)} AS distance
     FROM pts
+    ORDER BY distance ASC, id ASC
+    LIMIT {KNN_K}
+    """
+    knn_pruned_sql = f"""
+    WITH pts AS ({POINTS_SQL}),
+    binned AS (
+      SELECT id, lon, lat, {distance_sql(KNN_LON, KNN_LAT)} AS distance,
+             CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT) AS lb,
+             CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT) AS tb
+      FROM pts
+    )
+    SELECT id, lon, lat, distance FROM binned
+    WHERE {_knn_pruned_cell_predicate_sql()}
     ORDER BY distance ASC, id ASC
     LIMIT {KNN_K}
     """
@@ -506,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "within_polygon": within_sql,
         "within_polygon_pruned": within_sql,
         "knn_top10": knn_sql,
+        "knn_pruned": knn_pruned_sql,
         "topx_per_group": topx_sql,
         "binned_limit": binned_sql,
         "dedup_geocell": dedup_sql,
