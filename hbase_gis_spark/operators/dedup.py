@@ -99,6 +99,52 @@ def dedup_exact(
     )
 
 
+def _bucket_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """All (id_a < id_b) pairs of ids sharing a bucket key — one output
+    row per (bucket, pair) co-occurrence.
+
+    groupBy + in-bucket pair explosion computes the bucketed input ONCE
+    (a self-equi-join would evaluate its whole upstream pipeline twice)
+    and shuffles it once, on the bucket key. Within a bucket of B ids
+    the B²/2 pairs are generated locally; at 100 TB a degenerate hot
+    bucket (stop-word shingle, all-zero signature band) is quadratic in
+    ANY formulation — prune such keys upstream if they can't be
+    meaningful near-dup evidence.
+
+    ``carry`` columns ride along inside the bucket items and come out
+    as ``<col>_a`` / ``<col>_b`` — cheaper than re-joining per-id
+    attributes onto the pair table afterwards (each re-join would
+    re-evaluate the producing pipeline)."""
+    carry = carry or []
+    item = F.struct(
+        F.col(id_col).alias("i"), *[F.col(c).alias(c) for c in carry]
+    )
+    items = F.array_sort(F.collect_list(item))
+    buckets = (
+        df.groupBy(*key_cols).agg(items.alias("xs")).filter(F.size("xs") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + F.lit(2), F.size(F.col("xs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a.i").alias("id_a"),
+        F.col("p.b.i").alias("id_b"),
+        *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in carry],
+    )
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     # two empty shingle sets => 0.0, not 0/0 (ANSI mode would error)
     inter = F.size(F.array_intersect(a, b))
@@ -132,23 +178,24 @@ def jaccard_pairs(
     sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("s")
     )
-    sizes = sh.select("id", F.size("s").alias("sz"))
-    postings = sh.select("id", F.explode("s").alias("sh"))
-    a, b = postings.alias("a"), postings.alias("b")
+    postings = sh.select(
+        "id", F.size("s").alias("sz"), F.explode("s").alias("shingle")
+    )
+    # each posting bucket is one shingle, so a pair's co-occurrence
+    # count across buckets IS |A∩B|; set sizes ride along as carry
+    # columns (no re-join, no second pass over the shingle pipeline)
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        _bucket_pairs(postings, ["shingle"], carry=["sz"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             (
                 F.col("inter").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
@@ -231,21 +278,14 @@ def minhash_lsh_pairs(
         ]
     )
     # candidates are narrow (id, band-hash) rows — the shingle arrays
-    # never travel through the band explode/join
+    # never travel through the band explode, and bucket-grouping means
+    # the signature pipeline is computed once (a self-join would run it
+    # twice)
     banded = sig.select("id", F.explode(band_structs).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _bucket_pairs(banded, ["band", "bh"]).dropDuplicates(
+        ["id_a", "id_b"]
     )
     return (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
@@ -345,6 +385,10 @@ def simhash_pairs(
     banded = base.select("id", "sh", F.explode(block_structs).alias("bb")).select(
         "id", "sh", F.col("bb.blk").alias("blk"), F.col("bb.key").alias("key")
     )
+    # codegen'd equality self-join: measured ~3x faster here than the
+    # groupBy/pair-explosion form (_bucket_pairs) — with only blocks+1
+    # narrow rows per doc and a bigint payload, the second pipeline
+    # evaluation is cheaper than interpreted in-bucket pair generation
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
