@@ -308,6 +308,28 @@ def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats (tf + doc frequency per token)."""
+    from hbase_gis_spark.operators.textstats import term_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_stats(docs).select("w", "tf", "df")
+
+
+SESSION_GAP_US = 300_000_000  # 5 minutes
+
+
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (5-minute gap) — the batch side of the
+    streaming-capable session_window operator."""
+    from hbase_gis_spark.streaming.events import user_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_sessions(ev, gap="5 minutes").select(
+        "ss", "se", "user_id", "n_events"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "within_polygon": _q_within,
@@ -333,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode": _q_mm_decode,
         "mm_frames": _q_mm_frames,
         "windowed_event_counts": _q_windowed_event_counts,
+        "term_stats": _q_term_stats,
+        "user_sessions": _q_user_sessions,
     }
 
 
@@ -582,6 +606,34 @@ def oracle_sql() -> dict[str, str]:
            event_type, count(*) AS n,
            min(value) AS value_min, max(value) AS value_max
     FROM events GROUP BY 1, 2, 3
+    """,
+        "term_stats": f"""
+    SELECT w, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest({toks}) AS w FROM documents)
+    GROUP BY w
+    """,
+        # session semantics: a new session starts when the inter-event
+        # gap is >= GAP (Spark merges overlapping half-open intervals);
+        # session end = last event + GAP
+        "user_sessions": f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    m AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w >= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    s AS (
+      SELECT user_id, t,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT make_timestamp(min(t)) AS ss,
+           make_timestamp(max(t) + {SESSION_GAP_US}) AS se,
+           user_id, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
     """,
         # ann_lsh_topk / ann_ivf_topk intentionally omitted: approximate
         # operators, rows-only driver check; recall/mechanics pinned in

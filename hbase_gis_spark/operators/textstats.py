@@ -97,6 +97,27 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def term_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary statistics: per distinct token, total
+    occurrences (tf) and document frequency (df).
+
+    One explode + one hash aggregation — partial aggregation map-side,
+    so the shuffle carries at most |vocab| rows per partition, not the
+    token stream. The df side uses count_distinct(id), which Spark
+    plans as a two-phase distinct aggregate."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w")
+    )
+    return toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(F.col("id")).alias("df"),
+    )
+
+
 def fingerprint(text_col) -> Column:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text. Identical expression in DuckDB."""

@@ -46,10 +46,9 @@ FROM events
 """
 
 
-def derived_points(
-    spark: SparkSession, sf_dir: str, with_geohash: bool = False
-) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+def points_from_events(ev: DataFrame, with_geohash: bool = False) -> DataFrame:
+    """The derived-point projection itself — works on any events-shaped
+    DataFrame, batch or streaming (it is a stateless select)."""
     pts = ev.select(
         F.col("event_id").alias("id"),
         (
@@ -68,3 +67,11 @@ def derived_points(
 
         pts = pts.withColumn("geohash", geohash_col(F.col("lat"), F.col("lon"), 12))
     return pts
+
+
+def derived_points(
+    spark: SparkSession, sf_dir: str, with_geohash: bool = False
+) -> DataFrame:
+    return points_from_events(
+        load_table(spark, sf_dir, "events"), with_geohash=with_geohash
+    )

@@ -73,6 +73,34 @@ def windowed_event_counts(
     )
 
 
+def user_sessions(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user: consecutive events closer than ``gap``
+    merge into one session [first_event, last_event + gap).
+
+    Same code path batch and streaming (session_window supports both;
+    the watermark bounds session state on streams). A new session
+    starts when the inter-event gap is >= ``gap`` (Spark merges
+    overlapping half-open intervals, so an event exactly ``gap`` after
+    the previous one does NOT merge)."""
+    with_ts = events.withColumn("event_ts", event_time("ts"))
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("event_ts", watermark)
+    return (
+        with_ts.groupBy(F.session_window("event_ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("ss"),
+            F.col("session_window.end").alias("se"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def streaming_top_x_earliest(
     events: DataFrame, x: int, group_col: str = "user_id"
 ) -> DataFrame:
