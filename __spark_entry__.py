@@ -71,6 +71,20 @@ WITHIN_WKT = (
     "-73.95 40.65, -74.00 40.70))"
 )
 KNN_LON, KNN_LAT, KNN_K = -73.95, 40.75, 10
+
+# concave (L-shaped) polygon == union of two closed rectangles:
+#   A: lon [-74.00,-73.95] x lat [40.65,40.80]
+#   B: lon [-73.95,-73.90] x lat [40.65,40.72]
+# exercises the general even-odd ray-cast (not the convex fast path)
+# while staying exactly expressible as SQL box predicates
+WITHIN_CONCAVE_WKT = (
+    "POLYGON ((-74.00 40.65, -73.90 40.65, -73.90 40.72, -73.95 40.72, "
+    "-73.95 40.80, -74.00 40.80, -74.00 40.65))"
+)
+WITHIN_CONCAVE_ORACLE_PRED = (
+    "(lon >= -74.00 AND lon <= -73.95 AND lat >= 40.65 AND lat <= 40.80) "
+    "OR (lon >= -73.95 AND lon <= -73.90 AND lat >= 40.65 AND lat <= 40.72)"
+)
 TOPX_X = 3
 BIN_MOD, BIN_PER, BIN_TOTAL = 16, 5, 64
 
@@ -96,6 +110,11 @@ def _q_within_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same result as _q_within; exercises the geohash prefix-pruning path
     pts = derived_points(spark, sf_dir, with_geohash=True)
     return within(pts, WITHIN_WKT, geohash_col="geohash").select("id", "lon", "lat")
+
+
+def _q_within_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = derived_points(spark, sf_dir)
+    return within(pts, WITHIN_CONCAVE_WKT).select("id", "lon", "lat")
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "within_polygon": _q_within,
         "within_polygon_pruned": _q_within_pruned,
+        "within_concave": _q_within_concave,
         "knn_top10": _q_knn,
         "knn_pruned": _q_knn_pruned,
         "topx_per_group": _q_topx,
@@ -582,6 +602,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "within_polygon": within_sql,
         "within_polygon_pruned": within_sql,
+        "within_concave": f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT id, lon, lat FROM pts
+    WHERE {WITHIN_CONCAVE_ORACLE_PRED}
+    """,
         "knn_top10": knn_sql,
         "knn_pruned": knn_pruned_sql,
         "topx_per_group": topx_sql,
