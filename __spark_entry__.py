@@ -327,6 +327,50 @@ def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join enrichment + aggregation: orders joined to
+    customer (shuffle join on custkey — both sides scale) and to the
+    tiny nation dim (explicit broadcast, no shuffle). Money sums are
+    exact integer cents so the result is order-independent and
+    engine-portable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+Q1_CUTOFF = "1998-09-02 00:00:00"  # l_shipdate reads as TIMESTAMP_NTZ
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: one scan, a
+    sargable timestamp filter, map-side partial aggregation. Quantities
+    are integral doubles and prices sum as exact cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr(f"TIMESTAMP_NTZ '{Q1_CUTOFF}'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("sum_base_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary stats (tf + doc frequency per token)."""
     from hbase_gis_spark.operators.textstats import term_stats
@@ -346,6 +390,21 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return user_sessions(ev, gap="5 minutes").select(
         "ss", "se", "user_id", "n_events"
+    )
+
+
+def _q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates: HLL++ distinct users and an approximate
+    quantile sketch of event values — O(1) state per partition, one
+    merge, no exact-distinct shuffle. Approximate by construction →
+    rows-only driver check; relative error pinned in
+    tests/test_operators.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+        ).alias("value_quantiles"),
     )
 
 
@@ -377,6 +436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": _q_windowed_event_counts,
         "term_stats": _q_term_stats,
         "user_sessions": _q_user_sessions,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "pricing_summary": _q_pricing_summary,
+        "sketch_stats": _q_sketch_stats,
     }
 
 
@@ -659,6 +721,23 @@ def oracle_sql() -> dict[str, str]:
            make_timestamp(max(t) + {SESSION_GAP_US}) AS se,
            user_id, count(*) AS n_events
     FROM s GROUP BY user_id, sid
+    """,
+        "revenue_by_nation": """
+    SELECT n_name, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+        "pricing_summary": f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
     """,
         # ann_lsh_topk / ann_ivf_topk intentionally omitted: approximate
         # operators, rows-only driver check; recall/mechanics pinned in

@@ -101,6 +101,25 @@ def user_sessions(
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Key dedup with batch/stream parity: plain dropDuplicates on
+    batch; on streams, dropDuplicatesWithinWatermark so per-key state
+    is bounded by the watermark (the streaming translation of the
+    reference's rowkey-collision dropping, AbstractTestUtil.java:50-81)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return (
+            events.withColumn("event_ts", event_time("ts"))
+            .withWatermark("event_ts", watermark)
+            .dropDuplicatesWithinWatermark(keys)
+        )
+    return events.dropDuplicates(keys)
+
+
 def streaming_top_x_earliest(
     events: DataFrame, x: int, group_col: str = "user_id"
 ) -> DataFrame:

@@ -125,3 +125,23 @@ def test_binned_limit_respects_caps(spark):
     assert all(c <= 3 for c in per_bin.values())
     # global limit is deterministic: lowest (bin, event_id) first
     assert {r.bin for r in rows} == {0, 1, 2, 3}
+
+
+def test_sketch_stats_error_bounds(spark):
+    """HLL++ distinct estimate within 5% of exact; approximate quantiles
+    within the rank tolerance implied by accuracy=10000."""
+    ev = load_table(spark, SF0001, "events")
+    exact_users = ev.select("user_id").distinct().count()
+    row = ev.agg(
+        F.approx_count_distinct("user_id").alias("u"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+        ).alias("q"),
+    ).head()
+    assert abs(row.u - exact_users) / exact_users < 0.05
+    vals = sorted(r.value for r in ev.select("value").collect())
+    n = len(vals)
+    for frac, got in zip((0.5, 0.95, 0.99), row.q):
+        lo = vals[max(0, int(frac * n) - max(2, n // 1000))]
+        hi = vals[min(n - 1, int(frac * n) + max(2, n // 1000))]
+        assert lo <= got <= hi

@@ -92,3 +92,21 @@ def test_streaming_topx_matches_batch_topx(spark):
         for r in spark.sql("SELECT * FROM stream_topx").collect()
     }
     assert got == expect
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """dropDuplicatesWithinWatermark on the stream returns the same key
+    set as batch dropDuplicates (first occurrence per user)."""
+    from hbase_gis_spark.streaming.events import dedup_events
+
+    batch = load_table(spark, SF0001, "events")
+    expect = {r.user_id for r in dedup_events(batch, ["user_id"]).collect()}
+
+    stream = read_event_stream(spark, SF0001)
+    run_stream_to_memory(
+        dedup_events(stream, ["user_id"]).select("user_id"),
+        "dedup_stream",
+        output_mode="append",
+    )
+    got = {r.user_id for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    assert got == expect and len(expect) > 0
