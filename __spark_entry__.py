@@ -33,6 +33,7 @@ from hbase_gis_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash,
     simhash_pairs,
+    split_assign,
 )
 from hbase_gis_spark.operators.knn import knn
 from hbase_gis_spark.operators.similarity import (
@@ -393,6 +394,12 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/val/test split (98/1/1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(docs).select("doc_id", "split")
+
+
 def _q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates: HLL++ distinct users and an approximate
     quantile sketch of event values — O(1) state per partition, one
@@ -439,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "pricing_summary": _q_pricing_summary,
         "sketch_stats": _q_sketch_stats,
+        "split_assign": _q_split_assign,
     }
 
 
@@ -738,6 +746,18 @@ def oracle_sql() -> dict[str, str]:
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
     GROUP BY l_returnflag, l_linestatus
+    """,
+        "split_assign": """
+    SELECT doc_id,
+           CASE WHEN b < 98 THEN 'train'
+                WHEN b < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS b
+      FROM documents
+    )
     """,
         # ann_lsh_topk / ann_ivf_topk intentionally omitted: approximate
         # operators, rows-only driver check; recall/mechanics pinned in

@@ -145,6 +145,38 @@ def _bucket_pairs(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by content-keyed
+    hash bucketing: bucket = md5(salt || id) mod total_weight, mapped to
+    the named split by cumulative weight ranges.
+
+    Pure column expression — reproducible across runs, engines
+    (md5-based, oracle-portable), and table growth (a row's split never
+    changes when other rows arrive), with no shuffle and no RNG state."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    total = sum(weights.values())
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % total
+    )
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        cond = bucket < F.lit(acc + w)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        acc += w
+    return df.withColumn("split", expr)
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     # two empty shingle sets => 0.0, not 0/0 (ANSI mode would error)
     inter = F.size(F.array_intersect(a, b))

@@ -93,3 +93,15 @@ def test_embedding_dup_pairs_symmetric_threshold(spark):
     out = embedding_dup_pairs(emb, threshold=0.4).collect()
     assert all(r.id_a < r.id_b and r.cosine >= 0.4 for r in out)
     assert len(out) > 0
+
+
+def test_split_assign_deterministic_and_proportional(docs):
+    from hbase_gis_spark.operators.dedup import split_assign
+
+    a = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    b = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    assert a == b  # stable across runs
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.9 < train / n <= 1.0  # ~98% with hash variance
+    assert set(a.values()) <= {"train", "val", "test"}
