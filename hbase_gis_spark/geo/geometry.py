@@ -149,6 +149,32 @@ class Polygon:
         return bool(self.covers(pts[:, 0], pts[:, 1]).all())
 
 
+def convex_ccw_edges(poly: Polygon) -> list[tuple[float, float, float, float]] | None:
+    """If ``poly`` is a single-ring convex polygon, its edges
+    (ax, ay, bx, by) oriented counter-clockwise; else None.
+
+    For a convex CCW ring, boundary-inclusive covers(P) is exactly the
+    conjunction of edge cross products (B−A)×(P−A) >= 0 — a pure
+    comparison form usable as codegen'd Column predicates (and as the
+    oracle SQL, see oracles.halfplane_predicate_sql)."""
+    if len(poly.parts) != 1 or len(poly.parts[0]) != 1:
+        return None
+    ring = poly.parts[0][0]
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    if (x * y2 - x2 * y).sum() < 0:  # orient CCW
+        ring = ring[::-1]
+        x, y = ring[:, 0], ring[:, 1]
+        x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cross = (x2 - x) * (np.roll(y, -2) - y) - (y2 - y) * (np.roll(x, -2) - x)
+    if (cross < 0).any():
+        return None
+    return [
+        (float(x[j]), float(y[j]), float(x2[j]), float(y2[j]))
+        for j in range(ring.shape[0])
+    ]
+
+
 def parse_wkt(wkt: str) -> Polygon:
     """Parse POLYGON / MULTIPOLYGON WKT into a :class:`Polygon`."""
     s = wkt.strip()

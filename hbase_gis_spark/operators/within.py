@@ -30,8 +30,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hbase_gis_spark.geo.geometry import parse_wkt
+from hbase_gis_spark.geo.geometry import convex_ccw_edges, parse_wkt
 from hbase_gis_spark.geo.planner import minimum_bounding_prefixes
+
+
+def halfplane_predicate(wkt: str, lon: Column, lat: Column) -> Column | None:
+    """Pure-JVM covers() for CONVEX single-ring polygons, else None.
+
+    Conjunction of CCW edge cross products (B−A)×(P−A) >= 0 — the same
+    comparisons (same operand order) as the DuckDB oracle, fully inside
+    whole-stage codegen: the exact test costs no Python at all. NaN
+    coordinates fail every comparison and drop, matching the reference
+    (WithinFilter.java:93-95)."""
+    edges = convex_ccw_edges(parse_wkt(wkt))
+    if edges is None:
+        return None
+    pred = None
+    for ax, ay, bx, by in edges:
+        term = (
+            (F.lit(bx) - F.lit(ax)) * (lat - F.lit(ay))
+            - (F.lit(by) - F.lit(ay)) * (lon - F.lit(ax))
+        ) >= F.lit(0.0)
+        pred = term if pred is None else (pred & term)
+    return pred
 
 
 def covers_udf(wkt: str, lon: Column, lat: Column) -> Column:
@@ -137,5 +158,9 @@ def within(
         )
     out = df.filter(pred)
     if exact:
-        out = out.filter(covers_udf(wkt, lon, lat))
+        # convex fast path: exact covers as codegen'd comparisons (no
+        # Python stage at all); general polygons use the Arrow-batched
+        # ray-cast UDF
+        hp = halfplane_predicate(wkt, lon, lat)
+        out = out.filter(hp if hp is not None else covers_udf(wkt, lon, lat))
     return out

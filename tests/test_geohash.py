@@ -99,3 +99,30 @@ def test_geohash6_cell_equivalence_with_bit_bins():
             seen[key] = h
     # and distinct bins -> distinct hashes
     assert len(set(seen.values())) == len(seen)
+
+
+def test_native_column_encoder_matches_kernel(spark):
+    """The pure-Column Morton/base32 encoder equals the bisection kernel
+    (pandas-UDF path) on testdata-shaped, global-random, and edge
+    coordinates — including NaN/null/out-of-range handling."""
+    from pyspark.sql import functions as F
+
+    from hbase_gis_spark.functions.geo import geohash_col_native, geohash_col_py
+
+    pts = spark.sql(
+        """
+        SELECT (rand(7) * 180 - 90) AS lat, (rand(8) * 360 - 180) AS lon
+        FROM range(200000)
+        UNION ALL SELECT * FROM VALUES
+          (cast('nan' as double), 1.0d), (NULL, 1.0d), (1.0d, NULL),
+          (95.0d, 1.0d), (-95.0d, 200.0d), (90.0d, 180.0d),
+          (-90.0d, -180.0d), (0.0d, 0.0d), (40.76d, -73.97d) AS t(lat, lon)
+        """
+    )
+    for p in (12, 6, 1):
+        cmp = pts.select(
+            geohash_col_py(F.col("lat"), F.col("lon"), p).alias("a"),
+            geohash_col_native(F.col("lat"), F.col("lon"), p).alias("b"),
+        )
+        bad = cmp.filter(~F.col("a").eqNullSafe(F.col("b"))).count()
+        assert bad == 0, f"precision {p}: {bad} mismatches"
