@@ -157,6 +157,59 @@ def ann_ivf_topk(
     )
 
 
+def write_ivf_table(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an embedding table partitioned by its IVF cell id — the
+    inverted-file index as a directory layout. ANN probes then read
+    only ``nprobe`` directories (partition pruning), the Spark analog
+    of probing inverted lists. Cell assignment runs the pure-JVM
+    argmax expression at write time; reads see a plain int column."""
+    (
+        df.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), centroids))
+        .repartition("ivf_cell")
+        .write.mode(mode)
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+
+
+def ann_ivf_topk_stored(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query_vec: "np.ndarray | list[float]",
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 6,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_ivf_table` layout: the
+    ``ivf_cell IN (...)`` predicate is evaluated against partition
+    VALUES, so non-probed directories are never opened."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = [int(j) for j in np.argsort(-(centroids @ qn))[:nprobe]]
+    df = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probes))
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_expr(F.col(vec_col), qcol).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def hyperplane_planes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-bit LSH."""
     rng = np.random.default_rng(seed)

@@ -57,3 +57,42 @@ def test_ann_lsh_candidates_exact(emb):
         v = vecs[r.vec_id]
         expect = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
         assert abs(r.cosine - expect) < 1e-9
+
+
+def test_ivf_stored_table_prunes_and_matches(emb, spark, tmp_path_factory):
+    """write_ivf_table + ann_ivf_topk_stored: the probe filter prunes
+    partitions (fewer files read) and returns the same results as the
+    in-memory IVF operator."""
+    from pyspark.sql import functions as F
+
+    from hbase_gis_spark.operators.similarity import (
+        ann_ivf_topk_stored,
+        train_ivf_centroids,
+        write_ivf_table,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf") / "emb")
+    C = train_ivf_centroids(emb, nlist=16)
+    write_ivf_table(emb, path, C)
+
+    qvec = emb.filter(F.col("vec_id") == 0).head().embedding
+    got = ann_ivf_topk_stored(spark, path, C, qvec, 10, exclude_id=0)
+
+    def files_read(df):
+        df.collect()
+        node = df._jdf.queryExecution().executedPlan()
+        while node.children().size() > 0:
+            node = node.children().head()
+        return node.metrics().apply("numFiles").value()
+
+    total = files_read(spark.read.parquet(path).select("vec_id"))
+    pruned = files_read(
+        spark.read.parquet(path)
+        .filter(F.col("ivf_cell").isin(
+            [int(x) for x in range(6)]))  # any 6-cell probe set
+        .select("vec_id")
+    )
+    assert 0 < pruned < total
+
+    mem = ann_ivf_topk(emb, 0, 10)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
