@@ -21,6 +21,11 @@ these entries cover). Oracle-parity rules used throughout:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -323,8 +328,15 @@ def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_gis_spark.streaming.events import windowed_event_counts
 
     ev = load_table(spark, sf_dir, "events")
+    # window bounds surface as epoch MICROs so the comparison is
+    # timezone-independent (timestamp rendering depends on session TZ)
     return windowed_event_counts(ev).select(
-        "ws", "we", "event_type", "n", "value_min", "value_max"
+        F.unix_micros("ws").alias("ws_us"),
+        F.unix_micros("we").alias("we_us"),
+        "event_type",
+        "n",
+        "value_min",
+        "value_max",
     )
 
 
@@ -390,7 +402,10 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return user_sessions(ev, gap="5 minutes").select(
-        "ss", "se", "user_id", "n_events"
+        F.unix_micros("ss").alias("ss_us"),
+        F.unix_micros("se").alias("se_us"),
+        "user_id",
+        "n_events",
     )
 
 
@@ -696,8 +711,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode": mm_decode_sql,
         "mm_frames": mm_frames_sql,
         "windowed_event_counts": """
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
-           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+           epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS we_us,
            event_type, count(*) AS n,
            min(value) AS value_min, max(value) AS value_max
     FROM events GROUP BY 1, 2, 3
@@ -725,8 +740,8 @@ def oracle_sql() -> dict[str, str]:
                                ROWS UNBOUNDED PRECEDING) AS sid
       FROM m
     )
-    SELECT make_timestamp(min(t)) AS ss,
-           make_timestamp(max(t) + {SESSION_GAP_US}) AS se,
+    SELECT min(t) AS ss_us,
+           max(t) + {SESSION_GAP_US} AS se_us,
            user_id, count(*) AS n_events
     FROM s GROUP BY user_id, sid
     """,
