@@ -9,14 +9,59 @@ text analysis, multimodal plumbing).
 
 Design stance (SURVEY.md §7): composable DataFrame transformers, no RDDs,
 geometry as plain (lon double, lat double) columns, WKT only as query-time
-parameters. Heavy lifting stays JVM-side via pyspark.sql.functions; the
-only Python hot paths are vectorized (Arrow/pandas UDF) geohash encode and
-point-in-polygon tests.
+parameters. Heavy lifting stays JVM-side via pyspark.sql.functions:
+geohash encode is a pure-Column Morton/base32 expression, convex
+within() is codegen'd half-plane comparisons, and the remaining Python
+paths (concave ray-cast, media decode, streaming state) are always
+Arrow-batched.
 """
 
 from hbase_gis_spark.geo import geohash, geometry, planner  # noqa: F401
 from hbase_gis_spark.operators.within import within  # noqa: F401
 from hbase_gis_spark.operators.knn import knn, with_distance  # noqa: F401
 from hbase_gis_spark.operators.topx import top_x, binned_limit  # noqa: F401
+from hbase_gis_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    embedding_dup_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+    split_assign,
+)
+from hbase_gis_spark.operators.similarity import (  # noqa: F401
+    ann_ivf_topk,
+    ann_ivf_topk_stored,
+    ann_lsh_topk,
+    cosine_topk,
+    train_ivf_centroids,
+    write_ivf_table,
+)
+from hbase_gis_spark.operators.textstats import (  # noqa: F401
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    term_stats,
+    token_count,
+)
+from hbase_gis_spark.operators.multimodal import (  # noqa: F401
+    attach_fake_media,
+    decode_media,
+    frame_sample,
+)
+from hbase_gis_spark.streaming.events import (  # noqa: F401
+    dedup_events,
+    streaming_top_x_earliest,
+    user_sessions,
+    windowed_event_counts,
+)
+from hbase_gis_spark.sources.ingest import (  # noqa: F401
+    bulk_points,
+    ingest_points_tsv,
+    ingest_taxi_csv,
+    read_geo_table,
+    write_geo_table,
+)
 
 __version__ = "0.1.0"

@@ -195,10 +195,10 @@ def jaccard_pairs(
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-duplicate pairs (id_a < id_b).
 
-    Implemented as an inverted-index equality join, NOT an all-pairs
-    product: explode distinct shingles to (id, shingle) postings,
-    self-join on the shingle, count matches per pair = |A∩B|, then
-    |A∪B| = |A| + |B| − |A∩B| from per-doc sizes. Pairs sharing no
+    Implemented as an inverted index, NOT an all-pairs product:
+    explode distinct shingles to (id, shingle) postings, group by the
+    shingle, explode in-bucket pairs; a pair's co-occurrence count is
+    |A∩B| and |A∪B| = |A| + |B| − |A∩B| from the carried set sizes. Pairs sharing no
     shingle have Jaccard 0 and can never pass a positive threshold, so
     the result is identical to full enumeration while the join scales
     with Σ df(shingle)² (shuffle on shingle keys) instead of n²
