@@ -1,0 +1,171 @@
+"""Command-line entry points mirroring the reference's runnable mains.
+
+Reference CLI surface (SURVEY.md §3):
+- Ingest.main(table, source.tsv)                 (Ingest.java:40-99)
+- BulkIngest.main(table, family, count, bbox)    (BulkIngest.java:27-105)
+- WithinQuery.main(local|remote, wkt)            (WithinQuery.java:176-209)
+- KNNQuery.main(lon, lat, n)                     (KNNQuery.java:93-118)
+- TopX via coprocessor client                    (TopXEndpoint/TestTopX)
+
+Here a "table" is a geohash-partitioned parquet path (write_geo_table).
+``within`` accepts the reference's local|remote token for familiarity —
+in Spark both modes produce the same plan (driver/executor replaces
+client/region-server), so the token is accepted and ignored beyond
+being echoed. Output format follows the reference's printlns: one line
+per match, then a count and wall time.
+
+Usage (python -m hbase_gis_spark ...):
+    ingest      <table-path> <source.tsv>
+    bulkingest  <table-path> <count> --bbox=<lon_min,lon_max,lat_min,lat_max>
+    within      <local|remote> "<WKT POLYGON>" --table <path>
+    knn         <lon> <lat> <n> --table <path>
+    topx        <x> <ref_col> <ts_col> --table <path>
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[*]")
+        .appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    from hbase_gis_spark.sources.ingest import ingest_points_tsv, write_geo_table
+
+    spark = _spark("ingest")
+    t0 = time.perf_counter()
+    df = ingest_points_tsv(spark, args.source)
+    write_geo_table(df, args.table)
+    n = spark.read.parquet(args.table).count()
+    print(f"Geohashed {n} records in {time.perf_counter() - t0:.3f} seconds.")
+    return 0
+
+
+def cmd_bulkingest(args: argparse.Namespace) -> int:
+    from hbase_gis_spark.sources.ingest import bulk_points, write_geo_table
+
+    lon_min, lon_max, lat_min, lat_max = (float(x) for x in args.bbox.split(","))
+    spark = _spark("bulkingest")
+    t0 = time.perf_counter()
+    df = bulk_points(spark, args.count, lon_min, lon_max, lat_min, lat_max)
+    write_geo_table(df, args.table)
+    print(
+        f"Generated {args.count} records in {time.perf_counter() - t0:.3f} seconds."
+    )
+    return 0
+
+
+def cmd_within(args: argparse.Namespace) -> int:
+    from hbase_gis_spark.operators.within import within
+    from hbase_gis_spark.sources.ingest import read_geo_table
+
+    spark = _spark("within")
+    t0 = time.perf_counter()
+    df = read_geo_table(spark, args.table)
+    out = within(
+        df,
+        args.wkt,
+        geohash_col="geohash",
+        partition_prefix_col="gh_prefix" if "gh_prefix" in df.columns else None,
+    )
+    rows = out.collect()
+    for r in rows:
+        print(f"{r.id}\t{r.geohash}\t{r.lon}\t{r.lat}")
+    print(
+        f"Query matched {len(rows)} points ({args.mode} mode) in "
+        f"{time.perf_counter() - t0:.3f} seconds."
+    )
+    return 0
+
+
+def cmd_knn(args: argparse.Namespace) -> int:
+    from hbase_gis_spark.operators.knn import knn
+    from hbase_gis_spark.sources.ingest import read_geo_table
+
+    spark = _spark("knn")
+    t0 = time.perf_counter()
+    df = read_geo_table(spark, args.table)
+    rows = knn(df, args.lon, args.lat, args.n, tiebreak_col="id").collect()
+    for r in rows:
+        print(f"{r.id}\t{r.lon}\t{r.lat}\t{r.distance}")
+    print(
+        f"KNN returned {len(rows)} points in "
+        f"{time.perf_counter() - t0:.3f} seconds."
+    )
+    return 0
+
+
+def cmd_topx(args: argparse.Namespace) -> int:
+    from hbase_gis_spark.operators.topx import top_x
+    from hbase_gis_spark.sources.ingest import read_geo_table
+
+    spark = _spark("topx")
+    t0 = time.perf_counter()
+    df = read_geo_table(spark, args.table)
+    rows = top_x(df, args.ref_col, args.ts_col, args.x).collect()
+    for r in rows:
+        print("\t".join(str(v) for v in r))
+    print(
+        f"TopX returned {len(rows)} candidates in "
+        f"{time.perf_counter() - t0:.3f} seconds."
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hbase_gis_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("ingest", help="TSV point file -> geohash-partitioned table")
+    s.add_argument("table")
+    s.add_argument("source")
+    s.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("bulkingest", help="synthetic points -> table")
+    s.add_argument("table")
+    s.add_argument("count", type=int)
+    s.add_argument(
+        "--bbox", required=True,
+        help="lon_min,lon_max,lat_min,lat_max (option form: a leading"
+             " '-' in a positional confuses argparse)",
+    )
+    s.set_defaults(fn=cmd_bulkingest)
+
+    s = sub.add_parser("within", help="points covered by a WKT polygon")
+    s.add_argument("mode", choices=["local", "remote"])
+    s.add_argument("wkt")
+    s.add_argument("--table", required=True)
+    s.set_defaults(fn=cmd_within)
+
+    s = sub.add_parser("knn", help="k nearest points (planar degree distance)")
+    s.add_argument("lon", type=float)
+    s.add_argument("lat", type=float)
+    s.add_argument("n", type=int)
+    s.add_argument("--table", required=True)
+    s.set_defaults(fn=cmd_knn)
+
+    s = sub.add_parser("topx", help="per-group X earliest rows")
+    s.add_argument("x", type=int)
+    s.add_argument("ref_col")
+    s.add_argument("ts_col")
+    s.add_argument("--table", required=True)
+    s.set_defaults(fn=cmd_topx)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

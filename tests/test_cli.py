@@ -1,0 +1,26 @@
+"""CLI smoke tests: the reference's runnable mains, end-to-end."""
+
+import io
+import contextlib
+
+from hbase_gis_spark.cli import main
+
+
+def test_cli_bulkingest_within_knn(tmp_path, spark):
+    table = str(tmp_path / "pts")
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["bulkingest", table, "500", "--bbox=-75.99,-75.01,44.01,44.99"]) == 0
+    assert "Generated 500 records" in out.getvalue()
+
+    wkt = ("POLYGON ((-75.99 44.01, -75.99 44.99, -75.01 44.99, "
+           "-75.01 44.01, -75.99 44.01))")
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["within", "remote", wkt, "--table", table]) == 0
+    assert "Query matched 500 points" in out.getvalue()
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["knn", "-75.5", "44.5", "7", "--table", table]) == 0
+    assert "KNN returned 7 points" in out.getvalue()
