@@ -110,3 +110,70 @@ def test_streaming_dedup_matches_batch(spark):
     )
     got = {r.user_id for r in spark.sql("SELECT * FROM dedup_stream").collect()}
     assert got == expect and len(expect) > 0
+
+
+def test_streaming_multibatch_state_handover(spark, tmp_path_factory):
+    """Split the events table into 4 files streamed one per micro-batch
+    (maxFilesPerTrigger=1): per-group state must carry across batches.
+    Watermarks are set far out so no event is treated as late (the files
+    are split randomly, not by time)."""
+    from hbase_gis_spark.operators.topx import top_x
+
+    base = str(tmp_path_factory.mktemp("evsplit") / "events")
+    ev = load_table(spark, SF0001, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(base)
+    schema = ev.schema
+
+    def mkstream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(base)
+        )
+
+    # session windows merge across batches (complete mode keeps state)
+    expect_sessions = {
+        (r.ss, r.se, r.user_id): r.n_events
+        for r in user_sessions(ev).collect()
+    }
+    q = (
+        user_sessions(mkstream(), watermark="30 days")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mb_sessions")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.ss, r.se, r.user_id): r.n_events
+        for r in spark.sql("SELECT * FROM mb_sessions").collect()
+    }
+    assert got == expect_sessions
+
+    # stateful grouped top-X: per-user bounded state across batches;
+    # track the latest emission per user via foreachBatch
+    x = 3
+    expect_topx = {
+        (r.user_id, r.event_id)
+        for r in top_x(ev, "user_id", "ts", x, tiebreak_col="event_id").collect()
+    }
+    latest: dict[int, set] = {}
+
+    def sink(bdf, _bid):
+        rows = bdf.collect()
+        touched = {}
+        for r in rows:
+            touched.setdefault(r.user_id, set()).add((r.user_id, r.event_id))
+        latest.update(touched)
+
+    q2 = (
+        streaming_top_x_earliest(mkstream(), x)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got_topx = set().union(*latest.values()) if latest else set()
+    assert got_topx == expect_topx
