@@ -105,3 +105,40 @@ def test_split_assign_deterministic_and_proportional(docs):
     train = sum(1 for s in a.values() if s == "train")
     assert 0.9 < train / n <= 1.0  # ~98% with hash variance
     assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_jaccard_pairs_matches_bruteforce(spark):
+    """Property check: the inverted-index jaccard_pairs equals brute
+    force over a small adversarial corpus (shared shingles, exact
+    duplicates, short docs below the shingle width, empty-ish docs)."""
+    corpus = [
+        (0, "a b c d e f"),
+        (1, "a b c d e g"),          # high overlap with 0
+        (2, "a b c d e f"),          # exact dup of 0
+        (3, "x y z w v u"),          # disjoint
+        (4, "a b"),                  # too short for 3-shingles
+        (5, "a b c"),                # single shingle
+        (6, "a b c"),                # dup of 5
+        (7, "q q q q q q q q"),      # degenerate repeated token
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+
+    def shingles(t, n=3):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    expect = set()
+    for i, (ia, ta) in enumerate(corpus):
+        for ib, tb in corpus[i + 1:]:
+            sa, sb = shingles(ta), shingles(tb)
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= 0.3:
+                expect.add((ia, ib, round(j, 9)))
+    from hbase_gis_spark.operators.dedup import jaccard_pairs
+
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_pairs(df, threshold=0.3).collect()
+    }
+    assert got == expect and len(expect) > 0
