@@ -50,6 +50,7 @@ from hbase_gis_spark.operators.multimodal import (
     attach_fake_media,
     decode_media,
     frame_sample,
+    resize_media,
 )
 from hbase_gis_spark.operators.textstats import (
     BPE_TOKEN_PATTERN,
@@ -318,6 +319,22 @@ def _q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_BYTES = 32
+
+
+def _q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize plumbing (binary in, binary out via mapInPandas);
+    the deterministic fake kernel cycle-pads/truncates, so it is fully
+    oracle-checkable (hex-encoded for portable comparison)."""
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    media = attach_fake_media(docs)
+    return resize_media(media, RESIZE_BYTES).select(
+        "id", "n_bytes", F.hex("media").alias("media_hex")
+    )
+
+
 def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation — the batch side of the streaming
     operator (identical code path runs under readStream with a
@@ -455,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "mm_decode": _q_mm_decode,
         "mm_frames": _q_mm_frames,
+        "mm_resize": _q_mm_resize,
         "windowed_event_counts": _q_windowed_event_counts,
         "term_stats": _q_term_stats,
         "user_sessions": _q_user_sessions,
@@ -710,6 +728,14 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": token_counts_sql,
         "mm_decode": mm_decode_sql,
         "mm_frames": mm_frames_sql,
+        "mm_resize": f"""
+    SELECT doc_id AS id, {RESIZE_BYTES}::BIGINT AS n_bytes,
+           hex(encode(substring(
+             repeat(text, CAST(ceil({RESIZE_BYTES}.0
+                    / octet_length(encode(text))) AS INTEGER)),
+             1, {RESIZE_BYTES}))) AS media_hex
+    FROM documents
+    """,
         "windowed_event_counts": """
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
            epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS we_us,

@@ -102,6 +102,41 @@ def decode_media(
     return df.select(id_col, media_col).mapInPandas(batches, _DECODE_SCHEMA)
 
 
+def resize_media(
+    df: DataFrame,
+    target_bytes: int,
+    id_col: str = "id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Resize each payload to ``target_bytes`` via mapInPandas — the
+    image-resize shape (binary in, binary out, 1:1 rows).
+
+    The kernel is a deterministic fake (truncate, or cycle-pad short
+    payloads); a real backend would decode-resample-encode inside the
+    same batch loop. Output schema: (id, media binary, n_bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for buf in pdf[media_col]:
+                if buf is None or len(buf) == 0:
+                    out.append(b"")
+                    continue
+                reps = -(-target_bytes // len(buf))  # ceil
+                out.append((bytes(buf) * reps)[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "media": out,
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, "id bigint, media binary, n_bytes bigint"
+    )
+
+
 _FRAME_SCHEMA = "id bigint, frame_idx int, frame bytes".replace("bytes", "binary")
 
 

@@ -16,11 +16,13 @@ can push what's pushable:
    the Parquet scan (row-group stats pruning); visible as PushedFilters;
 2. optionally, a geohash-prefix IN-list — partition pruning when the
    table is stored partitioned by a geohash prefix;
-3. the exact vectorized covers() test as an Arrow-batched pandas UDF —
+3. the exact covers() test: for CONVEX polygons a conjunction of
+   codegen'd half-plane comparisons (zero Python); for general
+   polygons the vectorized ray-cast as an Arrow-batched pandas UDF —
    only rows surviving 1-2 reach Python.
 
 At 100 TB the bbox filter eliminates almost all row groups before any
-Python runs; the UDF sees only the bbox-candidate sliver.
+exact test runs; convex queries never leave the JVM at all.
 """
 
 from __future__ import annotations

@@ -62,3 +62,19 @@ def test_frame_sample_explodes_rows(media):
     src = media.filter(F.col("id") == 0).select("media").first()[0]
     joined = b"".join(r.frame for r in one)
     assert bytes(src).startswith(joined[: len(src)])
+
+
+def test_resize_media_deterministic(spark):
+    from hbase_gis_spark.operators.multimodal import attach_fake_media, resize_media
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "ab"), (3, "x" * 100)], ["id", "text"]
+    )
+    out = {
+        r.id: r.media
+        for r in resize_media(attach_fake_media(docs), 16).collect()
+    }
+    assert all(len(b) == 16 for b in out.values())
+    assert out[2] == (b"ab" * 8)          # cycle-padded
+    assert out[3] == b"x" * 16            # truncated
+    assert out[1] == (b"hello world" * 2)[:16]
