@@ -170,6 +170,15 @@ def _knn_pruned_cell_predicate_sql() -> str:
     return " OR ".join(terms)
 
 
+def _q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN under great-circle meters (opt-in metric; the reference's
+    default stays planar degree space)."""
+    pts = derived_points(spark, sf_dir)
+    return knn(
+        pts, KNN_LON, KNN_LAT, KNN_K, tiebreak_col="id", metric="haversine"
+    ).select("id", "lon", "lat", "distance")
+
+
 def _q_topx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts div 1000")
@@ -454,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_concave": _q_within_concave,
         "knn_top10": _q_knn,
         "knn_pruned": _q_knn_pruned,
+        "knn_haversine": _q_knn_haversine,
         "topx_per_group": _q_topx,
         "binned_limit": _q_binned_limit,
         "dedup_geocell": _q_dedup_geocell,
@@ -495,6 +505,21 @@ def oracle_sql() -> dict[str, str]:
     knn_sql = f"""
     WITH pts AS ({POINTS_SQL})
     SELECT id, lon, lat, {distance_sql(KNN_LON, KNN_LAT)} AS distance
+    FROM pts
+    ORDER BY distance ASC, id ASC
+    LIMIT {KNN_K}
+    """
+    # haversine with IDENTICAL op order to functions.geo.haversine_distance
+    hav = (
+        f"(2.0 * 6371008.8) * asin(sqrt("
+        f"sin(radians(lat - {KNN_LAT!r}) / 2) * sin(radians(lat - {KNN_LAT!r}) / 2)"
+        f" + cos(radians({KNN_LAT!r})) * cos(radians(lat))"
+        f" * sin(radians(lon - {KNN_LON!r}) / 2) * sin(radians(lon - {KNN_LON!r}) / 2)"
+        f"))"
+    )
+    knn_haversine_sql = f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT id, lon, lat, {hav} AS distance
     FROM pts
     ORDER BY distance ASC, id ASC
     LIMIT {KNN_K}
@@ -712,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "knn_top10": knn_sql,
         "knn_pruned": knn_pruned_sql,
+        "knn_haversine": knn_haversine_sql,
         "topx_per_group": topx_sql,
         "binned_limit": binned_sql,
         "dedup_geocell": dedup_sql,

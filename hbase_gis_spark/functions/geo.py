@@ -112,6 +112,29 @@ def geohash_col_native(lat: Column, lon: Column, precision: int = 12) -> Column:
     return F.substring(gh12, 1, precision)
 
 
+EARTH_RADIUS_M = 6371008.8  # IUGG mean radius
+
+
+def haversine_distance(
+    lon: Column, lat: Column, origin_lon: float, origin_lat: float
+) -> Column:
+    """Great-circle distance in METERS to a fixed origin.
+
+    The reference is strictly planar (SURVEY.md §2 K3); this is the
+    opt-in metric for callers who need real geodesic ranking. Written
+    in a fixed op order so a DuckDB oracle reproduces it exactly:
+    2R·asin(sqrt(sin²(Δφ/2) + cos φ1 · cos φ2 · sin²(Δλ/2)))."""
+    phi1 = F.radians(F.lit(float(origin_lat)))
+    phi2 = F.radians(lat)
+    dphi = F.radians(lat - F.lit(float(origin_lat)))
+    dlmb = F.radians(lon - F.lit(float(origin_lon)))
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(phi1) * F.cos(phi2) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
 def planar_distance(
     lon: Column, lat: Column, origin_lon: float, origin_lat: float
 ) -> Column:

@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hbase_gis_spark.functions.geo import planar_distance
+from hbase_gis_spark.functions.geo import haversine_distance, planar_distance
 from hbase_gis_spark.geo.planner import knn_prefixes
+
+_METRICS = {"planar": planar_distance, "haversine": haversine_distance}
 
 
 def with_distance(
@@ -32,11 +34,17 @@ def with_distance(
     lon_col: str = "lon",
     lat_col: str = "lat",
     dist_col: str = "distance",
+    metric: str = "planar",
 ) -> DataFrame:
-    """Append the planar degree-space distance column."""
+    """Append the distance-to-origin column.
+
+    ``metric``: "planar" (degree-space Euclidean — the reference's
+    semantics, SURVEY.md §2 K3) or "haversine" (great-circle meters)."""
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {sorted(_METRICS)}")
     return df.withColumn(
         dist_col,
-        planar_distance(
+        _METRICS[metric](
             F.col(lon_col).cast("double"),
             F.col(lat_col).cast("double"),
             origin_lon,
@@ -56,6 +64,7 @@ def knn(
     pruned: bool = False,
     prefix_precision: int = 7,
     tiebreak_col: str | None = None,
+    metric: str = "planar",
 ) -> DataFrame:
     """Top-``k`` rows nearest the origin in planar degree distance.
 
@@ -71,7 +80,9 @@ def knn(
     Plan shape: per-partition bounded heap + single merge
     (TakeOrderedAndProject) — no full sort, no shuffle of non-winners.
     """
-    out = with_distance(df, origin_lon, origin_lat, lon_col, lat_col)
+    out = with_distance(
+        df, origin_lon, origin_lat, lon_col, lat_col, metric=metric
+    )
     if pruned:
         if geohash_col is None:
             raise ValueError("pruned KNN needs a geohash column")

@@ -145,3 +145,27 @@ def test_sketch_stats_error_bounds(spark):
         lo = vals[max(0, int(frac * n) - max(2, n // 1000))]
         hi = vals[min(n - 1, int(frac * n) + max(2, n // 1000))]
         assert lo <= got <= hi
+
+
+def test_knn_haversine_matches_python_math(spark):
+    """Haversine KNN agrees with plain Python math (same formula) and
+    orders differently from planar where longitude compression matters."""
+    import hbase_gis_spark as hgs
+
+    pts = derived_points(spark, SF0001)
+    ox, oy = -73.95, 40.75
+    got = hgs.knn(pts, ox, oy, 10, tiebreak_col="id", metric="haversine").collect()
+    assert len(got) == 10
+    R = 6371008.8
+    rows = pts.collect()
+
+    def hav(lon, lat):
+        p1, p2 = math.radians(oy), math.radians(lat)
+        dp, dl = math.radians(lat - oy), math.radians(lon - ox)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * R * math.asin(math.sqrt(a))
+
+    expect = sorted(((hav(r.lon, r.lat), r.id) for r in rows))[:10]
+    assert [(round(d, 6), i) for d, i in expect] == [
+        (round(r.distance, 6), r.id) for r in got
+    ]
