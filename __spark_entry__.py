@@ -36,6 +36,7 @@ from hbase_gis_spark.operators.dedup import (
     embedding_dup_pairs,
     jaccard_pairs,
     minhash_lsh_pairs,
+    near_dup_clusters,
     simhash,
     simhash_pairs,
     split_assign,
@@ -234,6 +235,15 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by tests/test_dedup.py against the exact operator)
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the n-gram Jaccard pair graph — each
+    doc labeled with the smallest reachable doc id. Iterative (min-label
+    propagation), oracled by a DuckDB recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+    return near_dup_clusters(docs, pairs).select("doc_id", "cluster_id")
 
 
 def _q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_jaccard_pairs,
         "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_signatures": _q_simhash_signatures,
         "dedup_simhash": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -744,6 +755,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact_sql,
         "dedup_ngram_jaccard": jaccard_sql,
         "dedup_minhash_lsh": jaccard_sql,
+        "dedup_clusters": f"""
+    WITH RECURSIVE pairs AS ({jaccard_sql}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+    GROUP BY d.doc_id
+    """,
         "simhash_signatures": simhash_sig_sql,
         "dedup_simhash": simhash_pairs_sql,
         "embedding_dup_pairs": emb_dup_sql,

@@ -145,6 +145,59 @@ def _bucket_pairs(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    gets a ``cluster_id`` = the smallest doc id reachable through the
+    pair graph (singletons label themselves). The canonical keep-one
+    policy is then ``filter(doc_id == cluster_id)``.
+
+    Iterative min-label propagation: each round, a node's label becomes
+    min(own, neighbors' labels) — one join + one aggregation per round,
+    converging in O(graph diameter) rounds (near-dup clusters are
+    shallow; 25 rounds covers a diameter the pair generators cannot
+    produce in practice). Each round materializes via localCheckpoint
+    so lineage doesn't stack, and convergence is detected by counting
+    changed labels (an action per round — the loop is driver-side
+    control flow, the data never leaves executors)."""
+    ids = df.select(F.col(id_col).alias("id"))
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = ids.withColumn("label", F.col("id")).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",

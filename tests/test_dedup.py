@@ -142,3 +142,16 @@ def test_jaccard_pairs_matches_bruteforce(spark):
         for r in jaccard_pairs(df, threshold=0.3).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_near_dup_clusters_chain_and_singletons(spark):
+    """Chain 0-1, 1-2 plus pair 5-6 collapse to min labels; 3, 4 stay
+    singletons."""
+    from hbase_gis_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(7)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (5, 6, 1.0)], ["id_a", "id_b", "jaccard"]
+    )
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5}
