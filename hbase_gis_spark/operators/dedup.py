@@ -166,35 +166,47 @@ def near_dup_clusters(
     control flow, the data never leaves executors)."""
     ids = df.select(F.col(id_col).alias("id"))
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = ids.withColumn("label", F.col("id")).localCheckpoint(eager=False)
+    # materialize the edge list once — every propagation round joins it,
+    # and without the checkpoint each round would re-run the entire
+    # upstream pair-discovery pipeline
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    # iterate ONLY over nodes that appear in the pair graph (usually a
+    # tiny fraction of the corpus); singletons label themselves in the
+    # final left join
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("label").alias("nbr"))
         )
-        new_labels = (
+        # keep the previous label alongside so convergence is a filter
+        # on this same checkpointed frame, not another join
+        stepped = (
             labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
             .select(
                 F.col("id"),
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
-    return labels.select(
-        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    return ids.join(labels, ids["id"] == labels["id"], "left").select(
+        ids["id"].alias(id_col),
+        F.coalesce(F.col("label"), ids["id"]).alias("cluster_id"),
     )
 
 
