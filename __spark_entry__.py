@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hbase_gis_spark.operators.dedup import (
+    cluster_representatives,
     dedup_exact,
     embedding_dup_pairs,
     jaccard_pairs,
@@ -55,10 +56,14 @@ from hbase_gis_spark.operators.multimodal import (
 )
 from hbase_gis_spark.operators.textstats import (
     BPE_TOKEN_PATTERN,
+    EMAIL_PATTERN,
+    URL_PATTERN,
     bpe_token_count,
+    clean_text,
     fingerprint,
     lang_id,
     quality_features,
+    repetition_stats,
     token_count,
 )
 from hbase_gis_spark.operators.topx import binned_limit, top_x
@@ -282,6 +287,33 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, ANN_QUERY_ID, ANN_K)
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup policy: per near-dup cluster, keep the member
+    with the highest quality score (tie → smallest doc_id) — the
+    composition of clustering + quality scoring a real pipeline runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+    clusters = near_dup_clusters(docs, pairs)
+    scores = quality_features(docs).select("doc_id", "quality_score")
+    return cluster_representatives(clusters, scores)
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-token / top-bigram
+    concentration) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "n_tokens", "top_token_frac", "top_bigram_frac"
+    )
+
+
+def _q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/email scrub + whitespace/case normalization (single-scan
+    regexp_replace chain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text("text").alias("clean"))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id("text").alias("lang_pred"))
@@ -481,6 +513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_jaccard_pairs,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "repetition_stats": _q_repetition_stats,
+        "text_clean": _q_text_clean,
         "simhash_signatures": _q_simhash_signatures,
         "dedup_simhash": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -685,6 +720,14 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'und' END AS lang_pred
     FROM documents
     """
+    # quality_score expression shared by text_quality and dedup_keep_best
+    score_expr = """
+           (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 0.5
+           + (CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+              / CAST(len(w) AS DOUBLE)) * 0.3
+           + (1.0 / (1.0 + abs((CAST(length(trim(text)) AS DOUBLE)
+                 - (CAST(len(w) AS DOUBLE) - 1.0)) / CAST(len(w) AS DOUBLE) - 5.0))) * 0.2
+    """
     quality_sql = f"""
     SELECT doc_id,
            len(w) AS n_tokens,
@@ -693,13 +736,79 @@ def oracle_sql() -> dict[str, str]:
              / CAST(len(w) AS DOUBLE) AS mean_token_len,
            CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
              / CAST(len(w) AS DOUBLE) AS stopword_ratio,
-           (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 0.5
-           + (CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
-              / CAST(len(w) AS DOUBLE)) * 0.3
-           + (1.0 / (1.0 + abs((CAST(length(trim(text)) AS DOUBLE)
-                 - (CAST(len(w) AS DOUBLE) - 1.0)) / CAST(len(w) AS DOUBLE) - 5.0))) * 0.2
+           {score_expr}
              AS quality_score
     FROM (SELECT doc_id, text, {toks} AS w FROM documents)
+    """
+    keep_best_sql = f"""
+    WITH RECURSIVE pairs AS ({jaccard_sql}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    clus AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+      GROUP BY d.doc_id
+    ),
+    q AS (
+      SELECT doc_id, {score_expr} AS quality_score
+      FROM (SELECT doc_id, text, {toks} AS w FROM documents)
+    )
+    SELECT doc_id, cluster_id, quality_score FROM (
+      SELECT c.doc_id, c.cluster_id, q.quality_score,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+      FROM clus c JOIN q USING (doc_id)
+    ) WHERE rn = 1
+    """
+    repetition_sql = f"""
+    WITH base AS (
+      SELECT doc_id, {toks} AS w FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, max(c) AS top_tok FROM (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS t FROM base)
+        GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, max(c) AS top_bg FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                                           i -> w[i] || ' ' || w[i+1])) AS g
+              FROM base)
+        GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id AS doc_id, len(b.w)::INTEGER AS n_tokens,
+           CAST(coalesce(u.top_tok, 0) AS DOUBLE) / CAST(len(b.w) AS DOUBLE)
+             AS top_token_frac,
+           CASE WHEN len(b.w) > 1
+                THEN CAST(coalesce(g.top_bg, 0) AS DOUBLE)
+                     / (CAST(len(b.w) AS DOUBLE) - 1.0)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM base b
+    LEFT JOIN uni u ON b.doc_id = u.doc_id
+    LEFT JOIN bg g ON b.doc_id = g.doc_id
+    """
+    text_clean_sql = f"""
+    SELECT doc_id,
+           lower(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{URL_PATTERN}', ' ', 'g'),
+               '{EMAIL_PATTERN}', ' ', 'g'),
+             '\\s+', ' ', 'g'))) AS clean
+    FROM documents
     """
     fingerprint_sql = """
     SELECT doc_id,
@@ -772,6 +881,9 @@ def oracle_sql() -> dict[str, str]:
     FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
     GROUP BY d.doc_id
     """,
+        "dedup_keep_best": keep_best_sql,
+        "repetition_stats": repetition_sql,
+        "text_clean": text_clean_sql,
         "simhash_signatures": simhash_sig_sql,
         "dedup_simhash": simhash_pairs_sql,
         "embedding_dup_pairs": emb_dup_sql,

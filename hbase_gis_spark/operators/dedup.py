@@ -210,6 +210,35 @@ def near_dup_clusters(
     )
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Keep-best dedup policy: for each near-duplicate cluster, keep
+    the member with the highest score (ties broken by smallest id) —
+    the standard refinement over keep-first when a quality signal
+    exists.
+
+    ``clusters`` is ``near_dup_clusters`` output (id, cluster_id);
+    ``scores`` carries (id, score). One shuffle join on the id key,
+    then a per-cluster row_number window — grouped top-1, the same
+    shape the reference's TopXEndpoint computes per region
+    (coprocessor/TopXEndpoint.java:89-103), here keyed by cluster.
+    Cluster cardinality is bounded (near-dup groups are small), so the
+    window sort cannot skew."""
+    j = clusters.join(scores.select(id_col, score_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cluster_id", score_col)
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",

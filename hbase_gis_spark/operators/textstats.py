@@ -123,3 +123,73 @@ def fingerprint(text_col) -> Column:
     whitespace-collapsed text. Identical expression in DuckDB."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+# Patterns kept to the Java-regex ∩ RE2 common subset so Spark and the
+# DuckDB oracle substitute identically.
+URL_PATTERN = r"https?://\S+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+def clean_text(text_col) -> Column:
+    """Training-data text normalization: scrub URLs and email addresses
+    (the standard PII/boilerplate pre-filter), collapse whitespace,
+    trim, lowercase. Pure regexp_replace chain — JVM codegen, one scan,
+    no Python; applied in a fixed order the oracle SQL mirrors."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.regexp_replace(c, URL_PATTERN, " ")
+    c = F.regexp_replace(c, EMAIL_PATTERN, " ")
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: token count, the
+    fraction of tokens that are the single most frequent token, and the
+    fraction of word bigrams that are the most frequent bigram.
+
+    Execution shape for 100 TB: tokenization + bigram build are JVM
+    HOFs (zip_with over two shifted slices — no per-element re-eval of
+    the split); the frequency maxima come from explode → two-phase hash
+    aggregation keyed by (doc, term), so the shuffle carries per-doc
+    distinct terms, not the token stream, and all three aggregates
+    shuffle on the same id key (one exchange reused under AQE)."""
+    from hbase_gis_spark.operators.dedup import _spread
+
+    base = _spread(df).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("w")
+    )
+    m = F.greatest(F.size("w") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("w", 1, m), F.slice(F.col("w"), 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    uni = (
+        base.select("id", F.explode("w").alias("t"))
+        .groupBy("id", "t").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id").agg(F.max("c").alias("top_tok"))
+    )
+    bg = (
+        base.select("id", F.explode(bigrams).alias("g"))
+        .groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id").agg(F.max("c").alias("top_bg"))
+    )
+    n = F.col("n_tokens").cast("double")
+    return (
+        base.select("id", F.size("w").alias("n_tokens"))
+        .join(uni, "id", "left")
+        .join(bg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.coalesce(F.col("top_tok"), F.lit(0)).cast("double") / n).alias(
+                "top_token_frac"
+            ),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.coalesce(F.col("top_bg"), F.lit(0)).cast("double")
+                / (n - F.lit(1.0)),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

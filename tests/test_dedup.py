@@ -155,3 +155,28 @@ def test_near_dup_clusters_chain_and_singletons(spark):
     )
     got = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5}
+
+
+def test_cluster_representatives_keep_best(spark):
+    """Per cluster: highest score wins, ties break to smallest id;
+    singletons keep themselves."""
+    from hbase_gis_spark.operators.dedup import (
+        cluster_representatives,
+        near_dup_clusters,
+    )
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(5)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], ["id_a", "id_b", "jaccard"]
+    )
+    clusters = near_dup_clusters(docs, pairs)
+    scores = spark.createDataFrame(
+        [(0, 0.5), (1, 0.9), (2, 0.9), (3, 0.1), (4, 0.2)],
+        ["doc_id", "quality_score"],
+    )
+    got = {
+        r.cluster_id: (r.doc_id, r.quality_score)
+        for r in cluster_representatives(clusters, scores).collect()
+    }
+    # cluster {0,1,2}: 1 and 2 tie at 0.9 -> smallest id 1 wins
+    assert got == {0: (1, 0.9), 3: (3, 0.1), 4: (4, 0.2)}

@@ -169,3 +169,38 @@ def test_knn_haversine_matches_python_math(spark):
     assert [(round(d, 6), i) for d, i in expect] == [
         (round(r.distance, 6), r.id) for r in got
     ]
+
+
+def test_repetition_stats_counts(spark):
+    """Hand-computable repetition concentrations, incl. the one-token
+    bigram guard."""
+    from hbase_gis_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),      # top token a:3/4; bigrams [a a, a a, a b] -> 2/3
+            (2, "x y x y x"),    # top token x:3/5; bigrams alternate -> 2/4
+            (3, "solo"),         # 1 token: bigram frac 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, round(r.top_token_frac, 9), round(r.top_bigram_frac, 9))
+        for r in repetition_stats(df).collect()
+    }
+    assert got == {
+        1: (4, round(3 / 4, 9), round(2 / 3, 9)),
+        2: (5, round(3 / 5, 9), round(2 / 4, 9)),
+        3: (1, 1.0, 0.0),
+    }
+
+
+def test_clean_text_scrubs_urls_emails(spark):
+    from hbase_gis_spark.operators.textstats import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "  Visit https://ex.com/a?b=1 or mail Bob.Smith+x@ex.co.uk  NOW  ")],
+        ["doc_id", "text"],
+    )
+    got = df.select(clean_text("text").alias("c")).collect()[0].c
+    assert got == "visit or mail now"
