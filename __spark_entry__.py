@@ -431,6 +431,62 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q3_DATE = "1998-06-01 00:00:00"
+Q3_SEGMENT = "BUILDING"
+Q3_K = 10
+
+
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: two selective-filtered joins
+    (customer segment, order date, lineitem ship date — all pushed to
+    the parquet scans), hash aggregation on the order key, then a
+    bounded top-k (TakeOrderedAndProject: per-partition heap + driver
+    merge, the Spark-native form of the reference's bounded
+    MinMaxPriorityQueue pattern, KNNQuery.java:45-47). Revenue is
+    summed in exact integer units (cents x discount-percent) so the
+    result is order-independent and engine-portable."""
+    cutoff = F.expr(f"TIMESTAMP_NTZ '{Q3_DATE}'")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_units"),
+        )
+    )
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum("rev_units").alias("revenue_units"))
+        .orderBy(F.col("revenue_units").desc(), F.col("o_orderkey").asc())
+        .limit(Q3_K)
+        .select(
+            "o_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ: pure NTZ arithmetic from the
+            # epoch keeps the surfaced value timezone-independent
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            ).alias("o_date_us"),
+            "revenue_units",
+        )
+    )
+
+
 Q1_CUTOFF = "1998-09-02 00:00:00"  # l_shipdate reads as TIMESTAMP_NTZ
 
 
@@ -534,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "revenue_by_nation": _q_revenue_by_nation,
         "pricing_summary": _q_pricing_summary,
+        "shipping_priority": _q_shipping_priority,
         "sketch_stats": _q_sketch_stats,
         "split_assign": _q_split_assign,
     }
@@ -944,6 +1001,20 @@ def oracle_sql() -> dict[str, str]:
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
+    """,
+        "shipping_priority": f"""
+    SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_units
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+      AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue_units DESC, o_orderkey ASC
+    LIMIT {Q3_K}
     """,
         "pricing_summary": f"""
     SELECT l_returnflag, l_linestatus,
