@@ -101,6 +101,17 @@ WITHIN_CONCAVE_ORACLE_PRED = (
 TOPX_X = 3
 BIN_MOD, BIN_PER, BIN_TOTAL = 16, 5, 64
 
+# spatial-join polygon set: the flagship pentagon plus an overlapping
+# convex rectangle — points in the overlap tag twice, once per polygon
+SJOIN_POLYGONS = [
+    ("pentagon", WITHIN_WKT),
+    (
+        "rect",
+        "POLYGON ((-73.97 40.72, -73.92 40.72, -73.92 40.78, "
+        "-73.97 40.78, -73.97 40.72))",
+    ),
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: within-polygon query over the derived point table at
@@ -128,6 +139,27 @@ def _q_within_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_within_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = derived_points(spark, sf_dir)
     return within(pts, WITHIN_CONCAVE_WKT).select("id", "lon", "lat")
+
+
+def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-mode spatial join: one scan, per-polygon codegen'd
+    covers tests exploded to (point, poly_id) rows."""
+    from hbase_gis_spark.operators.spatial_join import spatial_join
+
+    pts = derived_points(spark, sf_dir)
+    return spatial_join(pts, SJOIN_POLYGONS).select("id", "lon", "lat", "poly_id")
+
+
+def _q_spatial_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-join-mode spatial join: geohash-cell candidate broadcast
+    hash join, then the exact covers cascade — same rows as broadcast
+    mode."""
+    from hbase_gis_spark.operators.spatial_join import spatial_join
+
+    pts = derived_points(spark, sf_dir, with_geohash=True)
+    return spatial_join(pts, SJOIN_POLYGONS, geohash_col="geohash").select(
+        "id", "lon", "lat", "poly_id"
+    )
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_polygon": _q_within,
         "within_polygon_pruned": _q_within_pruned,
         "within_concave": _q_within_concave,
+        "spatial_join": _q_spatial_join,
+        "spatial_join_cells": _q_spatial_join_cells,
         "knn_top10": _q_knn,
         "knn_pruned": _q_knn_pruned,
         "knn_haversine": _q_knn_haversine,
@@ -605,6 +639,15 @@ def oracle_sql() -> dict[str, str]:
     SELECT id, lon, lat FROM pts
     WHERE {halfplane_predicate_sql(WITHIN_WKT)}
     """
+    sjoin_parts = [
+        f"""SELECT id, lon, lat, '{pid}' AS poly_id FROM pts
+    WHERE {halfplane_predicate_sql(wkt)}"""
+        for pid, wkt in SJOIN_POLYGONS
+    ]
+    sjoin_sql = (
+        f"WITH pts AS ({POINTS_SQL})\n    "
+        + "\n    UNION ALL\n    ".join(sjoin_parts)
+    )
     knn_sql = f"""
     WITH pts AS ({POINTS_SQL})
     SELECT id, lon, lat, {distance_sql(KNN_LON, KNN_LAT)} AS distance
@@ -912,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
     SELECT id, lon, lat FROM pts
     WHERE {WITHIN_CONCAVE_ORACLE_PRED}
     """,
+        "spatial_join": sjoin_sql,
+        "spatial_join_cells": sjoin_sql,
         "knn_top10": knn_sql,
         "knn_pruned": knn_pruned_sql,
         "knn_haversine": knn_haversine_sql,

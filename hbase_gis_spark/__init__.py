@@ -18,9 +18,11 @@ Arrow-batched.
 
 from hbase_gis_spark.geo import geohash, geometry, planner  # noqa: F401
 from hbase_gis_spark.operators.within import within  # noqa: F401
+from hbase_gis_spark.operators.spatial_join import spatial_join  # noqa: F401
 from hbase_gis_spark.operators.knn import knn, with_distance  # noqa: F401
 from hbase_gis_spark.operators.topx import top_x, binned_limit  # noqa: F401
 from hbase_gis_spark.operators.dedup import (  # noqa: F401
+    cluster_representatives,
     dedup_exact,
     embedding_dup_pairs,
     jaccard_pairs,
@@ -39,9 +41,11 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
 )
 from hbase_gis_spark.operators.textstats import (  # noqa: F401
     bpe_token_count,
+    clean_text,
     fingerprint,
     lang_id,
     quality_features,
+    repetition_stats,
     term_stats,
     token_count,
 )

@@ -204,3 +204,41 @@ def test_clean_text_scrubs_urls_emails(spark):
     )
     got = df.select(clean_text("text").alias("c")).collect()[0].c
     assert got == "visit or mail now"
+
+
+def test_spatial_join_overlap_and_modes_agree(spark):
+    """Overlapping polygons tag a point once per polygon; broadcast and
+    cell-join modes return identical rows; uncovered points drop."""
+    from hbase_gis_spark.functions.geo import geohash_col
+    from hbase_gis_spark.operators.spatial_join import spatial_join
+
+    polys = [
+        ("a", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ("b", "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"),
+    ]
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 3.0, 3.0), (3, 5.0, 5.0), (4, 9.0, 9.0),
+         (5, 4.0, 4.0)],  # on both boundaries -> covers includes it in both
+        ["id", "lon", "lat"],
+    ).withColumn("geohash", geohash_col(F.col("lat"), F.col("lon"), 12))
+    expect = {(1, "a"), (2, "a"), (2, "b"), (3, "b"), (5, "a"), (5, "b")}
+    got_bc = {(r.id, r.poly_id) for r in spatial_join(pts, polys).collect()}
+    got_cell = {
+        (r.id, r.poly_id)
+        for r in spatial_join(pts, polys, geohash_col="geohash").collect()
+    }
+    assert got_bc == expect
+    assert got_cell == expect
+
+
+def test_spatial_join_concave_falls_back_to_udf(spark):
+    """Non-convex polygon exercises the ray-cast UDF branch."""
+    from hbase_gis_spark.operators.spatial_join import spatial_join
+
+    # L-shape: covers (1,1) and (1,3) but not (3,3)
+    polys = [("l", "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")]
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 1.0, 3.0), (3, 3.0, 3.0)], ["id", "lon", "lat"]
+    )
+    got = {(r.id, r.poly_id) for r in spatial_join(pts, polys).collect()}
+    assert got == {(1, "l"), (2, "l")}
