@@ -20,6 +20,7 @@ Usage (python -m hbase_gis_spark ...):
     within      <local|remote> "<WKT POLYGON>" --table <path>
     knn         <lon> <lat> <n> --table <path>
     topx        <x> <ref_col> <ts_col> --table <path>
+    spatialjoin "<WKT>" ["<WKT>" ...] --table <path> [--cells]
 """
 
 from __future__ import annotations
@@ -107,6 +108,25 @@ def cmd_knn(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_spatialjoin(args: argparse.Namespace) -> int:
+    from hbase_gis_spark.operators.spatial_join import spatial_join
+    from hbase_gis_spark.sources.ingest import read_geo_table
+
+    spark = _spark("spatialjoin")
+    t0 = time.perf_counter()
+    df = read_geo_table(spark, args.table)
+    polys = [(f"p{i}", wkt) for i, wkt in enumerate(args.wkt)]
+    gh = "geohash" if args.cells and "geohash" in df.columns else None
+    rows = spatial_join(df, polys, geohash_col=gh).collect()
+    for r in rows:
+        print(f"{r.id}\t{r.poly_id}\t{r.lon}\t{r.lat}")
+    print(
+        f"Spatial join matched {len(rows)} (point, polygon) rows in "
+        f"{time.perf_counter() - t0:.3f} seconds."
+    )
+    return 0
+
+
 def cmd_topx(args: argparse.Namespace) -> int:
     from hbase_gis_spark.operators.topx import top_x
     from hbase_gis_spark.sources.ingest import read_geo_table
@@ -155,6 +175,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("n", type=int)
     s.add_argument("--table", required=True)
     s.set_defaults(fn=cmd_knn)
+
+    s = sub.add_parser(
+        "spatialjoin", help="tag points with every covering polygon"
+    )
+    s.add_argument("wkt", nargs="+", help="one or more WKT polygons")
+    s.add_argument("--table", required=True)
+    s.add_argument(
+        "--cells", action="store_true",
+        help="use the geohash-cell broadcast-join mode",
+    )
+    s.set_defaults(fn=cmd_spatialjoin)
 
     s = sub.add_parser("topx", help="per-group X earliest rows")
     s.add_argument("x", type=int)

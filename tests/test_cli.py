@@ -24,3 +24,18 @@ def test_cli_bulkingest_within_knn(tmp_path, spark):
     with contextlib.redirect_stdout(out):
         assert main(["knn", "-75.5", "44.5", "7", "--table", table]) == 0
     assert "KNN returned 7 points" in out.getvalue()
+
+
+def test_cli_spatialjoin(tmp_path, spark):
+    table = str(tmp_path / "pts2")
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["bulkingest", table, "200", "--bbox=-75.99,-75.01,44.01,44.99"]) == 0
+
+    whole = ("POLYGON ((-75.99 44.01, -75.99 44.99, -75.01 44.99, "
+             "-75.01 44.01, -75.99 44.01))")
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["spatialjoin", whole, whole, "--table", table, "--cells"]) == 0
+    # every point tagged by both copies of the covering polygon
+    assert "Spatial join matched 400 (point, polygon) rows" in out.getvalue()
