@@ -226,6 +226,28 @@ def _q_topx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event enriched with the user's latest
+    at-or-before view event (null when none precedes). One shuffle on
+    user_id + one sort — no range join, no Python."""
+    from hbase_gis_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    r = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.expr("ts div 1000").alias("view_ts_us"),
+    )
+    return asof_join(
+        l, r, on=["user_id"], left_ts="ts_us", right_ts="view_ts_us"
+    )
+
+
 def _q_binned_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return binned_limit(
@@ -597,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pruned": _q_knn_pruned,
         "knn_haversine": _q_knn_haversine,
         "topx_per_group": _q_topx,
+        "asof_join": _q_asof_join,
         "binned_limit": _q_binned_limit,
         "dedup_geocell": _q_dedup_geocell,
         "dedup_exact": _q_dedup_exact,
@@ -961,6 +984,19 @@ def oracle_sql() -> dict[str, str]:
         "knn_pruned": knn_pruned_sql,
         "knn_haversine": knn_haversine_sql,
         "topx_per_group": topx_sql,
+        "asof_join": """
+    WITH l AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_ts_us
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT l.user_id, l.purchase_id, l.ts_us, r.view_id, r.view_ts_us
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts_us >= r.view_ts_us
+    """,
         "binned_limit": binned_sql,
         "dedup_geocell": dedup_sql,
         "dedup_exact": dedup_exact_sql,

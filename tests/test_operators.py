@@ -242,3 +242,23 @@ def test_spatial_join_concave_falls_back_to_udf(spark):
     )
     got = {(r.id, r.poly_id) for r in spatial_join(pts, polys).collect()}
     assert got == {(1, "l"), (2, "l")}
+
+
+def test_asof_join_semantics(spark):
+    """Latest at-or-before match per key; equal timestamps match; left
+    rows with no preceding right row null-fill; inner mode drops them."""
+    from hbase_gis_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 101, 10), (1, 102, 20), (1, 103, 5), (2, 201, 50)],
+        ["user_id", "purchase_id", "ts_us"],
+    )
+    r = spark.createDataFrame(
+        [(1, 901, 10), (1, 902, 15), (2, 903, 60)],
+        ["user_id", "view_id", "view_ts_us"],
+    )
+    out = asof_join(l, r, ["user_id"], "ts_us", "view_ts_us")
+    got = {row.purchase_id: row.view_id for row in out.collect()}
+    assert got == {101: 901, 102: 902, 103: None, 201: None}
+    inner = asof_join(l, r, ["user_id"], "ts_us", "view_ts_us", how="inner")
+    assert {row.purchase_id for row in inner.collect()} == {101, 102}
