@@ -587,6 +587,22 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.5, "de": 0.25, "es": 0.25, "und": 0.05}
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (md5-keyed, reproducible
+    across runs and cluster layouts — no RNG state)."""
+    from hbase_gis_spark.operators.dedup import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "lang_pred", lang_id("text")
+    )
+    return stratified_sample(docs, "lang_pred", SAMPLE_FRACTIONS).select(
+        "doc_id", "lang_pred"
+    )
+
+
 def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed train/val/test split (98/1/1)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -650,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _q_shipping_priority,
         "sketch_stats": _q_sketch_stats,
         "split_assign": _q_split_assign,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1117,6 +1134,20 @@ def oracle_sql() -> dict[str, str]:
                % 100 AS b
       FROM documents
     )
+    """,
+        "stratified_sample": f"""
+    WITH langs AS ({lang_sql}),
+    hashed AS (
+      SELECT doc_id, lang_pred,
+             ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS h
+      FROM langs
+    )
+    SELECT doc_id, lang_pred FROM hashed
+    WHERE {" OR ".join(
+        f"(lang_pred = '{s}' AND h < {int(f * 1_000_000)})"
+        for s, f in SAMPLE_FRACTIONS.items()
+    )}
     """,
         # ann_lsh_topk / ann_ivf_topk intentionally omitted: approximate
         # operators, rows-only driver check; recall/mechanics pinned in

@@ -31,6 +31,7 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     simhash,
     simhash_pairs,
     split_assign,
+    stratified_sample,
 )
 from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_ivf_topk,

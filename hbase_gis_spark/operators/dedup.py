@@ -239,6 +239,41 @@ def cluster_representatives(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the md5 hash
+    of (salt, id) falls below its stratum's fraction of the hash space.
+
+    Unlike ``df.sampleBy`` (RNG per task, irreproducible across runs /
+    partitionings), the decision is a pure function of the row id: the
+    same row is kept in every run, on any cluster layout, and the
+    sample only shrinks/grows monotonically when the fraction moves —
+    the property a training-data pipeline needs for reproducible
+    ablations. One scan, codegen'd, no shuffle, no RNG state; strata
+    not named in ``fractions`` are dropped (fraction 0)."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    pred = None
+    for stratum, frac in fractions.items():
+        cut = int(frac * 1_000_000)
+        term = (F.col(strata_col) == stratum) & (h < F.lit(cut))
+        pred = term if pred is None else (pred | term)
+    return df.filter(pred)
+
+
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -180,3 +180,17 @@ def test_cluster_representatives_keep_best(spark):
     }
     # cluster {0,1,2}: 1 and 2 tie at 0.9 -> smallest id 1 wins
     assert got == {0: (1, 0.9), 3: (3, 0.1), 4: (4, 0.2)}
+
+
+def test_stratified_sample_deterministic_and_sized(docs):
+    """Same rows kept across invocations; per-stratum rates near the
+    requested fractions; unnamed strata drop."""
+    from hbase_gis_spark.operators.dedup import stratified_sample
+
+    base = docs.withColumn("parity", F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd"))
+    fr = {"even": 0.5}
+    a = {r.doc_id for r in stratified_sample(base, "parity", fr).collect()}
+    b = {r.doc_id for r in stratified_sample(base, "parity", fr).collect()}
+    assert a == b and all(i % 2 == 0 for i in a)
+    n_even = base.filter(F.col("parity") == "even").count()
+    assert 0.35 * n_even < len(a) < 0.65 * n_even
