@@ -70,6 +70,16 @@ def spatial_join(
         raise ValueError("polygons must be non-empty")
     lon = F.col(lon_col).cast("double")
     lat = F.col(lat_col).cast("double")
+    # coarse pre-filter: the OR of all polygon bboxes — plain range
+    # comparisons, so Catalyst pushes it into the Parquet scan
+    # (row-group stats pruning) where the exploded/joined exact tests
+    # below cannot reach. Semantics-preserving: every covered point is
+    # inside its polygon's bbox.
+    coarse = None
+    for _, wkt in polygons:
+        b = bbox_predicate(wkt, lon, lat)
+        coarse = b if coarse is None else (coarse | b)
+    points = points.filter(coarse)
     if geohash_col is None:
         # broadcast mode: array of per-polygon guarded ids, exploded.
         hits = F.array(
