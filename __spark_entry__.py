@@ -248,6 +248,28 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every event tagged with its containing session
+    window (non-overlapping per user) — as-of + containment filter, no
+    range theta-join."""
+    from hbase_gis_spark.operators.asof import interval_join
+    from hbase_gis_spark.streaming.events import user_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    sess = user_sessions(ev, gap="5 minutes").select(
+        "user_id",
+        F.unix_micros("ss").alias("ss_us"),
+        F.unix_micros("se").alias("se_us"),
+    )
+    return interval_join(
+        l, sess, on=["user_id"], left_ts="ts_us",
+        start_col="ss_us", end_col="se_us",
+    )
+
+
 def _q_binned_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return binned_limit(
@@ -636,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_haversine": _q_knn_haversine,
         "topx_per_group": _q_topx,
         "asof_join": _q_asof_join,
+        "sessionize_events": _q_sessionize,
         "binned_limit": _q_binned_limit,
         "dedup_geocell": _q_dedup_geocell,
         "dedup_exact": _q_dedup_exact,
@@ -950,6 +973,26 @@ def oracle_sql() -> dict[str, str]:
              '\\s+', ' ', 'g'))) AS clean
     FROM documents
     """
+    user_sessions_sql = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    m AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w >= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    s AS (
+      SELECT user_id, t,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT min(t) AS ss_us,
+           max(t) + {SESSION_GAP_US} AS se_us,
+           user_id, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """
     fingerprint_sql = """
     SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
@@ -1072,25 +1115,14 @@ def oracle_sql() -> dict[str, str]:
         # session semantics: a new session starts when the inter-event
         # gap is >= GAP (Spark merges overlapping half-open intervals);
         # session end = last event + GAP
-        "user_sessions": f"""
-    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
-    m AS (
-      SELECT user_id, t,
-             CASE WHEN lag(t) OVER w IS NULL
-                       OR t - lag(t) OVER w >= {SESSION_GAP_US}
-                  THEN 1 ELSE 0 END AS is_new
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
-    ),
-    s AS (
-      SELECT user_id, t,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
-                               ROWS UNBOUNDED PRECEDING) AS sid
-      FROM m
-    )
-    SELECT min(t) AS ss_us,
-           max(t) + {SESSION_GAP_US} AS se_us,
-           user_id, count(*) AS n_events
-    FROM s GROUP BY user_id, sid
+        "user_sessions": user_sessions_sql,
+        "sessionize_events": f"""
+    WITH sess AS ({user_sessions_sql})
+    SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+           s.ss_us, s.se_us
+    FROM events e JOIN sess s
+      ON e.user_id = s.user_id
+     AND epoch_us(e.ts) >= s.ss_us AND epoch_us(e.ts) < s.se_us
     """,
         "revenue_by_nation": """
     SELECT n_name, count(*) AS n_orders,

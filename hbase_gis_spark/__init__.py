@@ -19,7 +19,7 @@ Arrow-batched.
 from hbase_gis_spark.geo import geohash, geometry, planner  # noqa: F401
 from hbase_gis_spark.operators.within import within  # noqa: F401
 from hbase_gis_spark.operators.spatial_join import spatial_join  # noqa: F401
-from hbase_gis_spark.operators.asof import asof_join  # noqa: F401
+from hbase_gis_spark.operators.asof import asof_join, interval_join  # noqa: F401
 from hbase_gis_spark.operators.knn import knn, with_distance  # noqa: F401
 from hbase_gis_spark.operators.topx import top_x, binned_limit  # noqa: F401
 from hbase_gis_spark.operators.dedup import (  # noqa: F401

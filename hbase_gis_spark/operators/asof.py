@@ -86,3 +86,35 @@ def asof_join(
         *[F.col(c) for c in left.columns if c not in on],
         *[F.col(f"__m.{c}").alias(c) for c in r_payload_cols],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    closed: str = "left",
+) -> DataFrame:
+    """Join each left row to the interval containing its timestamp,
+    for per-key NON-OVERLAPPING intervals (session windows, SCD-style
+    validity ranges).
+
+    Composition, not a range theta-join: as-of to the latest interval
+    start at-or-before the timestamp (one shuffle + one window pass),
+    then a containment filter on the end bound — with non-overlapping
+    intervals the latest-started interval is the only one that can
+    contain the row, so this is exact. A generic range join in Spark
+    plans as a broadcast nested loop; this stays a linear scan at any
+    scale. ``closed``: 'left' ([start, end), Spark's session_window
+    convention) or 'both' ([start, end])."""
+    if closed not in ("left", "both"):
+        raise ValueError("closed must be 'left' or 'both'")
+    j = asof_join(left, intervals, on, left_ts, start_col, how="inner")
+    upper = (
+        F.col(left_ts) < F.col(end_col)
+        if closed == "left"
+        else F.col(left_ts) <= F.col(end_col)
+    )
+    return j.filter(upper)

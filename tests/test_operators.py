@@ -262,3 +262,24 @@ def test_asof_join_semantics(spark):
     assert got == {101: 901, 102: 902, 103: None, 201: None}
     inner = asof_join(l, r, ["user_id"], "ts_us", "view_ts_us", how="inner")
     assert {row.purchase_id for row in inner.collect()} == {101, 102}
+
+
+def test_interval_join_containment(spark):
+    """Events land in their containing (non-overlapping) interval;
+    out-of-interval rows drop; half-open vs closed end bound."""
+    from hbase_gis_spark.operators.asof import interval_join
+
+    l = spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 10), (1, "c", 20), (1, "d", 25), (2, "e", 5)],
+        ["k", "name", "t"],
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (1, 15, 22)], ["k", "lo", "hi"]
+    )
+    half = {(r.name, r.lo) for r in
+            interval_join(l, iv, ["k"], "t", "lo", "hi").collect()}
+    # b at t=10 excluded ([0,10)); d at 25 past both; e has no intervals
+    assert half == {("a", 0), ("c", 15)}
+    closed = {(r.name, r.lo) for r in
+              interval_join(l, iv, ["k"], "t", "lo", "hi", closed="both").collect()}
+    assert closed == {("a", 0), ("b", 0), ("c", 15)}
