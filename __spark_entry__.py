@@ -299,6 +299,15 @@ JACCARD_N, JACCARD_T = 3, 0.5
 SIMHASH_MAX_HAMMING = 6
 EMB_DUP_T = 0.4
 ANN_QUERY_ID, ANN_K = 0, 10
+EMB_DIM = 64
+LSH_N_PLANES, LSH_MAX_HAMMING = 12, 2
+IVF_NLIST, IVF_NPROBE, IVF_TRAIN_ROWS, IVF_ITERS = 16, 6, 4096, 15
+ANN_SEED = 13
+# sf dir the driver's DuckDB correctness gate reads; the IVF oracle
+# must train its centroid literals on the same table
+ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,17 +359,36 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate (hyperplane-LSH bucketed); rows-only driver check,
-    # candidate mechanics pinned in tests/test_similarity.py
+    # approximate (hyperplane-LSH bucketed) but DETERMINISTIC given
+    # ANN_SEED — exactly oracled in oracle_sql() by replaying the same
+    # plane draw; recall additionally pinned in tests/test_similarity.py
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, ANN_QUERY_ID, ANN_K)
+    return ann_lsh_topk(
+        emb,
+        ANN_QUERY_ID,
+        ANN_K,
+        n_planes=LSH_N_PLANES,
+        max_hamming=LSH_MAX_HAMMING,
+        dim=EMB_DIM,
+        seed=ANN_SEED,
+    )
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate (IVF coarse-quantized, nprobe/nlist scan fraction);
-    # rows-only driver check, recall pinned in tests/test_similarity.py
+    # approximate (IVF coarse-quantized, nprobe/nlist scan fraction)
+    # but DETERMINISTIC given ANN_SEED — exactly oracled in
+    # oracle_sql() by retraining the same centroids with the same
+    # numpy routine; recall pinned in tests/test_similarity.py
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_ivf_topk(emb, ANN_QUERY_ID, ANN_K)
+    return ann_ivf_topk(
+        emb,
+        ANN_QUERY_ID,
+        ANN_K,
+        nlist=IVF_NLIST,
+        nprobe=IVF_NPROBE,
+        train_rows=IVF_TRAIN_ROWS,
+        seed=ANN_SEED,
+    )
 
 
 def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,11 +666,17 @@ def _q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check; relative error pinned in
     tests/test_operators.py."""
     ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+    )
     return ev.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx(
-            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
-        ).alias("value_quantiles"),
+        q.alias("_q"),
+    ).select(
+        "approx_users",
+        F.element_at("_q", 1).alias("p50"),
+        F.element_at("_q", 2).alias("p95"),
+        F.element_at("_q", 3).alias("p99"),
     )
 
 
@@ -825,7 +859,8 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY doc_id, j
     ), sig AS (
       SELECT doc_id,
-             sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                  AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id
     )
     """
@@ -866,6 +901,117 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY cosine DESC, vec_id ASC
     LIMIT {ANN_K}
     """
+
+    # --- approximate-ANN oracles (deterministic given ANN_SEED) -----
+    # Replay the driver-side candidate setup (LSH plane draw / IVF
+    # centroid training + probe choice) with the same numpy routines,
+    # embed the resulting float64 literals (repr() round-trips
+    # exactly), and let DuckDB redo signature / cell assignment with
+    # the same sequential-fold dot products as the Spark HOFs
+    # (operators/similarity.py:29-32).
+    def _arr(vals) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+    def _dot_lit(vec: str, lst: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * {lst}[j]))"
+        )
+
+    from hbase_gis_spark.operators.similarity import (
+        hyperplane_planes,
+        kmeans_centroids,
+    )
+
+    planes = hyperplane_planes(EMB_DIM, LSH_N_PLANES, seed=ANN_SEED)
+    plane_rows = ",\n      ".join(
+        f"({i}, {_arr(p)})" for i, p in enumerate(planes)
+    )
+    ann_lsh_sql = f"""
+    WITH planes(pi, pv) AS (VALUES
+      {plane_rows}),
+    sigs AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN {_dot_lit('e.embedding', 'p.pv')} >= 0
+                           THEN (1::BIGINT << p.pi) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    ),
+    q AS (
+      SELECT e.embedding AS qv, s.sig AS qsig
+      FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id
+      WHERE e.vec_id = {ANN_QUERY_ID}
+    )
+    SELECT vec_id, cosine FROM (
+      SELECT e.vec_id, {_cos('e.embedding', 'qv')} AS cosine
+      FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id CROSS JOIN q
+      WHERE e.vec_id != {ANN_QUERY_ID}
+        AND bit_count(xor(s.sig, q.qsig)) <= {LSH_MAX_HAMMING}
+    )
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {ANN_K}
+    """
+
+    ann_ivf_sql = None
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        ids = np.asarray(tbl.column("vec_id"))
+        V_all = np.asarray(
+            tbl.column("embedding").to_pylist(), dtype=np.float64
+        )
+        # same sample as train_ivf_centroids: first train_rows by id
+        order = np.argsort(ids, kind="stable")[:IVF_TRAIN_ROWS]
+        C = kmeans_centroids(
+            V_all[order], IVF_NLIST, iters=IVF_ITERS, seed=ANN_SEED
+        )
+        qvec = V_all[int(np.nonzero(ids == ANN_QUERY_ID)[0][0])]
+        qn = qvec / np.linalg.norm(qvec)
+        probes = [int(j) for j in np.argsort(-(C @ qn))[:IVF_NPROBE]]
+        cent_rows = ",\n      ".join(
+            f"({i}, {_arr(c)})" for i, c in enumerate(C)
+        )
+        # cell = first index of the max centroid dot, mirroring Spark's
+        # array_position(dots, array_max(dots)) via row_number with a
+        # ci ASC tiebreak
+        ann_ivf_sql = f"""
+    WITH cents(ci, cv) AS (VALUES
+      {cent_rows}),
+    dots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, ci AS cell FROM (
+        SELECT vec_id, ci,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings
+          WHERE vec_id = {ANN_QUERY_ID})
+    SELECT vec_id, cosine FROM (
+      SELECT e.vec_id, {_cos('e.embedding', 'qv')} AS cosine
+      FROM embeddings e JOIN cells s ON e.vec_id = s.vec_id CROSS JOIN q
+      WHERE e.vec_id != {ANN_QUERY_ID}
+        AND s.cell IN ({", ".join(str(p) for p in probes)})
+    )
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {ANN_K}
+    """
+    except Exception:
+        # oracle table unavailable in this environment → leave the IVF
+        # entry out (driver falls back to the rows-only check)
+        ann_ivf_sql = None
+
     # language-ID: marker-word argmax, ties break en > fr > de > es
     def _mc(words: tuple[str, ...]) -> str:
         lst = ", ".join(f"'{x}'" for x in words)
@@ -1030,7 +1176,7 @@ def oracle_sql() -> dict[str, str]:
     FROM m CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS k) ks
     WHERE k < least({N_FRAMES}, n)
     """
-    return {
+    out = {
         "within_polygon": within_sql,
         "within_polygon_pruned": within_sql,
         "within_concave": f"""
@@ -1126,7 +1272,8 @@ def oracle_sql() -> dict[str, str]:
     """,
         "revenue_by_nation": """
     SELECT n_name, count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -1134,8 +1281,9 @@ def oracle_sql() -> dict[str, str]:
     """,
         "shipping_priority": f"""
     SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_units
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_units
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1148,8 +1296,9 @@ def oracle_sql() -> dict[str, str]:
     """,
         "pricing_summary": f"""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_base_cents,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
@@ -1181,7 +1330,8 @@ def oracle_sql() -> dict[str, str]:
         for s, f in SAMPLE_FRACTIONS.items()
     )}
     """,
-        # ann_lsh_topk / ann_ivf_topk intentionally omitted: approximate
-        # operators, rows-only driver check; recall/mechanics pinned in
-        # tests/test_similarity.py.
+        "ann_lsh_topk": ann_lsh_sql,
     }
+    if ann_ivf_sql is not None:
+        out["ann_ivf_topk"] = ann_ivf_sql
+    return out

@@ -66,6 +66,28 @@ def cosine_topk(
     )
 
 
+def kmeans_centroids(
+    V: np.ndarray, nlist: int, iters: int = 15, seed: int = 13
+) -> np.ndarray:
+    """Deterministic spherical k-means on an in-memory sample.
+
+    Pure numpy so the DuckDB correctness oracle can reproduce the
+    exact same centroids from the same sample rows (bit-identical:
+    same rng seed, same float64 ops)."""
+    V = np.asarray(V, dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = V[rng.choice(len(V), nlist, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(V @ C.T, axis=1)
+        for j in range(nlist):
+            m = assign == j
+            if m.sum():
+                C[j] = V[m].mean(0)
+                C[j] /= np.linalg.norm(C[j])
+    return C
+
+
 def train_ivf_centroids(
     df: DataFrame,
     nlist: int,
@@ -88,17 +110,7 @@ def train_ivf_centroids(
         .collect()
     )
     V = np.array([r[0] for r in rows], dtype=np.float64)
-    V = V / np.linalg.norm(V, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    C = V[rng.choice(len(V), nlist, replace=False)].copy()
-    for _ in range(iters):
-        assign = np.argmax(V @ C.T, axis=1)
-        for j in range(nlist):
-            m = assign == j
-            if m.sum():
-                C[j] = V[m].mean(0)
-                C[j] /= np.linalg.norm(C[j])
-    return C
+    return kmeans_centroids(V, nlist, iters=iters, seed=seed)
 
 
 def ivf_cell_expr(vec_col: Column, centroids: np.ndarray) -> Column:
