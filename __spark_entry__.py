@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from hbase_gis_spark.operators.dedup import (
     cluster_representatives,
     dedup_exact,
-    embedding_dup_pairs,
+    embedding_dup_lsh,
     jaccard_pairs,
     minhash_lsh_pairs,
     near_dup_clusters,
@@ -300,6 +300,7 @@ SIMHASH_MAX_HAMMING = 6
 EMB_DUP_T = 0.4
 ANN_QUERY_ID, ANN_K = 0, 10
 EMB_DIM = 64
+EMB_LSH_PLANES, EMB_LSH_BAND_BITS = 64, 4
 LSH_N_PLANES, LSH_MAX_HAMMING = 12, 2
 IVF_NLIST, IVF_NPROBE, IVF_TRAIN_ROWS, IVF_ITERS = 16, 6, 4096, 15
 ANN_SEED = 13
@@ -348,9 +349,20 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
 
 
-def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH-banded candidates + exact cosine verify — the scale path.
+    # The all-pairs ground truth (embedding_dup_pairs) lives in tests
+    # only; recall of this operator against it is pinned in
+    # tests/test_dedup.py.
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, threshold=EMB_DUP_T)
+    return embedding_dup_lsh(
+        emb,
+        threshold=EMB_DUP_T,
+        n_planes=EMB_LSH_PLANES,
+        band_bits=EMB_LSH_BAND_BITS,
+        dim=EMB_DIM,
+        seed=ANN_SEED,
+    )
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,7 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": _q_text_clean,
         "simhash_signatures": _q_simhash_signatures,
         "dedup_simhash": _q_simhash_pairs,
-        "embedding_dup_pairs": _q_embedding_dups,
+        "embedding_dup_lsh": _q_embedding_dup_lsh,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -886,13 +898,6 @@ def oracle_sql() -> dict[str, str]:
             f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
         )
 
-    emb_dup_sql = f"""
-    SELECT id_a, id_b, cosine FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             {_cos('a.embedding', 'b.embedding')} AS cosine
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    ) WHERE cosine >= {EMB_DUP_T}
-    """
     ann_sql = f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID})
     SELECT vec_id, {_cos('embedding', 'qv')} AS cosine
@@ -927,6 +932,42 @@ def oracle_sql() -> dict[str, str]:
     plane_rows = ",\n      ".join(
         f"({i}, {_arr(p)})" for i, p in enumerate(planes)
     )
+
+    # embedding_dup_lsh: replay the banding (64 planes → 16 4-bit
+    # bands), candidates = pairs sharing any full band, exact cosine
+    # verify — mirrors operators/dedup.py:embedding_dup_lsh
+    eplanes = hyperplane_planes(EMB_DIM, EMB_LSH_PLANES, seed=ANN_SEED)
+    eplane_rows = ",\n      ".join(
+        f"({i}, {_arr(p)})" for i, p in enumerate(eplanes)
+    )
+    emb_dup_lsh_sql = f"""
+    WITH eplanes(pi, pv) AS (VALUES
+      {eplane_rows}),
+    ebits AS (
+      SELECT e.vec_id, p.pi // {EMB_LSH_BAND_BITS} AS band,
+             p.pi % {EMB_LSH_BAND_BITS} AS off,
+             CASE WHEN {_dot_lit('e.embedding', 'p.pv')} >= 0
+                  THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      FROM embeddings e CROSS JOIN eplanes p
+    ),
+    ebands AS (
+      SELECT vec_id, band,
+             CAST(sum(bit << off) AS BIGINT) AS bsig
+      FROM ebits GROUP BY vec_id, band
+    ),
+    ecand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM ebands a JOIN ebands b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT c.id_a, c.id_b,
+             {_cos('ea.embedding', 'eb.embedding')} AS cosine
+      FROM ecand c
+      JOIN embeddings ea ON c.id_a = ea.vec_id
+      JOIN embeddings eb ON c.id_b = eb.vec_id
+    ) WHERE cosine >= {EMB_DUP_T}
+    """
     ann_lsh_sql = f"""
     WITH planes(pi, pv) AS (VALUES
       {plane_rows}),
@@ -1230,7 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "text_clean": text_clean_sql,
         "simhash_signatures": simhash_sig_sql,
         "dedup_simhash": simhash_pairs_sql,
-        "embedding_dup_pairs": emb_dup_sql,
+        "embedding_dup_lsh": emb_dup_lsh_sql,
         "ann_cosine_topk": ann_sql,
         "lang_id": lang_sql,
         "text_quality": quality_sql,

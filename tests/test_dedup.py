@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from hbase_gis_spark.operators.dedup import (
     dedup_exact,
+    embedding_dup_lsh,
     embedding_dup_pairs,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -93,6 +94,72 @@ def test_embedding_dup_pairs_symmetric_threshold(spark):
     out = embedding_dup_pairs(emb, threshold=0.4).collect()
     assert all(r.id_a < r.id_b and r.cosine >= 0.4 for r in out)
     assert len(out) > 0
+
+
+def test_embedding_dup_lsh_recall_vs_exact(spark):
+    """The LSH-banded scale path against the all-pairs ground truth:
+    every emitted pair is a true pair with an identical cosine
+    (candidates are verified exactly), and recall stays ≥0.9 even at
+    the adversarially low 0.4 threshold (the synthetic dups sit at
+    cos 0.40-0.6 ≈ 66°, near the worst case for sign-bit LSH)."""
+    emb = load_table(spark, SF0001, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dup_lsh(emb, threshold=0.4).collect()
+    }
+    assert set(got) <= set(exact)  # no false positives
+    for k, v in got.items():
+        assert v == exact[k]  # exact verification, not an estimate
+    assert len(got) / len(exact) >= 0.9
+
+
+def test_embedding_dup_lsh_max_bucket_bounds_work(spark):
+    """A degenerate corpus (every vector identical → every band bucket
+    holds ALL ids) stays bounded under max_bucket: buckets above the
+    cap are dropped wholesale, so no pairs come out — instead of n²/2
+    pair rows from every one of the 16 bands."""
+    n = 40
+    rows = [(i, [1.0] * 8 + [0.0] * 56) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    capped = embedding_dup_lsh(df, threshold=0.9, max_bucket=10).collect()
+    assert capped == []
+    full = embedding_dup_lsh(df, threshold=0.9).collect()
+    assert len(full) == n * (n - 1) // 2
+
+
+def test_jaccard_max_df_drops_stop_shingles(spark):
+    """max_df prunes hot posting lists: a stop shingle shared by every
+    doc stops generating pairs, while pairs with enough rare-shingle
+    overlap survive with an unchanged-or-lower jaccard estimate (never
+    higher → no false positives vs the exact result)."""
+    stop = "the quick brown"  # one 3-shingle shared by all docs
+    corpus = [
+        (0, f"{stop} alpha beta gamma delta"),
+        (1, f"{stop} alpha beta gamma epsilon"),  # near-dup of 0
+        (2, f"{stop} zeta eta theta iota"),       # only stop overlap
+        (3, f"{stop} kappa lmbda mu nu"),         # only stop overlap
+    ]
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.1).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.1, max_df=3).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v <= exact[k]
+    # the near-dup pair survives; stop-shingle-only pairs are gone
+    assert (0, 1) in capped
+    assert all(k == (0, 1) or k not in capped for k in exact)
 
 
 def test_split_assign_deterministic_and_proportional(docs):
