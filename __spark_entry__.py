@@ -238,10 +238,18 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.expr("ts div 1000").alias("ts_us"),
     )
-    r = ev.filter(F.col("event_type") == "view").select(
-        "user_id",
-        F.col("event_id").alias("view_id"),
-        F.expr("ts div 1000").alias("view_ts_us"),
+    # deterministic winner when two views share (user_id, ts): keep the
+    # max view_id — otherwise both this plan and the DuckDB ASOF oracle
+    # pick an arbitrary row and the compare can flake on tied data
+    r = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.expr("ts div 1000").alias("view_ts_us"),
+        )
+        .groupBy("user_id", "view_ts_us")
+        .agg(F.max("view_id").alias("view_id"))
     )
     return asof_join(
         l, r, on=["user_id"], left_ts="ts_us", right_ts="view_ts_us"
@@ -1237,8 +1245,9 @@ def oracle_sql() -> dict[str, str]:
       FROM events WHERE event_type = 'purchase'
     ),
     r AS (
-      SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_ts_us
+      SELECT user_id, max(event_id) AS view_id, epoch_us(ts) AS view_ts_us
       FROM events WHERE event_type = 'view'
+      GROUP BY user_id, epoch_us(ts)
     )
     SELECT l.user_id, l.purchase_id, l.ts_us, r.view_id, r.view_ts_us
     FROM l ASOF LEFT JOIN r
@@ -1280,11 +1289,14 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode": mm_decode_sql,
         "mm_frames": mm_frames_sql,
         "mm_resize": f"""
-    SELECT doc_id AS id, {RESIZE_BYTES}::BIGINT AS n_bytes,
-           hex(encode(substring(
-             repeat(text, CAST(ceil({RESIZE_BYTES}.0
-                    / octet_length(encode(text))) AS INTEGER)),
-             1, {RESIZE_BYTES}))) AS media_hex
+    SELECT doc_id AS id,
+           CASE WHEN octet_length(encode(text)) = 0
+                THEN 0::BIGINT ELSE {RESIZE_BYTES}::BIGINT END AS n_bytes,
+           CASE WHEN octet_length(encode(text)) = 0 THEN ''
+                ELSE hex(encode(substring(
+                  repeat(text, CAST(ceil({RESIZE_BYTES}.0
+                         / octet_length(encode(text))) AS INTEGER)),
+                  1, {RESIZE_BYTES}))) END AS media_hex
     FROM documents
     """,
         "windowed_event_counts": """

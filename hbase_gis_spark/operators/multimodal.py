@@ -1,9 +1,10 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are NOT in this container, so the
-decode kernels are stubbed (clearly-marked NotImplementedError, or a
-deterministic fake for tests). What IS real, and tested, is everything
-Spark-side: the schema convention, Arrow batch flow through
+Real decode/resize kernels are implemented against PIL behind an
+import guard; where no image library exists (this container) they
+raise a clearly-marked NotImplementedError and the deterministic fake
+kernels keep the plumbing testable. Everything Spark-side is real and
+tested either way: the schema convention, Arrow batch flow through
 mapInPandas, partition-sized batching, and metadata extraction shape —
 the parts that have to be right at 100 TB.
 
@@ -52,14 +53,22 @@ _DECODE_SCHEMA = (
 
 
 def _decode_real(buf: bytes) -> tuple[int, int, int, float]:
-    """Real decoder — requires an image library.
-
-    STUB: PIL/opencv are not available in this environment."""
+    """Real decoder: PIL open → (width, height, channels, mean byte
+    over the raw pixel buffer). Raises NotImplementedError when no
+    image library is present (this container lacks PIL/opencv — the
+    deterministic fake keeps the plumbing testable there)."""
     if not _HAS_PIL:
         raise NotImplementedError(
             "image decode requires PIL/opencv; not present in this container"
         )
-    raise NotImplementedError("real decode path not wired yet")
+    import io
+
+    with Image.open(io.BytesIO(buf)) as im:
+        im.load()
+        px = im.tobytes()
+        channels = len(im.getbands())
+        mean_byte = (sum(px) / len(px)) if px else 0.0
+        return im.width, im.height, channels, mean_byte
 
 
 def _decode_fake(buf: bytes) -> tuple[int, int, int, float]:
@@ -102,18 +111,38 @@ def decode_media(
     return df.select(id_col, media_col).mapInPandas(batches, _DECODE_SCHEMA)
 
 
+def _resize_real(buf: bytes, size: tuple[int, int]) -> bytes:
+    """Real resize kernel: decode → bilinear resample to ``size`` →
+    re-encode PNG. Requires PIL (absent in this container)."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv; not present in this container"
+        )
+    import io
+
+    with Image.open(io.BytesIO(buf)) as im:
+        out = io.BytesIO()
+        im.resize(size, Image.BILINEAR).save(out, format="PNG")
+        return out.getvalue()
+
+
 def resize_media(
     df: DataFrame,
     target_bytes: int,
     id_col: str = "id",
     media_col: str = "media",
+    fake: bool = True,
+    size: tuple[int, int] = (32, 32),
 ) -> DataFrame:
-    """Resize each payload to ``target_bytes`` via mapInPandas — the
-    image-resize shape (binary in, binary out, 1:1 rows).
+    """Resize each payload via mapInPandas — the image-resize shape
+    (binary in, binary out, 1:1 rows). Output schema:
+    (id, media binary, n_bytes).
 
-    The kernel is a deterministic fake (truncate, or cycle-pad short
-    payloads); a real backend would decode-resample-encode inside the
-    same batch loop. Output schema: (id, media binary, n_bytes)."""
+    ``fake=True`` (default, oracle-checkable): truncate or cycle-pad
+    the raw bytes to ``target_bytes``. ``fake=False``:
+    decode → bilinear resample to ``size`` → PNG encode with PIL, same
+    batch loop and schema — raises NotImplementedError where no image
+    library exists."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -122,8 +151,11 @@ def resize_media(
                 if buf is None or len(buf) == 0:
                     out.append(b"")
                     continue
-                reps = -(-target_bytes // len(buf))  # ceil
-                out.append((bytes(buf) * reps)[:target_bytes])
+                if fake:
+                    reps = -(-target_bytes // len(buf))  # ceil
+                    out.append((bytes(buf) * reps)[:target_bytes])
+                else:
+                    out.append(_resize_real(bytes(buf), size))
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].values,

@@ -41,19 +41,21 @@ def halfplane_predicate(wkt: str, lon: Column, lat: Column) -> Column | None:
 
     Conjunction of CCW edge cross products (B−A)×(P−A) >= 0 — the same
     comparisons (same operand order) as the DuckDB oracle, fully inside
-    whole-stage codegen: the exact test costs no Python at all. NaN
-    coordinates fail every comparison and drop, matching the reference
-    (WithinFilter.java:93-95)."""
+    whole-stage codegen: the exact test costs no Python at all. Spark
+    SQL orders NaN GREATER than every number, so a NaN coordinate would
+    satisfy every `>= 0` term — an explicit ~isnan conjunct drops such
+    points here (not only via the callers' bbox filter), matching the
+    reference (WithinFilter.java:93-95)."""
     edges = convex_ccw_edges(parse_wkt(wkt))
     if edges is None:
         return None
-    pred = None
+    pred = ~F.isnan(lon) & ~F.isnan(lat)
     for ax, ay, bx, by in edges:
         term = (
             (F.lit(bx) - F.lit(ax)) * (lat - F.lit(ay))
             - (F.lit(by) - F.lit(ay)) * (lon - F.lit(ax))
         ) >= F.lit(0.0)
-        pred = term if pred is None else (pred & term)
+        pred = pred & term
     return pred
 
 

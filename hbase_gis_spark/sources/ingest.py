@@ -38,15 +38,28 @@ TAXI_COLUMNS = [
 ]
 
 
-def _dedup_first(df: DataFrame, key: str, order: str) -> DataFrame:
-    """First-arrival-wins dedup on ``key`` (loader semantics,
-    AbstractTestUtil.java:70-81)."""
-    w = Window.partitionBy(key).orderBy(F.col(order).asc())
+def _dedup_keyed(
+    df: DataFrame, key: str, order: str, keep: str = "first"
+) -> DataFrame:
+    """Keyed dedup on ``key`` keeping one row per key by arrival order.
+
+    ``keep="first"`` = test-loader semantics (drop later duplicates,
+    AbstractTestUtil.java:70-81); ``keep="last"`` = HBase native upsert
+    semantics (a later ``Put`` on the same rowkey overwrites,
+    Ingest.java:78-83) — users replaying HBase ingest order need this
+    mode for parity."""
+    direction = F.col(order).asc() if keep == "first" else F.col(order).desc()
+    w = Window.partitionBy(key).orderBy(direction)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# back-compat alias (pre-"last" API)
+def _dedup_first(df: DataFrame, key: str, order: str) -> DataFrame:
+    return _dedup_keyed(df, key, order, keep="first")
 
 
 def ingest_points_tsv(
@@ -60,7 +73,14 @@ def ingest_points_tsv(
 
     Column order follows the reference's hardcoded mapping
     (Ingest.java:31-34): first column is X (lon), second Y (lat).
+
+    ``dedup``: ``"first"`` keeps the earliest row per geohash key (the
+    reference test loader drops later duplicates), ``"last"`` keeps the
+    latest (HBase's native last-write-wins ``Put`` upsert,
+    Ingest.java:78-83), ``None`` keeps all rows.
     """
+    if dedup not in (None, "first", "last"):
+        raise ValueError(f"dedup must be None, 'first' or 'last', got {dedup!r}")
     raw = (
         spark.read.option("sep", sep)
         .option("header", True)
@@ -74,8 +94,8 @@ def ingest_points_tsv(
     out = typed.withColumn(
         "geohash", geohash_col(F.col("lat"), F.col("lon"), precision)
     )
-    if dedup == "first":
-        out = _dedup_first(out, "geohash", "__arrival")
+    if dedup is not None:
+        out = _dedup_keyed(out, "geohash", "__arrival", keep=dedup)
     return out.drop("__arrival")
 
 

@@ -82,3 +82,32 @@ def test_taxi_cast_failures_yield_null(spark, tmp_path):
     rows = {r.id: (r.lon, r.geohash) for r in df.collect()}
     assert rows["2"][0] is None and rows["2"][1] is None
     assert rows["1"][1] is not None
+
+
+def test_ingest_dedup_first_vs_last(spark, tmp_path):
+    """Same coordinates → same geohash rowkey. dedup='first' replays
+    the reference test loader (drop later duplicates); dedup='last'
+    replays HBase's native Put upsert (later write wins). The two must
+    diverge on a crafted duplicate-key file and both keep one row."""
+    p = tmp_path / "dups.tsv"
+    p.write_text(
+        "X\tY\tID\tNAME\tADDRESS\tCITY\tURL\tPHONE\tTYPE\tZIP\n"
+        "-73.9\t40.7\tearly\tn\ta\tc\tu\tp\tt\tz\n"
+        "-73.9\t40.7\tlate\tn\ta\tc\tu\tp\tt\tz\n"
+        "-73.5\t40.1\tonly\tn\ta\tc\tu\tp\tt\tz\n"
+    )
+    from hbase_gis_spark.sources.ingest import ingest_points_tsv
+
+    first = {r.id for r in ingest_points_tsv(spark, str(p)).collect()}
+    last = {
+        r.id
+        for r in ingest_points_tsv(spark, str(p), dedup="last").collect()
+    }
+    both = {
+        r.id for r in ingest_points_tsv(spark, str(p), dedup=None).collect()
+    }
+    assert first == {"early", "only"}
+    assert last == {"late", "only"}
+    assert both == {"early", "late", "only"}
+    with pytest.raises(ValueError):
+        ingest_points_tsv(spark, str(p), dedup="bogus")

@@ -43,12 +43,61 @@ def test_decode_media_deterministic(media):
     assert all(1 <= r[i].width <= 64 for i in sample)
 
 
-def test_decode_media_real_path_stubbed(media):
+def test_decode_media_real_path_guarded(media):
+    """Without an image library the real path must fail loudly with
+    NotImplementedError (never silently fall back to the fake)."""
+    from hbase_gis_spark.operators.multimodal import _HAS_PIL
+
+    if _HAS_PIL:
+        pytest.skip("PIL present; real path covered by the _real tests")
     with pytest.raises(Exception) as ei:
         decode_media(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def _png_bytes(w: int, h: int, value: int) -> bytes:
+    """Uniform-gray RGB PNG via PIL (caller guarantees PIL exists)."""
+    import io
+
+    from PIL import Image
+
+    im = Image.new("RGB", (w, h), (value, value, value))
+    out = io.BytesIO()
+    im.save(out, format="PNG")
+    return out.getvalue()
+
+
+def test_decode_media_real_kernel(spark):
+    """Real PIL decode: exact (width, height, channels) and the pixel
+    mean of a uniform image. Skips where the container lacks PIL — the
+    kernel itself is exercised wherever PIL exists."""
+    pytest.importorskip("PIL")
+    rows = [(1, _png_bytes(5, 7, 100)), (2, _png_bytes(3, 2, 0))]
+    df = spark.createDataFrame(rows, "id bigint, media binary")
+    got = {r.id: r for r in decode_media(df, fake=False).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (5, 7, 3)
+    assert got[1].mean_byte == 100.0
+    assert (got[2].width, got[2].height, got[2].mean_byte) == (3, 2, 0.0)
+
+
+def test_resize_media_real_kernel(spark):
+    """Real PIL resize: output decodes to the requested size."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from hbase_gis_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, _png_bytes(10, 10, 50))], "id bigint, media binary"
+    )
+    out = resize_media(df, 0, fake=False, size=(4, 6)).collect()[0]
+    with Image.open(io.BytesIO(bytes(out.media))) as im:
+        assert (im.width, im.height) == (4, 6)
+    assert out.n_bytes == len(out.media)
 
 
 def test_frame_sample_explodes_rows(media):
