@@ -208,6 +208,25 @@ def _knn_pruned_cell_predicate_sql() -> str:
     return " OR ".join(terms)
 
 
+KNNR_K, KNNR_PRECISION = 5, 4  # per-region top-5, region = geohash-4 cell
+
+
+def _q_knn_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful UNMERGED coprocessor KNN output (K5 parity
+    mode, KNNClient.java:55-57): exact top-k per geohash-4 region,
+    never merged. Oracled via the bit-interleave identity (geohash-4
+    equality == 10-bit lon/lat bin equality — same argument as
+    dedup_geocell's 15-bit form)."""
+    from hbase_gis_spark.operators.knn import knn_per_region
+
+    pts = derived_points(spark, sf_dir, with_geohash=True).withColumn(
+        "region", F.substring("geohash", 1, KNNR_PRECISION)
+    )
+    return knn_per_region(
+        pts, KNN_LON, KNN_LAT, KNNR_K, "region", tiebreak_col="id"
+    ).select("id", "distance", "region_rank")
+
+
 def _q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNN under great-circle meters (opt-in metric; the reference's
     default stays planar degree space)."""
@@ -709,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_cells": _q_spatial_join_cells,
         "knn_top10": _q_knn,
         "knn_pruned": _q_knn_pruned,
+        "knn_per_region": _q_knn_per_region,
         "knn_haversine": _q_knn_haversine,
         "topx_per_group": _q_topx,
         "asof_join": _q_asof_join,
@@ -771,6 +791,23 @@ def oracle_sql() -> dict[str, str]:
     FROM pts
     ORDER BY distance ASC, id ASC
     LIMIT {KNN_K}
+    """
+    # geohash-4 region == (10-bit lon bin, 10-bit lat bin) — the same
+    # bit-interleave identity dedup_geocell uses at 15 bits
+    knnr_bins = (
+        "CAST(floor((lon + 180.0) / 360.0 * 1024.0) AS BIGINT), "
+        "CAST(floor((lat + 90.0) / 180.0 * 1024.0) AS BIGINT)"
+    )
+    knn_per_region_sql = f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT id, distance, region_rank FROM (
+      SELECT id, {distance_sql(KNN_LON, KNN_LAT)} AS distance,
+             row_number() OVER (
+               PARTITION BY {knnr_bins}
+               ORDER BY {distance_sql(KNN_LON, KNN_LAT)} ASC, id ASC
+             ) AS region_rank
+      FROM pts
+    ) WHERE region_rank <= {KNNR_K}
     """
     # haversine with IDENTICAL op order to functions.geo.haversine_distance
     hav = (
@@ -1237,6 +1274,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_cells": sjoin_sql,
         "knn_top10": knn_sql,
         "knn_pruned": knn_pruned_sql,
+        "knn_per_region": knn_per_region_sql,
         "knn_haversine": knn_haversine_sql,
         "topx_per_group": topx_sql,
         "asof_join": """

@@ -51,22 +51,30 @@ def main() -> None:
     except Exception:
         pass
 
-    # best-of-2: this machine carries variable external load, so a
-    # single sample can read 2-3x high; the min of two runs is the
-    # fairer estimate of the query's cost
+    # best-of-N with INTERLEAVED rounds: this machine carries variable
+    # external load (documented 1.5-3x swing), and consecutive repeats
+    # of one query share any transient spike. Running round-robin
+    # (q1..qN, q1..qN, ...) decorrelates the samples — a spike inflates
+    # one sample of many queries instead of every sample of one — and
+    # min-of-3 in one warm JVM is a stable estimate of inherent cost.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        best = -1.0
-        try:
-            for _ in range(2):
+    failed: set[str] = set()
+    for _ in range(rounds):
+        for name, fn in qs.items():
+            if name in failed:
+                continue
+            try:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            timings[name] = round(best, 4)
-        except Exception as e:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+                cur = timings.get(name)
+                timings[name] = dt if cur is None else min(cur, dt)
+            except Exception as e:  # noqa: BLE001
+                timings[name] = -1.0
+                failed.add(name)
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+    timings = {k: round(v, 4) for k, v in timings.items()}
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     print(

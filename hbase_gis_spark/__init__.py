@@ -22,9 +22,18 @@ from hbase_gis_spark.operators.spatial_join import spatial_join  # noqa: F401
 from hbase_gis_spark.operators.asof import asof_join, interval_join  # noqa: F401
 from hbase_gis_spark.operators.knn import knn, with_distance  # noqa: F401
 from hbase_gis_spark.operators.topx import top_x, binned_limit  # noqa: F401
+from hbase_gis_spark.sqlapi import (  # noqa: F401
+    bbox_sql,
+    geohash_prefix_sql,
+    haversine_distance_sql,
+    planar_distance_sql,
+    register_sql_api,
+    within_convex_sql,
+)
 from hbase_gis_spark.operators.dedup import (  # noqa: F401
     cluster_representatives,
     dedup_exact,
+    embedding_dup_lsh,
     embedding_dup_pairs,
     jaccard_pairs,
     minhash_lsh_pairs,

@@ -662,6 +662,23 @@ def embedding_dup_lsh(
     adversarially low synthetic-table threshold of 0.4 (≈66°, p≈0.64)
     and prune harder as thresholds rise toward realistic 0.9+.
     Deterministic given ``seed`` — exactly reproducible in oracle SQL.
+
+    Physical shape chosen by interleaved one-JVM A/B at sf0.1 (2 000
+    vectors; the synthetic corpus is worst-case: every true pair sits
+    at cos 0.40-0.60, so ~2.1 M band-pair rows ≈ the 2.0 M all-pairs):
+    NARROW (id, band, band_sig) rows through a codegen'd equality
+    self-join, candidate dedup, then vectors re-joined for the exact
+    verify (AQE broadcasts the vector side while it is small; at scale
+    it degrades gracefully to a shuffled hash join) — 6.0 s, vs 7.1 s
+    carrying vectors through the band shuffle (n_bands× the bytes —
+    also the wrong 100 TB shape) and 8.0 s for bucket
+    collect_list+explode (interpreted-HOF pair copying). Brute-force
+    all-pairs measures 2.1 s here — faster on THIS corpus because
+    banding cannot prune near-threshold-uniform similarities, but it
+    does n²/2 cosines unconditionally at every scale; the banded
+    candidate count collapses at realistic thresholds (0.9+) and data
+    sizes, which is why this is the registered operator. Signatures are
+    computed twice (once per join side) — measured 0.3 s, irrelevant.
     """
     from hbase_gis_spark.operators.similarity import (
         dot_expr,
@@ -697,15 +714,30 @@ def embedding_dup_lsh(
             for b in range(n_bands)
         ]
     )
-    # narrow (id, band, bsig) rows travel through the shuffle — the
-    # vectors stay behind and are re-joined only for surviving
-    # candidates' exact verification
     banded = base.select("id", F.explode(band_structs).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+        "id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bsig").alias("bsig"),
     )
-    cand = _bucket_pairs(
-        banded, ["band", "bsig"], max_bucket=max_bucket
-    ).dropDuplicates(["id_a", "id_b"])
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "bsig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= F.lit(max_bucket))
+            .drop("__bn")
+        )
+        banded = banded.join(ok, ["band", "bsig"])
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
         cand.join(base.alias("va"), F.col("id_a") == F.col("va.id"))
         .join(base.alias("vb"), F.col("id_b") == F.col("vb.id"))

@@ -96,3 +96,40 @@ def knn(
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
     return out.orderBy(*order).limit(k)
+
+
+def knn_per_region(
+    df: DataFrame,
+    origin_lon: float,
+    origin_lat: float,
+    k: int,
+    region_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    tiebreak_col: str | None = None,
+    metric: str = "planar",
+) -> DataFrame:
+    """Reference-faithful UNMERGED coprocessor output: exact top-``k``
+    per region, never merged across regions (KNNClient.java:55-57
+    prints one list per region server). ``region_col`` plays the
+    region role — a geohash prefix or partition column.
+
+    The merged :func:`knn` is strictly more useful (its result is the
+    true global top-k, a subset of this union) — this variant exists
+    for output-shape parity with the reference client. Plan shape:
+    WindowGroupLimit partial → shuffle on region → final, i.e. the
+    per-region bounded heap runs map-side before the exchange."""
+    from pyspark.sql import Window
+
+    out = with_distance(
+        df, origin_lon, origin_lat, lon_col, lat_col, metric=metric
+    ).filter(~F.isnan(F.col("distance")))
+    order = [F.col("distance").asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(region_col).orderBy(*order)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .withColumnRenamed("__rn", "region_rank")
+    )

@@ -90,6 +90,36 @@ def test_knn_pruned_is_subset_of_candidates(spark):
         assert r.geohash[:p] in prefixes
 
 
+def test_knn_per_region_unmerged_shape(spark):
+    """Reference-faithful unmerged coprocessor output (KNNClient
+    prints one list per region, no merge): ≤k per region, ranks
+    contiguous from 1, per-region rows distance-ordered, and the TRUE
+    global top-k is always contained in the union (each global winner
+    is in its own region's top-k)."""
+    from hbase_gis_spark.operators.knn import knn_per_region
+
+    pts = (
+        derived_points(spark, SF0001, with_geohash=True)
+        .withColumn("region", F.substring("geohash", 1, 4))
+        .cache()
+    )
+    ox, oy, k = -73.95, 40.75, 5
+    out = knn_per_region(pts, ox, oy, k, "region", tiebreak_col="id").collect()
+    by_region = {}
+    for r in out:
+        by_region.setdefault(r.region, []).append(r)
+    for rows in by_region.values():
+        rows.sort(key=lambda r: r.region_rank)
+        assert [r.region_rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= k
+        d = [r.distance for r in rows]
+        assert d == sorted(d)
+    global_ids = {
+        r.id for r in hgs.knn(pts, ox, oy, k, tiebreak_col="id").collect()
+    }
+    assert global_ids <= {r.id for r in out}
+
+
 def test_topx_group_sizes(spark):
     ev = load_table(spark, SF0001, "events")
     x = 4
