@@ -62,6 +62,8 @@ from hbase_gis_spark.operators.textstats import (
     clean_text,
     fingerprint,
     lang_id,
+    ngram_contamination,
+    pack_sequences,
     quality_features,
     repetition_stats,
     token_count,
@@ -484,6 +486,29 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_MOD = 17  # every 17th document plays the benchmark/test set
+PACK_SEQ_LEN, PACK_SHARDS = 512, 64
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: count distinct word 3-grams each
+    training document shares with the held-out set (doc_id % 17 == 0).
+    Broadcast-able test-side gram set + one equality join at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    test = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    return ngram_contamination(train, test, n=JACCARD_N)
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing plan: per-shard running token offsets
+    and the fixed-length sequence index each document starts in."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, PACK_SEQ_LEN, n_shards=PACK_SHARDS
+    ).select("doc_id", "shard", "n_tok", "tok_start", "seq_idx")
+
+
 N_FRAMES = 4
 
 
@@ -764,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": _q_sketch_stats,
         "split_assign": _q_split_assign,
         "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -890,6 +917,37 @@ def oracle_sql() -> dict[str, str]:
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
       FROM documents
     ) WHERE rn = 1
+    """
+    decontaminate_sql = f"""
+    {shingles_cte},
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % {DECON_MOD} != 0),
+    te AS (SELECT DISTINCT g FROM (
+             SELECT unnest(s) AS g FROM sh WHERE doc_id % {DECON_MOD} = 0)),
+    post AS (SELECT doc_id, unnest(s) AS g FROM tr),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM post JOIN te USING (g) GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.s) AS INTEGER) AS n_grams,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+    FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """
+    pack_sql = f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             CAST(len({toks}) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tok,
+           CAST(COALESCE(sum(n_tok) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS tok_start,
+           CAST(COALESCE(sum(n_tok) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {PACK_SEQ_LEN} AS BIGINT) AS seq_idx
+    FROM t
     """
     jaccard_sql = f"""
     {shingles_cte}
@@ -1422,6 +1480,8 @@ def oracle_sql() -> dict[str, str]:
     )}
     """,
         "ann_lsh_topk": ann_lsh_sql,
+        "decontaminate": decontaminate_sql,
+        "pack_sequences": pack_sql,
     }
     if ann_ivf_sql is not None:
         out["ann_ivf_topk"] = ann_ivf_sql

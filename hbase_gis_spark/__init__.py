@@ -20,7 +20,11 @@ from hbase_gis_spark.geo import geohash, geometry, planner  # noqa: F401
 from hbase_gis_spark.operators.within import within  # noqa: F401
 from hbase_gis_spark.operators.spatial_join import spatial_join  # noqa: F401
 from hbase_gis_spark.operators.asof import asof_join, interval_join  # noqa: F401
-from hbase_gis_spark.operators.knn import knn, with_distance  # noqa: F401
+from hbase_gis_spark.operators.knn import (  # noqa: F401
+    knn,
+    knn_per_region,
+    with_distance,
+)
 from hbase_gis_spark.operators.topx import top_x, binned_limit  # noqa: F401
 from hbase_gis_spark.sqlapi import (  # noqa: F401
     bbox_sql,
@@ -55,6 +59,8 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     clean_text,
     fingerprint,
     lang_id,
+    ngram_contamination,
+    pack_sequences,
     quality_features,
     repetition_stats,
     term_stats,

@@ -11,7 +11,7 @@ accuracy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hbase_gis_spark.operators.dedup import tokens
@@ -192,4 +192,98 @@ def repetition_stats(
                 / (n - F.lit(1.0)),
             ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
         )
+    )
+
+
+# ----------------------------------------------- training-set hygiene ------
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per TRAIN document, the number of
+    distinct word n-grams it shares with ANY test-set document.
+    Filter ``n_hits >= threshold`` (caller policy) to drop contaminated
+    training rows before a training run.
+
+    Execution shape: both sides explode to distinct (doc, shingle)
+    postings; the test side collapses to a global DISTINCT shingle set
+    (its size is |test corpus| n-grams, independent of train size — at
+    100 TB train / bounded test this is a classic broadcast-able build
+    side, and Catalyst/AQE picks the broadcast automatically); one
+    equality join on the shingle + one count-distinct per train doc.
+    Train documents with no overlap are kept with ``n_hits = 0`` (left
+    join) so the output is a total annotation, not a filter.
+
+    Shingles are joined as plain strings for oracle portability;
+    swap in ``shingle_hashes32`` postings at scale to shrink the
+    shuffle key (same plan shape).
+    """
+    from hbase_gis_spark.operators.dedup import word_shingles
+
+    tr = train.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("s")
+    )
+    te = test.select(word_shingles(text_col, n).alias("s"))
+    tr_post = tr.select("id", F.explode("s").alias("g"))
+    te_grams = te.select(F.explode("s").alias("g")).distinct()
+    hits = (
+        tr_post.join(te_grams, "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))  # postings are distinct
+    )
+    return (
+        tr.select("id", F.size("s").alias("n_grams"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Training-sequence packing plan: assign every document a
+    (shard, tok_start, seq_idx) so fixed-length sequences of
+    ``seq_len`` tokens can be materialized by any downstream tokenizer
+    without a global sort.
+
+    Documents are packed back-to-back in doc-id order WITHIN a shard
+    (shard = doc_id % n_shards): ``tok_start`` is the running token
+    offset before the document, ``seq_idx = tok_start div seq_len`` the
+    training sequence its first token lands in. Sharding is the scale
+    decision: a single global running sum would be one unbounded
+    window partition (single task); per-shard windows give n_shards-way
+    parallelism and each shard packs independently — exactly how
+    data-parallel training shards are laid out anyway. Deterministic
+    (pure function of doc_id and token counts), so exactly oracled.
+    """
+    t = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(id_col) % n_shards).cast("bigint").alias("shard"),
+        token_count(text_col).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.select(
+        F.col("id").alias(id_col),
+        "shard",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("tok_start"),
+    ).withColumn(
+        "seq_idx", (F.col("tok_start") / seq_len).cast("bigint")
     )

@@ -59,3 +59,45 @@ def test_fingerprint_normalization(spark):
     )
     fps = [r.f for r in d.select(fingerprint("text").alias("f")).collect()]
     assert fps[0] == fps[1] == fps[2]
+
+
+def test_ngram_contamination_counts(spark):
+    """Hand-computable corpus: the train doc sharing 3-grams with the
+    test set reports exactly its shared distinct-gram count; disjoint
+    train docs report 0 and are still present (total annotation)."""
+    from hbase_gis_spark.operators.textstats import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # shares "a b c","b c d","c d e" with test
+            (2, "x y z w v"),      # disjoint
+            (3, "a b"),            # too short for 3-grams
+        ],
+        "doc_id int, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "q q a b c d e r r")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in ngram_contamination(train, test, n=3).collect()}
+    assert got[1].n_hits == 3 and got[1].n_grams == 3
+    assert got[2].n_hits == 0 and got[2].n_grams == 3
+    assert got[3].n_hits == 0 and got[3].n_grams == 0
+
+
+def test_pack_sequences_offsets(spark):
+    """Within a shard, token offsets run back-to-back in doc-id order
+    and seq_idx is the fixed-length bin of the starting offset."""
+    from hbase_gis_spark.operators.textstats import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i))) for i in range(8)],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences(docs, 5, n_shards=2).collect()}
+    # shard 0: docs 0,2,4,6 with 3,5,7,9 tokens -> starts 0,3,8,15
+    assert [out[i].tok_start for i in (0, 2, 4, 6)] == [0, 3, 8, 15]
+    # shard 1: docs 1,3,5,7 with 4,6,8,10 tokens -> starts 0,4,10,18
+    assert [out[i].tok_start for i in (1, 3, 5, 7)] == [0, 4, 10, 18]
+    assert [out[i].seq_idx for i in (0, 2, 4, 6)] == [0, 0, 1, 3]
+    for r in out.values():
+        assert r.shard == r.doc_id % 2
