@@ -1,0 +1,73 @@
+"""Plan-hygiene audit: inspect the physical plan of every registered
+query for scale-killers, without executing anything.
+
+Flags raised per query:
+
+- ``cartesian``      — CartesianProduct in the plan (all-pairs work).
+- ``bnlj``           — BroadcastNestedLoopJoin whose build side is NOT
+                       a sanctioned tiny broadcast (the ANN queries
+                       cross-join a broadcast 1-row query vector; that
+                       BNLJ streams the big side once and is the
+                       intended plan).
+- ``python_row_udf`` — BatchEvalPython (row-at-a-time Python UDF).
+                       ArrowEvalPython (pandas UDFs) is allowed.
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit code 1 if any unsanctioned flag fires — wired into pytest
+(tests/test_plan_hygiene.py) so a regression cannot land silently.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+# BNLJ with a broadcast single-row build side is the intended plan for
+# these (query-vector cross join); everything else must justify itself
+BNLJ_SANCTIONED = {"ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk"}
+
+
+def audit(spark, sf_dir: str) -> dict[str, list[str]]:
+    import __spark_entry__ as entrymod
+
+    flags: dict[str, list[str]] = {}
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_SANCTIONED:
+            bad.append("bnlj")
+        if "BatchEvalPython" in plan:
+            bad.append("python_row_udf")
+        if bad:
+            flags[name] = bad
+    return flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    flags = audit(spark, sf_dir)
+    for name, bad in sorted(flags.items()):
+        print(f"FLAG  {name}: {', '.join(bad)}")
+    if not flags:
+        print("ok    no scale-killer plan shapes in any registered query")
+    spark.stop()
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
