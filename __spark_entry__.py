@@ -333,11 +333,12 @@ EMB_LSH_PLANES, EMB_LSH_BAND_BITS = 64, 4
 LSH_N_PLANES, LSH_MAX_HAMMING = 12, 2
 IVF_NLIST, IVF_NPROBE, IVF_TRAIN_ROWS, IVF_ITERS = 16, 6, 4096, 15
 ANN_SEED = 13
-# sf dir the driver's DuckDB correctness gate reads; the IVF oracle
-# must train its centroid literals on the same table
-ORACLE_SF_DIR = os.environ.get(
-    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-)
+def _oracle_sf_dir() -> str:
+    """sf dir the DuckDB correctness gate reads — the IVF oracle must
+    train its centroid literals on the same table. Resolved lazily so
+    tools (check_oracles) can point it at their sf via env before
+    calling oracle_sql()."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,7 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(
-            os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+            os.path.join(_oracle_sf_dir(), "embeddings.parquet"),
             columns=["vec_id", "embedding"],
         )
         ids = np.asarray(tbl.column("vec_id"))

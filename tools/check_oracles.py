@@ -42,6 +42,11 @@ def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = set(a for a in args if "/" not in a)
+    # data-dependent oracles (IVF centroid training) must read the same
+    # sf this check compares against
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     spark = (
         SparkSession.builder.master("local[8]")
