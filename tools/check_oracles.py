@@ -87,10 +87,41 @@ def main() -> int:
             pd.testing.assert_frame_equal(
                 a, b, check_dtype=False, check_exact=True
             )
-            print(f"ok    {name}: rows={len(a)} exact match")
         except AssertionError as e:
             print(f"FAIL  {name}: value mismatch\n{str(e)[:500]}")
             failures += 1
+            continue
+        # The driver's value-hash IS dtype-sensitive: DuckDB HUGEINT
+        # (any sum(BIGINT)) materializes as float64 while Spark emits
+        # int64, and that alone flips hash_match even when values are
+        # exactly equal. Treat a dtype-kind mismatch as a failure here
+        # so it never reaches the driver.
+        kind_bad = [
+            c
+            for c in a.columns
+            if a[c].dtype.kind != b[c].dtype.kind
+            and {a[c].dtype.kind, b[c].dtype.kind} <= {"i", "u", "f"}
+        ]
+        arr_bad = [
+            c
+            for c in a.columns
+            if a[c].dtype == object
+            and a[c].map(lambda v: isinstance(v, (list, tuple))).any()
+        ]
+        if kind_bad:
+            print(
+                f"FAIL  {name}: dtype-kind mismatch (driver hash trap) "
+                f"{[(c, str(a[c].dtype), str(b[c].dtype)) for c in kind_bad]}"
+            )
+            failures += 1
+        elif arr_bad:
+            print(
+                f"FAIL  {name}: array-typed output cols {arr_bad} "
+                "(driver canonicalizer crash)"
+            )
+            failures += 1
+        else:
+            print(f"ok    {name}: rows={len(a)} exact match")
     spark.stop()
     return 1 if failures else 0
 
