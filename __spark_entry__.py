@@ -42,6 +42,16 @@ from hbase_gis_spark.operators.dedup import (
     simhash_pairs,
     split_assign,
 )
+from hbase_gis_spark.operators.corpus import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    domain_cap,
+    global_shuffle,
+    mixture_rates,
+    mixture_sample,
+    pii_scrub,
+)
 from hbase_gis_spark.operators.knn import knn
 from hbase_gis_spark.operators.similarity import (
     ann_ivf_topk,
@@ -745,6 +755,43 @@ def _q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded global shuffle: (shard, pos) is a stable
+    pseudo-random total order with no single-task global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle(docs, num_shards=64).select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("pos").cast("bigint").alias("pos"),
+    )
+
+
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 15 docs per source, md5-order survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_cap(docs, "source", cap=15).select("doc_id", "source")
+
+
+def _q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture re-weighting over languages."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_rates(docs, "lang", target_frac=0.5)
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture rates: deterministic md5-thresholded sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, "lang", target_frac=0.5).select(
+        "doc_id", "lang"
+    )
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII redaction (email/IPv4/phone) + per-class counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_scrub(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "within_polygon": _q_within,
@@ -792,6 +839,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        "global_shuffle": _q_global_shuffle,
+        "domain_cap": _q_domain_cap,
+        "mixture_rates": _q_mixture_rates,
+        "mixture_sample": _q_mixture_sample,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -932,6 +984,24 @@ def oracle_sql() -> dict[str, str]:
     SELECT t.doc_id, CAST(len(t.s) AS INTEGER) AS n_grams,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
     FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """
+    mixture_rates_sql = """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n_docs,
+             CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS weight
+      FROM c
+    ),
+    t AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+             CAST(sum(weight) AS BIGINT) AS wt
+      FROM w
+    )
+    SELECT lang, n_docs, weight,
+           least(1.0,
+                 (0.5 * CAST(nt AS DOUBLE)) * CAST(weight AS DOUBLE)
+                 / (CAST(wt AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS sample_rate
+    FROM w, t
     """
     pack_sql = f"""
     WITH t AS (
@@ -1483,6 +1553,59 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ann_lsh_sql,
         "decontaminate": decontaminate_sql,
         "pack_sequences": pack_sql,
+        # global_shuffle: mirrors operators/corpus.py:global_shuffle —
+        # md5 60-bit hash, shard = h % 64, per-shard dense position
+        "global_shuffle": """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id, h % 64 AS shard,
+           row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS pos
+    FROM h
+    """,
+        # domain_cap: the oracle ranks every key (under-cap keys pass
+        # trivially); the Spark plan short-circuits them pre-window
+        "domain_cap": """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 15
+    """,
+        # mixture_rates: integer weights (round(sqrt(n)*1000)) keep the
+        # totals exact; only the final rate is a double, with the same
+        # association order as operators/corpus.py:mixture_rates
+        "mixture_rates": mixture_rates_sql,
+        "mixture_sample": f"""
+    WITH rates AS ({mixture_rates_sql}),
+    cut AS (
+      SELECT lang, CAST(floor(sample_rate * 1000000) AS BIGINT) AS c
+      FROM rates
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN cut ON d.lang = cut.lang
+    WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 < cut.c
+    """,
+        # pii_scrub: same regexes (Java∩RE2 subset), same email→ip→phone
+        # replace order as operators/corpus.py:pii_scrub
+        "pii_scrub": f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM documents
+    """,
     }
     if ann_ivf_sql is not None:
         out["ann_ivf_topk"] = ann_ivf_sql

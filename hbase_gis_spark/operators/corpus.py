@@ -1,0 +1,197 @@
+"""Corpus-shaping operators for training-data pipelines: deterministic
+global shuffle, per-domain caps, temperature-weighted mixture sampling,
+and PII scrubbing.
+
+Everything here is a pure function of row content (md5-keyed, no RNG
+state), so results are reproducible across runs, cluster layouts, and
+engines — each operator has a line-for-line DuckDB oracle twin in
+``__spark_entry__.oracle_sql``. All hot paths are JVM column
+expressions under whole-stage codegen; the only shuffles are the ones
+the semantics require (one hash shuffle for the sharded shuffle/cap
+windows, one small-dim aggregate for mixture rates).
+
+These extend the reference's surface (stackabletech/hbase-gis has no
+corpus operators — SURVEY.md §2 'explicitly absent'); they follow the
+same determinism contract as its ingest dedup (Ingest.java:78-83).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def content_hash(salt: str, id_col, modulus: int | None = None) -> Column:
+    """md5(salt:id) folded to a non-negative bigint — the repo-standard
+    deterministic pseudo-randomness primitive (15 hex chars = 60 bits,
+    exactly reproducible in DuckDB as
+    ``('0x' || substr(md5(...), 1, 15))::BIGINT``)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), c)), 1, 15), 16, 10
+    ).cast("bigint")
+    return h % modulus if modulus else h
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 64,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global shuffle into ``num_shards`` shards with a
+    stable within-shard position: reading shards in (shard, pos) order
+    is a reproducible pseudo-random total order of the corpus.
+
+    Scale note: a DENSE global rank (row_number over a global window)
+    funnels every row through one task — a scale-killer at 100 TB. The
+    shard-major (shard, pos) pair carries the same information with one
+    hash shuffle and ``num_shards`` independent window sorts; set
+    num_shards >= cluster cores so every executor sorts its own slice.
+    """
+    h = content_hash(salt, id_col)
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(id_col, h.alias("h"))
+        .withColumn("shard", (F.col("h") % num_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    key_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, chosen by deterministic
+    md5 order (so the survivors are a stable pseudo-random sample, not
+    ingestion-order-biased) — the standard per-domain cap of web-corpus
+    pipelines.
+
+    Plan shape for scale: a per-key count aggregate first (small output
+    — one row per domain), broadcast back; keys already under the cap
+    bypass the rank entirely (no sort), only over-cap keys flow through
+    the row_number window. A single mega-domain still sorts on one task
+    — at that point pre-filter its hash range (h < cap/n fraction, with
+    slack) before the exact rank; documented rather than implemented
+    because it only matters past ~10^8 rows per single key.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    over_keys = counts.filter(F.col("__n") > cap).select(key_col)
+    under = df.join(F.broadcast(over_keys), key_col, "left_anti")
+    h = content_hash(salt, id_col)
+    w = Window.partitionBy(key_col).orderBy("__h", id_col)
+    capped = (
+        df.join(F.broadcast(over_keys), key_col)
+        .withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__h", "__rn")
+    )
+    return under.unionByName(capped.select(*under.columns))
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str = "source",
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-style (alpha = 0.5) mixture re-weighting: compute a
+    per-stratum sampling rate proportional to sqrt(n_s)/n_s, scaled so
+    the expected kept fraction of the whole corpus is ``target_frac``.
+    Rare strata are up-weighted, dominant strata down-weighted — the
+    standard multi-source LM data-mixing move.
+
+    Exactness contract (for the DuckDB oracle): the per-stratum weight
+    is ``round(sqrt(n) * 1000)`` — an INTEGER — so the weight total is
+    an exact bigint sum (a float sum would be partial-aggregation-order
+    dependent and break bit-equality); only the final rate is a double,
+    produced by one fixed-association expression. sqrt is exactly
+    rounded per IEEE-754 in both engines (pow is not — hence alpha
+    fixed at 0.5).
+
+    Plan: one aggregate over the corpus (map-side partial, tiny
+    result), one 1-row totals cross-join — nothing here scales with
+    corpus size except the first scan.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = counts.withColumn(
+        "weight",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("bigint"),
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("__nt"), F.sum("weight").alias("__wt")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(target_frac)) * F.col("__nt").cast("double"))
+        * F.col("weight").cast("double")
+        / (F.col("__wt").cast("double") * F.col("n_docs").cast("double")),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("sample_rate", rate)
+        .select(strata_col, "n_docs", "weight", "sample_rate")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Apply :func:`mixture_rates`: keep a row iff md5(salt:id) mod 1e6
+    falls under floor(rate * 1e6) for its stratum. floor() is explicit
+    because a bare double→bigint CAST truncates in Spark but ROUNDS in
+    DuckDB — a one-ulp trap the oracle would trip on.
+
+    One corpus scan + one broadcast join against the (tiny) rates dim;
+    the keep/drop decision is a pure function of the row id, so the
+    sample is reproducible and monotone in target_frac."""
+    rates = mixture_rates(df, strata_col, target_frac, id_col)
+    cut = F.floor(F.col("sample_rate") * 1_000_000).cast("bigint")
+    h = content_hash(salt, id_col, 1_000_000)
+    return (
+        df.join(
+            F.broadcast(rates.select(strata_col, cut.alias("__cut"))),
+            strata_col,
+        )
+        .filter(h < F.col("__cut"))
+        .drop("__cut")
+    )
+
+
+# Kept to a Java-regex ∩ RE2 common subset so Spark and DuckDB agree
+# byte-for-byte: no backrefs, no lookaround, \b and \d are in both.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers
+    with typed placeholder tokens, and count each redaction class.
+
+    Application order is fixed (email → ip → phone) and mirrored in the
+    oracle; counts come from regexp_count on the ORIGINAL text. Pure
+    codegen'd JVM regex — one scan, no shuffle, no Python.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    return df.select(
+        id_col,
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        clean.alias("clean_text"),
+    )

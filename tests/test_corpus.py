@@ -1,0 +1,101 @@
+"""Corpus-shaping operators: deterministic shuffle, domain caps,
+mixture sampling, PII scrub (operators/corpus.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_gis_spark.operators.corpus import (
+    domain_cap,
+    global_shuffle,
+    mixture_rates,
+    mixture_sample,
+    pii_scrub,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF0001}/documents.parquet").cache()
+
+
+def test_global_shuffle_is_permutation(spark, docs):
+    out = global_shuffle(docs, num_shards=8)
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    # dense positions per shard: max(pos) == count per shard
+    per = out.groupBy("shard").agg(
+        F.max("pos").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    assert per.filter(F.col("mx") != F.col("n")).count() == 0
+
+
+def test_global_shuffle_layout_invariant(spark, docs):
+    """Same (shard, pos) no matter how the input is partitioned —
+    the reproducibility contract a training pipeline needs."""
+    a = global_shuffle(docs, num_shards=8).collect()
+    b = global_shuffle(docs.repartition(7), num_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_domain_cap_enforces_cap(spark, docs):
+    out = domain_cap(docs, "source", cap=3)
+    top = out.groupBy("source").count().agg(F.max("count")).first()[0]
+    assert top <= 3
+    # under-cap keys pass through untouched
+    small = docs.groupBy("source").count().filter("count <= 3")
+    kept = out.groupBy("source").count().join(small, "source", "semi")
+    assert kept.exceptAll(small.select("source", "count")).count() == 0
+
+
+def test_domain_cap_survivors_deterministic(spark, docs):
+    a = sorted(r.doc_id for r in domain_cap(docs, "source", cap=2).collect())
+    b = sorted(
+        r.doc_id
+        for r in domain_cap(docs.repartition(5), "source", cap=2).collect()
+    )
+    assert a == b
+
+
+def test_mixture_rates_upweight_rare(spark, docs):
+    rates = {r["lang"]: r for r in mixture_rates(docs, "lang", 0.5).collect()}
+    assert all(0.0 < r["sample_rate"] <= 1.0 for r in rates.values())
+    # rarer strata get a strictly higher rate (sqrt temperature)
+    ordered = sorted(rates.values(), key=lambda r: r["n_docs"])
+    for lo, hi in zip(ordered, ordered[1:]):
+        if lo["n_docs"] < hi["n_docs"]:
+            assert lo["sample_rate"] >= hi["sample_rate"]
+    # expected kept fraction ~ target (before the min(1) clamp binds)
+    total = sum(r["n_docs"] for r in rates.values())
+    expect = sum(
+        min(1.0, r["sample_rate"]) * r["n_docs"] for r in rates.values()
+    )
+    assert expect / total == pytest.approx(0.5, abs=0.15)
+
+
+def test_mixture_sample_subset_and_monotone(spark, docs):
+    lo = {r.doc_id for r in mixture_sample(docs, "lang", 0.3).collect()}
+    hi = {r.doc_id for r in mixture_sample(docs, "lang", 0.7).collect()}
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert lo <= hi <= all_ids
+
+
+def test_pii_scrub_redacts(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@example.org or 10.0.0.1 now"),
+        (2, "call 555-123-4567 or 555 987 6543"),
+        (3, "nothing sensitive here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1
+    assert "<EMAIL>" in out[1]["clean_text"]
+    assert "<IP>" in out[1]["clean_text"]
+    assert "example.org" not in out[1]["clean_text"]
+    assert out[2]["n_phones"] == 2
+    assert out[2]["clean_text"].count("<PHONE>") == 2
+    assert out[3]["clean_text"] == "nothing sensitive here"
+    assert out[4]["n_emails"] == out[4]["n_ips"] == out[4]["n_phones"] == 0
