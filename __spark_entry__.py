@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from hbase_gis_spark.operators.dedup import (
     cluster_representatives,
     dedup_exact,
+    dup_ngram_spans,
+    span_dup_stats,
     embedding_dup_lsh,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -792,6 +794,48 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(docs)
 
 
+SPAN_N = 8
+
+
+def _q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token 8-grams recurring across >= 2 docs (substring-level dedup
+    candidates, the fixed-length approximation of suffix-array
+    exact-substring dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_spans(docs, n=SPAN_N)
+
+
+def _q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span coverage (fraction of 8-gram positions
+    whose gram recurs in another doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dup_stats(docs, n=SPAN_N)
+
+
+def _q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer occupancy histogram — same centroids as
+    ann_ivf_topk (deterministic given ANN_SEED)."""
+    from hbase_gis_spark.operators.similarity import (
+        ivf_cells_hist,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(
+        emb, IVF_NLIST, train_rows=IVF_TRAIN_ROWS, seed=ANN_SEED
+    )
+    return ivf_cells_hist(emb, C)
+
+
+def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit (scale, integer content
+    sums, max dequantization error)."""
+    from hbase_gis_spark.operators.similarity import quantize_int8_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8_stats(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "within_polygon": _q_within,
@@ -844,6 +888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rates": _q_mixture_rates,
         "mixture_sample": _q_mixture_sample,
         "pii_scrub": _q_pii_scrub,
+        "dup_ngram_spans": _q_dup_ngram_spans,
+        "span_dup_stats": _q_span_dup_stats,
+        "ivf_cells": _q_ivf_cells,
+        "quantize_int8": _q_quantize_int8,
     }
 
 
@@ -1002,6 +1050,65 @@ def oracle_sql() -> dict[str, str]:
                  (0.5 * CAST(nt AS DOUBLE)) * CAST(weight AS DOUBLE)
                  / (CAST(wt AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS sample_rate
     FROM w, t
+    """
+    # span dedup: same tokenization, slicing, and md5 gram key as
+    # operators/dedup.py:ngram_positions (1-based inclusive slices)
+    span_g_cte = f"""
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    p AS (
+      SELECT doc_id, w, unnest(generate_series(0, len(w) - {SPAN_N})) AS pos
+      FROM t WHERE len(w) >= {SPAN_N}
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(w[pos+1:pos+{SPAN_N}], ' ')) AS gram
+      FROM p
+    )
+    """
+    dup_spans_sql = f"""
+    {span_g_cte}
+    SELECT gram, count(*) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    """
+    span_stats_sql = f"""
+    {span_g_cte},
+    dup AS (SELECT gram FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2),
+    pd AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    dd AS (SELECT doc_id, count(*) AS n_dup
+           FROM g JOIN dup USING (gram) GROUP BY doc_id)
+    SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+           CAST(COALESCE(d.n_dup, 0) AS DOUBLE)
+             / CAST(p.n_grams AS DOUBLE) AS dup_frac
+    FROM pd p LEFT JOIN dd d ON p.doc_id = d.doc_id
+    """
+    # int8 quantization audit: same double math and op order as
+    # operators/similarity.py:quantize_int8_stats
+    quantize_sql = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, scale, e,
+             list_transform(e, x -> CAST(CASE WHEN scale > 0
+               THEN round(x / scale) ELSE 0.0 END AS BIGINT)) AS qq
+      FROM s
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(qq, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_sum(list_transform(qq, x -> x * x)) AS BIGINT) AS q_sumsq,
+           list_max(list_transform(list_zip(e, qq),
+             z -> abs(z[1] - CAST(z[2] AS DOUBLE) * scale))) AS max_abs_err
+    FROM q
     """
     pack_sql = f"""
     WITH t AS (
@@ -1222,10 +1329,33 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY cosine DESC, vec_id ASC
     LIMIT {ANN_K}
     """
+        # ivf_cells: same centroids, same argmax tiebreak; histogram
+        # of the resulting cell assignment
+        ivf_cells_sql = f"""
+    WITH cents(ci, cv) AS (VALUES
+      {cent_rows}),
+    dots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, ci AS cell FROM (
+        SELECT vec_id, ci,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    )
+    SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vecs,
+           min(vec_id) AS min_vec, max(vec_id) AS max_vec
+    FROM cells GROUP BY cell
+    """
     except Exception:
         # oracle table unavailable in this environment → leave the IVF
         # entry out (driver falls back to the rows-only check)
         ann_ivf_sql = None
+        ivf_cells_sql = None
 
     # language-ID: marker-word argmax, ties break en > fr > de > es
     def _mc(words: tuple[str, ...]) -> str:
@@ -1606,7 +1736,12 @@ def oracle_sql() -> dict[str, str]:
              '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
     FROM documents
     """,
+        "dup_ngram_spans": dup_spans_sql,
+        "span_dup_stats": span_stats_sql,
+        "quantize_int8": quantize_sql,
     }
     if ann_ivf_sql is not None:
         out["ann_ivf_topk"] = ann_ivf_sql
+    if ivf_cells_sql is not None:
+        out["ivf_cells"] = ivf_cells_sql
     return out

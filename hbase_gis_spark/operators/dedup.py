@@ -751,3 +751,108 @@ def embedding_dup_lsh(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+# ----------------------------------------------------------- span dedup ---
+
+
+def ngram_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """One row per (doc, position) token n-gram, with the gram's md5.
+
+    The token-position formulation of substring-level dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — suffix-array exact-substring dedup approximated at fixed
+    gram length). The explode multiplies rows by ~tokens-per-doc; that
+    is the inherent cost of span-level analysis and it parallelizes
+    per-partition with no shuffle until the caller aggregates.
+
+    HOF shape: the lambda touches only the staged ``__toks`` attribute
+    and its loop variable, so nothing non-cheap is re-evaluated per
+    element (the round-1 interpreted-HOF lesson)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    sz = F.size("__toks")
+    idx = F.when(sz >= n, F.sequence(F.lit(0), sz - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, F.lit(n)))),
+    )
+    return (
+        _spread(toks)
+        .select("id", F.posexplode(grams).alias("pos", "gram"))
+        .select(F.col("id").alias(id_col), "pos", "gram")
+    )
+
+
+def dup_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Token n-grams that recur across >= ``min_docs`` distinct docs —
+    the candidate duplicated spans of a corpus.
+
+    Plan: explode → one hash aggregate keyed by gram (count + distinct
+    docs + min example doc). Partial map-side aggregation compacts
+    same-partition repeats before the single shuffle; at 100 TB the
+    gram key space is huge but uniformly md5-distributed — no skew."""
+    g = ngram_positions(df, id_col, text_col, n)
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def span_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span coverage: of a doc's token n-gram
+    positions, how many carry a gram that also occurs in ANOTHER doc.
+    ``dup_frac`` is the signal a span-dedup pass would trim.
+
+    Two aggregates over the exploded grams (gram-level doc counts,
+    then per-doc position counts) + one semi-join of positions against
+    the (much smaller) duplicated-gram set."""
+    g = ngram_positions(df, id_col, text_col, n)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("gram")
+    )
+    per_doc = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    dup_per_doc = (
+        g.join(dup, "gram", "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        per_doc.join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            (
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

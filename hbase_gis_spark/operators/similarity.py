@@ -274,3 +274,83 @@ def ann_lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_cells_hist(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Occupancy histogram of the IVF coarse quantizer: one row per
+    cell with vector count and id range. The operational health check
+    of an IVF layout — a skewed histogram means probes do uneven work
+    and the partition-pruned storage (write_ivf_table) is unbalanced.
+
+    One scan (cell assignment is a pure JVM expression) + one tiny
+    aggregate (``nlist`` rows). Integer-only outputs so the DuckDB
+    oracle matches bit-exactly."""
+    cell = ivf_cell_expr(F.col(vec_col), centroids)
+    return (
+        df.select(F.col(id_col), cell.alias("cell"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min(id_col).alias("min_vec"),
+            F.max(id_col).alias("max_vec"),
+        )
+    )
+
+
+def quantize_int8_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale =
+    max|x|/127, q_i = round(x_i/scale), reporting integer content sums
+    (exact in any fold order) and the max dequantization error.
+
+    The embedding-compression step of a 100 TB vector pipeline, shaped
+    for verifiability: every reported number is either an integer sum
+    or a max of per-element doubles, so partial-aggregation order
+    cannot perturb it (a float SUM would). Pure codegen'd HOFs, one
+    scan, no shuffle. All-zero vectors quantize to all-zero (scale 0
+    guard)."""
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col),
+        e.alias("__e"),
+        (F.array_max(F.transform(e, F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    q = F.transform(
+        "__e",
+        lambda x: F.when(
+            F.col("scale") > 0, F.round(x / F.col("scale"))
+        )
+        .otherwise(F.lit(0.0))
+        .cast("bigint"),
+    )
+    staged = base.select(id_col, "scale", "__e", q.alias("__q"))
+    l1 = F.aggregate(
+        F.transform("__q", F.abs), F.lit(0).cast("bigint"), lambda a, v: a + v
+    )
+    sumsq = F.aggregate(
+        F.transform("__q", lambda v: v * v),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    err = F.array_max(
+        F.zip_with(
+            "__e",
+            "__q",
+            lambda x, qq: F.abs(x - qq.cast("double") * F.col("scale")),
+        )
+    )
+    return staged.select(
+        id_col,
+        "scale",
+        l1.alias("q_l1"),
+        sumsq.alias("q_sumsq"),
+        err.alias("max_abs_err"),
+    )

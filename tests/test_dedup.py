@@ -261,3 +261,36 @@ def test_stratified_sample_deterministic_and_sized(docs):
     assert a == b and all(i % 2 == 0 for i in a)
     n_even = base.filter(F.col("parity") == "even").count()
     assert 0.35 * n_even < len(a) < 0.65 * n_even
+
+
+# ----------------------------------------------------------- span dedup ---
+
+
+def test_dup_ngram_spans_crafted(spark):
+    from hbase_gis_spark.operators.dedup import dup_ngram_spans
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"{shared} tail a"),
+        (2, f"head b {shared}"),
+        (3, "completely different words with no overlap at all here"),
+        (4, "short doc"),  # < n tokens -> no grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dup_ngram_spans(df, n=8).collect()
+    # the shared 8-gram appears in docs 1 and 2
+    assert any(r["n_docs"] == 2 and r["first_doc"] == 1 for r in out)
+    # nothing claims doc 3 or 4 as duplicated
+    assert all(r["n_docs"] >= 2 for r in out)
+
+
+def test_span_dup_stats_full_duplicate(spark):
+    from hbase_gis_spark.operators.dedup import span_dup_stats
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, text), (2, text), (3, "unique tokens only in this doc body x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_dup_stats(df, n=8).collect()}
+    assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+    assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[1]["n_grams"] == 3  # 10 tokens -> 3 positions

@@ -96,3 +96,44 @@ def test_ivf_stored_table_prunes_and_matches(emb, spark, tmp_path_factory):
 
     mem = ann_ivf_topk(emb, 0, 10)
     assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+
+
+def test_ivf_cells_hist_partitions_all_vectors(spark):
+    from hbase_gis_spark.operators.similarity import (
+        ivf_cells_hist,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C = train_ivf_centroids(emb, 8, train_rows=256, seed=13)
+    rows = ivf_cells_hist(emb, C).collect()
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    assert all(0 <= r["cell"] < 8 for r in rows)
+    assert all(r["min_vec"] <= r["max_vec"] for r in rows)
+
+
+def test_quantize_int8_stats_bounds(spark):
+    from pyspark.sql import functions as F
+    from hbase_gis_spark.operators.similarity import quantize_int8_stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = quantize_int8_stats(emb)
+    n = emb.count()
+    assert out.count() == n
+    # dequantization error can't exceed half a quantization step
+    bad = out.filter(F.col("max_abs_err") > F.col("scale") / 2 + 1e-15)
+    assert bad.count() == 0
+    assert out.filter(F.col("q_l1") < 0).count() == 0
+
+
+def test_quantize_int8_zero_vector(spark):
+    from hbase_gis_spark.operators.similarity import quantize_int8_stats
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8_stats(df).collect()}
+    assert out[1]["scale"] == 0.0 and out[1]["q_l1"] == 0
+    assert out[1]["max_abs_err"] == 0.0
+    assert out[2]["q_l1"] == 127 + 64 + 32  # round(x/ (2/127))
