@@ -59,7 +59,7 @@ def cosine_topk(
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            cosine_expr(F.col(vec_col), F.col("__qv")).alias("cosine"),
+            pair_cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -113,17 +113,23 @@ def train_ivf_centroids(
     return kmeans_centroids(V, nlist, iters=iters, seed=seed)
 
 
-def ivf_cell_expr(vec_col: Column, centroids: np.ndarray) -> Column:
-    """0-based index of the max-dot-product centroid, as a pure JVM
-    expression (array of fold-dots → array_position of array_max).
-    Cosine argmax == dot argmax because centroids are unit-norm and the
-    vector's own norm is a positive constant across cells."""
-    dots = F.array(
-        *[
-            dot_expr(vec_col, F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
-    )
+def ivf_cell_expr(
+    vec_col: Column, centroids: np.ndarray, use_arrow: bool = True
+) -> Column:
+    """0-based index of the max-dot-product centroid (array of dots →
+    array_position of array_max). Cosine argmax == dot argmax because
+    centroids are unit-norm and the vector's own norm is a positive
+    constant across cells. Dots come from the fold-exact Arrow kernel
+    by default (bit-identical to the dot_expr fold)."""
+    if use_arrow:
+        dots = fold_dots(vec_col, centroids)
+    else:
+        dots = F.array(
+            *[
+                dot_expr(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+                for c in centroids
+            ]
+        )
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
@@ -162,7 +168,7 @@ def ann_ivf_topk(
         .crossJoin(F.broadcast(qv))
         .select(
             F.col(id_col),
-            cosine_expr(F.col(vec_col), F.col("__qv")).alias("cosine"),
+            pair_cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -215,7 +221,7 @@ def ann_ivf_topk_stored(
     return (
         df.select(
             F.col(id_col),
-            cosine_expr(F.col(vec_col), qcol).alias("cosine"),
+            pair_cosine(F.col(vec_col), qcol).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -228,13 +234,32 @@ def hyperplane_planes(dim: int, n_planes: int, seed: int = 13) -> list[list[floa
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature: bit i = (vec · plane_i) >= 0. Packed bigint."""
-    terms = []
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (dot_expr(vec_col, lit_plane) >= 0).cast("bigint")
-        terms.append(F.shiftleft(bit, i))
+def lsh_signature(
+    vec_col: Column, planes: list[list[float]], use_arrow: bool = True
+) -> Column:
+    """Sign-bit signature: bit i = (vec · plane_i) >= 0. Packed bigint.
+
+    The plane dots come from the fold-exact Arrow kernel by default
+    (bit-identical to the interpreted dot_expr fold — see
+    functions/arrowkernels.py); ``use_arrow=False`` keeps the pure
+    expression twin for the equality pin in tests."""
+    if use_arrow:
+        dots = fold_dots(vec_col, planes)
+        bit_at = [
+            (F.element_at(dots, i + 1) >= 0).cast("bigint")
+            for i in range(len(planes))
+        ]
+    else:
+        bit_at = [
+            (
+                dot_expr(
+                    vec_col, F.array(*[F.lit(float(x)) for x in plane])
+                )
+                >= 0
+            ).cast("bigint")
+            for plane in planes
+        ]
+    terms = [F.shiftleft(b, i) for i, b in enumerate(bit_at)]
     out = terms[0]
     for t in terms[1:]:
         out = out + t
@@ -269,7 +294,7 @@ def ann_lsh_topk(
         )
         .select(
             F.col(id_col),
-            cosine_expr(F.col(vec_col), F.col("__qv")).alias("cosine"),
+            pair_cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -354,3 +379,23 @@ def quantize_int8_stats(
         sumsq.alias("q_sumsq"),
         err.alias("max_abs_err"),
     )
+
+
+# ------------------------------------------------- fold-exact Arrow kernels ---
+#
+# The HOF fold (dot_expr) runs INTERPRETED — fine for one query vector,
+# ~100x too slow when every row needs dots against 64 planes or every
+# candidate pair needs an exact cosine. These pandas UDFs are the
+# vectorized twins: Arrow-batched numpy that accumulates DIM-SEQUENTIALLY
+# in float64, i.e. each multiply and each add happens in exactly the
+# fold's order, so results are BIT-IDENTICAL to dot_expr/cosine_expr
+# (and therefore to the DuckDB list_sum oracles). A plain np.dot would
+# use pairwise/SIMD summation and drift in the last ulp — enough to
+# flip a sign bit at an LSH boundary. Equality is pinned in
+# tests/test_similarity.py.
+
+
+from hbase_gis_spark.functions.arrowkernels import (  # noqa: E402
+    fold_dots,
+    pair_cosine,
+)

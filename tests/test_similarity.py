@@ -137,3 +137,42 @@ def test_quantize_int8_zero_vector(spark):
     assert out[1]["scale"] == 0.0 and out[1]["q_l1"] == 0
     assert out[1]["max_abs_err"] == 0.0
     assert out[2]["q_l1"] == 127 + 64 + 32  # round(x/ (2/127))
+
+
+def test_arrow_kernels_bit_identical_to_fold_expressions(spark):
+    """The fold-exact Arrow kernels must match the interpreted HOF
+    fold BIT-FOR-BIT — this equality is what lets the DuckDB oracles
+    stay valid after the vectorization."""
+    from pyspark.sql import functions as F
+    from hbase_gis_spark.operators.similarity import (
+        hyperplane_planes,
+        ivf_cell_expr,
+        lsh_signature,
+        train_ivf_centroids,
+    )
+    from hbase_gis_spark.functions.arrowkernels import pair_cosine
+    from hbase_gis_spark.operators.similarity import cosine_expr
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = hyperplane_planes(64, 12, seed=13)
+    C = train_ivf_centroids(emb, 8, train_rows=256, seed=13)
+    both = emb.select(
+        "vec_id",
+        lsh_signature(F.col("embedding"), planes, use_arrow=True).alias("sa"),
+        lsh_signature(F.col("embedding"), planes, use_arrow=False).alias("se"),
+        ivf_cell_expr(F.col("embedding"), C, use_arrow=True).alias("ca"),
+        ivf_cell_expr(F.col("embedding"), C, use_arrow=False).alias("ce"),
+    )
+    assert both.filter("sa != se OR ca != ce").count() == 0
+    # pair cosine vs expression cosine on a self-join sample
+    a = emb.limit(20).select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+    )
+    b = emb.limit(20).select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+    )
+    pairs = a.crossJoin(b).filter("ia < ib")
+    diff = pairs.select(
+        (pair_cosine("va", "vb") == cosine_expr(F.col("va"), F.col("vb"))).alias("eq")
+    )
+    assert diff.filter("NOT eq").count() == 0

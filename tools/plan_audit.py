@@ -25,8 +25,16 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 # BNLJ with a broadcast single-row build side is the intended plan for
-# these (query-vector cross join); everything else must justify itself
-BNLJ_SANCTIONED = {"ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk"}
+# these (query-vector cross join for the ANN queries; the 1-row
+# corpus-totals aggregate for the mixture queries); everything else
+# must justify itself
+BNLJ_SANCTIONED = {
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "mixture_rates",
+    "mixture_sample",
+}
 
 
 def audit(spark, sf_dir: str) -> dict[str, list[str]]:
