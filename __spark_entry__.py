@@ -812,6 +812,18 @@ def _q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(docs, n=SPAN_N)
 
 
+WINNOW_K, WINNOW_W = 5, 8
+
+
+def _q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (MOSS) fingerprints shared across docs — the sparse
+    (~1/w density) analog of dup_ngram_spans."""
+    from hbase_gis_spark.operators.dedup import winnow_matches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_matches(docs, k=WINNOW_K, w=WINNOW_W)
+
+
 def _q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF quantizer occupancy histogram — same centroids as
     ann_ivf_topk (deterministic given ANN_SEED)."""
@@ -890,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "dup_ngram_spans": _q_dup_ngram_spans,
         "span_dup_stats": _q_span_dup_stats,
+        "winnow_matches": _q_winnow_matches,
         "ivf_cells": _q_ivf_cells,
         "quantize_int8": _q_quantize_int8,
     }
@@ -1738,6 +1751,32 @@ def oracle_sql() -> dict[str, str]:
     """,
         "dup_ngram_spans": dup_spans_sql,
         "span_dup_stats": span_stats_sql,
+        # winnowing: same k-gram 60-bit md5 hashes, same window mins as
+        # operators/dedup.py:winnow_fingerprints
+        "winnow_matches": f"""
+    WITH t AS (SELECT doc_id, {toks} AS tok FROM documents),
+    gh AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= {WINNOW_K}
+                  THEN list_transform(generate_series(0, len(tok)-{WINNOW_K}),
+                         i -> ('0x' || substr(md5(
+                                array_to_string(tok[i+1:i+{WINNOW_K}], ' ')
+                              ), 1, 15))::BIGINT)
+                  ELSE []::BIGINT[] END AS h
+      FROM t
+    ),
+    fp AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(h) >= {WINNOW_W}
+                    THEN list_transform(generate_series(0, len(h)-{WINNOW_W}),
+                           j -> list_min(h[j+1:j+{WINNOW_W}]))
+                    ELSE []::BIGINT[] END)) AS fingerprint
+      FROM gh
+    )
+    SELECT fingerprint, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM fp GROUP BY fingerprint HAVING count(DISTINCT doc_id) >= 2
+    """,
         "quantize_int8": quantize_sql,
     }
     if ann_ivf_sql is not None:

@@ -195,3 +195,31 @@ def pii_scrub(
         F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
         clean.alias("clean_text"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize :func:`global_shuffle` as a training-ready layout:
+    parquet partitioned by ``shard``, rows inside each shard file
+    sorted by ``pos`` — reading shard directories in order yields the
+    deterministic pseudo-random total order with plain sequential
+    scans (no sort at read time, no driver involvement).
+
+    One hash shuffle (repartition on shard) + per-partition sort —
+    exactly the write path a 1000-executor job wants: every executor
+    sorts only its own shards."""
+    h = content_hash(salt, id_col)
+    out = (
+        df.withColumn("shard", (h % num_shards).cast("int"))
+        .withColumn("__h", h)
+        .repartition("shard")
+        .sortWithinPartitions("shard", "__h", id_col)
+        .drop("__h")
+    )
+    out.write.mode(mode).partitionBy("shard").parquet(path)

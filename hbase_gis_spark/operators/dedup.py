@@ -872,3 +872,80 @@ def span_dup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-token gram, keep the MIN hash of
+    each sliding window of ``w`` consecutive gram hashes, emit the
+    distinct selected values. Guarantee: two docs sharing any token run
+    of length >= w + k - 1 share at least one fingerprint — a compact
+    (~1/w density) sketch for cross-corpus containment detection, far
+    smaller than the full gram posting list of :func:`dup_ngram_spans`.
+
+    Entirely integer arithmetic on 60-bit md5 prefixes (min ties keep
+    the value — output is the distinct VALUE set, so tie handedness
+    cannot matter), hence bit-exactly reproducible in the DuckDB
+    oracle. HOF lambdas touch only staged attributes and loop vars.
+
+    Output: (id, fingerprint) exploded rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    sz = F.size("__toks")
+    gidx = F.when(sz >= k, F.sequence(F.lit(0), sz - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ghash = F.transform(
+        gidx,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, F.lit(k)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    hashed = _spread(toks).select("id", ghash.alias("__gh"))
+    gn = F.size("__gh")
+    widx = F.when(gn >= w, F.sequence(F.lit(0), gn - w)).otherwise(
+        F.array().cast("array<int>")
+    )
+    mins = F.transform(
+        widx, lambda j: F.array_min(F.slice("__gh", j + 1, F.lit(w)))
+    )
+    return hashed.select(
+        F.col("id").alias(id_col),
+        F.explode(F.array_distinct(mins)).alias("fingerprint"),
+    )
+
+
+def winnow_matches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Fingerprints shared by >= ``min_docs`` docs, with doc counts —
+    the winnowed (sparse) analog of :func:`dup_ngram_spans`: one hash
+    aggregate over a posting list ~w× smaller."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -99,3 +99,51 @@ def test_pii_scrub_redacts(spark):
     assert out[2]["clean_text"].count("<PHONE>") == 2
     assert out[3]["clean_text"] == "nothing sensitive here"
     assert out[4]["n_emails"] == out[4]["n_ips"] == out[4]["n_phones"] == 0
+
+
+def test_winnow_guarantee(spark):
+    """Docs sharing a token run of length >= w+k-1 share a fingerprint
+    (the winnowing guarantee), and fingerprints are ~1/w dense."""
+    from hbase_gis_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    run = " ".join(f"tok{i}" for i in range(12))  # w+k-1 = 12 with k=5,w=8
+    rows = [
+        (1, f"{run} unique tail one two three four five six seven"),
+        (2, f"other head words entirely {run}"),
+        (3, "no shared content in this document at all whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = winnow_matches(df, k=5, w=8).collect()
+    assert any(r["n_docs"] == 2 for r in m)
+    fps = winnow_fingerprints(df, k=5, w=8)
+    by_doc = {
+        r["doc_id"]: r["cnt"]
+        for r in fps.groupBy("doc_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    # doc 3 has 10 tokens -> 6 gram hashes < w -> zero windows
+    assert 3 not in by_doc
+
+
+def test_write_training_shards_roundtrip(spark, docs, tmp_path):
+    from pyspark.sql import functions as F
+    from hbase_gis_spark.operators.corpus import (
+        global_shuffle,
+        write_training_shards,
+    )
+
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, num_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert set(r.shard for r in back.select("shard").distinct().collect()) <= set(range(4))
+    # shard membership matches global_shuffle's assignment
+    gs = global_shuffle(docs, num_shards=4)
+    j = back.select("doc_id", F.col("shard").cast("int").alias("shard")).join(
+        gs.select("doc_id", F.col("shard").alias("shard2")), "doc_id"
+    )
+    assert j.filter("shard != shard2").count() == 0
