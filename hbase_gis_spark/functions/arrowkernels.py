@@ -59,3 +59,30 @@ def pair_cosine(a_col: Column, b_col: Column) -> Column:
         )
 
     return _cos(a_col, b_col)
+
+
+def minhash_mins(
+    h32_col: Column, num_hashes: int, a0: int, b0: int, p: int
+) -> Column:
+    """MinHash signature from a 32-bit shingle-hash array: permutation
+    i's value is min over shingles of (a_i*h + b_i) % p, with
+    a_i = 2i + a0, b_i = 7i + b0 — integer arithmetic only (a_i*h <
+    2^53 << 2^63), so the numpy result is exactly the HOF expression's.
+    An empty shingle array yields all-null (array_min of empty = null),
+    matching the expression twin element-for-element."""
+    A = np.arange(num_hashes, dtype=np.int64) * 2 + a0
+    B = np.arange(num_hashes, dtype=np.int64) * 7 + b0
+
+    @pandas_udf("array<bigint>")
+    def _mh(s: pd.Series) -> pd.Series:
+        nulls = [None] * num_hashes
+        out = []
+        for h in s:
+            H = np.asarray(h, dtype=np.int64)
+            if H.size == 0:
+                out.append(nulls)
+                continue
+            out.append(((A[:, None] * H[None, :] + B[:, None]) % p).min(axis=1))
+        return pd.Series(out)
+
+    return _mh(h32_col)

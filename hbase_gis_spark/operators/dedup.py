@@ -394,16 +394,27 @@ def minhash_signature(text_col, n: int = 3, num_hashes: int = 64) -> Column:
     )
 
 
-def minhash_signature_from_hashes(h32_col, num_hashes: int = 64) -> Column:
+def minhash_signature_from_hashes(
+    h32_col, num_hashes: int = 64, use_arrow: bool = True
+) -> Column:
     """MinHash signature from a materialized 32-bit shingle-hash array.
 
-    Permutation i: min over shingles of (a_i * h + b_i) % P. Built as an
-    explicit ``num_hashes``-element array (not a nested transform over a
-    seed sequence) so each permutation references the hash array as an
-    attribute — Catalyst keeps the producing projection materialized
-    (multi-reference, non-cheap) and each min-reduction reads the same
-    computed array instead of re-hashing every shingle."""
+    Permutation i: min over shingles of (a_i * h + b_i) % P — integer
+    arithmetic, so the Arrow kernel (default) is exactly equal to the
+    expression form (pinned in tests/test_dedup.py). The expression
+    twin builds an explicit ``num_hashes``-element array (not a nested
+    transform over a seed sequence) so each permutation references the
+    hash array as an attribute — Catalyst keeps the producing
+    projection materialized (multi-reference, non-cheap) and each
+    min-reduction reads the same computed array instead of re-hashing
+    every shingle."""
     h32 = F.col(h32_col) if isinstance(h32_col, str) else h32_col
+    if use_arrow:
+        from hbase_gis_spark.functions.arrowkernels import minhash_mins
+
+        return minhash_mins(
+            h32, num_hashes, _MINHASH_A0, _MINHASH_B0, _MINHASH_P
+        )
     mins = []
     for i in range(num_hashes):
         a = F.lit(i * 2 + _MINHASH_A0)

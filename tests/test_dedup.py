@@ -294,3 +294,29 @@ def test_span_dup_stats_full_duplicate(spark):
     assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
     assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
     assert out[1]["n_grams"] == 3  # 10 tokens -> 3 positions
+
+
+def test_minhash_arrow_kernel_bit_identical(spark):
+    from pyspark.sql import functions as F
+    from hbase_gis_spark.operators.dedup import (
+        minhash_signature_from_hashes,
+        shingle_hashes32,
+        word_shingles,
+    )
+
+    rows = [(1, "a b c d e f g h"), (2, "x y z w v u t s r q"), (3, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = df.select(
+        "doc_id",
+        shingle_hashes32(word_shingles("text", 3)).alias("h"),
+    )
+    both = sh.select(
+        "doc_id",
+        minhash_signature_from_hashes("h", 16, use_arrow=True).alias("sa"),
+        minhash_signature_from_hashes("h", 16, use_arrow=False).alias("se"),
+    ).collect()
+    for r in both:
+        assert r["sa"] == r["se"], r["doc_id"]
+    # doc 3 has < 3 tokens -> empty shingle set -> all-null signature
+    d3 = [r for r in both if r["doc_id"] == 3][0]
+    assert d3["sa"] == [None] * 16
