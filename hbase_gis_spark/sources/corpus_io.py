@@ -1,0 +1,89 @@
+"""Document-corpus I/O: JSONL interchange and streaming sources.
+
+JSONL (one JSON object per line) is the de-facto interchange format of
+LLM training corpora. Scale rules encoded here:
+
+- **Always pass an explicit schema.** Schema inference is a full extra
+  pass over the data (at 100 TB, a second 100 TB scan) and can demote
+  types on dirty rows; with a schema the read is one streaming pass
+  and corrupt rows go to ``_corrupt_record`` instead of poisoning the
+  frame.
+- JSONL is line-splittable, so a directory of .jsonl(.gz with caveats:
+  gzip is NOT splittable — one task per file; prefer zstd parquet or
+  many smaller gz files) parallelizes by file splits.
+- Parquet remains the processing format; JSONL is the edge format.
+  ``jsonl_to_parquet`` is the one-pass converter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# the driver-testdata documents schema (TESTDATA.md)
+DOCUMENTS_DDL = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType = DOCUMENTS_DDL,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Read a JSONL document corpus with an explicit schema (PERMISSIVE
+    mode: malformed lines yield nulls + ``_corrupt_record`` when
+    ``keep_corrupt``, instead of failing a 100 TB job on one bad
+    line)."""
+    reader = spark.read.schema(
+        schema
+        if not keep_corrupt
+        else f"{schema}, _corrupt_record string"
+    )
+    return reader.option("mode", "PERMISSIVE").json(path)
+
+
+def write_documents_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Export a document table as JSONL (one object per line, one file
+    per partition — repartition first to control file count/size)."""
+    df.write.mode(mode).json(path)
+
+
+def jsonl_to_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    schema: str | StructType = DOCUMENTS_DDL,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """One-pass JSONL → parquet conversion (the edge→processing format
+    hop). ``partition_by`` (e.g. ["lang"]) makes downstream per-lang
+    filters partition-pruning directory skips."""
+    df = read_documents_jsonl(spark, src, schema)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(dst)
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType = DOCUMENTS_DDL,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming document source (file-arrival micro-batches) — the
+    continuous-ingest shape of a corpus pipeline. Stateless operators
+    (pii_scrub, text_quality, lang_id, token_counts) apply unchanged;
+    sampling/caps join against a STATIC rates/caps dim
+    (stream-static broadcast join, no streaming state)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)

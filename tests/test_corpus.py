@@ -147,3 +147,45 @@ def test_write_training_shards_roundtrip(spark, docs, tmp_path):
         gs.select("doc_id", F.col("shard").alias("shard2")), "doc_id"
     )
     assert j.filter("shard != shard2").count() == 0
+
+
+def test_jsonl_roundtrip_and_conversion(spark, docs, tmp_path):
+    from hbase_gis_spark.sources.corpus_io import (
+        jsonl_to_parquet,
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    jl = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, jl)
+    back = read_documents_jsonl(spark, jl)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    a = sorted(r.doc_id for r in back.select("doc_id").collect())
+    b = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    assert a == b
+    pq = str(tmp_path / "docs_pq")
+    jsonl_to_parquet(spark, jl, pq, partition_by=["lang"])
+    conv = spark.read.parquet(pq)
+    assert conv.count() == docs.count()
+    # lang partitioning produced lang=... directories (pruning layout)
+    import os
+    assert any(d.startswith("lang=") for d in os.listdir(pq))
+
+
+def test_jsonl_corrupt_line_tolerated(spark, tmp_path):
+    import json as _json
+    from hbase_gis_spark.sources.corpus_io import read_documents_jsonl
+
+    p = tmp_path / "dirty"
+    p.mkdir()
+    with open(p / "part-0.jsonl", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": "ok", "lang": "en",
+                             "source": "s", "n_chars": 2}) + "\n")
+        f.write("{this is not json\n")
+    df = read_documents_jsonl(spark, str(p), keep_corrupt=True)
+    rows = df.collect()
+    assert len(rows) == 2
+    good = [r for r in rows if r.doc_id == 1]
+    bad = [r for r in rows if r.doc_id is None]
+    assert good and bad and bad[0]._corrupt_record is not None

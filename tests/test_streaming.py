@@ -177,3 +177,37 @@ def test_streaming_multibatch_state_handover(spark, tmp_path_factory):
     q2.stop()
     got_topx = set().union(*latest.values()) if latest else set()
     assert got_topx == expect_topx
+
+
+def test_streaming_corpus_filters_match_batch(spark, tmp_path_factory):
+    """The corpus operators compose with Structured Streaming: stateless
+    pii_scrub applies unchanged on a document stream, and mixture
+    sampling becomes a stream-static broadcast join against the
+    batch-computed rates dim — same kept set as the batch operator."""
+    from hbase_gis_spark.operators.corpus import (
+        content_hash,
+        mixture_rates,
+        mixture_sample,
+        pii_scrub,
+    )
+    from hbase_gis_spark.sources.corpus_io import read_document_stream
+
+    docs = load_table(spark, SF0001, "documents")
+    base = str(tmp_path_factory.mktemp("docstream") / "docs")
+    docs.repartition(3).write.mode("overwrite").parquet(base)
+
+    expect = {r.doc_id for r in mixture_sample(docs, "lang", 0.5).collect()}
+    rates = mixture_rates(docs, "lang", 0.5)  # static dim (batch)
+    cut = F.floor(F.col("sample_rate") * 1_000_000).cast("bigint")
+
+    stream = read_document_stream(spark, base, max_files_per_trigger=1)
+    sampled = (
+        pii_scrub(stream).select("doc_id")  # stateless op on the stream
+        .join(stream.select("doc_id", "lang"), "doc_id")
+        .join(F.broadcast(rates.select("lang", cut.alias("c"))), "lang")
+        .filter(content_hash("mix", "doc_id", 1_000_000) < F.col("c"))
+        .select("doc_id")
+    )
+    run_stream_to_memory(sampled, "corpus_stream", output_mode="append")
+    got = {r.doc_id for r in spark.sql("SELECT * FROM corpus_stream").collect()}
+    assert got == expect and len(expect) > 0
