@@ -812,6 +812,28 @@ def _q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(docs, n=SPAN_N)
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token chunks, 16-token overlap."""
+    from hbase_gis_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP)
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over (lang, source): doc counts + char totals at
+    every grouping level in ONE pass (Spark expands grouping sets
+    map-side — no per-level rescans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
 WINNOW_K, WINNOW_W = 5, 8
 
 
@@ -903,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans": _q_dup_ngram_spans,
         "span_dup_stats": _q_span_dup_stats,
         "winnow_matches": _q_winnow_matches,
+        "chunk_documents": _q_chunk_documents,
+        "corpus_stats": _q_corpus_stats,
         "ivf_cells": _q_ivf_cells,
         "quantize_int8": _q_quantize_int8,
     }
@@ -1753,6 +1777,27 @@ def oracle_sql() -> dict[str, str]:
         "span_dup_stats": span_stats_sql,
         # winnowing: same k-gram 60-bit md5 hashes, same window mins as
         # operators/dedup.py:winnow_fingerprints
+        # chunking: same tokenization, 1-based inclusive slices,
+        # stride = chunk - overlap (operators/corpus.py:chunk_documents)
+        "chunk_documents": f"""
+    WITH t AS (SELECT doc_id, {toks} AS tok FROM documents),
+    s AS (
+      SELECT doc_id, tok,
+             unnest(generate_series(0, len(tok) - 1, {CHUNK_TOKENS - CHUNK_OVERLAP})) AS tok_start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(tok_start // {CHUNK_TOKENS - CHUNK_OVERLAP} AS INTEGER) AS chunk_idx,
+           CAST(tok_start AS INTEGER) AS tok_start,
+           CAST(least({CHUNK_TOKENS}, len(tok) - tok_start) AS INTEGER) AS n_tok,
+           array_to_string(tok[tok_start+1:tok_start+{CHUNK_TOKENS}], ' ') AS chunk_text
+    FROM s
+    """,
+        "corpus_stats": """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
         "winnow_matches": f"""
     WITH t AS (SELECT doc_id, {toks} AS tok FROM documents),
     gh AS (

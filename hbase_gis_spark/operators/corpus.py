@@ -223,3 +223,49 @@ def write_training_shards(
         .drop("__h")
     )
     out.write.mode(mode).partitionBy("shard").parquet(path)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window preprocessing step (stride = chunk_tokens−overlap).
+    Emits (id, chunk_idx, tok_start, n_tok, chunk_text); the final
+    chunk may be short (no padding — that's the packer's job).
+
+    One scan; the per-doc explode multiplies rows by ~n_tok/stride.
+    Lambdas touch only the staged token attribute and loop vars (the
+    interpreted-HOF rule)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from hbase_gis_spark.operators.dedup import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("tok_start"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_tok"),
+            F.concat_ws(
+                " ", F.slice("__toks", s + 1, F.lit(chunk_tokens))
+            ).alias("chunk_text"),
+        ),
+    )
+    return toks.select(
+        F.col("id").alias(id_col), F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("c.tok_start").alias("tok_start"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -189,3 +189,28 @@ def test_jsonl_corrupt_line_tolerated(spark, tmp_path):
     good = [r for r in rows if r.doc_id == 1]
     bad = [r for r in rows if r.doc_id is None]
     assert good and bad and bad[0]._corrupt_record is not None
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from hbase_gis_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = sorted(
+        chunk_documents(df, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stride 24: starts 0,24,48,72,96
+    assert [r.tok_start for r in out] == [0, 24, 48, 72, 96]
+    assert [r.n_tok for r in out] == [32, 32, 32, 28, 4]
+    assert out[0].chunk_text.split(" ")[0] == "t0"
+    assert out[1].chunk_text.split(" ")[0] == "t24"
+    # consecutive chunks overlap by 8 tokens
+    a = out[0].chunk_text.split(" ")
+    b = out[1].chunk_text.split(" ")
+    assert a[-8:] == b[:8]
+    # every token position is covered
+    covered = set()
+    for r in out:
+        covered.update(range(r.tok_start, r.tok_start + r.n_tok))
+    assert covered == set(range(100))
