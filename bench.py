@@ -77,17 +77,34 @@ def main() -> None:
     timings = {k: round(v, 4) for k, v in timings.items()}
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    # The registered query set GROWS between rounds, so the all-query
+    # total is not comparable across rounds. When the round-1 bench is
+    # present, also report the total over ITS query set — the
+    # apples-to-apples number for "did anything regress".
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r01.json")
+        ) as f:
+            r1 = json.load(f).get("parsed", {}).get("queries", {})
+        common = [k for k in r1 if k in timings and timings[k] >= 0]
+        if common:
+            out["r1_set_total"] = round(sum(timings[k] for k in common), 4)
+            out["r1_set_baseline"] = round(
+                sum(r1[k] for k in common), 4
+            )
+            out["r1_set_n"] = len(common)
+    except Exception:
+        pass
+    print(json.dumps(out))
     spark.stop()
 
 

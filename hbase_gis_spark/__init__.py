@@ -26,6 +26,7 @@ from hbase_gis_spark.operators.knn import (  # noqa: F401
     with_distance,
 )
 from hbase_gis_spark.operators.topx import top_x, binned_limit  # noqa: F401
+from hbase_gis_spark.session import make_session  # noqa: F401
 from hbase_gis_spark.sqlapi import (  # noqa: F401
     bbox_sql,
     geohash_prefix_sql,

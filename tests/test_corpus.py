@@ -214,3 +214,14 @@ def test_chunk_documents_coverage_and_overlap(spark):
     for r in out:
         covered.update(range(r.tok_start, r.tok_start + r.n_tok))
     assert covered == set(range(100))
+
+
+def test_make_session_configs(spark):
+    # getOrCreate in an existing-session test context: runtime confs
+    # still apply; verify the session factory is importable and sets
+    # the runtime-settable keys on the active session
+    from hbase_gis_spark import make_session
+
+    s = make_session()
+    assert s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert int(s.conf.get("spark.sql.shuffle.partitions")) > 0
