@@ -144,6 +144,44 @@ def cmd_topx(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus(args: argparse.Namespace) -> int:
+    """Corpus-pipeline subcommands over a documents parquet/JSONL dir."""
+    spark = _spark(f"corpus-{args.op}")
+    t0 = time.perf_counter()
+    if args.input.endswith((".jsonl", "jsonl")) or args.jsonl:
+        from hbase_gis_spark.sources.corpus_io import read_documents_jsonl
+
+        docs = read_documents_jsonl(spark, args.input)
+    else:
+        docs = spark.read.parquet(args.input)
+    if args.op == "shuffle":
+        from hbase_gis_spark.operators.corpus import write_training_shards
+
+        write_training_shards(docs, args.output, num_shards=args.shards)
+        n = spark.read.parquet(args.output).count()
+        print(f"Wrote {n} rows into {args.shards} shards at {args.output}")
+    elif args.op == "scrub":
+        from hbase_gis_spark.operators.corpus import pii_scrub
+
+        out = pii_scrub(docs)
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"Scrubbed {spark.read.parquet(args.output).count()} docs")
+    elif args.op == "dedup":
+        from hbase_gis_spark.operators.dedup import dedup_exact
+
+        out = dedup_exact(docs)
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"Kept {spark.read.parquet(args.output).count()} unique docs")
+    elif args.op == "chunk":
+        from hbase_gis_spark.operators.corpus import chunk_documents
+
+        out = chunk_documents(docs, args.chunk_tokens, args.overlap)
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"Wrote {spark.read.parquet(args.output).count()} chunks")
+    print(f"corpus {args.op} done in {time.perf_counter() - t0:.3f} seconds.")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hbase_gis_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -193,6 +231,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("ts_col")
     s.add_argument("--table", required=True)
     s.set_defaults(fn=cmd_topx)
+
+    s = sub.add_parser(
+        "corpus",
+        help="training-corpus ops: shuffle | scrub | dedup | chunk",
+    )
+    s.add_argument("op", choices=["shuffle", "scrub", "dedup", "chunk"])
+    s.add_argument("input", help="documents parquet dir (or JSONL with --jsonl)")
+    s.add_argument("output")
+    s.add_argument("--jsonl", action="store_true")
+    s.add_argument("--shards", type=int, default=64)
+    s.add_argument("--chunk-tokens", type=int, default=64, dest="chunk_tokens")
+    s.add_argument("--overlap", type=int, default=16)
+    s.set_defaults(fn=cmd_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -39,3 +39,23 @@ def test_cli_spatialjoin(tmp_path, spark):
         assert main(["spatialjoin", whole, whole, "--table", table, "--cells"]) == 0
     # every point tagged by both copies of the covering polygon
     assert "Spatial join matched 400 (point, polygon) rows" in out.getvalue()
+
+
+def test_cli_corpus_roundtrip(tmp_path, capsys):
+    from hbase_gis_spark.cli import main
+
+    out = str(tmp_path / "shards")
+    rc = main([
+        "corpus", "shuffle", "/root/testdata/sf0.001/documents.parquet",
+        out, "--shards", "4",
+    ])
+    assert rc == 0
+    assert "4 shards" in capsys.readouterr().out
+
+    out2 = str(tmp_path / "chunks")
+    rc = main([
+        "corpus", "chunk", "/root/testdata/sf0.001/documents.parquet",
+        out2, "--chunk-tokens", "32", "--overlap", "8",
+    ])
+    assert rc == 0
+    assert "chunks" in capsys.readouterr().out
