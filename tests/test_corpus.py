@@ -225,3 +225,58 @@ def test_make_session_configs(spark):
     s = make_session()
     assert s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     assert int(s.conf.get("spark.sql.shuffle.partitions")) > 0
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    runlen=st.integers(min_value=12, max_value=30),
+    pre=st.integers(min_value=0, max_value=10),
+    post=st.integers(min_value=0, max_value=10),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_winnow_guarantee_property(spark, runlen, pre, post, seed):
+    """Property: any two docs sharing a token run >= w+k-1 (12) share
+    at least one winnowing fingerprint, wherever the run sits."""
+    from hbase_gis_spark.operators.dedup import winnow_fingerprints
+
+    run = " ".join(f"s{seed}w{i}" for i in range(runlen))
+    head = " ".join(f"h{seed}x{i}" for i in range(pre))
+    tail = " ".join(f"t{seed}y{i}" for i in range(post))
+    d1 = f"{head} {run}".strip()
+    d2 = f"{run} {tail}".strip()
+    df = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+    fps = winnow_fingerprints(df, k=5, w=8).collect()
+    f1 = {r.fingerprint for r in fps if r.doc_id == 1}
+    f2 = {r.fingerprint for r in fps if r.doc_id == 2}
+    assert f1 & f2, (runlen, pre, post)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n_tok=st.integers(min_value=1, max_value=200),
+    chunk=st.integers(min_value=4, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_coverage_property(spark, n_tok, chunk, overlap_frac):
+    """Property: chunking covers every token position exactly, chunk
+    sizes never exceed chunk_tokens, and starts advance by stride."""
+    from hbase_gis_spark.operators.corpus import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    text = " ".join(f"t{i}" for i in range(n_tok))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = sorted(
+        chunk_documents(df, chunk, overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    stride = chunk - overlap
+    assert [r.tok_start for r in out] == list(range(0, n_tok, stride))
+    assert all(1 <= r.n_tok <= chunk for r in out)
+    covered = set()
+    for r in out:
+        assert len(r.chunk_text.split(" ")) == r.n_tok
+        covered.update(range(r.tok_start, r.tok_start + r.n_tok))
+    assert covered == set(range(n_tok))
