@@ -870,6 +870,19 @@ def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8_stats(emb)
 
 
+def _q_exact_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of sketch_stats' distinct count (two-phase hash
+    aggregate) — the cost/accuracy tradeoff partner of the HLL++ path,
+    and exactly oracle-checkable where the sketch is rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("min(ts) div 1000").alias("min_ts_us"),
+        F.expr("max(ts) div 1000").alias("max_ts_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "within_polygon": _q_within,
@@ -913,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "shipping_priority": _q_shipping_priority,
         "sketch_stats": _q_sketch_stats,
+        "exact_event_stats": _q_exact_event_stats,
         "split_assign": _q_split_assign,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1797,6 +1811,13 @@ def oracle_sql() -> dict[str, str]:
     SELECT lang, source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY CUBE (lang, source)
+    """,
+        "exact_event_stats": """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events,
+           epoch_us(min(ts)) AS min_ts_us,
+           epoch_us(max(ts)) AS max_ts_us
+    FROM events
     """,
         "winnow_matches": f"""
     WITH t AS (SELECT doc_id, {toks} AS tok FROM documents),
