@@ -269,3 +269,36 @@ def chunk_documents(
         F.col("c.n_tok").alias("n_tok"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot left key across
+    ``n_salt`` sub-keys (deterministic content hash of the whole left
+    row) and replicate the right side ``n_salt``× so every sub-key
+    still finds its match. Result is row-for-row identical to
+    ``left.join(right, key, how)``.
+
+    Use when one side has a mega-key (a top domain, an all-zero LSH
+    bucket) that AQE's skew splitting can't help — e.g. because the
+    skewed side feeds an aggregation that must see the key on one
+    reducer otherwise. Cost: right side duplicated n_salt× (keep it
+    the SMALL side); the salt column never leaves the join.
+
+    Supported ``how``: inner / left variants (the right side is
+    replicated, so right/outer joins would duplicate unmatched right
+    rows — rejected explicitly)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi"):
+        raise ValueError(f"salted_join does not support how={how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), n_salt)
+    lft = left.withColumn("__salt", salt.cast("int"))
+    rgt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    out = lft.join(rgt, [key, "__salt"], how)
+    return out.drop("__salt")

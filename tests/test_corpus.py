@@ -280,3 +280,61 @@ def test_chunk_coverage_property(spark, n_tok, chunk, overlap_frac):
         assert len(r.chunk_text.split(" ")) == r.n_tok
         covered.update(range(r.tok_start, r.tok_start + r.n_tok))
     assert covered == set(range(n_tok))
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Two tables bucketed by the same key/count join with NO Exchange
+    in the physical plan — the co-located-join layout for repeated
+    big-big joins at scale."""
+    from hbase_gis_spark.sources.bucketed import (
+        bucketed_join_plan_is_shuffle_free,
+        write_bucketed_table,
+    )
+
+    ev = load_table_events(spark)
+    a = ev.select("event_id", "user_id", "value")
+    b = ev.select("user_id", "event_type").dropDuplicates(["user_id"])
+    write_bucketed_table(a, "bk_events", "user_id", 8)
+    write_bucketed_table(b, "bk_users", "user_id", 8)
+    try:
+        assert bucketed_join_plan_is_shuffle_free(
+            spark, "bk_events", "bk_users", "user_id"
+        )
+        # and the join is still correct
+        got = spark.table("bk_events").join(spark.table("bk_users"), "user_id")
+        assert got.count() == a.join(b, "user_id").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_events")
+        spark.sql("DROP TABLE IF EXISTS bk_users")
+
+
+def load_table_events(spark):
+    from hbase_gis_spark.sources.tables import load_table
+
+    return load_table(spark, SF0001, "events")
+
+
+def test_salted_join_matches_plain_join(spark, docs):
+    from hbase_gis_spark.operators.corpus import salted_join
+
+    # make a skewed left: every doc keyed to a handful of hot langs
+    left = docs.select("doc_id", "lang")
+    right = (
+        docs.groupBy("lang")
+        .count()
+        .select("lang", F.col("count").alias("lang_n"))
+    )
+    plain = left.join(right, "lang").select("doc_id", "lang", "lang_n")
+    salted = salted_join(left, right, "lang", n_salt=8).select(
+        "doc_id", "lang", "lang_n"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    # left join keeps unmatched left rows exactly once
+    right2 = right.filter("lang = 'en'")
+    pl = left.join(right2, "lang", "left")
+    sl = salted_join(left, right2, "lang", n_salt=8, how="left")
+    assert sorted(map(tuple, pl.select("doc_id", "lang_n").collect())) == sorted(
+        map(tuple, sl.select("doc_id", "lang_n").collect())
+    )
