@@ -870,6 +870,17 @@ def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8_stats(emb)
 
 
+RARE_K = 5
+
+
+def _q_top_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarest-k distinct terms per doc (integer-exact tf-idf stand-in)."""
+    from hbase_gis_spark.operators.textstats import top_rare_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_rare_terms(docs, k=RARE_K)
+
+
 def _q_exact_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact twin of sketch_stats' distinct count (two-phase hash
     aggregate) — the cost/accuracy tradeoff partner of the HLL++ path,
@@ -927,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _q_shipping_priority,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
+        "top_rare_terms": _q_top_rare_terms,
         "split_assign": _q_split_assign,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1818,6 +1830,23 @@ def oracle_sql() -> dict[str, str]:
            epoch_us(min(ts)) AS min_ts_us,
            epoch_us(max(ts)) AS max_ts_us
     FROM events
+    """,
+        # rarest-k terms per doc: distinct-token postings → doc
+        # frequency → per-doc window (df asc, term asc), mirroring
+        # operators/textstats.py:top_rare_terms
+        "top_rare_terms": f"""
+    WITH posting AS (
+      SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+    ),
+    p AS (SELECT doc_id, term FROM posting WHERE term != ''),
+    dfreq AS (SELECT term, count(*) AS df FROM p GROUP BY term)
+    SELECT doc_id, term, df, rnk FROM (
+      SELECT p.doc_id, p.term, dfreq.df,
+             CAST(row_number() OVER (
+               PARTITION BY p.doc_id ORDER BY dfreq.df ASC, p.term ASC
+             ) AS INTEGER) AS rnk
+      FROM p JOIN dfreq USING (term)
+    ) WHERE rnk <= {RARE_K}
     """,
         "winnow_matches": f"""
     WITH t AS (SELECT doc_id, {toks} AS tok FROM documents),

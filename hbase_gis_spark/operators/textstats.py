@@ -287,3 +287,40 @@ def pack_sequences(
     ).withColumn(
         "seq_idx", (F.col("tok_start") / seq_len).cast("bigint")
     )
+
+
+def top_rare_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword extraction by document-frequency rarity: for each doc,
+    the ``k`` distinct terms with the lowest corpus document frequency
+    (ties → lexicographic term order). The integer-only stand-in for
+    tf-idf ranking — same information ordering, but exactly
+    reproducible across engines (no log(), whose last-ulp behavior is
+    libm-specific).
+
+    Plan: one explode of per-doc DISTINCT tokens, one hash aggregate
+    for document frequencies (term-keyed shuffle, uniformly
+    distributed), one shuffled join back, one per-doc window over
+    bounded groups (≤ distinct terms per doc). No Python anywhere."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    posting = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("term").asc())
+    return (
+        posting.join(dfreq, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("id").alias(id_col), "term", "df", "rnk")
+    )

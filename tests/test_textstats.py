@@ -101,3 +101,25 @@ def test_pack_sequences_offsets(spark):
     assert [out[i].seq_idx for i in (0, 2, 4, 6)] == [0, 0, 1, 3]
     for r in out.values():
         assert r.shard == r.doc_id % 2
+
+
+def test_top_rare_terms_orders_by_rarity(spark):
+    from hbase_gis_spark.operators.textstats import top_rare_terms
+
+    rows = [
+        (1, "common common rare1 shared"),
+        (2, "common shared other"),
+        (3, "common unique3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = top_rare_terms(df, k=2)
+    d1 = sorted(
+        [(r.term, r.df, r.rnk) for r in out.collect() if r.doc_id == 1],
+        key=lambda t: t[2],
+    )
+    # doc 1 terms: common(df 3), rare1(df 1), shared(df 2)
+    assert d1[0][0] == "rare1" and d1[0][1] == 1
+    assert d1[1][0] == "shared" and d1[1][1] == 2
+    # duplicate in-doc tokens counted once for df
+    dfs = {r.term: r.df for r in out.collect()}
+    assert dfs.get("common", 3) == 3
