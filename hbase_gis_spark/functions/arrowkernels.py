@@ -16,7 +16,12 @@ from pyspark.sql.functions import pandas_udf
 
 
 def _as_f64(series: pd.Series) -> np.ndarray:
-    return np.array(series.tolist(), dtype=np.float64)
+    # a 0-row Arrow batch yields shape (0,) from tolist() — reshape so
+    # the per-dim accumulation loops are safely skipped
+    V = np.array(series.tolist(), dtype=np.float64)
+    if V.ndim == 1:
+        V = V.reshape(len(series), 0)
+    return V
 
 
 def _seq_matdots(V: np.ndarray, M: np.ndarray) -> np.ndarray:
