@@ -870,6 +870,17 @@ def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8_stats(emb)
 
 
+ANN_MULTI_IDS = [7, 42, 99, 123]
+
+
+def _q_ann_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact retrieval: top-k for 4 query vectors in one scan."""
+    from hbase_gis_spark.operators.similarity import cosine_topk_multi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_multi(emb, ANN_MULTI_IDS, ANN_K)
+
+
 RARE_K = 5
 
 
@@ -939,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
+        "ann_multi_topk": _q_ann_multi_topk,
         "split_assign": _q_split_assign,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1249,6 +1261,25 @@ def oracle_sql() -> dict[str, str]:
     WHERE vec_id != {ANN_QUERY_ID}
     ORDER BY cosine DESC, vec_id ASC
     LIMIT {ANN_K}
+    """
+
+    ann_multi_sql = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in ANN_MULTI_IDS)})
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {_cos('e.embedding', 'q.qv')} AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rnk FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+             ) AS INTEGER) AS rnk
+      FROM scored
+    ) WHERE rnk <= {ANN_K}
     """
 
     # --- approximate-ANN oracles (deterministic given ANN_SEED) -----
@@ -1799,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
              '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
     FROM documents
     """,
+        "ann_multi_topk": ann_multi_sql,
         "dup_ngram_spans": dup_spans_sql,
         "span_dup_stats": span_stats_sql,
         # winnowing: same k-gram 60-bit md5 hashes, same window mins as

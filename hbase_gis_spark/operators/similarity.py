@@ -22,7 +22,7 @@ oracle SQL (list_transform + list_sum over the same op order).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -399,3 +399,44 @@ from hbase_gis_spark.functions.arrowkernels import (  # noqa: E402
     fold_dots,
     pair_cosine,
 )
+
+
+def cosine_topk_multi(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a BATCH of query vectors in one
+    pass — the bulk-retrieval shape (one scan amortized over all
+    queries, vs. one scan per query).
+
+    The query side is a tiny broadcast dim (|queries| rows); the big
+    side streams once through a broadcast hash/nested-loop join, pair
+    cosines run in the fold-exact Arrow kernel, and the per-query
+    top-k is a rank window partitioned by query id (bounded groups:
+    each query's partition ranks the candidate set; with AQE the
+    post-join shuffle is per-query-key and skew-free since every query
+    sees the same row count). Self-matches are excluded.
+
+    Output: (query_id, vec_id, cosine, rnk) with rnk 1..k per query.
+    """
+    q = df.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    pairs = df.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col),
+        pair_cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

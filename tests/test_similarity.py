@@ -176,3 +176,25 @@ def test_arrow_kernels_bit_identical_to_fold_expressions(spark):
         (pair_cosine("va", "vb") == cosine_expr(F.col("va"), F.col("vb"))).alias("eq")
     )
     assert diff.filter("NOT eq").count() == 0
+
+
+def test_cosine_topk_multi_matches_single(spark):
+    from hbase_gis_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_multi,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    multi = cosine_topk_multi(emb, [7, 42], k=5)
+    for qid in (7, 42):
+        single = [
+            (r.vec_id, r.cosine) for r in cosine_topk(emb, qid, 5).collect()
+        ]
+        batched = [
+            (r.vec_id, r.cosine)
+            for r in sorted(
+                (x for x in multi.collect() if x.query_id == qid),
+                key=lambda r: r.rnk,
+            )
+        ]
+        assert batched == single

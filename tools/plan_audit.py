@@ -32,6 +32,7 @@ BNLJ_SANCTIONED = {
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_multi_topk",
     "mixture_rates",
     "mixture_sample",
 }
