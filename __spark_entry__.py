@@ -870,6 +870,19 @@ def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8_stats(emb)
 
 
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over events: earliest-traversal step counts."""
+    from hbase_gis_spark.operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    return funnel_counts(ev, FUNNEL_STEPS)
+
+
 ANN_MULTI_IDS = [7, 42, 99, 123]
 
 
@@ -951,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
         "ann_multi_topk": _q_ann_multi_topk,
+        "funnel_counts": _q_funnel,
         "split_assign": _q_split_assign,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1831,6 +1845,30 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     """,
         "ann_multi_topk": ann_multi_sql,
+        # funnel: chained conditional min-aggregates, strict-after
+        # semantics, us timestamps (operators/funnel.py)
+        "funnel_counts": f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+           WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE event_type = '{FUNNEL_STEPS[1]}' AND ts_us > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE event_type = '{FUNNEL_STEPS[2]}' AND ts_us > s2.t2
+           GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, min(ts_us) AS t4 FROM e
+           JOIN s3 ON e.user_id = s3.user_id
+           WHERE event_type = '{FUNNEL_STEPS[3]}' AND ts_us > s3.t3
+           GROUP BY e.user_id)
+    SELECT CAST(1 AS INTEGER) AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+    UNION ALL SELECT 4, '{FUNNEL_STEPS[3]}', (SELECT count(*) FROM s4)
+    """,
         "dup_ngram_spans": dup_spans_sql,
         "span_dup_stats": span_stats_sql,
         # winnowing: same k-gram 60-bit md5 hashes, same window mins as

@@ -1,0 +1,90 @@
+"""Ordered funnel analysis: how many users complete step₁ → step₂ →
+… → stepₖ in timestamp order.
+
+Step i counts only if it happens strictly AFTER the user's earliest
+completion of step i−1 (the standard product-analytics funnel
+semantic: earliest-possible traversal, one pass per user, no
+backtracking).
+
+Physical shape: one conditional min-aggregate per step (map-side
+partial combine; the per-step frames shrink monotonically) chained by
+inner joins on the user key. With AQE the later, smaller step frames
+broadcast automatically. k is small (funnel lengths of 3-6), so this
+is k cheap aggregates — NOT a per-user event-sequence sort, which at
+100 TB would shuffle every event into a per-user window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user earliest completion time of each funnel step (null once
+    the user falls out). Output: (user, t1..tk) — t_i is the earliest
+    ``ts`` of step i strictly after t_{i-1}."""
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .join(cur.select(user_col, f"t{i-1}"), user_col)
+            .filter(F.col(ts_col) > F.col(f"t{i-1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    return cur
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The funnel report: one row per step with how many users reached
+    it (monotonically non-increasing by construction)."""
+    times = funnel_times(df, steps, user_col, ts_col, type_col)
+    counts = times.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(i).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(f"n{i}").alias("n_users"),
+        )
+        for i, step in enumerate(steps, start=1)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.step_idx", "r.step", "r.n_users"
+    )
+
+
+def funnel_conversion(counts: DataFrame) -> DataFrame:
+    """Step-over-step conversion rates from a :func:`funnel_counts`
+    frame (window lag over k rows — trivially small)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("step_idx")
+    prev = F.lag("n_users").over(w)
+    rate = F.when(
+        prev.isNotNull() & (prev > 0),
+        F.col("n_users").cast("double") / prev.cast("double"),
+    )
+    return counts.withColumn("conversion", rate)

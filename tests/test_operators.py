@@ -313,3 +313,36 @@ def test_interval_join_containment(spark):
     closed = {(r.name, r.lo) for r in
               interval_join(l, iv, ["k"], "t", "lo", "hi", closed="both").collect()}
     assert closed == {("a", 0), ("b", 0), ("c", 15)}
+
+
+def test_funnel_strict_order_semantics(spark):
+    from pyspark.sql import functions as F
+    from hbase_gis_spark.operators.funnel import (
+        funnel_conversion,
+        funnel_counts,
+        funnel_times,
+    )
+
+    rows = [
+        # u1 completes a->b->c in order
+        (1, "a", 10), (1, "b", 20), (1, "c", 30),
+        # u2 has b BEFORE a (must not count), then no b after a
+        (2, "b", 5), (2, "a", 10), (2, "c", 40),
+        # u3 completes a->b, c missing
+        (3, "a", 1), (3, "b", 2),
+        # u4: b at SAME ts as a (strict > excludes), later b ok
+        (4, "a", 10), (4, "b", 10), (4, "b", 11), (4, "c", 12),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_us"])
+    t = {r.user_id: r for r in funnel_times(df, ["a", "b", "c"]).collect()}
+    assert (t[1].t1, t[1].t2, t[1].t3) == (10, 20, 30)
+    assert t[2].t2 is None and t[2].t3 is None
+    assert t[3].t3 is None
+    assert (t[4].t2, t[4].t3) == (11, 12)
+    c = {r.step: r.n_users for r in funnel_counts(df, ["a", "b", "c"]).collect()}
+    assert c == {"a": 4, "b": 3, "c": 2}
+    conv = {
+        r.step: r.conversion
+        for r in funnel_conversion(funnel_counts(df, ["a", "b", "c"])).collect()
+    }
+    assert conv["a"] is None and conv["b"] == 0.75
