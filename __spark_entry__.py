@@ -883,6 +883,16 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, FUNNEL_STEPS)
 
 
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle over events (integer UTC days)."""
+    from hbase_gis_spark.operators.funnel import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    return retention_cohorts(ev)
+
+
 ANN_MULTI_IDS = [7, 42, 99, 123]
 
 
@@ -965,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_rare_terms": _q_top_rare_terms,
         "ann_multi_topk": _q_ann_multi_topk,
         "funnel_counts": _q_funnel,
+        "retention_cohorts": _q_retention,
         "split_assign": _q_split_assign,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1868,6 +1879,17 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
     UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
     UNION ALL SELECT 4, '{FUNNEL_STEPS[3]}', (SELECT count(*) FROM s4)
+    """,
+        "retention_cohorts": """
+    WITH days AS (
+      SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    first AS (SELECT u, min(day) AS cohort_day FROM days GROUP BY u)
+    SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+           CAST(count(DISTINCT d.u) AS BIGINT) AS n_users
+    FROM days d JOIN first f ON d.u = f.u
+    GROUP BY f.cohort_day, d.day - f.cohort_day
     """,
         "dup_ngram_spans": dup_spans_sql,
         "span_dup_stats": span_stats_sql,

@@ -88,3 +88,39 @@ def funnel_conversion(counts: DataFrame) -> DataFrame:
         F.col("n_users").cast("double") / prev.cast("double"),
     )
     return counts.withColumn("conversion", rate)
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Cohort retention triangle: users bucketed by their first active
+    day (integer day = ts_us // µs-per-day — no timezone/calendar
+    dependence, identical in any engine), counted per day-offset from
+    that cohort day.
+
+    Plan: distinct (user, day) first (collapses the event multiplicity
+    early — the biggest frame never leaves the first aggregate), one
+    min-aggregate for cohort assignment, a user-keyed join, and the
+    final small (cohort × offset) count. Output:
+    (cohort_day, day_offset, n_users)."""
+    # integer division, NOT `/` + cast: float division can round up
+    # across an integer boundary right at a day edge, and the oracle's
+    # `//` would disagree
+    days = df.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"{ts_col} div {US_PER_DAY}").alias("day"),
+    ).distinct()
+    first = days.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "u")
+        .select(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"), "u"
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("u").alias("n_users"))
+    )

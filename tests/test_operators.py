@@ -346,3 +346,22 @@ def test_funnel_strict_order_semantics(spark):
         for r in funnel_conversion(funnel_counts(df, ["a", "b", "c"])).collect()
     }
     assert conv["a"] is None and conv["b"] == 0.75
+
+
+def test_retention_cohorts_semantics(spark):
+    from hbase_gis_spark.operators.funnel import US_PER_DAY, retention_cohorts
+
+    D = US_PER_DAY
+    rows = [
+        (1, 0), (1, D + 5), (1, 2 * D),      # u1: days 0,1,2
+        (2, D), (2, D + 10), (2, 3 * D),     # u2: cohort day1, offsets 0,2
+        (3, 2 * D - 1),                      # u3: day 1 (edge: 1 us before day2)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_us"])
+    out = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    assert out[(0, 0)] == 1 and out[(0, 1)] == 1 and out[(0, 2)] == 1
+    assert out[(1, 0)] == 2 and out[(1, 2)] == 1
+    assert (1, 1) not in out
