@@ -250,6 +250,20 @@ def _q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "lon", "lat", "distance")
 
 
+RADIUS_M = 5000.0
+
+
+def _q_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circle query: all points within 5 km (haversine) of the KNN
+    origin — pushable bbox prefilter, exact trig on survivors."""
+    from hbase_gis_spark.operators.knn import within_radius
+
+    pts = derived_points(spark, sf_dir)
+    return within_radius(pts, KNN_LON, KNN_LAT, RADIUS_M).select(
+        "id", "lon", "lat", "distance"
+    )
+
+
 def _q_topx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts div 1000")
@@ -939,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pruned": _q_knn_pruned,
         "knn_per_region": _q_knn_per_region,
         "knn_haversine": _q_knn_haversine,
+        "within_radius": _q_within_radius,
         "topx_per_group": _q_topx,
         "asof_join": _q_asof_join,
         "sessionize_events": _q_sessionize,
@@ -1654,6 +1669,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_pruned": knn_pruned_sql,
         "knn_per_region": knn_per_region_sql,
         "knn_haversine": knn_haversine_sql,
+        "within_radius": f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT id, lon, lat, distance FROM (
+      SELECT id, lon, lat, {hav} AS distance FROM pts
+    ) WHERE distance <= {RADIUS_M!r}
+    """,
         "topx_per_group": topx_sql,
         "asof_join": """
     WITH l AS (

@@ -133,3 +133,46 @@ def knn_per_region(
         .filter(F.col("__rn") <= k)
         .withColumnRenamed("__rn", "region_rank")
     )
+
+
+def within_radius(
+    df,
+    origin_lon: float,
+    origin_lat: float,
+    radius_m: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+):
+    """All points within ``radius_m`` great-circle meters of an origin
+    — the circle-query sibling of :func:`knn` (range query instead of
+    top-k).
+
+    Plan: a CONSERVATIVE degree bounding box runs first — plain
+    comparisons on the raw columns, so Parquet row-group stats prune
+    before any trig — then the exact haversine test on survivors. The
+    box uses the worst-case meters-per-degree with 5% slack, so it can
+    only admit extras (removed by the exact test), never drop a true
+    match; the registered oracle is therefore the bare exact filter.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hbase_gis_spark.functions.geo import haversine_distance
+
+    dlat = radius_m / 110574.0 * 1.05
+    coslat = max(math.cos(math.radians(origin_lat)), 0.01)
+    dlon = radius_m / (111320.0 * coslat) * 1.05
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    box = (
+        (lat >= origin_lat - dlat)
+        & (lat <= origin_lat + dlat)
+        & (lon >= origin_lon - dlon)
+        & (lon <= origin_lon + dlon)
+    )
+    dist = haversine_distance(lon, lat, origin_lon, origin_lat)
+    return (
+        df.filter(box)
+        .withColumn("distance", dist)
+        .filter(F.col("distance") <= F.lit(float(radius_m)))
+    )

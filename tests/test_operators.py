@@ -365,3 +365,25 @@ def test_retention_cohorts_semantics(spark):
     assert out[(0, 0)] == 1 and out[(0, 1)] == 1 and out[(0, 2)] == 1
     assert out[(1, 0)] == 2 and out[(1, 2)] == 1
     assert (1, 1) not in out
+
+
+def test_within_radius_bbox_is_lossless(spark):
+    """The conservative bbox prefilter never drops a true match:
+    within_radius == bare exact haversine filter."""
+    from pyspark.sql import functions as F
+    from hbase_gis_spark.functions.geo import haversine_distance
+    from hbase_gis_spark.operators.knn import within_radius
+    from hbase_gis_spark.sources.tables import derived_points
+    from tests.conftest import SF0001
+
+    pts = derived_points(spark, SF0001)
+    got = {r.id for r in within_radius(pts, -73.95, 40.75, 5000.0).collect()}
+    exact = {
+        r.id
+        for r in pts.withColumn(
+            "d", haversine_distance(F.col("lon"), F.col("lat"), -73.95, 40.75)
+        )
+        .filter("d <= 5000.0")
+        .collect()
+    }
+    assert got == exact and len(exact) > 0
