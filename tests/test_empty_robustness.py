@@ -19,6 +19,9 @@ from tests.conftest import SF0001
 
 # training a quantizer needs data — a clean error is the contract
 NEEDS_DATA = {"ann_ivf_topk", "ivf_cells"}
+# report-shaped queries emit one row per configured step/level even on
+# empty input (a funnel report always has k rows, with zero counts)
+FIXED_SHAPE = {"funnel_counts": 4}
 # point-query operators keyed to a specific row id return empty when
 # that row is absent — nothing to assert beyond "no crash"
 
@@ -48,7 +51,7 @@ def test_all_queries_survive_empty_tables(spark, empty_dir):
             failures[name] = f"{type(e).__name__}: {e}"[:200]
             continue
         # global aggregates legitimately return 1 row of nulls/zeros;
-        # everything else must be empty
-        if n > 1:
+        # report queries their fixed row count; everything else empty
+        if n > FIXED_SHAPE.get(name, 1):
             failures[name] = f"unexpected {n} rows from empty input"
     assert failures == {}, failures
