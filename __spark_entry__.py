@@ -897,6 +897,30 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, FUNNEL_STEPS)
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins snapshot+delta merge (HBase Put semantics at
+    table level): every 7th doc gets a v2 rewrite, every 13th a
+    tombstone delete."""
+    from hbase_gis_spark.operators.merge import merge_upsert
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", "lang").withColumn(
+        "version", F.lit(1).cast("bigint")
+    ).withColumn("deleted", F.lit(False))
+    updates = (
+        docs.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 13 == 0))
+        .select(
+            "doc_id",
+            F.concat(F.lit("UPDATED:"), F.col("doc_id")).alias("text"),
+            "lang",
+        )
+        .withColumn("version", F.lit(2).cast("bigint"))
+        .withColumn("deleted", (F.col("doc_id") % 13 == 0))
+    )
+    out = merge_upsert(base, updates, "doc_id", "version", "deleted")
+    return out.select("doc_id", "version", F.md5("text").alias("text_md5"))
+
+
 def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle over events (integer UTC days)."""
     from hbase_gis_spark.operators.funnel import retention_cohorts
@@ -991,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multi_topk": _q_ann_multi_topk,
         "funnel_counts": _q_funnel,
         "retention_cohorts": _q_retention,
+        "merge_upsert": _q_merge_upsert,
         "split_assign": _q_split_assign,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1900,6 +1925,27 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
     UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
     UNION ALL SELECT 4, '{FUNNEL_STEPS[3]}', (SELECT count(*) FROM s4)
+    """,
+        # merge_upsert: union -> per-key rank (version desc, updates
+        # win ties) -> drop tombstones (operators/merge.py)
+        "merge_upsert": """
+    WITH base AS (
+      SELECT doc_id, text, lang, 1::BIGINT AS version, false AS deleted, 0 AS pri
+      FROM documents
+    ),
+    upd AS (
+      SELECT doc_id, 'UPDATED:' || CAST(doc_id AS VARCHAR) AS text, lang,
+             2::BIGINT AS version, doc_id % 13 = 0 AS deleted, 1 AS pri
+      FROM documents WHERE doc_id % 7 = 0 OR doc_id % 13 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY version DESC, pri DESC) AS rn
+      FROM u
+    )
+    SELECT doc_id, version, md5(text) AS text_md5
+    FROM r WHERE rn = 1 AND NOT coalesce(deleted, false)
     """,
         "retention_cohorts": """
     WITH days AS (

@@ -1,0 +1,54 @@
+"""Snapshot + delta merge (upsert) — HBase's Put semantics lifted to
+table level.
+
+The reference's store IS an upsert table: a later Put to the same
+rowkey wins (SURVEY.md §1.4; Ingest.java:78-83). In a lakehouse
+pipeline the same need appears as CDC/delta application: merge a new
+batch into a snapshot, latest version per key wins. Without a table
+format doing it for you, the portable implementation is
+union → per-key rank → keep 1, which is exactly one hash shuffle on
+the key — the minimum any engine needs for a global per-key decision.
+
+At scale: the window partitions by the merge key (uniform id-like
+keys — no skew), and AQE handles the union's mixed partition sizes.
+Deletes ride along as tombstone rows (``tombstone_col``) that win the
+rank and are then dropped — the log-structured-merge idea in one
+DataFrame expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    version_col: str,
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Last-write-wins merge of ``updates`` into ``base``.
+
+    The winner per key is the highest ``version_col``; on version ties
+    the updates side wins (matching an upsert store, where the later
+    write replaces). Rows whose winning record is a tombstone are
+    deleted. Output schema = base schema."""
+    cols = base.columns
+    lo = base.select(*cols).withColumn("__pri", F.lit(0))
+    hi = updates.select(*cols).withColumn("__pri", F.lit(1))
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(version_col).desc(), F.col("__pri").desc()
+    )
+    merged = (
+        lo.unionByName(hi)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__pri")
+    )
+    if tombstone_col is not None:
+        merged = merged.filter(
+            ~F.coalesce(F.col(tombstone_col), F.lit(False))
+        )
+    return merged

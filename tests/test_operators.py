@@ -387,3 +387,26 @@ def test_within_radius_bbox_is_lossless(spark):
         .collect()
     }
     assert got == exact and len(exact) > 0
+
+
+def test_merge_upsert_semantics(spark):
+    from hbase_gis_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False), (3, "c", 5, False)],
+        ["k", "v", "version", "deleted"],
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "a2", 2, False),   # newer version wins
+            (2, None, 2, True),    # tombstone deletes
+            (3, "c2", 5, False),   # TIE version: updates side wins
+            (4, "d", 1, False),    # brand-new key inserts
+        ],
+        ["k", "v", "version", "deleted"],
+    )
+    out = {r.k: r for r in merge_upsert(base, upd, "k", "version", "deleted").collect()}
+    assert out[1].v == "a2" and out[1].version == 2
+    assert 2 not in out
+    assert out[3].v == "c2"
+    assert out[4].v == "d"
