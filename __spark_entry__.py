@@ -897,6 +897,17 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, FUNNEL_STEPS)
 
 
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals: each user's event_type change history
+    as [valid_from, valid_to) runs."""
+    from hbase_gis_spark.operators.merge import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    return scd2_intervals(ev, "user_id", "ts_us", "event_type", "event_id")
+
+
 def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-write-wins snapshot+delta merge (HBase Put semantics at
     table level): every 7th doc gets a v2 rewrite, every 13th a
@@ -1016,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": _q_funnel,
         "retention_cohorts": _q_retention,
         "merge_upsert": _q_merge_upsert,
+        "scd2_intervals": _q_scd2,
         "split_assign": _q_split_assign,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1925,6 +1937,27 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
     UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
     UNION ALL SELECT 4, '{FUNNEL_STEPS[3]}', (SELECT count(*) FROM s4)
+    """,
+        # scd2: collapse unchanged runs with lag, interval bounds with
+        # lead, (ts, event_id) order (operators/merge.py)
+        "scd2_intervals": """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             coalesce(event_type != lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+             ), true) AS new_run
+      FROM e
+    ),
+    starts AS (SELECT * FROM marked WHERE new_run)
+    SELECT user_id, event_type, ts_us AS valid_from,
+           lead(ts_us) OVER (
+             PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+           ) AS valid_to
+    FROM starts
     """,
         # merge_upsert: union -> per-key rank (version desc, updates
         # win ties) -> drop tombstones (operators/merge.py)

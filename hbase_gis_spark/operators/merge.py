@@ -52,3 +52,42 @@ def merge_upsert(
             ~F.coalesce(F.col(tombstone_col), F.lit(False))
         )
     return merged
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Change log → type-2 slowly-changing-dimension rows: one row per
+    (key, attribute run) with [valid_from, valid_to) interval bounds
+    (null valid_to = current). Consecutive records with an unchanged
+    attribute collapse into one interval (the run's first timestamp).
+
+    Two windows over the same (key, ts, tiebreak) order — the second
+    runs on the collapsed (much smaller) frame. One hash shuffle on
+    the key; the explicit ``tiebreak_col`` makes equal-timestamp
+    change records deterministic (and oracle-reproducible)."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    prev = F.lag(attr_col).over(w)
+    starts = (
+        changes.withColumn(
+            "__new_run",
+            F.coalesce(F.col(attr_col) != prev, F.lit(True)),
+        )
+        .filter(F.col("__new_run"))
+        .drop("__new_run")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return starts.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )

@@ -410,3 +410,23 @@ def test_merge_upsert_semantics(spark):
     assert 2 not in out
     assert out[3].v == "c2"
     assert out[4].v == "d"
+
+
+def test_scd2_intervals_collapse_runs(spark):
+    from hbase_gis_spark.operators.merge import scd2_intervals
+
+    rows = [
+        (1, "A", 10, 100), (1, "A", 20, 101), (1, "B", 30, 102),
+        (1, "A", 40, 103),
+        (2, "X", 5, 104),
+    ]
+    df = spark.createDataFrame(rows, ["k", "attr", "ts", "eid"])
+    out = sorted(
+        scd2_intervals(df, "k", "ts", "attr", "eid").collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    u1 = [(r.attr, r.valid_from, r.valid_to) for r in out if r.k == 1]
+    # run A[10,30) collapses the 10 and 20 records; reopened A at 40
+    assert u1 == [("A", 10, 30), ("B", 30, 40), ("A", 40, None)]
+    u2 = [(r.attr, r.valid_from, r.valid_to) for r in out if r.k == 2]
+    assert u2 == [("X", 5, None)]
