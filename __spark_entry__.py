@@ -897,6 +897,24 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, FUNNEL_STEPS)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type count pivot — groupBy().pivot() with an
+    EXPLICIT value list (an implicit pivot needs a distinct-values
+    pre-pass over the data: an extra full scan at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
 def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity intervals: each user's event_type change history
     as [valid_from, valid_to) runs."""
@@ -1028,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention,
         "merge_upsert": _q_merge_upsert,
         "scd2_intervals": _q_scd2,
+        "event_pivot": _q_event_pivot,
         "split_assign": _q_split_assign,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1937,6 +1956,14 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
     UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
     UNION ALL SELECT 4, '{FUNNEL_STEPS[3]}', (SELECT count(*) FROM s4)
+    """,
+        "event_pivot": f"""
+    SELECT user_id,
+           {", ".join(
+             f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+             for t in EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
     """,
         # scd2: collapse unchanged runs with lag, interval bounds with
         # lead, (ts, event_id) order (operators/merge.py)
