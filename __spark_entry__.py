@@ -897,6 +897,35 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, FUNNEL_STEPS)
 
 
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: extract a JSON field from
+    the props VARCHAR (get_json_object — JVM-side JSON path, no
+    Python) and aggregate it exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+def _q_daily_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling event counts: integer-day RANGE window frame over
+    the (tiny) per-day aggregate — the daily-metrics dashboard shape.
+    The global window orders only n_days rows, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(F.expr("ts div 1000 div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return d.select(
+        "day", "n", F.sum("n").over(w).cast("bigint").alias("n_7d")
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1047,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": _q_merge_upsert,
         "scd2_intervals": _q_scd2,
         "event_pivot": _q_event_pivot,
+        "json_props": _q_json_props,
+        "daily_rolling": _q_daily_rolling,
         "split_assign": _q_split_assign,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1956,6 +1987,21 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
     UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
     UNION ALL SELECT 4, '{FUNNEL_STEPS[3]}', (SELECT count(*) FROM s4)
+    """,
+        "json_props": """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+        "daily_rolling": """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT day, n,
+           CAST(sum(n) OVER (ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+    FROM d
     """,
         "event_pivot": f"""
     SELECT user_id,
