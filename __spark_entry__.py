@@ -897,6 +897,20 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, FUNNEL_STEPS)
 
 
+EDIT_MAX_DIST, EDIT_SIG_LEN = 8, 64
+
+
+def _q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs over normalized 64-char prefixes,
+    blocked by (first token, length bucket)."""
+    from hbase_gis_spark.operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs, max_dist=EDIT_MAX_DIST, sig_len=EDIT_SIG_LEN
+    )
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column processing: extract a JSON field from
     the props VARCHAR (get_json_object — JVM-side JSON path, no
@@ -1077,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": _q_scd2,
         "event_pivot": _q_event_pivot,
         "json_props": _q_json_props,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "daily_rolling": _q_daily_rolling,
         "split_assign": _q_split_assign,
         "stratified_sample": _q_stratified_sample,
@@ -1987,6 +2002,27 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
     UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
     UNION ALL SELECT 4, '{FUNNEL_STEPS[3]}', (SELECT count(*) FROM s4)
+    """,
+        # edit-distance dedup: same normalization, blocking keys, and
+        # unit-cost levenshtein as operators/dedup.py:edit_distance_pairs
+        "edit_distance_pairs": f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                    1, {EDIT_SIG_LEN}) AS sig
+      FROM documents
+    ),
+    keyed AS (
+      SELECT id, sig, string_split(sig, ' ')[1] AS tok0,
+             CAST(length(sig) // 8 AS INTEGER) AS lenb
+      FROM base
+    )
+    SELECT id_a, id_b, edit_dist FROM (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.sig, b.sig) AS INTEGER) AS edit_dist
+      FROM keyed a JOIN keyed b
+        ON a.tok0 = b.tok0 AND a.lenb = b.lenb AND a.id < b.id
+    ) WHERE edit_dist <= {EDIT_MAX_DIST}
     """,
         "json_props": """
     SELECT event_type, count(*) AS n,

@@ -964,3 +964,52 @@ def winnow_matches(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 8,
+    sig_len: int = 64,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein distance over a normalized
+    prefix signature (first ``sig_len`` chars, lowercased/collapsed) —
+    the short-text/title dedup tool, complementary to the set-based
+    (Jaccard) and bit-based (SimHash) families.
+
+    Blocking: candidates must share (first token, length bucket) — a
+    cheap equality key that bounds the quadratic verify to in-bucket
+    pairs (same `_bucket_pairs` machinery and ``max_bucket`` guard as
+    the other families). Pairs edited in their first token or across a
+    length-bucket boundary are missed — the standard recall/cost trade
+    of blocked edit-distance dedup; widen by unioning more blocking
+    keys if the corpus needs it. levenshtein() is built in on both
+    engines (same unit-cost DP), so verification is integer-exact."""
+    sig = F.substring(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+        1,
+        sig_len,
+    )
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        sig.alias("sig"),
+    )
+    keyed = base.select(
+        "id",
+        "sig",
+        F.element_at(F.split("sig", " "), 1).alias("tok0"),
+        (F.length("sig") / F.lit(8)).cast("int").alias("lenb"),
+    )
+    cand = _bucket_pairs(
+        keyed, ["tok0", "lenb"], carry=["sig"], max_bucket=max_bucket
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("sig_a", "sig_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

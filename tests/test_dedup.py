@@ -320,3 +320,20 @@ def test_minhash_arrow_kernel_bit_identical(spark):
     # doc 3 has < 3 tokens -> empty shingle set -> all-null signature
     d3 = [r for r in both if r["doc_id"] == 3][0]
     assert d3["sa"] == [None] * 16
+
+
+def test_edit_distance_pairs_blocking_and_verify(spark):
+    from hbase_gis_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "hello world this is a doc"),
+        (2, "hello world this is a dog"),     # 1 substitution from doc 1
+        (3, "hello world this is entirely different text"),  # same block, far
+        (4, "goodbye world this is a doc"),   # different first token: unblocked
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.id_a, r.id_b): r.edit_dist for r in
+           edit_distance_pairs(df, max_dist=3).collect()}
+    assert out.get((1, 2)) == 1
+    assert (1, 3) not in out      # verified and rejected (dist > 3)
+    assert (1, 4) not in out      # blocked away (first token differs)
