@@ -211,3 +211,72 @@ def test_streaming_corpus_filters_match_batch(spark, tmp_path_factory):
     run_stream_to_memory(sampled, "corpus_stream", output_mode="append")
     got = {r.doc_id for r in spark.sql("SELECT * FROM corpus_stream").collect()}
     assert got == expect and len(expect) > 0
+
+
+def test_streaming_cdc_upsert_matches_batch_merge(spark, tmp_path_factory):
+    """CDC-style streaming upsert: deltas arrive as a file stream, each
+    micro-batch folds into a versioned snapshot via merge_upsert
+    (foreachBatch read-merge-write). Because merge is last-write-wins
+    on an explicit version column, the final snapshot is independent
+    of batch arrival order and equals the one-shot batch merge."""
+    from pyspark.sql import functions as F
+    from hbase_gis_spark.operators.merge import merge_upsert
+
+    root = tmp_path_factory.mktemp("cdc")
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    base = (
+        docs.withColumn("version", F.lit(0).cast("bigint"))
+        .withColumn("deleted", F.lit(False))
+    )
+    base.write.mode("overwrite").parquet(str(root / "snap_v0"))
+
+    updates = (
+        docs.filter("doc_id % 3 = 0")
+        .select(
+            "doc_id",
+            F.concat(F.lit("v"), (F.col("doc_id") % 5) + 1, F.lit(":"),
+                     F.col("doc_id")).alias("text"),
+        )
+        .withColumn("version", (F.col("doc_id") % 5 + 1).cast("bigint"))
+        .withColumn("deleted", F.col("doc_id") % 9 == 0)
+    )
+    upd_dir = str(root / "updates")
+    updates.repartition(3).write.mode("overwrite").parquet(upd_dir)
+
+    expect = sorted(
+        map(
+            tuple,
+            merge_upsert(base, updates, "doc_id", "version", "deleted")
+            .select("doc_id", "text", "version")
+            .collect(),
+        )
+    )
+
+    state = {"v": 0}
+
+    def apply_batch(batch_df, _bid):
+        cur = spark.read.parquet(str(root / f"snap_v{state['v']}"))
+        merged = merge_upsert(cur, batch_df, "doc_id", "version", "deleted")
+        state["v"] += 1
+        merged.write.mode("overwrite").parquet(str(root / f"snap_v{state['v']}"))
+
+    stream = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd_dir)
+    )
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(root / f"snap_v{state['v']}"))
+            .select("doc_id", "text", "version")
+            .collect(),
+        )
+    )
+    assert state["v"] >= 2  # the deltas really arrived over >1 batch
+    assert got == expect
