@@ -703,6 +703,151 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATE_SHIP_DAYS = 60  # Q4-shaped "late line" threshold
+
+
+def _q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders with at least one
+    lineitem shipped more than LATE_SHIP_DAYS after the order date,
+    counted per priority. The EXISTS is a LEFT SEMI hash join on the
+    order key with the non-equi lateness conjunct evaluated as the
+    join's residual condition — each order emits at most once no
+    matter how many late lines it has, so no distinct is needed."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+def _q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped distribution: per-customer count of 1-URGENT
+    orders via LEFT OUTER join (customers with none keep count 0 — the
+    shape an inner join silently loses), then a histogram of those
+    counts. Two hash aggregations, both on low-cardinality keys after
+    the first; the orders side is pre-filtered before the join so the
+    outer join's build input is small."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _q_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers who never placed a
+    1-URGENT order, rolled up by market segment with exact integer
+    account-balance cents. The anti join is a hash join on c_custkey;
+    the urgent-orders build side is filtered before the join so only
+    matching keys ship through the shuffle."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+        )
+    )
+
+
+Q18_MIN_QTY = 300
+
+
+def _q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: aggregate lineitem
+    quantity per order FIRST (map-side partial agg shrinks 600k lines
+    to 15k orders before any join), filter with HAVING, then join the
+    tiny surviving set to orders and customer — AQE converts both
+    joins to broadcasts at runtime since the filtered agg is a few
+    dozen rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "total_cents", "sum_qty")
+    )
+
+
+PROMO_START = "1997-01-01 00:00:00"
+PROMO_END = "1997-04-01 00:00:00"
+
+
+def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: conditional aggregation over
+    a sargable ship-date window, lineitem joined to the part dim with
+    an explicit broadcast (part is tiny relative to lineitem at every
+    sf). Revenue in exact integer units (cents x discount-percent);
+    the promo share is surfaced as two integer sums, not a float
+    ratio, so the result is engine-portable."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.expr(f"TIMESTAMP_NTZ '{PROMO_START}'"))
+            & (F.col("l_shipdate") < F.expr(f"TIMESTAMP_NTZ '{PROMO_END}'"))
+        )
+        .select(
+            "l_partkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_units"),
+        )
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev_units")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("promo_units"),
+            F.sum("rev_units").alias("total_units"),
+        )
+    )
+
+
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary stats (tf + doc frequency per token)."""
     from hbase_gis_spark.operators.textstats import term_stats
@@ -1081,6 +1226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "pricing_summary": _q_pricing_summary,
         "shipping_priority": _q_shipping_priority,
+        "order_priority_counts": _q_order_priority_counts,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "customers_no_urgent": _q_customers_no_urgent,
+        "large_volume_customers": _q_large_volume_customers,
+        "promo_revenue": _q_promo_revenue,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -1895,6 +2045,66 @@ def oracle_sql() -> dict[str, str]:
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
     GROUP BY l_returnflag, l_linestatus
+    """,
+        "order_priority_counts": f"""
+    SELECT o_orderpriority, count(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+        "customer_order_distribution": """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_custkey) AS c_count
+      FROM customer c
+      LEFT JOIN (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ) o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+        "customers_no_urgent": """
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS sum_bal_cents
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment
+    """,
+        "large_volume_customers": f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(sum_qty AS BIGINT) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > {Q18_MIN_QTY}
+    ) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+        "promo_revenue": f"""
+    SELECT
+      CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_units ELSE 0 END)
+           AS BIGINT) AS promo_units,
+      CAST(sum(rev_units) AS BIGINT) AS total_units
+    FROM (
+      SELECT l_partkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{PROMO_START}'
+        AND l_shipdate < TIMESTAMP '{PROMO_END}'
+    ) li
+    JOIN part ON p_partkey = l_partkey
     """,
         "split_assign": """
     SELECT doc_id,
