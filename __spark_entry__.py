@@ -11,8 +11,9 @@ these entries cover). Oracle-parity rules used throughout:
 - double arithmetic is written with the SAME operation order in the
   DataFrame code and the SQL so results are bit-identical;
 - timestamps surface as epoch microseconds (testdata parquet is
-  TIMESTAMP(NANOS): Spark reads long ns via nanosAsLong → ``div 1000``;
-  DuckDB reads µs-truncated timestamps → ``epoch_us``);
+  timestamp[us]: Spark reads TIMESTAMP_NTZ → ``ts_us()`` =
+  ``unix_micros(cast ts as timestamp)`` under the UTC session tz;
+  DuckDB reads naive µs timestamps → ``epoch_us``);
 - every tie is broken by a unique column in both engines;
 - geohash-cell grouping is oracled via the bit-interleave identity
   (geohash-6 equality == 15-bit lon/lat bin equality, pinned by
@@ -87,6 +88,7 @@ from hbase_gis_spark.sources.tables import (
     POINTS_SQL,
     derived_points,
     load_table,
+    ts_us,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -266,7 +268,7 @@ def _q_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_topx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
+        "ts_us", ts_us()
     )
     return top_x(ev, "user_id", "ts_us", TOPX_X, tiebreak_col="event_id").select(
         "user_id", "event_id", "ts_us"
@@ -283,7 +285,7 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("purchase_id"),
-        F.expr("ts div 1000").alias("ts_us"),
+        ts_us().alias("ts_us"),
     )
     # deterministic winner when two views share (user_id, ts): keep the
     # max view_id — otherwise both this plan and the DuckDB ASOF oracle
@@ -293,7 +295,7 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("event_id").alias("view_id"),
-            F.expr("ts div 1000").alias("view_ts_us"),
+            ts_us().alias("view_ts_us"),
         )
         .groupBy("user_id", "view_ts_us")
         .agg(F.max("view_id").alias("view_id"))
@@ -312,7 +314,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     l = ev.select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+        "user_id", "event_id", ts_us().alias("ts_us")
     )
     sess = user_sessions(ev, gap="5 minutes").select(
         "user_id",
@@ -1037,7 +1039,7 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_gis_spark.operators.funnel import funnel_counts
 
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
+        "ts_us", ts_us()
     )
     return funnel_counts(ev, FUNNEL_STEPS)
 
@@ -1075,7 +1077,11 @@ def _q_daily_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global window orders only n_days rows, never raw events."""
     ev = load_table(spark, sf_dir, "events")
     d = (
-        ev.select(F.expr("ts div 1000 div 86400000000").alias("day"))
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day")
+        )
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1109,7 +1115,7 @@ def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_gis_spark.operators.merge import scd2_intervals
 
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
+        "ts_us", ts_us()
     )
     return scd2_intervals(ev, "user_id", "ts_us", "event_type", "event_id")
 
@@ -1143,7 +1149,7 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_gis_spark.operators.funnel import retention_cohorts
 
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
+        "ts_us", ts_us()
     )
     return retention_cohorts(ev)
 
@@ -1178,8 +1184,8 @@ def _q_exact_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
-        F.expr("min(ts) div 1000").alias("min_ts_us"),
-        F.expr("max(ts) div 1000").alias("max_ts_us"),
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("max_ts_us"),
     )
 
 

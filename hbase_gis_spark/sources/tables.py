@@ -1,12 +1,13 @@
 """Driver-testdata table access + the derived geo point table.
 
-The synthetic tables (TESTDATA.md) carry TIMESTAMP(NANOS) parquet
-columns, which Spark only reads with
-``spark.sql.legacy.parquet.nanosAsLong=true`` (a runtime-settable conf);
-timestamp columns then surface as **long nanoseconds**. DuckDB reads the
-same columns as µs-truncated timestamps, so every oracle-visible
-timestamp is exposed as epoch MICROseconds: ``ts div 1000`` (Spark)
-== ``epoch_us(ts)`` (DuckDB).
+The synthetic tables (TESTDATA.md) carry parquet timestamp columns.
+Historically these were TIMESTAMP(NANOS) (Spark reads them as long
+nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong=true``);
+current testdata is timestamp[us] (Spark reads TIMESTAMP_NTZ). DuckDB
+reads either as µs timestamps, so every oracle-visible timestamp is
+exposed as epoch MICROseconds via :func:`ts_us` (Spark) ==
+``epoch_us(ts)`` (DuckDB); the session timezone is pinned UTC
+(session.py) so the NTZ wall-clock IS the instant.
 
 ``derived_points`` deterministically fabricates a geo point table from
 ``events`` (the driver testdata has no native lon/lat table). The
@@ -29,6 +30,26 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_us(col="ts"):
+    """Event timestamp (TIMESTAMP_NTZ/TIMESTAMP) -> epoch microseconds
+    (bigint). Session tz is pinned UTC (session.py), so an NTZ
+    wall-clock converts to the same instant DuckDB's ``epoch_us``
+    yields on the naive parquet timestamp."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def ts_us_from(df: DataFrame, col: str = "ts"):
+    """Schema-inspecting variant of :func:`ts_us` — handles the legacy
+    long-nanos layout explicitly (cast long->timestamp would misread
+    nanos as seconds, so the dtype check matters)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 # --- derived geo points (lon/lat grid fabricated from event ids) -------------

@@ -8,8 +8,10 @@ per-group state), which is how the reference's TopX coprocessor
 (per-group bounded heap, TopXEndpoint.java:89-103) translates to an
 infinite input.
 
-The testdata 'ts' column arrives as long NANOseconds (see
-sources.tables); event_time() converts to a proper timestamp column.
+The testdata 'ts' column arrives as TIMESTAMP_NTZ (timestamp[us]
+parquet; see sources.tables); event_time() normalizes it to a plain
+TimestampType column (session tz is pinned UTC, so the wall-clock IS
+the instant).
 """
 
 from __future__ import annotations
@@ -23,8 +25,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def event_time(col: str = "ts"):
-    """long-nanos -> TimestampType (µs precision, matching DuckDB)."""
-    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    """TIMESTAMP_NTZ -> TimestampType (µs precision, matching DuckDB;
+    UTC session tz preserves the instant)."""
+    return F.col(col).cast("timestamp")
 
 
 def read_event_stream(
@@ -159,7 +162,11 @@ def streaming_top_x_earliest(
         )
 
     return (
-        events.select(group_col, "event_id", "ts")
+        events.select(
+            group_col,
+            "event_id",
+            F.unix_micros(event_time("ts")).alias("ts"),
+        )
         .groupBy(group_col)
         .applyInPandasWithState(
             fn,
