@@ -850,6 +850,99 @@ def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q5_REGION = "ASIA"
+Q5_START, Q5_END = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+
+
+def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local supplier volume: the deepest join chain in
+    the suite (region -> nation -> customer -> orders -> lineitem ->
+    supplier) with the nation-colocation predicate (customer and
+    supplier in the SAME nation). Plan shape that survives 100x: the
+    region/nation dims broadcast (no shuffle), the three fact joins
+    shuffle on their natural keys, and the date filter is pushed into
+    the orders parquet scan. Revenue in exact integer units."""
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q5_REGION)
+        .select("r_regionkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # dim pre-join stays driver-tiny: nations of the target region
+    n_in_r = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{Q5_START}'"))
+            & (F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{Q5_END}'"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_units"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        c.join(F.broadcast(n_in_r), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        # supplier is small at any sf relative to lineitem — broadcast;
+        # the colocation predicate rides along as a join condition
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_units").alias("revenue_units"),
+        )
+    )
+
+
+def _q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (lower median at rank ceil(n/2)) of
+    customer balances by market segment — the exact twin of
+    sketch_stats' approximate quantiles. Rank-based, so it is
+    deterministic under ties and engine-portable (no interpolation
+    convention to match). The window sorts only within each segment;
+    at 100 TB the same shape holds because group count is bounded and
+    rows partition by segment."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        "c_custkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("bal_cents").asc(), F.col("c_custkey").asc()
+    )
+    ranked = c.select(
+        "c_mktsegment",
+        "bal_cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c_mktsegment"))
+        .alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "c_mktsegment",
+            F.col("n").alias("n_customers"),
+            F.col("bal_cents").alias("median_bal_cents"),
+        )
+    )
+
+
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary stats (tf + doc frequency per token)."""
     from hbase_gis_spark.operators.textstats import term_stats
@@ -1237,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_urgent": _q_customers_no_urgent,
         "large_volume_customers": _q_large_volume_customers,
         "promo_revenue": _q_promo_revenue,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "grouped_median": _q_grouped_median,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2051,6 +2146,37 @@ def oracle_sql() -> dict[str, str]:
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
     GROUP BY l_returnflag, l_linestatus
+    """,
+        "local_supplier_volume": f"""
+    SELECT n_name, count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_units
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = '{Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{Q5_START}'
+      AND o_orderdate < TIMESTAMP '{Q5_END}'
+    GROUP BY n_name
+    """,
+        "grouped_median": """
+    SELECT c_mktsegment, n AS n_customers, bal_cents AS median_bal_cents
+    FROM (
+      SELECT c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) ASC,
+                        c_custkey ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    WHERE rn = (n + 1) // 2
     """,
         "order_priority_counts": f"""
     SELECT o_orderpriority, count(*) AS n_late_orders
