@@ -968,6 +968,20 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_LOOKBACK = "24 hours"
+
+
+def _q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join (ad-attribution shape): every purchase paired
+    with the same user's views in the preceding 24h. The SAME operator
+    runs as a watermarked stream-stream join on readStream input
+    (bounded join state; parity pinned in tests/test_streaming.py)."""
+    from hbase_gis_spark.streaming.events import purchase_view_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return purchase_view_attribution(ev, lookback=ATTR_LOOKBACK)
+
+
 SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.5, "de": 0.25, "es": 0.25, "und": 0.05}
 
 
@@ -1332,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": _q_promo_revenue,
         "local_supplier_volume": _q_local_supplier_volume,
         "grouped_median": _q_grouped_median,
+        "purchase_attribution": _q_purchase_attribution,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2146,6 +2161,15 @@ def oracle_sql() -> dict[str, str]:
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
     GROUP BY l_returnflag, l_linestatus
+    """,
+        "purchase_attribution": """
+    SELECT p.user_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           v.event_id AS view_id, epoch_us(v.ts) AS view_ts_us
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
     """,
         "local_supplier_volume": f"""
     SELECT n_name, count(*) AS n_items,

@@ -178,6 +178,56 @@ def streaming_top_x_earliest(
     )
 
 
+def purchase_view_attribution(
+    events: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval self-join: every purchase paired with the
+    same user's view events in the preceding ``lookback`` window
+    (inclusive both ends) — the ad-attribution shape.
+
+    On streams BOTH branches carry the watermark and the join condition
+    bounds event time on each side, so Spark can expire join state
+    (views older than purchase-watermark − lookback drop); without the
+    time bound a stream-stream join would buffer forever. On batch the
+    same plan is an equi-join on user_id with the range as a join
+    residual — no cartesian. Output columns are identical either way.
+    """
+    wt = events.withColumn("event_ts", event_time("ts"))
+    if wt.isStreaming:
+        wt = wt.withWatermark("event_ts", watermark)
+    p = wt.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_ts").alias("p_ts"),
+    )
+    v = wt.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_uid"),
+        F.col("event_id").alias("view_id"),
+        F.col("event_ts").alias("v_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("p_uid") == F.col("v_uid"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (
+                F.col("v_ts")
+                >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")
+            ),
+            "inner",
+        )
+        .select(
+            F.col("p_uid").alias("user_id"),
+            "purchase_id",
+            F.unix_micros("p_ts").alias("purchase_ts_us"),
+            "view_id",
+            F.unix_micros("v_ts").alias("view_ts_us"),
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "update"
 ) -> None:

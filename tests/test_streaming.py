@@ -94,6 +94,33 @@ def test_streaming_topx_matches_batch_topx(spark):
     assert got == expect
 
 
+def test_stream_stream_attribution_matches_batch(spark):
+    """Watermarked stream-stream interval self-join (purchase <- views
+    lookback window) emits exactly the batch join's rows. Inner
+    stream-stream joins emit matches eagerly (the watermark only
+    bounds join state), so a finite stream yields the full result."""
+    from hbase_gis_spark.streaming.events import purchase_view_attribution
+
+    batch = load_table(spark, SF0001, "events")
+    expect = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in purchase_view_attribution(batch, "24 hours").collect()
+    }
+    assert len(expect) > 0
+
+    stream = read_event_stream(spark, SF0001)
+    run_stream_to_memory(
+        purchase_view_attribution(stream, "24 hours"),
+        "attribution",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM attribution").collect()
+    }
+    assert got == expect
+
+
 def test_streaming_dedup_matches_batch(spark):
     """dropDuplicatesWithinWatermark on the stream returns the same key
     set as batch dropDuplicates (first occurrence per user)."""
