@@ -379,6 +379,19 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs with doc_id % 3 == 0 play the
+    already-ingested catalog; the rest arrive as the new batch and are
+    flagged exact/near/keep against it (cross-set inverted index — one
+    equi-join on the shingle key, no batch x catalog product)."""
+    from hbase_gis_spark.operators.dedup import dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    cat = docs.filter(F.col("doc_id") % 3 == 0)
+    inc = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup_incremental(inc, cat, n=JACCARD_N, threshold=JACCARD_T)
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale path; same output contract as the exact pairs (recall pinned
     # by tests/test_dedup.py against the exact operator)
@@ -1347,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "grouped_median": _q_grouped_median,
         "purchase_attribution": _q_purchase_attribution,
+        "dedup_incremental": _q_dedup_incremental,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -1620,6 +1634,37 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 0.0 END AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     ) WHERE jaccard >= {JACCARD_T}
+    """
+    dedup_incremental_sql = f"""
+    {shingles_cte.rstrip()},
+    cat AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    cat_hash AS (
+      SELECT md5(text) AS h, min(doc_id) AS exact_id FROM cat GROUP BY 1
+    ),
+    ex AS (
+      SELECT i.doc_id, c.exact_id FROM inc i
+      JOIN cat_hash c ON md5(i.text) = c.h
+    ),
+    nr AS (
+      SELECT a.doc_id, min(b.doc_id) AS near_id
+      FROM sh a JOIN sh b
+        ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+       AND len(list_intersect(a.s, b.s)) > 0
+      WHERE CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+                 THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / CAST(len(a.s) + len(b.s)
+                             - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 ELSE 0.0 END >= {JACCARD_T}
+      GROUP BY a.doc_id
+    )
+    SELECT i.doc_id,
+           coalesce(e.exact_id, n.near_id) AS dup_of,
+           CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                WHEN n.near_id IS NOT NULL THEN 'near' END AS reason
+    FROM inc i
+    LEFT JOIN ex e ON i.doc_id = e.doc_id
+    LEFT JOIN nr n ON i.doc_id = n.doc_id
     """
     # 60-bit simhash: per-word md5-derived hash, per-bit majority vote
     simhash_cte = """
@@ -2063,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact_sql,
         "dedup_ngram_jaccard": jaccard_sql,
         "dedup_minhash_lsh": jaccard_sql,
+        "dedup_incremental": dedup_incremental_sql,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (

@@ -381,6 +381,98 @@ def jaccard_pairs(
     )
 
 
+def dedup_incremental(
+    incoming: DataFrame,
+    catalog: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental ingest dedup: flag incoming docs that duplicate an
+    already-ingested catalog — the steady-state shape of a continuously
+    fed corpus, where each new batch checks against history instead of
+    re-deduping the whole corpus.
+
+    Returns one row per incoming doc: ``(doc_id, dup_of, reason)`` with
+    ``reason`` 'exact' (identical raw text, md5), 'near' (n-gram
+    Jaccard >= threshold vs some catalog doc), or NULL (keep).
+    ``dup_of`` is the smallest matching catalog id; exact wins.
+
+    Scale shape: the near pass is a CROSS-SET inverted index — shingle
+    postings from both sides meet in ONE equi-join on the shingle key
+    (each side shuffled once); there is no self-pair explosion, and
+    work scales with Σ df_inc(s)·df_cat(s), not |batch|·|catalog|.
+    ``max_df`` drops shingles whose CATALOG document frequency exceeds
+    the cap (stop shingles) before the join — same false-negative-only
+    guarantee as :func:`jaccard_pairs`. The catalog side would be a
+    pre-materialized postings table in production; here it is computed
+    from the catalog docs."""
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
+    inc = _spread(incoming).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    )
+    cat = _spread(catalog).select(
+        F.col(id_col).alias("cid"), F.col(text_col).alias("ct")
+    )
+
+    cat_hash = cat.groupBy(F.md5("ct").alias("h")).agg(
+        F.min("cid").alias("exact_id")
+    )
+    exact = (
+        inc.select("id", F.md5("t").alias("h"))
+        .join(cat_hash, "h")
+        .select("id", "exact_id")
+    )
+
+    inc_sh = inc.select("id", word_shingles("t", n).alias("s"))
+    inc_post = inc_sh.select(
+        "id", F.size("s").alias("szi"), F.explode("s").alias("shingle")
+    )
+    cat_sh = cat.select("cid", word_shingles("ct", n).alias("s"))
+    cat_post = cat_sh.select(
+        "cid", F.size("s").alias("szc"), F.explode("s").alias("shingle")
+    )
+    if max_df is not None:
+        hot = (
+            cat_post.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        cat_post = cat_post.join(hot, "shingle", "left_anti")
+        inc_post = inc_post.join(hot, "shingle", "left_anti")
+    inter = (
+        inc_post.join(cat_post, "shingle")
+        .groupBy("id", "cid", "szi", "szc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    near = (
+        inter.filter(
+            F.col("inter").cast("double")
+            / (F.col("szi") + F.col("szc") - F.col("inter")).cast("double")
+            >= F.lit(threshold)
+        )
+        .groupBy("id")
+        .agg(F.min("cid").alias("near_id"))
+    )
+
+    return (
+        inc.select("id")
+        .join(exact, "id", "left")
+        .join(near, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("exact_id", "near_id").alias("dup_of"),
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_id").isNotNull(), F.lit("near"))
+            .alias("reason"),
+        )
+    )
+
+
 def shingle_hashes32(shingle_col) -> Column:
     """xxhash64 of each shingle masked to 32 bits (array<bigint>)."""
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col

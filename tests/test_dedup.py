@@ -337,3 +337,41 @@ def test_edit_distance_pairs_blocking_and_verify(spark):
     assert out.get((1, 2)) == 1
     assert (1, 3) not in out      # verified and rejected (dist > 3)
     assert (1, 4) not in out      # blocked away (first token differs)
+
+
+def test_dedup_incremental_reasons_and_cap(spark):
+    """Incremental dedup vs a catalog: exact text match wins over near,
+    near requires shingle-Jaccard >= threshold, unseen docs keep
+    (dup_of NULL); with max_df the flagged set is a subset of uncapped
+    (false negatives only)."""
+    from hbase_gis_spark.operators.dedup import dedup_incremental
+
+    cat_rows = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "completely unrelated catalog document about spark plans"),
+    ]
+    inc_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),   # exact
+        (2, "the quick brown fox jumps over the lazy cat today"),   # near
+        (3, "nothing in common with anything in the catalog corpus"),
+    ]
+    cat = spark.createDataFrame(cat_rows, ["doc_id", "text"])
+    inc = spark.createDataFrame(inc_rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.dup_of, r.reason)
+        for r in dedup_incremental(inc, cat, threshold=0.3).collect()
+    }
+    assert out[1] == (100, "exact")
+    assert out[2] == (100, "near")
+    assert out[3] == (None, None)
+
+    uncapped = {
+        r.doc_id for r in dedup_incremental(inc, cat, threshold=0.3).collect()
+        if r.reason is not None
+    }
+    capped = {
+        r.doc_id
+        for r in dedup_incremental(inc, cat, threshold=0.3, max_df=1).collect()
+        if r.reason is not None
+    }
+    assert capped <= uncapped
