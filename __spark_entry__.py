@@ -981,6 +981,32 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery, decorrelated the
+    Spark way: the per-part average quantity becomes an explicit
+    aggregate joined back to lineitem (one shuffle on l_partkey for the
+    agg; AQE broadcasts the 2000-row per-part aggregate at every sf
+    where part stays dim-sized). The predicate qty < 0.2 * avg(qty) is
+    evaluated as 5 * qty * cnt < sum_qty in EXACT integer arithmetic —
+    no float threshold, so boundary rows cannot flip between engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("p_key"))
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+    )
+
+
 ATTR_LOOKBACK = "24 hours"
 
 
@@ -1361,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_median": _q_grouped_median,
         "purchase_attribution": _q_purchase_attribution,
         "dedup_incremental": _q_dedup_incremental,
+        "small_qty_revenue": _q_small_qty_revenue,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2207,6 +2234,21 @@ def oracle_sql() -> dict[str, str]:
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
     GROUP BY l_returnflag, l_linestatus
+    """,
+        "small_qty_revenue": """
+    WITH li AS (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      FROM lineitem
+    ), pp AS (
+      SELECT l_partkey AS p_key, CAST(sum(qty) AS BIGINT) AS sum_qty,
+             count(*) AS cnt
+      FROM li GROUP BY 1
+    )
+    SELECT count(*) AS n_lines,
+           CAST(sum(price_cents) AS BIGINT) AS revenue_cents
+    FROM li JOIN pp ON l_partkey = p_key
+    WHERE 5 * qty * cnt < sum_qty
     """,
         "purchase_attribution": """
     SELECT p.user_id, p.event_id AS purchase_id,
