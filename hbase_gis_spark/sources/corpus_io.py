@@ -71,6 +71,35 @@ def jsonl_to_parquet(
     w.parquet(dst)
 
 
+def write_documents_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (zlib-compressed, Spark-native) — for downstream
+    consumers standardized on the Hive/Trino side of the house. Same
+    partition-pruning story as parquet: ``partition_by`` columns become
+    directory keys."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_documents_orc(
+    spark: SparkSession, path: str, schema: str | StructType | None = None
+) -> DataFrame:
+    """ORC source. ORC carries its schema in the file footer, so the
+    schema argument is an optional *assertion* (pass it to fail fast on
+    drift rather than discover it mid-pipeline); predicate pushdown and
+    column pruning work as with parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_document_stream(
     spark: SparkSession,
     path: str,

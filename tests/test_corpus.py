@@ -338,3 +338,24 @@ def test_salted_join_matches_plain_join(spark, docs):
     assert sorted(map(tuple, pl.select("doc_id", "lang_n").collect())) == sorted(
         map(tuple, sl.select("doc_id", "lang_n").collect())
     )
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, docs, tmp_path):
+    """ORC sink/source roundtrip: content survives, lang partitioning
+    yields directory keys, and an equality filter on the partition
+    column prunes to that directory's rows."""
+    from hbase_gis_spark.sources.corpus_io import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    path = str(tmp_path / "docs_orc")
+    write_documents_orc(docs, path, partition_by=["lang"])
+    back = read_documents_orc(spark, path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    import os
+    assert any(d.startswith("lang=") for d in os.listdir(path))
+    one_lang = docs.select("lang").first().lang
+    expect = docs.filter(docs.lang == one_lang).count()
+    assert back.filter(back.lang == one_lang).count() == expect
