@@ -1007,6 +1007,72 @@ def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-count trend as an EXACT closed-form least
+    squares slope: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over
+    (day, count) points, surfaced as the integer numerator/denominator
+    pair — no float division, so the result is engine-exact. Two
+    map-side-combined aggregations (events→days, days→sums); the
+    regression itself touches only n_days rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("day").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("day") * F.col("y")).alias("sxy"),
+            F.sum(F.col("day") * F.col("day")).alias("sxx"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+                "slope_num"
+            ),
+            (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+                "slope_den"
+            ),
+        )
+    )
+
+
+PIPE_CAP = 15
+
+
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preprocessing COMPOSITION — the 'run my whole
+    pipeline' query: language gate → exact dedup (first wins) →
+    near-dup drop (the larger id of every Jaccard pair) → per-source
+    cap → deterministic split. Every stage is an already-oracled
+    operator; chaining them stays one lazy plan (Catalyst sees through
+    the composition — no materialization between stages)."""
+    from hbase_gis_spark.operators.textstats import lang_id as _lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.withColumn("lang_pred", _lang_id("text")).filter(
+        F.col("lang_pred") != "und"
+    )
+    ex = dedup_exact(gated)
+    pairs = jaccard_pairs(ex, n=JACCARD_N, threshold=JACCARD_T)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    nd = ex.join(drop, "doc_id", "left_anti")
+    capped = domain_cap(nd, cap=PIPE_CAP)
+    return split_assign(capped).select(
+        "doc_id", "lang_pred", "source", "split"
+    )
+
+
 ATTR_LOOKBACK = "24 hours"
 
 
@@ -1388,6 +1454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": _q_purchase_attribution,
         "dedup_incremental": _q_dedup_incremental,
         "small_qty_revenue": _q_small_qty_revenue,
+        "daily_trend": _q_daily_trend,
+        "corpus_pipeline": _q_corpus_pipeline,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2095,6 +2163,58 @@ def oracle_sql() -> dict[str, str]:
     FROM m CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS k) ks
     WHERE k < least({N_FRAMES}, n)
     """
+    corpus_pipeline_sql = f"""
+    {shingles_cte.rstrip()},
+    langs AS ({lang_sql}),
+    gated AS (
+      SELECT d.doc_id, d.text, d.source, l.lang_pred
+      FROM documents d JOIN langs l USING (doc_id)
+      WHERE l.lang_pred <> 'und'
+    ),
+    ex AS (
+      SELECT doc_id, source, lang_pred FROM (
+        SELECT doc_id, source, lang_pred,
+               row_number() OVER (
+                 PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        FROM gated) WHERE rn = 1
+    ),
+    pr AS (
+      -- pairwise jaccard is independent of the survivor set, so pairs
+      -- over all docs restricted to survivors == pairs over survivors
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      JOIN ex ea ON ea.doc_id = a.doc_id
+      JOIN ex eb ON eb.doc_id = b.doc_id
+      WHERE CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+                 THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / CAST(len(a.s) + len(b.s)
+                             - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 ELSE 0.0 END >= {JACCARD_T}
+    ),
+    nd AS (
+      SELECT * FROM ex WHERE doc_id NOT IN (SELECT id_b FROM pr)
+    ),
+    capped AS (
+      SELECT doc_id, source, lang_pred FROM (
+        SELECT doc_id, source, lang_pred,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY ('0x' || substr(md5('cap:'
+                            || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                          doc_id) AS rn
+        FROM nd) WHERE rn <= {PIPE_CAP}
+    )
+    SELECT doc_id, lang_pred, source,
+           CASE WHEN b < 98 THEN 'train'
+                WHEN b < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, lang_pred, source,
+             ('0x' || substr(md5('split:'
+                || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      FROM capped
+    )
+    """
     out = {
         "within_polygon": within_sql,
         "within_polygon_pruned": within_sql,
@@ -2136,6 +2256,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": jaccard_sql,
         "dedup_minhash_lsh": jaccard_sql,
         "dedup_incremental": dedup_incremental_sql,
+        "corpus_pipeline": corpus_pipeline_sql,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (
@@ -2234,6 +2355,19 @@ def oracle_sql() -> dict[str, str]:
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
     GROUP BY l_returnflag, l_linestatus
+    """,
+        "daily_trend": """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, count(*) AS n_days,
+           CAST(count(*) * sum(day * y) - sum(day) * sum(y) AS BIGINT)
+             AS slope_num,
+           CAST(count(*) * sum(day * day) - sum(day) * sum(day) AS BIGINT)
+             AS slope_den
+    FROM d GROUP BY event_type
     """,
         "small_qty_revenue": """
     WITH li AS (
