@@ -1047,6 +1047,26 @@ def _q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_MULTI_ORIGINS = [
+    (1, -73.97, 40.72),
+    (2, -73.92, 40.78),
+    (3, -74.01, 40.66),
+    (4, -73.88, 40.84),
+]
+
+
+def _q_knn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact KNN: 4 origins served by ONE point-table scan
+    (broadcast origin dim + per-origin rank window) — the spatial twin
+    of ann_multi_topk."""
+    from hbase_gis_spark.operators.knn import knn_multi
+
+    pts = derived_points(spark, sf_dir)
+    return knn_multi(
+        pts, KNN_MULTI_ORIGINS, KNN_K, tiebreak_col="id"
+    ).select("query_id", "id", "lon", "lat", "distance", "rnk")
+
+
 PIPE_CAP = 15
 
 
@@ -1456,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": _q_small_qty_revenue,
         "daily_trend": _q_daily_trend,
         "corpus_pipeline": _q_corpus_pipeline,
+        "knn_multi": _q_knn_multi,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2163,6 +2184,24 @@ def oracle_sql() -> dict[str, str]:
     FROM m CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS k) ks
     WHERE k < least({N_FRAMES}, n)
     """
+    knn_multi_vals = ", ".join(
+        f"({q}, {lo}, {la})" for q, lo, la in KNN_MULTI_ORIGINS
+    )
+    knn_multi_sql = f"""
+    WITH pts AS ({POINTS_SQL}),
+    q(query_id, q_lon, q_lat) AS (VALUES {knn_multi_vals})
+    SELECT query_id, id, lon, lat, distance, rnk FROM (
+      SELECT q.query_id, p.id, p.lon, p.lat,
+             sqrt((p.lon - q.q_lon) * (p.lon - q.q_lon)
+                  + (p.lat - q.q_lat) * (p.lat - q.q_lat)) AS distance,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY sqrt((p.lon - q.q_lon) * (p.lon - q.q_lon)
+                             + (p.lat - q.q_lat) * (p.lat - q.q_lat)) ASC,
+                        p.id ASC) AS rnk
+      FROM pts p CROSS JOIN q
+    ) WHERE rnk <= {KNN_K}
+    """
     corpus_pipeline_sql = f"""
     {shingles_cte.rstrip()},
     langs AS ({lang_sql}),
@@ -2257,6 +2296,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": jaccard_sql,
         "dedup_incremental": dedup_incremental_sql,
         "corpus_pipeline": corpus_pipeline_sql,
+        "knn_multi": knn_multi_sql,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (

@@ -135,6 +135,78 @@ def knn_per_region(
     )
 
 
+def knn_multi(
+    df: DataFrame,
+    origins: list[tuple[int, float, float]],
+    k: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    geohash_col: str | None = None,
+    pruned: bool = False,
+    prefix_precision: int = 7,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Batched KNN: exact top-``k`` for N origins in ONE scan — the
+    spatial twin of ``cosine_topk_multi`` (one pass amortized over all
+    queries, vs. a scan per origin).
+
+    ``origins`` is a list of ``(query_id, lon, lat)``; it becomes a
+    tiny broadcast dim, the point table streams once through the
+    broadcast join, and the per-origin top-k is a rank window
+    partitioned by query_id (map-side WindowGroupLimit bounds each
+    partition's contribution to k rows before the exchange). Distance
+    is the reference's planar degree metric (SURVEY.md §2 K3), written
+    with the same operand order as :func:`planar_distance` so oracles
+    reproduce it bit-for-bit.
+
+    ``pruned=True`` (requires ``geohash_col``) joins on the 9
+    per-origin candidate cells at ``prefix_precision`` instead of
+    fanning out every row ×N: an equality join on the truncated cell
+    key (broadcast hash join, never nested-loop), reproducing the
+    reference's approximate candidate semantics per origin
+    (KNNQuery.java:84-88)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    rows = [(int(q), float(lo), float(la)) for q, lo, la in origins]
+    if pruned:
+        if geohash_col is None:
+            raise ValueError("pruned knn_multi needs a geohash column")
+        pref_rows = [
+            (q, lo, la, p)
+            for q, lo, la in rows
+            for p in knn_prefixes(la, lo, prefix_precision)
+        ]
+        odf = spark.createDataFrame(
+            pref_rows,
+            "query_id long, q_lon double, q_lat double, prefix string",
+        )
+        joined = df.join(
+            F.broadcast(odf),
+            F.substring(F.col(geohash_col), 1, prefix_precision)
+            == F.col("prefix"),
+        ).drop("prefix")
+    else:
+        odf = spark.createDataFrame(
+            rows, "query_id long, q_lon double, q_lat double"
+        )
+        joined = df.crossJoin(F.broadcast(odf))
+    dx = F.col(lon_col).cast("double") - F.col("q_lon")
+    dy = F.col(lat_col).cast("double") - F.col("q_lat")
+    scored = joined.withColumn(
+        "distance", F.sqrt(dx * dx + dy * dy)
+    ).filter(~F.isnan(F.col("distance")))
+    order = [F.col("distance").asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("q_lon", "q_lat")
+    )
+
+
 def within_radius(
     df,
     origin_lon: float,

@@ -430,3 +430,38 @@ def test_scd2_intervals_collapse_runs(spark):
     assert u1 == [("A", 10, 30), ("B", 30, 40), ("A", 40, None)]
     u2 = [(r.attr, r.valid_from, r.valid_to) for r in out if r.k == 2]
     assert u2 == [("X", 5, None)]
+
+
+def test_knn_multi_matches_single_origin_knn(spark):
+    """Batched multi-origin KNN == the single-origin operator run per
+    origin, in both exact and 9-cell-pruned modes."""
+    from hbase_gis_spark.operators.knn import knn_multi
+
+    pts = derived_points(spark, SF0001, with_geohash=True).cache()
+    origins = [(1, -73.97, 40.72), (2, -73.92, 40.78)]
+    k = 8
+
+    multi = knn_multi(pts, origins, k, tiebreak_col="id").collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.id))
+    for qid, lo, la in origins:
+        single = hgs.knn(pts, lo, la, k, tiebreak_col="id").collect()
+        assert [i for _, i in sorted(by_q[qid])] == [r.id for r in single]
+
+    p = 5
+    multi_p = knn_multi(
+        pts, origins, k, geohash_col="geohash", pruned=True,
+        prefix_precision=p, tiebreak_col="id",
+    ).collect()
+    by_qp = {}
+    for r in multi_p:
+        by_qp.setdefault(r.query_id, []).append((r.rnk, r.id))
+    for qid, lo, la in origins:
+        single = hgs.knn(
+            pts, lo, la, k, geohash_col="geohash", pruned=True,
+            prefix_precision=p, tiebreak_col="id",
+        ).collect()
+        assert [i for _, i in sorted(by_qp.get(qid, []))] == [
+            r.id for r in single
+        ]
