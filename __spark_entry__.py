@@ -1254,6 +1254,21 @@ def _q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cells_hist(emb, C)
 
 
+def _q_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cell label purity (majority label + integer counts) —
+    the cluster-quality audit over the embeddings' label column."""
+    from hbase_gis_spark.operators.similarity import (
+        label_purity,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(
+        emb, IVF_NLIST, train_rows=IVF_TRAIN_ROWS, seed=ANN_SEED
+    )
+    return label_purity(emb, C)
+
+
 def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization audit (scale, integer content
     sums, max dequantization error)."""
@@ -1504,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "corpus_stats": _q_corpus_stats,
         "ivf_cells": _q_ivf_cells,
+        "label_purity": _q_label_purity,
         "quantize_int8": _q_quantize_int8,
     }
 
@@ -2014,11 +2030,50 @@ def oracle_sql() -> dict[str, str]:
            min(vec_id) AS min_vec, max(vec_id) AS max_vec
     FROM cells GROUP BY cell
     """
+        label_purity_sql = f"""
+    WITH cents(ci, cv) AS (VALUES
+      {cent_rows}),
+    dots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, ci AS cell FROM (
+        SELECT vec_id, ci,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    cl AS (
+      SELECT c.cell, e.label, count(*) AS n
+      FROM cells c JOIN embeddings e USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT cell, label AS top_label, n AS top_n FROM (
+        SELECT cell, label, n,
+               row_number() OVER (PARTITION BY cell
+                                  ORDER BY n DESC, label ASC) AS rn
+        FROM cl
+      ) WHERE rn = 1
+    ),
+    tot AS (
+      SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs,
+             count(*) AS n_labels
+      FROM cl GROUP BY cell
+    )
+    SELECT CAST(t.cell AS INTEGER) AS cell, t.n_vecs, t.n_labels,
+           p.top_label, p.top_n
+    FROM tot t JOIN top p USING (cell)
+    """
     except Exception:
         # oracle table unavailable in this environment → leave the IVF
         # entry out (driver falls back to the rows-only check)
         ann_ivf_sql = None
         ivf_cells_sql = None
+        label_purity_sql = None
 
     # language-ID: marker-word argmax, ties break en > fr > de > es
     def _mc(words: tuple[str, ...]) -> str:
@@ -2807,4 +2862,6 @@ def oracle_sql() -> dict[str, str]:
         out["ann_ivf_topk"] = ann_ivf_sql
     if ivf_cells_sql is not None:
         out["ivf_cells"] = ivf_cells_sql
+    if label_purity_sql is not None:
+        out["label_purity"] = label_purity_sql
     return out

@@ -327,6 +327,47 @@ def ivf_cells_hist(
     )
 
 
+def label_purity(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster-quality audit: per IVF cell, the vector count, distinct
+    label count, and the majority label with its count — the
+    integer-exact purity numerator (purity = top_n / n_vecs, left as a
+    ratio of surfaced integers so the result is engine-exact).
+
+    Plan: one scan (cell assignment is the same pure JVM expression as
+    the stored layout) + a (cell,label) hash aggregate whose output is
+    at most nlist x |labels| rows; the majority pick is a rank window
+    over that tiny aggregate, never over raw vectors."""
+    from pyspark.sql import Window
+
+    cell = ivf_cell_expr(F.col(vec_col), centroids)
+    per = (
+        df.select(cell.alias("cell"), F.col(label_col).alias("lbl"))
+        .groupBy("cell", "lbl")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("n").desc(), F.col("lbl").asc()
+    )
+    top = (
+        per.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cell",
+            F.col("lbl").alias("top_label"),
+            F.col("n").alias("top_n"),
+        )
+    )
+    tot = per.groupBy("cell").agg(
+        F.sum("n").alias("n_vecs"), F.count(F.lit(1)).alias("n_labels")
+    )
+    return tot.join(top, "cell")
+
+
 def quantize_int8_stats(
     df: DataFrame,
     id_col: str = "vec_id",
