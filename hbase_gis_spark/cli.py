@@ -178,6 +178,33 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         out = chunk_documents(docs, args.chunk_tokens, args.overlap)
         out.write.mode("overwrite").parquet(args.output)
         print(f"Wrote {spark.read.parquet(args.output).count()} chunks")
+    elif args.op == "pipeline":
+        # full preprocessing composition: lang gate -> exact dedup ->
+        # near-dup drop -> per-source cap -> split; one lazy plan
+        from pyspark.sql import functions as F
+
+        from hbase_gis_spark.operators.corpus import domain_cap
+        from hbase_gis_spark.operators.dedup import (
+            dedup_exact,
+            jaccard_pairs,
+            split_assign,
+        )
+        from hbase_gis_spark.operators.textstats import lang_id
+
+        gated = docs.withColumn("lang_pred", lang_id("text")).filter(
+            F.col("lang_pred") != "und"
+        )
+        ex = dedup_exact(gated)
+        drop = (
+            jaccard_pairs(ex, threshold=0.5)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        out = split_assign(
+            domain_cap(ex.join(drop, "doc_id", "left_anti"), cap=args.cap)
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"Pipeline kept {spark.read.parquet(args.output).count()} docs")
     print(f"corpus {args.op} done in {time.perf_counter() - t0:.3f} seconds.")
     return 0
 
@@ -234,15 +261,18 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser(
         "corpus",
-        help="training-corpus ops: shuffle | scrub | dedup | chunk",
+        help="training-corpus ops: shuffle | scrub | dedup | chunk | pipeline",
     )
-    s.add_argument("op", choices=["shuffle", "scrub", "dedup", "chunk"])
+    s.add_argument(
+        "op", choices=["shuffle", "scrub", "dedup", "chunk", "pipeline"]
+    )
     s.add_argument("input", help="documents parquet dir (or JSONL with --jsonl)")
     s.add_argument("output")
     s.add_argument("--jsonl", action="store_true")
     s.add_argument("--shards", type=int, default=64)
     s.add_argument("--chunk-tokens", type=int, default=64, dest="chunk_tokens")
     s.add_argument("--overlap", type=int, default=16)
+    s.add_argument("--cap", type=int, default=1000, help="per-source cap (pipeline)")
     s.set_defaults(fn=cmd_corpus)
 
     args = p.parse_args(argv)

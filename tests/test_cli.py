@@ -59,3 +59,11 @@ def test_cli_corpus_roundtrip(tmp_path, capsys):
     ])
     assert rc == 0
     assert "chunks" in capsys.readouterr().out
+
+    out3 = str(tmp_path / "pipe")
+    rc = main([
+        "corpus", "pipeline", "/root/testdata/sf0.001/documents.parquet",
+        out3, "--cap", "10",
+    ])
+    assert rc == 0
+    assert "Pipeline kept" in capsys.readouterr().out
