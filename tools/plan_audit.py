@@ -33,6 +33,7 @@ BNLJ_SANCTIONED = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_multi_topk",
+    "knn_multi",  # broadcast N-origin dim fan-out, big side streams once
     "mixture_rates",
     "mixture_sample",
 }
