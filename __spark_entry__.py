@@ -1047,6 +1047,31 @@ def _q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAJ_T = 0.1
+TRAJ_BITS = 32768  # 15-bit bins == geohash-6 cells (bit-interleave identity)
+
+
+def _q_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-pair similarity by visited-cell footprints: each user's
+    events map to derived points, points to 15-bit lon/lat bins
+    (== geohash-6 cells), and pair discovery is the same inverted
+    index as n-gram Jaccard with cells playing the shingle role —
+    never users² work."""
+    from hbase_gis_spark.operators.dedup import cell_footprint_pairs
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    pts = derived_points(spark, sf_dir)
+    cells = ev.join(pts, F.col("event_id") == F.col("id")).select(
+        "user_id",
+        (
+            F.floor((F.col("lon") + 180.0) / 360.0 * TRAJ_BITS).cast("bigint")
+            * TRAJ_BITS
+            + F.floor((F.col("lat") + 90.0) / 180.0 * TRAJ_BITS).cast("bigint")
+        ).alias("cell"),
+    )
+    return cell_footprint_pairs(cells, threshold=TRAJ_T)
+
+
 KNN_MULTI_ORIGINS = [
     (1, -73.97, 40.72),
     (2, -73.92, 40.78),
@@ -1492,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_trend": _q_daily_trend,
         "corpus_pipeline": _q_corpus_pipeline,
         "knn_multi": _q_knn_multi,
+        "trajectory_similarity": _q_trajectory_similarity,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2257,6 +2283,31 @@ def oracle_sql() -> dict[str, str]:
       FROM pts p CROSS JOIN q
     ) WHERE rnk <= {KNN_K}
     """
+    trajectory_sql = f"""
+    WITH pts AS ({POINTS_SQL}),
+    uc AS (
+      SELECT DISTINCT e.user_id,
+             CAST(floor((p.lon + 180.0) / 360.0 * {TRAJ_BITS}.0) AS BIGINT)
+               * {TRAJ_BITS}
+             + CAST(floor((p.lat + 90.0) / 180.0 * {TRAJ_BITS}.0) AS BIGINT)
+               AS cell
+      FROM events e JOIN pts p ON e.event_id = p.id
+    ),
+    sz AS (SELECT user_id, count(*) AS n FROM uc GROUP BY 1),
+    inter AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS i
+      FROM uc a JOIN uc b ON a.cell = b.cell AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT i.ua AS id_a, i.ub AS id_b,
+             CAST(i.i AS DOUBLE)
+               / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN sz sa ON sa.user_id = i.ua
+      JOIN sz sb ON sb.user_id = i.ub
+    ) WHERE jaccard >= {TRAJ_T}
+    """
     corpus_pipeline_sql = f"""
     {shingles_cte.rstrip()},
     langs AS ({lang_sql}),
@@ -2352,6 +2403,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": dedup_incremental_sql,
         "corpus_pipeline": corpus_pipeline_sql,
         "knn_multi": knn_multi_sql,
+        "trajectory_similarity": trajectory_sql,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (

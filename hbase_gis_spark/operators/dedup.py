@@ -381,6 +381,52 @@ def jaccard_pairs(
     )
 
 
+def cell_footprint_pairs(
+    df: DataFrame,
+    id_col: str = "user_id",
+    cell_col: str = "cell",
+    threshold: float = 0.1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Entity-similarity by visited-cell sets — trajectory-footprint
+    Jaccard (the cell-signature family of distributed trajectory
+    similarity search, cf. REPOSE ICDE'21's reference-cell pruning):
+    input is one row per (entity, cell) visit; output is entity pairs
+    whose DISTINCT-cell sets overlap with Jaccard >= ``threshold``.
+
+    Same inverted-index shape as :func:`jaccard_pairs` (cells play the
+    shingle role): distinct postings, bucket by cell, in-bucket pair
+    explosion counts |A∩B|, set sizes ride along. Work scales with
+    Σ df(cell)², never entities² — and ``max_df`` drops plaza-grade hot
+    cells (a cell every entity visits carries no similarity signal)."""
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
+    d = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.col(cell_col).alias("cell"))
+        .distinct()
+    )
+    sized = d.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+    inter = (
+        _bucket_pairs(sized, ["cell"], carry=["sz"], max_bucket=max_df)
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def dedup_incremental(
     incoming: DataFrame,
     catalog: DataFrame,
