@@ -1072,6 +1072,42 @@ def _q_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_footprint_pairs(cells, threshold=TRAJ_T)
 
 
+def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix: per user, consecutive event
+    cells (ordered by time, event_id tiebreak) form directed
+    transitions; the aggregate counts trips per (from_cell, to_cell) —
+    the movement-analytics rollup. One window pass partitioned by user
+    (each user's events sort locally) + one hash aggregate whose
+    output is bounded by cells², independent of row count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_us().alias("ts_us")
+    )
+    pts = derived_points(spark, sf_dir)
+    cells = ev.join(pts, F.col("event_id") == F.col("id")).select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        (
+            F.floor((F.col("lon") + 180.0) / 360.0 * TRAJ_BITS).cast("bigint")
+            * TRAJ_BITS
+            + F.floor((F.col("lat") + 90.0) / 180.0 * TRAJ_BITS).cast("bigint")
+        ).alias("cell"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    return (
+        cells.withColumn("from_cell", F.lag("cell").over(w))
+        .filter(
+            F.col("from_cell").isNotNull()
+            & (F.col("from_cell") != F.col("cell"))
+        )
+        .groupBy(F.col("from_cell"), F.col("cell").alias("to_cell"))
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+        .filter(F.col("n_trips") >= 2)
+    )
+
+
 KNN_MULTI_ORIGINS = [
     (1, -73.97, 40.72),
     (2, -73.92, 40.78),
@@ -1518,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": _q_corpus_pipeline,
         "knn_multi": _q_knn_multi,
         "trajectory_similarity": _q_trajectory_similarity,
+        "od_flows": _q_od_flows,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2308,6 +2345,29 @@ def oracle_sql() -> dict[str, str]:
       JOIN sz sb ON sb.user_id = i.ub
     ) WHERE jaccard >= {TRAJ_T}
     """
+    od_flows_sql = f"""
+    WITH pts AS ({POINTS_SQL}),
+    cells AS (
+      SELECT e.user_id, epoch_us(e.ts) AS ts_us, e.event_id,
+             CAST(floor((p.lon + 180.0) / 360.0 * {TRAJ_BITS}.0) AS BIGINT)
+               * {TRAJ_BITS}
+             + CAST(floor((p.lat + 90.0) / 180.0 * {TRAJ_BITS}.0) AS BIGINT)
+               AS cell
+      FROM events e JOIN pts p ON e.event_id = p.id
+    ),
+    trans AS (
+      SELECT lag(cell) OVER (
+               PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+             ) AS from_cell,
+             cell AS to_cell
+      FROM cells
+    )
+    SELECT from_cell, to_cell, count(*) AS n_trips
+    FROM trans
+    WHERE from_cell IS NOT NULL AND from_cell <> to_cell
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """
     corpus_pipeline_sql = f"""
     {shingles_cte.rstrip()},
     langs AS ({lang_sql}),
@@ -2404,6 +2464,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": corpus_pipeline_sql,
         "knn_multi": knn_multi_sql,
         "trajectory_similarity": trajectory_sql,
+        "od_flows": od_flows_sql,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (
