@@ -17,3 +17,26 @@ def test_no_scale_killer_plans(spark):
 
     flags = audit(spark, SF0001)
     assert flags == {}, f"scale-killer plan shapes: {flags}"
+
+
+def test_tpch_date_filters_reach_parquet_scans(spark):
+    """The sargable timestamp predicates of the TPC-H-shaped queries
+    must appear as PushedFilters on their parquet scans — the property
+    the 100 TB scan-pruning story depends on."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ["pricing_summary", "shipping_priority",
+                 "local_supplier_volume", "promo_revenue"]:
+        plan = (
+            qs[name](spark, SF0001)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any(
+            ("LessThan" in p) or ("GreaterThan" in p) or ("l_shipdate" in p)
+            or ("o_orderdate" in p)
+            for p in pushed
+        ), f"{name}: no date predicate pushed to any scan: {pushed}"
