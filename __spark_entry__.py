@@ -1108,6 +1108,64 @@ def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DWELL_MIN_EVENTS = 2
+
+
+def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (dwell) detection: maximal runs of consecutive
+    same-cell events per user, with dwell duration — the third leg of
+    the movement triad (footprints, flows, dwells). Run-length
+    encoding via the SCD2 lag-collapse pattern: a window lag marks
+    cell changes, a running sum numbers the runs, and one aggregate
+    per (user, run) yields start/end/duration in exact integer µs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_us().alias("ts_us")
+    )
+    pts = derived_points(spark, sf_dir)
+    cells = ev.join(pts, F.col("event_id") == F.col("id")).select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        (
+            F.floor((F.col("lon") + 180.0) / 360.0 * TRAJ_BITS).cast("bigint")
+            * TRAJ_BITS
+            + F.floor((F.col("lat") + 90.0) / 180.0 * TRAJ_BITS).cast("bigint")
+        ).alias("cell"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    marked = cells.withColumn(
+        "chg",
+        F.when(
+            F.lag("cell").over(w).isNull()
+            | (F.lag("cell").over(w) != F.col("cell")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy("user_id", "run_id", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("enter_us"),
+            F.max("ts_us").alias("leave_us"),
+        )
+        .filter(F.col("n_events") >= DWELL_MIN_EVENTS)
+        .select(
+            "user_id",
+            "cell",
+            "n_events",
+            "enter_us",
+            (F.col("leave_us") - F.col("enter_us")).alias("dwell_us"),
+        )
+    )
+
+
 KNN_MULTI_ORIGINS = [
     (1, -73.97, 40.72),
     (2, -73.92, 40.78),
@@ -1555,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_multi": _q_knn_multi,
         "trajectory_similarity": _q_trajectory_similarity,
         "od_flows": _q_od_flows,
+        "stay_points": _q_stay_points,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2368,6 +2427,39 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2
     HAVING count(*) >= 2
     """
+    stay_points_sql = f"""
+    WITH pts AS ({POINTS_SQL}),
+    cells AS (
+      SELECT e.user_id, epoch_us(e.ts) AS ts_us, e.event_id,
+             CAST(floor((p.lon + 180.0) / 360.0 * {TRAJ_BITS}.0) AS BIGINT)
+               * {TRAJ_BITS}
+             + CAST(floor((p.lat + 90.0) / 180.0 * {TRAJ_BITS}.0) AS BIGINT)
+               AS cell
+      FROM events e JOIN pts p ON e.event_id = p.id
+    ),
+    marked AS (
+      SELECT user_id, ts_us, event_id, cell,
+             CASE WHEN lag(cell) OVER w IS NULL
+                       OR lag(cell) OVER w <> cell
+                  THEN 1 ELSE 0 END AS chg
+      FROM cells
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+    ),
+    runs AS (
+      SELECT user_id, ts_us, cell,
+             sum(chg) OVER (
+               PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run_id
+      FROM marked
+    )
+    SELECT user_id, cell, count(*) AS n_events,
+           min(ts_us) AS enter_us,
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dwell_us
+    FROM runs
+    GROUP BY user_id, run_id, cell
+    HAVING count(*) >= {DWELL_MIN_EVENTS}
+    """
     corpus_pipeline_sql = f"""
     {shingles_cte.rstrip()},
     langs AS ({lang_sql}),
@@ -2465,6 +2557,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_multi": knn_multi_sql,
         "trajectory_similarity": trajectory_sql,
         "od_flows": od_flows_sql,
+        "stay_points": stay_points_sql,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (
