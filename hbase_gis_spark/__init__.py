@@ -22,8 +22,10 @@ from hbase_gis_spark.operators.spatial_join import spatial_join  # noqa: F401
 from hbase_gis_spark.operators.asof import asof_join, interval_join  # noqa: F401
 from hbase_gis_spark.operators.knn import (  # noqa: F401
     knn,
+    knn_multi,
     knn_per_region,
     with_distance,
+    within_radius,
 )
 from hbase_gis_spark.operators.topx import top_x, binned_limit  # noqa: F401
 from hbase_gis_spark.session import make_session  # noqa: F401
@@ -36,7 +38,10 @@ from hbase_gis_spark.sqlapi import (  # noqa: F401
     within_convex_sql,
 )
 from hbase_gis_spark.operators.dedup import (  # noqa: F401
+    cell_footprint_pairs,
     cluster_representatives,
+    dedup_incremental,
+    edit_distance_pairs,
     dedup_exact,
     embedding_dup_lsh,
     embedding_dup_pairs,
@@ -49,6 +54,8 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
 )
 from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_ivf_topk,
+    cosine_topk_multi,
+    label_purity,
     ann_ivf_topk_stored,
     ann_lsh_topk,
     cosine_topk,
@@ -74,9 +81,34 @@ from hbase_gis_spark.operators.multimodal import (  # noqa: F401
 )
 from hbase_gis_spark.streaming.events import (  # noqa: F401
     dedup_events,
+    purchase_view_attribution,
     streaming_top_x_earliest,
     user_sessions,
     windowed_event_counts,
+)
+from hbase_gis_spark.operators.corpus import (  # noqa: F401
+    chunk_documents,
+    domain_cap,
+    global_shuffle,
+    mixture_rates,
+    mixture_sample,
+    pii_scrub,
+    write_training_shards,
+)
+from hbase_gis_spark.operators.merge import (  # noqa: F401
+    merge_upsert,
+    scd2_intervals,
+)
+from hbase_gis_spark.operators.funnel import (  # noqa: F401
+    funnel_counts,
+    retention_cohorts,
+)
+from hbase_gis_spark.sources.corpus_io import (  # noqa: F401
+    jsonl_to_parquet,
+    read_documents_jsonl,
+    read_documents_orc,
+    write_documents_jsonl,
+    write_documents_orc,
 )
 from hbase_gis_spark.sources.ingest import (  # noqa: F401
     bulk_points,
