@@ -375,3 +375,36 @@ def test_dedup_incremental_reasons_and_cap(spark):
         if r.reason is not None
     }
     assert capped <= uncapped
+
+
+def test_cell_footprint_pairs_matches_bruteforce(spark):
+    """Inverted-index footprint Jaccard == brute-force over all entity
+    pairs (distinct-cell semantics, duplicate visits collapse)."""
+    import itertools
+
+    from hbase_gis_spark.operators.dedup import cell_footprint_pairs
+
+    rows = [
+        (1, 10), (1, 11), (1, 12), (1, 12),     # dup visit collapses
+        (2, 10), (2, 11), (2, 13),
+        (3, 20), (3, 21),
+        (4, 10), (4, 11), (4, 12), (4, 13),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "cell"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in cell_footprint_pairs(df, threshold=0.3).collect()
+    }
+
+    sets = {}
+    for u, c in rows:
+        sets.setdefault(u, set()).add(c)
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        if i == 0:
+            continue
+        j = i / (len(sets[a]) + len(sets[b]) - i)
+        if j >= 0.3:
+            expect[(a, b)] = j
+    assert got == expect and len(expect) > 0
