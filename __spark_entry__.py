@@ -1108,6 +1108,44 @@ def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEARCH_TERMS = ["dup", "spark", "stream"]
+SEARCH_K = 20
+
+
+def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-lite ranked retrieval: score docs for a term list by
+    integer tf·idf — weight_t = (n_docs·1000) div (1+df_t), score_d =
+    Σ tf_{d,t}·weight_t — then bounded top-k. All integers, so the
+    ranking is engine-exact. Plan: the token explode filters to the
+    query terms IMMEDIATELY (the postings that survive are |terms|
+    columns' worth, not the corpus), term stats are a tiny broadcast
+    dim, and the doc-score top-k is TakeOrderedAndProject."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        _spread(docs)
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w").isin(SEARCH_TERMS))
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    wt = dfreq.crossJoin(F.broadcast(nd)).select(
+        "w", F.expr("(nd * 1000) div (1 + df)").alias("wgt")
+    )
+    return (
+        tf.join(F.broadcast(wt), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("wgt")).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(SEARCH_K)
+    )
+
+
 DWELL_MIN_EVENTS = 2
 
 
@@ -1618,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_similarity": _q_trajectory_similarity,
         "od_flows": _q_od_flows,
         "stay_points": _q_stay_points,
+        "keyword_search": _q_keyword_search,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2431,6 +2470,25 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2
     HAVING count(*) >= 2
     """
+    search_terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    keyword_search_sql = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({toks}) AS w FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok
+      WHERE w IN ({search_terms}) GROUP BY 1, 2
+    ),
+    d AS (SELECT w, count(*) AS df FROM f GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM documents),
+    wt AS (SELECT w, (nd.n * 1000) // (1 + df) AS wgt FROM d, nd)
+    SELECT doc_id, CAST(sum(tf * wgt) AS BIGINT) AS score,
+           count(*) AS n_terms
+    FROM f JOIN wt USING (w)
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {SEARCH_K}
+    """
     stay_points_sql = f"""
     WITH pts AS ({POINTS_SQL}),
     cells AS (
@@ -2562,6 +2620,7 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_similarity": trajectory_sql,
         "od_flows": od_flows_sql,
         "stay_points": stay_points_sql,
+        "keyword_search": keyword_search_sql,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (

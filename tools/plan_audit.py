@@ -34,6 +34,7 @@ BNLJ_SANCTIONED = {
     "ann_ivf_topk",
     "ann_multi_topk",
     "knn_multi",  # broadcast N-origin dim fan-out, big side streams once
+    "keyword_search",  # 1-row corpus-total joined onto the tiny term dim
     "mixture_rates",
     "mixture_sample",
 }
