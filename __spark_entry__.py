@@ -1108,6 +1108,30 @@ def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAP_TYPE = "purchase"
+
+
+def _q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap detection: hours inside the observed range with
+    ZERO events of a type. Calendar generation is sequence+explode off
+    the 1-row min/max aggregate (no driver round-trip, no external
+    calendar table) anti-joined to the observed distinct hours — both
+    sides are bounded by the hour range, never by event count."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == GAP_TYPE
+    )
+    hrs = ev.select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("hr")
+    ).distinct()
+    bounds = hrs.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    cal = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("hr")
+    )
+    return cal.join(hrs, "hr", "left_anti")
+
+
 SEARCH_TERMS = ["dup", "spark", "stream"]
 SEARCH_K = 20
 
@@ -1657,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": _q_od_flows,
         "stay_points": _q_stay_points,
         "keyword_search": _q_keyword_search,
+        "event_gaps": _q_event_gaps,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2470,6 +2495,15 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2
     HAVING count(*) >= 2
     """
+    event_gaps_sql = f"""
+    WITH h AS (
+      SELECT DISTINCT epoch_us(ts) // 3600000000 AS hr
+      FROM events WHERE event_type = '{GAP_TYPE}'
+    ),
+    b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+    cal AS (SELECT unnest(range(mn, mx + 1)) AS hr FROM b)
+    SELECT hr FROM cal WHERE hr NOT IN (SELECT hr FROM h)
+    """
     search_terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
     keyword_search_sql = f"""
     WITH tok AS (
@@ -2621,6 +2655,7 @@ def oracle_sql() -> dict[str, str]:
         "od_flows": od_flows_sql,
         "stay_points": stay_points_sql,
         "keyword_search": keyword_search_sql,
+        "event_gaps": event_gaps_sql,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (
