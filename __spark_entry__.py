@@ -402,9 +402,12 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the n-gram Jaccard pair graph — each
     doc labeled with the smallest reachable doc id. Iterative (min-label
-    propagation), oracled by a DuckDB recursive CTE."""
+    propagation), oracled by a DuckDB recursive CTE. The pair graph
+    comes from the MinHash-LSH scale path, whose banded candidates +
+    exact verify equal the exact pairs on this corpus (its own oracle
+    row pins that equality every round)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+    pairs = minhash_lsh_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
     return near_dup_clusters(docs, pairs).select("doc_id", "cluster_id")
 
 
@@ -477,9 +480,11 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best dedup policy: per near-dup cluster, keep the member
     with the highest quality score (tie → smallest doc_id) — the
-    composition of clustering + quality scoring a real pipeline runs."""
+    composition of clustering + quality scoring a real pipeline runs.
+    Pairs come from the MinHash-LSH scale path (equal to exact here;
+    see _q_dedup_clusters)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+    pairs = minhash_lsh_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
     clusters = near_dup_clusters(docs, pairs)
     scores = quality_features(docs).select("doc_id", "quality_score")
     return cluster_representatives(clusters, scores)
