@@ -100,6 +100,42 @@ def read_documents_orc(
     return reader.orc(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    of ~``target_file_bytes`` each and return the output file count.
+
+    The small-files problem is the classic operational failure of a
+    continuously-fed table (every micro-batch appends a sliver; a year
+    later the NameNode/listing and per-file open costs dominate the
+    scan). File count = ceil(current_bytes / target); ``coalesce`` (a
+    narrow dependency — no shuffle) merges splits down to that count.
+    Compression changes the exact output size, but for compaction the
+    goal is order-of-magnitude file count, not byte precision."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    df.coalesce(n_files).write.mode(mode).parquet(dst)
+    out = sum(
+        1
+        for f in os.listdir(dst)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    return out
+
+
 def read_document_stream(
     spark: SparkSession,
     path: str,

@@ -359,3 +359,20 @@ def test_orc_roundtrip_with_partition_pruning(spark, docs, tmp_path):
     one_lang = docs.select("lang").first().lang
     expect = docs.filter(docs.lang == one_lang).count()
     assert back.filter(back.lang == one_lang).count() == expect
+
+
+def test_compact_parquet_reduces_file_count(spark, docs, tmp_path):
+    """Compaction folds a many-small-files table into the computed
+    file count without losing rows."""
+    from hbase_gis_spark.sources.corpus_io import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    docs.repartition(16).write.parquet(src)
+    import os
+    n_before = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_before >= 16
+
+    dst = str(tmp_path / "compacted")
+    n_after = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n_after == 1
+    assert spark.read.parquet(dst).count() == docs.count()
