@@ -1113,6 +1113,34 @@ def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate which: near-dup pair counts rolled up
+    by unordered (source, source) — the provenance view of corpus
+    contamination (a heavy diagonal = intra-domain boilerplate, heavy
+    off-diagonal = cross-domain scraping). Pairs from the MinHash
+    scale path; two broadcast-able id→source joins; output bounded by
+    sources²."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+    src = docs.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 GAP_TYPE = "purchase"
 
 
@@ -1687,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": _q_stay_points,
         "keyword_search": _q_keyword_search,
         "event_gaps": _q_event_gaps,
+        "dup_source_matrix": _q_dup_source_matrix,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2500,6 +2529,17 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2
     HAVING count(*) >= 2
     """
+    dup_source_matrix_sql = f"""
+    WITH pairs AS ({jaccard_sql}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(a.source, b.source) AS source_lo,
+           greatest(a.source, b.source) AS source_hi,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN src a ON p.id_a = a.doc_id
+    JOIN src b ON p.id_b = b.doc_id
+    GROUP BY 1, 2
+    """
     event_gaps_sql = f"""
     WITH h AS (
       SELECT DISTINCT epoch_us(ts) // 3600000000 AS hr
@@ -2661,6 +2701,7 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": stay_points_sql,
         "keyword_search": keyword_search_sql,
         "event_gaps": event_gaps_sql,
+        "dup_source_matrix": dup_source_matrix_sql,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (
