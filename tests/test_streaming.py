@@ -307,3 +307,41 @@ def test_streaming_cdc_upsert_matches_batch_merge(spark, tmp_path_factory):
     )
     assert state["v"] >= 2  # the deltas really arrived over >1 batch
     assert got == expect
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path_factory):
+    """Continuous-ingest dedup: new documents arrive as a file stream
+    and every micro-batch checks itself against the static catalog via
+    dedup_incremental (foreachBatch). Verdicts are per-doc independent
+    given the catalog, so the union over micro-batches equals the
+    one-shot batch run regardless of how the batch splits."""
+    from hbase_gis_spark.operators.dedup import dedup_incremental
+
+    docs = load_table(spark, SF0001, "documents")
+    cat = docs.filter("doc_id % 3 = 0")
+    inc = docs.filter("doc_id % 3 <> 0")
+    expect = {
+        r.doc_id: (r.dup_of, r.reason)
+        for r in dedup_incremental(inc, cat, threshold=0.5).collect()
+    }
+    assert len(expect) > 0
+
+    root = tmp_path_factory.mktemp("inc_dedup")
+    inc_dir = str(root / "incoming")
+    inc.repartition(3).write.mode("overwrite").parquet(inc_dir)
+
+    got = {}
+
+    def fold(batch_df, _bid):
+        for r in dedup_incremental(batch_df, cat, threshold=0.5).collect():
+            got[r.doc_id] = (r.dup_of, r.reason)
+
+    stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inc_dir)
+    )
+    q = stream.writeStream.foreachBatch(fold).start()
+    q.processAllAvailable()
+    q.stop()
+    assert got == expect
