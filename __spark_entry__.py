@@ -157,6 +157,26 @@ def _q_within_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within(pts, WITHIN_CONCAVE_WKT).select("id", "lon", "lat")
 
 
+# MULTIPOLYGON: two disjoint closed boxes — exercises the multi-part
+# geometry path (parts iteration in the covers kernel); a point is
+# inside iff it is inside ANY part, exactly an OR of box predicates
+WITHIN_MULTI_WKT = (
+    "MULTIPOLYGON (((-74.02 40.64, -73.99 40.64, -73.99 40.70, "
+    "-74.02 40.70, -74.02 40.64)), "
+    "((-73.93 40.78, -73.89 40.78, -73.89 40.86, -73.93 40.86, "
+    "-73.93 40.78)))"
+)
+WITHIN_MULTI_ORACLE_PRED = (
+    "(lon >= -74.02 AND lon <= -73.99 AND lat >= 40.64 AND lat <= 40.70) "
+    "OR (lon >= -73.93 AND lon <= -73.89 AND lat >= 40.78 AND lat <= 40.86)"
+)
+
+
+def _q_within_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = derived_points(spark, sf_dir)
+    return within(pts, WITHIN_MULTI_WKT).select("id", "lon", "lat")
+
+
 def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-mode spatial join: one scan, per-polygon codegen'd
     covers tests exploded to (point, poly_id) rows."""
@@ -1659,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_polygon": _q_within,
         "within_polygon_pruned": _q_within_pruned,
         "within_concave": _q_within_concave,
+        "within_multipolygon": _q_within_multi,
         "spatial_join": _q_spatial_join,
         "spatial_join_cells": _q_spatial_join_cells,
         "knn_top10": _q_knn,
@@ -2660,6 +2681,11 @@ def oracle_sql() -> dict[str, str]:
     WITH pts AS ({POINTS_SQL})
     SELECT id, lon, lat FROM pts
     WHERE {WITHIN_CONCAVE_ORACLE_PRED}
+    """,
+        "within_multipolygon": f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT id, lon, lat FROM pts
+    WHERE {WITHIN_MULTI_ORACLE_PRED}
     """,
         "spatial_join": sjoin_sql,
         "spatial_join_cells": sjoin_sql,
