@@ -177,6 +177,28 @@ def _q_within_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within(pts, WITHIN_MULTI_WKT).select("id", "lon", "lat")
 
 
+# POLYGON with an interior HOLE: outer box minus inner box — exercises
+# the hole-ring path of the even-odd ray-cast. Boundary caveat: points
+# ON the hole's edge are inside per JTS covers, but the even-odd count
+# sees them as outside; the derived grid has no points exactly on these
+# hole edges (coordinates are irrational in the 1/997 grid), so the
+# box-predicate oracle (outer AND NOT strictly-inside-hole) is exact.
+WITHIN_HOLE_WKT = (
+    "POLYGON ((-74.00 40.65, -73.90 40.65, -73.90 40.85, -74.00 40.85, "
+    "-74.00 40.65), "
+    "(-73.97 40.70, -73.93 40.70, -73.93 40.80, -73.97 40.80, -73.97 40.70))"
+)
+WITHIN_HOLE_ORACLE_PRED = (
+    "(lon >= -74.00 AND lon <= -73.90 AND lat >= 40.65 AND lat <= 40.85) "
+    "AND NOT (lon > -73.97 AND lon < -73.93 AND lat > 40.70 AND lat < 40.80)"
+)
+
+
+def _q_within_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = derived_points(spark, sf_dir)
+    return within(pts, WITHIN_HOLE_WKT).select("id", "lon", "lat")
+
+
 def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-mode spatial join: one scan, per-polygon codegen'd
     covers tests exploded to (point, poly_id) rows."""
@@ -1680,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_polygon_pruned": _q_within_pruned,
         "within_concave": _q_within_concave,
         "within_multipolygon": _q_within_multi,
+        "within_hole": _q_within_hole,
         "spatial_join": _q_spatial_join,
         "spatial_join_cells": _q_spatial_join_cells,
         "knn_top10": _q_knn,
@@ -2686,6 +2709,11 @@ def oracle_sql() -> dict[str, str]:
     WITH pts AS ({POINTS_SQL})
     SELECT id, lon, lat FROM pts
     WHERE {WITHIN_MULTI_ORACLE_PRED}
+    """,
+        "within_hole": f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT id, lon, lat FROM pts
+    WHERE {WITHIN_HOLE_ORACLE_PRED}
     """,
         "spatial_join": sjoin_sql,
         "spatial_join_cells": sjoin_sql,
