@@ -199,6 +199,19 @@ def _q_within_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within(pts, WITHIN_HOLE_WKT).select("id", "lon", "lat")
 
 
+DJOIN_RADIUS = 0.002
+
+
+def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity pairs: all point pairs within 0.002 planar degrees —
+    grid-bucketed (3x3 cell replication meets home cells in one
+    equality join), never n²; oracled against DuckDB's range join."""
+    from hbase_gis_spark.operators.spatial_join import distance_join
+
+    pts = derived_points(spark, sf_dir)
+    return distance_join(pts, DJOIN_RADIUS)
+
+
 def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-mode spatial join: one scan, per-polygon codegen'd
     covers tests exploded to (point, poly_id) rows."""
@@ -1703,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_concave": _q_within_concave,
         "within_multipolygon": _q_within_multi,
         "within_hole": _q_within_hole,
+        "distance_join": _q_distance_join,
         "spatial_join": _q_spatial_join,
         "spatial_join_cells": _q_spatial_join_cells,
         "knn_top10": _q_knn,
@@ -2714,6 +2728,18 @@ def oracle_sql() -> dict[str, str]:
     WITH pts AS ({POINTS_SQL})
     SELECT id, lon, lat FROM pts
     WHERE {WITHIN_HOLE_ORACLE_PRED}
+    """,
+        "distance_join": f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT id_a, id_b, distance FROM (
+      SELECT a.id AS id_a, b.id AS id_b,
+             sqrt((b.lon - a.lon) * (b.lon - a.lon)
+                  + (b.lat - a.lat) * (b.lat - a.lat)) AS distance
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND b.lon >= a.lon - {DJOIN_RADIUS} AND b.lon <= a.lon + {DJOIN_RADIUS}
+       AND b.lat >= a.lat - {DJOIN_RADIUS} AND b.lat <= a.lat + {DJOIN_RADIUS}
+    ) WHERE distance <= {DJOIN_RADIUS}
     """,
         "spatial_join": sjoin_sql,
         "spatial_join_cells": sjoin_sql,

@@ -122,3 +122,74 @@ def spatial_join(
             else exact.when(F.col(poly_id_col) == pid, branch)
         )
     return cand.filter(exact.otherwise(F.lit(False)))
+
+
+def distance_join(
+    df: DataFrame,
+    radius_deg: float,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Threshold distance self-join: all point pairs (id_a < id_b)
+    within ``radius_deg`` planar degrees — the co-location / proximity
+    mining operator the reference's single-origin queries can't
+    express.
+
+    Grid-bucketed, never n²: each point hashes to a square cell of
+    side ``radius_deg``; side A replicates to its 3×3 cell
+    neighborhood (a 9× map-side fan-out of the SMALL projected rows,
+    not of full records), side B keeps its home cell, and candidates
+    meet in ONE equality join on the cell key. Any pair within the
+    radius differs by ≤1 cell in each axis, so it is found — exactly
+    once, because B's home cell is unique. The exact distance test
+    (same operand order as the DuckDB oracle) then prunes the corner
+    candidates. Work scales with Σ occupancy(cell)·9, i.e. with data
+    density, not row count squared."""
+    r = float(radius_deg)
+    cx = F.floor(F.col(lon_col) / F.lit(r)).cast("bigint")
+    cy = F.floor(F.col(lat_col) / F.lit(r)).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(lon_col).alias("px"),
+        F.col(lat_col).alias("py"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = base.select(
+        F.col("pid").alias("id_a"),
+        F.col("px").alias("ax"),
+        F.col("py").alias("ay"),
+        F.explode(offsets).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "id_a",
+        "ax",
+        "ay",
+        ((F.col("cx") + F.col("o.dx")) * F.lit(4294967296)
+         + (F.col("cy") + F.col("o.dy"))).alias("cell"),
+    )
+    b = base.select(
+        F.col("pid").alias("id_b"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        (F.col("cx") * F.lit(4294967296) + F.col("cy")).alias("cell"),
+    )
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    dist = F.sqrt(dx * dx + dy * dy)
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", dist)
+        .filter(F.col("distance") <= F.lit(r))
+        .select("id_a", "id_b", "distance")
+    )

@@ -465,3 +465,31 @@ def test_knn_multi_matches_single_origin_knn(spark):
         assert [i for _, i in sorted(by_qp.get(qid, []))] == [
             r.id for r in single
         ]
+
+
+def test_distance_join_matches_bruteforce(spark):
+    """Grid-bucketed distance self-join == brute force (each pair
+    found exactly once, exact planar distance)."""
+    import itertools
+    import math as m
+
+    from hbase_gis_spark.operators.spatial_join import distance_join
+
+    rows = [
+        (1, 0.0, 0.0), (2, 0.0005, 0.0), (3, 0.003, 0.0),
+        (4, -0.0009, -0.0009), (5, 10.0, 10.0), (6, 0.001, 0.001),
+    ]
+    df = spark.createDataFrame(rows, ["id", "lon", "lat"])
+    r = 0.002
+    got = {
+        (x.id_a, x.id_b): x.distance
+        for x in distance_join(df, r).collect()
+    }
+    expect = {}
+    for (i, xi, yi), (j, xj, yj) in itertools.combinations(rows, 2):
+        d = m.sqrt((xj - xi) ** 2 + (yj - yi) ** 2)
+        if d <= r:
+            expect[(min(i, j), max(i, j))] = d
+    assert set(got) == set(expect) and len(expect) >= 3
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-15
