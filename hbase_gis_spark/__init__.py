@@ -18,7 +18,10 @@ Arrow-batched.
 
 from hbase_gis_spark.geo import geohash, geometry, planner  # noqa: F401
 from hbase_gis_spark.operators.within import within  # noqa: F401
-from hbase_gis_spark.operators.spatial_join import spatial_join  # noqa: F401
+from hbase_gis_spark.operators.spatial_join import (  # noqa: F401
+    distance_join,
+    spatial_join,
+)
 from hbase_gis_spark.operators.asof import asof_join, interval_join  # noqa: F401
 from hbase_gis_spark.operators.knn import (  # noqa: F401
     knn,
@@ -104,6 +107,7 @@ from hbase_gis_spark.operators.funnel import (  # noqa: F401
     retention_cohorts,
 )
 from hbase_gis_spark.sources.corpus_io import (  # noqa: F401
+    compact_parquet,
     jsonl_to_parquet,
     read_documents_jsonl,
     read_documents_orc,
