@@ -212,6 +212,26 @@ def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distance_join(pts, DJOIN_RADIUS)
 
 
+SCLUSTER_RADIUS = 0.0008
+
+
+def _q_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-connectivity clustering (DBSCAN with minPts=2 over the
+    ε-graph): connected components of the distance_join pair graph —
+    every point labeled with the smallest reachable point id. The edge
+    discovery is the grid-bucketed distance join (never n²) and the
+    labeling is the same bounded min-label propagation as near-dup
+    clustering; oracled by a DuckDB recursive-CTE closure."""
+    from hbase_gis_spark.operators.dedup import near_dup_clusters
+    from hbase_gis_spark.operators.spatial_join import distance_join
+
+    pts = derived_points(spark, sf_dir)
+    pairs = distance_join(pts, SCLUSTER_RADIUS)
+    return near_dup_clusters(pts, pairs, id_col="id").select(
+        F.col("id"), F.col("cluster_id")
+    )
+
+
 def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-mode spatial join: one scan, per-polygon codegen'd
     covers tests exploded to (point, poly_id) rows."""
@@ -1717,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_multipolygon": _q_within_multi,
         "within_hole": _q_within_hole,
         "distance_join": _q_distance_join,
+        "spatial_clusters": _q_spatial_clusters,
         "spatial_join": _q_spatial_join,
         "spatial_join_cells": _q_spatial_join_cells,
         "knn_top10": _q_knn,
@@ -2740,6 +2761,36 @@ def oracle_sql() -> dict[str, str]:
        AND b.lon >= a.lon - {DJOIN_RADIUS} AND b.lon <= a.lon + {DJOIN_RADIUS}
        AND b.lat >= a.lat - {DJOIN_RADIUS} AND b.lat <= a.lat + {DJOIN_RADIUS}
     ) WHERE distance <= {DJOIN_RADIUS}
+    """,
+        "spatial_clusters": f"""
+    WITH RECURSIVE pts AS ({POINTS_SQL}),
+    e AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b,
+               sqrt((b.lon - a.lon) * (b.lon - a.lon)
+                    + (b.lat - a.lat) * (b.lat - a.lat)) AS distance
+        FROM pts a JOIN pts b
+          ON a.id < b.id
+         AND b.lon >= a.lon - {SCLUSTER_RADIUS}
+         AND b.lon <= a.lon + {SCLUSTER_RADIUS}
+         AND b.lat >= a.lat - {SCLUSTER_RADIUS}
+         AND b.lat <= a.lat + {SCLUSTER_RADIUS}
+      ) WHERE distance <= {SCLUSTER_RADIUS}
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM e
+      UNION
+      SELECT id_b AS a, id_a AS b FROM e
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT p.id,
+           least(p.id, coalesce(min(r.b), p.id)) AS cluster_id
+    FROM pts p LEFT JOIN reach r ON p.id = r.a
+    GROUP BY p.id
     """,
         "spatial_join": sjoin_sql,
         "spatial_join_cells": sjoin_sql,
