@@ -212,7 +212,7 @@ def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distance_join(pts, DJOIN_RADIUS)
 
 
-SCLUSTER_RADIUS = 0.0008
+SCLUSTER_RADIUS = 0.0006
 
 
 def _q_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
