@@ -44,7 +44,10 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     cell_footprint_pairs,
     cluster_representatives,
     dedup_incremental,
+    dup_ngram_spans,
     edit_distance_pairs,
+    near_dup_clusters,
+    winnow_fingerprints,
     dedup_exact,
     embedding_dup_lsh,
     embedding_dup_pairs,
