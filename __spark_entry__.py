@@ -1216,6 +1216,61 @@ def _q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARETO_PCT = 50
+
+
+def _q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/concentration analysis: per event type, how many of its
+    heaviest users account for >= 50% of events. Integer-exact: the
+    cutoff test is 100·cumsum >= pct·total (no float division); the
+    window cumsum runs over the per-(type,user) aggregate — thousands
+    of rows, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "n",
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    return (
+        ranked.filter(
+            F.lit(100) * (F.col("cum") - F.col("n"))
+            < F.lit(PARETO_PCT) * F.col("total")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_top_users"),
+            F.max("total").alias("n_events"),
+        )
+    )
+
+
+def _q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for each unordered pair of event
+    types, how many users performed both. The distinct (user, type)
+    projection self-joins on user_id — per-user work is bounded by
+    types² (tiny), so the join scales linearly with users."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("ta"))
+    b = ut.select("user_id", F.col("event_type").alias("tb"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 GAP_TYPE = "purchase"
 
 
@@ -1795,6 +1850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": _q_keyword_search,
         "event_gaps": _q_event_gaps,
         "dup_source_matrix": _q_dup_source_matrix,
+        "user_concentration": _q_user_concentration,
+        "event_cooccurrence": _q_event_cooccurrence,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2619,6 +2676,30 @@ def oracle_sql() -> dict[str, str]:
     JOIN src b ON p.id_b = b.doc_id
     GROUP BY 1, 2
     """
+    user_concentration_sql = f"""
+    WITH pu AS (
+      SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, n,
+             sum(n) OVER (
+               PARTITION BY event_type ORDER BY n DESC, user_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM pu
+    )
+    SELECT event_type, count(*) AS n_top_users,
+           CAST(max(total) AS BIGINT) AS n_events
+    FROM r WHERE 100 * (cum - n) < {PARETO_PCT} * total
+    GROUP BY event_type
+    """
+    event_cooccurrence_sql = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """
     event_gaps_sql = f"""
     WITH h AS (
       SELECT DISTINCT epoch_us(ts) // 3600000000 AS hr
@@ -2833,6 +2914,8 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": keyword_search_sql,
         "event_gaps": event_gaps_sql,
         "dup_source_matrix": dup_source_matrix_sql,
+        "user_concentration": user_concentration_sql,
+        "event_cooccurrence": event_cooccurrence_sql,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (
