@@ -1216,6 +1216,52 @@ def _q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile profile of customer balances: deterministic
+    (row_number-based tiles with a custkey tiebreak), integer-cent
+    sums per decile. The unpartitioned NTILE sorts one global window —
+    appropriate for DIM-sized tables like customer; for fact-scale
+    deciles use grouped_median's rank-per-partition shape or the
+    approx-quantile sketch instead."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("c_custkey").asc())
+    return (
+        c.select("cents", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+Y96 = ("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+Y97 = ("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+
+
+def _q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operator: customers ordering in BOTH 1996 and 1997
+    (INTERSECT of the two year slices — the set-op family the
+    reference lacks entirely)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(bounds):
+        lo, hi = bounds
+        return o.filter(
+            (F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{lo}'"))
+            & (F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{hi}'"))
+        ).select("o_custkey")
+
+    return year(Y96).intersect(year(Y97)).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
 PARETO_PCT = 50
 
 
@@ -1852,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_source_matrix": _q_dup_source_matrix,
         "user_concentration": _q_user_concentration,
         "event_cooccurrence": _q_event_cooccurrence,
+        "balance_deciles": _q_balance_deciles,
+        "repeat_customers": _q_repeat_customers,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2676,6 +2724,28 @@ def oracle_sql() -> dict[str, str]:
     JOIN src b ON p.id_b = b.doc_id
     GROUP BY 1, 2
     """
+    balance_deciles_sql = """
+    WITH t AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             ntile(10) OVER (
+               ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) ASC,
+                        c_custkey ASC) AS decile
+      FROM customer
+    )
+    SELECT decile, count(*) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM t GROUP BY decile
+    """
+    repeat_customers_sql = f"""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Y96[0]}'
+      AND o_orderdate < TIMESTAMP '{Y96[1]}'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Y97[0]}'
+      AND o_orderdate < TIMESTAMP '{Y97[1]}'
+    """
     user_concentration_sql = f"""
     WITH pu AS (
       SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
@@ -2916,6 +2986,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_source_matrix": dup_source_matrix_sql,
         "user_concentration": user_concentration_sql,
         "event_cooccurrence": event_cooccurrence_sql,
+        "balance_deciles": balance_deciles_sql,
+        "repeat_customers": repeat_customers_sql,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (
