@@ -1262,6 +1262,23 @@ def _q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operator twin: customers ordering in 1996 but NOT in 1997
+    (EXCEPT — plans as a left-anti join + distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(bounds):
+        lo, hi = bounds
+        return o.filter(
+            (F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{lo}'"))
+            & (F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{hi}'"))
+        ).select("o_custkey")
+
+    return year(Y96).subtract(year(Y97)).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
 PARETO_PCT = 50
 
 
@@ -1900,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cooccurrence": _q_event_cooccurrence,
         "balance_deciles": _q_balance_deciles,
         "repeat_customers": _q_repeat_customers,
+        "churned_customers": _q_churned_customers,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2988,6 +3006,15 @@ def oracle_sql() -> dict[str, str]:
         "event_cooccurrence": event_cooccurrence_sql,
         "balance_deciles": balance_deciles_sql,
         "repeat_customers": repeat_customers_sql,
+        "churned_customers": f"""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Y96[0]}'
+      AND o_orderdate < TIMESTAMP '{Y96[1]}'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Y97[0]}'
+      AND o_orderdate < TIMESTAMP '{Y97[1]}'
+    """,
         "dedup_clusters": f"""
     WITH RECURSIVE pairs AS ({jaccard_sql}),
     sym AS (
