@@ -1279,6 +1279,34 @@ def _q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDE_LEN_US = 7_200_000_000  # 2-hour windows
+SLIDE_STEP_US = 3_600_000_000  # sliding every hour
+
+
+def _q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window counts (2h windows every 1h): each event lands in
+    length/slide = 2 overlapping windows — the overlapping-window
+    family tumbling windows can't express. Works identically on
+    readStream input (F.window with a slideDuration); the oracle
+    replays the assignment by unnesting each event's two aligned
+    window starts."""
+    from hbase_gis_spark.streaming.events import event_time
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_ts", event_time("ts"))
+        .groupBy(
+            F.window("event_ts", "2 hours", "1 hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("ws_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 PARETO_PCT = 50
 
 
@@ -1918,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_deciles": _q_balance_deciles,
         "repeat_customers": _q_repeat_customers,
         "churned_customers": _q_churned_customers,
+        "sliding_event_counts": _q_sliding_event_counts,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -2764,6 +2793,23 @@ def oracle_sql() -> dict[str, str]:
     WHERE o_orderdate >= TIMESTAMP '{Y97[0]}'
       AND o_orderdate < TIMESTAMP '{Y97[1]}'
     """
+    sliding_event_counts_sql = f"""
+    WITH e AS (
+      SELECT epoch_us(ts) AS t, event_type FROM events
+    ),
+    w AS (
+      SELECT unnest([
+               (t // {SLIDE_STEP_US}) * {SLIDE_STEP_US},
+               (t // {SLIDE_STEP_US}) * {SLIDE_STEP_US} - {SLIDE_STEP_US}
+             ]) AS ws_us,
+             t, event_type
+      FROM e
+    )
+    SELECT ws_us, event_type, count(*) AS n
+    FROM w
+    WHERE t >= ws_us AND t < ws_us + {SLIDE_LEN_US}
+    GROUP BY 1, 2
+    """
     user_concentration_sql = f"""
     WITH pu AS (
       SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
@@ -3005,6 +3051,7 @@ def oracle_sql() -> dict[str, str]:
         "user_concentration": user_concentration_sql,
         "event_cooccurrence": event_cooccurrence_sql,
         "balance_deciles": balance_deciles_sql,
+        "sliding_event_counts": sliding_event_counts_sql,
         "repeat_customers": repeat_customers_sql,
         "churned_customers": f"""
     SELECT o_custkey AS custkey FROM orders
