@@ -1279,6 +1279,27 @@ def _q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU: exact distinct users per UTC day — Spark plans the
+    count_distinct as a two-phase aggregate (partial distinct
+    map-side, exact merge), so the shuffle carries (day, user)
+    partials, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 SLIDE_LEN_US = 7_200_000_000  # 2-hour windows
 SLIDE_STEP_US = 3_600_000_000  # sliding every hour
 
@@ -1947,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_customers": _q_repeat_customers,
         "churned_customers": _q_churned_customers,
         "sliding_event_counts": _q_sliding_event_counts,
+        "daily_active_users": _q_daily_active_users,
         "sketch_stats": _q_sketch_stats,
         "exact_event_stats": _q_exact_event_stats,
         "top_rare_terms": _q_top_rare_terms,
@@ -3052,6 +3074,12 @@ def oracle_sql() -> dict[str, str]:
         "event_cooccurrence": event_cooccurrence_sql,
         "balance_deciles": balance_deciles_sql,
         "sliding_event_counts": sliding_event_counts_sql,
+        "daily_active_users": """
+    SELECT epoch_us(ts) // 86400000000 AS day,
+           count(DISTINCT user_id) AS dau,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
         "repeat_customers": repeat_customers_sql,
         "churned_customers": f"""
     SELECT o_custkey AS custkey FROM orders
