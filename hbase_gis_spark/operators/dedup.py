@@ -417,16 +417,29 @@ def cell_footprint_pairs(
     shingle role): distinct postings, bucket by cell, in-bucket pair
     explosion counts |A∩B|, set sizes ride along. Work scales with
     Σ df(cell)², never entities² — and ``max_df`` drops plaza-grade hot
-    cells (a cell every entity visits carries no similarity signal)."""
+    cells (a cell every entity visits carries no similarity signal).
+
+    Dedup + sizing happen in ONE ``groupBy(id).collect_set(cell)``
+    shuffle (set size and distinct postings fall out of the same
+    aggregate), replacing round 2's distinct-on-(id, cell) shuffle
+    followed by a per-id count window — one full shuffle and a sort
+    fewer at scale.  A per-entity distinct-cell set must fit an
+    executor row (same bound :func:`jaccard_pairs` puts on a doc's
+    shingle set; cell sets are bounded by the cell space).  Interleaved
+    warm-JVM A/B at sf0.01 (5 repeats, local[8], min/med): window
+    0.69/0.75 s, groupBy-count+join 0.86/0.88 s, collect_set
+    0.69/0.75 s — a local tie with the window form, decided by the
+    shuffle count; identical rows from all three."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
-    d = (
+    sets = (
         _spread(df)
         .select(F.col(id_col).alias("id"), F.col(cell_col).alias("cell"))
-        .distinct()
+        .groupBy("id")
+        .agg(F.collect_set("cell").alias("__cs"))
     )
-    sized = d.withColumn(
-        "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    sized = sets.select(
+        "id", F.size("__cs").alias("sz"), F.explode("__cs").alias("cell")
     )
     inter = (
         _bucket_pairs(sized, ["cell"], carry=["sz"], max_bucket=max_df)
