@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real decode/resize kernels are implemented against PIL behind an
-import guard; where no image library exists (this container) they
-raise a clearly-marked NotImplementedError and the deterministic fake
-kernels keep the plumbing testable. Everything Spark-side is real and
-tested either way: the schema convention, Arrow batch flow through
-mapInPandas, partition-sized batching, and metadata extraction shape —
-the parts that have to be right at 100 TB.
+Real decode/resize kernels exist at two tiers: pure-Python parsers for
+uncompressed BMP and binary PPM/PGM (dependency-free — the real path
+that executes and is tested in THIS container), and PIL behind an
+import guard for every other format.  Where neither applies the
+kernels raise a clearly-marked NotImplementedError (never a silent
+fake fallback) and the deterministic fake kernels keep the plumbing
+testable.  Everything Spark-side is real and tested either way: the
+schema convention, Arrow batch flow through mapInPandas,
+partition-sized batching, and metadata extraction shape — the parts
+that have to be right at 100 TB.
 
 Schema convention for a media table:
     id        bigint
@@ -52,14 +55,103 @@ _DECODE_SCHEMA = (
 )
 
 
+def _parse_bmp(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python decode of an uncompressed (BI_RGB) 24/32-bit BMP
+    with a BITMAPINFOHEADER — no image library required.  Returns
+    (width, height, channels, pixels) with pixels as a top-down
+    row-major RGB(A) buffer (BMP stores BGR(A), bottom-up unless the
+    height field is negative)."""
+    import struct
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", buf, 10)
+    (hdr_size,) = struct.unpack_from("<I", buf, 14)
+    if hdr_size < 40:
+        raise ValueError("BMP core-header variant not supported")
+    width, height = struct.unpack_from("<ii", buf, 18)
+    (bpp,) = struct.unpack_from("<H", buf, 28)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP (got bpp={bpp})")
+    top_down = height < 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = []
+    for r in range(height):
+        src_r = r if top_down else height - 1 - r
+        row = buf[pix_off + src_r * stride : pix_off + src_r * stride + width * nch]
+        if len(row) != width * nch:
+            raise ValueError("truncated BMP pixel data")
+        px = bytearray(row)
+        px[0::nch], px[2::nch] = row[2::nch], row[0::nch]  # BGR(A) -> RGB(A)
+        rows.append(bytes(px))
+    return width, height, nch, b"".join(rows)
+
+
+def _parse_pnm(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python decode of binary PPM (P6, RGB) / PGM (P5, gray)
+    with maxval <= 255.  Header is whitespace-separated tokens with
+    ``#`` comments; pixel data follows the single whitespace byte
+    after maxval."""
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    nch = 3 if buf[:2] == b"P6" else 1
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    pos += 1  # single whitespace separating header from raster
+    pixels = buf[pos : pos + width * height * nch]
+    if len(pixels) != width * height * nch:
+        raise ValueError("truncated PNM pixel data")
+    return width, height, nch, pixels
+
+
+def _encode_pnm(width: int, height: int, nch: int, pixels: bytes) -> bytes:
+    """Encode a raw top-down raster as binary PPM (3ch) / PGM (1ch)."""
+    magic = b"P6" if nch == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (width, height) + pixels
+
+
+def _decode_pure(buf: bytes) -> tuple[int, int, int, float] | None:
+    """Dependency-free decode for the formats the pure parsers cover;
+    None when the payload is some other format (PIL's problem)."""
+    if buf[:2] == b"BM":
+        w, h, nch, px = _parse_bmp(buf)
+    elif buf[:2] in (b"P5", b"P6"):
+        w, h, nch, px = _parse_pnm(buf)
+    else:
+        return None
+    return w, h, nch, (sum(px) / len(px)) if px else 0.0
+
+
 def _decode_real(buf: bytes) -> tuple[int, int, int, float]:
-    """Real decoder: PIL open → (width, height, channels, mean byte
-    over the raw pixel buffer). Raises NotImplementedError when no
-    image library is present (this container lacks PIL/opencv — the
-    deterministic fake keeps the plumbing testable there)."""
+    """Real decoder: (width, height, channels, mean byte over the
+    decoded pixel buffer).  Uncompressed BMP and binary PPM/PGM decode
+    via the in-repo pure-Python parsers (no image library needed — the
+    path that actually executes in this container); every other format
+    goes through PIL when present, else raises a clearly-marked
+    NotImplementedError (never a silent fake fallback)."""
+    pure = _decode_pure(buf)
+    if pure is not None:
+        return pure
     if not _HAS_PIL:
         raise NotImplementedError(
-            "image decode requires PIL/opencv; not present in this container"
+            "non-BMP/PNM image decode requires PIL/opencv; "
+            "not present in this container"
         )
     import io
 
@@ -91,8 +183,9 @@ def decode_media(
     """Decode the binary payload into typed feature columns via
     mapInPandas (Arrow-batched; one python worker per partition).
 
-    ``fake=False`` uses the real decoder (NotImplementedError here —
-    the Spark-side contract is identical)."""
+    ``fake=False`` uses the real decoder: pure-Python for BMP/PNM,
+    PIL for other formats (NotImplementedError without PIL — the
+    Spark-side contract is identical)."""
     decode = _decode_fake if fake else _decode_real
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,12 +204,42 @@ def decode_media(
     return df.select(id_col, media_col).mapInPandas(batches, _DECODE_SCHEMA)
 
 
+def _resize_pure(buf: bytes, size: tuple[int, int]) -> bytes | None:
+    """Dependency-free resize for BMP / PPM / PGM payloads: decode via
+    the pure parsers, nearest-neighbor resample with numpy, re-encode
+    as binary PNM (alpha dropped — PNM has no alpha channel).  None
+    when the payload is some other format."""
+    if buf[:2] == b"BM":
+        w, h, nch, px = _parse_bmp(buf)
+    elif buf[:2] in (b"P5", b"P6"):
+        w, h, nch, px = _parse_pnm(buf)
+    else:
+        return None
+    import numpy as np
+
+    tw, th = size
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, nch)
+    if nch == 4:
+        arr, nch = arr[:, :, :3], 3
+    ys = np.minimum((np.arange(th) * h) // th, h - 1)
+    xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    out = arr[ys][:, xs]
+    return _encode_pnm(tw, th, nch, out.tobytes())
+
+
 def _resize_real(buf: bytes, size: tuple[int, int]) -> bytes:
-    """Real resize kernel: decode → bilinear resample to ``size`` →
-    re-encode PNG. Requires PIL (absent in this container)."""
+    """Real resize kernel.  BMP/PNM payloads resample via the pure
+    numpy nearest-neighbor path and re-encode as PNM (executes in this
+    container, no image library).  Other formats: PIL decode →
+    bilinear resample → PNG encode when PIL exists, else a
+    clearly-marked NotImplementedError."""
+    pure = _resize_pure(buf, size)
+    if pure is not None:
+        return pure
     if not _HAS_PIL:
         raise NotImplementedError(
-            "image resize requires PIL/opencv; not present in this container"
+            "non-BMP/PNM image resize requires PIL/opencv; "
+            "not present in this container"
         )
     import io
 

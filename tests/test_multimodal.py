@@ -43,47 +43,106 @@ def test_decode_media_deterministic(media):
     assert all(1 <= r[i].width <= 64 for i in sample)
 
 
-def test_decode_media_real_path_guarded(media):
+def test_decode_media_unknown_format_guarded(spark):
     """Without an image library the real path must fail loudly with
-    NotImplementedError (never silently fall back to the fake)."""
+    NotImplementedError on formats the pure parsers don't cover
+    (never silently fall back to the fake)."""
     from hbase_gis_spark.operators.multimodal import _HAS_PIL
 
     if _HAS_PIL:
-        pytest.skip("PIL present; real path covered by the _real tests")
+        pytest.skip("PIL present; real path covers non-BMP/PNM formats")
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\n not actually decodable")],
+        "id bigint, media binary",
+    )
     with pytest.raises(Exception) as ei:
-        decode_media(media, fake=False).collect()
+        decode_media(df, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
 
 
-def _png_bytes(w: int, h: int, value: int) -> bytes:
-    """Uniform-gray RGB PNG via PIL (caller guarantees PIL exists)."""
-    import io
+def _bmp_bytes(pixels, top_down=False):
+    """Hand-built uncompressed 24-bit BMP (BITMAPINFOHEADER) from a
+    top-down list of rows of (r, g, b) tuples — no image library."""
+    import struct
 
-    from PIL import Image
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    rows = pixels if top_down else list(reversed(pixels))
+    raster = b"".join(
+        b"".join(bytes((b_, g_, r_)) for (r_, g_, b_) in row)
+        + b"\x00" * (stride - w * 3)
+        for row in rows
+    )
+    pix_off = 14 + 40
+    file_hdr = b"BM" + struct.pack("<IHHI", pix_off + len(raster), 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (h if not top_down else -h), 1, 24, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    return file_hdr + dib + raster
 
-    im = Image.new("RGB", (w, h), (value, value, value))
-    out = io.BytesIO()
-    im.save(out, format="PNG")
-    return out.getvalue()
+
+_BMP_PIXELS = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+]
+_BMP_MEAN = (255 * 3 + sum(range(10, 100, 10))) / 18  # 67.5
 
 
 def test_decode_media_real_kernel(spark):
-    """Real PIL decode: exact (width, height, channels) and the pixel
-    mean of a uniform image. Skips where the container lacks PIL — the
-    kernel itself is exercised wherever PIL exists."""
-    pytest.importorskip("PIL")
-    rows = [(1, _png_bytes(5, 7, 100)), (2, _png_bytes(3, 2, 0))]
+    """Real decode through Spark mapInPandas with NO image library:
+    hand-built BMP and PPM/PGM payloads, exact dims + pixel mean."""
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes(range(12))
+    pgm = b"P5\n3 1\n255\n" + bytes([0, 100, 200])
+    rows = [(1, _bmp_bytes(_BMP_PIXELS)), (2, ppm), (3, pgm)]
     df = spark.createDataFrame(rows, "id bigint, media binary")
     got = {r.id: r for r in decode_media(df, fake=False).collect()}
-    assert (got[1].width, got[1].height, got[1].channels) == (5, 7, 3)
-    assert got[1].mean_byte == 100.0
-    assert (got[2].width, got[2].height, got[2].mean_byte) == (3, 2, 0.0)
+    assert (got[1].width, got[1].height, got[1].channels) == (3, 2, 3)
+    assert got[1].mean_byte == _BMP_MEAN
+    assert (got[2].width, got[2].height, got[2].channels) == (2, 2, 3)
+    assert got[2].mean_byte == sum(range(12)) / 12
+    assert (got[3].width, got[3].height, got[3].channels) == (3, 1, 1)
+    assert got[3].mean_byte == 100.0
+
+
+def test_decode_bmp_variants():
+    """Direct kernel: top-down BMP and row padding decode identically
+    to the bottom-up layout."""
+    from hbase_gis_spark.operators.multimodal import _decode_real
+
+    up = _decode_real(_bmp_bytes(_BMP_PIXELS))
+    down = _decode_real(_bmp_bytes(_BMP_PIXELS, top_down=True))
+    assert up == down == (3, 2, 3, _BMP_MEAN)
 
 
 def test_resize_media_real_kernel(spark):
-    """Real PIL resize: output decodes to the requested size."""
+    """Real resize through Spark with NO image library: BMP in,
+    nearest-neighbor PNM out at the requested size, pixels preserved
+    as 2x2 blocks."""
+    from hbase_gis_spark.operators.multimodal import _parse_pnm, resize_media
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (9, 9, 9)]]
+    df = spark.createDataFrame(
+        [(1, _bmp_bytes(px))], "id bigint, media binary"
+    )
+    out = resize_media(df, 0, fake=False, size=(4, 4)).collect()[0]
+    w, h, nch, raster = _parse_pnm(bytes(out.media))
+    assert (w, h, nch) == (4, 4, 3)
+    assert out.n_bytes == len(out.media)
+    # nearest-neighbor 2x upscale duplicates each source pixel 2x2
+    for y in range(4):
+        for x in range(4):
+            expect = px[y // 2][x // 2]
+            at = (y * 4 + x) * 3
+            assert tuple(raster[at : at + 3]) == expect
+
+
+def test_resize_media_real_kernel_pil(spark):
+    """PIL tier of the real resize (non-BMP/PNM formats). Skips where
+    the container lacks PIL; the pure tier above always runs."""
     pytest.importorskip("PIL")
     import io
 
@@ -91,12 +150,15 @@ def test_resize_media_real_kernel(spark):
 
     from hbase_gis_spark.operators.multimodal import resize_media
 
+    im = Image.new("RGB", (10, 10), (50, 50, 50))
+    out_b = io.BytesIO()
+    im.save(out_b, format="PNG")
     df = spark.createDataFrame(
-        [(1, _png_bytes(10, 10, 50))], "id bigint, media binary"
+        [(1, out_b.getvalue())], "id bigint, media binary"
     )
     out = resize_media(df, 0, fake=False, size=(4, 6)).collect()[0]
-    with Image.open(io.BytesIO(bytes(out.media))) as im:
-        assert (im.width, im.height) == (4, 6)
+    with Image.open(io.BytesIO(bytes(out.media))) as im2:
+        assert (im2.width, im2.height) == (4, 6)
     assert out.n_bytes == len(out.media)
 
 
