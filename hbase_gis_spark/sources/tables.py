@@ -26,9 +26,95 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+# Expected parquet schemas for the driver testdata (TESTDATA.md as of
+# round 3).  The driver REGENERATES /root/testdata between rounds and
+# has drifted before (rounds 1->2 moved events.ts from
+# TIMESTAMP(NANOS)-as-long to timestamp[us]); a silent drift corrupts
+# every timestamp oracle without erroring, so the contract is asserted
+# loudly instead (conftest session start + first events load).
+EXPECTED_SCHEMAS = {
+    "region": {"r_regionkey": "int32", "r_name": "string"},
+    "nation": {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"},
+    "customer": {
+        "c_custkey": "int64", "c_name": "string", "c_nationkey": "int32",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int64", "s_name": "string", "s_nationkey": "int32",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "int64", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int32", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "int64", "o_custkey": "int64", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderdate": "timestamp[us]",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "int64", "l_partkey": "int64", "l_suppkey": "int64",
+        "l_linenumber": "int32", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+        "l_returnflag": "string", "l_linestatus": "string",
+        "l_shipdate": "timestamp[us]",
+    },
+    "events": {
+        "event_id": "int64", "ts": "timestamp[us]", "user_id": "int64",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "int64", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "int64",
+    },
+    "embeddings": {
+        "vec_id": "int64", "embedding": "list<element: float>",
+        "label": "int32",
+    },
+}
+
+
+def assert_testdata_schemas(sf_dir: str, tables=None) -> None:
+    """Fail fast (with a per-column diff) if the driver-regenerated
+    parquet drifts from EXPECTED_SCHEMAS.  Local-FS paths only (the
+    testdata always is); non-local paths skip silently."""
+    import pyarrow.parquet as pq
+
+    diffs = []
+    for name in tables or TABLES:
+        try:
+            got = {
+                f.name: str(f.type)
+                for f in pq.read_schema(f"{sf_dir}/{name}.parquet")
+            }
+        except OSError:
+            continue  # not a local path / table absent — nothing to pin
+        want = EXPECTED_SCHEMAS[name]
+        if got != want:
+            for col in sorted(set(got) | set(want)):
+                g, w = got.get(col, "<absent>"), want.get(col, "<absent>")
+                if g != w:
+                    diffs.append(f"  {name}.{col}: expected {w}, got {g}")
+    if diffs:
+        raise AssertionError(
+            "testdata parquet schema drift (driver regenerated "
+            f"{sf_dir}?) — update EXPECTED_SCHEMAS + every consumer "
+            "of the drifted columns:\n" + "\n".join(diffs)
+        )
+
+
+_TS_CHECKED: set[str] = set()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name == "events" and sf_dir not in _TS_CHECKED:
+        # ts_us() assumes a real parquet timestamp column; on the legacy
+        # long-nanos layout cast-to-timestamp would silently misread
+        # nanos as SECONDS — so the first events load per directory
+        # asserts the layout instead of trusting it (ADVICE r2).
+        assert_testdata_schemas(sf_dir, tables=["events"])
+        _TS_CHECKED.add(sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

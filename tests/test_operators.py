@@ -177,6 +177,30 @@ def test_sketch_stats_error_bounds(spark):
         assert lo <= got <= hi
 
 
+def test_sketch_stats_tracks_exact_twin_sf001(spark):
+    """The REGISTERED sketch_stats query vs its exact twin
+    exact_event_stats (both registry surfaces, sf0.01 — the scale the
+    driver checks): HLL++ distinct within the 5% bound implied by the
+    default rsd=0.05, quantiles within the rank tolerance of
+    accuracy=10000.  sketch_stats is rows-only in the driver compare
+    (approximate by construction), so this is the assertion that keeps
+    a silently-broken sketch from passing."""
+    import __spark_entry__ as entry
+
+    sf = str(SF0001).replace("sf0.001", "sf0.01")
+    sk = entry._q_sketch_stats(spark, sf).head()
+    ex = entry._q_exact_event_stats(spark, sf).head()
+    assert abs(sk.approx_users - ex.n_users) / ex.n_users < 0.05
+    ev = load_table(spark, sf, "events")
+    vals = sorted(r.value for r in ev.select("value").collect())
+    n = len(vals)
+    tol = max(2, n // 1000)
+    for frac, got in zip((0.5, 0.95, 0.99), (sk.p50, sk.p95, sk.p99)):
+        lo = vals[max(0, int(frac * n) - tol)]
+        hi = vals[min(n - 1, int(frac * n) + tol)]
+        assert lo <= got <= hi, (frac, got, lo, hi)
+
+
 def test_knn_haversine_matches_python_math(spark):
     """Haversine KNN agrees with plain Python math (same formula) and
     orders differently from planar where longitude compression matters."""
