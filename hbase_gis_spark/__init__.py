@@ -36,9 +36,14 @@ from hbase_gis_spark.sqlapi import (  # noqa: F401
     bbox_sql,
     geohash_prefix_sql,
     haversine_distance_sql,
+    lang_id_sql,
+    minhash_band_sql,
     planar_distance_sql,
     register_sql_api,
+    simhash_sql,
+    tokens_sql,
     within_convex_sql,
+    word_shingles_sql,
 )
 from hbase_gis_spark.operators.dedup import (  # noqa: F401
     cell_footprint_pairs,

@@ -113,6 +113,145 @@ def haversine_distance_sql(
     return f"({2.0 * EARTH_RADIUS_M!r} * asin(sqrt({a})))"
 
 
+# --- text/dedup expression generators (tier 1, corpus family) ---------------
+#
+# Spark-SQL text mirroring the Column builders in operators/dedup.py and
+# operators/textstats.py term for term (same functions, same operand
+# order), so `spark.sql` and the DataFrame operators return identical
+# values — pinned in tests/test_sqlapi.py.  All bodies are pure JVM
+# expressions (split/transform/aggregate/xxhash64/md5): registering them
+# as SQL UDFs (see register_sql_api) keeps SQL callers off the Python
+# path entirely.
+
+_MINHASH_P = 4294967311
+_MINHASH_A0, _MINHASH_B0 = 1048583, 97
+_SIMHASH_BITS = 60
+
+
+def _let(var: str, value_sql: str, body_sql: str) -> str:
+    """Single-evaluation binding inside one SQL expression:
+    ``transform(array(e), v -> body)[1]``.  The array literal computes
+    ``e`` once; the lambda variable is then an attribute reference
+    (cheap per use), which is the only way to get the staged-projection
+    discipline (operators/dedup.py docstrings) inside a SQL UDF body —
+    textual duplication of a non-cheap subtree re-evaluates it per
+    reference under interpreted HOF eval."""
+    return f"element_at(transform(array({value_sql}), {var} -> {body_sql}), 1)"
+
+
+def tokens_sql(text_expr: str = "text") -> str:
+    """Whitespace tokenization — twin of ``operators.dedup.tokens``."""
+    return f"split(trim({text_expr}), '\\\\s+')"
+
+
+def word_shingles_sql(text_expr: str = "text", n: int = 3) -> str:
+    """Distinct word n-gram shingles — twin of
+    ``operators.dedup.word_shingles`` (same zip_with fold over shifted
+    slices).  ``w`` is let-bound so tokenization runs once."""
+
+    def body(w: str) -> str:
+        m = f"greatest(size({w}) - {n - 1}, 0)"
+        sh = f"slice({w}, 1, {m})"
+        for k in range(1, n):
+            sh = (
+                f"zip_with({sh}, slice({w}, {k + 1}, {m}), "
+                f"(a, b) -> concat_ws(' ', a, b))"
+            )
+        return (
+            f"CASE WHEN size({w}) >= {n} THEN array_distinct({sh}) "
+            f"ELSE cast(array() AS array<string>) END"
+        )
+
+    return _let("w", tokens_sql(text_expr), body("w"))
+
+
+def simhash_sql(text_expr: str = "text") -> str:
+    """60-bit SimHash — twin of ``operators.dedup.simhash`` (md5 word
+    hashes, signed votes, power-of-two packing; single linear chain so
+    every stage evaluates once)."""
+    hashes = (
+        f"transform({tokens_sql(text_expr)}, "
+        f"x -> cast(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))"
+    )
+    vote_terms = ", ".join(
+        f"(cast((shiftright(h, {j}) & 1) AS BIGINT) * 2 - 1)"
+        for j in range(_SIMHASH_BITS)
+    )
+    vote_arrays = f"transform({hashes}, h -> array({vote_terms}))"
+    votes = (
+        f"aggregate({vote_arrays}, "
+        f"array_repeat(cast(0 AS BIGINT), {_SIMHASH_BITS}), "
+        f"(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+    )
+    powers = "array(" + ", ".join(
+        f"cast({1 << j} AS BIGINT)" for j in range(_SIMHASH_BITS)
+    ) + ")"
+    packed = (
+        f"zip_with({votes}, {powers}, "
+        f"(v, p) -> CASE WHEN v > 0 THEN p ELSE cast(0 AS BIGINT) END)"
+    )
+    return f"aggregate({packed}, cast(0 AS BIGINT), (acc, x) -> acc + x)"
+
+
+def minhash_band_sql(
+    text_expr: str = "text",
+    band_expr: str = "band",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> str:
+    """Murmur3 hash of one MinHash signature band — twin of the banding
+    in ``operators.dedup.minhash_lsh_pairs`` (same permutation
+    constants, same ``hash(slice(sig, band*r+1, r))``), with the
+    signature built by the expression form of
+    ``minhash_signature_from_hashes``.  Two documents agreeing on
+    ``hgs_minhash_band(text, b)`` for any ``b`` in [0, bands) are LSH
+    candidate pairs — the SQL route to the same buckets the operator
+    joins on.  Shingles and 32-bit hashes are let-bound so the shingle
+    pipeline runs once per row, not once per permutation."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"array_min(transform(h32, h -> "
+        f"({i * 2 + _MINHASH_A0} * h + {i * 7 + _MINHASH_B0}) "
+        f"% {_MINHASH_P}))"
+        for i in range(num_hashes)
+    )
+    sig_body = f"array({mins})"
+    h32 = "transform(s, x -> xxhash64(x) & 4294967295)"
+    sig = _let("s", word_shingles_sql(text_expr, n), _let("h32", h32, sig_body))
+    return f"hash(slice({sig}, ({band_expr}) * {r} + 1, {r}))"
+
+
+def lang_id_sql(text_expr: str = "text") -> str:
+    """Marker-word argmax language guess — twin of
+    ``operators.textstats.lang_id`` (same cascade built back-to-front,
+    earlier languages win ties)."""
+    from hbase_gis_spark.operators.textstats import _LANG_ORDER, LANG_MARKERS
+
+    def count(markers: tuple[str, ...], w: str) -> str:
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        return f"size(filter({w}, x -> x IN ({in_list})))"
+
+    def body(w: str) -> str:
+        best = best_count = None
+        for lang in reversed(_LANG_ORDER):
+            c = count(LANG_MARKERS[lang], w)
+            if best is None:
+                best = f"CASE WHEN {c} > 0 THEN '{lang}' ELSE 'und' END"
+                best_count = c
+            else:
+                best = (
+                    f"CASE WHEN ({c} > 0 AND {c} >= {best_count}) "
+                    f"THEN '{lang}' ELSE {best} END"
+                )
+                best_count = f"greatest({c}, {best_count})"
+        return best
+
+    return _let("w", tokens_sql(text_expr), body("w"))
+
+
 def register_sql_api(spark: SparkSession) -> None:
     """Register the engine's SQL functions on a session (idempotent):
 
@@ -124,6 +263,21 @@ def register_sql_api(spark: SparkSession) -> None:
       parsed once per distinct value per batch). Conjoin
       :func:`bbox_sql` in the same WHERE clause so the scan still
       prunes before rows reach Python.
+
+    Corpus family — registered as Spark SQL UDFs (``CREATE TEMPORARY
+    FUNCTION ... RETURN <expr>``), so their bodies are the tier-1
+    expression text above: pure JVM, no Python worker, and exactly the
+    operators' values (equality pinned in tests/test_sqlapi.py):
+
+    - ``hgs_simhash(text) -> bigint``: 60-bit SimHash.
+    - ``hgs_minhash_band(text, band) -> int``: MinHash LSH band hash
+      (n=3, 64 hashes, 16 bands — the operator defaults).
+    - ``hgs_lang_id(text) -> string``: marker-word language guess.
+
+    For hot-path batch work still prefer the DataFrame operators —
+    they stage shared subexpressions across rows AND across documents
+    (e.g. one signature pipeline feeding all bands); the SQL functions
+    recompute per call site and are the ad-hoc / interactive surface.
     """
 
     @F.pandas_udf(T.StringType())
@@ -154,3 +308,17 @@ def register_sql_api(spark: SparkSession) -> None:
 
     spark.udf.register("hgs_geohash", _hgs_geohash)
     spark.udf.register("hgs_covers", _hgs_covers)
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_simhash(text STRING) "
+        f"RETURNS BIGINT RETURN {simhash_sql('text')}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_minhash_band("
+        "text STRING, band INT) RETURNS INT "
+        f"RETURN {minhash_band_sql('text', 'band')}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_lang_id(text STRING) "
+        f"RETURNS STRING RETURN {lang_id_sql('text')}"
+    )
