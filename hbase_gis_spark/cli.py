@@ -180,13 +180,19 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         print(f"Wrote {spark.read.parquet(args.output).count()} chunks")
     elif args.op == "pipeline":
         # full preprocessing composition: lang gate -> exact dedup ->
-        # near-dup drop -> per-source cap -> split; one lazy plan
+        # near-dup drop -> per-source cap -> split; one lazy plan.
+        # Near-dup stage defaults to the MinHash-LSH scale path — the
+        # SAME formulation the registry corpus_pipeline query uses, so
+        # the two advertised surfaces cannot diverge on a corpus where
+        # LSH recall < 1; --exact opts into the n-gram inverted-index
+        # exact pairs (small corpora / ground-truthing).
         from pyspark.sql import functions as F
 
         from hbase_gis_spark.operators.corpus import domain_cap
         from hbase_gis_spark.operators.dedup import (
             dedup_exact,
             jaccard_pairs,
+            minhash_lsh_pairs,
             split_assign,
         )
         from hbase_gis_spark.operators.textstats import lang_id
@@ -195,8 +201,9 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             F.col("lang_pred") != "und"
         )
         ex = dedup_exact(gated)
+        near_dup = jaccard_pairs if args.exact else minhash_lsh_pairs
         drop = (
-            jaccard_pairs(ex, threshold=0.5)
+            near_dup(ex, threshold=0.5)
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
         )
@@ -273,6 +280,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--chunk-tokens", type=int, default=64, dest="chunk_tokens")
     s.add_argument("--overlap", type=int, default=16)
     s.add_argument("--cap", type=int, default=1000, help="per-source cap (pipeline)")
+    s.add_argument(
+        "--exact",
+        action="store_true",
+        help="pipeline: exact n-gram Jaccard near-dup pairs instead of "
+        "the default MinHash-LSH scale path",
+    )
     s.set_defaults(fn=cmd_corpus)
 
     args = p.parse_args(argv)

@@ -6,9 +6,9 @@ from the alphabet ``0123456789bcdefghjkmnpqrstuvwxyz``.
 
 Reference parity: the reference builds 12-char rowkeys via
 ``GeoHash.withCharacterPrecision(lat, lon, 12).toBase32()``
-(/root/reference/src/main/java/org/stackabletech/gis/hbase/Ingest.java:77)
+(/root/reference/src/main/java/tech/stackable/gis/hbase/Ingest.java:77)
 and widens KNN candidate sets with the 8 adjacent cells
-(/root/reference/src/main/java/org/stackabletech/gis/hbase/KNNQuery.java:84-88).
+(/root/reference/src/main/java/tech/stackable/gis/hbase/KNNQuery.java:84-88).
 
 Neighbors are computed *numerically* (decode center, offset by one cell
 width/height, re-encode) rather than with the classic lookup-table

@@ -116,24 +116,34 @@ def compact_parquet(
     scan). File count = ceil(current_bytes / target); ``coalesce`` (a
     narrow dependency — no shuffle) merges splits down to that count.
     Compression changes the exact output size, but for compaction the
-    goal is order-of-magnitude file count, not byte precision."""
-    import math
-    import os
+    goal is order-of-magnitude file count, not byte precision.
 
-    total = 0
-    for root, _dirs, files in os.walk(src):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
+    Sizes and counts come from the Hadoop FileSystem API resolved from
+    the path itself, so any URI Spark can read works — local, HDFS, or
+    an object store — not just the local filesystem (ADVICE r2)."""
+    import math
+
+    def _fs_and_path(p: str):
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+    def _data_files(p: str):
+        fs, jpath = _fs_and_path(p)
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            if not st.getPath().getName().startswith(("_", ".")):
+                yield st
+
+    total = sum(st.getLen() for st in _data_files(src))
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src)
     df.coalesce(n_files).write.mode(mode).parquet(dst)
-    out = sum(
+    return sum(
         1
-        for f in os.listdir(dst)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
+        for st in _data_files(dst)
+        if st.getPath().getName().endswith(".parquet")
     )
-    return out
 
 
 def read_document_stream(

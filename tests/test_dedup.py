@@ -57,6 +57,34 @@ def test_minhash_lsh_matches_exact_pairs(docs):
     assert lsh == exact and len(exact) > 0
 
 
+def test_minhash_lsh_matches_exact_pairs_sf001(spark):
+    """Round-start tripwire (ADVICE r2): four registry queries
+    (dedup_clusters, dedup_keep_best, dup_source_matrix,
+    corpus_pipeline) feed minhash_lsh_pairs into plans whose DuckDB
+    oracles use EXACT n-gram Jaccard SQL — their correctness rows stay
+    green only while LSH recall is 100% on the current corpus.  The
+    driver checks them at sf0.01, so assert the LSH == exact equality
+    there, with the registry's own parameters, the moment the (possibly
+    regenerated) testdata is first touched — not after four downstream
+    queries go red."""
+    import __spark_entry__ as entry
+
+    docs01 = load_table(spark, "/root/testdata/sf0.01", "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(
+            docs01, n=entry.JACCARD_N, threshold=entry.JACCARD_T
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs01, n=entry.JACCARD_N, threshold=entry.JACCARD_T
+        ).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
 def test_simhash_banding_is_exact(docs):
     """Pigeonhole banding must find EXACTLY the pairs within the
     Hamming ball — compare against brute-force pairwise popcount."""
