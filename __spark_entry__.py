@@ -59,7 +59,9 @@ from hbase_gis_spark.operators.knn import knn
 from hbase_gis_spark.operators.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
+    ann_range_search,
     cosine_topk,
+    embedding_norm_stats,
 )
 from hbase_gis_spark.operators.multimodal import (
     attach_fake_media,
@@ -79,7 +81,9 @@ from hbase_gis_spark.operators.textstats import (
     pack_sequences,
     quality_features,
     repetition_stats,
+    tfidf_topk_terms,
     token_count,
+    unigram_lm_score,
 )
 from hbase_gis_spark.operators.topx import binned_limit, top_x
 from hbase_gis_spark.operators.within import within
@@ -1896,6 +1900,36 @@ def _q_exact_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_K = 5
+# synthetic embeddings are near-orthogonal (max pairwise cosine ~0.37 at
+# sf0.01) — 0.3 keeps the range result non-vacuous at every sf
+ANN_RANGE_T = 0.3
+
+
+def _q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms (smooth idf, rounded-rank window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, k=TFIDF_K)
+
+
+def _q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style mean log unigram probability per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_score(docs)
+
+
+def _q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vectors with cosine >= 0.3 of the query — zero-shuffle scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_range_search(emb, ANN_QUERY_ID, ANN_RANGE_T)
+
+
+def _q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution — embedding-table QA aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_norm_stats(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -2015,6 +2049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_urgent": _q_customers_no_urgent,
         "large_volume_customers": _q_large_volume_customers,
         "promo_revenue": _q_promo_revenue,
+        # --- round-3 additions (appended per the ordering policy) --------
+        "tfidf_topk_terms": _q_tfidf_topk_terms,
+        "unigram_lm_score": _q_unigram_lm_score,
+        "ann_range_search": _q_ann_range_search,
+        "embedding_norm_stats": _q_embedding_norm_stats,
     }
 
 
@@ -3612,6 +3651,48 @@ def oracle_sql() -> dict[str, str]:
     FROM fp GROUP BY fingerprint HAVING count(DISTINCT doc_id) >= 2
     """,
         "quantize_int8": quantize_sql,
+        "tfidf_topk_terms": f"""
+    WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+             round(CAST(tf.tf AS DOUBLE)
+                   * ln((nd.n + 1.0) / (dfreq.doc_freq + 1.0)), 9) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, doc_freq, tfidf, rnk FROM (
+      SELECT scored.*, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TFIDF_K}
+    """,
+        "unigram_lm_score": f"""
+    WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+    c AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+    t AS (SELECT sum(c) AS t FROM c),
+    lp AS (SELECT term, ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) AS logp
+           FROM c CROSS JOIN t)
+    SELECT tok.doc_id, count(*) AS n_tokens, round(avg(lp.logp), 9) AS avg_logp
+    FROM tok JOIN lp USING (term) GROUP BY 1
+    """,
+        "ann_range_search": f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = {ANN_QUERY_ID})
+    SELECT vec_id, cosine FROM (
+      SELECT vec_id, {_cos('embedding', 'qv')} AS cosine
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id != {ANN_QUERY_ID}
+    ) WHERE cosine >= {ANN_RANGE_T}
+    """,
+        "embedding_norm_stats": f"""
+    WITH n AS (SELECT label, sqrt({_dot('embedding', 'embedding')}) AS nrm
+               FROM embeddings)
+    SELECT label, count(*) AS n, min(nrm) AS min_norm,
+           max(nrm) AS max_norm, round(avg(nrm), 9) AS avg_norm
+    FROM n GROUP BY label
+    """,
     }
     if ann_ivf_sql is not None:
         out["ann_ivf_topk"] = ann_ivf_sql

@@ -65,7 +65,9 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
 )
 from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_ivf_topk,
+    ann_range_search,
     cosine_topk_multi,
+    embedding_norm_stats,
     label_purity,
     ann_ivf_topk_stored,
     ann_lsh_topk,
@@ -83,7 +85,9 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     quality_features,
     repetition_stats,
     term_stats,
+    tfidf_topk_terms,
     token_count,
+    unigram_lm_score,
 )
 from hbase_gis_spark.operators.multimodal import (  # noqa: F401
     attach_fake_media,

@@ -481,3 +481,62 @@ def cosine_topk_multi(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ann_range_search(
+    df: DataFrame,
+    query_id: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All vectors within cosine >= ``threshold`` of the query vector —
+    the radius/range twin of :func:`cosine_topk` (retrieval wants
+    "everything this similar", dedup wants "any neighbor above τ").
+
+    Single scan, zero shuffle: the 1-row query side broadcasts, the
+    threshold is a plain filter (no ordering, no limit barrier), so
+    the plan is embarrassingly parallel at any table size.  Cosine via
+    the Arrow pair kernel (bit-identical to the HOF fold and the
+    DuckDB oracle, pinned by the existing ANN parity tests)."""
+    from hbase_gis_spark.functions.arrowkernels import pair_cosine
+
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    return (
+        df.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            pair_cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def embedding_norm_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label L2-norm distribution (count / min / max / mean) — the
+    embedding-table QA aggregate that catches unnormalized batches,
+    collapsed vectors, and scale drift between ingest runs before they
+    poison an ANN index.
+
+    One projection computes each row's norm (HOF fold, JVM-side), one
+    hash aggregate per label — map-side partials, |labels| output
+    rows, never a raw-vector shuffle.  ``avg_norm`` rounds to 9
+    decimals on both engines (summation-order tolerance); min/max are
+    order-free and stay exact."""
+    norms = df.select(
+        F.col(label_col).alias("label"),
+        norm_expr(F.col(vec_col)).alias("__nrm"),
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__nrm").alias("min_norm"),
+        F.max("__nrm").alias("max_norm"),
+        F.round(F.avg("__nrm"), 9).alias("avg_norm"),
+    )

@@ -324,3 +324,101 @@ def top_rare_terms(
         .filter(F.col("rnk") <= k)
         .select(F.col("id").alias(id_col), "term", "df", "rnk")
     )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic keyword /
+    salience extractor of an IR-style corpus pipeline.
+
+    idf uses the smooth form ``ln((N + 1) / (df + 1))`` (never
+    divides by zero, gives corpus-wide terms weight 0).  Plan shape:
+    one explode feeding ONE (doc, term) hash aggregate (map-side
+    partial), a term-keyed aggregate over that compacted frame for
+    document frequencies, a term equi-join back, a broadcast 1-row
+    corpus-size join, and a per-doc window bounded by the doc's
+    distinct-term count.  No n_docs driver round-trip: N stays a
+    1-row DataFrame so the whole plan is lazy and distributed.
+
+    ``tfidf`` is rounded to 9 decimals ON BOTH ENGINES before the
+    rank window: ``ln`` is correct to 1 ulp but not correctly
+    rounded, so JVM and DuckDB libm may differ in the last bit —
+    ranking on the rounded value (term tiebreak) keeps the operator
+    deterministic and oracle-exact across regenerated corpora."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("__n") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0))
+                ),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "doc_freq", "tfidf", "rnk")
+    )
+
+
+def unigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean log unigram probability under the corpus's own
+    unigram LM — the CCNet-style perplexity proxy for quality
+    filtering (fluent/typical documents score high, gibberish and
+    boilerplate outliers score low), without shipping an external LM.
+
+    p(t) = count(t) / total_tokens over the whole corpus; the score is
+    ``avg(ln p(t))`` across the doc's token POSITIONS (multiset, not
+    distinct).  Plan: one explode consumed by one term aggregate, a
+    1-row broadcast total, a term equi-join of positions to log-probs,
+    one per-doc aggregate.  The per-term log-prob table is |vocab|
+    rows — the join side Spark broadcasts under AQE when small.
+    ``avg_logp`` is rounded to 9 decimals on both engines (libm ulp +
+    summation-order tolerance, see :func:`tfidf_topk_terms`)."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("__t"))
+    logp = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.log(F.col("c").cast("double") / F.col("__t").cast("double")).alias(
+                "__logp"
+            ),
+        )
+    )
+    return (
+        toks.join(logp, "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__logp"), 9).alias("avg_logp"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_logp")
+    )

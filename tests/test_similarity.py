@@ -198,3 +198,57 @@ def test_cosine_topk_multi_matches_single(spark):
             )
         ]
         assert batched == single
+
+
+def test_ann_range_search_matches_bruteforce(spark):
+    """Range search == brute-force cosine filter, and agrees with
+    cosine_topk on the overlapping prefix."""
+    import math
+
+    from hbase_gis_spark.operators.similarity import ann_range_search, cosine_topk
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    q = rows[0]
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return d / (na * nb)
+
+    t = 0.3  # synthetic embeddings are near-orthogonal; 0.3 is non-vacuous
+    expect = {i for i, v in rows.items() if i != 0 and cos(v, q) >= t}
+    got = {r.vec_id for r in ann_range_search(emb, 0, t).collect()}
+    assert got == expect and len(got) > 0
+    # every top-k hit above the threshold is in the range result
+    topk = cosine_topk(emb, 0, 10).collect()
+    assert {r.vec_id for r in topk if r.cosine >= t} <= got
+
+
+def test_embedding_norm_stats_bounds(spark):
+    """Per-label norm stats: n sums to table size, min <= avg <= max,
+    and values match a numpy recomputation."""
+    import numpy as np
+
+    from hbase_gis_spark.operators.similarity import embedding_norm_stats
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    got = {r.label: r for r in embedding_norm_stats(emb).collect()}
+    assert sum(r.n for r in got.values()) == emb.count()
+    by_label = {}
+    for r in emb.collect():
+        by_label.setdefault(r.label, []).append(
+            float(np.linalg.norm(np.array(r.embedding, dtype=np.float64)))
+        )
+    for lbl, r in got.items():
+        ns = by_label[lbl]
+        assert r.n == len(ns)
+        assert abs(r.min_norm - min(ns)) < 1e-9
+        assert abs(r.max_norm - max(ns)) < 1e-9
+        assert r.min_norm <= r.avg_norm <= r.max_norm
+        assert abs(r.avg_norm - sum(ns) / len(ns)) < 1e-6

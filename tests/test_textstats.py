@@ -123,3 +123,45 @@ def test_top_rare_terms_orders_by_rarity(spark):
     # duplicate in-doc tokens counted once for df
     dfs = {r.term: r.df for r in out.collect()}
     assert dfs.get("common", 3) == 3
+
+
+def test_tfidf_topk_terms_hand_computed(spark):
+    """TF-IDF on a 3-doc corpus against hand-computed scores."""
+    import math
+
+    from hbase_gis_spark.operators.textstats import tfidf_topk_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "durian")],
+        "doc_id int, text string",
+    )
+    rows = tfidf_topk_terms(df, k=2).collect()
+    got = {(r.doc_id, r.term): (r.tf, r.doc_freq, r.tfidf, r.rnk) for r in rows}
+    idf = lambda df_: round(math.log(4.0 / (df_ + 1.0)), 9)  # noqa: E731
+    # doc 1: banana tf=1 df=1 -> ln(2) ~ 0.693 beats apple tf=2 df=2 ->
+    # 2*ln(4/3) ~ 0.575 (rarity outweighs the extra occurrence here)
+    assert got[(1, "banana")] == (1, 1, idf(1), 1)
+    assert got[(1, "apple")] == (2, 2, round(2 * math.log(4.0 / 3.0), 9), 2)
+    # doc 3: durian is its only term
+    assert got[(3, "durian")] == (1, 1, idf(1), 1)
+    assert len(rows) == 5  # 2 + 2 + 1
+
+
+def test_unigram_lm_score_hand_computed(spark):
+    """Mean log unigram prob on a 2-doc corpus: common tokens score
+    higher than rare ones."""
+    import math
+
+    from hbase_gis_spark.operators.textstats import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b")], "doc_id int, text string"
+    )
+    # corpus: a x4, b x1, total 5
+    got = {r.doc_id: r for r in unigram_lm_score(df).collect()}
+    assert got[1].n_tokens == 3
+    assert got[1].avg_logp == round(math.log(4 / 5), 9)
+    assert got[2].n_tokens == 2
+    expect2 = round((math.log(4 / 5) + math.log(1 / 5)) / 2, 9)
+    assert abs(got[2].avg_logp - expect2) <= 1e-9
+    assert got[1].avg_logp > got[2].avg_logp

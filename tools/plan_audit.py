@@ -33,10 +33,13 @@ BNLJ_SANCTIONED = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_multi_topk",
+    "ann_range_search",  # broadcast 1-row query vector, zero-shuffle scan
     "knn_multi",  # broadcast N-origin dim fan-out, big side streams once
     "keyword_search",  # 1-row corpus-total joined onto the tiny term dim
     "mixture_rates",
     "mixture_sample",
+    "tfidf_topk_terms",  # broadcast 1-row corpus-size aggregate
+    "unigram_lm_score",  # broadcast 1-row token-total aggregate
 }
 
 
