@@ -1930,6 +1930,341 @@ def _q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norm_stats(emb)
 
 
+# ---- round-3 TPC-H-shaped additions (Q2/Q8/Q9/Q10/Q15/Q19 analogs) ---------
+# The testdata star schema lacks partsupp/shipmode/commitdate, so each query
+# keeps the REFERENCE SHAPE of its TPC-H twin (the Catalyst plan pattern it
+# exercises) while deriving the missing columns from lineitem facts.
+
+Q10_START, Q10_END = "1997-01-01 00:00:00", "1997-04-01 00:00:00"
+Q10_TOPN = 20
+
+
+def _q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns
+    per customer over one quarter, top 20.
+
+    Plan shape for 100 TB: both fact filters (returnflag, order-date
+    window) are sargable and pushed into the parquet scans BEFORE the
+    orderkey shuffle join; nation broadcasts; the final top-20 is
+    TakeOrderedAndProject (per-partition bounded heap, no global
+    sort). Revenue in exact integer units."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_units"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{Q10_START}'"))
+            & (F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{Q10_END}'"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum("rev_units").alias("revenue_units"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue_units").desc(), F.col("c_custkey").asc())
+        .limit(Q10_TOPN)
+    )
+
+
+Q15_START, Q15_END = "1997-01-01 00:00:00", "1997-04-01 00:00:00"
+
+
+def _q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: supplier(s) with MAX revenue over
+    a quarter (ties all surface, as in the spec's revenue view).
+
+    The global max is computed as a 1-row aggregate over the per-
+    supplier rollup and broadcast back — never a single-partition
+    window, which would serialize |suppliers| rows through one task at
+    scale. Exact integer revenue units make the max tie-safe."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.expr(f"TIMESTAMP_NTZ '{Q15_START}'"))
+            & (F.col("l_shipdate") < F.expr(f"TIMESTAMP_NTZ '{Q15_END}'"))
+        )
+        .select(
+            "l_suppkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_units"),
+        )
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum("rev_units").alias("revenue_units")
+    )
+    mx = per_supp.agg(F.max("revenue_units").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(
+            F.broadcast(mx), F.col("revenue_units") == F.col("__mx")
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_units")
+    )
+
+
+# OR-of-conjuncts in the Q19 style: brand x size-band x quantity-band
+Q19_BANDS = [
+    ("Brand#1", 1, 10, 1, 20),
+    ("Brand#2", 11, 25, 5, 30),
+    ("Brand#3", 26, 50, 10, 40),
+]
+
+
+def _q_discounted_revenue_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate: revenue from lineitems
+    matching ANY of three (brand, size-band, quantity-band) conjunct
+    groups.
+
+    The shape this exercises: Catalyst extracts the common
+    sub-predicates of the OR (quantity lower bound, size bounds) and
+    pushes them into both scans, part broadcasts, and the disjunction
+    itself evaluates inside whole-stage codegen — no UDF, no
+    row-explosion. One aggregate row out."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_units"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cond = None
+    for brand, smin, smax, qmin, qmax in Q19_BANDS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("qty").between(qmin, qmax)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev_units").alias("revenue_units"),
+        )
+    )
+
+
+Q8_REGION, Q8_NATION, Q8_TYPE = "ASIA", "NATION_5", "STANDARD"
+Q8_START, Q8_END = "1996-01-01 00:00:00", "1998-01-01 00:00:00"
+
+
+def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: within one region's market (the
+    customer's region) and one part type, the share of revenue
+    supplied by one nation, per order year.
+
+    The share surfaces as an exact integer (nation_units, total_units)
+    pair — no float division, so boundary years can't flip between
+    engines. Dims (region, nation, part after the type filter,
+    supplier) broadcast; the two fact joins shuffle on orderkey /
+    custkey; the date filter pushes into the orders scan."""
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q8_REGION)
+        .select("r_regionkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    n_in_r = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{Q8_START}'"))
+            & (F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{Q8_END}'"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q8_TYPE)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_units"),
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(n_in_r), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == Q8_NATION, F.col("rev_units")
+                ).otherwise(F.lit(0))
+            ).alias("nation_units"),
+            F.sum("rev_units").alias("total_units"),
+        )
+    )
+
+
+Q9_PART_PAT = "%widget%"
+
+
+def _q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: revenue from parts whose
+    name matches a pattern, grouped by supplier nation x order year.
+    (The testdata schema has no ps_supplycost, so profit == revenue —
+    the join tree and group shape are Q9's.)
+
+    The LIKE filter prunes part BEFORE its broadcast; lineitem
+    shuffles once on orderkey for the orders join; supplier-nation is
+    a two-dim broadcast chain."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(Q9_PART_PAT))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_units"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("supp_nation", "o_year")
+        .agg(
+            F.sum("rev_units").alias("profit_units"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q2_MAX_SIZE = 10
+
+
+def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier: for every small part (size <=
+    10), the supplier with the LOWEST observed unit price, derived from
+    lineitem history (the schema has no partsupp).
+
+    Unit price compares as exact integer micro-cents —
+    (sum_price_cents * 1_000_000) div sum_qty — so the per-part argmin
+    is engine-portable; ties break on suppkey. The correlated-min of
+    Q2 decorrelates into one (partkey, suppkey) rollup + a per-part
+    row_number window; the window partitions on partkey, whose
+    cardinality scales with the table, so no task sees more than one
+    part's suppliers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr("sum(price_cents) * 1000000L div sum(qty)").alias(
+            "unit_micro_cents"
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_micro_cents").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        per_ps.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= Q2_MAX_SIZE)
+        .select("p_partkey", "p_name")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "unit_micro_cents"
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -2054,6 +2389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_score": _q_unigram_lm_score,
         "ann_range_search": _q_ann_range_search,
         "embedding_norm_stats": _q_embedding_norm_stats,
+        "returned_items": _q_returned_items,
+        "top_supplier": _q_top_supplier,
+        "discounted_revenue_or": _q_discounted_revenue_or,
+        "market_share": _q_market_share,
+        "product_profit": _q_product_profit,
+        "min_cost_supplier": _q_min_cost_supplier,
     }
 
 
@@ -3692,6 +4033,113 @@ def oracle_sql() -> dict[str, str]:
     SELECT label, count(*) AS n, min(nrm) AS min_norm,
            max(nrm) AS max_norm, round(avg(nrm), 9) AS avg_norm
     FROM n GROUP BY label
+    """,
+        "returned_items": f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_units,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{Q10_START}'
+      AND o_orderdate < TIMESTAMP '{Q10_END}'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_units DESC, c_custkey ASC
+    LIMIT {Q10_TOPN}
+    """,
+        "top_supplier": f"""
+    WITH ps AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+        AND l_shipdate < TIMESTAMP '{Q15_END}'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, revenue_units
+    FROM ps JOIN supplier ON s_suppkey = l_suppkey
+    WHERE revenue_units = (SELECT max(revenue_units) FROM ps)
+    """,
+        "discounted_revenue_or": f"""
+    SELECT count(*) AS n_lines,
+           CAST(sum(rev_units) AS BIGINT) AS revenue_units
+    FROM (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_units
+      FROM lineitem
+    ) li
+    JOIN part ON p_partkey = l_partkey
+    WHERE {" OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {smin} AND {smax}"
+        f" AND qty BETWEEN {qmin} AND {qmax})"
+        for b, smin, smax, qmin, qmax in Q19_BANDS
+    )}
+    """,
+        "market_share": f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN sn.n_name = '{Q8_NATION}'
+                         THEN rev_units ELSE 0 END) AS BIGINT)
+             AS nation_units,
+           CAST(sum(rev_units) AS BIGINT) AS total_units
+    FROM (
+      SELECT l_orderkey, l_partkey, l_suppkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_units
+      FROM lineitem
+    ) li
+    JOIN part ON p_partkey = l_partkey AND p_type = '{Q8_TYPE}'
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = cn.n_regionkey AND r_name = '{Q8_REGION}'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{Q8_START}'
+      AND o_orderdate < TIMESTAMP '{Q8_END}'
+    GROUP BY 1
+    """,
+        "product_profit": f"""
+    SELECT sn.n_name AS supp_nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS profit_units,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '{Q9_PART_PAT}'
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    GROUP BY 1, 2
+    """,
+        "min_cost_supplier": f"""
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    * 1000000
+                  // sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS unit_micro_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_micro_cents FROM (
+        SELECT per_ps.*, row_number() OVER (
+                 PARTITION BY l_partkey
+                 ORDER BY unit_micro_cents ASC, l_suppkey ASC) AS rn
+        FROM per_ps
+      ) WHERE rn = 1
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, unit_micro_cents
+    FROM best
+    JOIN part ON p_partkey = l_partkey AND p_size <= {Q2_MAX_SIZE}
+    JOIN supplier ON s_suppkey = l_suppkey
     """,
     }
     if ann_ivf_sql is not None:
