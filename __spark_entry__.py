@@ -440,6 +440,10 @@ EMB_LSH_PLANES, EMB_LSH_BAND_BITS = 64, 4
 LSH_N_PLANES, LSH_MAX_HAMMING = 12, 2
 IVF_NLIST, IVF_NPROBE, IVF_TRAIN_ROWS, IVF_ITERS = 16, 6, 4096, 15
 ANN_SEED = 13
+# same-cell cosine >= 0.35 drops ~16% of the synthetic embeddings at
+# every sf (empirically probed) — non-vacuous without being degenerate
+SEMDEDUP_T = 0.35
+PQ_M, PQ_KSUB = 4, 16
 def _oracle_sf_dir() -> str:
     """sf dir the DuckDB correctness gate reads — the IVF oracle must
     train its centroid literals on the same table. Resolved lazily so
@@ -2265,6 +2269,40 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: IVF-clustered intra-cell cosine pruning
+    (SemDeDup shape — kept=false marks rows with a lower-id same-cell
+    neighbor above the threshold)."""
+    from hbase_gis_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb,
+        SEMDEDUP_T,
+        nlist=IVF_NLIST,
+        train_rows=IVF_TRAIN_ROWS,
+        seed=ANN_SEED,
+    )
+
+
+def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: 64 floats -> 4 codes, scores
+    from per-subspace lookup tables folded into the plan."""
+    from hbase_gis_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb,
+        ANN_QUERY_ID,
+        ANN_K,
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        dim=EMB_DIM,
+        train_rows=IVF_TRAIN_ROWS,
+        seed=ANN_SEED,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -2395,6 +2433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "product_profit": _q_product_profit,
         "min_cost_supplier": _q_min_cost_supplier,
+        "semdedup": _q_semdedup,
+        "pq_adc_topk": _q_pq_adc_topk,
     }
 
 
@@ -2942,12 +2982,122 @@ def oracle_sql() -> dict[str, str]:
            p.top_label, p.top_n
     FROM tot t JOIN top p USING (cell)
     """
+        # semdedup: identical centroid replay (same nlist/seed/sample as
+        # IVF), intra-cell lower-id cosine pruning — mirrors
+        # operators/similarity.py:semdedup
+        semdedup_sql = f"""
+    WITH cents(ci, cv) AS (VALUES
+      {cent_rows}),
+    dots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, ci AS cell FROM (
+        SELECT vec_id, ci,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id AS dropped
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {_cos('ea.embedding', 'eb.embedding')} >= {SEMDEDUP_T}
+    ),
+    d AS (SELECT DISTINCT dropped FROM pairs)
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+           (d.dropped IS NULL) AS kept
+    FROM cells c LEFT JOIN d ON c.vec_id = d.dropped
+    """
+        # pq_adc_topk: replay the per-subspace L2 codebooks + the
+        # query's dot-product LUTs with the same numpy fold, embed both
+        # as literals, and mirror the first-index argmax with a
+        # row_number(score DESC, ci ASC) — operators/similarity.py:
+        # pq_adc_topk
+        from hbase_gis_spark.operators.similarity import (
+            kmeans_centroids_l2,
+        )
+
+        pq_dsub = EMB_DIM // PQ_M
+        pq_books = [
+            kmeans_centroids_l2(
+                V_all[order][:, i * pq_dsub : (i + 1) * pq_dsub],
+                PQ_KSUB,
+                iters=IVF_ITERS,
+                seed=ANN_SEED + i,
+            )
+            for i in range(PQ_M)
+        ]
+        pq_qvec = V_all[int(np.nonzero(ids == ANN_QUERY_ID)[0][0])]
+        pq_luts = []
+        for i, Cb in enumerate(pq_books):
+            qs = pq_qvec[i * pq_dsub : (i + 1) * pq_dsub]
+            acc = np.zeros(len(Cb))
+            for j in range(pq_dsub):
+                acc += qs[j] * Cb[:, j]
+            pq_luts.append(acc)
+        # scalar literals MUST be scientific notation: a bare decimal
+        # parses as DECIMAL(18,..) and rounds the 17th digit before the
+        # cast to DOUBLE (measured 1-ulp drift); an exponent forces the
+        # DOUBLE parser, which round-trips repr exactly
+        def _d17(v) -> str:
+            return "%.17e" % float(v)
+
+        pq_ctes = []
+        for i, Cb in enumerate(pq_books):
+            rows_sql = ",\n      ".join(
+                f"({ci}, {_arr(c)}, {_d17(0.5 * (c @ c))}, "
+                f"{_d17(pq_luts[i][ci])})"
+                for ci, c in enumerate(Cb)
+            )
+            off = i * pq_dsub
+            pq_ctes.append(
+                f"""cb{i}(ci, cv, hn, lut) AS (VALUES
+      {rows_sql}),
+    sc{i} AS (
+      SELECT e.vec_id, c.ci, CAST(c.lut AS DOUBLE) AS lut,
+             list_sum(list_transform(range(1, {pq_dsub} + 1),
+               j -> CAST(e.embedding[{off} + j] AS DOUBLE) * c.cv[j]))
+               - CAST(c.hn AS DOUBLE) AS s
+      FROM embeddings e CROSS JOIN cb{i} c
+      WHERE e.vec_id != {ANN_QUERY_ID}
+    ),
+    code{i} AS (
+      SELECT vec_id, lut FROM (
+        SELECT vec_id, lut,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, ci ASC) AS rn
+        FROM sc{i}
+      ) WHERE rn = 1
+    )"""
+            )
+        pq_cte_block = ",\n    ".join(pq_ctes)
+        pq_score = " + ".join(f"c{i}.lut" for i in range(PQ_M))
+        pq_joins = "\n    ".join(
+            f"JOIN code{i} c{i} ON c{i}.vec_id = c0.vec_id"
+            for i in range(1, PQ_M)
+        )
+        pq_adc_sql = f"""
+    WITH {pq_cte_block}
+    SELECT c0.vec_id, {pq_score} AS adc_score
+    FROM code0 c0
+    {pq_joins}
+    ORDER BY adc_score DESC, c0.vec_id ASC
+    LIMIT {ANN_K}
+    """
     except Exception:
         # oracle table unavailable in this environment → leave the IVF
         # entry out (driver falls back to the rows-only check)
         ann_ivf_sql = None
         ivf_cells_sql = None
         label_purity_sql = None
+        semdedup_sql = None
+        pq_adc_sql = None
 
     # language-ID: marker-word argmax, ties break en > fr > de > es
     def _mc(words: tuple[str, ...]) -> str:
@@ -4148,4 +4298,8 @@ def oracle_sql() -> dict[str, str]:
         out["ivf_cells"] = ivf_cells_sql
     if label_purity_sql is not None:
         out["label_purity"] = label_purity_sql
+    if semdedup_sql is not None:
+        out["semdedup"] = semdedup_sql
+    if pq_adc_sql is not None:
+        out["pq_adc_topk"] = pq_adc_sql
     return out

@@ -72,7 +72,10 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_ivf_topk_stored,
     ann_lsh_topk,
     cosine_topk,
+    pq_adc_topk,
+    semdedup,
     train_ivf_centroids,
+    train_pq_codebooks,
     write_ivf_table,
 )
 from hbase_gis_spark.operators.textstats import (  # noqa: F401

@@ -540,3 +540,225 @@ def embedding_norm_stats(
         F.max("__nrm").alias("max_norm"),
         F.round(F.avg("__nrm"), 9).alias("avg_norm"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 4096,
+    seed: int = 13,
+    max_cell: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings with
+    the IVF coarse quantizer, then inside each cluster drop every
+    vector that has a lower-id neighbor with cosine >= ``threshold``.
+
+    Returns (``id_col``, cell, kept) for EVERY input row — kept=false
+    marks semantic duplicates (deterministic: a row is dropped iff a
+    same-cell, lower-id row is within the threshold, so the lowest id
+    of each near-dup neighborhood always survives).
+
+    100 TB shape: candidate pairs come from a self equi-join on the
+    cell id — never an n^2 product.  Pair work is sum(cell_size^2);
+    at scale ``nlist`` grows ~sqrt(n) (SemDeDup uses ~100k clusters
+    for web-scale corpora) so cells stay bounded, and the ``max_cell``
+    guard excludes any degenerate hot cell from pair generation
+    (false-negative-only: its rows all stay kept, mirroring the
+    max_df/max_bucket caps in the text-dedup family).  Vectors ride
+    the cell shuffle once (n rows), pairs explode join-side locally.
+    Cell assignment and cosine use the fold-exact Arrow kernels
+    (bit-identical to the DuckDB oracle replay)."""
+    from hbase_gis_spark.functions.arrowkernels import pair_cosine
+
+    C = train_ivf_centroids(
+        df, nlist, id_col, vec_col, train_rows=train_rows, seed=seed
+    )
+    cells = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell_expr(F.col(vec_col), C).alias("cell"),
+    )
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
+    small = cells.join(
+        F.broadcast(sizes.filter(F.col("__cn") <= max_cell)), "cell"
+    )
+    a = small.select(
+        F.col("cell").alias("__ca"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = small.select(
+        F.col("cell").alias("__cb"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("__ca") == F.col("__cb"))
+            & (F.col("__ida") < F.col("__idb")),
+        )
+        .filter(
+            pair_cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold)
+        )
+        .select(F.col("__idb").alias("__dropped"))
+        .distinct()
+    )
+    return (
+        cells.join(
+            dropped, F.col(id_col) == F.col("__dropped"), "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("__dropped").isNull().alias("kept"),
+        )
+    )
+
+
+# ---- product quantization (PQ) -------------------------------------------
+
+
+def kmeans_centroids_l2(
+    V: np.ndarray, k: int, iters: int = 15, seed: int = 13
+) -> np.ndarray:
+    """Deterministic plain (L2) k-means — the PQ sub-quantizer trainer.
+    Unlike :func:`kmeans_centroids` the vectors are NOT normalized
+    (PQ quantizes raw subvectors); an emptied cluster keeps its
+    previous centroid.  Pure numpy float64 so the DuckDB oracle can
+    replay bit-identical codebook literals."""
+    V = np.asarray(V, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = V[rng.choice(len(V), k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.sum():
+                C[j] = V[m].mean(0)
+    return C
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int,
+    ksub: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 4096,
+    iters: int = 15,
+    seed: int = 13,
+) -> list[np.ndarray]:
+    """Train ``m`` per-subspace codebooks of ``ksub`` centroids each on
+    the same bounded deterministic sample as the IVF trainer (first
+    ``train_rows`` by id; per-subspace seed offset so codebooks are
+    independent draws).  Driver-side cost O(train_rows*ksub*dim) —
+    constant in table size; only the encoding scan distributes."""
+    rows = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(train_rows)
+        .select(vec_col)
+        .collect()
+    )
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    dsub = dim // m
+    return [
+        kmeans_centroids_l2(
+            V[:, i * dsub : (i + 1) * dsub], ksub, iters=iters, seed=seed + i
+        )
+        for i in range(m)
+    ]
+
+
+def pq_code_expr(
+    vec_col: Column, codebook: np.ndarray, sub_index: int, dsub: int
+) -> Column:
+    """0-based nearest-centroid code for subspace ``sub_index``:
+    argmin ||v_sub - c||^2 == argmax (dot(v_sub, c) - ||c||^2/2),
+    computed as the fold-exact Arrow dots minus literal half-norms,
+    first-index tiebreak (array_position of array_max) — the same
+    argmax convention as :func:`ivf_cell_expr`, so the DuckDB replay
+    mirrors it with a row_number(ORDER BY score DESC, ci ASC)."""
+    from hbase_gis_spark.functions.arrowkernels import fold_dots
+
+    sub = F.slice(vec_col, sub_index * dsub + 1, dsub)
+    dots = fold_dots(sub, codebook)
+    halfn = [float(0.5 * (c @ c)) for c in codebook]
+    scores = F.zip_with(
+        dots,
+        F.array(*[F.lit(h) for h in halfn]),
+        lambda d, h: d - h,
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    train_rows: int = 4096,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k by product quantization with asymmetric
+    distance computation (ADC): every vector compresses to ``m`` codes
+    (log2(ksub) bits each — 64 floats become 4 bytes at m=4/ksub=16);
+    the query precomputes one dot-product lookup table per subspace,
+    and each row's score is just ``m`` table lookups summed.
+
+    100 TB shape: the scan reads only the code columns of a
+    pre-encoded table (here encoding is inline for self-containment);
+    the LUTs are literal arrays folded into the plan — no join, no
+    shuffle, and the top-k is TakeOrderedAndProject.  ADC scores are
+    inner-product approximations sum_m dot(q_m, c[code_m]); exact
+    re-ranking of the shortlist composes with :func:`cosine_topk` when
+    recall demands it."""
+    from functools import reduce
+
+    books = train_pq_codebooks(
+        df, m, ksub, dim, id_col, vec_col, train_rows=train_rows, seed=seed
+    )
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id} not found")
+    q = np.asarray(qrow[0], dtype=np.float64)
+    dsub = dim // m
+    luts = []
+    for i, C in enumerate(books):
+        qs = q[i * dsub : (i + 1) * dsub]
+        # dim-sequential fold, same accumulation order as fold_dots
+        acc = np.zeros(len(C))
+        for j in range(dsub):
+            acc += qs[j] * C[:, j]
+        luts.append([float(v) for v in acc])
+    coded = df.filter(F.col(id_col) != query_id).select(
+        F.col(id_col),
+        *[
+            pq_code_expr(F.col(vec_col), books[i], i, dsub).alias(f"__c{i}")
+            for i in range(m)
+        ],
+    )
+    score = reduce(
+        lambda acc, i: acc
+        + F.element_at(
+            F.array(*[F.lit(v) for v in luts[i]]), F.col(f"__c{i}") + 1
+        ),
+        range(1, m),
+        F.element_at(
+            F.array(*[F.lit(v) for v in luts[0]]), F.col("__c0") + 1
+        ),
+    )
+    return (
+        coded.select(F.col(id_col), score.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

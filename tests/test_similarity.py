@@ -252,3 +252,90 @@ def test_embedding_norm_stats_bounds(spark):
         assert abs(r.max_norm - max(ns)) < 1e-9
         assert r.min_norm <= r.avg_norm <= r.max_norm
         assert abs(r.avg_norm - sum(ns) / len(ns)) < 1e-6
+
+
+def test_semdedup_matches_bruteforce(emb):
+    """semdedup's kept flag equals the brute-force definition: dropped
+    iff a lower-id vector in the SAME IVF cell has cosine >= T."""
+    from hbase_gis_spark.operators.similarity import (
+        ivf_cell_expr,
+        semdedup,
+        train_ivf_centroids,
+    )
+
+    T = 0.35
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    C = train_ivf_centroids(emb, 16)
+    cells = {
+        vid: int(np.argmax(C @ (v / np.linalg.norm(v))))
+        for vid, v in vecs.items()
+    }
+    expect_dropped = set()
+    for vid, v in vecs.items():
+        for wid, w in vecs.items():
+            if wid < vid and cells[wid] == cells[vid]:
+                cos = float(
+                    v @ w / (np.linalg.norm(v) * np.linalg.norm(w))
+                )
+                if cos >= T:
+                    expect_dropped.add(vid)
+                    break
+    out = semdedup(emb, T, nlist=16).collect()
+    assert len(out) == len(rows)
+    got_dropped = {r.vec_id for r in out if not r.kept}
+    assert got_dropped == expect_dropped
+    assert 0 < len(got_dropped) < len(rows)
+    got_cells = {r.vec_id: r.cell for r in out}
+    assert got_cells == cells
+    # the lowest id of every cell always survives
+    by_cell = {}
+    for vid, c in cells.items():
+        by_cell.setdefault(c, []).append(vid)
+    for c, ids in by_cell.items():
+        assert min(ids) not in got_dropped
+
+
+def test_pq_adc_matches_numpy_replay(emb):
+    """PQ codes and ADC scores equal a numpy replay of the same
+    codebooks (sequential-fold dots, first-index argmax), and the
+    shortlist has nonzero overlap with the exact top-k."""
+    from hbase_gis_spark.operators.similarity import (
+        pq_adc_topk,
+        train_pq_codebooks,
+    )
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    m, ksub, dim = 4, 16, 64
+    dsub = dim // m
+    books = train_pq_codebooks(emb, m, ksub, dim)
+    q = vecs[0]
+    luts = []
+    for i, C in enumerate(books):
+        qs = q[i * dsub : (i + 1) * dsub]
+        acc = np.zeros(ksub)
+        for j in range(dsub):
+            acc += qs[j] * C[:, j]
+        luts.append(acc)
+    scores = {}
+    for vid, v in vecs.items():
+        if vid == 0:
+            continue
+        s = 0.0
+        for i, C in enumerate(books):
+            sub = v[i * dsub : (i + 1) * dsub]
+            acc = np.zeros(ksub)
+            for j in range(dsub):
+                acc += sub[j] * C[:, j]
+            adj = acc - 0.5 * (C * C).sum(1)
+            code = int(np.argmax(adj))
+            s = s + float(luts[i][code])
+        scores[vid] = s
+    expect = sorted(scores, key=lambda vid: (-scores[vid], vid))[:10]
+    got = pq_adc_topk(emb, 0, 10, m=m, ksub=ksub, dim=dim).collect()
+    assert [r.vec_id for r in got] == expect
+    for r in got:
+        assert abs(r.adc_score - scores[r.vec_id]) < 1e-12
+    exact = [r.vec_id for r in cosine_topk(emb, 0, 10).collect()]
+    assert len(set(expect) & set(exact)) >= 1
