@@ -2269,6 +2269,65 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_K = 50
+
+
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-trainer pair statistics: top-50 adjacent character pairs
+    weighted by word frequency (vocab rollup first, so pair work is
+    independent of corpus duplication)."""
+    from hbase_gis_spark.operators.textstats import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, k=BPE_K)
+
+
+def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over (customer nation, order year) with
+    grouping_id — subtotals and the grand total in ONE pass via
+    Catalyst's Expand (each input row fans out to its 3 grouping
+    levels map-side; partial aggregation then collapses before the
+    shuffle, so the exchange carries at most 3x the group space, not
+    3x the rows). Null grouping keys surface as 'ALL' / -1 sentinels
+    so the result is engine-portable without NaN-typed columns."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_units"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("rev_units").alias("revenue_units"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+            F.coalesce(F.col("o_year"), F.lit(-1)).alias("o_year"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "revenue_units",
+            "n_items",
+        )
+    )
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup: IVF-clustered intra-cell cosine pruning
     (SemDeDup shape — kept=false marks rows with a lower-id same-cell
@@ -2435,6 +2494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": _q_min_cost_supplier,
         "semdedup": _q_semdedup,
         "pq_adc_topk": _q_pq_adc_topk,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "revenue_rollup": _q_revenue_rollup,
     }
 
 
@@ -4268,6 +4329,40 @@ def oracle_sql() -> dict[str, str]:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation sn ON sn.n_nationkey = s_nationkey
     GROUP BY 1, 2
+    """,
+        "bpe_pair_counts": f"""
+    WITH tok AS (SELECT unnest({toks}) AS w FROM documents),
+    vocab AS (
+      SELECT w, count(*) AS c FROM tok WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i:i+1])) AS pair,
+             c
+      FROM vocab
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT {BPE_K}
+    """,
+        "revenue_rollup": """
+    SELECT COALESCE(n_name, 'ALL') AS n_name,
+           CAST(COALESCE(yr, -1) AS BIGINT) AS o_year,
+           CAST(GROUPING(n_name, yr) AS BIGINT) AS gid,
+           CAST(sum(rev_units) AS BIGINT) AS revenue_units,
+           count(*) AS n_items
+    FROM (
+      SELECT n_name,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_units
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+    )
+    GROUP BY ROLLUP(n_name, yr)
     """,
         "min_cost_supplier": f"""
     WITH per_ps AS (

@@ -422,3 +422,46 @@ def unigram_lm_score(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "avg_logp")
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-character-pair frequencies — the statistic a BPE
+    tokenizer trainer ranks to pick its next merge (Sennrich et al.
+    2016 select argmax pair-count each round; this is one round's
+    count table, top-``k``).
+
+    Scale shape (the classic BPE-trainer factorization): the corpus
+    token stream first collapses to the VOCABULARY via a hash
+    aggregate (map-side partials — the shuffle carries |vocab| rows,
+    not the token stream), then pairs explode over distinct words only,
+    weighted by word frequency.  Pair work is sum(|w| over vocab) —
+    independent of corpus duplication — and the final aggregate's key
+    space (charset^2) is tiny, so map-side combine absorbs the heavy
+    hitters before the shuffle; no salting needed despite extreme key
+    skew.  Top-k is TakeOrderedAndProject with a (count desc, pair
+    asc) deterministic tiebreak."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    vocab = (
+        _spread(df)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        F.col("c"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(k)
+    )

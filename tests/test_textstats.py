@@ -165,3 +165,18 @@ def test_unigram_lm_score_hand_computed(spark):
     expect2 = round((math.log(4 / 5) + math.log(1 / 5)) / 2, 9)
     assert abs(got[2].avg_logp - expect2) <= 1e-9
     assert got[1].avg_logp > got[2].avg_logp
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """Pair counts weight by word frequency and dedupe the corpus to
+    its vocabulary: 'abab' twice + 'ab' once -> ab:3(=2+... hand count
+    below), deterministic (n desc, pair asc) ordering."""
+    from hbase_gis_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "abab ab"), (2, "abab x")], "doc_id int, text string"
+    )
+    # vocab: abab x2 (pairs ab,ba,ab), ab x1 (pair ab); 'x' dropped (len<2)
+    # ab: 2*2 + 1 = 5 ; ba: 2*1 = 2
+    got = [(r.pair, r.n) for r in bpe_pair_counts(df, k=10).collect()]
+    assert got == [("ab", 5), ("ba", 2)]
