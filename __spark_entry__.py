@@ -2272,6 +2272,26 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_K = 50
 
 
+def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite retrieval: probe 6/16 cells, score survivors
+    by PQ lookup tables — the billion-scale ANN index shape."""
+    from hbase_gis_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivfpq_topk(
+        emb,
+        ANN_QUERY_ID,
+        ANN_K,
+        nlist=IVF_NLIST,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        dim=EMB_DIM,
+        train_rows=IVF_TRAIN_ROWS,
+        seed=ANN_SEED,
+    )
+
+
 def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-trainer pair statistics: top-50 adjacent character pairs
     weighted by word frequency (vocab rollup first, so pair work is
@@ -2496,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "revenue_rollup": _q_revenue_rollup,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
     }
 
 
@@ -3151,6 +3172,71 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY adc_score DESC, c0.vec_id ASC
     LIMIT {ANN_K}
     """
+        # ann_ivfpq_topk: the IVF cell replay gates which rows the PQ
+        # scorer sees (cell IN probes), then the same code/LUT replay —
+        # mirrors operators/similarity.py:ann_ivfpq_topk
+        ivfpq_ctes = []
+        for i, Cb in enumerate(pq_books):
+            rows_sql = ",\n      ".join(
+                f"({ci}, {_arr(c)}, {_d17(0.5 * (c @ c))}, "
+                f"{_d17(pq_luts[i][ci])})"
+                for ci, c in enumerate(Cb)
+            )
+            off = i * pq_dsub
+            ivfpq_ctes.append(
+                f"""qcb{i}(ci, cv, hn, lut) AS (VALUES
+      {rows_sql}),
+    qsc{i} AS (
+      SELECT e.vec_id, c.ci, CAST(c.lut AS DOUBLE) AS lut,
+             list_sum(list_transform(range(1, {pq_dsub} + 1),
+               j -> CAST(e.embedding[{off} + j] AS DOUBLE) * c.cv[j]))
+               - CAST(c.hn AS DOUBLE) AS s
+      FROM embeddings e JOIN cand ON cand.cvid = e.vec_id
+      CROSS JOIN qcb{i} c
+    ),
+    qcode{i} AS (
+      SELECT vec_id, lut FROM (
+        SELECT vec_id, lut,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, ci ASC) AS rn
+        FROM qsc{i}
+      ) WHERE rn = 1
+    )"""
+            )
+        ivfpq_cte_block = ",\n    ".join(ivfpq_ctes)
+        ivfpq_joins = "\n    ".join(
+            f"JOIN qcode{i} c{i} ON c{i}.vec_id = c0.vec_id"
+            for i in range(1, PQ_M)
+        )
+        ivfpq_score = " + ".join(f"c{i}.lut" for i in range(PQ_M))
+        ann_ivfpq_sql = f"""
+    WITH cents(ci, cv) AS (VALUES
+      {cent_rows}),
+    dots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, ci AS cell FROM (
+        SELECT vec_id, ci,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT vec_id AS cvid FROM cells
+      WHERE vec_id != {ANN_QUERY_ID}
+        AND cell IN ({", ".join(str(p) for p in probes)})
+    ),
+    {ivfpq_cte_block}
+    SELECT c0.vec_id, {ivfpq_score} AS adc_score
+    FROM qcode0 c0
+    {ivfpq_joins}
+    ORDER BY adc_score DESC, c0.vec_id ASC
+    LIMIT {ANN_K}
+    """
     except Exception:
         # oracle table unavailable in this environment → leave the IVF
         # entry out (driver falls back to the rows-only check)
@@ -3159,6 +3245,7 @@ def oracle_sql() -> dict[str, str]:
         label_purity_sql = None
         semdedup_sql = None
         pq_adc_sql = None
+        ann_ivfpq_sql = None
 
     # language-ID: marker-word argmax, ties break en > fr > de > es
     def _mc(words: tuple[str, ...]) -> str:
@@ -4397,4 +4484,6 @@ def oracle_sql() -> dict[str, str]:
         out["semdedup"] = semdedup_sql
     if pq_adc_sql is not None:
         out["pq_adc_topk"] = pq_adc_sql
+    if ann_ivfpq_sql is not None:
+        out["ann_ivfpq_topk"] = ann_ivfpq_sql
     return out

@@ -65,6 +65,7 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
 )
 from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_ivf_topk,
+    ann_ivfpq_topk,
     ann_range_search,
     cosine_topk_multi,
     embedding_norm_stats,

@@ -762,3 +762,85 @@ def pq_adc_topk(
         .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ann_ivfpq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 6,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    train_rows: int = 4096,
+    seed: int = 13,
+) -> DataFrame:
+    """IVF-PQ composite (the FAISS ``IVFx,PQy`` shape — the standard
+    billion-scale ANN index): the IVF coarse quantizer restricts the
+    scan to ``nprobe`` cells, and rows inside them are scored by PQ
+    asymmetric-distance lookup tables instead of full-vector dots.
+
+    At 100 TB this is the whole point of the composition: with the
+    cell id as a partition column the probe filter prunes directories
+    (scan cost ~nprobe/nlist of the table), and the scanned remainder
+    reads 4 code BYTES per row instead of 256 float bytes — the
+    per-row work is ``m`` array lookups.  Here codes are computed
+    inline from the raw vectors for self-containment; a production
+    table stores them at ingest (same split as
+    :func:`write_ivf_table`).  Candidate scoring is approximate
+    (ADC); compose with :func:`cosine_topk` over the shortlist when
+    exact re-ranking is required."""
+    C = train_ivf_centroids(
+        df, nlist, id_col, vec_col, train_rows=train_rows, seed=seed
+    )
+    books = train_pq_codebooks(
+        df, m, ksub, dim, id_col, vec_col, train_rows=train_rows, seed=seed
+    )
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id} not found")
+    q = np.asarray(qrow[0], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = [int(j) for j in np.argsort(-(C @ qn))[:nprobe]]
+    dsub = dim // m
+    luts = []
+    for i, Cb in enumerate(books):
+        qs = q[i * dsub : (i + 1) * dsub]
+        acc = np.zeros(len(Cb))
+        for j in range(dsub):
+            acc += qs[j] * Cb[:, j]
+        luts.append([float(v) for v in acc])
+    from functools import reduce
+
+    coded = (
+        df.filter(F.col(id_col) != query_id)
+        .withColumn("__cell", ivf_cell_expr(F.col(vec_col), C))
+        .filter(F.col("__cell").isin(probes))
+        .select(
+            F.col(id_col),
+            *[
+                pq_code_expr(F.col(vec_col), books[i], i, dsub).alias(
+                    f"__c{i}"
+                )
+                for i in range(m)
+            ],
+        )
+    )
+    score = reduce(
+        lambda acc, i: acc
+        + F.element_at(
+            F.array(*[F.lit(v) for v in luts[i]]), F.col(f"__c{i}") + 1
+        ),
+        range(1, m),
+        F.element_at(
+            F.array(*[F.lit(v) for v in luts[0]]), F.col("__c0") + 1
+        ),
+    )
+    return (
+        coded.select(F.col(id_col), score.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

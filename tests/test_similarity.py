@@ -339,3 +339,48 @@ def test_pq_adc_matches_numpy_replay(emb):
         assert abs(r.adc_score - scores[r.vec_id]) < 1e-12
     exact = [r.vec_id for r in cosine_topk(emb, 0, 10).collect()]
     assert len(set(expect) & set(exact)) >= 1
+
+
+def test_ann_ivfpq_matches_numpy_replay(emb):
+    """IVF-PQ equals the composed numpy replay: restrict to the probed
+    IVF cells, then rank by the same ADC scores as the PQ test."""
+    from hbase_gis_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    m, ksub, dim, nlist, nprobe = 4, 16, 64, 16, 6
+    dsub = dim // m
+    C = train_ivf_centroids(emb, nlist)
+    books = train_pq_codebooks(emb, m, ksub, dim)
+    q = vecs[0]
+    qn = q / np.linalg.norm(q)
+    probes = set(int(j) for j in np.argsort(-(C @ qn))[:nprobe])
+    luts = []
+    for i, Cb in enumerate(books):
+        qs = q[i * dsub : (i + 1) * dsub]
+        acc = np.zeros(ksub)
+        for j in range(dsub):
+            acc += qs[j] * Cb[:, j]
+        luts.append(acc)
+    scores = {}
+    for vid, v in vecs.items():
+        if vid == 0:
+            continue
+        if int(np.argmax(C @ (v / np.linalg.norm(v)))) not in probes:
+            continue
+        s = 0.0
+        for i, Cb in enumerate(books):
+            sub = v[i * dsub : (i + 1) * dsub]
+            acc = np.zeros(ksub)
+            for j in range(dsub):
+                acc += sub[j] * Cb[:, j]
+            adj = acc - 0.5 * (Cb * Cb).sum(1)
+            s = s + float(luts[i][int(np.argmax(adj))])
+        scores[vid] = s
+    expect = sorted(scores, key=lambda vid: (-scores[vid], vid))[:10]
+    got = ann_ivfpq_topk(emb, 0, 10).collect()
+    assert [r.vec_id for r in got] == expect
