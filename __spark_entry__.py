@@ -2272,6 +2272,36 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_K = 50
 
 
+TFIDF_COS_T = 0.9
+DBSCAN_MIN_PTS = 3
+
+
+def _q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sparse-vector near-dup pairs (TF-IDF cosine >= 0.9).
+
+    NOTE the synthetic corpus is the index's worst case — 31 distinct
+    terms, each in ~80% of docs, so every posting bucket is
+    stopword-grade and candidates ≈ all pairs. On a realistic
+    vocabulary the same plan scans sum(df^2) ≪ n^2; registering the
+    inverted-index formulation (not an explicit n^2 product) is the
+    100 TB call, mirroring embedding_dup_lsh's A/B note."""
+    from hbase_gis_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=TFIDF_COS_T)
+
+
+def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DBSCAN (eps=cluster radius, minPts=3) over the derived
+    points: 26 core / 52 border / rest noise at sf0.01 — the minPts
+    generalization of spatial_clusters, with deterministic border
+    attachment (smallest core-neighbor cluster)."""
+    from hbase_gis_spark.operators.spatial_join import dbscan
+
+    pts = derived_points(spark, sf_dir)
+    return dbscan(pts, SCLUSTER_RADIUS, DBSCAN_MIN_PTS)
+
+
 def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite retrieval: probe 6/16 cells, score survivors
     by PQ lookup tables — the billion-scale ANN index shape."""
@@ -2517,6 +2547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "revenue_rollup": _q_revenue_rollup,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "dbscan": _q_dbscan,
     }
 
 
@@ -4416,6 +4448,90 @@ def oracle_sql() -> dict[str, str]:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation sn ON sn.n_nationkey = s_nationkey
     GROUP BY 1, 2
+    """,
+        "tfidf_cosine_pairs": f"""
+    WITH tok AS (SELECT doc_id AS id, unnest({toks}) AS term
+                 FROM documents),
+    tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    w AS (
+      SELECT id, term,
+             tf * CAST(round(ln((nd.n + 1.0) / (doc_freq + 1.0))
+                             * 1000.0) AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    n2 AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2
+           FROM w GROUP BY 1),
+    dot AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE))
+                  * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      FROM dot JOIN n2 na ON na.id = dot.id_a
+      JOIN n2 nb ON nb.id = dot.id_b
+    ) WHERE cosine >= {TFIDF_COS_T}
+    """,
+        "dbscan": f"""
+    WITH RECURSIVE pts AS ({POINTS_SQL}),
+    e AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b,
+               sqrt((b.lon - a.lon) * (b.lon - a.lon)
+                    + (b.lat - a.lat) * (b.lat - a.lat)) AS distance
+        FROM pts a JOIN pts b
+          ON a.id < b.id
+         AND b.lon >= a.lon - {SCLUSTER_RADIUS}
+         AND b.lon <= a.lon + {SCLUSTER_RADIUS}
+         AND b.lat >= a.lat - {SCLUSTER_RADIUS}
+         AND b.lat <= a.lat + {SCLUSTER_RADIUS}
+      ) WHERE distance <= {SCLUSTER_RADIUS}
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM e
+      UNION
+      SELECT id_b AS a, id_a AS b FROM e
+    ),
+    deg AS (SELECT a, count(*) AS n FROM sym GROUP BY a),
+    core AS (
+      SELECT p.id FROM pts p JOIN deg ON deg.a = p.id
+      WHERE deg.n + 1 >= {DBSCAN_MIN_PTS}
+    ),
+    ce AS (
+      SELECT s.a, s.b FROM sym s
+      JOIN core ca ON s.a = ca.id
+      JOIN core cb ON s.b = cb.id
+    ),
+    reach AS (
+      SELECT a, b FROM ce
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN ce s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT c.id, least(c.id, coalesce(min(r.b), c.id)) AS cluster_id
+      FROM core c LEFT JOIN reach r ON c.id = r.a
+      GROUP BY c.id
+    ),
+    border AS (
+      SELECT s.a AS id, min(comp.cluster_id) AS cluster_id
+      FROM sym s JOIN comp ON s.b = comp.id
+      WHERE s.a NOT IN (SELECT id FROM core)
+      GROUP BY s.a
+    )
+    SELECT p.id,
+           COALESCE(comp.cluster_id, border.cluster_id, -1) AS cluster_id,
+           CASE WHEN comp.id IS NOT NULL THEN 'core'
+                WHEN border.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM pts p
+    LEFT JOIN comp ON p.id = comp.id
+    LEFT JOIN border ON p.id = border.id
     """,
         "bpe_pair_counts": f"""
     WITH tok AS (SELECT unnest({toks}) AS w FROM documents),

@@ -19,6 +19,7 @@ Arrow-batched.
 from hbase_gis_spark.geo import geohash, geometry, planner  # noqa: F401
 from hbase_gis_spark.operators.within import within  # noqa: F401
 from hbase_gis_spark.operators.spatial_join import (  # noqa: F401
+    dbscan,
     distance_join,
     spatial_join,
 )
@@ -62,6 +63,7 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     simhash_pairs,
     split_assign,
     stratified_sample,
+    tfidf_cosine_pairs,
 )
 from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_ivf_topk,

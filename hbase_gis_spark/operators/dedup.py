@@ -1203,3 +1203,86 @@ def edit_distance_pairs(
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Weighted sparse-vector document similarity: pairs whose TF-IDF
+    vectors have cosine >= ``threshold`` — the weighted complement of
+    set-based :func:`jaccard_pairs` (rare shared terms count more than
+    stopwords, so no stop-shingle blindspot) and of the dense-embedding
+    cosine family (no embedding model required).
+
+    Engine-exact by construction: IDF quantizes to integer
+    milli-units (round(ln((N+1)/(df+1))*1000)), so term weights, the
+    pair dot product, and the per-doc squared norms are all BIGINT
+    sums — order-independent under any shuffle/combine schedule — and
+    the only float ops are one sqrt+division per pair at the end
+    (IEEE-correctly-rounded, deterministic).  Magnitudes stay far
+    inside int64: w <= tf * 7e3, so even 1e6-term documents hold
+    sum(w^2) < 2^62.
+
+    Scale shape: the same inverted-index discipline as every pair
+    operator here — candidates meet in ONE bucket shuffle on the term
+    key (weights and norms ride along as carry columns, no re-join),
+    work scales with sum(df(term)^2), and ``max_df`` drops
+    stopword-grade buckets BEFORE explosion (they contribute ~zero
+    weight anyway — IDF of a term in every doc is ln(1+eps)).  The
+    corpus size N is a broadcast 1-row aggregate (sanctioned BNLJ, as
+    in tfidf_topk_terms)."""
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    nd = df.agg(F.count_distinct(F.col(id_col)).alias("__n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "id",
+            "term",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        (F.col("__n") + F.lit(1)).cast("double")
+                        / (F.col("doc_freq") + F.lit(1)).cast("double")
+                    )
+                    * F.lit(1000.0)
+                ).cast("bigint")
+            ).alias("w"),
+        )
+    )
+    norm2 = w.groupBy(F.col("id").alias("nid")).agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    posting = w.join(norm2, F.col("id") == F.col("nid")).select(
+        "id", "term", "w", "n2"
+    )
+    dot = (
+        _bucket_pairs(
+            posting, ["term"], carry=["w", "n2"], max_bucket=max_df
+        )
+        .groupBy("id_a", "id_b", "n2_a", "n2_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    return (
+        dot.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

@@ -193,3 +193,74 @@ def distance_join(
         .filter(F.col("distance") <= F.lit(r))
         .select("id_a", "id_b", "distance")
     )
+
+
+def dbscan(
+    df: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Full DBSCAN (core / border / noise) over planar points — the
+    minPts generalization of the minPts=2 density clustering in
+    ``spatial_clusters``.
+
+    Semantics (deterministic variant): a point is CORE if its
+    eps-neighborhood holds >= ``min_pts`` points (itself included);
+    clusters are connected components of the core-core eps-graph,
+    labeled by smallest reachable core id; a BORDER point (non-core
+    with >= 1 core neighbor) attaches to the SMALLEST cluster id among
+    its core neighbors — classic DBSCAN leaves border assignment
+    order-dependent, this variant pins it so results are reproducible
+    and oracle-checkable; everything else is NOISE (cluster_id -1).
+
+    Scale shape: edge discovery is the grid-bucketed
+    :func:`distance_join` (work ~ density, never n^2); the degree
+    count and border attachment are single hash aggregates on the
+    symmetric edge list; component labeling is the same
+    pointer-jumping min-label propagation as near-dup clustering
+    (O(log diameter) rounds, only core nodes iterate)."""
+    from hbase_gis_spark.operators.dedup import near_dup_clusters
+
+    pts = df.select(F.col(id_col).alias("id"), lon_col, lat_col)
+    e = distance_join(df, eps, id_col, lon_col, lat_col).select(
+        "id_a", "id_b"
+    )
+    sym = e.union(
+        e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("id_a").alias("id")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    core = deg.filter(F.col("__n") + 1 >= min_pts).select("id")
+    core_edges = (
+        sym.join(core.select(F.col("id").alias("__ca")), F.col("id_a") == F.col("__ca"))
+        .join(core.select(F.col("id").alias("__cb")), F.col("id_b") == F.col("__cb"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    comp = near_dup_clusters(core, core_edges, id_col="id").select(
+        F.col("id").alias("__coreid"), F.col("cluster_id").alias("__ccl")
+    )
+    border = (
+        sym.join(comp, F.col("id_b") == F.col("__coreid"))
+        .join(core.select(F.col("id").alias("__self")), F.col("id_a") == F.col("__self"), "left_anti")
+        .groupBy(F.col("id_a").alias("__bid"))
+        .agg(F.min("__ccl").alias("__bcl"))
+    )
+    return (
+        pts.join(comp, F.col("id") == F.col("__coreid"), "left")
+        .join(border, F.col("id") == F.col("__bid"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__ccl"), F.col("__bcl"), F.lit(-1)).alias(
+                "cluster_id"
+            ),
+            F.when(F.col("__ccl").isNotNull(), F.lit("core"))
+            .when(F.col("__bcl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )

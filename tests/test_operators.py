@@ -517,3 +517,45 @@ def test_distance_join_matches_bruteforce(spark):
     assert set(got) == set(expect) and len(expect) >= 3
     for k in expect:
         assert abs(got[k] - expect[k]) < 1e-15
+
+
+def test_dbscan_hand_crafted(spark):
+    """3 dense points (core) + 1 border + 1 noise with eps=1.5,
+    min_pts=3: the dense triangle clusters under its smallest id,
+    the border point attaches, the far point is noise."""
+    from hbase_gis_spark.operators.spatial_join import dbscan
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),
+            (2, 1.0, 0.0),
+            (3, 0.0, 1.0),
+            (4, 2.2, 0.0),   # within eps of 2 only -> border
+            (10, 50.0, 50.0),  # isolated -> noise
+        ],
+        "id bigint, lon double, lat double",
+    )
+    got = {r.id: (r.cluster_id, r.role) for r in dbscan(pts, 1.5, 3).collect()}
+    assert got[1] == (1, "core")
+    assert got[2] == (1, "core")
+    assert got[3] == (1, "core")
+    assert got[4] == (1, "border")
+    assert got[10] == (-1, "noise")
+
+
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    """Two identical docs have cosine exactly 1.0; a disjoint doc
+    pairs with neither above threshold."""
+    from hbase_gis_spark.operators.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana cherry"),
+            (3, "dog elephant fox"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {(r.id_a, r.id_b): r.cosine for r in tfidf_cosine_pairs(df, 0.5).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0

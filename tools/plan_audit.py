@@ -39,6 +39,7 @@ BNLJ_SANCTIONED = {
     "mixture_rates",
     "mixture_sample",
     "tfidf_topk_terms",  # broadcast 1-row corpus-size aggregate
+    "tfidf_cosine_pairs",  # broadcast 1-row corpus-size aggregate
     "unigram_lm_score",  # broadcast 1-row token-total aggregate
 }
 
