@@ -2273,6 +2273,7 @@ BPE_K = 50
 
 
 TFIDF_COS_T = 0.9
+TFIDF_COS_CAP = 500  # registry-query corpus cap, see docstring
 DBSCAN_MIN_PTS = 3
 
 
@@ -2280,14 +2281,21 @@ def _q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sparse-vector near-dup pairs (TF-IDF cosine >= 0.9).
 
     NOTE the synthetic corpus is the index's worst case — 31 distinct
-    terms, each in ~80% of docs, so every posting bucket is
-    stopword-grade and candidates ≈ all pairs. On a realistic
-    vocabulary the same plan scans sum(df^2) ≪ n^2; registering the
-    inverted-index formulation (not an explicit n^2 product) is the
-    100 TB call, mirroring embedding_dup_lsh's A/B note."""
+    terms TOTAL, each in ~80% of docs, so every posting bucket is
+    stopword-grade, candidates ≈ all pairs, and sum(df^2) grows
+    quadratically with corpus size (measured 355 s at the uncapped
+    sf0.1: 5000 docs -> ~500M exploded postings pairs). The registry
+    query therefore caps the corpus at the first 500 doc_ids — a
+    no-op at sf<=0.01, bounded work at every sf — while the OPERATOR
+    stays uncapped: on a realistic vocabulary the same plan scans
+    sum(df^2) << n^2 and the ``max_df`` guard handles stopword
+    buckets (here max_df would drop all 31 terms and return nothing,
+    which is why the cap is on the corpus, not the index)."""
     from hbase_gis_spark.operators.dedup import tfidf_cosine_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < TFIDF_COS_CAP
+    )
     return tfidf_cosine_pairs(docs, threshold=TFIDF_COS_T)
 
 
@@ -4450,11 +4458,12 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2
     """,
         "tfidf_cosine_pairs": f"""
-    WITH tok AS (SELECT doc_id AS id, unnest({toks}) AS term
-                 FROM documents),
+    WITH docs AS (SELECT * FROM documents WHERE doc_id < {TFIDF_COS_CAP}),
+    tok AS (SELECT doc_id AS id, unnest({toks}) AS term
+                 FROM docs),
     tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
     dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
-    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM docs),
     w AS (
       SELECT id, term,
              tf * CAST(round(ln((nd.n + 1.0) / (doc_freq + 1.0))

@@ -665,6 +665,10 @@ def train_pq_codebooks(
         .select(vec_col)
         .collect()
     )
+    if not rows:
+        # same contract as the IVF trainer: quantizer training needs
+        # data — a clean error, never a nonsense codebook
+        raise ValueError("train_pq_codebooks: empty training sample")
     V = np.array([r[0] for r in rows], dtype=np.float64)
     dsub = dim // m
     return [

@@ -18,7 +18,14 @@ from hbase_gis_spark.sources.tables import TABLES
 from tests.conftest import SF0001
 
 # training a quantizer needs data — a clean error is the contract
-NEEDS_DATA = {"ann_ivf_topk", "ivf_cells", "label_purity"}
+NEEDS_DATA = {
+    "ann_ivf_topk",
+    "ivf_cells",
+    "label_purity",
+    "semdedup",
+    "pq_adc_topk",
+    "ann_ivfpq_topk",
+}
 # report-shaped queries emit one row per configured step/level even on
 # empty input (a funnel report always has k rows, with zero counts)
 FIXED_SHAPE = {"funnel_counts": 4}
