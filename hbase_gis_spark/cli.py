@@ -144,6 +144,60 @@ def cmd_topx(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann(args: argparse.Namespace) -> int:
+    """Similarity search over an embeddings parquet (vec_id, embedding)."""
+    spark = _spark(f"ann-{args.mode}")
+    t0 = time.perf_counter()
+    df = spark.read.parquet(args.table)
+    if args.mode == "exact":
+        from hbase_gis_spark.operators.similarity import cosine_topk
+
+        out = cosine_topk(df, args.query_id, args.k)
+    elif args.mode == "ivf":
+        from hbase_gis_spark.operators.similarity import ann_ivf_topk
+
+        out = ann_ivf_topk(df, args.query_id, args.k)
+    elif args.mode == "pq":
+        from hbase_gis_spark.operators.similarity import pq_adc_topk
+
+        out = pq_adc_topk(df, args.query_id, args.k, dim=args.dim)
+    else:  # ivfpq
+        from hbase_gis_spark.operators.similarity import ann_ivfpq_topk
+
+        out = ann_ivfpq_topk(df, args.query_id, args.k, dim=args.dim)
+    rows = out.collect()
+    for r in rows:
+        print("\t".join(str(v) for v in r))
+    print(
+        f"ANN ({args.mode}) returned {len(rows)} neighbors in "
+        f"{time.perf_counter() - t0:.3f} seconds."
+    )
+    return 0
+
+
+def cmd_cluster(args: argparse.Namespace) -> int:
+    """Density clustering (DBSCAN) over a geo table."""
+    from hbase_gis_spark.operators.spatial_join import dbscan
+    from hbase_gis_spark.sources.ingest import read_geo_table
+
+    spark = _spark("cluster")
+    t0 = time.perf_counter()
+    df = read_geo_table(spark, args.table)
+    out = dbscan(df, args.eps, args.min_pts).collect()
+    n_core = sum(1 for r in out if r.role == "core")
+    n_border = sum(1 for r in out if r.role == "border")
+    n_clusters = len({r.cluster_id for r in out if r.cluster_id >= 0})
+    for r in out:
+        if args.all or r.cluster_id >= 0:
+            print(f"{r.id}\t{r.cluster_id}\t{r.role}")
+    print(
+        f"DBSCAN: {n_clusters} clusters, {n_core} core / {n_border} border / "
+        f"{len(out) - n_core - n_border} noise points in "
+        f"{time.perf_counter() - t0:.3f} seconds."
+    )
+    return 0
+
+
 def cmd_corpus(args: argparse.Namespace) -> int:
     """Corpus-pipeline subcommands over a documents parquet/JSONL dir."""
     spark = _spark(f"corpus-{args.op}")
@@ -265,6 +319,25 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("ts_col")
     s.add_argument("--table", required=True)
     s.set_defaults(fn=cmd_topx)
+
+    s = sub.add_parser("ann", help="similarity search over embeddings")
+    s.add_argument("query_id", type=int)
+    s.add_argument("k", type=int)
+    s.add_argument("--table", required=True, help="embeddings parquet dir")
+    s.add_argument(
+        "--mode", choices=["exact", "ivf", "pq", "ivfpq"], default="exact"
+    )
+    s.add_argument("--dim", type=int, default=64, help="vector dim (pq modes)")
+    s.set_defaults(fn=cmd_ann)
+
+    s = sub.add_parser("cluster", help="DBSCAN density clustering")
+    s.add_argument("eps", type=float, help="neighborhood radius (degrees)")
+    s.add_argument("--table", required=True)
+    s.add_argument("--min-pts", type=int, default=2, dest="min_pts")
+    s.add_argument(
+        "--all", action="store_true", help="also print noise points"
+    )
+    s.set_defaults(fn=cmd_cluster)
 
     s = sub.add_parser(
         "corpus",

@@ -4,6 +4,7 @@ import io
 import contextlib
 
 from hbase_gis_spark.cli import main
+from tests.conftest import SF0001
 
 
 def test_cli_bulkingest_within_knn(tmp_path, spark):
@@ -67,3 +68,25 @@ def test_cli_corpus_roundtrip(tmp_path, capsys):
     ])
     assert rc == 0
     assert "Pipeline kept" in capsys.readouterr().out
+
+
+def test_cli_ann_and_cluster(tmp_path, spark):
+    emb_dir = str(tmp_path / "emb")
+    spark.read.parquet(f"{SF0001}/embeddings.parquet").write.parquet(emb_dir)
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["ann", "0", "5", "--table", emb_dir]) == 0
+    assert "ANN (exact) returned 5 neighbors" in out.getvalue()
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["ann", "0", "5", "--table", emb_dir, "--mode", "ivfpq"]) == 0
+    assert "ANN (ivfpq) returned 5 neighbors" in out.getvalue()
+
+    table = str(tmp_path / "pts3")
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["bulkingest", table, "300", "--bbox=-75.99,-75.01,44.01,44.99"]) == 0
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert main(["cluster", "0.05", "--table", table, "--min-pts", "3"]) == 0
+    assert "DBSCAN:" in out.getvalue()
