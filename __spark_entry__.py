@@ -2272,6 +2272,26 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_K = 50
 
 
+PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-QA profile of the orders table (non-float columns — float
+    min/max stringification is engine-specific, so the generic
+    operator profiles them too but the oracle-checked query sticks to
+    exact-representation types)."""
+    from hbase_gis_spark.operators.corpus import profile_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_table(o, PROFILE_COLS)
+
+
 TFIDF_COS_T = 0.9
 TFIDF_COS_CAP = 500  # registry-query corpus cap, see docstring
 DBSCAN_MIN_PTS = 3
@@ -2557,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "dbscan": _q_dbscan,
+        "table_profile": _q_table_profile,
     }
 
 
@@ -4456,6 +4477,40 @@ def oracle_sql() -> dict[str, str]:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation sn ON sn.n_nationkey = s_nationkey
     GROUP BY 1, 2
+    """,
+        "table_profile": """
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+             count(*) - count(o_orderkey) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_value
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS VARCHAR),
+             CAST(max(o_custkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus),
+             CAST(min(o_orderstatus) AS VARCHAR),
+             CAST(max(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+             count(DISTINCT o_orderdate),
+             CAST(min(o_orderdate) AS VARCHAR),
+             CAST(max(o_orderdate) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority),
+             CAST(min(o_orderpriority) AS VARCHAR),
+             CAST(max(o_orderpriority) AS VARCHAR)
+      FROM orders
+    )
     """,
         "tfidf_cosine_pairs": f"""
     WITH docs AS (SELECT * FROM documents WHERE doc_id < {TFIDF_COS_CAP}),

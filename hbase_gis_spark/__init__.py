@@ -115,6 +115,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     mixture_rates,
     mixture_sample,
     pii_scrub,
+    profile_table,
     write_training_shards,
 )
 from hbase_gis_spark.operators.merge import (  # noqa: F401

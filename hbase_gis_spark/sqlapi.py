@@ -322,3 +322,17 @@ def register_sql_api(spark: SparkSession) -> None:
         "CREATE OR REPLACE TEMPORARY FUNCTION hgs_lang_id(text STRING) "
         f"RETURNS STRING RETURN {lang_id_sql('text')}"
     )
+    # vector family: the tier-1 HOF fold expressions (pure JVM, same
+    # sequential-fold semantics as operators/similarity.py:dot_expr,
+    # so values match the Arrow kernels and DuckDB oracles bit-exactly)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_dot("
+        "a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE RETURN "
+        "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * "
+        "cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_cosine("
+        "a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE RETURN "
+        "hgs_dot(a, b) / (sqrt(hgs_dot(a, a)) * sqrt(hgs_dot(b, b)))"
+    )

@@ -242,3 +242,47 @@ def test_sql_udfs_are_jvm_side(spark, docs_view):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_sql_vector_functions_match_operators(spark):
+    """hgs_dot / hgs_cosine equal the DataFrame fold expressions
+    bit-for-bit, and stay JVM-side."""
+    from hbase_gis_spark.operators.similarity import cosine_expr, dot_expr
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    hgs.register_sql_api(spark)
+    emb = load_table(spark, SF0001, "embeddings").limit(50)
+    emb.createOrReplaceTempView("emb_sql_test")
+    via_sql = {
+        (r.a, r.b): (r.d, r.c)
+        for r in spark.sql(
+            "SELECT x.vec_id AS a, y.vec_id AS b, "
+            "hgs_dot(x.embedding, y.embedding) AS d, "
+            "hgs_cosine(x.embedding, y.embedding) AS c "
+            "FROM emb_sql_test x JOIN emb_sql_test y ON x.vec_id < y.vec_id"
+        ).collect()
+    }
+    via_op = {
+        (r.a, r.b): (r.d, r.c)
+        for r in emb.alias("x")
+        .join(emb.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            dot_expr(F.col("x.embedding"), F.col("y.embedding")).alias("d"),
+            cosine_expr(F.col("x.embedding"), F.col("y.embedding")).alias("c"),
+        )
+        .collect()
+    }
+    assert via_sql == via_op
+    plan = (
+        spark.sql(
+            "SELECT hgs_cosine(embedding, embedding) FROM emb_sql_test"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
