@@ -153,10 +153,21 @@ FROM events
 """
 
 
-def points_from_events(ev: DataFrame, with_geohash: bool = False) -> DataFrame:
+def points_from_events(
+    ev: DataFrame,
+    with_geohash: bool = False,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """The derived-point projection itself — works on any events-shaped
-    DataFrame, batch or streaming (it is a stateless select)."""
+    DataFrame, batch or streaming (it is a stateless select).
+
+    ``keep_cols`` carries event columns (user_id, ts, ...) through the
+    projection so movement queries can derive (entity, point) rows in
+    ONE scan — joining events back onto derived_points on event_id is
+    an identity self-join (the points ARE a projection of events) and
+    would cost a full shuffle for nothing."""
     pts = ev.select(
+        *[F.col(c) for c in (keep_cols or [])],
         F.col("event_id").alias("id"),
         (
             F.lit(LON0)
