@@ -73,6 +73,7 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
     embedding_norm_stats,
     label_purity,
     ann_ivf_topk_stored,
+    ann_ivfpq_topk_stored,
     ann_lsh_topk,
     cosine_topk,
     pq_adc_topk,
@@ -80,6 +81,7 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
     train_ivf_centroids,
     train_pq_codebooks,
     write_ivf_table,
+    write_ivfpq_table,
 )
 from hbase_gis_spark.operators.textstats import (  # noqa: F401
     bpe_pair_counts,

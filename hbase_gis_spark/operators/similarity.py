@@ -848,3 +848,95 @@ def ann_ivfpq_topk(
         .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def write_ivfpq_table(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: list[np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vectors: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the full IVF-PQ index layout: rows partitioned by IVF
+    cell (directory pruning for probes) with their PQ codes as plain
+    int columns (column pruning: an ADC scan reads ``m`` ints per row
+    and never touches the raw vector bytes).  ``keep_vectors=False``
+    drops the raw vectors entirely — the pure-index table, m bytes a
+    row at ksub<=256.  Both prunings are visible in `.explain`:
+    PartitionFilters for the cell predicate, ReadSchema listing only
+    the code columns."""
+    dsub = (
+        np.asarray(codebooks[0]).shape[1]
+        if codebooks
+        else 0
+    )
+    out = df.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), centroids))
+    for i, Cb in enumerate(codebooks):
+        out = out.withColumn(
+            f"pq_code{i}", pq_code_expr(F.col(vec_col), Cb, i, dsub)
+        )
+    if not keep_vectors:
+        out = out.drop(vec_col)
+    (
+        out.repartition("ivf_cell")
+        .write.mode(mode)
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+
+
+def ann_ivfpq_topk_stored(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: list[np.ndarray],
+    query_vec: "np.ndarray | list[float]",
+    k: int,
+    id_col: str = "vec_id",
+    nprobe: int = 6,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k against a :func:`write_ivfpq_table` layout: probes
+    prune directories, the scan projects only (id, code) columns, and
+    scoring is ``m`` literal-array lookups per row — the steady-state
+    production shape of :func:`ann_ivfpq_topk`, whose inline form
+    recomputes codes per query for self-containment."""
+    from functools import reduce
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = [int(j) for j in np.argsort(-(centroids @ qn))[:nprobe]]
+    m = len(codebooks)
+    dsub = int(np.asarray(codebooks[0]).shape[1])
+    luts = []
+    for i, Cb in enumerate(codebooks):
+        qs = q[i * dsub : (i + 1) * dsub]
+        acc = np.zeros(len(Cb))
+        for j in range(dsub):
+            acc += qs[j] * Cb[:, j]
+        luts.append([float(v) for v in acc])
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("ivf_cell").isin(probes))
+        .select(id_col, *[f"pq_code{i}" for i in range(m)])
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    score = reduce(
+        lambda acc, i: acc
+        + F.element_at(
+            F.array(*[F.lit(v) for v in luts[i]]), F.col(f"pq_code{i}") + 1
+        ),
+        range(1, m),
+        F.element_at(
+            F.array(*[F.lit(v) for v in luts[0]]), F.col("pq_code0") + 1
+        ),
+    )
+    return (
+        df.select(F.col(id_col), score.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -384,3 +384,37 @@ def test_ann_ivfpq_matches_numpy_replay(emb):
     expect = sorted(scores, key=lambda vid: (-scores[vid], vid))[:10]
     got = ann_ivfpq_topk(emb, 0, 10).collect()
     assert [r.vec_id for r in got] == expect
+
+
+def test_ivfpq_stored_prunes_and_matches(emb, spark, tmp_path_factory):
+    """The persisted IVF-PQ layout returns the same top-k as the
+    inline operator, its scan reads only the probed cell directories
+    (PartitionFilters on ivf_cell), and the pure-index table
+    (keep_vectors=False) projects only id + code columns."""
+    from hbase_gis_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        ann_ivfpq_topk_stored,
+        train_ivf_centroids,
+        train_pq_codebooks,
+        write_ivfpq_table,
+    )
+
+    C = train_ivf_centroids(emb, 16)
+    books = train_pq_codebooks(emb, 4, 16, 64)
+    path = str(tmp_path_factory.mktemp("ivfpq") / "emb_ivfpq")
+    write_ivfpq_table(emb, path, C, books, keep_vectors=False)
+
+    q = emb.filter("vec_id = 0").select("embedding").head()[0]
+    stored = ann_ivfpq_topk_stored(
+        spark, path, C, books, q, 10, exclude_id=0
+    )
+    inline = ann_ivfpq_topk(emb, 0, 10)
+    got_s = [(r.vec_id, r.adc_score) for r in stored.collect()]
+    got_i = [(r.vec_id, r.adc_score) for r in inline.collect()]
+    assert got_s == got_i
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in plan
+    # raw vectors are gone from the table, so the scan cannot read them
+    assert "embedding" not in spark.read.parquet(path).columns
