@@ -2265,6 +2265,136 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_K = 50
 
 
+ANOM_WIN, ANOM_Z = 28, 2.0
+
+
+def _q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count anomaly detection per event type: z-score of each
+    day's count against its trailing 28 OBSERVED days, flagging
+    |z| >= 2 — the monitoring query a pipeline runs on its own event
+    stream.
+
+    Determinism discipline: the rolling window carries only integer
+    sums (n, Σy, Σy²); mean/variance/z are one fixed float expression
+    over those integers, written identically in the oracle SQL, so
+    there is no summation-order exposure. The window operates on the
+    tiny per-day aggregate (n_days rows per type), never raw events —
+    same shape as daily_rolling."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOM_WIN, -1)
+    )
+    stats = d.select(
+        "event_type",
+        "day",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("y").over(w).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("s2"),
+    ).filter(F.col("n") == ANOM_WIN)
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    z = (F.col("y").cast("double") - mean) / F.sqrt(var)
+    return (
+        stats.withColumn("z", z)
+        .filter((F.col("z") >= ANOM_Z) | (F.col("z") <= -ANOM_Z))
+        .select(
+            "event_type", "day", "y", F.round(F.col("z"), 9).alias("z")
+        )
+    )
+
+
+def _q_daily_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two fact streams by day: order
+    volume vs event volume, surfacing days present in only one side —
+    the cross-system audit join (the one outer-join flavor the other
+    99 queries don't exercise). Both inputs pre-aggregate to days
+    before the join, so the full-outer shuffle carries n_days rows."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+            ).alias("oday")
+        )
+        .groupBy("oday")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("eday")
+        )
+        .groupBy("eday")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        o.join(e, F.col("oday") == F.col("eday"), "full_outer")
+        .select(
+            F.coalesce(F.col("oday"), F.col("eday")).alias("day"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.when(F.col("oday").isNull(), F.lit("events_only"))
+            .when(F.col("eday").isNull(), F.lit("orders_only"))
+            .otherwise(F.lit("both"))
+            .alias("status"),
+        )
+    )
+
+
+EWMA_LAGS = 16  # alpha = 1/2: weights 2^-(j+1) are exact dyadic doubles
+
+
+def _q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily counts per event
+    type, alpha = 1/2 truncated at 16 lags.
+
+    BIT-exact across engines by construction: every weight 2^-(j+1)
+    and every product count*2^-(j+1) is a dyadic rational that doubles
+    represent exactly, and the 16-term sum is written in the same
+    fixed order in both engines — no rounding step needed. The lags
+    come from one window pass over the per-day aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.select(
+        "event_type",
+        "day",
+        "y",
+        *[
+            F.lag("y", j).over(w).alias(f"__l{j}")
+            for j in range(1, EWMA_LAGS)
+        ],
+    ).filter(F.col(f"__l{EWMA_LAGS - 1}").isNotNull())
+    ewma = F.col("y").cast("double") * F.lit(0.5)
+    for j in range(1, EWMA_LAGS):
+        ewma = ewma + F.col(f"__l{j}").cast("double") * F.lit(2.0 ** -(j + 1))
+    return lagged.select("event_type", "day", "y", ewma.alias("ewma"))
+
+
 PROFILE_COLS = [
     "o_orderkey",
     "o_custkey",
@@ -2571,6 +2701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "dbscan": _q_dbscan,
         "table_profile": _q_table_profile,
+        "daily_anomalies": _q_daily_anomalies,
+        "daily_recon": _q_daily_recon,
+        "ewma_daily": _q_ewma_daily,
     }
 
 
@@ -4470,6 +4603,72 @@ def oracle_sql() -> dict[str, str]:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation sn ON sn.n_nationkey = s_nationkey
     GROUP BY 1, 2
+    """,
+        "daily_anomalies": f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, day, y,
+             count(*) OVER w AS n,
+             CAST(sum(y) OVER w AS BIGINT) AS s,
+             CAST(sum(y * y) OVER w AS BIGINT) AS s2
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, y, round(z, 9) AS z FROM (
+      SELECT event_type, day, y,
+             (CAST(y AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+      FROM stats WHERE n = {ANOM_WIN}
+    ) WHERE z >= {ANOM_Z} OR z <= -{ANOM_Z}
+    """,
+        "daily_recon": """
+    WITH o AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS oday,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    e AS (
+      SELECT epoch_us(ts) // 86400000000 AS eday,
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT COALESCE(oday, eday) AS day,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events,
+           CASE WHEN oday IS NULL THEN 'events_only'
+                WHEN eday IS NULL THEN 'orders_only'
+                ELSE 'both' END AS status
+    FROM o FULL OUTER JOIN e ON oday = eday
+    """,
+        "ewma_daily": f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, y,
+             {", ".join(
+                 f"lag(y, {j}) OVER (PARTITION BY event_type ORDER BY day)"
+                 f" AS l{j}"
+                 for j in range(1, EWMA_LAGS)
+             )}
+      FROM d
+    )
+    SELECT event_type, day, y,
+           CAST(y AS DOUBLE) * 0.5
+           {" ".join(
+               f"+ CAST(l{j} AS DOUBLE) * {2.0 ** -(j + 1)!r}"
+               for j in range(1, EWMA_LAGS)
+           )} AS ewma
+    FROM lagged WHERE l{EWMA_LAGS - 1} IS NOT NULL
     """,
         "table_profile": """
     SELECT * FROM (
