@@ -2265,6 +2265,86 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_K = 50
 
 
+Q6_START, Q6_END = "1997-01-01 00:00:00", "1998-01-01 00:00:00"
+Q6_DISC_LO, Q6_DISC_HI, Q6_MAX_QTY = 5, 7, 24  # discount in percent
+
+
+def _q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting query: revenue increase if
+    discounts in a band had been eliminated — a pure scan-and-
+    aggregate with THREE sargable conjuncts (date window, discount
+    band, quantity cap), every one pushed into the parquet scan; no
+    join, no shuffle beyond the final 1-row aggregate. The discount
+    band compares in integer percent (round(l_discount*100)), so
+    boundary rows cannot flip between engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr(f"TIMESTAMP_NTZ '{Q6_START}'"))
+            & (F.col("l_shipdate") < F.expr(f"TIMESTAMP_NTZ '{Q6_END}'"))
+            & F.col("disc_pct").between(Q6_DISC_LO, Q6_DISC_HI)
+            & (F.col("qty") < Q6_MAX_QTY)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            # revenue = extendedprice * discount, in cents x percent
+            F.sum(F.col("price_cents") * F.col("disc_pct")).alias(
+                "revenue_units"
+            ),
+        )
+    )
+
+
+Q22_CUTOFF = "2000-01-01 00:00:00"
+
+
+def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped global sales opportunity: per nation, customers
+    with ABOVE-AVERAGE positive balance and no RECENT orders (none
+    since the cutoff — dormant high-value accounts; at-all-inactive is
+    vacuous on this data, every rich customer ordered once).
+
+    The decorrelated shape: the global average is a broadcast 1-row
+    aggregate (exact integer comparison bal*n_pos > sum_pos avoids a
+    float threshold); the no-orders test is a left-anti join on
+    custkey; output is one row per nation. Same aggregate-then-
+    anti-join discipline as customers_no_urgent, but with the scalar-
+    subquery decorrelation Q22 exercises."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    pos = c.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{Q22_CUTOFF}'"))
+        .select("o_custkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )
+
+
 ANOM_WIN, ANOM_Z = 28, 2.0
 
 
@@ -2704,6 +2784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_anomalies": _q_daily_anomalies,
         "daily_recon": _q_daily_recon,
         "ewma_daily": _q_ewma_daily,
+        "forecast_revenue_change": _q_forecast_revenue_change,
+        "global_sales_opportunity": _q_global_sales_opportunity,
     }
 
 
@@ -4603,6 +4685,43 @@ def oracle_sql() -> dict[str, str]:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation sn ON sn.n_nationkey = s_nationkey
     GROUP BY 1, 2
+    """,
+        "forecast_revenue_change": f"""
+    SELECT count(*) AS n_lines,
+           CAST(sum(price_cents * disc_pct) AS BIGINT) AS revenue_units
+    FROM (
+      SELECT l_shipdate,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      FROM lineitem
+    )
+    WHERE l_shipdate >= TIMESTAMP '{Q6_START}'
+      AND l_shipdate < TIMESTAMP '{Q6_END}'
+      AND disc_pct BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+      AND qty < {Q6_MAX_QTY}
+    """,
+        "global_sales_opportunity": f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    pos AS (
+      SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_pos,
+             count(*) AS n_pos
+      FROM c WHERE bal_cents > 0
+    )
+    SELECT n_name, count(*) AS n_customers,
+           CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+    FROM c CROSS JOIN pos
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE bal_cents * n_pos > sum_pos
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}'
+      )
+    GROUP BY n_name
     """,
         "daily_anomalies": f"""
     WITH d AS (
