@@ -559,3 +559,29 @@ def test_tfidf_cosine_pairs_hand_computed(spark):
     got = {(r.id_a, r.id_b): r.cosine for r in tfidf_cosine_pairs(df, 0.5).collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == 1.0
+
+
+def test_dbscan_minpts2_equals_spatial_clusters(spark):
+    """With min_pts=2 every edge endpoint is core, so DBSCAN must
+    reduce exactly to the connected-components clustering: same
+    cluster ids for all non-isolated points, noise for isolated ones."""
+    from hbase_gis_spark.operators.dedup import near_dup_clusters
+    from hbase_gis_spark.operators.spatial_join import dbscan, distance_join
+
+    eps = 0.002
+    pts = derived_points(spark, SF0001)
+    pairs = distance_join(pts, eps)
+    comp = {
+        r.id: r.cluster_id
+        for r in near_dup_clusters(pts, pairs, id_col="id").collect()
+    }
+    linked = {r.id_a for r in pairs.collect()} | {
+        r.id_b for r in pairs.collect()
+    }
+    got = {r.id: (r.cluster_id, r.role) for r in dbscan(pts, eps, 2).collect()}
+    assert set(got) == set(comp)
+    for pid, cl in comp.items():
+        if pid in linked:
+            assert got[pid] == (cl, "core")
+        else:
+            assert got[pid] == (-1, "noise")
