@@ -2265,6 +2265,37 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_K = 50
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join each purchase event to its containing user session — the
+    interval-containment join realized as as-of + containment filter
+    (one shuffle + one window pass; a generic range join would plan
+    as a broadcast nested loop). Sessions are the same 5-minute-gap
+    windows as user_sessions, so every purchase lands in exactly one
+    session."""
+    from hbase_gis_spark.operators.asof import interval_join
+    from hbase_gis_spark.streaming.events import user_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = user_sessions(ev, gap="5 minutes").select(
+        F.col("user_id").alias("s_user"),
+        F.unix_micros("ss").alias("ss_us"),
+        F.unix_micros("se").alias("se_us"),
+        "n_events",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", ts_us().alias("ts_us")
+    )
+    return interval_join(
+        purchases,
+        sessions.withColumnRenamed("s_user", "user_id"),
+        on=["user_id"],
+        left_ts="ts_us",
+        start_col="ss_us",
+        end_col="se_us",
+        closed="left",
+    ).select("user_id", "event_id", "ts_us", "ss_us", "se_us", "n_events")
+
+
 Q6_START, Q6_END = "1997-01-01 00:00:00", "1998-01-01 00:00:00"
 Q6_DISC_LO, Q6_DISC_HI, Q6_MAX_QTY = 5, 7, 24  # discount in percent
 
@@ -2786,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": _q_ewma_daily,
         "forecast_revenue_change": _q_forecast_revenue_change,
         "global_sales_opportunity": _q_global_sales_opportunity,
+        "interval_join": _q_interval_join,
     }
 
 
@@ -4685,6 +4717,36 @@ def oracle_sql() -> dict[str, str]:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation sn ON sn.n_nationkey = s_nationkey
     GROUP BY 1, 2
+    """,
+        "interval_join": f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    m AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w >= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    s AS (
+      SELECT user_id, t,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, min(t) AS ss_us,
+             max(t) + {SESSION_GAP_US} AS se_us, count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    ),
+    p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, p.ts_us, sess.ss_us, sess.se_us,
+           sess.n_events
+    FROM p JOIN sess
+      ON p.user_id = sess.user_id
+     AND p.ts_us >= sess.ss_us AND p.ts_us < sess.se_us
     """,
         "forecast_revenue_change": f"""
     SELECT count(*) AS n_lines,
