@@ -106,6 +106,7 @@ from hbase_gis_spark.operators.multimodal import (  # noqa: F401
 from hbase_gis_spark.streaming.events import (  # noqa: F401
     dedup_events,
     purchase_view_attribution,
+    streaming_daily_anomalies,
     streaming_top_x_earliest,
     user_sessions,
     windowed_event_counts,

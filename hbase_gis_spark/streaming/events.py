@@ -241,3 +241,95 @@ def run_stream_to_memory(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def streaming_daily_anomalies(
+    events: DataFrame, win: int = 28, z_threshold: float = 2.0
+) -> DataFrame:
+    """Stateful streaming anomaly detection: per event type, each day's
+    count is z-scored against its trailing ``win`` observed days, and
+    |z| >= threshold rows are (re-)emitted as counts accumulate — the
+    incremental twin of the batch ``daily_anomalies`` query (same
+    integer-sum formula, so the final emission converges to the batch
+    answer exactly once all events have arrived).
+
+    State per event type is the (day -> count) map seen so far —
+    bounded by the time horizon, not the event count; a production
+    deployment prunes days older than the watermark minus ``win``
+    (the same state-bounding discipline as the windowed aggregates
+    here; kept whole in this harness so late arbitrarily-old events
+    stay correct). EVERY full-window day is re-emitted each batch
+    with an ``is_anomaly`` flag — an update stream cannot retract a
+    row that stops being anomalous once late counts arrive, so the
+    flag (not presence) carries the verdict; consumers keep the
+    LATEST emission per (event_type, day) and filter on it."""
+    out_schema = (
+        "event_type string, day bigint, y bigint, z double, "
+        "is_anomaly boolean"
+    )
+    state_schema = "days array<bigint>, counts array<bigint>"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (etype,) = key
+        acc: dict[int, int] = {}
+        if state.exists:
+            days, counts = state.get
+            acc = dict(zip(days, counts))
+        for pdf in pdfs:
+            for d, c in pdf.groupby("day")["day"].count().items():
+                acc[int(d)] = acc.get(int(d), 0) + int(c)
+        state.update((list(acc.keys()), list(acc.values())))
+        days_sorted = sorted(acc)
+        ys = np.array([acc[d] for d in days_sorted], dtype=np.int64)
+        out_d, out_y, out_z, out_a = [], [], [], []
+        for i in range(win, len(days_sorted)):
+            wnd = ys[i - win : i]
+            n = float(win)
+            s = float(int(wnd.sum()))
+            s2 = float(int((wnd * wnd).sum()))
+            mean = s / n
+            var = s2 / n - mean * mean
+            diff = float(int(ys[i])) - mean
+            sd = var ** 0.5 if var > 0 else 0.0
+            # IEEE semantics, matching the JVM/DuckDB expression:
+            # x/0 = +-inf (flagged), 0/0 = nan (never flagged)
+            if sd > 0:
+                z = diff / sd
+            elif diff == 0:
+                z = float("nan")
+            else:
+                z = float("inf") if diff > 0 else float("-inf")
+            out_d.append(days_sorted[i])
+            out_y.append(int(ys[i]))
+            out_z.append(z)
+            out_a.append(bool(z >= z_threshold or z <= -z_threshold))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(out_d),
+                "day": out_d,
+                "y": out_y,
+                "z": out_z,
+                "is_anomaly": out_a,
+            }
+        )
+
+    return (
+        events.select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

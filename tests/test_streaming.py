@@ -345,3 +345,76 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path_factory):
     q.processAllAvailable()
     q.stop()
     assert got == expect
+
+
+def test_streaming_daily_anomalies_converges_to_batch(
+    spark, tmp_path_factory
+):
+    """Multi-batch streaming anomaly detection converges to the batch
+    daily_anomalies answer: stream the events table in 4 micro-batches,
+    keep the LATEST emission per (event_type, day), and compare with
+    the batch query at SF0001 (same integer-sum z formula)."""
+    from hbase_gis_spark.streaming.events import streaming_daily_anomalies
+
+    base = str(tmp_path_factory.mktemp("evsplit_anom") / "events")
+    ev = load_table(spark, SF0001, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(base)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    WIN, ZT = 7, 1.0  # small sf needs a tighter window to be non-vacuous
+    run_stream_to_memory(
+        streaming_daily_anomalies(stream, win=WIN, z_threshold=ZT),
+        "anom_stream",
+        output_mode="update",
+    )
+    # batch index increases with emission order within the memory sink;
+    # collect() preserves it, so "last write wins" per key
+    latest = {}
+    for r in spark.sql("SELECT * FROM anom_stream").collect():
+        latest[(r.event_type, r.day)] = (r.y, r.z, r.is_anomaly)
+    latest = {
+        k: (y, z) for k, (y, z, flag) in latest.items() if flag
+    }
+    # python replica of the batch formula (trailing WIN observed days)
+    per = {}
+    for r in ev.collect():
+        day = (
+            r.ts.replace(tzinfo=__import__("datetime").timezone.utc)
+            .timestamp()
+        )
+        day = int(day * 1_000_000) // 86_400_000_000
+        per.setdefault(r.event_type, {})
+        per[r.event_type][day] = per[r.event_type].get(day, 0) + 1
+    batch = {}
+    for etype, acc in per.items():
+        days = sorted(acc)
+        ys = [acc[d] for d in days]
+        for i in range(WIN, len(days)):
+            w = ys[i - WIN : i]
+            n = float(WIN)
+            mean = float(sum(w)) / n
+            var = float(sum(v * v for v in w)) / n - mean * mean
+            diff = float(ys[i]) - mean
+            sd = var ** 0.5 if var > 0 else 0.0
+            if sd > 0:
+                z = diff / sd
+            elif diff == 0:
+                continue
+            else:
+                z = float("inf") if diff > 0 else float("-inf")
+            if z >= ZT or z <= -ZT:
+                batch[(etype, days[i])] = (ys[i], z)
+    assert set(latest) == set(batch)
+    assert len(batch) > 0
+    import math
+
+    for k, (y, z) in batch.items():
+        sy, sz = latest[k]
+        assert sy == y
+        if math.isfinite(z):
+            assert abs(sz - z) < 1e-9
+        else:
+            assert sz == z
