@@ -2265,6 +2265,50 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_K = 50
 
 
+QUANT_QS = [25, 50, 75, 90]  # percent
+
+
+def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile per group (p25/p50/p75/p90 of customer
+    balance by market segment) — the multi-point generalization of
+    grouped_median, same rank-based lower-quantile convention
+    (value at rank ceil(q*n/100)), so results are deterministic under
+    ties and engine-portable with no interpolation to match.
+
+    ONE window pass ranks each segment; the four quantile ranks filter
+    from the same ranked frame (Catalyst reuses the window exchange),
+    then a pivot-shaped conditional aggregation emits one row per
+    segment. Groups partition the sort; no global ordering."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        "c_custkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("bal_cents").asc(), F.col("c_custkey").asc()
+    )
+    ranked = c.select(
+        "c_mktsegment",
+        "bal_cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c_mktsegment"))
+        .alias("n"),
+    )
+    conds = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"cast(ceil({q} * n / 100.0) as bigint)"),
+                F.col("bal_cents"),
+            )
+        ).alias(f"p{q}_cents")
+        for q in QUANT_QS
+    ]
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_customers"), *conds
+    )
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join each purchase event to its containing user session — the
     interval-containment join realized as as-of + containment filter
@@ -2818,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_change": _q_forecast_revenue_change,
         "global_sales_opportunity": _q_global_sales_opportunity,
         "interval_join": _q_interval_join,
+        "grouped_quantiles": _q_grouped_quantiles,
     }
 
 
@@ -4717,6 +4762,25 @@ def oracle_sql() -> dict[str, str]:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation sn ON sn.n_nationkey = s_nationkey
     GROUP BY 1, 2
+    """,
+        "grouped_quantiles": f"""
+    WITH ranked AS (
+      SELECT c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) ASC,
+                        c_custkey ASC) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n_customers,
+           {", ".join(
+               f"CAST(max(CASE WHEN rn = CAST(ceil({q} * n / 100.0) AS BIGINT)"
+               f" THEN bal_cents END) AS BIGINT) AS p{q}_cents"
+               for q in QUANT_QS
+           )}
+    FROM ranked GROUP BY c_mktsegment
     """,
         "interval_join": f"""
     WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
