@@ -2265,6 +2265,23 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_K = 50
 
 
+def _q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of batched IVF vs exact retrieval for the 4 standing
+    query vectors — the index-health evaluation as a query."""
+    from hbase_gis_spark.operators.similarity import ann_recall_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_report(
+        emb,
+        ANN_MULTI_IDS,
+        ANN_K,
+        nlist=IVF_NLIST,
+        nprobe=IVF_NPROBE,
+        train_rows=IVF_TRAIN_ROWS,
+        seed=ANN_SEED,
+    )
+
+
 QUANT_QS = [25, 50, 75, 90]  # percent
 
 
@@ -2863,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_sales_opportunity": _q_global_sales_opportunity,
         "interval_join": _q_interval_join,
         "grouped_quantiles": _q_grouped_quantiles,
+        "ann_recall_report": _q_ann_recall_report,
     }
 
 
@@ -3583,6 +3601,76 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY adc_score DESC, c0.vec_id ASC
     LIMIT {ANN_K}
     """
+        # ann_recall_report: per-query probe replay + exact/IVF rank
+        # windows + overlap counts — integers only
+        probe_rows = []
+        for qid in ANN_MULTI_IDS:
+            qv = V_all[int(np.nonzero(ids == qid)[0][0])]
+            qn2 = qv / np.linalg.norm(qv)
+            for p in np.argsort(-(C @ qn2))[:IVF_NPROBE]:
+                probe_rows.append(f"({qid}, {int(p)})")
+        ann_recall_sql = f"""
+    WITH cents(ci, cv) AS (VALUES
+      {cent_rows}),
+    dots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, ci AS cell FROM (
+        SELECT vec_id, ci,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    probes(qid, pcell) AS (VALUES
+      {", ".join(probe_rows)}),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in ANN_MULTI_IDS)})
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_cos('e.embedding', 'q.qv')} DESC,
+                          e.vec_id ASC) AS rnk
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+      ) WHERE rnk <= {ANN_K}
+    ),
+    ivf_scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos('e.embedding', 'q.qv')} AS cosine
+      FROM embeddings e
+      JOIN cells cl ON cl.vec_id = e.vec_id
+      JOIN q ON e.vec_id != q.query_id
+      JOIN probes p ON p.qid = q.query_id AND p.pcell = cl.cell
+    ),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rnk
+        FROM ivf_scored
+      ) WHERE rnk <= {ANN_K}
+    ),
+    ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+    ni AS (SELECT query_id, count(*) AS n_ivf FROM ivf GROUP BY 1),
+    ov AS (
+      SELECT exact.query_id, count(*) AS n_overlap
+      FROM exact JOIN ivf
+        ON exact.query_id = ivf.query_id AND exact.vec_id = ivf.vec_id
+      GROUP BY 1
+    )
+    SELECT ne.query_id, ne.n_exact, ni.n_ivf,
+           COALESCE(ov.n_overlap, 0) AS n_overlap
+    FROM ne JOIN ni USING (query_id) LEFT JOIN ov USING (query_id)
+    """
     except Exception:
         # oracle table unavailable in this environment → leave the IVF
         # entry out (driver falls back to the rows-only check)
@@ -3592,6 +3680,7 @@ def oracle_sql() -> dict[str, str]:
         semdedup_sql = None
         pq_adc_sql = None
         ann_ivfpq_sql = None
+        ann_recall_sql = None
 
     # language-ID: marker-word argmax, ties break en > fr > de > es
     def _mc(words: tuple[str, ...]) -> str:
@@ -5103,4 +5192,6 @@ def oracle_sql() -> dict[str, str]:
         out["pq_adc_topk"] = pq_adc_sql
     if ann_ivfpq_sql is not None:
         out["ann_ivfpq_topk"] = ann_ivfpq_sql
+    if ann_recall_sql is not None:
+        out["ann_recall_report"] = ann_recall_sql
     return out

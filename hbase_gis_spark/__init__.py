@@ -67,7 +67,9 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
 )
 from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_ivf_topk,
+    ann_ivf_topk_multi,
     ann_ivfpq_topk,
+    ann_recall_report,
     ann_range_search,
     cosine_topk_multi,
     embedding_norm_stats,

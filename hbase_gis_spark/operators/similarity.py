@@ -940,3 +940,130 @@ def ann_ivfpq_topk_stored(
         .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ann_ivf_topk_multi(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 6,
+    train_rows: int = 4096,
+    seed: int = 13,
+) -> DataFrame:
+    """Batched IVF retrieval: top-k for a SET of query vectors in one
+    scan — cell assignment runs once per row, each query contributes
+    only its ``nprobe`` probed cells (array_contains against the
+    query's broadcast probe list), and per-query ranking is a window
+    partitioned by query id.
+
+    The amortization matters at scale: N separate IVF queries scan
+    the (pruned) table N times; this shape streams it once and fans
+    each row out only to the queries actually probing its cell —
+    cost ~ rows x avg_probing_queries, not rows x N.
+
+    Output: (query_id, vec_id, cosine, rnk), rnk 1..k per query."""
+    from hbase_gis_spark.functions.arrowkernels import pair_cosine
+
+    C = train_ivf_centroids(
+        df, nlist, id_col, vec_col, train_rows=train_rows, seed=seed
+    )
+    qrows = (
+        df.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if len(qrows) != len(query_ids):
+        missing = set(query_ids) - {r[0] for r in qrows}
+        raise ValueError(f"query ids not found: {sorted(missing)}")
+    origin_rows = []
+    for r in qrows:
+        q = np.asarray(r[1], dtype=np.float64)
+        qn = q / np.linalg.norm(q)
+        probes = [int(j) for j in np.argsort(-(C @ qn))[:nprobe]]
+        origin_rows.append((int(r[0]), [float(x) for x in r[1]], probes))
+    origins = df.sparkSession.createDataFrame(
+        origin_rows, "query_id bigint, __qv array<float>, __probes array<int>"
+    )
+    cells = df.withColumn("__cell", ivf_cell_expr(F.col(vec_col), C))
+    pairs = (
+        cells.crossJoin(F.broadcast(origins))
+        .filter(
+            F.array_contains(F.col("__probes"), F.col("__cell"))
+            & (F.col(id_col) != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            F.col(id_col),
+            pair_cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return pairs.withColumn(
+        "rnk", F.row_number().over(w).cast("int")
+    ).filter(F.col("rnk") <= k)
+
+
+def ann_recall_report(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 6,
+    train_rows: int = 4096,
+    seed: int = 13,
+) -> DataFrame:
+    """ANN index health report: recall@k of the batched IVF path
+    against exact batched retrieval, per query — the evaluation loop
+    every production ANN deployment runs before trusting an index
+    (recall depends on the data distribution, not just nlist/nprobe).
+
+    Both sides share the one-scan batched shape; the report is a
+    per-query overlap count — integers only, exactly oracle-checkable.
+    Output: (query_id, n_exact, n_ivf, n_overlap)."""
+    exact = cosine_topk_multi(df, query_ids, k, id_col, vec_col).select(
+        "query_id", F.col(id_col).alias("e_id")
+    )
+    approx = ann_ivf_topk_multi(
+        df,
+        query_ids,
+        k,
+        id_col,
+        vec_col,
+        nlist=nlist,
+        nprobe=nprobe,
+        train_rows=train_rows,
+        seed=seed,
+    ).select(F.col("query_id").alias("a_qid"), F.col(id_col).alias("a_id"))
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_ivf = approx.groupBy(F.col("a_qid")).agg(
+        F.count(F.lit(1)).alias("n_ivf")
+    )
+    overlap = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("e_id") == F.col("a_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        n_exact.join(n_ivf, F.col("query_id") == F.col("a_qid"))
+        .join(overlap.withColumnRenamed("query_id", "o_qid"),
+              F.col("query_id") == F.col("o_qid"), "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "n_ivf",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        )
+    )

@@ -418,3 +418,39 @@ def test_ivfpq_stored_prunes_and_matches(emb, spark, tmp_path_factory):
     assert "ivf_cell" in plan
     # raw vectors are gone from the table, so the scan cannot read them
     assert "embedding" not in spark.read.parquet(path).columns
+
+
+def test_ann_ivf_multi_matches_single(emb):
+    """Batched IVF returns exactly the single-query IVF result for
+    each query id, and the recall report's overlap counts match a
+    direct set comparison."""
+    from hbase_gis_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_multi,
+        ann_recall_report,
+        cosine_topk,
+    )
+
+    ids = [0, 7, 42]
+    multi = ann_ivf_topk_multi(emb, ids, 10)
+    got = {}
+    for r in multi.collect():
+        got.setdefault(r.query_id, []).append((r.rnk, r.vec_id, r.cosine))
+    for qid in ids:
+        single = [
+            (i + 1, r.vec_id, r.cosine)
+            for i, r in enumerate(ann_ivf_topk(emb, qid, 10).collect())
+        ]
+        assert sorted(got[qid]) == single
+    report = {
+        r.query_id: (r.n_exact, r.n_ivf, r.n_overlap)
+        for r in ann_recall_report(emb, ids, 10).collect()
+    }
+    for qid in ids:
+        exact = {r.vec_id for r in cosine_topk(emb, qid, 10).collect()}
+        approx = {v for _, v, _ in got[qid]}
+        assert report[qid] == (
+            len(exact),
+            len(approx),
+            len(exact & approx),
+        )

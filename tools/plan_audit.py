@@ -33,6 +33,7 @@ BNLJ_SANCTIONED = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_multi_topk",
+    "ann_recall_report",  # broadcast query dim on both retrieval sides
     "ann_range_search",  # broadcast 1-row query vector, zero-shuffle scan
     "knn_multi",  # broadcast N-origin dim fan-out, big side streams once
     "keyword_search",  # 1-row corpus-total joined onto the tiny term dim
