@@ -2265,6 +2265,18 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_K = 50
 
 
+BPE_MERGES = 50
+
+
+def _q_bpe_learned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under a BPE trained on this corpus's
+    vocabulary (50 merges) — the full tokenizer-training arc."""
+    from hbase_gis_spark.operators.textstats import bpe_learned_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learned_counts(docs, n_merges=BPE_MERGES)
+
+
 def _q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of batched IVF vs exact retrieval for the 4 standing
     query vectors — the index-health evaluation as a query."""
@@ -2881,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "grouped_quantiles": _q_grouped_quantiles,
         "ann_recall_report": _q_ann_recall_report,
+        "bpe_learned_counts": _q_bpe_learned_counts,
     }
 
 
@@ -4099,6 +4112,51 @@ def oracle_sql() -> dict[str, str]:
       FROM capped
     )
     """
+    # bpe_learned_counts: replay the bounded-vocab trainer in python on
+    # the oracle's parquet (IVF/PQ discipline), embed the per-word token
+    # counts as a literal dim, and let SQL do the corpus-side join+agg
+    bpe_learned_sql = None
+    try:
+        import re as _re
+        from collections import Counter
+
+        import pyarrow.parquet as _pq
+
+        _t = _pq.read_table(
+            os.path.join(_oracle_sf_dir(), "documents.parquet"),
+            columns=["text"],
+        )
+        _cnt: Counter = Counter()
+        for _txt in _t.column("text").to_pylist():
+            for _w in _re.split(r"\s+", (_txt or "").strip()):
+                if _w:
+                    _cnt[_w] += 1
+        _wf = sorted(_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:65536]
+        from hbase_gis_spark.operators.textstats import (
+            bpe_apply,
+            train_bpe_merges,
+        )
+
+        _merges = train_bpe_merges(_wf, BPE_MERGES)
+        _map_rows = ",\n      ".join(
+            "('{}', {})".format(
+                w.replace("'", "''"), len(bpe_apply(w, _merges))
+            )
+            for w, _ in _wf
+        )
+        bpe_learned_sql = f"""
+    WITH tok AS (SELECT doc_id, unnest({toks}) AS w FROM documents),
+    ft AS (SELECT doc_id, w FROM tok WHERE len(w) > 0),
+    dim(mw, ntok) AS (VALUES
+      {_map_rows})
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(COALESCE(ntok, len(w))) AS BIGINT) AS n_bpe_tokens
+    FROM ft LEFT JOIN dim ON w = mw
+    GROUP BY doc_id
+    """
+    except Exception:
+        bpe_learned_sql = None
+
     out = {
         "within_polygon": within_sql,
         "within_polygon_pruned": within_sql,
@@ -5194,4 +5252,6 @@ def oracle_sql() -> dict[str, str]:
         out["ann_ivfpq_topk"] = ann_ivfpq_sql
     if ann_recall_sql is not None:
         out["ann_recall_report"] = ann_recall_sql
+    if bpe_learned_sql is not None:
+        out["bpe_learned_counts"] = bpe_learned_sql
     return out

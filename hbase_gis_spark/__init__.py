@@ -86,6 +86,7 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
     write_ivfpq_table,
 )
 from hbase_gis_spark.operators.textstats import (  # noqa: F401
+    bpe_learned_counts,
     bpe_pair_counts,
     bpe_token_count,
     clean_text,

@@ -465,3 +465,116 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(k)
     )
+
+
+def train_bpe_merges(
+    word_freqs: "list[tuple[str, int]]", n_merges: int
+) -> list[tuple[str, str]]:
+    """Deterministic byte-pair-encoding trainer on a (word, freq)
+    vocabulary: each round merges the most frequent adjacent symbol
+    pair (ties break lexicographically), exactly the greedy loop of
+    Sennrich et al. 2016.  Pure python on the BOUNDED vocab — the
+    driver-side trainer discipline shared with the IVF/PQ quantizers
+    (training cost scales with |vocab|, never corpus size), and the
+    reason the DuckDB oracle can replay byte-identical merges."""
+    seqs: dict[str, list[str]] = {w: list(w) for w, _ in word_freqs}
+    freqs = dict(word_freqs)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, sym in seqs.items():
+            f = freqs[w]
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, sym in seqs.items():
+            i, out = 0, []
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with an ordered merge list (training order =
+    application priority, as in the reference BPE implementations)."""
+    sym = list(word)
+    for a, b in merges:
+        if len(sym) < 2:
+            break
+        i, out = 0, []
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_learned_counts(
+    df: DataFrame,
+    n_merges: int = 50,
+    vocab_limit: int = 65536,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token counts under a LEARNED BPE: train merges on
+    the corpus vocabulary (top ``vocab_limit`` words by frequency —
+    bounded driver state), encode each distinct vocab word once, and
+    broadcast the (word -> n_tokens) dim back onto the token stream;
+    out-of-vocabulary words fall back to their character count (the
+    every-char-a-token floor).
+
+    The split of labor is the production BPE shape: training and
+    per-word encoding touch only the vocabulary; the corpus-sized
+    work is one explode + one broadcast join + one hash aggregate.
+    Completes the tokenizer-training arc started by
+    :func:`bpe_pair_counts` (one round's statistics) with the full
+    greedy loop and its application."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    toks = _spread(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab_rows = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(vocab_limit)
+        .collect()
+    )
+    word_freqs = [(r.w, r.c) for r in vocab_rows]
+    merges = train_bpe_merges(word_freqs, n_merges)
+    mapping = [(w, len(bpe_apply(w, merges))) for w, _ in word_freqs]
+    dim = df.sparkSession.createDataFrame(
+        mapping, "mw string, ntok int"
+    )
+    return (
+        toks.join(F.broadcast(dim), F.col("w") == F.col("mw"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("ntok"), F.length("w").cast("int")).alias(
+                "__nt"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__nt").alias("n_bpe_tokens"),
+        )
+    )

@@ -180,3 +180,41 @@ def test_bpe_pair_counts_hand_computed(spark):
     # ab: 2*2 + 1 = 5 ; ba: 2*1 = 2
     got = [(r.pair, r.n) for r in bpe_pair_counts(df, k=10).collect()]
     assert got == [("ab", 5), ("ba", 2)]
+
+
+def test_bpe_trainer_hand_computed():
+    """Greedy merges on a tiny vocab follow the Sennrich loop: most
+    frequent pair merges first, ties break lexicographically, counts
+    below 2 stop training."""
+    from hbase_gis_spark.operators.textstats import bpe_apply, train_bpe_merges
+
+    # vocab: 'abab' x3, 'abc' x2 -> pair counts: ab:8(3*2+2), ba:3, bc:2
+    merges = train_bpe_merges([("abab", 3), ("abc", 2)], 10)
+    assert merges[0] == ("a", "b")
+    # after merging ab: abab->[ab,ab] (count 3), abc->[ab,c] (count 2)
+    # pairs: (ab,ab):3, (ab,c):2 -> next merge (ab,ab)
+    assert merges[1] == ("ab", "ab")
+    # then [abab] x3, [ab, c] x2 -> (ab,c):2 merges
+    assert merges[2] == ("ab", "c")
+    assert len(merges) == 3  # nothing left with count >= 2
+    assert bpe_apply("abab", merges) == ["abab"]
+    assert bpe_apply("abc", merges) == ["abc"]
+    assert bpe_apply("zzab", merges) == ["z", "z", "ab"]
+
+
+def test_bpe_learned_counts_compresses(spark):
+    """Learned BPE token counts: repeated words compress to one token,
+    OOV falls back to character count."""
+    from hbase_gis_spark.operators.textstats import bpe_learned_counts
+
+    df = spark.createDataFrame(
+        [(1, "hello hello hello world"), (2, "hello xy")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in
+           bpe_learned_counts(df, n_merges=20, vocab_limit=10).collect()}
+    # 'hello' (freq 4) trains to a single token; 'world'/'xy' are in
+    # vocab too (limit 10) and compress fully given 20 merges
+    assert got[1][0] == 4
+    assert got[1][1] <= 8
+    assert got[2][0] == 2
