@@ -25,10 +25,12 @@ NEEDS_DATA = {
     "semdedup",
     "pq_adc_topk",
     "ann_ivfpq_topk",
+    "ann_recall_report",
 }
 # report-shaped queries emit one row per configured step/level even on
-# empty input (a funnel report always has k rows, with zero counts)
-FIXED_SHAPE = {"funnel_counts": 4}
+# empty input (a funnel report always has k rows, with zero counts;
+# a table profile always has one row per profiled column)
+FIXED_SHAPE = {"funnel_counts": 4, "table_profile": 5}
 # point-query operators keyed to a specific row id return empty when
 # that row is absent — nothing to assert beyond "no crash"
 

@@ -39,6 +39,7 @@ BNLJ_SANCTIONED = {
     "keyword_search",  # 1-row corpus-total joined onto the tiny term dim
     "mixture_rates",
     "mixture_sample",
+    "global_sales_opportunity",  # broadcast 1-row positive-balance aggregate
     "tfidf_topk_terms",  # broadcast 1-row corpus-size aggregate
     "tfidf_cosine_pairs",  # broadcast 1-row corpus-size aggregate
     "unigram_lm_score",  # broadcast 1-row token-total aggregate
