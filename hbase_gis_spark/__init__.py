@@ -58,6 +58,7 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     embedding_dup_lsh,
     embedding_dup_pairs,
     jaccard_pairs,
+    jaccard_pairs_prefix,
     minhash_lsh_pairs,
     simhash,
     simhash_pairs,

@@ -436,3 +436,48 @@ def test_cell_footprint_pairs_matches_bruteforce(spark):
         if j >= 0.3:
             expect[(a, b)] = j
     assert got == expect and len(expect) > 0
+
+
+def test_jaccard_prefix_filter_equals_inverted_index(spark):
+    """Prefix filtering (AllPairs/PPJoin candidates) must return
+    EXACTLY the inverted-index result — completeness of the
+    both-prefix join under the global rarity order, plus a skewed
+    hand corpus where stop-shingles exist (the case max_df would
+    lose pairs on but the prefix scheme must not)."""
+    from hbase_gis_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    a = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    b = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_pairs_prefix(docs, n=3, threshold=0.5).collect()
+    }
+    assert a == b and len(a) > 0
+
+    # zipfian hand corpus: 'the common stop run' appears everywhere
+    stop = "the of and a to in is it on at"
+    rows = [
+        (1, f"{stop} alpha beta gamma delta"),
+        (2, f"{stop} alpha beta gamma epsilon"),
+        (3, f"{stop} zeta eta theta iota"),
+        (4, f"{stop} zeta eta theta kappa"),
+        (5, "totally different words here entirely unrelated content"),
+    ]
+    hand = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ha = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(hand, n=2, threshold=0.4).collect()
+    }
+    hb = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_pairs_prefix(hand, n=2, threshold=0.4).collect()
+    }
+    assert ha == hb and len(ha) > 0
