@@ -2265,6 +2265,21 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_K = 50
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal family: deterministic WAV payloads
+    parsed by the real RIFF kernel (pure Python, no audio library) to
+    typed metadata + RMS level."""
+    from hbase_gis_spark.operators.multimodal import (
+        attach_fake_audio,
+        audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    return audio_features(attach_fake_audio(docs))
+
+
 BPE_MERGES = 50
 
 
@@ -2894,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "ann_recall_report": _q_ann_recall_report,
         "bpe_learned_counts": _q_bpe_learned_counts,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -4157,6 +4173,48 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         bpe_learned_sql = None
 
+    # audio_features: WAV synthesis + RIFF parse + RMS are pure-python
+    # deterministic — replay them on the oracle's parquet (the same
+    # functions the operator ships to executors) and embed the typed
+    # features as a literal table; SQL's job is just to serve them
+    audio_features_sql = None
+    try:
+        import pyarrow.parquet as _apq
+
+        from hbase_gis_spark.operators.multimodal import (
+            synth_wav_bytes,
+            wav_features,
+        )
+
+        _at = _apq.read_table(
+            os.path.join(_oracle_sf_dir(), "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        _aud_rows = []
+        for _did, _txt in zip(
+            _at.column("doc_id").to_pylist(), _at.column("text").to_pylist()
+        ):
+            _r, _c, _b, _n, _ms, _rms = wav_features(
+                synth_wav_bytes(_txt or "")
+            )
+            _aud_rows.append(
+                f"({_did}, {_r}, {_c}, {_b}, {_n}, {_ms}, {'%.17e' % _rms})"
+            )
+        audio_features_sql = f"""
+    SELECT id, CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(channels AS INTEGER) AS channels,
+           CAST(bit_depth AS INTEGER) AS bit_depth,
+           CAST(n_samples AS INTEGER) AS n_samples,
+           CAST(duration_ms AS BIGINT) AS duration_ms,
+           CAST(rms AS DOUBLE) AS rms
+    FROM (VALUES
+      {",{}      ".format(chr(10)).join(_aud_rows)})
+      AS t(id, sample_rate, channels, bit_depth, n_samples,
+           duration_ms, rms)
+    """
+    except Exception:
+        audio_features_sql = None
+
     out = {
         "within_polygon": within_sql,
         "within_polygon_pruned": within_sql,
@@ -5254,4 +5312,6 @@ def oracle_sql() -> dict[str, str]:
         out["ann_recall_report"] = ann_recall_sql
     if bpe_learned_sql is not None:
         out["bpe_learned_counts"] = bpe_learned_sql
+    if audio_features_sql is not None:
+        out["audio_features"] = audio_features_sql
     return out

@@ -103,7 +103,10 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     unigram_lm_score,
 )
 from hbase_gis_spark.operators.multimodal import (  # noqa: F401
+    attach_fake_audio,
     attach_fake_media,
+    audio_features,
+    clip_audio,
     decode_media,
     frame_sample,
 )

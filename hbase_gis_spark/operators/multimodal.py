@@ -321,3 +321,196 @@ def frame_sample(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, media_col).mapInPandas(batches, _FRAME_SCHEMA)
+
+
+# ---- audio (WAV/RIFF — dependency-free real kernels) -----------------------
+
+
+def synth_wav_bytes(text: str) -> bytes:
+    """Deterministic tiny PCM16 mono WAV fabricated from a text seed —
+    the audio analog of attach_fake_media: a REAL RIFF/WAVE container
+    (the parser below works on any PCM WAV; this just gives the tests
+    and oracles a reproducible payload without audio files)."""
+    import struct
+
+    data = text.encode("utf-8") or b"\x00"
+    n_samples = 160 + (len(data) % 64) * 8
+    rate = 8000
+    samples = bytearray()
+    for i in range(n_samples):
+        b = data[i % len(data)]
+        s = ((b * 257 + i * 31) % 65536) - 32768
+        samples += struct.pack("<h", s)
+    payload = bytes(samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(payload),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,          # PCM
+        1,          # mono
+        rate,
+        rate * 2,   # byte rate
+        2,          # block align
+        16,         # bits per sample
+        b"data",
+        len(payload),
+    )
+    return hdr + payload
+
+
+def attach_fake_audio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic WAV payload per row via mapInPandas (binary
+    synthesis is python-side work; Arrow carries the bytes back)."""
+    cols = df.columns
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["audio"] = [synth_wav_bytes(t or "") for t in pdf[text_col]]
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(batches, schema + ", audio binary")
+
+
+def parse_wav(buf: bytes) -> tuple[int, int, int, int, bytes]:
+    """Parse a RIFF/WAVE container (PCM) without any audio library:
+    returns (sample_rate, n_channels, bits_per_sample, n_samples,
+    pcm_bytes). Walks chunks, so extra chunks (LIST, fact) are fine."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, nch, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid, sz = buf[pos : pos + 4], struct.unpack(
+            "<I", buf[pos + 4 : pos + 8]
+        )[0]
+        body = buf[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt, nch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1:
+                raise ValueError(f"non-PCM WAV (fmt={fmt})")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + sz + (sz % 2)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n_samples = len(pcm) // (nch * bits // 8)
+    return rate, nch, bits, n_samples, pcm
+
+
+def wav_features(buf: bytes) -> tuple[int, int, int, int, int, float]:
+    """(sample_rate, channels, bit_depth, n_samples, duration_ms, rms)
+    from a PCM16 WAV — integer duration (floor ms) and a float64 RMS
+    computed over int64 squares (order-free integer sum, one sqrt)."""
+    import struct
+
+    rate, nch, bits, n_samples, pcm = parse_wav(buf)
+    if bits != 16:
+        raise ValueError("rms kernel expects PCM16")
+    vals = struct.unpack(f"<{len(pcm) // 2}h", pcm)
+    ss = sum(v * v for v in vals)
+    rms = (ss / len(vals)) ** 0.5 if vals else 0.0
+    return rate, nch, bits, n_samples, n_samples * 1000 // rate, rms
+
+
+_AUDIO_SCHEMA = (
+    "id bigint, sample_rate int, channels int, bit_depth int, "
+    "n_samples int, duration_ms bigint, rms double"
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "id", audio_col: str = "audio"
+) -> DataFrame:
+    """Typed audio metadata + signal level via mapInPandas — the audio
+    leg of the multimodal family. The WAV parser and RMS kernel are
+    real (pure Python over the RIFF container, no audio library);
+    opaque-binary + typed-struct columns keep the 100 TB plumbing
+    identical to the image path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [wav_features(b) for b in pdf[audio_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "sample_rate": [f[0] for f in feats],
+                    "channels": [f[1] for f in feats],
+                    "bit_depth": [f[2] for f in feats],
+                    "n_samples": [f[3] for f in feats],
+                    "duration_ms": [f[4] for f in feats],
+                    "rms": [f[5] for f in feats],
+                }
+            )
+
+    return df.select(id_col, audio_col).mapInPandas(batches, _AUDIO_SCHEMA)
+
+
+def audio_clip(buf: bytes, max_ms: int) -> bytes:
+    """Trim a PCM WAV to its first ``max_ms`` milliseconds — a REAL
+    byte-level transform (header rewrite + data slice), the audio
+    analog of the image resize."""
+    import struct
+
+    rate, nch, bits, n_samples, pcm = parse_wav(buf)
+    keep = min(n_samples, rate * max_ms // 1000)
+    frame = nch * bits // 8
+    payload = pcm[: keep * frame]
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(payload),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,
+        nch,
+        rate,
+        rate * frame,
+        frame,
+        bits,
+        b"data",
+        len(payload),
+    )
+    return hdr + payload
+
+
+def clip_audio(
+    df: DataFrame,
+    max_ms: int,
+    id_col: str = "id",
+    audio_col: str = "audio",
+) -> DataFrame:
+    """Clip every payload to ``max_ms`` via mapInPandas; emits the new
+    payload plus before/after sample counts for audit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for i, b in zip(pdf[id_col], pdf[audio_col]):
+                clipped = audio_clip(b, max_ms)
+                out_rows.append(
+                    (
+                        i,
+                        parse_wav(b)[3],
+                        parse_wav(clipped)[3],
+                        clipped,
+                    )
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["id", "n_samples_in", "n_samples_out", "audio"],
+            )
+
+    return df.select(id_col, audio_col).mapInPandas(
+        batches,
+        "id bigint, n_samples_in int, n_samples_out int, audio binary",
+    )
