@@ -2265,6 +2265,20 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_K = 50
 
 
+def _q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video leg of the multimodal family: deterministic AVI payloads
+    parsed by the real RIFF kernel to typed container metadata."""
+    from hbase_gis_spark.operators.multimodal import (
+        attach_fake_video,
+        video_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    return video_features(attach_fake_video(docs))
+
+
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio leg of the multimodal family: deterministic WAV payloads
     parsed by the real RIFF kernel (pure Python, no audio library) to
@@ -2910,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": _q_ann_recall_report,
         "bpe_learned_counts": _q_bpe_learned_counts,
         "audio_features": _q_audio_features,
+        "video_features": _q_video_features,
     }
 
 
@@ -4173,6 +4188,47 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         bpe_learned_sql = None
 
+    # video_features: same python-replay discipline as audio below
+    video_features_sql = None
+    try:
+        import pyarrow.parquet as _vpq
+
+        from hbase_gis_spark.operators.multimodal import (
+            parse_avi,
+            synth_avi_bytes,
+        )
+
+        _vt = _vpq.read_table(
+            os.path.join(_oracle_sf_dir(), "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        _vid_rows = []
+        for _did, _txt in zip(
+            _vt.column("doc_id").to_pylist(), _vt.column("text").to_pylist()
+        ):
+            _w, _h, _uspf, _frames = parse_avi(synth_avi_bytes(_txt or ""))
+            _tot = sum(len(f) for f in _frames)
+            _s = sum(sum(f) for f in _frames)
+            _mean = (_s / _tot) if _tot else 0.0
+            _vid_rows.append(
+                f"({_did}, {_w}, {_h}, {1_000_000_000 // _uspf}, "
+                f"{len(_frames)}, {_tot}, {'%.17e' % _mean})"
+            )
+        video_features_sql = f"""
+    SELECT id, CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(fps_milli AS BIGINT) AS fps_milli,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(total_frame_bytes AS BIGINT) AS total_frame_bytes,
+           CAST(mean_frame_byte AS DOUBLE) AS mean_frame_byte
+    FROM (VALUES
+      {",{}      ".format(chr(10)).join(_vid_rows)})
+      AS t(id, width, height, fps_milli, n_frames, total_frame_bytes,
+           mean_frame_byte)
+    """
+    except Exception:
+        video_features_sql = None
+
     # audio_features: WAV synthesis + RIFF parse + RMS are pure-python
     # deterministic — replay them on the oracle's parquet (the same
     # functions the operator ships to executors) and embed the typed
@@ -5314,4 +5370,6 @@ def oracle_sql() -> dict[str, str]:
         out["bpe_learned_counts"] = bpe_learned_sql
     if audio_features_sql is not None:
         out["audio_features"] = audio_features_sql
+    if video_features_sql is not None:
+        out["video_features"] = video_features_sql
     return out

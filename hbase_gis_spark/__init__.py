@@ -105,10 +105,13 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
 from hbase_gis_spark.operators.multimodal import (  # noqa: F401
     attach_fake_audio,
     attach_fake_media,
+    attach_fake_video,
     audio_features,
     clip_audio,
     decode_media,
     frame_sample,
+    video_features,
+    video_frame_sample,
 )
 from hbase_gis_spark.streaming.events import (  # noqa: F401
     dedup_events,

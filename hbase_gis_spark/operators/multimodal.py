@@ -514,3 +514,177 @@ def clip_audio(
         batches,
         "id bigint, n_samples_in int, n_samples_out int, audio binary",
     )
+
+
+# ---- video (AVI/RIFF — dependency-free real kernels) -----------------------
+
+
+def synth_avi_bytes(text: str) -> bytes:
+    """Deterministic tiny uncompressed AVI (RGB24 4x4 frames) from a
+    text seed — a REAL RIFF/AVI container the parser below reads
+    chunk-by-chunk, standing in for real video files."""
+    import struct
+
+    data = text.encode("utf-8") or b"\x00"
+    w = h = 4
+    n_frames = 3 + (len(data) % 5)
+    us_per_frame = 40000  # 25 fps
+    frames = []
+    for f in range(n_frames):
+        px = bytearray()
+        for i in range(w * h * 3):
+            px.append((data[(i + f) % len(data)] + 7 * f + i) % 256)
+        frames.append(bytes(px))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, 0, 0, 0, n_frames, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 25, 0, n_frames,
+        w * h * 3, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(buf: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse a RIFF/AVI container without any video library: returns
+    (width, height, us_per_frame, frames) where frames are the raw
+    '00db'/'00dc' chunk payloads in stream order."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = uspf = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, uspf
+        pos = lo
+        while pos + 8 <= hi:
+            cid = buf[pos : pos + 4]
+            sz = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body_lo, body_hi = pos + 8, pos + 8 + sz
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)
+            elif cid == b"avih":
+                vals = struct.unpack("<IIIIIIIIII", buf[body_lo : body_lo + 40])
+                uspf, width, height = vals[0], vals[8], vals[9]
+            elif cid in (b"00db", b"00dc"):
+                frames.append(buf[body_lo:body_hi])
+            pos = body_hi + (sz % 2)
+
+    walk(12, len(buf))
+    if width is None:
+        raise ValueError("AVI missing avih header")
+    return width, height, uspf, frames
+
+
+_VIDEO_SCHEMA = (
+    "id bigint, width int, height int, fps_milli bigint, n_frames int, "
+    "total_frame_bytes bigint, mean_frame_byte double"
+)
+
+
+def video_features(
+    df: DataFrame, id_col: str = "id", video_col: str = "video"
+) -> DataFrame:
+    """Typed video metadata via mapInPandas: container dims, frame
+    rate (integer milli-fps: 10^9 div us_per_frame), frame count and
+    payload stats — the video leg of the multimodal family, parsed by
+    the real RIFF kernel (no video library)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for i, b in zip(pdf[id_col], pdf[video_col]):
+                w, h, uspf, frames = parse_avi(b)
+                tot = sum(len(f) for f in frames)
+                s = sum(sum(f) for f in frames)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        1_000_000_000 // uspf if uspf else 0,
+                        len(frames),
+                        tot,
+                        (s / tot) if tot else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "width",
+                    "height",
+                    "fps_milli",
+                    "n_frames",
+                    "total_frame_bytes",
+                    "mean_frame_byte",
+                ],
+            )
+            rows = []
+
+    return df.select(id_col, video_col).mapInPandas(batches, _VIDEO_SCHEMA)
+
+
+def attach_fake_video(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic AVI payload per row (see attach_fake_audio)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["video"] = [synth_avi_bytes(t or "") for t in pdf[text_col]]
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(batches, schema + ", video binary")
+
+
+def video_frame_sample(
+    df: DataFrame,
+    every: int = 2,
+    id_col: str = "id",
+    video_col: str = "video",
+) -> DataFrame:
+    """Real frame sampling: decode the container, keep every
+    ``every``-th frame, emit (id, frame_idx, frame md5) — one row per
+    sampled frame, the video analog of the image path's frame_sample
+    but over an actual container structure."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, digests = [], [], []
+            for i, b in zip(pdf[id_col], pdf[video_col]):
+                _, _, _, frames = parse_avi(b)
+                for k in range(0, len(frames), every):
+                    ids.append(i)
+                    idxs.append(k)
+                    digests.append(hashlib.md5(frames[k]).hexdigest())
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return df.select(id_col, video_col).mapInPandas(
+        batches, "id bigint, frame_idx int, frame_md5 string"
+    )

@@ -242,3 +242,43 @@ def test_audio_features_over_spark(spark):
                for r in clip_audio(media, 10).collect()}
     for i in (1, 2, 3):
         assert clipped[i][1] == min(clipped[i][0], 80)
+
+
+def test_avi_parse_and_frame_sample(spark):
+    """The RIFF/AVI kernels are real: synth -> parse roundtrips
+    dimensions and frame payloads; video_frame_sample keeps every
+    k-th frame with matching digests; a non-AVI payload raises."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from hbase_gis_spark.operators.multimodal import (
+        attach_fake_video,
+        parse_avi,
+        synth_avi_bytes,
+        video_features,
+        video_frame_sample,
+    )
+
+    b = synth_avi_bytes("hello world")
+    w, h, uspf, frames = parse_avi(b)
+    assert (w, h, uspf) == (4, 4, 40000)
+    assert all(len(f) == 48 for f in frames)
+    with _pytest.raises(ValueError):
+        parse_avi(b"nope")
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta gamma words")], "id bigint, text string"
+    )
+    media = attach_fake_video(df)
+    feats = {r.id: (r.width, r.height, r.fps_milli, r.n_frames)
+             for r in video_features(media).collect()}
+    for i, t in [(1, "alpha"), (2, "beta gamma words")]:
+        w, h, uspf, fr = parse_avi(synth_avi_bytes(t))
+        assert feats[i] == (w, h, 1_000_000_000 // uspf, len(fr))
+    sampled = video_frame_sample(media, every=2).collect()
+    for r in sampled:
+        t = {1: "alpha", 2: "beta gamma words"}[r.id]
+        frames = parse_avi(synth_avi_bytes(t))[3]
+        assert r.frame_md5 == hashlib.md5(frames[r.frame_idx]).hexdigest()
+        assert r.frame_idx % 2 == 0
