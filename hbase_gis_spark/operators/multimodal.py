@@ -39,9 +39,13 @@ except Exception:  # pragma: no cover - import guard
 
 def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic binary payload fabricated from a text column —
-    stands in for real image bytes so the plumbing is testable."""
+    stands in for real image bytes so the plumbing is testable.
+    ``_spread`` first so the downstream python decode stage
+    parallelizes even from a single input file."""
+    from hbase_gis_spark.operators.dedup import _spread
+
     payload = F.encode(F.col(text_col), "UTF-8")
-    return df.withColumn("media", payload).withColumn(
+    return _spread(df).withColumn("media", payload).withColumn(
         "media_meta",
         F.struct(
             F.lit("application/x-fake").alias("mime"),
@@ -363,8 +367,12 @@ def synth_wav_bytes(text: str) -> bytes:
 
 def attach_fake_audio(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic WAV payload per row via mapInPandas (binary
-    synthesis is python-side work; Arrow carries the bytes back)."""
-    cols = df.columns
+    synthesis is python-side work; Arrow carries the bytes back).
+    ``_spread`` first: a single-file input would otherwise run the
+    whole python stage in one task."""
+    from hbase_gis_spark.operators.dedup import _spread
+
+    df = _spread(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -648,6 +656,10 @@ def video_features(
 
 def attach_fake_video(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic AVI payload per row (see attach_fake_audio)."""
+    from hbase_gis_spark.operators.dedup import _spread
+
+    df = _spread(df)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
