@@ -40,3 +40,34 @@ def test_tpch_date_filters_reach_parquet_scans(spark):
             or ("o_orderdate" in p)
             for p in pushed
         ), f"{name}: no date predicate pushed to any scan: {pushed}"
+
+
+def test_round3_tpch_predicates_reach_scans(spark):
+    """Round-3 TPC-H shapes keep the pushdown discipline: Q6's three
+    sargable conjuncts reach the lineitem scan; Q10's returnflag
+    equality and order-date window reach their respective scans; Q19's
+    disjunction leaves the part scan pruned by nothing weaker than the
+    IsNotNull guards (OR across columns is not sargable per-scan, but
+    the brand/size conjuncts still broadcast-join a pre-filtered dim)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    # NOTE plan.toString() TRUNCATES long field lists, so match the
+    # pushed predicates as substrings rather than parsing the brackets
+    qs = entrymod.queries()
+    plan = (
+        qs["forecast_revenue_change"](spark, SF0001)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or re.search(
+        r"PushedFilters: \[[^\n]*l_shipdate", plan
+    ), plan[plan.find("PushedFilters") : plan.find("PushedFilters") + 200]
+    assert re.search(r"PushedFilters: \[[^\n]*GreaterThanOrEqual\(l_shipdate", plan)
+
+    plan = (
+        qs["returned_items"](spark, SF0001)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"PushedFilters: \[[^\n]*l_returnflag", plan)
+    assert re.search(r"PushedFilters: \[[^\n]*o_orderdate", plan)
