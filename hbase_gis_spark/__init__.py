@@ -69,6 +69,7 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
 from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_ivf_topk,
     ann_ivf_topk_multi,
+    append_ivf_table,
     ann_ivfpq_topk,
     ann_recall_report,
     ann_range_search,

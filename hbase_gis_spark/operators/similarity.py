@@ -1067,3 +1067,26 @@ def ann_recall_report(
             F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
         )
     )
+
+
+def append_ivf_table(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new vector batch to an existing :func:`write_ivf_table`
+    layout — the steady-state ingest path: the batch is assigned with
+    the SAME frozen centroids (an index's coarse quantizer is fixed at
+    build time; retraining is a rebuild, not an append), so new rows
+    land in the right cell directories and every existing probe plan
+    keeps working. Dynamic partition overwrite is NOT used — appends
+    only add files inside cell directories."""
+    (
+        df.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), centroids))
+        .repartition("ivf_cell")
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )

@@ -454,3 +454,40 @@ def test_ann_ivf_multi_matches_single(emb):
             len(approx),
             len(exact & approx),
         )
+
+
+def test_ivf_append_equals_rebuild(emb, spark, tmp_path_factory):
+    """Steady-state ingest: write a base IVF table, append a second
+    batch with the SAME frozen centroids, and the stored query over
+    the appended layout returns exactly the stored query over a
+    one-shot build of the full table."""
+    from hbase_gis_spark.operators.similarity import (
+        ann_ivf_topk_stored,
+        append_ivf_table,
+        train_ivf_centroids,
+        write_ivf_table,
+    )
+
+    C = train_ivf_centroids(emb, 16)
+    base = emb.filter("vec_id % 2 = 0")
+    batch = emb.filter("vec_id % 2 = 1")
+    p_app = str(tmp_path_factory.mktemp("ivfapp") / "appended")
+    p_full = str(tmp_path_factory.mktemp("ivfapp") / "full")
+    write_ivf_table(base, p_app, C)
+    append_ivf_table(batch, p_app, C)
+    write_ivf_table(emb, p_full, C)
+
+    q = emb.filter("vec_id = 0").select("embedding").head()[0]
+    a = [
+        (r.vec_id, r.cosine)
+        for r in ann_ivf_topk_stored(
+            spark, p_app, C, q, 10, exclude_id=0
+        ).collect()
+    ]
+    b = [
+        (r.vec_id, r.cosine)
+        for r in ann_ivf_topk_stored(
+            spark, p_full, C, q, 10, exclude_id=0
+        ).collect()
+    ]
+    assert a == b and len(a) == 10
