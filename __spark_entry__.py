@@ -1154,8 +1154,11 @@ def _user_cells(
     """(user_id[, ts_us, event_id], cell) in ONE scan: the derived
     points are a pure projection of events, so carrying user_id/ts
     through points_from_events replaces the former events⋈points
-    identity self-join (a full shuffle on event_id for nothing —
-    measured ~25% of trajectory_similarity's wall time)."""
+    identity self-join — one full shuffle of the event stream plus a
+    second scan, removed for free. Clean-bench delta at sf0.1 is
+    modest (~5% on trajectory_similarity, whose cost is the pair
+    explosion), but the removed shuffle scales with the event stream
+    while the remaining work scales with the footprint index."""
     from hbase_gis_spark.sources.tables import points_from_events
 
     ev = load_table(spark, sf_dir, "events")
