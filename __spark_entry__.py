@@ -71,6 +71,8 @@ from hbase_gis_spark.operators.multimodal import (
 )
 from hbase_gis_spark.operators.textstats import (
     BPE_TOKEN_PATTERN,
+    KNUTH_MULT,
+    QC_DIM,
     EMAIL_PATTERN,
     URL_PATTERN,
     bpe_token_count,
@@ -2779,6 +2781,80 @@ def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing linear quality classifier applied to every
+    document (the fastText-filter shape of CCNet/GPT-3-style corpus
+    curation) — map-only model scoring, no Python in the scan."""
+    from hbase_gis_spark.operators.textstats import quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier(docs)
+
+
+def _q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN: 64 sign bits per vector, popcount(xor)
+    distance, TakeOrderedAndProject top-k — the cheapest retrieval
+    tier (16-byte signatures scan at memory bandwidth)."""
+    from hbase_gis_spark.operators.similarity import ann_hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_hamming_topk(emb, ANN_QUERY_ID, ANN_K)
+
+
+VOLSHIP_N1, VOLSHIP_N2 = "NATION_1", "NATION_2"
+
+
+def _q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bilateral trade volume between two nations by
+    ship year — revenue where the supplier sits in one nation and the
+    customer in the other.
+
+    Join shape at scale: nation×2 and supplier are broadcast dims
+    (the supplier-side filter prunes before the fact join); lineitem
+    shuffles once on l_orderkey to meet orders, orders once on
+    o_custkey to meet customer. Revenue in exact integer
+    cent-fraction units (same convention as revenue_rollup) so the
+    sum is order-independent across engines."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .filter(F.col("n_name").isin(VOLSHIP_N1, VOLSHIP_N2))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")
+        )
+        .filter(F.col("n_name").isin(VOLSHIP_N1, VOLSHIP_N2))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_units"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("rev_units").alias("revenue_units"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -2928,6 +3004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learned_counts": _q_bpe_learned_counts,
         "audio_features": _q_audio_features,
         "video_features": _q_video_features,
+        "quality_classifier": _q_quality_classifier,
+        "ann_hamming_topk": _q_ann_hamming_topk,
+        "volume_shipping": _q_volume_shipping,
     }
 
 
@@ -5353,6 +5432,84 @@ def oracle_sql() -> dict[str, str]:
     FROM best
     JOIN part ON p_partkey = l_partkey AND p_size <= {Q2_MAX_SIZE}
     JOIN supplier ON s_suppkey = l_suppkey
+    """,
+        # hashed linear classifier: same md5-prefix bucket and integer
+        # weight formula as operators/textstats.py::quality_classifier —
+        # per-token weights are integers so the sum is exact in any order
+        "quality_classifier": f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(w), 1, 15))::BIGINT % {QC_DIM}) AS b
+      FROM words
+    ), agg AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             CAST(sum((b * {KNUTH_MULT}) % {2 * QC_DIM} - {QC_DIM})
+                  AS BIGINT) AS wsum
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN wsum / ({QC_DIM}.0 * n_tokens) ELSE 0.0 END
+             AS quality_logit,
+           (CASE WHEN n_tokens > 0
+                 THEN wsum / ({QC_DIM}.0 * n_tokens) ELSE 0.0 END) > 0
+             AS keep
+    FROM agg
+    """,
+        # binary signatures: two 32-bit half-words (no BIGINT sign-bit
+        # shift), hamming = popcount(xor) summed over the halves
+        "ann_hamming_topk": f"""
+    WITH bits AS (SELECT unnest(range(0, 32)) AS j),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN embedding[j + 1] > 0
+                           THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+               AS sig_lo,
+             CAST(sum(CASE WHEN embedding[j + 33] > 0
+                           THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+               AS sig_hi
+      FROM embeddings CROSS JOIN bits
+      GROUP BY vec_id
+    ),
+    q AS (
+      SELECT sig_lo AS qlo, sig_hi AS qhi FROM sig
+      WHERE vec_id = {ANN_QUERY_ID}
+    )
+    SELECT vec_id,
+           CAST(bit_count(xor(sig_lo, qlo))
+                + bit_count(xor(sig_hi, qhi)) AS INTEGER) AS hamming
+    FROM sig CROSS JOIN q
+    WHERE vec_id != {ANN_QUERY_ID}
+    ORDER BY hamming ASC, vec_id ASC
+    LIMIT {ANN_K}
+    """,
+        "volume_shipping": f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(rev_units) AS BIGINT) AS revenue_units,
+           count(*) AS n_items
+    FROM (
+      SELECT sn.n_name AS supp_nation,
+             cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               AS rev_units
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      WHERE sn.n_name IN ('{VOLSHIP_N1}', '{VOLSHIP_N2}')
+        AND cn.n_name IN ('{VOLSHIP_N1}', '{VOLSHIP_N2}')
+        AND sn.n_name != cn.n_name
+    )
+    GROUP BY supp_nation, cust_nation, l_year
     """,
     }
     if ann_ivf_sql is not None:

@@ -1090,3 +1090,87 @@ def append_ivf_table(
         .partitionBy("ivf_cell")
         .parquet(path)
     )
+
+
+# ------------------------------------------------------ binary quantization ---
+
+
+def binary_signature_exprs(vec_col: Column) -> tuple[Column, Column]:
+    """Sign-bit binary quantization of a float vector, packed into two
+    64-bit words of 32 sign bits each (``sig_lo`` = dims 0-31,
+    ``sig_hi`` = dims 32-63).
+
+    Two half-words instead of one full word so every packed value stays
+    below 2**32: the bit weights are then exactly representable as
+    integer literals on BOTH engines and no shift ever touches the
+    BIGINT sign bit (a ``1 << 63`` would), keeping the DuckDB oracle a
+    verbatim transcription. A dimension quantizes to 1 iff its value is
+    strictly positive (0.0 and NaN-free synthetic data → bit 0).
+
+    Storage: 8 bytes vs 256 for 64 float32 dims (32×). At 100 TB this
+    is the difference between an index that fits in cluster page cache
+    and one that doesn't — the Hamming scan below is memory-bandwidth
+    bound, so compression IS the speedup.
+    """
+    e = F.transform(vec_col, lambda x: x.cast("double"))
+    lo = F.aggregate(
+        F.zip_with(
+            F.slice(e, 1, 32),
+            F.array(*[F.lit(1 << i).cast("bigint") for i in range(32)]),
+            lambda x, wgt: F.when(x > 0, wgt).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    hi = F.aggregate(
+        F.zip_with(
+            F.slice(e, 33, 32),
+            F.array(*[F.lit(1 << i).cast("bigint") for i in range(32)]),
+            lambda x, wgt: F.when(x > 0, wgt).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return lo, hi
+
+
+def ann_hamming_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest neighbors under binary-signature Hamming distance
+    — the cheapest ANN tier (below IVF and PQ): quantize every vector
+    to its 64 sign bits once, then distance = popcount(xor).
+
+    Physical shape: one scan over (id, sig_lo, sig_hi) — at scale a
+    STORED 16-byte-per-row sidecar table, not the raw vectors — with
+    the 1-row query signature broadcast; ``bit_count``/``xor`` are
+    codegen'd JVM intrinsics, and the top-k is
+    ``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows, never a global sort). Determinism:
+    ties broken by ascending id. In a production funnel this stage
+    over-fetches (k' = 4-10x k) and a second stage exactly re-ranks
+    the k' candidates with full-precision cosine — see
+    ``cosine_topk_multi`` for that shape.
+
+    Dims 0-31 / 32-63 pack into two 32-bit half-words (see
+    :func:`binary_signature_exprs` for why two).
+    """
+    lo, hi = binary_signature_exprs(F.col(vec_col))
+    sigs = df.select(F.col(id_col), lo.alias("sig_lo"), hi.alias("sig_hi"))
+    q = sigs.filter(F.col(id_col) == query_id).select(
+        F.col("sig_lo").alias("__qlo"), F.col("sig_hi").alias("__qhi")
+    )
+    ham = F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("__qlo"))) + F.bit_count(
+        F.col("sig_hi").bitwiseXOR(F.col("__qhi"))
+    )
+    return (
+        sigs.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), ham.cast("int").alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

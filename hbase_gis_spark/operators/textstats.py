@@ -578,3 +578,69 @@ def bpe_learned_counts(
             F.sum("__nt").alias("n_bpe_tokens"),
         )
     )
+
+
+# ------------------------------------------------- hashed linear classifier ---
+
+# Feature-hashing quality classifier (the fastText-filter shape used by
+# CCNet/GPT-3-style corpus curation): every token hashes into one of
+# QC_DIM weight buckets and the document logit is the mean bucket
+# weight. The weight table here is DERIVED, not learned — bucket b gets
+# the integer weight ((b * KNUTH_MULT) mod 2*QC_DIM) - QC_DIM, a fixed
+# pseudo-random value in [-QC_DIM, QC_DIM) — because the point at 100 TB
+# is the SCORING execution shape (model application over every
+# document), not this toy model's accuracy. Swapping in real learned
+# weights = broadcasting a QC_DIM-float map_from_arrays literal into the
+# same expression; the plan does not change.
+#
+# Verifiability: per-token weights are INTEGERS, so the per-document sum
+# is exact and order-independent (a float sum would drift between
+# Spark's fold order and DuckDB's list_sum order); the single division
+# by (QC_DIM * n_tokens) happens once at the end.
+
+QC_DIM = 1024          # weight buckets
+KNUTH_MULT = 2654435761  # Knuth multiplicative-hash constant
+
+
+def quality_classifier(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every document with the hashed linear model above and
+    attach the keep/drop verdict (logit > 0).
+
+    One scan, no shuffle, no Python: tokenize → md5 bucket → integer
+    weight → fold sum, all codegen'd JVM expressions. At 100 TB this is
+    a map-only stage that pipelines with whatever filter consumes
+    ``keep`` — Catalyst pushes a ``keep = true`` predicate into the
+    same scan.
+
+    Output: (id_col, n_tokens, quality_logit, keep).
+    """
+    w = tokens(text_col)
+    # 60-bit md5 prefix → bucket in [0, QC_DIM)
+    buckets = F.transform(
+        w,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+            F.lit(QC_DIM),
+        ),
+    )
+    wsum = F.aggregate(
+        F.transform(
+            buckets,
+            lambda b: F.pmod(b * F.lit(KNUTH_MULT), F.lit(2 * QC_DIM))
+            - F.lit(QC_DIM),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n = F.size(w)
+    logit = F.when(n > 0, wsum / (F.lit(float(QC_DIM)) * n)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        logit.alias("quality_logit"),
+        (logit > 0).alias("keep"),
+    )

@@ -491,3 +491,38 @@ def test_ivf_append_equals_rebuild(emb, spark, tmp_path_factory):
         ).collect()
     ]
     assert a == b and len(a) == 10
+
+
+def test_ann_hamming_matches_numpy(emb):
+    """Binary signatures pack the 64 sign bits exactly (numpy replay)
+    and the top-k is the true Hamming top-k with id tie-break."""
+    from hbase_gis_spark.operators.similarity import ann_hamming_topk
+
+    rows = emb.collect()
+    sigs = {}
+    for r in rows:
+        bits = [1 if x > 0 else 0 for x in r.embedding]
+        sigs[r.vec_id] = (
+            sum(b << i for i, b in enumerate(bits[:32])),
+            sum(b << i for i, b in enumerate(bits[32:])),
+        )
+    qlo, qhi = sigs[0]
+    ham = {
+        vid: bin(lo ^ qlo).count("1") + bin(hi ^ qhi).count("1")
+        for vid, (lo, hi) in sigs.items()
+        if vid != 0
+    }
+    expect = sorted(ham, key=lambda v: (ham[v], v))[:10]
+    got = ann_hamming_topk(emb, 0, 10).collect()
+    assert [r.vec_id for r in got] == expect
+    assert [r.hamming for r in got] == [ham[v] for v in expect]
+
+
+def test_ann_hamming_plan_is_topk_scan(emb):
+    """The Hamming tier must stay a TakeOrderedAndProject scan with no
+    Python stage — popcount/xor are JVM intrinsics."""
+    from hbase_gis_spark.operators.similarity import ann_hamming_topk
+
+    plan = ann_hamming_topk(emb, 0, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan

@@ -218,3 +218,43 @@ def test_bpe_learned_counts_compresses(spark):
     assert got[1][0] == 4
     assert got[1][1] <= 8
     assert got[2][0] == 2
+
+
+def test_quality_classifier_matches_python_replay(spark):
+    """Hashed-linear scoring replayed token-by-token in pure Python:
+    bucket = md5-60bit % QC_DIM, weight = (b*KNUTH) % 2D - D, logit =
+    sum/ (D * n). Integer weights ⇒ the comparison is exact."""
+    import hashlib
+
+    from hbase_gis_spark.operators.textstats import (
+        KNUTH_MULT,
+        QC_DIM,
+        quality_classifier,
+    )
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    got = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    for r in docs.select("doc_id", "text").limit(50).collect():
+        toks = r.text.strip().split()
+        wsum = 0
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % QC_DIM
+            wsum += (b * KNUTH_MULT) % (2 * QC_DIM) - QC_DIM
+        g = got[r.doc_id]
+        assert g.n_tokens == len(toks)
+        assert g.quality_logit == wsum / (QC_DIM * len(toks))
+        assert g.keep == (g.quality_logit > 0)
+
+
+def test_quality_classifier_is_scan_only(spark):
+    """Map-only model application: no exchange, no Python stage."""
+    from hbase_gis_spark.operators.textstats import quality_classifier
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    plan = quality_classifier(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

@@ -35,6 +35,7 @@ BNLJ_SANCTIONED = {
     "ann_multi_topk",
     "ann_recall_report",  # broadcast query dim on both retrieval sides
     "ann_range_search",  # broadcast 1-row query vector, zero-shuffle scan
+    "ann_hamming_topk",  # broadcast 1-row query signature, top-k scan
     "knn_multi",  # broadcast N-origin dim fan-out, big side streams once
     "keyword_search",  # 1-row corpus-total joined onto the tiny term dim
     "mixture_rates",
