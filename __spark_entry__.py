@@ -2801,6 +2801,39 @@ def _q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_hamming_topk(emb, ANN_QUERY_ID, ANN_K)
 
 
+SKEW_TOP_N = 20
+SKEW_TARGET = 10  # rows-per-task target scaled to the test sf
+
+
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic over events.user_id: heaviest keys,
+    share of table, and the salt factor that caps their post-salt
+    partitions — the measurement step feeding salted_join."""
+    from hbase_gis_spark.operators.corpus import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(
+        ev, ["user_id"], top_n=SKEW_TOP_N,
+        target_rows_per_task=SKEW_TARGET,
+    )
+
+
+HAM_OVERFETCH = 5
+
+
+def _q_ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval funnel: Hamming tier over-fetches 5x k from
+    the 16-byte signature scan, exact cosine re-ranks only those
+    candidates — deterministic end to end (id tie-breaks both
+    stages)."""
+    from hbase_gis_spark.operators.similarity import ann_hamming_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_hamming_rerank_topk(
+        emb, ANN_QUERY_ID, ANN_K, overfetch=HAM_OVERFETCH
+    )
+
+
 VOLSHIP_N1, VOLSHIP_N2 = "NATION_1", "NATION_2"
 
 
@@ -3007,6 +3040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "ann_hamming_topk": _q_ann_hamming_topk,
         "volume_shipping": _q_volume_shipping,
+        "ann_hamming_rerank": _q_ann_hamming_rerank,
+        "skew_report": _q_skew_report,
     }
 
 
@@ -5488,6 +5523,42 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY hamming ASC, vec_id ASC
     LIMIT {ANN_K}
     """,
+        # two-stage funnel: Hamming over-fetch (same sig CTE), exact
+        # cosine rerank in the Spark fold order
+        "ann_hamming_rerank": f"""
+    WITH bits AS (SELECT unnest(range(0, 32)) AS j),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN embedding[j + 1] > 0
+                           THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+               AS sig_lo,
+             CAST(sum(CASE WHEN embedding[j + 33] > 0
+                           THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+               AS sig_hi
+      FROM embeddings CROSS JOIN bits
+      GROUP BY vec_id
+    ),
+    qs AS (
+      SELECT sig_lo AS qlo, sig_hi AS qhi FROM sig
+      WHERE vec_id = {ANN_QUERY_ID}
+    ),
+    cand AS (
+      SELECT vec_id,
+             CAST(bit_count(xor(sig_lo, qlo))
+                  + bit_count(xor(sig_hi, qhi)) AS INTEGER) AS hamming
+      FROM sig CROSS JOIN qs
+      WHERE vec_id != {ANN_QUERY_ID}
+      ORDER BY hamming ASC, vec_id ASC
+      LIMIT {HAM_OVERFETCH * ANN_K}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID})
+    SELECT c.vec_id, c.hamming, {_cos('e.embedding', 'qv')} AS cosine
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    CROSS JOIN q
+    ORDER BY cosine DESC, c.vec_id ASC
+    LIMIT {ANN_K}
+    """,
         "volume_shipping": f"""
     SELECT supp_nation, cust_nation, l_year,
            CAST(sum(rev_units) AS BIGINT) AS revenue_units,
@@ -5510,6 +5581,16 @@ def oracle_sql() -> dict[str, str]:
         AND sn.n_name != cn.n_name
     )
     GROUP BY supp_nation, cust_nation, l_year
+    """,
+        "skew_report": f"""
+    WITH t AS (SELECT count(*) AS total FROM events),
+    pk AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+    SELECT user_id, n,
+           n / (SELECT total FROM t) AS share,
+           (n + {SKEW_TARGET - 1}) // {SKEW_TARGET} AS suggested_salt
+    FROM pk
+    ORDER BY n DESC, user_id ASC
+    LIMIT {SKEW_TOP_N}
     """,
     }
     if ann_ivf_sql is not None:

@@ -344,3 +344,46 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return wide.select(F.explode(items).alias("p")).select("p.*")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Shuffle-skew diagnostic: the ``top_n`` heaviest join/agg keys,
+    each with its row count, share of the table, and the salt factor
+    that would cap its largest post-salt partition at
+    ``target_rows_per_task`` rows (``ceil(n / target)``, exact integer
+    arithmetic).
+
+    This is the measurement step behind :func:`salted_join` — at
+    100 TB you run it on a sample or yesterday's partition, pick the
+    salt factor from the report, and feed it back. Cost: one partial
+    (map-side combined) aggregation + a top-N heap; the 1-row total is
+    broadcast, so no second full scan. Share is a single double
+    division (order-independent).
+
+    Output: (key columns..., n, share, suggested_salt), heaviest
+    first; ties broken by the key columns ascending.
+    """
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n",
+            (F.col("n") / F.col("__total")).alias("share"),
+            # integer DIV — exact at any n, unlike a double divide
+            F.expr(
+                f"CAST((n + {target_rows_per_task - 1}) "
+                f"DIV {target_rows_per_task} AS BIGINT)"
+            ).alias("suggested_salt"),
+        )
+        .orderBy(
+            F.col("n").desc(), *[F.col(c).asc() for c in key_cols]
+        )
+        .limit(top_n)
+    )

@@ -1174,3 +1174,46 @@ def ann_hamming_topk(
         .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ann_hamming_rerank_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int,
+    overfetch: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The standard two-stage retrieval funnel: the binary-signature
+    Hamming tier over-fetches ``overfetch * k`` candidates from the
+    16-byte sidecar scan, then ONLY those k' rows are exactly re-ranked
+    with full-precision cosine.
+
+    At 100 TB the first stage reads ~3 TB of signatures instead of
+    ~100 TB of vectors, and the second stage reads k' full vectors via
+    an id semi-join (at scale: a bucketed/point-lookup fetch, here a
+    broadcast isin of k' ids — the candidate list is small by
+    construction). Deterministic: both stages tie-break on ascending
+    id, so the result is a pure function of the data.
+
+    Output: (id_col, hamming, cosine) — the k best candidates by exact
+    cosine among the Hamming-tier survivors.
+    """
+    cand = ann_hamming_topk(
+        df, query_id, overfetch * k, id_col=id_col, vec_col=vec_col
+    )
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    return (
+        cand.join(vecs, id_col)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            "hamming",
+            pair_cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -526,3 +526,28 @@ def test_ann_hamming_plan_is_topk_scan(emb):
     plan = ann_hamming_topk(emb, 0, 10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ann_hamming_rerank_funnel(emb):
+    """The rerank stage returns exact cosines (vs numpy) drawn only
+    from the Hamming-tier candidate set, ordered by cosine."""
+    import numpy as np
+
+    from hbase_gis_spark.operators.similarity import (
+        ann_hamming_rerank_topk,
+        ann_hamming_topk,
+    )
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    cand = {r.vec_id for r in ann_hamming_topk(emb, 0, 50).collect()}
+    got = ann_hamming_rerank_topk(emb, 0, 10, overfetch=5).collect()
+    assert len(got) == 10
+    cosines = [r.cosine for r in got]
+    assert cosines == sorted(cosines, reverse=True)
+    for r in got:
+        assert r.vec_id in cand
+        v = vecs[r.vec_id]
+        expect = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert abs(r.cosine - expect) < 1e-12

@@ -36,12 +36,14 @@ BNLJ_SANCTIONED = {
     "ann_recall_report",  # broadcast query dim on both retrieval sides
     "ann_range_search",  # broadcast 1-row query vector, zero-shuffle scan
     "ann_hamming_topk",  # broadcast 1-row query signature, top-k scan
+    "ann_hamming_rerank",  # same + broadcast k'-candidate rerank stage
     "knn_multi",  # broadcast N-origin dim fan-out, big side streams once
     "keyword_search",  # 1-row corpus-total joined onto the tiny term dim
     "mixture_rates",
     "mixture_sample",
     "global_sales_opportunity",  # broadcast 1-row positive-balance aggregate
     "tfidf_topk_terms",  # broadcast 1-row corpus-size aggregate
+    "skew_report",  # broadcast 1-row table-total aggregate
     "tfidf_cosine_pairs",  # broadcast 1-row corpus-size aggregate
     "unigram_lm_score",  # broadcast 1-row token-total aggregate
 }
