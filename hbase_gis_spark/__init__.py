@@ -67,6 +67,8 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     tfidf_cosine_pairs,
 )
 from hbase_gis_spark.operators.similarity import (  # noqa: F401
+    ann_hamming_rerank_topk,
+    ann_hamming_topk,
     ann_ivf_topk,
     ann_ivf_topk_multi,
     append_ivf_table,
@@ -96,6 +98,7 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     lang_id,
     ngram_contamination,
     pack_sequences,
+    quality_classifier,
     quality_features,
     repetition_stats,
     term_stats,
@@ -130,6 +133,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     mixture_sample,
     pii_scrub,
     profile_table,
+    skew_report,
     write_training_shards,
 )
 from hbase_gis_spark.operators.merge import (  # noqa: F401
