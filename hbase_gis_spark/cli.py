@@ -161,6 +161,10 @@ def cmd_ann(args: argparse.Namespace) -> int:
         from hbase_gis_spark.operators.similarity import pq_adc_topk
 
         out = pq_adc_topk(df, args.query_id, args.k, dim=args.dim)
+    elif args.mode == "hamming":
+        from hbase_gis_spark.operators.similarity import ann_hamming_rerank_topk
+
+        out = ann_hamming_rerank_topk(df, args.query_id, args.k)
     else:  # ivfpq
         from hbase_gis_spark.operators.similarity import ann_ivfpq_topk
 
@@ -170,6 +174,26 @@ def cmd_ann(args: argparse.Namespace) -> int:
         print("\t".join(str(v) for v in r))
     print(
         f"ANN ({args.mode}) returned {len(rows)} neighbors in "
+        f"{time.perf_counter() - t0:.3f} seconds."
+    )
+    return 0
+
+
+def cmd_skew(args: argparse.Namespace) -> int:
+    """Shuffle-skew report over any parquet table + key column(s)."""
+    from hbase_gis_spark.operators.corpus import skew_report
+
+    spark = _spark("skew")
+    t0 = time.perf_counter()
+    df = spark.read.parquet(args.table)
+    keys = args.keys.split(",")
+    rows = skew_report(
+        df, keys, top_n=args.top_n, target_rows_per_task=args.target
+    ).collect()
+    for r in rows:
+        print("\t".join(str(v) for v in r))
+    print(
+        f"skew report: top {len(rows)} of key ({args.keys}) in "
         f"{time.perf_counter() - t0:.3f} seconds."
     )
     return 0
@@ -325,10 +349,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("k", type=int)
     s.add_argument("--table", required=True, help="embeddings parquet dir")
     s.add_argument(
-        "--mode", choices=["exact", "ivf", "pq", "ivfpq"], default="exact"
+        "--mode",
+        choices=["exact", "ivf", "pq", "ivfpq", "hamming"],
+        default="exact",
     )
     s.add_argument("--dim", type=int, default=64, help="vector dim (pq modes)")
     s.set_defaults(fn=cmd_ann)
+
+    s = sub.add_parser("skew", help="per-key shuffle-skew report")
+    s.add_argument("--table", required=True, help="parquet dir")
+    s.add_argument("--keys", required=True, help="comma-separated key columns")
+    s.add_argument("--top-n", type=int, default=20, dest="top_n")
+    s.add_argument(
+        "--target", type=int, default=1_000_000,
+        help="rows-per-task target for the salt suggestion",
+    )
+    s.set_defaults(fn=cmd_skew)
 
     s = sub.add_parser("cluster", help="DBSCAN density clustering")
     s.add_argument("eps", type=float, help="neighborhood radius (degrees)")
