@@ -2801,6 +2801,29 @@ def _q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_hamming_topk(emb, ANN_QUERY_ID, ANN_K)
 
 
+PCA_D = 4
+
+
+def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-trained PCA, distributed projection: 64 floats -> 4
+    principal coordinates per row. Components and mean offsets are
+    plan literals (map-only; no join/shuffle); dots run in the
+    fold-exact Arrow kernel, so the oracle replay is bit-identical."""
+    from hbase_gis_spark.operators.similarity import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, d=PCA_D, train_rows=IVF_TRAIN_ROWS)
+
+
+def _q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean log bigram probability per document under the corpus's own
+    bigram LM — contextual-fluency quality signal."""
+    from hbase_gis_spark.operators.textstats import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs)
+
+
 SKEW_TOP_N = 20
 SKEW_TARGET = 10  # rows-per-task target scaled to the test sf
 
@@ -3042,6 +3065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": _q_volume_shipping,
         "ann_hamming_rerank": _q_ann_hamming_rerank,
         "skew_report": _q_skew_report,
+        "pca_project": _q_pca_project,
+        "bigram_lm_score": _q_bigram_lm_score,
     }
 
 
@@ -3396,7 +3421,11 @@ def oracle_sql() -> dict[str, str]:
     # the same sequential-fold dot products as the Spark HOFs
     # (operators/similarity.py:29-32).
     def _arr(vals) -> str:
-        return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+        # %.17e: DuckDB types exponent literals as DOUBLE immediately —
+        # plain decimal literals parse as DECIMAL and the LIST-level
+        # scale unification rounds some elements' last ulp before any
+        # cast back (measured: 10/64 elements off by 1 ulp)
+        return "[" + ", ".join("%.17e" % float(v) for v in vals) + "]"
 
     def _dot_lit(vec: str, lst: str) -> str:
         return (
@@ -4387,6 +4416,66 @@ def oracle_sql() -> dict[str, str]:
     """
     except Exception:
         audio_features_sql = None
+
+    # PCA projection oracle: retrain the same deterministic PCA (same
+    # bounded sample, same numpy eigh, same sign convention) and embed
+    # components + mean offsets as literals; the dots replay the Spark
+    # fold order, so pc_j is bit-identical (no rounding needed).
+    pca_sql = None
+    try:
+        import numpy as _pnp
+        import pyarrow.parquet as _ppq
+
+        from hbase_gis_spark.operators.similarity import train_pca as _tp
+
+        _pt = _ppq.read_table(
+            os.path.join(_oracle_sf_dir(), "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        _pids = _pnp.asarray(_pt.column("vec_id"))
+        _pV = _pnp.asarray(
+            _pt.column("embedding").to_pylist(), dtype=_pnp.float64
+        )
+        _ord = _pnp.argsort(_pids, kind="stable")[:IVF_TRAIN_ROWS]
+        _Vs = _pV[_ord]
+        _mu = _Vs.mean(axis=0)
+        _X = _Vs - _mu
+        _cov = (_X.T @ _X) / len(_X)
+        _evals, _evecs = _pnp.linalg.eigh(_cov)
+        _idx = _pnp.argsort(_evals)[::-1][:PCA_D]
+        _comps = _evecs[:, _idx].T.copy()
+        for _j in range(_comps.shape[0]):
+            _k = int(_pnp.argmax(_pnp.abs(_comps[_j])))
+            if _comps[_j, _k] < 0:
+                _comps[_j] = -_comps[_j]
+        _offs = []
+        for _j in range(_comps.shape[0]):
+            _acc = 0.0
+            for _x, _c in zip(_mu, _comps[_j]):
+                _acc += float(_x) * float(_c)
+            _offs.append(_acc)
+        _comp_rows = ",\n      ".join(
+            "({}, {}, {})".format(j, _arr(c), "%.17e" % _offs[j])
+            for j, c in enumerate(_comps)
+        )
+        _pivot = ",\n           ".join(
+            f"max(CASE WHEN ci = {j} THEN p END) AS pc{j + 1}"
+            for j in range(_comps.shape[0])
+        )
+        pca_sql = f"""
+    WITH comps(ci, cv, off) AS (VALUES
+      {_comp_rows}),
+    proj AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} - c.off AS p
+      FROM embeddings e CROSS JOIN comps c
+    )
+    SELECT vec_id,
+           {_pivot}
+    FROM proj GROUP BY vec_id
+    """
+    except Exception:
+        pca_sql = None
 
     out = {
         "within_polygon": within_sql,
@@ -5592,6 +5681,35 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY n DESC, user_id ASC
     LIMIT {SKEW_TOP_N}
     """,
+        # bigram LM: same tokenize → bigram-string build, ln(cp/cl),
+        # round-9 mean (the unigram_lm_score float policy)
+        "bigram_lm_score": """
+    WITH dw AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM dw
+    ),
+    pc AS (SELECT bg, count(*) AS cp FROM bg GROUP BY 1),
+    lc AS (
+      SELECT split_part(bg, ' ', 1) AS l, count(*) AS cl
+      FROM bg GROUP BY 1
+    ),
+    lp AS (
+      SELECT pc.bg,
+             ln(CAST(cp AS DOUBLE) / CAST(cl AS DOUBLE)) AS logp
+      FROM pc JOIN lc ON split_part(pc.bg, ' ', 1) = lc.l
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(logp), 9) AS avg_logp
+    FROM bg JOIN lp USING (bg)
+    GROUP BY doc_id
+    """,
     }
     if ann_ivf_sql is not None:
         out["ann_ivf_topk"] = ann_ivf_sql
@@ -5611,6 +5729,8 @@ def oracle_sql() -> dict[str, str]:
         out["bpe_learned_counts"] = bpe_learned_sql
     if audio_features_sql is not None:
         out["audio_features"] = audio_features_sql
+    if pca_sql is not None:
+        out["pca_project"] = pca_sql
     if video_features_sql is not None:
         out["video_features"] = video_features_sql
     return out

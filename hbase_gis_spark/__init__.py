@@ -82,14 +82,17 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_ivfpq_topk_stored,
     ann_lsh_topk,
     cosine_topk,
+    pca_project,
     pq_adc_topk,
     semdedup,
     train_ivf_centroids,
+    train_pca,
     train_pq_codebooks,
     write_ivf_table,
     write_ivfpq_table,
 )
 from hbase_gis_spark.operators.textstats import (  # noqa: F401
+    bigram_lm_score,
     bpe_learned_counts,
     bpe_pair_counts,
     bpe_token_count,

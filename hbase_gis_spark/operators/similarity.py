@@ -1217,3 +1217,90 @@ def ann_hamming_rerank_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ------------------------------------------------------------ PCA projection ---
+
+
+def train_pca(
+    df: DataFrame,
+    d: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic PCA trained driver-side on a bounded sample (first
+    ``train_rows`` by id — the same sampling contract as
+    :func:`train_ivf_centroids`): returns (mean, components) where
+    ``components`` is (d, dim), rows ordered by descending eigenvalue.
+
+    Sign convention: each component is flipped so its largest-|coord|
+    entry is positive — eigenvectors are sign-ambiguous and the oracle
+    replay must land on the same one. Training cost is
+    O(train_rows·dim² + dim³) on the driver and does NOT grow with the
+    table; only the projection scan is distributed."""
+    rows = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(train_rows)
+        .select(vec_col)
+        .collect()
+    )
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    if len(V) == 0:
+        raise ValueError("train_pca needs at least one vector")
+    mu = V.mean(axis=0)
+    X = V - mu
+    cov = (X.T @ X) / len(X)
+    evals, evecs = np.linalg.eigh(cov)
+    idx = np.argsort(evals)[::-1][:d]
+    comps = evecs[:, idx].T.copy()
+    for j in range(comps.shape[0]):
+        k = int(np.argmax(np.abs(comps[j])))
+        if comps[j, k] < 0:
+            comps[j] = -comps[j]
+    return mu, comps
+
+
+def pca_project(
+    df: DataFrame,
+    d: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 4096,
+) -> DataFrame:
+    """Project every vector onto the sample-trained top-``d`` principal
+    components — the dimensionality-reduction stage of an embedding
+    pipeline (64 floats → d floats before ANN/clustering, or as a
+    compact feature block for a downstream model).
+
+    Execution shape: the (d × dim) component matrix and the d mean
+    offsets fold into the plan as LITERALS (no join, no shuffle —
+    map-only, like :func:`pq_adc_topk`'s lookup tables); the dots run
+    in the fold-exact Arrow kernel, so ``pc_j = dot(x, c_j) −
+    dot(mean, c_j)`` is bit-reproducible by the DuckDB oracle with the
+    same literals. One scan, no Python in any other stage.
+
+    Output: (id_col, pc1..pcd) doubles.
+    """
+    mu, comps = train_pca(
+        df, d=d, id_col=id_col, vec_col=vec_col, train_rows=train_rows
+    )
+    # mean offsets, sequential fold order (shared literal across engines)
+    offs = []
+    for j in range(comps.shape[0]):
+        acc = 0.0
+        for x, c in zip(mu, comps[j]):
+            acc += float(x) * float(c)
+        offs.append(acc)
+    staged = df.select(
+        F.col(id_col), fold_dots(F.col(vec_col), comps).alias("__dots")
+    )
+    return staged.select(
+        id_col,
+        *[
+            (F.element_at("__dots", j + 1) - F.lit(offs[j])).alias(
+                f"pc{j + 1}"
+            )
+            for j in range(comps.shape[0])
+        ],
+    )

@@ -644,3 +644,53 @@ def quality_classifier(
         logit.alias("quality_logit"),
         (logit > 0).alias("keep"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean log bigram probability under the corpus's own
+    bigram LM — the next-order sibling of :func:`unigram_lm_score`
+    (contextual fluency: a doc full of common words in UNcommon order
+    scores low here but fine there).
+
+    p(r | l) = c(l·r) / c_left(l), where c_left counts l in bigram-left
+    positions — every bigram in the corpus has c >= 1 under its own LM,
+    so no smoothing is needed. Plan: one bigram explode feeds the pair
+    aggregate AND the left aggregate, their join builds the |bigram
+    vocab|-row log-prob table, positions re-join on the bigram key, one
+    per-doc aggregate. All shuffles are content-keyed; ``avg_logp``
+    rounds to 9 decimals on both engines (libm ulp + summation order,
+    same policy as unigram_lm_score). Docs with < 2 tokens contribute
+    no positions and emit no row."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    w = tokens(text_col)
+    m = F.greatest(F.size(w) - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, 1, m), F.slice(w, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    pos = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(bg).alias("bg")
+    )
+    pair_c = pos.groupBy("bg").agg(F.count(F.lit(1)).alias("__cp"))
+    left_c = pos.groupBy(
+        F.substring_index("bg", " ", 1).alias("__l")
+    ).agg(F.count(F.lit(1)).alias("__cl"))
+    logp = pair_c.join(
+        left_c, F.substring_index("bg", " ", 1) == F.col("__l")
+    ).select(
+        "bg",
+        F.log(
+            F.col("__cp").cast("double") / F.col("__cl").cast("double")
+        ).alias("__logp"),
+    )
+    return (
+        pos.join(logp, "bg")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__logp"), 9).alias("avg_logp"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_logp")
+    )

@@ -26,6 +26,7 @@ NEEDS_DATA = {
     "pq_adc_topk",
     "ann_ivfpq_topk",
     "ann_recall_report",
+    "pca_project",
 }
 # report-shaped queries emit one row per configured step/level even on
 # empty input (a funnel report always has k rows, with zero counts;

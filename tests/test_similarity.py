@@ -551,3 +551,46 @@ def test_ann_hamming_rerank_funnel(emb):
         v = vecs[r.vec_id]
         expect = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
         assert abs(r.cosine - expect) < 1e-12
+
+
+def test_pca_project_matches_numpy_replay(emb):
+    """Projection equals the numpy replay exactly: same bounded
+    training sample, same eigh + sign convention, dots accumulated
+    dim-sequentially."""
+    import numpy as np
+
+    from hbase_gis_spark.operators.similarity import pca_project, train_pca
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    mu, comps = train_pca(emb, d=4)
+    got = {r.vec_id: r for r in pca_project(emb, d=4).collect()}
+    # variance ordering: pc1 explains the most
+    P = np.stack([[got[i][f"pc{j+1}"] for j in range(4)] for i in ids[order]])
+    var = P.var(axis=0)
+    assert var[0] >= var[1] >= var[2] >= var[3]
+    for i, vid in enumerate(ids):
+        acc = np.zeros(4)
+        for j in range(4):
+            s = 0.0
+            for x, c in zip(V[i], comps[j]):
+                s += float(x) * float(c)
+            o = 0.0
+            for x, c in zip(mu, comps[j]):
+                o += float(x) * float(c)
+            acc[j] = s - o
+        for j in range(4):
+            assert got[vid][f"pc{j+1}"] == acc[j]
+
+
+def test_pca_projection_plan_is_map_only(emb):
+    """No join, no exchange: components fold in as literals; the only
+    non-codegen stage is the Arrow dot kernel."""
+    from hbase_gis_spark.operators.similarity import pca_project
+
+    plan = pca_project(emb, d=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan

@@ -258,3 +258,38 @@ def test_quality_classifier_is_scan_only(spark):
     plan = quality_classifier(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bigram_lm_score_matches_python_replay(spark):
+    """Bigram LM replayed in pure Python over the whole sf0.001 corpus
+    (corpus-level counts need every doc), compared through the same
+    round-9 policy."""
+    import math
+    from collections import Counter
+
+    from hbase_gis_spark.operators.textstats import bigram_lm_score
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    pair_c: Counter = Counter()
+    left_c: Counter = Counter()
+    doc_bgs = {}
+    for r in rows:
+        toks = r.text.strip().split()
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        doc_bgs[r.doc_id] = bgs
+        pair_c.update(bgs)
+        left_c.update(t for t in toks[:-1])
+    got = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    for did, bgs in doc_bgs.items():
+        if not bgs:
+            assert did not in got
+            continue
+        lp = [
+            math.log(pair_c[bg] / left_c[bg.split(" ", 1)[0]]) for bg in bgs
+        ]
+        g = got[did]
+        assert g.n_bigrams == len(bgs)
+        assert abs(g.avg_logp - sum(lp) / len(lp)) < 1e-8
