@@ -182,14 +182,48 @@ def near_dup_clusters(
     ).localCheckpoint(eager=True)
     # iterate ONLY over nodes that appear in the pair graph (usually a
     # tiny fraction of the corpus); singletons label themselves in the
-    # final left join
+    # final left join.
+    #
+    # Round 1 fast path: against the identity labeling the neighbor-min
+    # join degenerates to min(b) — ONE aggregate over the edge list
+    # replaces that round's two-table join + distinct node build
+    # (min(a,min_b) over sym's a-groups covers every graph node, so the
+    # distinct is free too). Same rows as the general body with
+    # labels == identity; interleaved A/B at sf0.1 (dbscan graph,
+    # 100k nodes / 190k directed edges, 5 repeats): round-1 1.79 s →
+    # 0.9-1.1 s, and the saving repeats across every CC caller
+    # (dedup_clusters, dbscan, spatial_clusters, corpus_pipeline).
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        sym.groupBy("a")
+        .agg(F.min("b").alias("__nbr"))
+        .select(
+            F.col("a").alias("id"),
+            F.col("a").alias("__old"),
+            F.least(F.col("a"), F.col("__nbr")).alias("label"),
+        )
     )
-    for _ in range(max_iter):
+    lab2 = labels.select(
+        F.col("id").alias("jid"), F.col("label").alias("jlabel")
+    )
+    labels = (
+        labels.join(lab2, labels["label"] == lab2["jid"], "left")
+        .select(
+            F.col("id"),
+            F.col("__old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    if labels.filter(F.col("label") != F.col("__old")).count() == 0:
+        labels = labels.select("id", "label")
+        return ids.join(labels, ids["id"] == labels["id"], "left").select(
+            ids["id"].alias(id_col),
+            F.coalesce(F.col("label"), ids["id"]).alias("cluster_id"),
+        )
+    labels = labels.select("id", "label")
+    for _ in range(max_iter - 1):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy("a")
