@@ -336,3 +336,19 @@ def register_sql_api(spark: SparkSession) -> None:
         "a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE RETURN "
         "hgs_dot(a, b) / (sqrt(hgs_dot(a, a)) * sqrt(hgs_dot(b, b)))"
     )
+    # hashed-linear quality logit — SQL twin of
+    # operators/textstats.py::quality_classifier (same md5 bucket and
+    # integer weight formula; integer fold, one final division)
+    from hbase_gis_spark.operators.textstats import KNUTH_MULT, QC_DIM
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_quality_logit("
+        "text STRING) RETURNS DOUBLE RETURN "
+        "aggregate(transform(split(trim(text), '\\\\s+'), t -> "
+        f"pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), {QC_DIM})"
+        f"), cast(0 as bigint), (acc, b) -> acc + "
+        f"pmod(b * {KNUTH_MULT}, {2 * QC_DIM}) - {QC_DIM}) "
+        # cast: a bare 1024.0 literal is DECIMAL in Spark SQL and the
+        # decimal division rounds a last ulp away from the double path
+        f"/ (cast({QC_DIM} as double) * size(split(trim(text), '\\\\s+')))"
+    )

@@ -286,3 +286,25 @@ def test_sql_vector_functions_match_operators(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_hgs_quality_logit_matches_dataframe(spark, docs_view):
+    """spark.sql hgs_quality_logit == quality_classifier's logit,
+    every doc (integer weight fold → exact equality)."""
+    from hbase_gis_spark.operators.textstats import quality_classifier
+    from hbase_gis_spark.sources.tables import load_table
+
+    hgs.register_sql_api(spark)
+    via_sql = {
+        r.doc_id: r.q
+        for r in spark.sql(
+            "SELECT doc_id, hgs_quality_logit(text) AS q FROM docs"
+        ).collect()
+    }
+    via_df = {
+        r.doc_id: r.quality_logit
+        for r in quality_classifier(
+            load_table(spark, SF0001, "documents")
+        ).collect()
+    }
+    assert via_sql == via_df
