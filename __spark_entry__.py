@@ -2801,6 +2801,15 @@ def _q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_hamming_topk(emb, ANN_QUERY_ID, ANN_K)
 
 
+def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-shape dataset card: size, token budget, language spread,
+    exact-dup rate, quality profile — one scan + one wide aggregate."""
+    from hbase_gis_spark.operators.corpus import dataset_card
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_card(docs)
+
+
 PCA_D = 4
 
 
@@ -3067,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": _q_skew_report,
         "pca_project": _q_pca_project,
         "bigram_lm_score": _q_bigram_lm_score,
+        "dataset_card": _q_dataset_card,
     }
 
 
@@ -5709,6 +5719,44 @@ def oracle_sql() -> dict[str, str]:
            round(avg(logp), 9) AS avg_logp
     FROM bg JOIN lp USING (bg)
     GROUP BY doc_id
+    """,
+        # dataset card: same per-row features as the Spark projection
+        # (token count, md5 hash, hashed-linear logit), one wide
+        # aggregate, UNION ALL unpivot; mean logit rounds to 9
+        "dataset_card": f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(w), 1, 15))::BIGINT % {QC_DIM}) AS b
+      FROM words
+    ), qa AS (
+      SELECT doc_id, count(*) AS nt,
+             CAST(sum((b * {KNUTH_MULT}) % {2 * QC_DIM} - {QC_DIM})
+                  AS BIGINT) AS wsum
+      FROM tok GROUP BY doc_id
+    ), doc AS (
+      SELECT d.doc_id, d.lang, d.n_chars, md5(d.text) AS h, qa.nt,
+             CASE WHEN qa.nt > 0
+                  THEN qa.wsum / ({QC_DIM}.0 * qa.nt) ELSE 0.0 END AS q
+      FROM documents d JOIN qa USING (doc_id)
+    ), s AS (
+      SELECT count(*) AS n, sum(nt) AS tt, sum(n_chars) AS tc,
+             count(DISTINCT h) AS nd, count(DISTINCT lang) AS nl,
+             round(avg(q), 9) AS mq,
+             sum(CASE WHEN q > 0 THEN 1 ELSE 0 END) AS kp
+      FROM doc
+    )
+    SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM s
+    UNION ALL SELECT 'total_tokens', CAST(tt AS DOUBLE) FROM s
+    UNION ALL SELECT 'total_chars', CAST(tc AS DOUBLE) FROM s
+    UNION ALL SELECT 'n_langs', CAST(nl AS DOUBLE) FROM s
+    UNION ALL SELECT 'exact_dup_rate',
+      CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) FROM s
+    UNION ALL SELECT 'mean_quality_logit', mq FROM s
+    UNION ALL SELECT 'keep_rate',
+      CAST(kp AS DOUBLE) / CAST(n AS DOUBLE) FROM s
     """,
     }
     if ann_ivf_sql is not None:

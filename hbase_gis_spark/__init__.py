@@ -130,6 +130,7 @@ from hbase_gis_spark.streaming.events import (  # noqa: F401
 )
 from hbase_gis_spark.operators.corpus import (  # noqa: F401
     chunk_documents,
+    dataset_card,
     domain_cap,
     global_shuffle,
     mixture_rates,

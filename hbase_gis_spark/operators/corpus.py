@@ -387,3 +387,87 @@ def skew_report(
         )
         .limit(top_n)
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """The dataset card a data team publishes with a training corpus —
+    size, token budget, language spread, exact-dup rate, and the
+    quality-classifier profile, in one fixed-shape (metric, value)
+    report.
+
+    ONE scan + one 1-row aggregate: every per-row feature (token
+    count, content hash, quality logit) is a JVM expression computed
+    in the same projection, the wide aggregate collapses map-side
+    (the two exact distincts plan via Expand — the documented
+    ``profile_table`` cost), and the unpivot is an explode of a
+    literal struct array. Counts and rates are exact; the mean logit
+    follows the round-9 float policy (summation order). Empty input
+    yields the same 7 rows with zero values.
+
+    Output rows (fixed order): n_docs, total_tokens, total_chars,
+    n_langs, exact_dup_rate, mean_quality_logit, keep_rate.
+    """
+    from hbase_gis_spark.operators.dedup import tokens
+    from hbase_gis_spark.operators.textstats import quality_logit_expr
+
+    base = df.select(
+        F.size(tokens(text_col)).alias("__nt"),
+        F.col(chars_col).alias("__nc"),
+        F.md5(text_col).alias("__h"),
+        F.col(lang_col).alias("__lang"),
+        quality_logit_expr(text_col).alias("__q"),
+    )
+    wide = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__nt").alias("__tt"),
+        F.sum("__nc").alias("__tc"),
+        F.count_distinct("__h").alias("__nd"),
+        F.count_distinct("__lang").alias("__nl"),
+        F.round(F.avg("__q"), 9).alias("__mq"),
+        F.sum((F.col("__q") > 0).cast("bigint")).alias("__kp"),
+    )
+    n_d = F.col("__n").cast("double")
+    items = F.array(
+        F.struct(F.lit("n_docs").alias("metric"), n_d.alias("value")),
+        F.struct(
+            F.lit("total_tokens").alias("metric"),
+            F.coalesce(F.col("__tt").cast("double"), F.lit(0.0)).alias("value"),
+        ),
+        F.struct(
+            F.lit("total_chars").alias("metric"),
+            F.coalesce(F.col("__tc").cast("double"), F.lit(0.0)).alias("value"),
+        ),
+        F.struct(
+            F.lit("n_langs").alias("metric"),
+            F.col("__nl").cast("double").alias("value"),
+        ),
+        F.struct(
+            F.lit("exact_dup_rate").alias("metric"),
+            F.when(
+                F.col("__n") > 0,
+                (F.col("__n") - F.col("__nd")).cast("double") / n_d,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("value"),
+        ),
+        F.struct(
+            F.lit("mean_quality_logit").alias("metric"),
+            F.coalesce(F.col("__mq"), F.lit(0.0)).alias("value"),
+        ),
+        F.struct(
+            F.lit("keep_rate").alias("metric"),
+            F.when(
+                F.col("__n") > 0,
+                F.coalesce(F.col("__kp"), F.lit(0)).cast("double") / n_d,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("value"),
+        ),
+    )
+    return wide.select(F.explode(items).alias("m")).select("m.*")

@@ -602,20 +602,10 @@ QC_DIM = 1024          # weight buckets
 KNUTH_MULT = 2654435761  # Knuth multiplicative-hash constant
 
 
-def quality_classifier(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Score every document with the hashed linear model above and
-    attach the keep/drop verdict (logit > 0).
-
-    One scan, no shuffle, no Python: tokenize → md5 bucket → integer
-    weight → fold sum, all codegen'd JVM expressions. At 100 TB this is
-    a map-only stage that pipelines with whatever filter consumes
-    ``keep`` — Catalyst pushes a ``keep = true`` predicate into the
-    same scan.
-
-    Output: (id_col, n_tokens, quality_logit, keep).
-    """
+def quality_logit_expr(text_col) -> Column:
+    """The hashed-linear quality logit as a reusable Column expression
+    (see :func:`quality_classifier` for the model): tokenize → md5
+    bucket → integer weight → fold sum → one division. Pure JVM."""
     w = tokens(text_col)
     # 60-bit md5 prefix → bucket in [0, QC_DIM)
     buckets = F.transform(
@@ -635,9 +625,27 @@ def quality_classifier(
         lambda acc, v: acc + v,
     )
     n = F.size(w)
-    logit = F.when(n > 0, wsum / (F.lit(float(QC_DIM)) * n)).otherwise(
+    return F.when(n > 0, wsum / (F.lit(float(QC_DIM)) * n)).otherwise(
         F.lit(0.0)
     )
+
+
+def quality_classifier(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every document with the hashed linear model above and
+    attach the keep/drop verdict (logit > 0).
+
+    One scan, no shuffle, no Python: tokenize → md5 bucket → integer
+    weight → fold sum, all codegen'd JVM expressions. At 100 TB this is
+    a map-only stage that pipelines with whatever filter consumes
+    ``keep`` — Catalyst pushes a ``keep = true`` predicate into the
+    same scan.
+
+    Output: (id_col, n_tokens, quality_logit, keep).
+    """
+    n = F.size(tokens(text_col))
+    logit = quality_logit_expr(text_col)
     return df.select(
         F.col(id_col),
         n.cast("bigint").alias("n_tokens"),
