@@ -2801,6 +2801,31 @@ def _q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_hamming_topk(emb, ANN_QUERY_ID, ANN_K)
 
 
+PHASH_MAX_H = 3
+
+
+def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean perceptual hash per media payload (the signature
+    stage of multimodal dedup) — integer-exact, so fully
+    oracle-checkable over the ASCII fake payloads."""
+    from hbase_gis_spark.operators.multimodal import media_phash
+
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    return media_phash(attach_fake_media(docs))
+
+
+# NOTE media_dup_phash (the banded pair-discovery stage) is covered by
+# tests/test_multimodal.py on crafted near-identical payloads rather
+# than registered here: block-mean hashes of BYTE STREAMS are not
+# shift-robust (an inserted word moves every block boundary), so the
+# synthetic word-soup corpus has a minimum pairwise hamming of 9/64 —
+# any sensible threshold returns zero rows, and a vacuous driver row
+# verifies nothing. On real decoded PIXEL buffers (grid-aligned), the
+# same operator is classic block-mean pHash dedup.
+
+
 def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-shape dataset card: size, token budget, language spread,
     exact-dup rate, quality profile — one scan + one wide aggregate."""
@@ -3077,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": _q_pca_project,
         "bigram_lm_score": _q_bigram_lm_score,
         "dataset_card": _q_dataset_card,
+        "mm_phash": _q_mm_phash,
     }
 
 
@@ -5757,6 +5783,34 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT 'mean_quality_logit', mq FROM s
     UNION ALL SELECT 'keep_rate',
       CAST(kp AS DOUBLE) / CAST(n AS DOUBLE) FROM s
+    """,
+        # block-mean pHash over the ASCII fake payload: ord == byte
+        # value, integer block-sum comparison — exact replay
+        "mm_phash": f"""
+    WITH m AS (
+      SELECT doc_id AS id,
+             list_transform(split(text, ''), x -> ord(x)) AS by,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), t AS (
+      SELECT id, by, n, coalesce(list_sum(by), 0) AS total FROM m
+    ), bits AS (
+      SELECT id, j,
+             CASE WHEN n > 0 AND
+                  coalesce(list_sum(
+                    by[((j * n) // 64) + 1 : ((j + 1) * n) // 64]), 0) * n
+                  > total * (((j + 1) * n) // 64 - (j * n) // 64)
+                  THEN 1 ELSE 0 END AS bit
+      FROM t CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
+    )
+    SELECT id,
+           CAST(sum(CASE WHEN j < 32 AND bit = 1
+                         THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+             AS phash_lo,
+           CAST(sum(CASE WHEN j >= 32 AND bit = 1
+                         THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT)
+             AS phash_hi
+    FROM bits GROUP BY id
     """,
     }
     if ann_ivf_sql is not None:

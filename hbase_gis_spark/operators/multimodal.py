@@ -700,3 +700,127 @@ def video_frame_sample(
     return df.select(id_col, video_col).mapInPandas(
         batches, "id bigint, frame_idx int, frame_md5 string"
     )
+
+
+# ----------------------------------------------- perceptual near-dup (pHash) --
+
+
+def block_phash(buf: bytes) -> tuple[int, int]:
+    """64-bit block-mean perceptual hash of a media payload, packed as
+    two 32-bit half-words (the sign-bit packing convention of
+    ``binary_signature_exprs``).
+
+    Bit j is 1 iff the mean byte of block j (the j-th of 64 equal
+    byte ranges) exceeds the payload's overall mean — compared in
+    exact integer arithmetic (``block_sum * n > total * block_len``),
+    so the hash is a pure function of the bytes with no float
+    rounding. This is the block-mean variant of classic image pHash
+    (no DCT — the container has no image libs, and block means carry
+    the same shift-robust near-dup signal for byte-stable formats);
+    on a decoded pixel buffer the same function IS block-mean pHash.
+
+    Empty payload hashes to (0, 0)."""
+    n = len(buf)
+    if n == 0:
+        return 0, 0
+    total = sum(buf)
+    lo = hi = 0
+    for j in range(64):
+        a = (j * n) // 64
+        b = ((j + 1) * n) // 64
+        s = sum(buf[a:b])
+        if s * n > total * (b - a):
+            if j < 32:
+                lo |= 1 << j
+            else:
+                hi |= 1 << (j - 32)
+    return lo, hi
+
+
+_PHASH_SCHEMA = "id bigint, phash_lo bigint, phash_hi bigint"
+
+
+def media_phash(
+    df: DataFrame, media_col: str = "media", id_col: str = "id"
+) -> DataFrame:
+    """Per-payload perceptual hash via Arrow-batched mapInPandas — the
+    signature-extraction stage of multimodal dedup. Map-only; at scale
+    the (id, 16-byte hash) sidecar is what downstream pair discovery
+    reads, never the payload bytes again."""
+    cols = df.select(F.col(id_col).alias("id"), F.col(media_col).alias("m"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs = [block_phash(bytes(b)) for b in pdf["m"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "phash_lo": [h[0] for h in hs],
+                    "phash_hi": [h[1] for h in hs],
+                }
+            )
+
+    return cols.mapInPandas(batches, _PHASH_SCHEMA)
+
+
+def media_dup_phash(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: payloads whose block-mean
+    hashes differ in <= ``max_hamming`` of 64 bits — EXACT via
+    pigeonhole banding (same discipline as ``simhash_pairs``): the 64
+    bits split into ``max_hamming + 1`` 16-bit blocks, a qualifying
+    pair must agree on >= 1 whole block, so candidates come from a
+    codegen'd equality self-join on (block, key), then exact popcount
+    verifies. Only (id, hash-words) rows ride the shuffle — payload
+    bytes never leave the signature stage."""
+    blocks = max_hamming + 1
+    if 64 % blocks:
+        raise ValueError("max_hamming + 1 must divide 64")
+    width = 64 // blocks
+    sigs = media_phash(df, media_col=media_col, id_col=id_col)
+    mask = (1 << width) - 1
+
+    def block_key(b: int):
+        # blocks live in lo for bit offsets < 32, hi above
+        off = b * width
+        src = F.col("phash_lo") if off < 32 else F.col("phash_hi")
+        return F.shiftright(src, off % 32).bitwiseAND(F.lit(mask))
+
+    block_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("blk"), block_key(b).alias("key"))
+            for b in range(blocks)
+        ]
+    )
+    banded = sigs.select(
+        "id", "phash_lo", "phash_hi", F.explode(block_structs).alias("bb")
+    ).select(
+        "id",
+        "phash_lo",
+        "phash_hi",
+        F.col("bb.blk").alias("blk"),
+        F.col("bb.key").alias("key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.phash_lo").bitwiseXOR(F.col("b.phash_lo"))
+    ) + F.bit_count(F.col("a.phash_hi").bitwiseXOR(F.col("b.phash_hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -282,3 +282,36 @@ def test_avi_parse_and_frame_sample(spark):
         frames = parse_avi(synth_avi_bytes(t))[3]
         assert r.frame_md5 == hashlib.md5(frames[r.frame_idx]).hexdigest()
         assert r.frame_idx % 2 == 0
+
+
+def test_block_phash_and_banded_pairs(spark):
+    """pHash signatures replay in pure Python, and the banded pair
+    join finds exactly the crafted near-identical payloads (pigeonhole
+    banding is lossless at max_hamming=3): doc 2 is doc 1 with ONE
+    byte nudged inside a block (same block boundaries, one flipped
+    bit at most); doc 3 is unrelated."""
+    from hbase_gis_spark.operators.multimodal import (
+        block_phash,
+        media_dup_phash,
+        media_phash,
+    )
+
+    base = bytes(range(64)) * 8  # 512 bytes, 8 per block
+    near = bytearray(base)
+    # push block 0's mean above the overall mean: flip its low bytes up
+    for i in range(8):
+        near[i] = 255
+    unrelated = bytes(reversed(base)) * 2
+    rows = [(1, base), (2, bytes(near)), (3, unrelated)]
+    df = spark.createDataFrame(rows, "id bigint, media binary")
+    sigs = {r.id: (r.phash_lo, r.phash_hi) for r in media_phash(df).collect()}
+    for i, buf in rows:
+        assert sigs[i] == block_phash(buf)
+    # distance between 1 and 2 is small and nonzero
+    (l1, h1), (l2, h2) = sigs[1], sigs[2]
+    d12 = bin(l1 ^ l2).count("1") + bin(h1 ^ h2).count("1")
+    assert 0 < d12 <= 3
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in media_dup_phash(df, max_hamming=3).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == d12
