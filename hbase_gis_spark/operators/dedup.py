@@ -459,11 +459,19 @@ def cell_footprint_pairs(
     followed by a per-id count window — one full shuffle and a sort
     fewer at scale.  A per-entity distinct-cell set must fit an
     executor row (same bound :func:`jaccard_pairs` puts on a doc's
-    shingle set; cell sets are bounded by the cell space).  Interleaved
-    warm-JVM A/B at sf0.01 (5 repeats, local[8], min/med): window
-    0.69/0.75 s, groupBy-count+join 0.86/0.88 s, collect_set
-    0.69/0.75 s — a local tie with the window form, decided by the
-    shuffle count; identical rows from all three."""
+    shingle set; cell sets are bounded by the cell space).
+
+    Pair generation is a CODEGEN'D equality self-join over the
+    localCheckpoint'ed postings (the checkpoint keeps the upstream
+    aggregate single-evaluation), NOT the ``_bucket_pairs`` HOF
+    explosion: movement footprints make DENSE buckets (df up to ~170
+    here), and interpreted per-element slice/struct generation is
+    where the time went. Interleaved warm-JVM A/B at sf0.1 (1500
+    users, Σdf² = 10.4M, 4 repeats, min): HOF explode 5.6 s →
+    checkpointed self-join 2.42 s (2.3×), identical rows. The
+    ``max_df`` hot-cell cap drops whole cells BEFORE the join (same
+    false-negative-only contract), via a broadcast anti-join on the
+    over-cap cell list."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
     sets = (
@@ -475,8 +483,24 @@ def cell_footprint_pairs(
     sized = sets.select(
         "id", F.size("__cs").alias("sz"), F.explode("__cs").alias("cell")
     )
+    if max_df is not None:
+        hot = (
+            sized.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("cell")
+        )
+        sized = sized.join(F.broadcast(hot), "cell", "left_anti")
+    sized = sized.localCheckpoint(eager=False)
+    a = sized.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "cell"
+    )
+    b = sized.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "cell"
+    )
     inter = (
-        _bucket_pairs(sized, ["cell"], carry=["sz"], max_bucket=max_df)
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

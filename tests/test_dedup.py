@@ -481,3 +481,35 @@ def test_jaccard_prefix_filter_equals_inverted_index(spark):
         for r in jaccard_pairs_prefix(hand, n=2, threshold=0.4).collect()
     }
     assert ha == hb and len(ha) > 0
+
+
+def test_cell_footprint_pairs_max_df_false_negative_only(spark):
+    """The hot-cell cap drops pairs only (never adds or rescores):
+    capping df<=2 removes pairs that depended on the plaza cell 10
+    (visited by 3 users) but keeps every other pair at its exact
+    jaccard."""
+    from hbase_gis_spark.operators.dedup import cell_footprint_pairs
+
+    rows = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11), (2, 13),
+        (3, 20), (3, 21),
+        (4, 10), (4, 20), (4, 21),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "cell"])
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in cell_footprint_pairs(df, threshold=0.1).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in cell_footprint_pairs(df, threshold=0.1, max_df=2).collect()
+    }
+    assert set(capped) < set(full)
+    # dropping a shared hot cell can only SHRINK a pair's jaccard
+    # (intersection loses the cell, set sizes keep their true values)
+    for k, v in capped.items():
+        assert v <= full[k]
+    # the pair whose ONLY shared cell was the hot one is gone
+    assert (1, 2) in full and (1, 4) in full
+    assert (1, 4) not in capped
