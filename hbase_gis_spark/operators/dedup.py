@@ -109,44 +109,61 @@ def _bucket_pairs(
     """All (id_a < id_b) pairs of ids sharing a bucket key — one output
     row per (bucket, pair) co-occurrence.
 
-    groupBy + in-bucket pair explosion computes the bucketed input ONCE
-    (a self-equi-join would evaluate its whole upstream pipeline twice)
-    and shuffles it once, on the bucket key. Within a bucket of B ids
-    the B²/2 pairs are generated locally; at 100 TB a degenerate hot
-    bucket (stop-word shingle, all-zero signature band) is quadratic in
-    ANY formulation — such keys carry no near-dup signal, so
-    ``max_bucket`` drops whole buckets above the cap BEFORE pair
-    explosion, bounding per-bucket work at max_bucket²/2. The cap is
-    evaluated on the grouped size (one agg, no extra shuffle).
+    Pair generation is a CODEGEN'D equality self-join over the
+    localCheckpoint'ed postings. The checkpoint keeps the (often
+    expensive — tokenize/shingle/minhash) producing pipeline
+    single-evaluation, which is why round 1-2 used a groupBy +
+    in-bucket HOF pair explosion instead; but higher-order-function
+    lambdas evaluate INTERPRETED, and per-element slice/struct
+    generation was the dominant cost wherever buckets are dense.
+    Interleaved warm-JVM A/B at sf0.1 (3 repeats, min, identical
+    rows): edit_distance_pairs 2.38 s → 0.43 s, dedup_ngram_jaccard
+    2.21 → 2.04, dedup_minhash_lsh 1.28 → 1.10, dedup_incremental
+    0.69 → 0.64, decontaminate tie — the join never lost.
 
-    ``carry`` columns ride along inside the bucket items and come out
-    as ``<col>_a`` / ``<col>_b`` — cheaper than re-joining per-id
-    attributes onto the pair table afterwards (each re-join would
-    re-evaluate the producing pipeline)."""
+    At 100 TB a degenerate hot bucket (stop-word shingle, all-zero
+    signature band) is quadratic in ANY formulation — such keys carry
+    no near-dup signal, so ``max_bucket`` drops whole buckets above
+    the cap BEFORE the join (per-key count + broadcast anti-join of
+    the few over-cap keys), bounding per-bucket work at max_bucket²/2.
+
+    ``carry`` columns ride both join sides and come out as ``<col>_a``
+    / ``<col>_b`` — cheaper than re-joining per-id attributes onto the
+    pair table afterwards."""
     carry = carry or []
-    item = F.struct(
-        F.col(id_col).alias("i"), *[F.col(c).alias(c) for c in carry]
-    )
-    items = F.array_sort(F.collect_list(item))
-    buckets = (
-        df.groupBy(*key_cols).agg(items.alias("xs")).filter(F.size("xs") > 1)
+    post = df.select(
+        F.col(id_col).alias("__i"),
+        *[F.col(k) for k in key_cols],
+        *[F.col(c) for c in carry],
     )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("xs") <= F.lit(max_bucket))
-    pairs = F.flatten(
-        F.transform(
-            F.col("xs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("xs"), i + F.lit(2), F.size(F.col("xs"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+        hot = (
+            post.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_bucket)
+            .select(*key_cols)
         )
+        post = post.join(F.broadcast(hot), key_cols, "left_anti")
+    post = post.localCheckpoint(eager=False)
+    a = post.select(
+        F.col("__i").alias("id_a"),
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"{c}_a") for c in carry],
     )
-    return buckets.select(F.explode(pairs).alias("p")).select(
-        F.col("p.a.i").alias("id_a"),
-        F.col("p.b.i").alias("id_b"),
-        *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in carry],
-        *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in carry],
+    b = post.select(
+        F.col("__i").alias("id_b"),
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
+    return (
+        a.join(b, key_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            *[F.col(f"{c}_a") for c in carry],
+            *[F.col(f"{c}_b") for c in carry],
+        )
     )
 
 
