@@ -115,8 +115,11 @@ from hbase_gis_spark.operators.multimodal import (  # noqa: F401
     attach_fake_video,
     audio_features,
     clip_audio,
+    block_phash,
     decode_media,
     frame_sample,
+    media_dup_phash,
+    media_phash,
     video_features,
     video_frame_sample,
 )
