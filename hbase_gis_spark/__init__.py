@@ -69,6 +69,8 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
 from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_hamming_rerank_topk,
     ann_hamming_topk,
+    ann_hamming_topk_stored,
+    write_signature_table,
     ann_ivf_topk,
     ann_ivf_topk_multi,
     append_ivf_table,

@@ -1304,3 +1304,52 @@ def pca_project(
             for j in range(comps.shape[0])
         ],
     )
+
+
+def write_signature_table(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the binary-signature SIDECAR table — (id, sig_lo,
+    sig_hi), 16 bytes of payload per row instead of dim×4 — that the
+    Hamming tier scans at serving time. Signatures are computed once
+    at write time with the pure-JVM packing expressions; the raw
+    vector column deliberately does NOT ride along (the rerank stage
+    fetches the few survivors from the primary table by id). At 100 TB
+    of float32 vectors this sidecar is ~1/16 the bytes and is the
+    difference between a Hamming scan that lives in page cache and one
+    that doesn't."""
+    lo, hi = binary_signature_exprs(F.col(vec_col))
+    (
+        df.select(F.col(id_col), lo.alias("sig_lo"), hi.alias("sig_hi"))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def ann_hamming_topk_stored(
+    spark,
+    path: str,
+    query_sig: tuple[int, int],
+    query_id: int,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hamming top-k over a stored :func:`write_signature_table`
+    sidecar: no signature computation at query time — the scan reads
+    exactly three int64 columns (pinned by test on ReadSchema) and the
+    popcount/top-k shape matches :func:`ann_hamming_topk`."""
+    qlo, qhi = int(query_sig[0]), int(query_sig[1])
+    sigs = spark.read.parquet(path)
+    ham = F.bit_count(
+        F.col("sig_lo").bitwiseXOR(F.lit(qlo))
+    ) + F.bit_count(F.col("sig_hi").bitwiseXOR(F.lit(qhi)))
+    return (
+        sigs.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), ham.cast("int").alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -594,3 +594,35 @@ def test_pca_projection_plan_is_map_only(emb):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hamming_stored_sidecar_matches_inline(emb, spark, tmp_path_factory):
+    """The stored signature sidecar returns exactly the inline
+    ann_hamming_topk result, and its scan reads ONLY the three
+    signature columns (no vector bytes at serving time)."""
+    from hbase_gis_spark.operators.similarity import (
+        ann_hamming_topk,
+        ann_hamming_topk_stored,
+        binary_signature_exprs,
+        write_signature_table,
+    )
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path_factory.mktemp("sigs") / "t")
+    write_signature_table(emb, path)
+    q = emb.select(
+        F.col("vec_id"), *binary_signature_exprs(F.col("embedding"))
+    ).filter(F.col("vec_id") == 0).collect()[0]
+    got = ann_hamming_topk_stored(spark, path, (q[1], q[2]), 0, 10)
+    inline = ann_hamming_topk(emb, 0, 10)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) == {"vec_id", "sig_lo", "sig_hi"}
