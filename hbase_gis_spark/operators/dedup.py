@@ -42,6 +42,11 @@ def _spread(df: DataFrame) -> DataFrame:
     a single row group — the whole per-row pipeline would otherwise run
     in ONE task). No-op at scale, where scans already yield >= cores
     partitions; the round-robin shuffle moves only the narrow input."""
+    if df.isStreaming:
+        # partitioning is per-micro-batch on a stream (and .rdd is
+        # illegal there); stateless per-row stages parallelize by the
+        # source's own file/partition splitting
+        return df
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)

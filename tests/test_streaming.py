@@ -418,3 +418,35 @@ def test_streaming_daily_anomalies_converges_to_batch(
             assert abs(sz - z) < 1e-9
         else:
             assert sz == z
+
+
+def test_streaming_media_phash_matches_batch(spark, tmp_path_factory):
+    """Multimodal signature extraction composes with Structured
+    Streaming unchanged: attach_fake_media + media_phash are stateless
+    per-row stages (mapInPandas runs per micro-batch), so the streamed
+    signature set equals the batch one."""
+    from hbase_gis_spark.operators.multimodal import (
+        attach_fake_media,
+        media_phash,
+    )
+    from hbase_gis_spark.sources.corpus_io import read_document_stream
+
+    raw = load_table(spark, SF0001, "documents")
+    base = str(tmp_path_factory.mktemp("mediastream") / "docs")
+    raw.repartition(3).write.mode("overwrite").parquet(base)
+
+    docs = raw.withColumnRenamed("doc_id", "id")
+    expect = {
+        r.id: (r.phash_lo, r.phash_hi)
+        for r in media_phash(attach_fake_media(docs)).collect()
+    }
+    stream = read_document_stream(
+        spark, base, max_files_per_trigger=1
+    ).withColumnRenamed("doc_id", "id")
+    sigs = media_phash(attach_fake_media(stream))
+    run_stream_to_memory(sigs, "phash_stream", output_mode="append")
+    got = {
+        r.id: (r.phash_lo, r.phash_hi)
+        for r in spark.sql("SELECT * FROM phash_stream").collect()
+    }
+    assert got == expect and len(expect) == 500
