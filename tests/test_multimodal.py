@@ -315,3 +315,39 @@ def test_block_phash_and_banded_pairs(spark):
              for r in media_dup_phash(df, max_hamming=3).collect()}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == d12
+
+
+# ---------------------------------------------- property-based invariants ---
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.binary(min_size=1, max_size=400), st.integers(1, 100))
+@settings(max_examples=200, deadline=None)
+def test_block_phash_brightness_shift_invariant(buf, c):
+    """Adding a constant to every byte (brightness shift on a pixel
+    buffer) leaves the block-mean hash unchanged: the comparison
+    block_sum·n > total·block_len is invariant under s→s+c·m,
+    t→t+c·n. Exact integer arithmetic makes this a hard identity,
+    not an approximation."""
+    from hbase_gis_spark.operators.multimodal import block_phash
+
+    shifted = bytes((b + c) % 256 for b in buf)
+    # the identity needs the shift to not wrap: restrict to buffers
+    # where b + c <= 255 for all bytes
+    if all(b + c <= 255 for b in buf):
+        assert block_phash(bytes(b + c for b in buf)) == block_phash(buf)
+    # determinism always holds
+    assert block_phash(buf) == block_phash(buf)
+    assert block_phash(shifted) == block_phash(shifted)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_block_phash_range_and_empty(buf):
+    """Both half-words stay within 32 bits; empty payload is (0, 0)."""
+    from hbase_gis_spark.operators.multimodal import block_phash
+
+    lo, hi = block_phash(buf)
+    assert 0 <= lo < (1 << 32) and 0 <= hi < (1 << 32)
+    assert block_phash(b"") == (0, 0)

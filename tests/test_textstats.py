@@ -293,3 +293,15 @@ def test_bigram_lm_score_matches_python_replay(spark):
         g = got[did]
         assert g.n_bigrams == len(bgs)
         assert abs(g.avg_logp - sum(lp) / len(lp)) < 1e-8
+
+
+def test_quality_logit_is_order_invariant(spark):
+    """The hashed-linear logit is a sum of per-token integer weights —
+    permuting tokens cannot change it (exact, not approximate)."""
+    from hbase_gis_spark.operators.textstats import quality_classifier
+
+    rows = [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.quality_logit
+           for r in quality_classifier(df).collect()}
+    assert got[1] == got[2]
