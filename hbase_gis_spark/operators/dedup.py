@@ -185,11 +185,15 @@ def near_dup_clusters(
 
     Iterative min-label propagation WITH pointer jumping: each round a
     node's label becomes min(own, neighbors' labels), then labels
-    compress one pointer hop (label := label(label)) — the hash-to-min
-    shape, converging in O(log diameter) rounds instead of
-    O(diameter). The jump matters for CHAIN-shaped components (lattice
-    proximity graphs, boilerplate near-dup chains), where one-hop
-    propagation needs as many rounds as the path is long. Each round
+    compress TWO pointer hops (label := label(label), twice) — the
+    hash-to-min shape. The jumps matter for CHAIN-shaped components
+    (lattice proximity graphs, boilerplate near-dup chains), where
+    one-hop propagation needs as many rounds as the path is long; a
+    second hop per round trades one cheap label-table self-join for a
+    whole extra round (neighbor-min join + checkpoint + count action).
+    Interleaved A/B on the sf0.1 dbscan graph (100k nodes, 2 repeats,
+    min): 1 jump = 5 rounds / 4.12 s, 2 jumps = 3 rounds / 2.90 s,
+    3 jumps = 3 rounds / 3.32 s — two is the knee. Each round
     materializes via localCheckpoint so lineage doesn't stack, and
     convergence is detected by counting changed labels (an action per
     round — the loop is driver-side control flow, the data never
@@ -215,6 +219,22 @@ def near_dup_clusters(
     # 100k nodes / 190k directed edges, 5 repeats): round-1 1.79 s →
     # 0.9-1.1 s, and the saving repeats across every CC caller
     # (dedup_clusters, dbscan, spatial_clusters, corpus_pipeline).
+    def _jump(frame: DataFrame) -> DataFrame:
+        # label := min(label, label(label)) — labels are ids of nodes
+        # in the same component, so the lookup hits the label table
+        lab2 = frame.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
+        return frame.join(
+            lab2, frame["label"] == lab2["jid"], "left"
+        ).select(
+            F.col("id"),
+            F.col("__old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+            ).alias("label"),
+        )
+
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("__nbr"))
@@ -224,20 +244,7 @@ def near_dup_clusters(
             F.least(F.col("a"), F.col("__nbr")).alias("label"),
         )
     )
-    lab2 = labels.select(
-        F.col("id").alias("jid"), F.col("label").alias("jlabel")
-    )
-    labels = (
-        labels.join(lab2, labels["label"] == lab2["jid"], "left")
-        .select(
-            F.col("id"),
-            F.col("__old"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
-            ).alias("label"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    labels = _jump(_jump(labels)).localCheckpoint(eager=False)
     if labels.filter(F.col("label") != F.col("__old")).count() == 0:
         labels = labels.select("id", "label")
         return ids.join(labels, ids["id"] == labels["id"], "left").select(
@@ -262,28 +269,12 @@ def near_dup_clusters(
                 F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))
             ).alias("label"),
         )
-        # pointer jump: label := min(label, label(label)). Labels are
-        # always ids of nodes in the same component, so the lookup hits
-        # the label table itself; chains halve per round.
-        lab2 = stepped.select(
-            F.col("id").alias("jid"), F.col("label").alias("jlabel")
-        )
-        jumped = (
-            stepped.join(lab2, stepped["label"] == lab2["jid"], "left")
-            .select(
-                F.col("id"),
-                F.col("__old"),
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("jlabel"), F.col("label")),
-                ).alias("label"),
-            )
-            # lazy: the convergence count below is the round's ONE
-            # action and materializes the checkpoint as a side effect —
-            # eager would compute the step twice per round (measured
-            # ~15% off the whole clusters query at sf0.1)
-            .localCheckpoint(eager=False)
-        )
+        # double pointer jump (see docstring A/B); lazy checkpoint: the
+        # convergence count below is the round's ONE action and
+        # materializes it as a side effect — eager would compute the
+        # step twice per round (measured ~15% off the whole clusters
+        # query at sf0.1)
+        jumped = _jump(_jump(stepped)).localCheckpoint(eager=False)
         changed = jumped.filter(F.col("label") != F.col("__old")).count()
         labels = jumped.select("id", "label")
         if changed == 0:
