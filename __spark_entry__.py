@@ -2801,9 +2801,6 @@ def _q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_hamming_topk(emb, ANN_QUERY_ID, ANN_K)
 
 
-PHASH_MAX_H = 3
-
-
 def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-mean perceptual hash per media payload (the signature
     stage of multimodal dedup) — integer-exact, so fully
