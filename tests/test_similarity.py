@@ -626,3 +626,30 @@ def test_hamming_stored_sidecar_matches_inline(emb, spark, tmp_path_factory):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",")
     ) == {"vec_id", "sig_lo", "sig_hi"}
+
+
+def test_hamming_funnel_recall_floor(emb):
+    """Recall of the Hamming→cosine funnel vs exact top-10, pinned at
+    conservative floors on this worst-case (isotropic noise) corpus:
+    measured 5-8/10 at overfetch 5 and 8/10 at overfetch 10 across
+    query ids {0, 7, 42}. More over-fetch must never reduce recall."""
+    from hbase_gis_spark.operators.similarity import (
+        ann_hamming_rerank_topk,
+        cosine_topk,
+    )
+
+    for qid in (0, 7, 42):
+        exact = {r.vec_id for r in cosine_topk(emb, qid, 10).collect()}
+        r5 = {
+            r.vec_id
+            for r in ann_hamming_rerank_topk(emb, qid, 10, overfetch=5).collect()
+        }
+        r10 = {
+            r.vec_id
+            for r in ann_hamming_rerank_topk(
+                emb, qid, 10, overfetch=10
+            ).collect()
+        }
+        assert len(r5 & exact) >= 3
+        assert len(r10 & exact) >= 5
+        assert len(r10 & exact) >= len(r5 & exact)
