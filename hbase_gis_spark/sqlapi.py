@@ -336,6 +336,22 @@ def register_sql_api(spark: SparkSession) -> None:
         "a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE RETURN "
         "hgs_dot(a, b) / (sqrt(hgs_dot(a, a)) * sqrt(hgs_dot(b, b)))"
     )
+    # multimodal: block-mean perceptual hash halves over a binary
+    # payload column (Arrow-batched pandas UDFs — the kernel is a
+    # byte-level loop, same function the DataFrame operator uses)
+    from hbase_gis_spark.operators.multimodal import block_phash
+
+    @F.pandas_udf("long")
+    def _hgs_phash_lo(media: pd.Series) -> pd.Series:
+        return pd.Series([block_phash(bytes(b))[0] for b in media])
+
+    @F.pandas_udf("long")
+    def _hgs_phash_hi(media: pd.Series) -> pd.Series:
+        return pd.Series([block_phash(bytes(b))[1] for b in media])
+
+    spark.udf.register("hgs_phash_lo", _hgs_phash_lo)
+    spark.udf.register("hgs_phash_hi", _hgs_phash_hi)
+
     # hashed-linear quality logit — SQL twin of
     # operators/textstats.py::quality_classifier (same md5 bucket and
     # integer weight formula; integer fold, one final division)

@@ -308,3 +308,30 @@ def test_hgs_quality_logit_matches_dataframe(spark, docs_view):
         ).collect()
     }
     assert via_sql == via_df
+
+
+def test_hgs_phash_matches_dataframe(spark, docs_view):
+    """spark.sql hgs_phash_lo/hi == media_phash on the same payloads."""
+    from hbase_gis_spark.operators.multimodal import (
+        attach_fake_media,
+        media_phash,
+    )
+    from hbase_gis_spark.sources.tables import load_table
+
+    hgs.register_sql_api(spark)
+    docs = load_table(spark, SF0001, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    media = attach_fake_media(docs)
+    media.createOrReplaceTempView("media_v")
+    via_sql = {
+        r.id: (r.lo, r.hi)
+        for r in spark.sql(
+            "SELECT id, hgs_phash_lo(media) AS lo, hgs_phash_hi(media) AS hi "
+            "FROM media_v"
+        ).collect()
+    }
+    via_df = {
+        r.id: (r.phash_lo, r.phash_hi) for r in media_phash(media).collect()
+    }
+    assert via_sql == via_df
