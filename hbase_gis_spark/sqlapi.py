@@ -273,6 +273,13 @@ def register_sql_api(spark: SparkSession) -> None:
     - ``hgs_minhash_band(text, band) -> int``: MinHash LSH band hash
       (n=3, 64 hashes, 16 bands — the operator defaults).
     - ``hgs_lang_id(text) -> string``: marker-word language guess.
+    - ``hgs_dot(a, b)`` / ``hgs_cosine(a, b) -> double``: fold-order
+      vector arithmetic (bit-matches the operators/oracles).
+    - ``hgs_quality_logit(text) -> double``: hashed-linear quality
+      score (exact DataFrame parity — integer weight fold).
+    - ``hgs_phash_lo(media)`` / ``hgs_phash_hi(media) -> bigint``:
+      block-mean perceptual-hash halves over a binary payload
+      (Arrow-batched; same kernel as ``media_phash``).
 
     For hot-path batch work still prefer the DataFrame operators —
     they stage shared subexpressions across rows AND across documents
