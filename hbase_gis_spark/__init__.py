@@ -17,6 +17,7 @@ Arrow-batched.
 """
 
 from hbase_gis_spark.geo import geohash, geometry, planner  # noqa: F401
+from hbase_gis_spark.geo.geojson import results_to_geojson  # noqa: F401
 from hbase_gis_spark.operators.within import within  # noqa: F401
 from hbase_gis_spark.operators.spatial_join import (  # noqa: F401
     dbscan,

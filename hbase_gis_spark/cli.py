@@ -81,6 +81,11 @@ def cmd_within(args: argparse.Namespace) -> int:
         geohash_col="geohash",
         partition_prefix_col="gh_prefix" if "gh_prefix" in df.columns else None,
     )
+    if getattr(args, "geojson", None):
+        from hbase_gis_spark.geo.geojson import results_to_geojson
+
+        with open(args.geojson, "w") as fh:
+            fh.write(results_to_geojson(out))
     rows = out.collect()
     for r in rows:
         print(f"{r.id}\t{r.geohash}\t{r.lon}\t{r.lat}")
@@ -317,6 +322,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("mode", choices=["local", "remote"])
     s.add_argument("wkt")
     s.add_argument("--table", required=True)
+    s.add_argument(
+        "--geojson",
+        help="also write the matches as a GeoJSON FeatureCollection "
+        "(the reference's figures format)",
+    )
     s.set_defaults(fn=cmd_within)
 
     s = sub.add_parser("knn", help="k nearest points (planar degree distance)")

@@ -90,3 +90,30 @@ def test_cli_ann_and_cluster(tmp_path, spark):
     with contextlib.redirect_stdout(out):
         assert main(["cluster", "0.05", "--table", table, "--min-pts", "3"]) == 0
     assert "DBSCAN:" in out.getvalue()
+
+
+def test_results_to_geojson_roundtrip(spark):
+    """GeoJSON export: coordinates land in geometry, every other
+    column (id included) becomes a property, row order is by id, and
+    the max_rows guard trips loudly."""
+    import json
+
+    import pytest
+
+    from hbase_gis_spark.geo.geojson import results_to_geojson
+
+    df = spark.createDataFrame(
+        [(2, -73.9, 40.7, "b"), (1, -74.0, 40.8, "a")],
+        "id bigint, lon double, lat double, tag string",
+    )
+    fc = json.loads(results_to_geojson(df))
+    assert fc["type"] == "FeatureCollection"
+    assert [f["properties"]["id"] for f in fc["features"]] == [1, 2]
+    assert fc["features"][0]["geometry"] == {
+        "type": "Point",
+        "coordinates": [-74.0, 40.8],
+    }
+    assert fc["features"][0]["properties"]["tag"] == "a"
+    assert "lon" not in fc["features"][0]["properties"]
+    with pytest.raises(ValueError):
+        results_to_geojson(df, max_rows=1)
