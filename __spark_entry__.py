@@ -2823,6 +2823,19 @@ def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same operator is classic block-mean pHash dedup.
 
 
+TOKEN_BUDGET = 20_000  # ~half the sf0.01 corpus
+
+
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget dataset assembly: exact global running token total
+    in (shard, md5, id) order WITHOUT a global sort (per-shard window
+    cumsums + driver-side shard-offset prefix), keep while it fits."""
+    from hbase_gis_spark.operators.corpus import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(docs, TOKEN_BUDGET)
+
+
 def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-shape dataset card: size, token budget, language spread,
     exact-dup rate, quality profile — one scan + one wide aggregate."""
@@ -3100,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": _q_bigram_lm_score,
         "dataset_card": _q_dataset_card,
         "mm_phash": _q_mm_phash,
+        "token_budget_sample": _q_token_budget_sample,
     }
 
 
@@ -5808,6 +5822,26 @@ def oracle_sql() -> dict[str, str]:
                          THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT)
              AS phash_hi
     FROM bits GROUP BY id
+    """,
+        # token budget: the oracle can afford the straight global
+        # window — Spark computes the same cumsum shard-locally with a
+        # driver-side shard-offset prefix (see token_budget_sample)
+        "token_budget_sample": f"""
+    WITH base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY h % 64, h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM base
+    ) WHERE cum_tokens <= {TOKEN_BUDGET}
     """,
     }
     if ann_ivf_sql is not None:

@@ -144,6 +144,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     pii_scrub,
     profile_table,
     skew_report,
+    token_budget_sample,
     write_training_shards,
 )
 from hbase_gis_spark.operators.merge import (  # noqa: F401

@@ -471,3 +471,67 @@ def dataset_card(
         ),
     )
     return wide.select(F.explode(items).alias("m")).select("m.*")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget",
+    num_shards: int = 64,
+) -> DataFrame:
+    """Assemble a dataset under a TOKEN budget: walk the corpus in the
+    deterministic pseudo-random order (shard, md5, id) — the
+    :func:`global_shuffle` order — and keep every document whose
+    running token total still fits ``budget_tokens``. The standard
+    "give me N-billion tokens of this corpus" assembly step.
+
+    The running total is an EXACT GLOBAL cumulative sum computed
+    without a global sort (a global window would funnel 100 TB through
+    one task): per-shard local window cumsums + a driver-side prefix
+    over the ``num_shards`` per-shard totals (num_shards rows — O(64)
+    driver work at any corpus size), folded back in as a broadcast
+    offset dim. Every document's ``cum_tokens`` equals what the global
+    window would produce, shard by shard.
+
+    Whole-document semantics: a doc is kept iff its OWN end position
+    fits the budget (no document splitting — chunking is
+    :func:`chunk_documents`' job). Deterministic: pure function of
+    (content ids, salt, budget).
+
+    Output: (id_col, n_tokens, cum_tokens) for kept docs.
+    """
+    from hbase_gis_spark.operators.textstats import token_count
+
+    h = content_hash(salt, id_col)
+    base = df.select(
+        F.col(id_col),
+        h.alias("__h"),
+        (h % num_shards).cast("int").alias("__shard"),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    )
+    totals = (
+        base.groupBy("__shard")
+        .agg(F.sum("n_tokens").alias("__t"))
+        .collect()
+    )
+    per_shard = {r["__shard"]: r["__t"] for r in totals}
+    offsets, acc = [], 0
+    for s in range(num_shards):
+        offsets.append((s, acc))
+        acc += per_shard.get(s, 0)
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "__shard int, __off bigint"
+    )
+    w = Window.partitionBy("__shard").orderBy("__h", id_col)
+    return (
+        base.withColumn("__local", F.sum("n_tokens").over(w))
+        .join(F.broadcast(off_df), "__shard")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__off") + F.col("__local")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

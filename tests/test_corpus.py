@@ -376,3 +376,42 @@ def test_compact_parquet_reduces_file_count(spark, docs, tmp_path):
     n_after = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
     assert n_after == 1
     assert spark.read.parquet(dst).count() == docs.count()
+
+
+def test_token_budget_sample_equals_global_window(spark):
+    """The sharded cumsum (per-shard window + driver offset prefix)
+    must equal the straightforward global-window cumsum — and the kept
+    set must grow monotonically with the budget."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hbase_gis_spark.operators.corpus import (
+        content_hash,
+        token_budget_sample,
+    )
+    from hbase_gis_spark.operators.textstats import token_count
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens)
+        for r in token_budget_sample(docs, 10_000).collect()
+    }
+    h = content_hash("budget", "doc_id")
+    w = Window.orderBy((h % 64).asc(), h.asc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = {
+        r.doc_id: (r.n, r.c)
+        for r in docs.select(
+            "doc_id",
+            token_count("text").cast("bigint").alias("n"),
+            F.sum(token_count("text").cast("bigint")).over(w).alias("c"),
+        )
+        .filter(F.col("c") <= 10_000)
+        .collect()
+    }
+    assert got == expect and len(expect) > 0
+    small = {r.doc_id for r in token_budget_sample(docs, 5_000).collect()}
+    assert small < set(got)
