@@ -2823,6 +2823,18 @@ def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same operator is classic block-mean pHash dedup.
 
 
+KANON_K = 5
+
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over (user_id, event_type): combinations seen
+    fewer than k times — the release-gate privacy check."""
+    from hbase_gis_spark.operators.corpus import k_anonymity_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return k_anonymity_report(ev, ["user_id", "event_type"], k=KANON_K)
+
+
 TOKEN_BUDGET = 20_000  # ~half the sf0.01 corpus
 
 
@@ -3114,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": _q_dataset_card,
         "mm_phash": _q_mm_phash,
         "token_budget_sample": _q_token_budget_sample,
+        "k_anonymity": _q_k_anonymity,
     }
 
 
@@ -5842,6 +5855,13 @@ def oracle_sql() -> dict[str, str]:
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM base
     ) WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+        "k_anonymity": f"""
+    SELECT user_id, event_type, count(*) AS n_rows
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING count(*) < {KANON_K}
+    ORDER BY n_rows ASC, user_id ASC, event_type ASC
     """,
     }
     if ann_ivf_sql is not None:

@@ -139,6 +139,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     dataset_card,
     domain_cap,
     global_shuffle,
+    k_anonymity_report,
     mixture_rates,
     mixture_sample,
     pii_scrub,

@@ -535,3 +535,28 @@ def token_budget_sample(
         )
         .filter(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy audit companion to :func:`pii_scrub`: every
+    quasi-identifier combination whose group holds FEWER than ``k``
+    rows — the k-anonymity violations a release gate would block (a
+    combination seen once identifies its row).
+
+    One hash aggregate on the quasi-identifier key (map-side partial
+    combine; output is bounded by the violating-combination count, not
+    the table) — the scan never re-reads. Deterministic order:
+    rarest first, then the key columns.
+
+    Output: (quasi columns..., n_rows), ascending by n_rows.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+        .orderBy(
+            F.col("n_rows").asc(), *[F.col(c).asc() for c in quasi_cols]
+        )
+    )
