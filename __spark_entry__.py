@@ -2823,6 +2823,39 @@ def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same operator is classic block-mean pHash dedup.
 
 
+PATHS_TOP = 25
+
+
+def _q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the top event-type trigrams along user timelines
+    (ts, event_id order) — the product-analytics view of 'how do
+    users move through the app'. One window pass partitioned by user
+    (each user's events sort locally — no global sort) + one hash
+    aggregate whose key space is |event_types|³, so the shuffle
+    carries a bounded path dictionary regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ts_us().asc(), F.col("event_id").asc()
+    )
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        steps.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(PATHS_TOP)
+    )
+
+
 KANON_K = 5
 
 
@@ -3127,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash": _q_mm_phash,
         "token_budget_sample": _q_token_budget_sample,
         "k_anonymity": _q_k_anonymity,
+        "event_paths": _q_event_paths,
     }
 
 
@@ -5862,6 +5896,23 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY user_id, event_type
     HAVING count(*) < {KANON_K}
     ORDER BY n_rows ASC, user_id ASC, event_type ASC
+    """,
+        "event_paths": f"""
+    WITH steps AS (
+      SELECT user_id,
+             event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM steps WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path ASC
+    LIMIT {PATHS_TOP}
     """,
     }
     if ann_ivf_sql is not None:
