@@ -2823,6 +2823,16 @@ def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same operator is classic block-mean pHash dedup.
 
 
+def _q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-QA cross-check: documents whose declared ``lang`` column
+    disagrees with the content-based ``lang_id`` guess — the metadata
+    drift a curation pipeline quarantines for review. Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", lang_id("text").alias("lang_pred")
+    ).filter(F.col("lang") != F.col("lang_pred"))
+
+
 PATHS_TOP = 25
 
 
@@ -3161,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,
         "k_anonymity": _q_k_anonymity,
         "event_paths": _q_event_paths,
+        "lang_mismatch": _q_lang_mismatch,
     }
 
 
@@ -5913,6 +5924,13 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1
     ORDER BY n DESC, path ASC
     LIMIT {PATHS_TOP}
+    """,
+        # declared-vs-detected language drift (reuses the lang_id CASE)
+        "lang_mismatch": f"""
+    WITH pred AS ({lang_sql})
+    SELECT d.doc_id, d.lang, p.lang_pred
+    FROM documents d JOIN pred p USING (doc_id)
+    WHERE d.lang != p.lang_pred
     """,
     }
     if ann_ivf_sql is not None:
