@@ -2823,6 +2823,36 @@ def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same operator is classic block-mean pHash dedup.
 
 
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution drift between two cohorts
+    (even/odd vec_id standing in for model-version snapshots) — the
+    ML-ops check run before trusting a re-embedded corpus. One explode
+    + one hash aggregate keyed by dimension (64 groups — bounded
+    output at any table size); means follow the round-9 float policy,
+    drift is computed on the rounded means so both engines agree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        (F.col("vec_id") % 2).alias("coh"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    agg = base.groupBy("dim").agg(
+        F.round(F.avg(F.when(F.col("coh") == 0, F.col("v"))), 9).alias(
+            "mean_even"
+        ),
+        F.round(F.avg(F.when(F.col("coh") == 1, F.col("v"))), 9).alias(
+            "mean_odd"
+        ),
+    )
+    return agg.select(
+        "dim",
+        "mean_even",
+        "mean_odd",
+        F.round(F.abs(F.col("mean_even") - F.col("mean_odd")), 9).alias(
+            "drift"
+        ),
+    )
+
+
 def _q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-QA cross-check: documents whose declared ``lang`` column
     disagrees with the content-based ``lang_id`` guess — the metadata
@@ -3172,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "event_paths": _q_event_paths,
         "lang_mismatch": _q_lang_mismatch,
+        "embedding_drift": _q_embedding_drift,
     }
 
 
@@ -5931,6 +5962,22 @@ def oracle_sql() -> dict[str, str]:
     SELECT d.doc_id, d.lang, p.lang_pred
     FROM documents d JOIN pred p USING (doc_id)
     WHERE d.lang != p.lang_pred
+    """,
+        "embedding_drift": """
+    SELECT dim, mean_even, mean_odd,
+           round(abs(mean_even - mean_odd), 9) AS drift
+    FROM (
+      SELECT j AS dim,
+             round(avg(CASE WHEN vec_id % 2 = 0
+                            THEN CAST(embedding[j + 1] AS DOUBLE) END), 9)
+               AS mean_even,
+             round(avg(CASE WHEN vec_id % 2 = 1
+                            THEN CAST(embedding[j + 1] AS DOUBLE) END), 9)
+               AS mean_odd
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
+      GROUP BY j
+    )
     """,
     }
     if ann_ivf_sql is not None:
