@@ -2823,6 +2823,50 @@ def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same operator is classic block-mean pHash dedup.
 
 
+RFM_BUCKETS = 4
+
+
+def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (last order day), frequency
+    (order count), monetary (exact cent total) per customer, each
+    quartile-scored 1-4 with ntile — the classic CRM rollup.
+
+    Determinism: every ntile orders by (metric, custkey) so ties
+    split identically in both engines. Plan: one aggregate on
+    o_custkey, then three window ranks over the CUSTOMER-level frame
+    (rows = |customers|, not |orders| — the windows never see the
+    fact table). Single-partition windows are acceptable at the
+    customer-dimension scale; shard by a hash prefix if customers
+    outgrow one task."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(
+            F.expr("unix_micros(cast(o_orderdate as timestamp))")
+            / F.lit(86_400_000_000)
+        )
+        .cast("bigint")
+        .alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+    wr = Window.orderBy(F.col("last_day").asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("n_orders").asc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(
+        F.col("total_cents").asc(), F.col("o_custkey").asc()
+    )
+    return per_cust.select(
+        "o_custkey",
+        "last_day",
+        "n_orders",
+        "total_cents",
+        F.ntile(RFM_BUCKETS).over(wr).alias("r_score"),
+        F.ntile(RFM_BUCKETS).over(wf).alias("f_score"),
+        F.ntile(RFM_BUCKETS).over(wm).alias("m_score"),
+    )
+
+
 def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding distribution drift between two cohorts
     (even/odd vec_id standing in for model-version snapshots) — the
@@ -3203,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": _q_event_paths,
         "lang_mismatch": _q_lang_mismatch,
         "embedding_drift": _q_embedding_drift,
+        "rfm_segments": _q_rfm_segments,
     }
 
 
@@ -5978,6 +6023,25 @@ def oracle_sql() -> dict[str, str]:
       CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
       GROUP BY j
     )
+    """,
+        "rfm_segments": f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(max(epoch_us(o_orderdate)) // 86400000000 AS BIGINT)
+               AS last_day,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_day, n_orders, total_cents,
+           ntile({RFM_BUCKETS}) OVER (
+             ORDER BY last_day ASC, o_custkey ASC) AS r_score,
+           ntile({RFM_BUCKETS}) OVER (
+             ORDER BY n_orders ASC, o_custkey ASC) AS f_score,
+           ntile({RFM_BUCKETS}) OVER (
+             ORDER BY total_cents ASC, o_custkey ASC) AS m_score
+    FROM per_cust
     """,
     }
     if ann_ivf_sql is not None:
