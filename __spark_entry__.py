@@ -2823,6 +2823,24 @@ def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same operator is classic block-mean pHash dedup.
 
 
+def _q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the near-dup cluster size histogram
+    (cluster_size -> n_clusters, singletons included) — the one-line
+    answer to "how duplicated is this corpus" that a dedup run is
+    judged by. Pairs come from the MinHash-LSH scale path (equal to
+    exact here, see _q_dedup_clusters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+    clusters = near_dup_clusters(docs, pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy(F.col("cluster_size").asc())
+    )
+
+
 RFM_BUCKETS = 4
 
 
@@ -3248,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mismatch": _q_lang_mismatch,
         "embedding_drift": _q_embedding_drift,
         "rfm_segments": _q_rfm_segments,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
     }
 
 
@@ -6042,6 +6061,34 @@ def oracle_sql() -> dict[str, str]:
            ntile({RFM_BUCKETS}) OVER (
              ORDER BY total_cents ASC, o_custkey ASC) AS m_score
     FROM per_cust
+    """,
+        # histogram over the same recursive-CC cluster assignment the
+        # dedup_clusters oracle computes
+        "dup_cluster_sizes": f"""
+    WITH RECURSIVE pairs AS ({jaccard_sql}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    assign AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+      GROUP BY d.doc_id
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM assign GROUP BY cluster_id
+    )
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    ORDER BY cluster_size ASC
     """,
     }
     if ann_ivf_sql is not None:
