@@ -2823,6 +2823,37 @@ def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same operator is classic block-mean pHash dedup.
 
 
+def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type Markov transition matrix over user timelines: count
+    and conditional probability of each (from, to) step. One window
+    pass per user + one hash aggregate bounded by |event_types|²; the
+    probability is ONE double division (count ratios are exact
+    integers) so engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ts_us().asc(), F.col("event_id").asc()
+    )
+    steps = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type", 1).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wtot = Window.partitionBy("from_type")
+    return steps.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wtot).cast("double")
+        ).alias("p"),
+    )
+
+
 def _q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup observability: the near-dup cluster size histogram
     (cluster_size -> n_clusters, singletons included) — the one-line
@@ -3267,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "rfm_segments": _q_rfm_segments,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "markov_transitions": _q_markov_transitions,
     }
 
 
@@ -6089,6 +6121,22 @@ def oracle_sql() -> dict[str, str]:
     SELECT cluster_size, count(*) AS n_clusters
     FROM sizes GROUP BY cluster_size
     ORDER BY cluster_size ASC
+    """,
+        "markov_transitions": """
+    WITH steps AS (
+      SELECT from_type, to_type, count(*) AS n FROM (
+        SELECT event_type AS from_type,
+               lead(event_type, 1) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS to_type
+        FROM events
+      ) WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM steps
     """,
     }
     if ann_ivf_sql is not None:
