@@ -2823,6 +2823,44 @@ def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same operator is classic block-mean pHash dedup.
 
 
+def _q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source acquisition report: doc count, mean token length,
+    exact-dup rate within the source, and the mean quality logit —
+    the table a data-buying decision reads. One scan, one aggregate
+    keyed by source (bounded output); same float policy as
+    dataset_card (integer counts exact, round-9 means)."""
+    from hbase_gis_spark.operators.dedup import tokens
+    from hbase_gis_spark.operators.textstats import quality_logit_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("__nt"),
+        F.md5("text").alias("__h"),
+        quality_logit_expr("text").alias("__q"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        base.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.count_distinct("__h").alias("n_distinct"),
+            F.round(F.avg("__q"), 9).alias("mean_quality_logit"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            "mean_quality_logit",
+        )
+    )
+
+
 def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type Markov transition matrix over user timelines: count
     and conditional probability of each (from, to) step. One window
@@ -3299,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _q_rfm_segments,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "markov_transitions": _q_markov_transitions,
+        "source_quality": _q_source_quality,
     }
 
 
@@ -6137,6 +6176,35 @@ def oracle_sql() -> dict[str, str]:
            CAST(n AS DOUBLE)
              / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
     FROM steps
+    """,
+        # per-source report: same tokenize/md5/logit features as
+        # dataset_card, grouped by source
+        "source_quality": f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(w), 1, 15))::BIGINT % {QC_DIM}) AS b
+      FROM words
+    ), qa AS (
+      SELECT doc_id, count(*) AS nt,
+             CAST(sum((b * {KNUTH_MULT}) % {2 * QC_DIM} - {QC_DIM})
+                  AS BIGINT) AS wsum
+      FROM tok GROUP BY doc_id
+    ), doc AS (
+      SELECT d.source, md5(d.text) AS h, qa.nt,
+             CASE WHEN qa.nt > 0
+                  THEN qa.wsum / ({QC_DIM}.0 * qa.nt) ELSE 0.0 END AS q
+      FROM documents d JOIN qa USING (doc_id)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(count(*) - count(DISTINCT h) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_rate,
+           round(avg(q), 9) AS mean_quality_logit
+    FROM doc GROUP BY source
     """,
     }
     if ann_ivf_sql is not None:
