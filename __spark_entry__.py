@@ -3185,6 +3185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver rows can be hash-checked.  Positions 51+ remain covered by
     tests/ and tools/check_oracles.py (run every round).  New queries are
     APPENDED at the end, never inserted mid-registry.
+
+    ROUND-4 PLAN: once round 3's driver rows land for the current first
+    50, rotate the never-driver-checked tail (tfidf_topk_terms ..
+    source_quality — the round-3 additions) into slots 1-50 so they earn
+    driver-green rows too; the displaced set keeps tests +
+    check_oracles coverage, same as this round's rotation.
     """
     return {
         # --- slots 1-50: driver-checked this round ------------------------
