@@ -104,6 +104,28 @@ def main() -> None:
             out["r1_set_n"] = len(common)
     except Exception:
         pass
+    # The driver's BENCH_r{N}.json stores a TRUNCATED tail of stdout, so
+    # per-query numbers for early registry entries vanish from the
+    # recorded artifact (VERDICT r3 next-round #2). Persist the FULL
+    # per-query JSON in the repo so round-over-round comparison covers
+    # every query. Round number = 1 + highest recorded driver bench, or
+    # $SPARK_GRAFT_ROUND when set.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        prior = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        rnd = str(max(prior, default=0) + 1)
+    full_path = os.path.join(here, f"bench_full_r{int(rnd):02d}.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

@@ -81,12 +81,14 @@ def cmd_within(args: argparse.Namespace) -> int:
         geohash_col="geohash",
         partition_prefix_col="gh_prefix" if "gh_prefix" in df.columns else None,
     )
+    # collect ONCE; the GeoJSON export shares the same rows instead of
+    # re-running the query (ADVICE r3)
+    rows = out.collect()
     if getattr(args, "geojson", None):
-        from hbase_gis_spark.geo.geojson import results_to_geojson
+        from hbase_gis_spark.geo.geojson import rows_to_geojson
 
         with open(args.geojson, "w") as fh:
-            fh.write(results_to_geojson(out))
-    rows = out.collect()
+            fh.write(rows_to_geojson(sorted(rows, key=lambda r: r.id)))
     for r in rows:
         print(f"{r.id}\t{r.geohash}\t{r.lon}\t{r.lat}")
     print(

@@ -44,11 +44,32 @@ def results_to_geojson(
             f"result exceeds max_rows={max_rows}; results_to_geojson is "
             "for bounded query results — write JSONL for bulk exports"
         )
+    return rows_to_geojson(rows, id_col=id_col, lon_col=lon_col,
+                           lat_col=lat_col)
+
+
+def rows_to_geojson(
+    rows,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """Build the FeatureCollection string from ALREADY-COLLECTED rows —
+    callers that also print the rows (cli.py cmd_within) collect once
+    and share, instead of re-running the query for each consumer
+    (ADVICE r3)."""
     features = []
     for r in rows:
         d = r.asDict()
-        lon = float(d.pop(lon_col))
-        lat = float(d.pop(lat_col))
+        lon, lat = d.pop(lon_col), d.pop(lat_col)
+        if lon is None or lat is None:
+            # a NULL coordinate would otherwise surface as an opaque
+            # TypeError from float(); name the offending row instead
+            raise ValueError(
+                f"row {d.get(id_col)!r}: NULL {lon_col}/{lat_col} — "
+                "GeoJSON point features need both coordinates"
+            )
+        lon, lat = float(lon), float(lat)
         features.append(
             {
                 "type": "Feature",

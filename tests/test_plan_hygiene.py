@@ -19,6 +19,27 @@ def test_no_scale_killer_plans(spark):
     assert flags == {}, f"scale-killer plan shapes: {flags}"
 
 
+def test_no_rdd_access_in_package():
+    """No ``.rdd`` attribute access anywhere in the package or entry
+    module (VERDICT r3 nit #1): converting a DataFrame plan to an RDD
+    forces a full deserialized-RDD plan per call even when only
+    metadata is read. AST-based so docstring mentions don't count."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    files = sorted((root / "hbase_gis_spark").rglob("*.py"))
+    files.append(root / "__spark_entry__.py")
+    files.append(root / "bench.py")
+    offenders = []
+    for path in files:
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and node.attr == "rdd":
+                offenders.append(f"{path.relative_to(root)}:{node.lineno}")
+    assert offenders == [], f".rdd access found: {offenders}"
+
+
 def test_tpch_date_filters_reach_parquet_scans(spark):
     """The sargable timestamp predicates of the TPC-H-shaped queries
     must appear as PushedFilters on their parquet scans — the property
