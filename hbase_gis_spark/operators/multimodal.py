@@ -124,6 +124,53 @@ def _parse_pnm(buf: bytes) -> tuple[int, int, int, bytes]:
     return width, height, nch, pixels
 
 
+def _parse_jpeg_header(buf: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the first SOF segment of a real
+    JPEG stream — header walk only, NO pixel decode (entropy-coded data
+    needs a Huffman+DCT decoder, i.e. a real image library).
+
+    Walks the marker segments from SOI: each marker is 0xFF + code,
+    optionally preceded by 0xFF fill bytes; all markers between SOI and
+    SOS carry a 2-byte big-endian length that includes itself.  Any
+    SOFn (0xC0-0xCF minus DHT/JPG/DAC) carries
+    precision(1) height(2) width(2) ncomponents(1) — baseline (SOF0),
+    extended (SOF1) and progressive (SOF2) all share that layout.
+    Raises ValueError on a malformed stream or when scan data starts
+    before any SOF."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI marker)")
+    i, n = 2, len(buf)
+    while i + 1 < n:
+        if buf[i] != 0xFF:
+            raise ValueError(f"JPEG marker misalignment at offset {i}")
+        while i < n and buf[i] == 0xFF:  # fill bytes
+            i += 1
+        if i >= n:
+            break
+        marker = buf[i]
+        i += 1
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no payload
+            continue
+        if i + 2 > n:
+            break
+        seg_len = int.from_bytes(buf[i : i + 2], "big")
+        if seg_len < 2:
+            raise ValueError(f"JPEG segment length {seg_len} at offset {i}")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 8 > n:
+                raise ValueError("truncated JPEG SOF segment")
+            height = int.from_bytes(buf[i + 3 : i + 5], "big")
+            width = int.from_bytes(buf[i + 5 : i + 7], "big")
+            nch = buf[i + 7]
+            return width, height, nch
+        if marker == 0xDA:  # SOS: entropy-coded data follows, SOF must precede
+            break
+        i += seg_len
+    raise ValueError("no SOF marker before scan data")
+
+
 def _encode_pnm(width: int, height: int, nch: int, pixels: bytes) -> bytes:
     """Encode a raw top-down raster as binary PPM (3ch) / PGM (1ch)."""
     magic = b"P6" if nch == 3 else b"P5"
@@ -144,17 +191,31 @@ def _decode_pure(buf: bytes) -> tuple[int, int, int, float] | None:
 
 def _decode_real(buf: bytes) -> tuple[int, int, int, float]:
     """Real decoder: (width, height, channels, mean byte over the
-    decoded pixel buffer).  Uncompressed BMP and binary PPM/PGM decode
-    via the in-repo pure-Python parsers (no image library needed — the
-    path that actually executes in this container); every other format
-    goes through PIL when present, else raises a clearly-marked
-    NotImplementedError (never a silent fake fallback)."""
+    decoded pixel buffer).  Tiers, most-capable first:
+
+    1. Uncompressed BMP and binary PPM/PGM — in-repo pure-Python
+       parsers, full pixel decode (no image library; executes in this
+       container).
+    2. PIL when importable — full decode of every format it knows.
+    3. JPEG with no PIL — REAL header walk (``_parse_jpeg_header``,
+       SOF dims + channels) but no pixel decode, so ``mean_byte`` is
+       NaN here, which Arrow's pandas->Spark conversion surfaces as
+       SQL NULL in the ``decode_media`` output (the idiomatic
+       "not computed" marker — a NULL drops out of downstream
+       aggregates instead of poisoning them, and ``isnull`` filters
+       it).  Dimensions/channels are the metadata a corpus pipeline
+       filters on.
+    4. Anything else — clearly-marked NotImplementedError (never a
+       silent fake fallback)."""
     pure = _decode_pure(buf)
     if pure is not None:
         return pure
     if not _HAS_PIL:
+        if buf[:2] == b"\xff\xd8":
+            w, h, nch = _parse_jpeg_header(buf)
+            return w, h, nch, float("nan")
         raise NotImplementedError(
-            "non-BMP/PNM image decode requires PIL/opencv; "
+            "non-BMP/PNM/JPEG image decode requires PIL/opencv; "
             "not present in this container"
         )
     import io

@@ -140,15 +140,98 @@ def test_resize_media_real_kernel(spark):
             assert tuple(raster[at : at + 3]) == expect
 
 
-def test_resize_media_real_kernel_pil(spark):
-    """PIL tier of the real resize (non-BMP/PNM formats). Skips where
-    the container lacks PIL; the pure tier above always runs."""
-    pytest.importorskip("PIL")
+def _jpeg_bytes(width, height, nch=3, extra_app=True):
+    """Hand-built REAL JPEG header per ITU-T T.81: SOI, APP0/JFIF,
+    COM, DQT, then a baseline SOF0 carrying the frame dimensions — the
+    exact byte layout a camera JPEG starts with (no entropy-coded scan
+    appended; the header walk never reads past SOF)."""
+    import struct
+
+    out = b"\xff\xd8"  # SOI
+    if extra_app:
+        jfif = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+        out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
+        com = b"hand-built test jpeg"
+        out += b"\xff\xfe" + struct.pack(">H", 2 + len(com)) + com
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes(64)
+    comps = b"".join(
+        bytes([cid, 0x22 if cid == 1 else 0x11, 0x00 if cid == 1 else 0x01])
+        for cid in range(1, nch + 1)
+    )
+    sof = b"\x08" + struct.pack(">HH", height, width) + bytes([nch]) + comps
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    return out
+
+
+def test_jpeg_header_kernel():
+    """Real JPEG SOF parsing without an image library: dimensions and
+    channels from the header walk; malformed streams fail loudly."""
+    import math
+
+    from hbase_gis_spark.operators.multimodal import (
+        _HAS_PIL,
+        _parse_jpeg_header,
+    )
+
+    assert _parse_jpeg_header(_jpeg_bytes(640, 480)) == (640, 480, 3)
+    assert _parse_jpeg_header(_jpeg_bytes(31, 7, nch=1)) == (31, 7, 1)
+    # marker fill bytes before SOF are legal
+    padded = _jpeg_bytes(12, 34).replace(b"\xff\xc0", b"\xff\xff\xff\xc0")
+    assert _parse_jpeg_header(padded) == (12, 34, 3)
+    with pytest.raises(ValueError):
+        _parse_jpeg_header(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):  # SOS before any SOF
+        _parse_jpeg_header(b"\xff\xd8\xff\xda\x00\x02")
+    if not _HAS_PIL:
+        from hbase_gis_spark.operators.multimodal import _decode_real
+
+        w, h, nch, mean = _decode_real(_jpeg_bytes(64, 32))
+        assert (w, h, nch) == (64, 32, 3)
+        assert math.isnan(mean)  # header tier: no pixel decode
+
+
+def test_decode_media_jpeg_header_through_spark(spark):
+    """decode_media(fake=False) on a mixed BMP + real-JPEG batch:
+    the JPEG row yields SOF dims with NULL mean (no PIL — the kernel's
+    NaN surfaces as SQL NULL through Arrow) or full PIL stats (PIL
+    present) — either way real metadata, never the fake."""
+    from hbase_gis_spark.operators.multimodal import _HAS_PIL
+
+    if _HAS_PIL:
+        # PIL would decode the (scan-less) header stub as truncated;
+        # the PIL tier is exercised by its own branch below
+        rows = [(1, _bmp_bytes(_BMP_PIXELS))]
+    else:
+        rows = [(1, _bmp_bytes(_BMP_PIXELS)), (2, _jpeg_bytes(320, 200))]
+    df = spark.createDataFrame(rows, "id bigint, media binary")
+    got = {r.id: r for r in decode_media(df, fake=False).collect()}
+    assert (got[1].width, got[1].height) == (3, 2)
+    if not _HAS_PIL:
+        assert (got[2].width, got[2].height, got[2].channels) == (320, 200, 3)
+        assert got[2].mean_byte is None  # header tier: no pixel decode
+
+
+def test_resize_media_non_pnm_tier(spark):
+    """Non-BMP/PNM resize: with PIL, PNG-in → resized PNG-out; without
+    PIL the kernel must raise the clearly-marked NotImplementedError —
+    both branches assert real behavior (no skip either way)."""
     import io
 
-    from PIL import Image
+    from hbase_gis_spark.operators.multimodal import _HAS_PIL, resize_media
 
-    from hbase_gis_spark.operators.multimodal import resize_media
+    if not _HAS_PIL:
+        df = spark.createDataFrame(
+            [(1, b"\x89PNG\r\n\x1a\n not decodable here")],
+            "id bigint, media binary",
+        )
+        with pytest.raises(Exception) as ei:
+            resize_media(df, 0, fake=False, size=(4, 6)).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+        return
+
+    from PIL import Image
 
     im = Image.new("RGB", (10, 10), (50, 50, 50))
     out_b = io.BytesIO()
