@@ -273,6 +273,12 @@ def register_sql_api(spark: SparkSession) -> None:
     - ``hgs_minhash_band(text, band) -> int``: MinHash LSH band hash
       (n=3, 64 hashes, 16 bands — the operator defaults).
     - ``hgs_lang_id(text) -> string``: marker-word language guess.
+    - ``hgs_sig_lo(a)`` / ``hgs_sig_hi(a) -> bigint``: sign-bit binary
+      signature half-words (bit-exact twins of
+      ``binary_signature_exprs``).
+    - ``hgs_hamming(a_lo, a_hi, b_lo, b_hi) -> int``: popcount Hamming
+      distance between two packed signatures (xor + bit_count
+      intrinsics — the SQL form of the ``ann_hamming_topk`` funnel).
     - ``hgs_dot(a, b)`` / ``hgs_cosine(a, b) -> double``: fold-order
       vector arithmetic (bit-matches the operators/oracles).
     - ``hgs_quality_logit(text) -> double``: hashed-linear quality
@@ -359,6 +365,36 @@ def register_sql_api(spark: SparkSession) -> None:
     spark.udf.register("hgs_phash_lo", _hgs_phash_lo)
     spark.udf.register("hgs_phash_hi", _hgs_phash_hi)
 
+    # binary-signature retrieval family — SQL twins of
+    # operators/similarity.py::binary_signature_exprs / ann_hamming_topk
+    # (same strictly-positive sign rule and two 32-bit half-words, so
+    # SQL signatures join bit-exactly against DataFrame-built ones; see
+    # binary_signature_exprs for why two half-words). hgs_hamming is
+    # pure codegen intrinsics (xor + bit_count).
+    def _sig_fold_sql(first_dim: int) -> str:
+        weights = ", ".join(f"cast({1 << i} as bigint)" for i in range(32))
+        return (
+            "aggregate(zip_with("
+            f"slice(transform(a, x -> cast(x as double)), {first_dim}, 32), "
+            f"array({weights}), "
+            "(x, wgt) -> if(x > cast(0 as double), wgt, cast(0 as bigint))), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_sig_lo("
+        f"a ARRAY<FLOAT>) RETURNS BIGINT RETURN {_sig_fold_sql(1)}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_sig_hi("
+        f"a ARRAY<FLOAT>) RETURNS BIGINT RETURN {_sig_fold_sql(33)}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_hamming("
+        "a_lo BIGINT, a_hi BIGINT, b_lo BIGINT, b_hi BIGINT) "
+        "RETURNS INT RETURN "
+        "cast(bit_count(a_lo ^ b_lo) + bit_count(a_hi ^ b_hi) as int)"
+    )
     # hashed-linear quality logit — SQL twin of
     # operators/textstats.py::quality_classifier (same md5 bucket and
     # integer weight formula; integer fold, one final division)

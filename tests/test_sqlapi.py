@@ -335,3 +335,51 @@ def test_hgs_phash_matches_dataframe(spark, docs_view):
         r.id: (r.phash_lo, r.phash_hi) for r in media_phash(media).collect()
     }
     assert via_sql == via_df
+
+
+def test_hgs_hamming_funnel_matches_dataframe(spark):
+    """The full Hamming retrieval funnel written in pure SQL
+    (hgs_sig_lo/hgs_sig_hi signatures -> hgs_hamming popcount ->
+    ORDER BY + LIMIT) returns exactly ann_hamming_topk's rows in
+    order, and every function stays JVM-side (no Python eval)."""
+    from hbase_gis_spark.operators.similarity import ann_hamming_topk
+    from hbase_gis_spark.sources.tables import load_table
+
+    hgs.register_sql_api(spark)
+    emb = load_table(spark, SF0001, "embeddings")
+    emb.createOrReplaceTempView("emb_ham_sql")
+    k, qid = 12, 7
+    sql_rows = spark.sql(
+        f"""
+        WITH sigs AS (
+          SELECT vec_id,
+                 hgs_sig_lo(embedding) AS sig_lo,
+                 hgs_sig_hi(embedding) AS sig_hi
+          FROM emb_ham_sql
+        ), q AS (
+          SELECT sig_lo AS qlo, sig_hi AS qhi FROM sigs
+          WHERE vec_id = {qid}
+        )
+        SELECT vec_id, hgs_hamming(sig_lo, sig_hi, qlo, qhi) AS hamming
+        FROM sigs CROSS JOIN q
+        WHERE vec_id <> {qid}
+        ORDER BY hamming ASC, vec_id ASC
+        LIMIT {k}
+        """
+    ).collect()
+    df_rows = ann_hamming_topk(emb, qid, k).collect()
+    assert [(r.vec_id, r.hamming) for r in sql_rows] == [
+        (r.vec_id, r.hamming) for r in df_rows
+    ]
+    assert len(sql_rows) == k
+    plan = (
+        spark.sql(
+            "SELECT hgs_hamming(hgs_sig_lo(embedding), "
+            "hgs_sig_hi(embedding), 0, 0) FROM emb_ham_sql"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
