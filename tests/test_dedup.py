@@ -513,3 +513,132 @@ def test_cell_footprint_pairs_max_df_false_negative_only(spark):
     # the pair whose ONLY shared cell was the hot one is gone
     assert (1, 2) in full and (1, 4) in full
     assert (1, 4) not in capped
+
+
+def _zipf_corpus():
+    """Deterministic 300-doc corpus over a 1,200-term Zipfian
+    vocabulary: 10 stopword-tier terms ride in EVERY doc (df = n_docs,
+    the inverted index's worst-case buckets), the tail is Zipf-sampled
+    rare terms, and 20 docs are near-duplicates of existing docs
+    (sharing 18/20 rare terms — the pairs the operator must find)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"t{i:04d}" for i in range(1200)]
+    stop, rare = vocab[:10], vocab[10:]
+    # zipf weights over the rare tail
+    weights = [1.0 / (r + 1) for r in range(len(rare))]
+    docs = []
+    for i in range(280):
+        toks = list(stop) + rng.choices(rare, weights=weights, k=20)
+        docs.append((i, " ".join(toks)))
+    for j in range(20):  # near-dups of the first 20 docs
+        base = docs[j][1].split()
+        mutated = list(base)
+        mutated[12] = rng.choice(rare)  # swap 2 of the 20 rare tokens
+        mutated[13] = rng.choice(rare)
+        docs.append((280 + j, " ".join(mutated)))
+    return docs
+
+
+def _brute_tfidf_pairs(docs, threshold):
+    """Uncapped n^2 oracle replaying the operator's exact integer
+    formula: w = tf * HALF_UP(ln((N+1)/(df+1)) * 1000)."""
+    import itertools
+    import math
+
+    n = len(docs)
+    tf, dfreq = {}, {}
+    for i, text in docs:
+        counts = {}
+        for t in text.split():
+            counts[t] = counts.get(t, 0) + 1
+        tf[i] = counts
+        for t in counts:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    w = {
+        i: {
+            t: c * int(math.floor(math.log((n + 1) / (dfreq[t] + 1)) * 1000 + 0.5))
+            for t, c in counts.items()
+        }
+        for i, counts in tf.items()
+    }
+    norm = {i: math.sqrt(float(sum(x * x for x in ws.values()))) for i, ws in w.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(w), 2):
+        wa, wb = w[a], w[b]
+        if len(wb) < len(wa):
+            wa, wb = wb, wa
+        dot = sum(x * wb[t] for t, x in wa.items() if t in wb)
+        cos = dot / (norm[a] * norm[b])
+        if cos >= threshold:
+            out[(a, b)] = cos
+    return out
+
+
+def test_tfidf_cosine_pairs_zipfian_vocabulary(spark):
+    """The uncapped operator is EXACT against an n^2 brute oracle on a
+    realistic Zipfian vocabulary, and the max_df guard prunes exactly
+    the stopword tier: bucket-join work collapses to sum(df^2) over
+    surviving buckets — >20x below the uncapped sum(df^2), which the
+    stop tier alone pushes past 10*C(n,2) — while the qualifying pair set is
+    UNCHANGED (stopword-bucket weight is too small to cross the
+    threshold margin). Pins the at-scale shape the registry's 500-doc
+    cap hides (VERDICT r3 next-round #3)."""
+    from hbase_gis_spark.operators.dedup import _bucket_pairs, tfidf_cosine_pairs, tokens
+
+    corpus = _zipf_corpus()
+    sdf = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    threshold, cap, n = 0.6, 50, len(corpus)
+    brute = _brute_tfidf_pairs(corpus, threshold)
+    assert len(brute) >= 15  # the near-dup pairs are actually found
+
+    # 1. uncapped operator == brute oracle, cosine to float precision
+    uncapped = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(sdf, threshold, max_df=None).collect()
+    }
+    assert set(uncapped) == set(brute)
+    assert all(abs(uncapped[p] - brute[p]) < 1e-9 for p in brute)
+
+    # 2. the guard prunes the stopword tier: every surviving bucket is
+    #    a rare term, and the candidate count is sum over surviving
+    #    buckets of C(df,2) — a tiny fraction of the n^2 pair space
+    toks = sdf.select(
+        F.col("doc_id").alias("id"), F.explode(tokens("text")).alias("term")
+    )
+    dfreq = (
+        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    all_df = {r.term: r.df for r in dfreq.collect()}
+    surviving = {t: d for t, d in all_df.items() if d <= cap}
+    assert not any(int(t[1:]) < 10 for t in surviving)  # stop tier pruned
+    expect_candidates = sum(d * (d - 1) // 2 for d in surviving.values())
+    uncapped_work = sum(d * (d - 1) // 2 for d in all_df.values())
+    posting = toks.distinct()
+    candidates = (
+        _bucket_pairs(posting, ["term"], max_bucket=cap)
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert candidates <= expect_candidates
+    # the stopword tier alone costs 10 * C(n,2) join work uncapped —
+    # the guard collapses the bucket-join work by >20x on this corpus
+    # and keeps the distinct candidate space subquadratic
+    assert uncapped_work > 10 * (n * (n - 1) // 2)
+    assert expect_candidates < 0.05 * uncapped_work, (
+        f"capped work {expect_candidates} vs uncapped {uncapped_work}"
+    )
+    assert candidates < 0.4 * (n * (n - 1) // 2), (
+        f"{candidates} candidates vs {n * (n - 1) // 2} pairs"
+    )
+
+    # 3. capped pair set unchanged (false-negative-only contract holds
+    #    with margin on this corpus); capped cosine never exceeds true
+    capped = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(sdf, threshold, max_df=cap).collect()
+    }
+    assert set(capped) == set(brute)
+    assert all(capped[p] <= brute[p] + 1e-9 for p in capped)
