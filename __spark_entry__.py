@@ -3171,6 +3171,115 @@ def _q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---- round-4 additions: corpus hygiene, graph rank, layout keys ----------
+
+NGRAM_DIV_N = 2
+BOILER_N, BOILER_MIN_DOCS = 3, 2
+ZORDER_BITS = 16
+PAGERANK_ITERS, PAGERANK_DAMPING_MILLI = 3, 850
+
+
+def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram diversity (distinct/total ratio) — the
+    degenerate-repetition screen. Map-only array expressions, no
+    shuffle; NULL diversity for docs shorter than n tokens."""
+    from hbase_gis_spark.operators.textstats import ngram_diversity
+
+    return ngram_diversity(
+        load_table(spark, sf_dir, "documents"), n=NGRAM_DIV_N
+    )
+
+
+def _q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate 3-grams: shared across >= 2 distinct docs
+    of one source. One explode + one (source, gram) hash aggregate +
+    broadcast per-source totals."""
+    from hbase_gis_spark.operators.textstats import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        load_table(spark, sf_dir, "documents"),
+        n=BOILER_N,
+        min_docs=BOILER_MIN_DOCS,
+    )
+
+
+def _q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram; bucket from the binary
+    string length so both engines agree at exact powers of two."""
+    from hbase_gis_spark.operators.textstats import doc_length_histogram
+
+    return doc_length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling: survival probability is
+    an integer milli-ramp of the hashed-linear quality logit; draw is
+    the repo-standard md5 hash — deterministic, append-stable, exact
+    on both engines. Map-only scan + filter."""
+    from hbase_gis_spark.operators.corpus import quality_resample
+
+    return quality_resample(load_table(spark, sf_dir, "documents"))
+
+
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-document contamination audit (the other direction of
+    ``decontaminate``): fraction of each held-out doc's distinct
+    3-grams present anywhere in the training split, and the number of
+    distinct training docs sharing them. One postings join on the
+    gram key."""
+    from hbase_gis_spark.operators.corpus import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    test = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    return contamination_report(train, test, n=JACCARD_N)
+
+
+def _q_pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (the
+    markov_transitions edge list), 3 fixed power iterations in
+    all-BIGINT micro-unit arithmetic — shuffle-order- and
+    engine-exact. Per iteration: one edges-vs-ranks join + one hash
+    aggregate; the rank table is |event_types| rows."""
+    from hbase_gis_spark.operators.graph import event_type_edges, pagerank_int
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = event_type_edges(ev, ts_us())
+    return pagerank_int(
+        edges, iters=PAGERANK_ITERS, damping_milli=PAGERANK_DAMPING_MILLI
+    )
+
+
+def _q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate saturation within its source group —
+    the threshold input for chrome-heavy doc removal. One explode
+    feeding both the (source, gram) df aggregate and the per-doc
+    join-back."""
+    from hbase_gis_spark.operators.textstats import boilerplate_coverage
+
+    return boilerplate_coverage(
+        load_table(spark, sf_dir, "documents"),
+        n=BOILER_N,
+        min_docs=BOILER_MIN_DOCS,
+    )
+
+
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over (value, event time): the 2-D Morton
+    interleave of 16-bit equal-width bins — what a writer feeds to
+    repartitionByRange + sortWithinPartitions so BOTH hot predicates
+    prune files. One broadcast min/max row + map-only shift/mask."""
+    from hbase_gis_spark.operators.layout import zorder_key_2d
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", ts_us().alias("__t")
+    )
+    return zorder_key_2d(ev, "value", "__t", bits=ZORDER_BITS).select(
+        "event_id", "zkey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -3345,6 +3454,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_urgent": _q_customers_no_urgent,
         "large_volume_customers": _q_large_volume_customers,
         "promo_revenue": _q_promo_revenue,
+        # --- round-4 additions (appended per the ordering policy;
+        # they rotate into the driver window in round 5) -------------
+        "ngram_diversity": _q_ngram_diversity,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "quality_resample": _q_quality_resample,
+        "contamination_report": _q_contamination_report,
+        "pagerank_event_types": _q_pagerank_event_types,
+        "zorder_layout": _q_zorder_layout,
+        "boilerplate_coverage": _q_boilerplate_coverage,
     }
 
 
@@ -6242,4 +6361,240 @@ def oracle_sql() -> dict[str, str]:
         out["pca_project"] = pca_sql
     if video_features_sql is not None:
         out["video_features"] = video_features_sql
+
+    # ---- round-4 oracles --------------------------------------------------
+    out["ngram_diversity"] = f"""
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n_grams,
+             CASE WHEN len(w) >= 2
+                  THEN CAST(len(list_distinct(list_transform(
+                         range(1, len(w)),
+                         i -> w[i] || ' ' || w[i+1]))) AS BIGINT)
+                  ELSE 0 END AS distinct_grams
+      FROM t
+    )
+    SELECT doc_id, n_grams, distinct_grams,
+           CASE WHEN n_grams > 0
+                THEN CAST(distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+           END AS diversity
+    FROM g
+    """
+    out["boilerplate_ngrams"] = f"""
+    WITH t AS (SELECT doc_id, source, {toks} AS w FROM documents),
+    g AS (
+      SELECT source, doc_id,
+             unnest(CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [] END) AS gram
+      FROM t
+    ),
+    gc AS (SELECT source, count(*) AS g_docs FROM documents GROUP BY source),
+    c AS (SELECT source, gram, count(*) AS df_docs FROM g GROUP BY source, gram)
+    SELECT c.source, gram, CAST(df_docs AS BIGINT) AS df_docs,
+           CAST(df_docs AS DOUBLE) / CAST(g_docs AS DOUBLE) AS doc_frac
+    FROM c JOIN gc ON c.source = gc.source
+    WHERE df_docs >= 2
+    """
+    out["doc_length_histogram"] = f"""
+    WITH t AS (SELECT len({toks}) AS n FROM documents),
+    b AS (
+      SELECT CASE WHEN n > 0
+                  THEN CAST(length(ltrim(bin(CAST(n AS BIGINT)), '0')) - 1
+                            AS INTEGER)
+                  ELSE -1 END AS len_bucket,
+             n
+      FROM t
+    )
+    SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM b GROUP BY len_bucket
+    """
+    out["quality_resample"] = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(w), 1, 15))::BIGINT % {QC_DIM}) AS b
+      FROM words
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum((b * {KNUTH_MULT}) % {2 * QC_DIM} - {QC_DIM})
+                  AS BIGINT) AS wsum
+      FROM tok GROUP BY doc_id
+    ), q AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens > 0
+                  THEN wsum / ({QC_DIM}.0 * n_tokens) ELSE 0.0 END AS logit
+      FROM agg
+    ), d AS (
+      SELECT doc_id,
+             greatest(0::BIGINT, least(1000::BIGINT,
+               500 + CAST(floor(logit * 250.0) AS BIGINT))) AS keep_milli,
+             ('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 1000 AS draw
+      FROM q
+    )
+    SELECT doc_id, keep_milli, draw FROM d WHERE draw < keep_milli
+    """
+    out["contamination_report"] = f"""
+    {shingles_cte},
+    te AS (SELECT doc_id, s FROM sh WHERE doc_id % {DECON_MOD} = 0),
+    tr_post AS (
+      SELECT doc_id AS train_id, unnest(s) AS g FROM sh
+      WHERE doc_id % {DECON_MOD} != 0
+    ),
+    te_post AS (SELECT doc_id, unnest(s) AS g FROM te),
+    hits AS (
+      SELECT doc_id,
+             count(DISTINCT g) AS hit_grams,
+             count(DISTINCT train_id) AS n_train_docs
+      FROM te_post JOIN tr_post USING (g) GROUP BY doc_id
+    )
+    SELECT te.doc_id,
+           CAST(len(te.s) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+           CASE WHEN len(te.s) > 0
+                THEN CAST(coalesce(h.hit_grams, 0) AS DOUBLE)
+                     / CAST(len(te.s) AS DOUBLE)
+           END AS contamination,
+           CAST(coalesce(h.n_train_docs, 0) AS BIGINT) AS n_train_docs
+    FROM te LEFT JOIN hits h ON te.doc_id = h.doc_id
+    """
+    out["pagerank_event_types"] = f"""
+    WITH e AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT event_type AS src,
+               lead(event_type, 1) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS dst
+        FROM events
+      ) WHERE dst IS NOT NULL
+      GROUP BY src, dst
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+    r0 AS (
+      SELECT node, CAST(1000000 // n AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn
+    ),
+    c1 AS (
+      SELECT e.dst AS node, CAST(sum((r.rank * e.w) // o.ow) AS BIGINT) AS cb
+      FROM e JOIN r0 r ON e.src = r.node JOIN ow o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT nodes.node,
+             CAST(({1000 - PAGERANK_DAMPING_MILLI} * 1000000) // (1000 * n)
+                  + ({PAGERANK_DAMPING_MILLI} * coalesce(c1.cb, 0)) // 1000
+                  AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node
+    ),
+    c2 AS (
+      SELECT e.dst AS node, CAST(sum((r.rank * e.w) // o.ow) AS BIGINT) AS cb
+      FROM e JOIN r1 r ON e.src = r.node JOIN ow o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT nodes.node,
+             CAST(({1000 - PAGERANK_DAMPING_MILLI} * 1000000) // (1000 * n)
+                  + ({PAGERANK_DAMPING_MILLI} * coalesce(c2.cb, 0)) // 1000
+                  AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node
+    ),
+    c3 AS (
+      SELECT e.dst AS node, CAST(sum((r.rank * e.w) // o.ow) AS BIGINT) AS cb
+      FROM e JOIN r2 r ON e.src = r.node JOIN ow o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT nodes.node,
+             CAST(({1000 - PAGERANK_DAMPING_MILLI} * 1000000) // (1000 * n)
+                  + ({PAGERANK_DAMPING_MILLI} * coalesce(c3.cb, 0)) // 1000
+                  AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node
+    )
+    SELECT node, rank AS rank_micro FROM r3
+    """
+    out["zorder_layout"] = """
+    WITH rng AS (
+      SELECT min(value::DOUBLE) AS xmin, max(value::DOUBLE) AS xmax,
+             min(epoch_us(ts)::DOUBLE) AS ymin,
+             max(epoch_us(ts)::DOUBLE) AS ymax
+      FROM events
+    ),
+    b0 AS (
+      SELECT event_id,
+             least(greatest(CAST(floor((value::DOUBLE - xmin)
+                    / (CASE WHEN xmax > xmin THEN xmax - xmin END)
+                    * 65535.0) AS BIGINT), 0), 65535) AS xb,
+             least(greatest(CAST(floor((epoch_us(ts)::DOUBLE - ymin)
+                    / (CASE WHEN ymax > ymin THEN ymax - ymin END)
+                    * 65535.0) AS BIGINT), 0), 65535) AS yb
+      FROM events CROSS JOIN rng
+    ),
+    s1 AS (SELECT event_id,
+      ((xb | (xb << 16)) & 281470681808895::BIGINT) AS x1,
+      ((yb | (yb << 16)) & 281470681808895::BIGINT) AS y1
+      FROM b0),
+    s2 AS (SELECT event_id,
+      ((x1 | (x1 << 8)) & 71777214294589695::BIGINT) AS x2,
+      ((y1 | (y1 << 8)) & 71777214294589695::BIGINT) AS y2
+      FROM s1),
+    s3 AS (SELECT event_id,
+      ((x2 | (x2 << 4)) & 1085102592571150095::BIGINT) AS x3,
+      ((y2 | (y2 << 4)) & 1085102592571150095::BIGINT) AS y3
+      FROM s2),
+    s4 AS (SELECT event_id,
+      ((x3 | (x3 << 2)) & 3689348814741910323::BIGINT) AS x4,
+      ((y3 | (y3 << 2)) & 3689348814741910323::BIGINT) AS y4
+      FROM s3),
+    s5 AS (SELECT event_id,
+      ((x4 | (x4 << 1)) & 6148914691236517205::BIGINT) AS x5,
+      ((y4 | (y4 << 1)) & 6148914691236517205::BIGINT) AS y5
+      FROM s4),
+    final AS (
+      SELECT event_id, ((x5 << 1) | y5)::BIGINT AS zkey FROM s5
+    )
+    SELECT event_id, zkey FROM final
+    """
+
+    out["boilerplate_coverage"] = f"""
+    WITH t AS (SELECT doc_id, source, {toks} AS w FROM documents),
+    sets AS (
+      SELECT doc_id, source,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(
+                         range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [] END AS s
+      FROM t
+    ),
+    g AS (SELECT doc_id, source, unnest(s) AS gram FROM sets),
+    boiler AS (
+      SELECT source, gram FROM g GROUP BY source, gram
+      HAVING count(*) >= 2
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS boiler_grams
+      FROM g JOIN boiler USING (source, gram) GROUP BY doc_id
+    )
+    SELECT sets.doc_id, sets.source,
+           CAST(len(sets.s) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.boiler_grams, 0) AS BIGINT) AS boiler_grams,
+           CASE WHEN len(sets.s) > 0
+                THEN CAST(coalesce(p.boiler_grams, 0) AS DOUBLE)
+                     / CAST(len(sets.s) AS DOUBLE)
+           END AS coverage
+    FROM sets LEFT JOIN per_doc p ON sets.doc_id = p.doc_id
+    """
+
     return out

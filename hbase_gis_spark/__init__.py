@@ -111,6 +111,10 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     tfidf_topk_terms,
     token_count,
     unigram_lm_score,
+    boilerplate_coverage,
+    boilerplate_ngrams,
+    doc_length_histogram,
+    ngram_diversity,
 )
 from hbase_gis_spark.operators.multimodal import (  # noqa: F401
     attach_fake_audio,
@@ -147,7 +151,14 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     skew_report,
     token_budget_sample,
     write_training_shards,
+    contamination_report,
+    quality_resample,
 )
+from hbase_gis_spark.operators.graph import (  # noqa: F401
+    event_type_edges,
+    pagerank_int,
+)
+from hbase_gis_spark.operators.layout import zorder_key_2d  # noqa: F401
 from hbase_gis_spark.operators.merge import (  # noqa: F401
     merge_upsert,
     scd2_intervals,

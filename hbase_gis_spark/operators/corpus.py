@@ -560,3 +560,108 @@ def k_anonymity_report(
             F.col("n_rows").asc(), *[F.col(c).asc() for c in quasi_cols]
         )
     )
+
+
+def quality_resample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "resample",
+) -> DataFrame:
+    """Quality-weighted importance resampling: each document survives
+    with probability proportional to its quality score — the soft
+    alternative to a hard ``quality_logit > 0`` cutoff (keeps SOME
+    low-scoring text for diversity, thins it instead of banning it).
+
+    Determinism/exactness contract: the keep probability is an integer
+    milli-unit ramp ``clamp(500 + floor(quality_logit * 250), 0,
+    1000)`` — floor, not round, so no half-way tie can diverge between
+    engines — and the draw is the repo-standard md5 hash of the doc id
+    folded mod 1000.  Pure function of row content: reproducible
+    across runs, cluster layouts, and engines, and re-running on an
+    appended table never flips previously-kept rows (the property
+    RNG-based sampling loses).
+
+    Map-only scan annotation + filter; no shuffle, no Python.
+    Output: (id_col, keep_milli, draw) for the surviving rows.
+    """
+    from hbase_gis_spark.operators.textstats import quality_logit_expr
+
+    keep_milli = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.lit(1000).cast("bigint"),
+            F.lit(500)
+            + F.floor(quality_logit_expr(text_col) * F.lit(250.0)),
+        ),
+    )
+    draw = content_hash(salt, id_col, modulus=1000)
+    return (
+        df.select(
+            F.col(id_col),
+            keep_milli.alias("keep_milli"),
+            draw.alias("draw"),
+        )
+        .filter(F.col("draw") < F.col("keep_milli"))
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-EVAL-document contamination audit — the other direction of
+    ``ngram_contamination`` (which annotates TRAIN docs): for each
+    held-out document, how much of it already leaks into the training
+    corpus, and from how many training documents.
+
+    Output: (id_col, n_grams, hit_grams, contamination, n_train_docs)
+    where contamination = hit_grams / n_grams (NULL for eval docs
+    shorter than n tokens).  Zero-hit eval docs are kept (left join) —
+    the report is a total audit, its consumer decides the eviction
+    threshold.
+
+    Scale shape: both sides explode to DISTINCT (doc, gram) postings;
+    ONE equality join on the gram key + one per-eval-doc aggregate.
+    The eval side is bounded (benchmarks), the train side is the 100
+    TB corpus — work is the postings-intersection size, and the join
+    key is content-derived, so AQE handles the few stop-gram buckets.
+    """
+    from hbase_gis_spark.operators.dedup import _spread, word_shingles
+
+    te = test.select(
+        F.col(id_col).alias("tid"), word_shingles(text_col, n).alias("s")
+    )
+    te_tot = te.select(
+        "tid", F.size("s").cast("bigint").alias("n_grams")
+    )
+    te_post = te.select("tid", F.explode("s").alias("gram"))
+    tr_post = _spread(train).select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    hits = (
+        te_post.join(tr_post, "gram")
+        .groupBy("tid")
+        .agg(
+            F.count_distinct("gram").alias("hit_grams"),
+            F.count_distinct("train_id").alias("n_train_docs"),
+        )
+    )
+    return (
+        te_tot.join(hits, "tid", "left")
+        .select(
+            F.col("tid").alias(id_col),
+            "n_grams",
+            F.coalesce("hit_grams", F.lit(0)).alias("hit_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("hit_grams", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+            ).alias("contamination"),
+            F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
+        )
+    )

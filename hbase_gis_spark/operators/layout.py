@@ -1,0 +1,83 @@
+"""Multi-dimensional table-layout keys (Z-order clustering).
+
+A 100 TB fact table usually has TWO hot predicates (e.g. value range x
+time range).  Sorting by either column alone makes the other's min/max
+file statistics useless; sorting by the Morton (Z-order) interleave of
+both keeps files tight in BOTH dimensions, so either predicate prunes
+~sqrt-fraction of files.  This module computes the key; writers apply
+it with ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` so
+parquet row-group stats align with the curve (the same layout story as
+the geohash-prefix-partitioned sink in sources/ingest.py:161 — a
+geohash IS a base-32-rendered Z-order key; reference parity:
+tech/stackable/gis/hbase/coprocessor rowkey design).
+
+Engine-exactness: bins are ``floor((v - min) / (max - min) * (2^bits
+- 1))`` — one subtraction, one division, one multiply, identical IEEE
+ops in identical order on both engines — and the interleave is pure
+integer shift/mask, so the key is bit-identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_gis_spark.functions.geo import _spread_bits
+
+
+def zorder_bin(v: Column, vmin: Column, vmax: Column, bits: int) -> Column:
+    """Clamped equal-width bin of ``v`` over [vmin, vmax] into
+    ``2^bits`` cells.  NULL and NaN pass through as NULL (Spark's
+    floor(double) silently maps NaN to 0, DuckDB's keeps NaN — the
+    explicit guard keeps both engines at NULL); a degenerate
+    vmin == vmax range bins everything to 0."""
+    d = v.cast("double")
+    scale = F.lit(float((1 << bits) - 1))
+    raw = F.floor((d - vmin) / F.when(vmax > vmin, vmax - vmin) * scale)
+    clamped = F.least(
+        F.greatest(raw, F.lit(0)), F.lit((1 << bits) - 1)
+    )
+    return F.when(
+        d.isNotNull() & ~F.isnan(d), F.coalesce(clamped, F.lit(0))
+    )
+
+
+def zorder_key_2d(
+    df: DataFrame,
+    x_col,
+    y_col,
+    bits: int = 16,
+) -> DataFrame:
+    """Annotate every row with ``zkey`` = the 2-D Morton interleave of
+    the two columns' equal-width bins (x in even bit positions).
+
+    The bin ranges come from ONE 1-row global min/max aggregate,
+    broadcast into the scan (sanctioned 1-row BNLJ — constant cost in
+    table size, same pattern as the IVF centroid literals).  Key
+    computation itself is map-only shift/mask under whole-stage
+    codegen.  ``bits <= 16`` keeps the interleave inside the positive
+    int64 range (2*16 = 32 key bits).
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in [1, 16]")
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+
+    # NaN sorts GREATER than every double in Spark aggregates — one NaN
+    # row would otherwise poison the max and collapse every bin to 0
+    def clean(c: Column) -> Column:
+        d = c.cast("double")
+        return F.when(~F.isnan(d), d)
+
+    rng = df.agg(
+        F.min(clean(x)).alias("__xmin"),
+        F.max(clean(x)).alias("__xmax"),
+        F.min(clean(y)).alias("__ymin"),
+        F.max(clean(y)).alias("__ymax"),
+    )
+    xb = zorder_bin(x, F.col("__xmin"), F.col("__xmax"), bits)
+    yb = zorder_bin(y, F.col("__ymin"), F.col("__ymax"), bits)
+    zkey = F.shiftleft(_spread_bits(xb), 1).bitwiseOR(_spread_bits(yb))
+    return df.crossJoin(F.broadcast(rng)).select(
+        *[F.col(c) for c in df.columns], zkey.cast("bigint").alias("zkey")
+    )

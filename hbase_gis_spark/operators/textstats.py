@@ -702,3 +702,172 @@ def bigram_lm_score(
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "avg_logp")
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram diversity: total n-grams, distinct n-grams,
+    and their ratio — the repetition/creativity signal used to screen
+    degenerate (copy-looping) documents out of a training corpus; the
+    per-doc complement of the corpus-level ``repetition_stats``.
+
+    Map-only: both counts come from array expressions on the token
+    split (total = max(len - n + 1, 0), distinct via the shared
+    ``word_shingles`` distinct-shingle builder), no explode, no
+    shuffle — at 100 TB this is a pure scan annotation under
+    whole-stage codegen. ``diversity`` is one double division (NULL
+    for docs shorter than n tokens)."""
+    from hbase_gis_spark.operators.dedup import tokens, word_shingles
+
+    total = F.greatest(
+        F.size(tokens(text_col)) - (n - 1), F.lit(0)
+    ).cast("bigint")
+    distinct = F.size(word_shingles(text_col, n)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        distinct.alias("distinct_grams"),
+        F.when(
+            total > 0, distinct.cast("double") / total.cast("double")
+        ).alias("diversity"),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Boilerplate detection: token n-grams that recur across >=
+    ``min_docs`` DISTINCT documents of the same ``group_col`` (site /
+    feed / template family) — headers, footers, navigation chrome.
+    Output: (group, gram, df_docs, doc_frac) where doc_frac is the
+    fraction of the group's documents containing the gram.
+
+    Scale shape: one explode of DISTINCT per-doc shingles -> ONE hash
+    aggregate on (group, gram) (map-side partials collapse the
+    per-partition repeats), plus a broadcast join of the per-group doc
+    totals (|groups| rows — a classic tiny dim). Work is linear in
+    corpus tokens; no pair joins anywhere. The downstream removal
+    policy (strip or down-weight docs dominated by boilerplate grams)
+    joins this table back on the gram key."""
+    from hbase_gis_spark.operators.dedup import _spread, word_shingles
+
+    per_group = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("g_docs")
+    )
+    grams = _spread(df).select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    counts = grams.groupBy("g", "gram").agg(
+        F.count(F.lit(1)).alias("df_docs")  # shingles are per-doc distinct
+    )
+    return (
+        counts.filter(F.col("df_docs") >= min_docs)
+        .join(F.broadcast(per_group), "g")
+        .select(
+            F.col("g").alias(group_col),
+            "gram",
+            "df_docs",
+            (F.col("df_docs").cast("double") / F.col("g_docs").cast("double"))
+            .alias("doc_frac"),
+        )
+    )
+
+
+def doc_length_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Power-of-two token-length histogram: (len_bucket, n_docs,
+    total_tokens) with bucket = floor(log2(n_tokens)) — the standard
+    corpus-profile facet for choosing chunking and packing lengths.
+
+    Bucket index comes from the BINARY STRING length (``bin(n)``), not
+    floating log2, so the bucket boundary at exact powers of two can
+    never move by an ulp on either engine. One map-side projection +
+    one |buckets|-row hash aggregate."""
+    from hbase_gis_spark.operators.dedup import tokens
+
+    ntok = F.size(tokens(text_col)).cast("bigint")
+    bucket = (F.length(F.bin(ntok)) - F.lit(1)).cast("int")
+    return (
+        df.select(
+            F.when(ntok > 0, bucket).otherwise(F.lit(-1)).alias("len_bucket"),
+            ntok.alias("__n"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+        )
+    )
+
+
+def boilerplate_coverage(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-document boilerplate saturation: the fraction of a doc's
+    distinct n-grams that are ``boilerplate_ngrams`` within its own
+    group — the score the removal policy thresholds on (a doc that is
+    80% shared chrome carries little training signal even though no
+    single other doc duplicates it).
+
+    Output: (id_col, group_col, n_grams, boiler_grams, coverage) for
+    every document (zero-boilerplate docs kept; NULL coverage below n
+    tokens).
+
+    Scale shape: the posting explode happens ONCE and feeds both the
+    (group, gram) document-frequency aggregate and the per-doc join
+    back — work stays linear in corpus tokens + the postings
+    self-join on the (group, gram) key, which the group prefix keeps
+    narrower than a global gram key."""
+    from hbase_gis_spark.operators.dedup import _spread, word_shingles
+
+    base = _spread(df).select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n).alias("s"),
+    ).localCheckpoint(eager=False)
+    grams = base.select("g", "id", F.explode("s").alias("gram"))
+    boiler = (
+        grams.groupBy("g", "gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("g", "gram")
+    )
+    per_doc = (
+        grams.join(boiler, ["g", "gram"])
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("boiler_grams"))
+    )
+    return (
+        base.select("g", "id", F.size("s").cast("bigint").alias("n_grams"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("g").alias(group_col),
+            "n_grams",
+            F.coalesce("boiler_grams", F.lit(0)).alias("boiler_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("boiler_grams", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+            ).alias("coverage"),
+        )
+    )

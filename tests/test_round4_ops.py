@@ -1,0 +1,236 @@
+"""Round-4 operators: integer PageRank, Z-order layout keys, corpus
+hygiene (diversity, boilerplate, length histogram, resampling,
+contamination audit). Registry-level oracle parity is covered by
+tools/check_oracles.py; these pin hand-computed semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_gis_spark.operators.corpus import (
+    contamination_report,
+    quality_resample,
+)
+from hbase_gis_spark.operators.graph import event_type_edges, pagerank_int
+from hbase_gis_spark.operators.layout import zorder_key_2d
+from hbase_gis_spark.operators.textstats import (
+    boilerplate_ngrams,
+    doc_length_histogram,
+    ngram_diversity,
+)
+
+
+# ------------------------------------------------------------- pagerank ---
+
+
+def _pagerank_py(edges, iters=3, d=850, scale=1_000_000):
+    """Driver-side replay of the exact integer recurrence."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    ow = {}
+    for u, _, w in edges:
+        ow[u] = ow.get(u, 0) + w
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for u, v, w in edges:
+            contrib[v] = contrib.get(v, 0) + (rank[u] * w) // ow[u]
+        rank = {
+            v: ((1000 - d) * scale) // (1000 * n)
+            + (d * contrib.get(v, 0)) // 1000
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_python_replay(spark):
+    edges = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight bigint")
+    got = {r.node: r.rank_micro for r in pagerank_int(df).collect()}
+    assert got == _pagerank_py(edges)
+
+
+def test_pagerank_star_ranks_hub_highest(spark):
+    edges = [("s1", "hub", 1), ("s2", "hub", 1), ("s3", "hub", 1),
+             ("hub", "s1", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight bigint")
+    got = {r.node: r.rank_micro for r in pagerank_int(df).collect()}
+    assert got["hub"] == max(got.values())
+    assert got == _pagerank_py(edges)
+
+
+def test_event_type_edges_counts(spark):
+    rows = [
+        (1, 100, "u1", "a"), (2, 200, "u1", "b"), (3, 300, "u1", "a"),
+        (4, 100, "u2", "a"), (5, 200, "u2", "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, t bigint, user_id string, event_type string"
+    )
+    got = {
+        (r.src, r.dst): r.weight
+        for r in event_type_edges(ev, F.col("t")).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+# ------------------------------------------------------------- z-order ----
+
+
+def _interleave(x, y):
+    out = 0
+    for i in range(16):
+        out |= ((x >> i) & 1) << (2 * i + 1)
+        out |= ((y >> i) & 1) << (2 * i)
+    return out
+
+
+def test_zorder_key_exact_bits(spark):
+    # range [0, 65535] in both dims -> bins are the values themselves
+    rows = [(1, 0.0, 0.0), (2, 65535.0, 0.0), (3, 0.0, 65535.0),
+            (4, 12345.0, 54321.0), (5, 65535.0, 65535.0)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    got = {r.id: r.zkey for r in zorder_key_2d(df, "x", "y").collect()}
+    assert got[1] == 0
+    assert got[2] == _interleave(65535, 0)
+    assert got[3] == _interleave(0, 65535)
+    assert got[4] == _interleave(12345, 54321)
+    assert got[5] == (1 << 32) - 1
+
+
+def test_zorder_null_nan_degenerate(spark):
+    rows = [(1, None, 5.0), (2, float("nan"), 5.0), (3, 2.0, 5.0),
+            (4, 7.0, 5.0)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    got = {r.id: r.zkey for r in zorder_key_2d(df, "x", "y").collect()}
+    assert got[1] is None and got[2] is None
+    # y range degenerate (all 5.0) -> y bin 0 for every row; x spreads
+    assert got[3] == 0 and got[4] == _interleave(65535, 0)
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    """The layout claim itself: under a Z-order sort split into files,
+    BOTH dimensions' per-file ranges shrink; under an x-only sort the
+    y statistics are useless (full-range in every file)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.random() * 1000, rng.random() * 1000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    keyed = zorder_key_2d(df, "x", "y").collect()
+    n_files = 16
+    chunk = len(keyed) // n_files
+
+    def spans(rows_sorted, dim):
+        total = 0.0
+        for f in range(n_files):
+            part = rows_sorted[f * chunk : (f + 1) * chunk]
+            vals = [getattr(r, dim) for r in part]
+            total += max(vals) - min(vals)
+        return total / n_files
+
+    by_z = sorted(keyed, key=lambda r: r.zkey)
+    by_x = sorted(keyed, key=lambda r: r.x)
+    # x-sorted files: y span ~ full range (~1000); z-sorted: both dims
+    # must shrink well below full range
+    assert spans(by_x, "y") > 900
+    assert spans(by_z, "x") < 600 and spans(by_z, "y") < 600
+
+
+# ------------------------------------------------------- corpus hygiene ---
+
+
+def test_ngram_diversity_hand_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in ngram_diversity(df, n=2).collect()}
+    assert (got[1].n_grams, got[1].distinct_grams) == (3, 1)
+    assert abs(got[1].diversity - 1 / 3) < 1e-12
+    assert (got[2].n_grams, got[2].distinct_grams, got[2].diversity) == (3, 3, 1.0)
+    assert got[3].n_grams == 0 and got[3].diversity is None
+
+
+def test_boilerplate_ngrams_detects_shared_footer(spark):
+    footer = "all rights reserved"
+    rows = [
+        (1, "s1", f"alpha beta {footer}"),
+        (2, "s1", f"gamma delta {footer}"),
+        (3, "s1", "unrelated text entirely here"),
+        (4, "s2", f"epsilon zeta {footer}"),  # only ONE doc in s2
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {
+        (r.source, r.gram): (r.df_docs, r.doc_frac)
+        for r in boilerplate_ngrams(df, n=3, min_docs=2).collect()
+    }
+    assert got[("s1", footer)] == (2, 2 / 3)
+    assert not any(s == "s2" for s, _ in got)  # never across sources
+
+
+def test_doc_length_histogram_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d"), (5, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r.len_bucket: (r.n_docs, r.total_tokens)
+           for r in doc_length_histogram(df).collect()}
+    # NOTE split(trim('')) yields [''] (1 token) on both engines — the
+    # shared tokens() contract counts an empty doc as one empty token
+    assert got[0] == (2, 2)   # 1-token docs: "a" and ""
+    assert got[1] == (2, 5)   # 2-3 token docs
+    assert got[2] == (1, 4)   # 4-token doc
+
+
+def test_quality_resample_deterministic_subset(spark, docs_sf0001=None):
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    a = quality_resample(docs).collect()
+    b = quality_resample(docs).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    assert 0 < len(a) < docs.count()
+    assert all(0 <= r.keep_milli <= 1000 and r.draw < r.keep_milli for r in a)
+    # append-stability: resampling a superset never flips prior keeps
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    kept_half = {r.doc_id for r in quality_resample(half).collect()}
+    kept_full = {r.doc_id for r in a}
+    assert kept_half == {i for i in kept_full if i % 2 == 0}
+
+
+def test_contamination_report_hand_case(spark):
+    train = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4"), (2, "w2 w3 w4 w9"), (3, "x y z q")],
+        "doc_id bigint, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "w1 w2 w3 w4 w5"), (11, "p q r s"), (12, "a b")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in contamination_report(train, test, n=3).collect()}
+    # doc 10: grams {w1w2w3, w2w3w4, w3w4w5}; hits: w1w2w3 (train 1),
+    # w2w3w4 (train 1 and 2)
+    assert (got[10].n_grams, got[10].hit_grams, got[10].n_train_docs) == (3, 2, 2)
+    assert abs(got[10].contamination - 2 / 3) < 1e-12
+    assert (got[11].hit_grams, got[11].n_train_docs) == (0, 0)
+    assert got[12].n_grams == 0 and got[12].contamination is None
+
+
+def test_boilerplate_coverage_hand_case(spark):
+    from hbase_gis_spark.operators.textstats import boilerplate_coverage
+
+    footer = "all rights reserved"
+    rows = [
+        (1, "s1", f"alpha beta {footer}"),          # 3 grams, 1 boiler
+        (2, "s1", f"gamma delta {footer}"),         # 3 grams, 1 boiler
+        (3, "s1", "unrelated text entirely here"),  # 2 grams, 0 boiler
+        (4, "s2", "a b"),                           # too short: 0 grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {r.doc_id: r for r in
+           boilerplate_coverage(df, n=3, min_docs=2).collect()}
+    assert (got[1].n_grams, got[1].boiler_grams) == (3, 1)
+    assert abs(got[1].coverage - 1 / 3) < 1e-12
+    assert (got[3].boiler_grams, got[3].coverage) == (0, 0.0)
+    assert got[4].n_grams == 0 and got[4].coverage is None

@@ -46,6 +46,8 @@ BNLJ_SANCTIONED = {
     "skew_report",  # broadcast 1-row table-total aggregate
     "tfidf_cosine_pairs",  # broadcast 1-row corpus-size aggregate
     "unigram_lm_score",  # broadcast 1-row token-total aggregate
+    "pagerank_event_types",  # broadcast 1-row node-count aggregate
+    "zorder_layout",  # broadcast 1-row global min/max range aggregate
 }
 
 
