@@ -3265,6 +3265,17 @@ def _q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dense_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled per-type daily counts over the full day spine —
+    the input shape rolling windows and z-scores need (a day with no
+    events must exist as 0, or the window silently shrinks). One fact
+    aggregate; spine/keys are broadcast dims."""
+    from hbase_gis_spark.operators.timeseries import dense_daily_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return dense_daily_counts(ev, ts_us())
+
+
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key over (value, event time): the 2-D Morton
     interleave of 16-bit equal-width bins — what a writer feeds to
@@ -3464,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_event_types": _q_pagerank_event_types,
         "zorder_layout": _q_zorder_layout,
         "boilerplate_coverage": _q_boilerplate_coverage,
+        "dense_daily_counts": _q_dense_daily_counts,
     }
 
 
@@ -6595,6 +6607,21 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(len(sets.s) AS DOUBLE)
            END AS coverage
     FROM sets LEFT JOIN per_doc p ON sets.doc_id = p.doc_id
+    """
+
+    out["dense_daily_counts"] = """
+    WITH d AS (
+      SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n
+      FROM events GROUP BY key, day
+    ),
+    rng AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM rng),
+    keys AS (SELECT DISTINCT key FROM d)
+    SELECT s.day, k.key AS event_type,
+           CAST(coalesce(dd.n, 0) AS BIGINT) AS n_events
+    FROM spine s CROSS JOIN keys k
+    LEFT JOIN d dd ON s.day = dd.day AND k.key = dd.key
     """
 
     return out

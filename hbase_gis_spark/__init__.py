@@ -159,6 +159,7 @@ from hbase_gis_spark.operators.graph import (  # noqa: F401
     pagerank_int,
 )
 from hbase_gis_spark.operators.layout import zorder_key_2d  # noqa: F401
+from hbase_gis_spark.operators.timeseries import dense_daily_counts  # noqa: F401
 from hbase_gis_spark.operators.merge import (  # noqa: F401
     merge_upsert,
     scd2_intervals,

@@ -234,3 +234,23 @@ def test_boilerplate_coverage_hand_case(spark):
     assert abs(got[1].coverage - 1 / 3) < 1e-12
     assert (got[3].boiler_grams, got[3].coverage) == (0, 0.0)
     assert got[4].n_grams == 0 and got[4].coverage is None
+
+
+def test_dense_daily_counts_zero_fills(spark):
+    from hbase_gis_spark.operators.timeseries import dense_daily_counts
+
+    us = 86_400_000_000
+    rows = [  # days 0, 0, 2 for type a; day 1 for type b
+        (1, 0 * us + 5, "a"), (2, 0 * us + 9, "a"),
+        (3, 2 * us + 1, "a"), (4, 1 * us + 3, "b"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id bigint, t bigint, event_type string")
+    got = {
+        (r.day, r.event_type): r.n_events
+        for r in dense_daily_counts(ev, F.col("t")).collect()
+    }
+    # every (day, type) pair over the [0, 2] spine exists, zeros filled
+    assert got == {
+        (0, "a"): 2, (1, "a"): 0, (2, "a"): 1,
+        (0, "b"): 0, (1, "b"): 1, (2, "b"): 0,
+    }

@@ -48,6 +48,7 @@ BNLJ_SANCTIONED = {
     "unigram_lm_score",  # broadcast 1-row token-total aggregate
     "pagerank_event_types",  # broadcast 1-row node-count aggregate
     "zorder_layout",  # broadcast 1-row global min/max range aggregate
+    "dense_daily_counts",  # broadcast spine x keys dim product (tiny dims)
 }
 
 
