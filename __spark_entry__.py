@@ -3276,6 +3276,18 @@ def _q_dense_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_daily_counts(ev, ts_us())
 
 
+def _q_fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: supplier-name pairs within Levenshtein
+    distance 1, via the EXACT FastSS deletion-neighborhood join (no
+    blocking recall loss). Self-join surfaced as a < b pairs."""
+    from hbase_gis_spark.operators.dedup import fuzzy_join_edit1
+
+    sup = load_table(spark, sf_dir, "supplier")
+    return fuzzy_join_edit1(
+        sup, sup, "s_suppkey", "s_suppkey", "s_name", "s_name"
+    ).filter(F.col("id_a") < F.col("id_b"))
+
+
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key over (value, event time): the 2-D Morton
     interleave of 16-bit equal-width bins — what a writer feeds to
@@ -3476,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "boilerplate_coverage": _q_boilerplate_coverage,
         "dense_daily_counts": _q_dense_daily_counts,
+        "fuzzy_join_suppliers": _q_fuzzy_join_suppliers,
     }
 
 
@@ -6622,6 +6635,13 @@ def oracle_sql() -> dict[str, str]:
            CAST(coalesce(dd.n, 0) AS BIGINT) AS n_events
     FROM spine s CROSS JOIN keys k
     LEFT JOIN d dd ON s.day = dd.day AND k.key = dd.key
+    """
+
+    out["fuzzy_join_suppliers"] = """
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS distance
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
     """
 
     return out

@@ -53,6 +53,7 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     dedup_incremental,
     dup_ngram_spans,
     edit_distance_pairs,
+    fuzzy_join_edit1,
     near_dup_clusters,
     winnow_fingerprints,
     dedup_exact,

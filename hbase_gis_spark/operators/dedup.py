@@ -1470,3 +1470,80 @@ def jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+def _deletion_keys(col: Column) -> Column:
+    """The FastSS 1-deletion neighborhood of a string: the string
+    itself plus every variant with one character removed, distinct.
+    Two strings are within Levenshtein distance 1 IFF their
+    neighborhoods intersect (substitution: both delete the differing
+    position; insertion/deletion: the shorter string IS a deletion of
+    the longer; equality: identity key) — so an equality join on the
+    exploded keys finds EVERY qualifying pair, no false negatives."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - F.lit(1)),
+            col.substr(i + F.lit(1), F.length(col)),
+        ),
+    )
+    return F.array_distinct(F.array_append(dels, col))
+
+
+def fuzzy_join_edit1(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT cross-table fuzzy join at Levenshtein distance <= 1
+    (entity resolution on names/codes/titles): every (left, right)
+    pair whose strings are equal or one edit apart, with the distance.
+
+    Unlike :func:`edit_distance_pairs` (recall-lossy prefix blocking
+    for larger thresholds), this is the FastSS deletion-neighborhood
+    scheme (Bocek et al., 2007) — complete BY CONSTRUCTION for k = 1:
+    candidates come from an equality join on the exploded 1-deletion
+    keys, so the only quadratic surface is strings sharing a deletion
+    variant, and verification (thresholded ``levenshtein(a, b, 1)``,
+    banded O(len) DP) only confirms. Output columns: (id_a, id_b,
+    distance).
+
+    Scale shape: explode factor = string length + 1 (bounded for the
+    name/code columns this targets — guard long free text with a
+    length cap upstream); keys are near-uniform, the join is the same
+    inverted-index discipline as every pair operator here, and
+    ``max_bucket`` (optional) caps degenerate hot keys (e.g. a column
+    where half the rows are the SAME string — those pairs are exact
+    dups, found cheaper by dedup_exact). k >= 2 needs C(len, k)-sized
+    neighborhoods — use edit_distance_pairs' blocking there instead.
+    """
+    lk = _spread(left).select(
+        F.col(left_id).alias("id_a"),
+        F.col(left_text).alias("__ta"),
+        F.explode(_deletion_keys(F.col(left_text))).alias("__k"),
+    )
+    rk = _spread(right).select(
+        F.col(right_id).alias("id_b"),
+        F.col(right_text).alias("__tb"),
+        F.explode(_deletion_keys(F.col(right_text))).alias("__k"),
+    )
+    if max_bucket is not None:
+        hot = (
+            lk.groupBy("__k").agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("__k")
+        )
+        lk = lk.join(F.broadcast(hot), "__k", "left_anti")
+        rk = rk.join(F.broadcast(hot), "__k", "left_anti")
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), 1)
+    return (
+        lk.join(rk, "__k")
+        .select("id_a", "id_b", "__ta", "__tb")
+        .distinct()
+        .select("id_a", "id_b", dist.alias("distance"))
+        .filter(F.col("distance") >= 0)  # thresholded DP returns -1 past k
+    )

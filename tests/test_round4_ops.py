@@ -254,3 +254,58 @@ def test_dense_daily_counts_zero_fills(spark):
         (0, "a"): 2, (1, "a"): 0, (2, "a"): 1,
         (0, "b"): 0, (1, "b"): 1, (2, "b"): 0,
     }
+
+
+# ------------------------------------------------------------ fuzzy join --
+
+
+def test_fuzzy_join_edit1_exact_vs_bruteforce(spark):
+    """Completeness by construction: the deletion-neighborhood join
+    finds EXACTLY the brute-force <=1 pair set on a corpus designed
+    with substitutions, insertions, deletions, duplicates, and misses."""
+    import itertools
+
+    from hbase_gis_spark.operators.dedup import fuzzy_join_edit1
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = ["alpha", "alpho", "alph", "aalpha", "beta", "betta", "bet",
+             "gamma", "gamma", "delta", "delt", "delte", "x", "", "xy"]
+    rows = list(enumerate(words))
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_join_edit1(df, df, "id", "id", "t", "t")
+        .filter("id_a < id_b").collect()
+    }
+    want = {
+        (a, b): lev(words[a], words[b])
+        for a, b in itertools.combinations(range(len(words)), 2)
+        if lev(words[a], words[b]) <= 1
+    }
+    assert got == want
+
+
+def test_fuzzy_join_edit1_cross_table(spark):
+    from hbase_gis_spark.operators.dedup import fuzzy_join_edit1
+
+    left = spark.createDataFrame([(1, "acme corp")], "lid bigint, name string")
+    right = spark.createDataFrame(
+        [(10, "acme corp"), (11, "acme cord"), (12, "acme co"),
+         (13, "emca proc")],
+        "rid bigint, name string",
+    )
+    got = {(r.id_a, r.id_b): r.distance
+           for r in fuzzy_join_edit1(
+               left, right, "lid", "rid", "name", "name").collect()}
+    assert got == {(1, 10): 0, (1, 11): 1}
