@@ -135,6 +135,7 @@ from hbase_gis_spark.streaming.events import (  # noqa: F401
     dedup_events,
     purchase_view_attribution,
     streaming_daily_anomalies,
+    streaming_decontaminate,
     streaming_top_x_earliest,
     user_sessions,
     windowed_event_counts,

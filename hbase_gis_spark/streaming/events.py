@@ -333,3 +333,43 @@ def streaming_daily_anomalies(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_decontaminate(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "flag",
+) -> DataFrame:
+    """Ingest-time decontamination guard: mark (``mode='flag'``) or
+    drop (``mode='drop'``) arriving documents that share ANY word
+    n-gram with a STATIC eval-set gram dim — the streaming front door
+    of the batch ``decontaminate`` audit.
+
+    STATELESS by design: a stream-static LEFT SEMI (or ANTI) join at
+    DOCUMENT granularity — join condition ``array_contains(doc_grams,
+    eval.g)`` — emits each arriving doc at most once with zero
+    streaming state, no watermark, no dedup buffer. The trade: the
+    static side is a broadcast nested-loop probe, O(|eval grams|) per
+    document — correct for its purpose (eval/benchmark sets are
+    bounded by construction; the broadcast is a few MB). The 100 TB
+    BATCH audit keeps the equality postings join
+    (textstats.ngram_contamination); this operator is the per-arrival
+    guard in front of it.
+
+    ``eval_grams`` must have a single ``g`` string column (distinct
+    grams of the held-out set, computed batch-side).
+    """
+    from hbase_gis_spark.operators.dedup import word_shingles
+
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    with_grams = docs.withColumn("__grams", word_shingles(text_col, n))
+    cond = F.array_contains(F.col("__grams"), F.col("g"))
+    how = "left_semi" if mode == "flag" else "left_anti"
+    return (
+        with_grams.join(F.broadcast(eval_grams.select("g")), cond, how)
+        .drop("__grams")
+    )

@@ -450,3 +450,43 @@ def test_streaming_media_phash_matches_batch(spark, tmp_path_factory):
         for r in spark.sql("SELECT * FROM phash_stream").collect()
     }
     assert got == expect and len(expect) == 500
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path_factory):
+    """The streaming guard (stateless stream-static semi/anti join)
+    flags exactly the docs the batch decontamination audit scores
+    n_hits >= 1, and drop mode emits exactly the complement."""
+    from hbase_gis_spark.operators.dedup import word_shingles
+    from hbase_gis_spark.sources.corpus_io import read_document_stream
+    from hbase_gis_spark.streaming.events import streaming_decontaminate
+    from hbase_gis_spark.operators.textstats import ngram_contamination
+
+    docs = load_table(spark, SF0001, "documents")
+    mod = 17
+    train = docs.filter(F.col("doc_id") % mod != 0)
+    test_set = docs.filter(F.col("doc_id") % mod == 0)
+    eval_grams = (
+        test_set.select(F.explode(word_shingles("text", 3)).alias("g"))
+        .distinct()
+    )
+    batch = ngram_contamination(train, test_set, n=3)
+    expect_flagged = {r.doc_id for r in batch.filter("n_hits >= 1").collect()}
+    expect_clean = {r.doc_id for r in batch.filter("n_hits = 0").collect()}
+
+    base = str(tmp_path_factory.mktemp("deconstream") / "docs")
+    train.repartition(3).write.mode("overwrite").parquet(base)
+    stream = read_document_stream(spark, base, max_files_per_trigger=1)
+
+    run_stream_to_memory(
+        streaming_decontaminate(stream, eval_grams).select("doc_id"),
+        "decon_flagged", output_mode="append",
+    )
+    got_flagged = {r.doc_id for r in spark.sql("SELECT * FROM decon_flagged").collect()}
+    assert got_flagged == expect_flagged and len(expect_flagged) > 0
+
+    run_stream_to_memory(
+        streaming_decontaminate(stream, eval_grams, mode="drop").select("doc_id"),
+        "decon_clean", output_mode="append",
+    )
+    got_clean = {r.doc_id for r in spark.sql("SELECT * FROM decon_clean").collect()}
+    assert got_clean == expect_clean
