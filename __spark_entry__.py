@@ -3288,6 +3288,20 @@ def _q_fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("id_a") < F.col("id_b"))
 
 
+def _q_winsorize_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact winsorization of customer balances (integer
+    cents, p05/p95 rank bounds) — outlier trimming before the balance
+    feeds features or means. One window exchange + broadcast bounds."""
+    from hbase_gis_spark.operators.corpus import winsorize
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    return winsorize(c, "bal_cents", "c_mktsegment")
+
+
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key over (value, event time): the 2-D Morton
     interleave of 16-bit equal-width bins — what a writer feeds to
@@ -3489,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_coverage": _q_boilerplate_coverage,
         "dense_daily_counts": _q_dense_daily_counts,
         "fuzzy_join_suppliers": _q_fuzzy_join_suppliers,
+        "winsorize_balances": _q_winsorize_balances,
     }
 
 
@@ -6642,6 +6657,32 @@ def oracle_sql() -> dict[str, str]:
            CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS distance
     FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
     WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """
+
+    out["winsorize_balances"] = """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    r AS (
+      SELECT c_custkey, c_mktsegment, bal_cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY bal_cents ASC) AS rnk,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM c
+    ),
+    b AS (
+      SELECT c_mktsegment,
+             max(CASE WHEN rnk = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1)
+                      THEN bal_cents END) AS lo,
+             max(CASE WHEN rnk = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN bal_cents END) AS hi
+      FROM r GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.bal_cents,
+           least(greatest(c.bal_cents, b.lo), b.hi) AS win_bal_cents
+    FROM c JOIN b USING (c_mktsegment)
     """
 
     return out

@@ -152,6 +152,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     profile_table,
     skew_report,
     token_budget_sample,
+    winsorize,
     write_training_shards,
     contamination_report,
     quality_resample,

@@ -665,3 +665,57 @@ def contamination_report(
             F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group EXACT winsorization: clamp each value into its
+    group's [p_lo, p_hi] quantile band — the standard outlier-trimming
+    step before a numeric column feeds model features or averages that
+    one fat-finger row would poison.
+
+    Quantile convention: value at rank ceil(p * n) under ascending
+    order (the repo's grouped_median/grouped_quantiles lower-quantile
+    rule) — deterministic under ties (the value at a rank is the tied
+    value whatever order ties enumerate), integer-exact when the
+    column is integer, no interpolation to match across engines.
+
+    Scale shape: ONE window exchange per group computes rank and group
+    size; the per-group bounds collapse to a |groups|-row dim
+    (conditional aggregate) that joins back BROADCAST; the clamp is
+    map-only. Groups partition the sort — no global ordering anywhere.
+    Output: input columns + ``win_<value_col>``.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        *[F.col(c) for c in df.columns],
+        F.row_number().over(w).alias("__rnk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(group_col)
+        ).alias("__n"),
+    )
+    lo_rank = F.greatest(F.ceil(F.lit(p_lo) * F.col("__n")), F.lit(1))
+    hi_rank = F.ceil(F.lit(p_hi) * F.col("__n"))
+    bounds = (
+        ranked.select(
+            F.col(group_col).alias("__g"),
+            F.when(F.col("__rnk") == lo_rank, F.col(value_col)).alias("__lo_v"),
+            F.when(F.col("__rnk") == hi_rank, F.col(value_col)).alias("__hi_v"),
+        )
+        .groupBy("__g")
+        .agg(F.max("__lo_v").alias("__lo"), F.max("__hi_v").alias("__hi"))
+    )
+    clamped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    return (
+        ranked.drop("__rnk", "__n")
+        .join(F.broadcast(bounds), F.col(group_col) == F.col("__g"))
+        .select(
+            *[F.col(c) for c in df.columns],
+            clamped.alias(f"win_{value_col}"),
+        )
+    )

@@ -309,3 +309,18 @@ def test_fuzzy_join_edit1_cross_table(spark):
            for r in fuzzy_join_edit1(
                left, right, "lid", "rid", "name", "name").collect()}
     assert got == {(1, 10): 0, (1, 11): 1}
+
+
+def test_winsorize_hand_case(spark):
+    from hbase_gis_spark.operators.corpus import winsorize
+
+    # group g: values 1..10 -> p05 rank ceil(0.5)=1 -> lo=1;
+    # p95 rank ceil(9.5)=10 -> hi=10 (no clamp). With p_lo=.2/p_hi=.8:
+    # lo = value@rank 2 = 2, hi = value@rank 8 = 8.
+    rows = [(i, "g", i) for i in range(1, 11)] + [(100, "h", 7)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v bigint")
+    got = {r.id: r.win_v for r in
+           winsorize(df, "v", "grp", p_lo=0.2, p_hi=0.8).collect()}
+    assert got[1] == 2 and got[2] == 2 and got[5] == 5
+    assert got[8] == 8 and got[10] == 8
+    assert got[100] == 7  # singleton group: lo == hi == the value
