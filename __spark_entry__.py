@@ -3302,6 +3302,19 @@ def _q_winsorize_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(c, "bal_cents", "c_mktsegment")
 
 
+def _q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup funnel health check on the deterministic half-sample:
+    exact inverted-index pairs vs MinHash-LSH banded pairs, with
+    recall — the trust-but-verify loop before a banding config or
+    max_bucket cap ships (the ann_recall_report analog for dedup)."""
+    from hbase_gis_spark.operators.dedup import dedup_recall_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_recall_report(
+        docs, n=JACCARD_N, threshold=JACCARD_T, sample_mod=2
+    )
+
+
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key over (value, event time): the 2-D Morton
     interleave of 16-bit equal-width bins — what a writer feeds to
@@ -3504,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_daily_counts": _q_dense_daily_counts,
         "fuzzy_join_suppliers": _q_fuzzy_join_suppliers,
         "winsorize_balances": _q_winsorize_balances,
+        "dedup_recall_report": _q_dedup_recall_report,
     }
 
 
@@ -6683,6 +6697,43 @@ def oracle_sql() -> dict[str, str]:
     SELECT c.c_custkey, c.c_mktsegment, c.bal_cents,
            least(greatest(c.bal_cents, b.lo), b.hi) AS win_bal_cents
     FROM c JOIN b USING (c_mktsegment)
+    """
+
+    # dedup_recall_report: the LSH side replays as the EXACT pair set —
+    # sound because dedup_minhash_lsh is driver-verified equal to exact
+    # jaccard on this corpus (64x16 banding, no cap), and band candidacy
+    # of a pair is independent of other documents, so it cannot regress
+    # on a subset sample. A banding config that DID miss pairs would
+    # show up as a red driver row here — which is the point.
+    out["dedup_recall_report"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS w FROM documents WHERE doc_id % 2 = 0
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= {JACCARD_N}
+                  THEN list_distinct(list_transform(
+                         range(1, len(w) - {JACCARD_N - 2}),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [] END AS s
+      FROM toks
+    ),
+    pairs AS (
+      SELECT 1 FROM (
+        SELECT a.doc_id, b.doc_id AS doc_b,
+               CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+                    THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                         CAST(len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    ELSE 0.0 END AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= {JACCARD_T}
+    ),
+    e AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM pairs)
+    SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM sh
+    UNION ALL SELECT 'lsh_pairs', c FROM e
+    UNION ALL SELECT 'exact_pairs', c FROM e
+    UNION ALL SELECT 'matched_pairs', c FROM e
+    UNION ALL SELECT 'recall', CASE WHEN c > 0 THEN 1.0 END FROM e
     """
 
     return out

@@ -51,6 +51,7 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     cell_footprint_pairs,
     cluster_representatives,
     dedup_incremental,
+    dedup_recall_report,
     dup_ngram_spans,
     edit_distance_pairs,
     fuzzy_join_edit1,

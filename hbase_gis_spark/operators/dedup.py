@@ -1547,3 +1547,86 @@ def fuzzy_join_edit1(
         .select("id_a", "id_b", dist.alias("distance"))
         .filter(F.col("distance") >= 0)  # thresholded DP returns -1 past k
     )
+
+
+def dedup_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    sample_mod: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Dedup-funnel health check — the near-dup analog of
+    ``ann_recall_report``: on a deterministic document sample
+    (``id % sample_mod == 0``), run the EXACT inverted-index Jaccard
+    pairs and the MinHash-LSH banded pairs side by side and report
+    (metric, value) rows: n_docs, exact_pairs, lsh_pairs,
+    matched_pairs, recall — the loop an operator runs before trusting
+    banded dedup (or a ``max_bucket`` cap) on a new corpus.
+
+    Precision needs no row: LSH candidates are exact-verified at the
+    same threshold, so every emitted pair IS a true pair; the only
+    failure mode is missed pairs (banding probability, hot-bucket
+    caps), which recall measures.
+
+    Scale shape: the sample bound (1/sample_mod of the corpus) is the
+    cost control — exact pair discovery stays the inverted index, just
+    on fewer docs; the report itself is three tiny aggregates unioned
+    (no cross joins). Counts surface as DOUBLE so one column carries
+    counts and the ratio."""
+    sample = df.filter(F.col(id_col) % sample_mod == 0)
+    ex = jaccard_pairs(
+        sample, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+    ).select("id_a", "id_b")
+    ls = minhash_lsh_pairs(
+        sample,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    ).select("id_a", "id_b", F.lit(1).alias("__hit"))
+    # exact left-join lsh: one aggregate yields exact count, matched
+    # count, and recall together (no 1-row cross joins)
+    stats = (
+        ex.join(ls, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__e"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("double").alias("__m"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("exact_pairs").alias("metric"),
+                        F.col("__e").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("matched_pairs").alias("metric"),
+                        F.col("__m").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("recall").alias("metric"),
+                        F.when(F.col("__e") > 0, F.col("__m") / F.col("__e"))
+                        .alias("value"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.metric", "s.value")
+    )
+    nd = sample.agg(
+        F.lit("n_docs").alias("metric"),
+        F.count(F.lit(1)).cast("double").alias("value"),
+    )
+    nl = ls.agg(
+        F.lit("lsh_pairs").alias("metric"),
+        F.count(F.lit(1)).cast("double").alias("value"),
+    )
+    return nd.unionByName(nl).unionByName(stats)

@@ -642,3 +642,21 @@ def test_tfidf_cosine_pairs_zipfian_vocabulary(spark):
     }
     assert set(capped) == set(brute)
     assert all(capped[p] <= brute[p] + 1e-9 for p in capped)
+
+
+def test_dedup_recall_report_detects_capped_misses(spark, docs):
+    """The health check actually measures what it claims: with a
+    max_bucket cap tight enough to drop every band bucket, LSH finds
+    nothing and recall reads 0; uncapped banding at 64x16 finds every
+    exact pair (recall 1)."""
+    from hbase_gis_spark.operators.dedup import dedup_recall_report
+
+    ok = {r.metric: r.value for r in dedup_recall_report(docs).collect()}
+    assert ok["recall"] == 1.0 and ok["exact_pairs"] > 0
+    assert ok["matched_pairs"] == ok["exact_pairs"]
+    capped = {
+        r.metric: r.value
+        for r in dedup_recall_report(docs, max_bucket=1).collect()
+    }
+    assert capped["lsh_pairs"] == 0.0 and capped["recall"] == 0.0
+    assert capped["exact_pairs"] == ok["exact_pairs"]  # exact side unaffected
