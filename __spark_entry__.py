@@ -3315,6 +3315,18 @@ def _q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View -> purchase conversion-latency histogram (hour buckets,
+    earliest strictly-after traversal per user) — the time dimension
+    of funnel_counts, same chained conditional-min shape."""
+    from hbase_gis_spark.operators.funnel import conversion_lag
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_us().alias("ts_us")
+    )
+    return conversion_lag(ev, "view", "purchase")
+
+
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key over (value, event time): the 2-D Morton
     interleave of 16-bit equal-width bins — what a writer feeds to
@@ -3518,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_suppliers": _q_fuzzy_join_suppliers,
         "winsorize_balances": _q_winsorize_balances,
         "dedup_recall_report": _q_dedup_recall_report,
+        "conversion_lag": _q_conversion_lag,
     }
 
 
@@ -6734,6 +6747,22 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT 'exact_pairs', c FROM e
     UNION ALL SELECT 'matched_pairs', c FROM e
     UNION ALL SELECT 'recall', CASE WHEN c > 0 THEN 1.0 END FROM e
+    """
+
+    out["conversion_lag"] = """
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t1, min(f.t0) AS t0
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f.t0
+      GROUP BY e.user_id
+    )
+    SELECT (t1 - t0) // 3600000000 AS lag_bucket,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM t GROUP BY lag_bucket
     """
 
     return out

@@ -169,6 +169,7 @@ from hbase_gis_spark.operators.merge import (  # noqa: F401
     scd2_intervals,
 )
 from hbase_gis_spark.operators.funnel import (  # noqa: F401
+    conversion_lag,
     funnel_counts,
     retention_cohorts,
 )

@@ -124,3 +124,46 @@ def retention_cohorts(
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("u").alias("n_users"))
     )
+
+
+def conversion_lag(
+    df: DataFrame,
+    from_step: str,
+    to_step: str,
+    bucket_us: int = 3_600_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-latency histogram: for every user who completes
+    ``from_step`` and then (strictly after it) ``to_step``, the lag
+    between the earliest such pair, bucketed — the "how long from
+    first view to first purchase" distribution that sits next to the
+    funnel's how-many counts.
+
+    Same earliest-traversal semantics and physical shape as
+    funnel_counts: one conditional min per step chained on the user
+    key (the second frame only scans ``to_step`` rows and shrinks to
+    converting users), then a |buckets|-row hash aggregate of the
+    integer lag bucket (lag div bucket_us — truncating division,
+    engine-exact). No per-user sequence sort anywhere.
+    Output: (lag_bucket, n_users), lag_bucket in bucket_us units."""
+    first_from = (
+        df.filter(F.col(type_col) == from_step)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t0"))
+    )
+    first_to = (
+        df.filter(F.col(type_col) == to_step)
+        .join(first_from, user_col)
+        .filter(F.col(ts_col) > F.col("__t0"))
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t1"), F.first("__t0").alias("__t0"))
+    )
+    return (
+        first_to.select(
+            F.expr(f"(__t1 - __t0) div {bucket_us}").alias("lag_bucket")
+        )
+        .groupBy("lag_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

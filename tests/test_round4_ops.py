@@ -324,3 +324,22 @@ def test_winsorize_hand_case(spark):
     assert got[1] == 2 and got[2] == 2 and got[5] == 5
     assert got[8] == 8 and got[10] == 8
     assert got[100] == 7  # singleton group: lo == hi == the value
+
+
+def test_conversion_lag_strictly_after(spark):
+    from hbase_gis_spark.operators.funnel import conversion_lag
+
+    h = 3_600_000_000
+    rows = [
+        # u1: purchase BEFORE first view is ignored; converts at +2h
+        ("u1", "purchase", 0), ("u1", "view", 1 * h),
+        ("u1", "purchase", 3 * h), ("u1", "purchase", 9 * h),
+        # u2: converts within the same hour bucket
+        ("u2", "view", 10), ("u2", "purchase", 20),
+        # u3: never purchases after viewing
+        ("u3", "view", 5 * h), ("u3", "purchase", 5 * h),  # not strictly after
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, event_type string, ts_us long")
+    got = {r.lag_bucket: r.n_users for r in
+           conversion_lag(ev, "view", "purchase").collect()}
+    assert got == {2: 1, 0: 1}
