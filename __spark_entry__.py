@@ -3327,6 +3327,16 @@ def _q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_lag(ev, "view", "purchase")
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (quote/subset detection) —
+    |A-in-B| overlap that symmetric Jaccard misses when the union is
+    dominated by the longer side. Same inverted-index scale shape."""
+    from hbase_gis_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=JACCARD_N, threshold=0.4)
+
+
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key over (value, event time): the 2-D Morton
     interleave of 16-bit equal-width bins — what a writer feeds to
@@ -3531,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_balances": _q_winsorize_balances,
         "dedup_recall_report": _q_dedup_recall_report,
         "conversion_lag": _q_conversion_lag,
+        "containment_pairs": _q_containment_pairs,
     }
 
 
@@ -6763,6 +6774,23 @@ def oracle_sql() -> dict[str, str]:
     SELECT (t1 - t0) // 3600000000 AS lag_bucket,
            CAST(count(*) AS BIGINT) AS n_users
     FROM t GROUP BY lag_bucket
+    """
+
+    out["containment_pairs"] = f"""
+    {shingles_cte}
+    SELECT id_a, id_b, containment_a, containment_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(a.s) > 0
+                  THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / CAST(len(a.s) AS DOUBLE) ELSE 0.0 END
+               AS containment_a,
+             CASE WHEN len(b.s) > 0
+                  THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / CAST(len(b.s) AS DOUBLE) ELSE 0.0 END
+               AS containment_b,
+             len(list_intersect(a.s, b.s)) AS inter
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE greatest(containment_a, containment_b) >= 0.4 AND inter > 0
     """
 
     return out

@@ -49,6 +49,7 @@ from hbase_gis_spark.sqlapi import (  # noqa: F401
 )
 from hbase_gis_spark.operators.dedup import (  # noqa: F401
     cell_footprint_pairs,
+    containment_pairs,
     cluster_representatives,
     dedup_incremental,
     dedup_recall_report,

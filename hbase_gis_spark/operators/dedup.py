@@ -1630,3 +1630,54 @@ def dedup_recall_report(
         F.count(F.lit(1)).cast("double").alias("value"),
     )
     return nd.unionByName(nl).unionByName(stats)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs — the asymmetric complement of
+    :func:`jaccard_pairs`: containment(A in B) = |A∩B| / |A|.  Finds
+    quote/snippet/subset relationships that symmetric Jaccard
+    systematically misses (a tweet quoted inside an article has
+    near-total containment but tiny Jaccard, because the union is
+    dominated by the article).
+
+    Same inverted-index shape and ``max_df`` contract as
+    jaccard_pairs (one bucket shuffle, work ~ Σ df², false-negative-
+    only under a cap).  Output keeps pair order id_a < id_b and
+    reports BOTH directions — (containment_a = |A∩B|/|A|,
+    containment_b = |A∩B|/|B|) — filtered on the larger one, so the
+    consumer reads which side is the contained (quoted) document.
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("s")
+    )
+    postings = sh.select(
+        "id", F.size("s").alias("sz"), F.explode("s").alias("shingle")
+    )
+    inter = (
+        _bucket_pairs(postings, ["shingle"], carry=["sz"], max_bucket=max_df)
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = F.col("inter").cast("double") / F.col("sz_a").cast("double")
+    cb = F.col("inter").cast("double") / F.col("sz_b").cast("double")
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(threshold)
+        )
+    )

@@ -660,3 +660,24 @@ def test_dedup_recall_report_detects_capped_misses(spark, docs):
     }
     assert capped["lsh_pairs"] == 0.0 and capped["recall"] == 0.0
     assert capped["exact_pairs"] == ok["exact_pairs"]  # exact side unaffected
+
+
+def test_containment_pairs_finds_quotes_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a long one: containment ~1,
+    Jaccard tiny — the asymmetric operator must find it at a threshold
+    where the symmetric one provably cannot."""
+    from hbase_gis_spark.operators.dedup import containment_pairs
+
+    quote = "to be or not to be that is the question"
+    filler = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote}"), (3, "unrelated text here now")],
+        "doc_id bigint, text string",
+    )
+    jac = jaccard_pairs(df, n=3, threshold=0.4).collect()
+    assert jac == []  # union dominated by the long doc
+    got = {(r.id_a, r.id_b): (r.containment_a, r.containment_b)
+           for r in containment_pairs(df, n=3, threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0 and cb < 0.1  # doc 1 fully contained in doc 2
