@@ -343,3 +343,42 @@ def test_conversion_lag_strictly_after(spark):
     got = {r.lag_bucket: r.n_users for r in
            conversion_lag(ev, "view", "purchase").collect()}
     assert got == {2: 1, 0: 1}
+
+
+def test_fuzzy_join_edit1_random_dense_corpus(spark):
+    """Stress completeness where near-misses are densest: 60 random
+    strings over a 2-letter alphabet, lengths 0-4 (hundreds of
+    qualifying pairs, plus duplicates and empty strings) — the pair
+    set must equal brute force exactly."""
+    import itertools
+    import random
+
+    from hbase_gis_spark.operators.dedup import fuzzy_join_edit1
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(123)
+    words = ["".join(rng.choice("ab") for _ in range(rng.randint(0, 4)))
+             for _ in range(60)]
+    df = spark.createDataFrame(list(enumerate(words)), "id bigint, t string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_join_edit1(df, df, "id", "id", "t", "t")
+        .filter("id_a < id_b").collect()
+    }
+    want = {
+        (a, b): lev(words[a], words[b])
+        for a, b in itertools.combinations(range(len(words)), 2)
+        if lev(words[a], words[b]) <= 1
+    }
+    assert got == want and len(want) > 100
