@@ -3337,6 +3337,23 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, n=JACCARD_N, threshold=0.4)
 
 
+def _q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-per-token by language — the report that shows which
+    languages a byte-level budget starves of tokens. One map-side
+    aggregate."""
+    from hbase_gis_spark.operators.textstats import token_fertility
+
+    return token_fertility(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc/token removal rates under exact first-wins dedup
+    — the cost-per-useful-token view next to source_quality."""
+    from hbase_gis_spark.operators.dedup import dedup_impact
+
+    return dedup_impact(load_table(spark, sf_dir, "documents"))
+
+
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key over (value, event time): the 2-D Morton
     interleave of 16-bit equal-width bins — what a writer feeds to
@@ -3542,6 +3559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_report": _q_dedup_recall_report,
         "conversion_lag": _q_conversion_lag,
         "containment_pairs": _q_containment_pairs,
+        "token_fertility": _q_token_fertility,
+        "dedup_impact": _q_dedup_impact,
     }
 
 
@@ -6791,6 +6810,50 @@ def oracle_sql() -> dict[str, str]:
              len(list_intersect(a.s, b.s)) AS inter
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     ) WHERE greatest(containment_a, containment_b) >= 0.4 AND inter > 0
+    """
+
+    out["token_fertility"] = f"""
+    WITH b AS (
+      SELECT lang, octet_length(encode(text)) AS nb,
+             len({toks}) AS nt
+      FROM documents
+    ),
+    a AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nb) AS BIGINT) AS total_bytes,
+             CAST(sum(nt) AS BIGINT) AS total_tokens
+      FROM b GROUP BY lang
+    )
+    SELECT lang, n_docs, total_bytes, total_tokens,
+           CASE WHEN total_tokens > 0
+                THEN CAST(total_bytes AS DOUBLE)
+                     / CAST(total_tokens AS DOUBLE)
+           END AS bytes_per_token
+    FROM a
+    """
+    out["dedup_impact"] = f"""
+    WITH b AS (
+      SELECT source, len({toks}) AS nt,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id ASC) = 1 AS keep
+      FROM documents
+    ),
+    a AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS docs_total,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_kept,
+             CAST(sum(nt) AS BIGINT) AS tokens_total,
+             CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT)
+               AS tokens_kept
+      FROM b GROUP BY source
+    )
+    SELECT source, docs_total, docs_kept, tokens_total, tokens_kept,
+           CAST(docs_total - docs_kept AS DOUBLE)
+             / CAST(docs_total AS DOUBLE) AS doc_dup_rate,
+           CAST(tokens_total - tokens_kept AS DOUBLE)
+             / CAST(tokens_total AS DOUBLE) AS token_dup_rate
+    FROM a
     """
 
     return out

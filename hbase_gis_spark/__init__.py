@@ -59,6 +59,7 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     near_dup_clusters,
     winnow_fingerprints,
     dedup_exact,
+    dedup_impact,
     embedding_dup_lsh,
     embedding_dup_pairs,
     jaccard_pairs,
@@ -113,6 +114,7 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     term_stats,
     tfidf_topk_terms,
     token_count,
+    token_fertility,
     unigram_lm_score,
     boilerplate_coverage,
     boilerplate_ngrams,

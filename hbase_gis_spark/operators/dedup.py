@@ -1681,3 +1681,56 @@ def containment_pairs(
             >= F.lit(threshold)
         )
     )
+
+
+def dedup_impact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group dedup impact report: how many documents and tokens
+    exact dedup removes from each source — the number a data-buying or
+    crawl-prioritization decision reads next to source_quality (a feed
+    that is 40% self-copies costs 40% more per useful token).
+
+    First-wins exact dedup at corpus level (same md5 rule as
+    :func:`dedup_exact`), then ONE aggregate keyed by group carrying
+    (docs, tokens) x (total, kept) — integer sums, engine-exact; the
+    two rates are final double divisions. Scale shape: one window
+    shuffle on the content hash (dedup_exact's own cost) + one
+    map-side-combined aggregate."""
+    keep = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.col(id_col).asc()
+    )
+    base = _spread(df).select(
+        F.col(group_col),
+        F.size(tokens(text_col)).cast("bigint").alias("__t"),
+        (F.row_number().over(keep) == 1).alias("__keep"),
+    )
+    return (
+        base.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("docs_total"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("docs_kept"),
+            F.sum("__t").alias("tokens_total"),
+            F.sum(F.when(F.col("__keep"), F.col("__t")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+        .select(
+            group_col,
+            "docs_total",
+            "docs_kept",
+            "tokens_total",
+            "tokens_kept",
+            (
+                (F.col("docs_total") - F.col("docs_kept")).cast("double")
+                / F.col("docs_total").cast("double")
+            ).alias("doc_dup_rate"),
+            (
+                (F.col("tokens_total") - F.col("tokens_kept")).cast("double")
+                / F.col("tokens_total").cast("double")
+            ).alias("token_dup_rate"),
+        )
+    )

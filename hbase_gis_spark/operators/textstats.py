@@ -871,3 +871,46 @@ def boilerplate_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def token_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility report per group: bytes, whitespace tokens,
+    and bytes-per-token — the metric that tells you which languages a
+    byte-level budget under- or over-samples (CJK text packs ~3x the
+    bytes per whitespace token of English; a byte-capped mixture then
+    starves it of TOKENS even at equal bytes).
+
+    One map-side-combined aggregate keyed by the group; integer sums
+    (engine-exact), one final double division per group row.
+    Output: (group_col, n_docs, total_bytes, total_tokens,
+    bytes_per_token)."""
+    from hbase_gis_spark.operators.dedup import tokens
+
+    base = df.select(
+        F.col(group_col),
+        F.octet_length(F.col(text_col)).cast("bigint").alias("__b"),
+        F.size(tokens(text_col)).cast("bigint").alias("__t"),
+    )
+    return (
+        base.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__b").alias("total_bytes"),
+            F.sum("__t").alias("total_tokens"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_bytes",
+            "total_tokens",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("total_bytes").cast("double")
+                / F.col("total_tokens").cast("double"),
+            ).alias("bytes_per_token"),
+        )
+    )
