@@ -165,7 +165,10 @@ from hbase_gis_spark.operators.graph import (  # noqa: F401
     event_type_edges,
     pagerank_int,
 )
-from hbase_gis_spark.operators.layout import zorder_key_2d  # noqa: F401
+from hbase_gis_spark.operators.layout import (  # noqa: F401
+    write_zorder_table,
+    zorder_key_2d,
+)
 from hbase_gis_spark.operators.timeseries import dense_daily_counts  # noqa: F401
 from hbase_gis_spark.operators.merge import (  # noqa: F401
     merge_upsert,

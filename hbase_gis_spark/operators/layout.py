@@ -81,3 +81,34 @@ def zorder_key_2d(
     return df.crossJoin(F.broadcast(rng)).select(
         *[F.col(c) for c in df.columns], zkey.cast("bigint").alias("zkey")
     )
+
+
+def write_zorder_table(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 64,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a table Z-order-clustered on (x_col, y_col): compute
+    ``zkey``, range-partition into ``n_files`` key ranges, sort within
+    each, write parquet — so every file covers a disjoint zkey range
+    and parquet row-group min/max statistics stay tight in BOTH
+    dimensions (the storage-side counterpart of ``zorder_key_2d``, the
+    same sink pattern as the geohash-prefix and IVF-cell tables in
+    sources/ingest.py and operators/similarity.py).
+
+    The zkey column is kept in the file: readers can range-filter on
+    it directly (curve ranges for a rectangle query), and appends can
+    re-derive consistent keys only if they reuse the SAME bin ranges —
+    at scale, persist the four min/max bounds next to the table and
+    feed them to zorder_bin instead of re-aggregating per batch."""
+    keyed = zorder_key_2d(df, x_col, y_col, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -382,3 +382,42 @@ def test_fuzzy_join_edit1_random_dense_corpus(spark):
         if lev(words[a], words[b]) <= 1
     }
     assert got == want and len(want) > 100
+
+
+def test_zorder_random_batch_matches_python_interleave(spark):
+    """300 random 16-bit bins (corners pinned so min/max == [0, 65535])
+    through the Spark expression == the driver-side bit interleave."""
+    import random
+
+    rng = random.Random(99)
+    rows = [(0, 0.0, 0.0), (1, 65535.0, 65535.0)] + [
+        (i, float(rng.randint(0, 65535)), float(rng.randint(0, 65535)))
+        for i in range(2, 300)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    got = {r.id: r.zkey for r in zorder_key_2d(df, "x", "y").collect()}
+    for i, x, y in rows:
+        assert got[i] == _interleave(int(x), int(y)), (i, x, y)
+
+
+def test_write_zorder_table_files_cover_disjoint_key_ranges(spark, tmp_path_factory):
+    from hbase_gis_spark.operators.layout import write_zorder_table
+    from hbase_gis_spark.sources.tables import load_table, ts_us
+    from tests.conftest import SF0001
+
+    ev = load_table(spark, SF0001, "events").select(
+        "event_id", "value", ts_us().alias("t")
+    )
+    path = str(tmp_path_factory.mktemp("zorder") / "ev")
+    write_zorder_table(ev, path, "value", "t", n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in spans)
+    assert len(spans) >= 4  # range partitioner actually split
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint zkey ranges across files
