@@ -171,6 +171,40 @@ def _parse_jpeg_header(buf: bytes) -> tuple[int, int, int]:
     raise ValueError("no SOF marker before scan data")
 
 
+def _parse_png_header(buf: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a PNG IHDR chunk — header walk
+    only, no pixel decode (IDAT is zlib + filters, an image library's
+    job). IHDR is REQUIRED to be the first chunk (PNG spec 5.6):
+    8-byte signature, 4-byte length, 'IHDR', then width/height as
+    big-endian uint32 and bit-depth/colour-type bytes. Channels from
+    colour type: 0 grey=1, 2 truecolour=3, 3 palette=1, 4
+    grey+alpha=2, 6 truecolour+alpha=4."""
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream (bad signature)")
+    if len(buf) < 26 or buf[12:16] != b"IHDR":
+        raise ValueError("PNG missing leading IHDR chunk")
+    width = int.from_bytes(buf[16:20], "big")
+    height = int.from_bytes(buf[20:24], "big")
+    colour_type = buf[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colour_type)
+    if channels is None:
+        raise ValueError(f"PNG colour type {colour_type} invalid")
+    return width, height, channels
+
+
+def _parse_gif_header(buf: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a GIF logical screen descriptor:
+    'GIF87a'/'GIF89a' signature then width/height as little-endian
+    uint16. Palette-indexed RGB -> 3 channels."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream (bad signature)")
+    if len(buf) < 10:
+        raise ValueError("truncated GIF screen descriptor")
+    width = int.from_bytes(buf[6:8], "little")
+    height = int.from_bytes(buf[8:10], "little")
+    return width, height, 3
+
+
 def _encode_pnm(width: int, height: int, nch: int, pixels: bytes) -> bytes:
     """Encode a raw top-down raster as binary PPM (3ch) / PGM (1ch)."""
     magic = b"P6" if nch == 3 else b"P5"
@@ -197,14 +231,15 @@ def _decode_real(buf: bytes) -> tuple[int, int, int, float]:
        parsers, full pixel decode (no image library; executes in this
        container).
     2. PIL when importable — full decode of every format it knows.
-    3. JPEG with no PIL — REAL header walk (``_parse_jpeg_header``,
-       SOF dims + channels) but no pixel decode, so ``mean_byte`` is
-       NaN here, which Arrow's pandas->Spark conversion surfaces as
-       SQL NULL in the ``decode_media`` output (the idiomatic
-       "not computed" marker — a NULL drops out of downstream
-       aggregates instead of poisoning them, and ``isnull`` filters
-       it).  Dimensions/channels are the metadata a corpus pipeline
-       filters on.
+    3. JPEG / PNG / GIF with no PIL — REAL header parse
+       (``_parse_jpeg_header`` SOF walk, ``_parse_png_header`` IHDR,
+       ``_parse_gif_header`` screen descriptor: dims + channels) but
+       no pixel decode, so ``mean_byte`` is NaN here, which Arrow's
+       pandas->Spark conversion surfaces as SQL NULL in the
+       ``decode_media`` output (the idiomatic "not computed" marker —
+       a NULL drops out of downstream aggregates instead of poisoning
+       them, and ``isnull`` filters it).  Dimensions/channels are the
+       metadata a corpus pipeline filters on.
     4. Anything else — clearly-marked NotImplementedError (never a
        silent fake fallback)."""
     pure = _decode_pure(buf)
@@ -214,9 +249,15 @@ def _decode_real(buf: bytes) -> tuple[int, int, int, float]:
         if buf[:2] == b"\xff\xd8":
             w, h, nch = _parse_jpeg_header(buf)
             return w, h, nch, float("nan")
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, nch = _parse_png_header(buf)
+            return w, h, nch, float("nan")
+        if buf[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, nch = _parse_gif_header(buf)
+            return w, h, nch, float("nan")
         raise NotImplementedError(
-            "non-BMP/PNM/JPEG image decode requires PIL/opencv; "
-            "not present in this container"
+            "image decode beyond BMP/PNM pixels and JPEG/PNG/GIF "
+            "headers requires PIL/opencv; not present in this container"
         )
     import io
 

@@ -46,13 +46,14 @@ def test_decode_media_deterministic(media):
 def test_decode_media_unknown_format_guarded(spark):
     """Without an image library the real path must fail loudly with
     NotImplementedError on formats the pure parsers don't cover
-    (never silently fall back to the fake)."""
+    (never silently fall back to the fake). WebP is real but outside
+    the header-tier coverage (its dims live inside the VP8 bitstream)."""
     from hbase_gis_spark.operators.multimodal import _HAS_PIL
 
     if _HAS_PIL:
         pytest.skip("PIL present; real path covers non-BMP/PNM formats")
     df = spark.createDataFrame(
-        [(1, b"\x89PNG\r\n\x1a\n not actually decodable")],
+        [(1, b"RIFF\x20\x00\x00\x00WEBPVP8 not decodable here")],
         "id bigint, media binary",
     )
     with pytest.raises(Exception) as ei:
@@ -434,3 +435,45 @@ def test_block_phash_range_and_empty(buf):
     lo, hi = block_phash(buf)
     assert 0 <= lo < (1 << 32) and 0 <= hi < (1 << 32)
     assert block_phash(b"") == (0, 0)
+
+
+def _png_bytes(width, height, colour_type=2):
+    import struct
+
+    ihdr = struct.pack(">II", width, height) + bytes([8, colour_type, 0, 0, 0])
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4)
+
+
+def test_png_gif_header_kernels():
+    """Real PNG IHDR and GIF screen-descriptor parsing without an
+    image library; malformed streams fail loudly."""
+    from hbase_gis_spark.operators.multimodal import (
+        _parse_gif_header,
+        _parse_png_header,
+    )
+
+    assert _parse_png_header(_png_bytes(800, 600)) == (800, 600, 3)
+    assert _parse_png_header(_png_bytes(5, 9, colour_type=6)) == (5, 9, 4)
+    assert _parse_png_header(_png_bytes(5, 9, colour_type=0)) == (5, 9, 1)
+    with pytest.raises(ValueError):
+        _parse_png_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"IDAT")
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert _parse_gif_header(gif) == (320, 200, 3)
+    with pytest.raises(ValueError):
+        _parse_gif_header(b"GIF00a\x00\x00\x00\x00")
+
+
+def test_decode_media_png_gif_headers_through_spark(spark):
+    from hbase_gis_spark.operators.multimodal import _HAS_PIL
+
+    if _HAS_PIL:
+        return  # PIL tier fully decodes these; header tier is PIL-less
+    gif = b"GIF87a" + (64).to_bytes(2, "little") + (48).to_bytes(2, "little")
+    df = spark.createDataFrame(
+        [(1, _png_bytes(1024, 768)), (2, gif)], "id bigint, media binary"
+    )
+    got = {r.id: r for r in decode_media(df, fake=False).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (1024, 768, 3)
+    assert (got[2].width, got[2].height, got[2].channels) == (64, 48, 3)
+    assert got[1].mean_byte is None and got[2].mean_byte is None
