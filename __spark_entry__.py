@@ -6623,16 +6623,23 @@ def oracle_sql() -> dict[str, str]:
     """
     out["zorder_layout"] = """
     WITH rng AS (
-      SELECT min(value::DOUBLE) AS xmin, max(value::DOUBLE) AS xmax,
+      -- NaN excluded from the range and NULL/NaN rows key to NULL,
+      -- mirroring zorder_bin's guards (Spark sorts NaN greatest;
+      -- DuckDB floor(NaN) would error the cast)
+      SELECT min(CASE WHEN NOT isnan(value::DOUBLE)
+                      THEN value::DOUBLE END) AS xmin,
+             max(CASE WHEN NOT isnan(value::DOUBLE)
+                      THEN value::DOUBLE END) AS xmax,
              min(epoch_us(ts)::DOUBLE) AS ymin,
              max(epoch_us(ts)::DOUBLE) AS ymax
       FROM events
     ),
     b0 AS (
       SELECT event_id,
-             least(greatest(CAST(floor((value::DOUBLE - xmin)
+             CASE WHEN value IS NULL OR isnan(value::DOUBLE) THEN NULL
+                  ELSE least(greatest(CAST(floor((value::DOUBLE - xmin)
                     / (CASE WHEN xmax > xmin THEN xmax - xmin END)
-                    * 65535.0) AS BIGINT), 0), 65535) AS xb,
+                    * 65535.0) AS BIGINT), 0), 65535) END AS xb,
              least(greatest(CAST(floor((epoch_us(ts)::DOUBLE - ymin)
                     / (CASE WHEN ymax > ymin THEN ymax - ymin END)
                     * 65535.0) AS BIGINT), 0), 65535) AS yb

@@ -45,7 +45,7 @@ def results_to_geojson(
             "for bounded query results — write JSONL for bulk exports"
         )
     return rows_to_geojson(rows, id_col=id_col, lon_col=lon_col,
-                           lat_col=lat_col)
+                           lat_col=lat_col, max_rows=max_rows)
 
 
 def rows_to_geojson(
@@ -53,11 +53,19 @@ def rows_to_geojson(
     id_col: str = "id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    max_rows: int = 100_000,
 ) -> str:
     """Build the FeatureCollection string from ALREADY-COLLECTED rows —
     callers that also print the rows (cli.py cmd_within) collect once
     and share, instead of re-running the query for each consumer
-    (ADVICE r3)."""
+    (ADVICE r3).  Keeps the same ``max_rows`` loud-error contract as
+    :func:`results_to_geojson` so the shared-rows path can't silently
+    serialize an unbounded export (r4 review finding)."""
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"result exceeds max_rows={max_rows}; rows_to_geojson is "
+            "for bounded query results — write JSONL for bulk exports"
+        )
     features = []
     for r in rows:
         d = r.asDict()
