@@ -1508,11 +1508,15 @@ def jaccard_pairs_prefix(
 def _deletion_keys(col: Column) -> Column:
     """The FastSS 1-deletion neighborhood of a string: the string
     itself plus every variant with one character removed, distinct.
-    Two strings are within Levenshtein distance 1 IFF their
-    neighborhoods intersect (substitution: both delete the differing
-    position; insertion/deletion: the shorter string IS a deletion of
-    the longer; equality: identity key) — so an equality join on the
-    exploded keys finds EVERY qualifying pair, no false negatives."""
+    Any two strings within Levenshtein distance 1 have INTERSECTING
+    neighborhoods (substitution: both delete the differing position;
+    insertion/deletion: the shorter string IS a deletion of the
+    longer; equality: identity key) — so an equality join on the
+    exploded keys finds EVERY qualifying pair, no false negatives.
+    The converse does NOT hold: some distance-2 pairs also collide
+    (e.g. the transposition 'aab'/'aba' shares 'aa' — pinned by a
+    hypothesis property test), which is why callers MUST keep the
+    exact thresholded-levenshtein verify; the join alone over-reports."""
     dels = F.transform(
         F.sequence(F.lit(1), F.length(col)),
         lambda i: F.concat(

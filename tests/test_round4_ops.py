@@ -421,3 +421,40 @@ def test_write_zorder_table_files_cover_disjoint_key_ranges(spark, tmp_path_fact
     assert len(spans) >= 4  # range partitioner actually split
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint zkey ranges across files
+
+
+def test_deletion_neighborhood_lemma_property():
+    """The completeness lemma fuzzy_join_edit1 rests on, property-
+    tested without Spark: lev(a, b) <= 1 IMPLIES the {self + one-char
+    deletions} neighborhoods intersect (no false negatives).  The
+    converse is FALSE — hypothesis found 'aab'/'aba' (a transposition,
+    lev 2) sharing 'aa' — which is exactly why the operator keeps the
+    exact verify step after the key join."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def hood(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    @given(st.text(alphabet="abc", max_size=6),
+           st.text(alphabet="abc", max_size=6))
+    @settings(max_examples=500)
+    def check(a, b):
+        if lev(a, b) <= 1:
+            assert hood(a) & hood(b)
+
+    check()
+    # the converse is false: a transposition collides at distance 2
+    assert lev("aab", "aba") == 2 and (hood("aab") & hood("aba"))
