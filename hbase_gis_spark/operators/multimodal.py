@@ -205,6 +205,45 @@ def _parse_gif_header(buf: bytes) -> tuple[int, int, int]:
     return width, height, 3
 
 
+def _parse_webp_header(buf: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a WebP container's first chunk —
+    header walk only, no pixel decode.  Three layouts (RFC 9649 /
+    libwebp container spec):
+
+    - VP8X (extended): canvas width/height as 24-bit little-endian
+      minus-one fields at chunk offsets 4 and 7; alpha flag bit 4.
+    - 'VP8 ' (lossy): 3-byte frame tag, the 9D 01 2A start code, then
+      14-bit little-endian width/height.
+    - VP8L (lossless): 0x2F signature byte, then width-1 and height-1
+      as consecutive 14-bit little-endian fields; alpha flag follows.
+    """
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise ValueError("not a WebP stream (missing RIFF/WEBP header)")
+    fourcc, body = buf[12:16], buf[20:]
+    if fourcc == b"VP8X":
+        if len(body) < 10:
+            raise ValueError("truncated VP8X chunk")
+        w = int.from_bytes(body[4:7], "little") + 1
+        h = int.from_bytes(body[7:10], "little") + 1
+        nch = 4 if body[0] & 0x10 else 3
+        return w, h, nch
+    if fourcc == b"VP8 ":
+        if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("bad VP8 key-frame start code")
+        w = int.from_bytes(body[6:8], "little") & 0x3FFF
+        h = int.from_bytes(body[8:10], "little") & 0x3FFF
+        return w, h, 3
+    if fourcc == b"VP8L":
+        if len(body) < 5 or body[0] != 0x2F:
+            raise ValueError("bad VP8L signature byte")
+        bits = int.from_bytes(body[1:5], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        nch = 4 if (bits >> 28) & 1 else 3
+        return w, h, nch
+    raise ValueError(f"unknown WebP chunk {fourcc!r}")
+
+
 def _encode_pnm(width: int, height: int, nch: int, pixels: bytes) -> bytes:
     """Encode a raw top-down raster as binary PPM (3ch) / PGM (1ch)."""
     magic = b"P6" if nch == 3 else b"P5"
@@ -231,9 +270,10 @@ def _decode_real(buf: bytes) -> tuple[int, int, int, float]:
        parsers, full pixel decode (no image library; executes in this
        container).
     2. PIL when importable — full decode of every format it knows.
-    3. JPEG / PNG / GIF with no PIL — REAL header parse
+    3. JPEG / PNG / GIF / WebP with no PIL — REAL header parse
        (``_parse_jpeg_header`` SOF walk, ``_parse_png_header`` IHDR,
-       ``_parse_gif_header`` screen descriptor: dims + channels) but
+       ``_parse_gif_header`` screen descriptor, ``_parse_webp_header``
+       VP8/VP8L/VP8X: dims + channels) but
        no pixel decode, so ``mean_byte`` is NaN here, which Arrow's
        pandas->Spark conversion surfaces as SQL NULL in the
        ``decode_media`` output (the idiomatic "not computed" marker —
@@ -255,8 +295,11 @@ def _decode_real(buf: bytes) -> tuple[int, int, int, float]:
         if buf[:6] in (b"GIF87a", b"GIF89a"):
             w, h, nch = _parse_gif_header(buf)
             return w, h, nch, float("nan")
+        if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+            w, h, nch = _parse_webp_header(buf)
+            return w, h, nch, float("nan")
         raise NotImplementedError(
-            "image decode beyond BMP/PNM pixels and JPEG/PNG/GIF "
+            "image decode beyond BMP/PNM pixels and JPEG/PNG/GIF/WebP "
             "headers requires PIL/opencv; not present in this container"
         )
     import io

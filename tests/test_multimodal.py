@@ -46,14 +46,14 @@ def test_decode_media_deterministic(media):
 def test_decode_media_unknown_format_guarded(spark):
     """Without an image library the real path must fail loudly with
     NotImplementedError on formats the pure parsers don't cover
-    (never silently fall back to the fake). WebP is real but outside
-    the header-tier coverage (its dims live inside the VP8 bitstream)."""
+    (never silently fall back to the fake). TIFF is real but outside
+    the header-tier coverage (its dims live in IFD entries)."""
     from hbase_gis_spark.operators.multimodal import _HAS_PIL
 
     if _HAS_PIL:
         pytest.skip("PIL present; real path covers non-BMP/PNM formats")
     df = spark.createDataFrame(
-        [(1, b"RIFF\x20\x00\x00\x00WEBPVP8 not decodable here")],
+        [(1, b"II*\x00\x08\x00\x00\x00 tiff not decodable here")],
         "id bigint, media binary",
     )
     with pytest.raises(Exception) as ei:
@@ -477,3 +477,30 @@ def test_decode_media_png_gif_headers_through_spark(spark):
     assert (got[1].width, got[1].height, got[1].channels) == (1024, 768, 3)
     assert (got[2].width, got[2].height, got[2].channels) == (64, 48, 3)
     assert got[1].mean_byte is None and got[2].mean_byte is None
+
+
+def test_webp_header_kernel():
+    """All three WebP layouts parse without an image library; bad
+    start codes fail loudly."""
+    import struct
+
+    from hbase_gis_spark.operators.multimodal import _parse_webp_header
+
+    def riff(fourcc, body):
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP"
+                + fourcc + struct.pack("<I", len(body)) + body)
+
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+               + (640).to_bytes(2, "little") + (480).to_bytes(2, "little"))
+    assert _parse_webp_header(vp8) == (640, 480, 3)
+    packed = (320 - 1) | ((240 - 1) << 14) | (1 << 28)  # w-1, h-1, alpha
+    vp8l = riff(b"VP8L", bytes([0x2F]) + packed.to_bytes(4, "little"))
+    assert _parse_webp_header(vp8l) == (320, 240, 4)
+    vp8x = riff(b"VP8X", bytes([0x10, 0, 0, 0])
+                + (1920 - 1).to_bytes(3, "little")
+                + (1080 - 1).to_bytes(3, "little"))
+    assert _parse_webp_header(vp8x) == (1920, 1080, 4)
+    with pytest.raises(ValueError):
+        _parse_webp_header(riff(b"VP8 ", b"\x00\x00\x00\xff\xff\xff aaaa"))
+    with pytest.raises(ValueError):
+        _parse_webp_header(b"RIFF\x00\x00\x00\x00WAVEdata")
