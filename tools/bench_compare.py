@@ -1,0 +1,75 @@
+"""Compare two bench artifacts per query and flag regressions.
+
+Accepts any mix of bench_full_rNN.json (this repo's complete artifact)
+and the driver's BENCH_rNN.json (whose stdout tail may be truncated —
+per-query numbers are recovered by regex, so early registry entries
+can be missing there). Usage:
+
+    python tools/bench_compare.py OLD.json NEW.json [ratio]
+
+Prints queries slower than `ratio` (default 1.5) in NEW, the shared-set
+totals, and entries present on only one side. Remember the machine's
+documented 1.5-3x external-load swing (see .claude/skills/verify):
+judge a regression by re-running interleaved in ONE warm JVM before
+believing it.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:  # bench_full format
+        return {k: float(v) for k, v in doc["queries"].items() if v >= 0}
+    # driver format: JSON line lives (possibly truncated) in the tail
+    tail = doc.get("tail", "")
+    parsed = doc.get("parsed") or {}
+    if parsed.get("queries"):
+        return {k: float(v) for k, v in parsed["queries"].items() if v >= 0}
+    return {
+        k: float(v)
+        for k, v in re.findall(r'"([a-z0-9_]+)": (-?[0-9.]+)', tail)
+        if float(v) >= 0
+    }
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    shared = sorted(set(old) & set(new))
+    regs = [
+        (k, old[k], new[k])
+        for k in shared
+        if old[k] > 0.05 and new[k] > ratio * old[k]
+    ]
+    wins = [
+        (k, old[k], new[k])
+        for k in shared
+        if new[k] > 0.05 and old[k] > ratio * new[k]
+    ]
+    print(f"shared queries: {len(shared)}  "
+          f"(only-old: {len(set(old) - set(new))}, "
+          f"only-new: {len(set(new) - set(old))})")
+    t_old = sum(old[k] for k in shared)
+    t_new = sum(new[k] for k in shared)
+    print(f"shared-set total: {t_old:.2f}s -> {t_new:.2f}s "
+          f"({t_new / t_old:.2f}x)" if t_old else "no shared set")
+    print(f"\nregressions > {ratio}x: {len(regs)}")
+    for k, a, b in sorted(regs, key=lambda x: -x[2] / x[1]):
+        print(f"  {k:32} {a:7.3f} -> {b:7.3f}  ({b / a:.2f}x)")
+    print(f"improvements > {ratio}x: {len(wins)}")
+    for k, a, b in sorted(wins, key=lambda x: -x[1] / x[2]):
+        print(f"  {k:32} {a:7.3f} -> {b:7.3f}  ({b / a:.2f}x)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
