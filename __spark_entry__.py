@@ -437,6 +437,7 @@ JACCARD_N, JACCARD_T = 3, 0.5
 SIMHASH_MAX_HAMMING = 6
 EMB_DUP_T = 0.4
 ANN_QUERY_ID, ANN_K = 0, 10
+ANN_FILTER_LABEL = 3  # filtered-search predicate value
 EMB_DIM = 64
 EMB_LSH_PLANES, EMB_LSH_BAND_BITS = 64, 4
 LSH_N_PLANES, LSH_MAX_HAMMING = 12, 2
@@ -3354,6 +3355,19 @@ def _q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_impact(load_table(spark, sf_dir, "documents"))
 
 
+def _q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact vector search: top-10 cosine neighbors
+    of the query vector among vectors sharing a label predicate — the
+    pre-filter (never-short-results) form of filtered retrieval; the
+    label predicate is pushable into a stored scan."""
+    from hbase_gis_spark.operators.similarity import cosine_topk_filtered
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_filtered(
+        emb, ANN_QUERY_ID, ANN_K, F.col("label") == ANN_FILTER_LABEL
+    )
+
+
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key over (value, event time): the 2-D Morton
     interleave of 16-bit equal-width bins — what a writer feeds to
@@ -3561,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "token_fertility": _q_token_fertility,
         "dedup_impact": _q_dedup_impact,
+        "ann_filtered_topk": _q_ann_filtered_topk,
     }
 
 
@@ -6861,6 +6876,28 @@ def oracle_sql() -> dict[str, str]:
            CAST(tokens_total - tokens_kept AS DOUBLE)
              / CAST(tokens_total AS DOUBLE) AS token_dup_rate
     FROM a
+    """
+
+    out["ann_filtered_topk"] = f"""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(q.qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE)
+                       * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                  i -> CAST(q.qv[i] AS DOUBLE)
+                       * CAST(q.qv[i] AS DOUBLE))))) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label = {ANN_FILTER_LABEL} AND e.vec_id != {ANN_QUERY_ID}
+    )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id ASC LIMIT {ANN_K}
     """
 
     return out

@@ -89,6 +89,7 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_ivfpq_topk_stored,
     ann_lsh_topk,
     cosine_topk,
+    cosine_topk_filtered,
     pca_project,
     pq_adc_topk,
     semdedup,

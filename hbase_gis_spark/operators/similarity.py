@@ -1353,3 +1353,40 @@ def ann_hamming_topk_stored(
         .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def cosine_topk_filtered(
+    df: DataFrame,
+    query_id: int,
+    k: int,
+    predicate: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FILTERED exact vector search: top-k cosine neighbors among only
+    the rows satisfying ``predicate`` (a metadata condition — label,
+    tenant, language, date partition). The standard vector-store
+    capability next to plain top-k: pre-filtering, not post-filtering,
+    so the result always holds k rows when k candidates exist (a
+    post-filter of a plain top-k can come back short or empty).
+
+    Physical shape: the predicate applies BEFORE the distance
+    expression, so Catalyst pushes any sargable part of it into the
+    scan (partition/row-group pruning on a stored table — with IVF or
+    signature sidecars the same filter composes there too); the 1-row
+    query side broadcasts; ranking stays TakeOrderedAndProject.
+    The query vector is looked up UNFILTERED — the query point itself
+    need not satisfy the predicate."""
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    return (
+        df.filter(predicate & (F.col(id_col) != query_id))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            pair_cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -31,7 +31,12 @@ NEEDS_DATA = {
 # report-shaped queries emit one row per configured step/level even on
 # empty input (a funnel report always has k rows, with zero counts;
 # a table profile always has one row per profiled column)
-FIXED_SHAPE = {"funnel_counts": 4, "table_profile": 5, "dataset_card": 7}
+FIXED_SHAPE = {
+    "funnel_counts": 4,
+    "table_profile": 5,
+    "dataset_card": 7,
+    "dedup_recall_report": 5,  # metric rows exist even over zero docs
+}
 # point-query operators keyed to a specific row id return empty when
 # that row is absent — nothing to assert beyond "no crash"
 

@@ -653,3 +653,35 @@ def test_hamming_funnel_recall_floor(emb):
         assert len(r5 & exact) >= 3
         assert len(r10 & exact) >= 5
         assert len(r10 & exact) >= len(r5 & exact)
+
+
+def test_cosine_topk_filtered_prefilter_semantics(spark):
+    """Filtered search is a PRE-filter: k results whenever k candidates
+    satisfy the predicate, every result satisfies it, and the scores
+    equal the unfiltered operator's for the same ids (same kernel)."""
+    from pyspark.sql import functions as F
+
+    from hbase_gis_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_filtered,
+    )
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    label = emb.filter("vec_id = 7").select("label").first()[0]
+    got = cosine_topk_filtered(
+        emb, 7, 5, F.col("label") == label
+    ).collect()
+    assert len(got) == 5
+    labels = {
+        r.vec_id: r.label
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert all(labels[r.vec_id] == label for r in got)
+    # post-filtering plain top-5 would come back short here
+    plain = cosine_topk(emb, 7, 5).collect()
+    assert sum(1 for r in plain if labels[r.vec_id] == label) < 5
+    # same kernel: scores agree with the unfiltered ranking's values
+    full = {r.vec_id: r.cosine for r in cosine_topk(emb, 7, 500).collect()}
+    assert all(full[r.vec_id] == r.cosine for r in got)
