@@ -490,3 +490,23 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path_factory):
     )
     got_clean = {r.doc_id for r in spark.sql("SELECT * FROM decon_clean").collect()}
     assert got_clean == expect_clean
+
+
+def test_streaming_quality_resample_matches_batch(spark, tmp_path_factory):
+    """quality_resample is a pure function of row content (hash draw,
+    no RNG state), so it applies unchanged on a document stream and
+    keeps exactly the batch operator's survivor set."""
+    from hbase_gis_spark.operators.corpus import quality_resample
+    from hbase_gis_spark.sources.corpus_io import read_document_stream
+
+    docs = load_table(spark, SF0001, "documents")
+    expect = {r.doc_id for r in quality_resample(docs).collect()}
+    base = str(tmp_path_factory.mktemp("qrstream") / "docs")
+    docs.repartition(3).write.mode("overwrite").parquet(base)
+    stream = read_document_stream(spark, base, max_files_per_trigger=1)
+    run_stream_to_memory(
+        quality_resample(stream).select("doc_id"),
+        "qr_stream", output_mode="append",
+    )
+    got = {r.doc_id for r in spark.sql("SELECT * FROM qr_stream").collect()}
+    assert got == expect and len(expect) > 0
