@@ -37,6 +37,7 @@ BNLJ_SANCTIONED = {
     "ann_range_search",  # broadcast 1-row query vector, zero-shuffle scan
     "ann_hamming_topk",  # broadcast 1-row query signature, top-k scan
     "ann_hamming_rerank",  # same + broadcast k'-candidate rerank stage
+    "ann_filtered_topk",  # broadcast 1-row query vector over the filtered scan
     "knn_multi",  # broadcast N-origin dim fan-out, big side streams once
     "keyword_search",  # 1-row corpus-total joined onto the tiny term dim
     "mixture_rates",
