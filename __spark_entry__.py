@@ -3179,6 +3179,13 @@ NGRAM_DIV_N = 2
 BOILER_N, BOILER_MIN_DOCS = 3, 2
 ZORDER_BITS = 16
 PAGERANK_ITERS, PAGERANK_DAMPING_MILLI = 3, 850
+TRI_MIN_SUPPORT = 2
+# 10‰ of total volume: the synthetic corpus is rate-flat (max observed
+# deviation ~18‰ at sf0.01), so this flags only the genuine tail —
+# production data with real level shifts would use 50-300‰
+CUSUM_THRESHOLD_MILLI = 10
+SEG_K, SEG_MIN_DOCS = 10, 2
+PROTO_K = 5
 
 
 def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3383,6 +3390,63 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the support-filtered co-purchase
+    graph (parts co-ordered in >= 2 orders): node/edge/wedge/triangle
+    counts + exact milli clustering coefficient, all BIGINT."""
+    from hbase_gis_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_stats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_stats(
+        cooccurrence_edges(
+            li, "l_orderkey", "l_partkey", min_support=TRI_MIN_SUPPORT
+        )
+    )
+
+
+def _q_cusum_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM level-shift screen over the dense daily
+    spine — integer-scaled cumulative deviation, exact on both
+    engines."""
+    from hbase_gis_spark.operators.timeseries import cusum_days
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_days(
+        ev, ts_us(), threshold_milli=CUSUM_THRESHOLD_MILLI
+    )
+
+
+def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style non-overlapping segment-hash dedup stats per
+    document (fixed 10-token segments standing in for paragraphs)."""
+    from hbase_gis_spark.operators.dedup import segment_dup_stats
+
+    return segment_dup_stats(
+        load_table(spark, sf_dir, "documents"),
+        k=SEG_K,
+        min_docs=SEG_MIN_DOCS,
+    )
+
+
+def _q_ivf_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cell prototype (coreset) selection: the 5 vectors most
+    aligned with their own cell centroid — same centroids as the IVF
+    retrieval family."""
+    from hbase_gis_spark.operators.similarity import (
+        ivf_prototypes,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(
+        emb, IVF_NLIST, train_rows=IVF_TRAIN_ROWS, seed=ANN_SEED
+    )
+    return ivf_prototypes(emb, C, k=PROTO_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -3576,6 +3640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fertility": _q_token_fertility,
         "dedup_impact": _q_dedup_impact,
         "ann_filtered_topk": _q_ann_filtered_topk,
+        "triangle_count": _q_triangle_count,
+        "cusum_days": _q_cusum_days,
+        "segment_dedup": _q_segment_dedup,
+        "ivf_prototypes": _q_ivf_prototypes,
     }
 
 
@@ -4127,6 +4195,34 @@ def oracle_sql() -> dict[str, str]:
            p.top_label, p.top_n
     FROM tot t JOIN top p USING (cell)
     """
+        # ivf_prototypes: same centroid replay; per-vec best (dot, cell)
+        # via the argmax row_number, then a per-cell rank window —
+        # mirrors operators/similarity.py:ivf_prototypes
+        ivf_protos_sql = f"""
+    WITH cents(ci, cv) AS (VALUES
+      {cent_rows}),
+    dots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+      SELECT vec_id, ci AS cell, d AS cdot FROM (
+        SELECT vec_id, ci, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    )
+    SELECT CAST(cell AS INTEGER) AS cell,
+           CAST(rk AS INTEGER) AS proto_rank, vec_id, cdot
+    FROM (
+      SELECT cell, vec_id, cdot,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY cdot DESC, vec_id ASC) AS rk
+      FROM best
+    ) WHERE rk <= {PROTO_K}
+    """
         # semdedup: identical centroid replay (same nlist/seed/sample as
         # IVF), intra-cell lower-id cosine pruning — mirrors
         # operators/similarity.py:semdedup
@@ -4376,6 +4472,7 @@ def oracle_sql() -> dict[str, str]:
         ann_ivf_sql = None
         ivf_cells_sql = None
         label_purity_sql = None
+        ivf_protos_sql = None
         semdedup_sql = None
         pq_adc_sql = None
         ann_ivfpq_sql = None
@@ -6899,5 +6996,100 @@ def oracle_sql() -> dict[str, str]:
     SELECT vec_id, cosine FROM scored
     ORDER BY cosine DESC, vec_id ASC LIMIT {ANN_K}
     """
+
+    out["triangle_count"] = f"""
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+    ),
+    e AS (
+      SELECT a.i AS a, b.i AS b
+      FROM base a JOIN base b ON a.g = b.g AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY v
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+             CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(CASE WHEN n_wedges > 0
+                THEN (3 * n_triangles * 1000) // n_wedges
+                ELSE 0 END AS BIGINT) AS clustering_milli
+    FROM s CROSS JOIN t
+    """
+
+    out["cusum_days"] = f"""
+    WITH d AS (
+      SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n
+      FROM events GROUP BY key, day
+    ),
+    rng AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM rng),
+    keys AS (SELECT DISTINCT key FROM d),
+    dense AS (
+      SELECT s.day, k.key, CAST(coalesce(dd.n, 0) AS BIGINT) AS n_events
+      FROM spine s CROSS JOIN keys k
+      LEFT JOIN d dd ON s.day = dd.day AND k.key = dd.key
+    ),
+    tot AS (
+      SELECT key, CAST(sum(n_events) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM dense GROUP BY key
+    ),
+    w AS (
+      SELECT day, key, n_events,
+             CAST(sum(n_events) OVER (PARTITION BY key ORDER BY day)
+                  AS BIGINT) AS pre,
+             CAST(row_number() OVER (PARTITION BY key ORDER BY day)
+                  AS BIGINT) AS rn
+      FROM dense
+    )
+    SELECT w.key AS event_type, w.day, w.n_events,
+           CAST(t.n * w.pre - w.rn * t.s AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN 1000 * abs(t.n * w.pre - w.rn * t.s)
+                          > {CUSUM_THRESHOLD_MILLI} * t.n * t.s
+                THEN 1 ELSE 0 END AS INTEGER) AS is_change
+    FROM w JOIN tot t ON w.key = t.key
+    """
+
+    out["segment_dedup"] = f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, CAST((len(w) + {SEG_K - 1}) // {SEG_K} AS BIGINT)),
+               i -> array_to_string(
+                      list_slice(w, i * {SEG_K} + 1, i * {SEG_K} + {SEG_K}),
+                      ' '))) AS segs
+      FROM t WHERE len(w) > 0
+    ),
+    x AS (SELECT doc_id, unnest(segs) AS seg FROM s),
+    c AS (SELECT seg, count(*) AS df FROM x GROUP BY seg)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN df >= {SEG_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_segments,
+           CAST(sum(CASE WHEN df >= {SEG_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
+    FROM x JOIN c USING (seg) GROUP BY doc_id
+    """
+
+    if ivf_protos_sql is not None:
+        out["ivf_prototypes"] = ivf_protos_sql
 
     return out

@@ -1199,6 +1199,75 @@ def span_dup_stats(
     )
 
 
+def segment_dup_stats(
+    df: DataFrame,
+    k: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style segment-hash dedup statistics: cut each document
+    into NON-overlapping ``k``-token segments (the fixed-length stand-in
+    for paragraphs — the corpus has no line structure), and report per
+    document how many of its distinct segments also occur in at least
+    ``min_docs`` documents corpus-wide. This is the segment-granular
+    member of the dedup family, between whole-doc ``dedup_exact`` and
+    the overlapping-gram ``span_dup_stats``: a removal pass drops the
+    shared segments (CCNet / Wenzek et al. 2020 dedup paragraphs by
+    hash before anything else touches the text), where span dedup
+    trims arbitrary-position runs. Distinct from ``boilerplate_*``,
+    which is per-SOURCE and overlapping-gram.
+
+    Output: (doc_id, n_segments, dup_segments, dup_frac) over each
+    doc's DISTINCT segments.
+
+    Scale shape: segment construction is map-only array slicing over a
+    PROJECTED token column (the lambda references the materialized
+    attribute, so interpreted HOF eval cannot re-run the tokenizer per
+    segment — same discipline as ``word_shingles``); then ONE explode
+    feeding ONE segment-partition window (segments are per-doc
+    distinct, so ``count(*)`` over the segment partition IS the
+    distinct doc count — the single-pass shape proved on
+    ``span_dup_stats``) and ONE per-doc aggregate. Segment keys are
+    content-uniform; no join-back, no skew."""
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    n_seg = F.expr(f"(size(__w) + {k - 1}) div {k}")
+    segs = F.when(
+        F.size("__w") > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__w"), i * k + 1, k)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = toks_df.select(
+        F.col(id_col), F.explode(segs).alias("seg")
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("seg"))
+    return (
+        exploded.withColumn("__nd", nd)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(
+                F.when(F.col("__nd") >= min_docs, 1).otherwise(0)
+            ).alias("dup_segments"),
+        )
+        .select(
+            id_col,
+            "n_segments",
+            "dup_segments",
+            (
+                F.col("dup_segments").cast("double")
+                / F.col("n_segments").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

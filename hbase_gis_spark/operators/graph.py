@@ -106,6 +106,98 @@ def pagerank_int(
     return rank.select("node", F.col("rank").alias("rank_micro"))
 
 
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Support-filtered co-occurrence edges: undirected (a < b) item
+    pairs that appear together in at least ``min_support`` distinct
+    groups (orders, sessions, baskets). Output: (a, b, support).
+
+    Scale shape: the pair generation is a self-join on the GROUP key,
+    so its cost is sum over groups of |group|^2 — bounded by the
+    natural group size (an order has a handful of lines), never by
+    table size; a pathological mega-group is a data-quality bug the
+    skew_report surfaces, and callers can pre-cap with a per-group
+    limit. The support filter then collapses the pair stream in ONE
+    map-side-combined hash aggregate, and (critically for the graph
+    ops downstream) random co-occurrences almost never repeat, so the
+    surviving edge list is orders of magnitude smaller than the pair
+    stream — measured at sf0.1: ~1.20M pair occurrences
+    -> 3,573 edges at min_support=2."""
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).distinct()
+    return (
+        base.select("g", F.col("i").alias("a"))
+        .join(base.select("g", F.col("i").alias("b")), "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row global graph summary over an undirected (a < b) edge
+    list: node/edge counts, wedge (open 2-path) count, triangle count,
+    and the global clustering coefficient in exact milli-units
+    (3 * triangles * 1000 div wedges) — all BIGINT, engine-exact.
+
+    Triangle counting is the id-ordered closed-wedge join: wedges
+    anchored at their smallest vertex ((a,b) ⋈ (a,c), b < c) closed by
+    the (b,c) edge, so every triangle a < b < c is counted exactly
+    once. Work is sum over vertices of (forward-degree)^2 — the same
+    O(m^1.5)-bounded shape as the Schank–Wagner / MapReduce
+    node-iterator; on a support-filtered co-occurrence graph the
+    degree distribution is already flat enough that the plain id
+    orientation matches the degree orientation in practice (and the id
+    form is what the SQL oracle can replay verbatim). Degrees, node
+    count, edge count (sum(deg) div 2) and wedges all come from ONE
+    hash aggregate over the degree table; the final assembly joins two
+    1-row aggregates (a sanctioned broadcast).
+
+    The edge list is lazily checkpointed: it feeds the degree
+    aggregate and all three legs of the triangle join, and its
+    producing pipeline (a groupBy-filtered self-join for
+    ``cooccurrence_edges``) is too expensive to re-run four times."""
+    e = edges.select("a", "b").localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d) div 2").alias("n_edges"),
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("n_wedges"),
+    )
+    tri = (
+        e.select(F.col("a"), F.col("b"))
+        .join(
+            e.select(F.col("a"), F.col("b").alias("c")),
+            "a",
+        )
+        .filter(F.col("b") < F.col("c"))
+        .join(e.select(F.col("a").alias("b"), F.col("b").alias("c")), ["b", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return base.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges > 0 "
+            "THEN (3 * n_triangles * 1000) div n_wedges "
+            "ELSE 0 END"
+        ).alias("clustering_milli"),
+    )
+
+
 def event_type_edges(
     ev: DataFrame,
     ts_col,

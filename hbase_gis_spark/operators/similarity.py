@@ -368,6 +368,65 @@ def label_purity(
     return tot.join(top, "cell")
 
 
+def ivf_prototypes(
+    df: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Per-cell prototype (coreset) selection: the ``k`` vectors most
+    aligned with their own cell centroid — the dataset-condensation /
+    SemDeDup-prune counterpart of :func:`ivf_cells_hist`. The selected
+    rows are the cells' most representative members (centroids are
+    unit-norm, so max dot == max cosine); training-data pipelines use
+    them as the per-cluster keep set when condensing, and as cheap
+    cluster exemplars for human inspection.
+
+    Output: (cell, proto_rank, vec_id, cdot) with proto_rank 1..k by
+    (centroid dot DESC, vec_id ASC). The dot is the fold-exact
+    sequential sum over the vector's elements, so the DOUBLE compares
+    bit-identically across engines (the established discipline of the
+    IVF family).
+
+    Scale shape: ONE scan computes all centroid dots (Arrow kernel /
+    codegen fold), the rank window partitions by cell over ``nlist``
+    partitions — content-uniform under a healthy quantizer, and an
+    unhealthy one is visible first in ``ivf_cells_hist``. No joins,
+    no candidate explosion; cost is linear in the table."""
+    if use_arrow:
+        dots = fold_dots(F.col(vec_col), centroids)
+    else:
+        dots = F.array(
+            *[
+                dot_expr(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                )
+                for c in centroids
+            ]
+        )
+    staged = df.select(
+        F.col(id_col),
+        dots.alias("__dots"),
+    ).select(
+        F.col(id_col),
+        (F.array_position(F.col("__dots"), F.array_max("__dots")) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.array_max("__dots").alias("cdot"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("cdot").desc(), F.col(id_col).asc()
+    )
+    return (
+        staged.withColumn("proto_rank", F.row_number().over(w))
+        .filter(F.col("proto_rank") <= k)
+        .select("cell", "proto_rank", id_col, "cdot")
+    )
+
+
 def quantize_int8_stats(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -18,6 +18,73 @@ from pyspark.sql import functions as F
 US_PER_DAY = 86_400_000_000
 
 
+def cusum_days(
+    ev: DataFrame,
+    ts_us_col: Column,
+    key_col: str = "event_type",
+    threshold_milli: int = 50,
+) -> DataFrame:
+    """Per-key CUSUM change-point screen over daily event counts:
+    for each (key, day), the cumulative deviation of observed volume
+    from the key's flat-rate expectation, and a flag where it exceeds
+    ``threshold_milli``/1000 of the key's total volume. A sustained
+    rate shift drives the cusum away from zero linearly, where a
+    single noisy day only bumps it once — the classic reason CUSUM
+    beats per-day z-scores (``daily_anomalies``) for detecting level
+    changes rather than spikes.
+
+    Engine-exact integer form: with N days, total S, and prefix_k the
+    cumulative count through day k, the textbook statistic
+    C_k = prefix_k - k*S/N is carried scaled by N::
+
+        cusum_scaled = N * prefix_k - k * S          (BIGINT, exact)
+        is_change    = 1000 * |cusum_scaled| > threshold_milli * N * S
+
+    so no division ever happens and both engines agree bit-for-bit
+    (C_N == 0 by construction — the statistic is mean-anchored).
+
+    Scale shape: inherits :func:`dense_daily_counts`' ONE fact-table
+    hash aggregate (zero-days must exist or the deviation is wrong);
+    everything else — per-key totals, the prefix window, the flag — is
+    arithmetic over the |days| x |keys| aggregate, thousands of rows
+    at any corpus size."""
+    from pyspark.sql import Window
+
+    d = dense_daily_counts(ev, ts_us_col, key_col)
+    totals = d.groupBy(key_col).agg(
+        F.sum("n_events").alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("day").asc())
+    return (
+        d.join(F.broadcast(totals), key_col)
+        .select(
+            key_col,
+            "day",
+            "n_events",
+            (
+                F.col("__n") * F.sum("n_events").over(w)
+                - F.row_number().over(w) * F.col("__s")
+            ).alias("cusum_scaled"),
+            F.col("__n").alias("__n"),
+            F.col("__s").alias("__s"),
+        )
+        .select(
+            key_col,
+            "day",
+            "n_events",
+            "cusum_scaled",
+            F.when(
+                F.abs(F.col("cusum_scaled")) * 1000
+                > F.lit(threshold_milli) * F.col("__n") * F.col("__s"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("is_change"),
+        )
+    )
+
+
 def dense_daily_counts(
     ev: DataFrame,
     ts_us_col: Column,

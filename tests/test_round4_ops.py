@@ -458,3 +458,127 @@ def test_deletion_neighborhood_lemma_property():
     check()
     # the converse is false: a transposition collides at distance 2
     assert lev("aab", "aba") == 2 and (hood("aab") & hood("aba"))
+
+
+# ------------------------------------------------- round-4b: graph census --
+
+
+def test_cooccurrence_edges_support_filter(spark):
+    from hbase_gis_spark.operators.graph import cooccurrence_edges
+
+    rows = [  # pair (1,2) in groups g1+g2; (1,3) only in g1; dup line
+        ("g1", 1), ("g1", 2), ("g1", 3), ("g1", 1),
+        ("g2", 1), ("g2", 2),
+    ]
+    df = spark.createDataFrame(rows, "g string, i bigint")
+    got = {(r.a, r.b): r.support
+           for r in cooccurrence_edges(df, "g", "i", min_support=2).collect()}
+    assert got == {(1, 2): 2}  # (1,3) and (2,3) below support; dup ignored
+
+
+def test_triangle_stats_hand_graph(spark):
+    from hbase_gis_spark.operators.graph import triangle_stats
+
+    # path-plus-triangle: edges (1,2),(1,3),(2,3),(3,4)
+    # degrees 2,2,3,1 -> wedges 1+1+3+0 = 5; one triangle (1,2,3)
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 2), (2, 3, 2), (3, 4, 2)],
+        "a bigint, b bigint, support bigint",
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 4, 5, 1)
+    assert r.clustering_milli == (3 * 1 * 1000) // 5
+
+
+def test_triangle_stats_triangle_free(spark):
+    from hbase_gis_spark.operators.graph import triangle_stats
+
+    star = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 2), (1, 4, 2)], "a bigint, b bigint, support bigint"
+    )
+    r = triangle_stats(star).collect()[0]
+    assert (r.n_triangles, r.n_wedges, r.clustering_milli) == (0, 3, 0)
+
+
+# ---------------------------------------------------- round-4b: CUSUM -----
+
+
+def test_cusum_days_integer_replay(spark):
+    from hbase_gis_spark.operators.timeseries import cusum_days
+
+    us = 86_400_000_000
+    # type a: counts [3, 0, 3] over days 0..2 -> N=3, S=6
+    rows = ([(i, 0 * us + i, "a") for i in range(3)]
+            + [(10 + i, 2 * us + i, "a") for i in range(3)])
+    ev = spark.createDataFrame(rows, "event_id bigint, t bigint, event_type string")
+    out = {r.day: r for r in
+           cusum_days(ev, F.col("t"), threshold_milli=300).collect()}
+    # cusum_scaled_k = N*prefix_k - k*S
+    assert out[0].cusum_scaled == 3 * 3 - 1 * 6  # +3
+    assert out[1].cusum_scaled == 3 * 3 - 2 * 6  # -3
+    assert out[2].cusum_scaled == 3 * 6 - 3 * 6  # 0 (mean-anchored)
+    # flag: 1000*|c| > 300 * N * S = 5400 -> none here
+    assert [out[d].is_change for d in (0, 1, 2)] == [0, 0, 0]
+    tight = {r.day: r.is_change for r in
+             cusum_days(ev, F.col("t"), threshold_milli=100).collect()}
+    # 1000*3 > 100*18 -> day 0 and 1 flag, day 2 cannot (exactly 0)
+    assert tight == {0: 1, 1: 1, 2: 0}
+
+
+# ------------------------------------------- round-4b: segment dedup ------
+
+
+def test_segment_dup_stats_shared_block(spark):
+    from hbase_gis_spark.operators.dedup import segment_dup_stats
+
+    shared = "alpha beta gamma"  # one full 3-token segment
+    rows = [
+        (1, shared + " one two three"),   # segs: shared, "one two three"
+        (2, shared + " four five six"),   # segs: shared, "four five six"
+        (3, "seven eight nine"),          # unique single segment
+        (4, "alpha beta"),                # short doc -> partial segment
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in
+           segment_dup_stats(df, k=3, min_docs=2).collect()}
+    assert (got[1].n_segments, got[1].dup_segments) == (2, 1)
+    assert (got[2].n_segments, got[2].dup_segments) == (2, 1)
+    assert abs(got[1].dup_frac - 0.5) < 1e-12
+    assert (got[3].n_segments, got[3].dup_segments) == (1, 0)
+    # partial trailing segment "alpha beta" != the full shared segment
+    assert (got[4].n_segments, got[4].dup_segments) == (1, 0)
+
+
+def test_segment_dup_stats_distinct_within_doc(spark):
+    from hbase_gis_spark.operators.dedup import segment_dup_stats
+
+    # a doc repeating its own segment: per-doc DISTINCT -> 1 segment,
+    # not duplicated corpus-wide
+    df = spark.createDataFrame(
+        [(1, "x y x y")], "doc_id bigint, text string"
+    )
+    r = segment_dup_stats(df, k=2, min_docs=2).collect()[0]
+    assert (r.n_segments, r.dup_segments) == (1, 0)
+
+
+# ------------------------------------------- round-4b: IVF prototypes -----
+
+
+def test_ivf_prototypes_picks_nearest(spark):
+    import numpy as np
+
+    from hbase_gis_spark.operators.similarity import ivf_prototypes
+
+    # two unit centroids on the axes; vectors with known dots
+    C = np.array([[1.0, 0.0], [0.0, 1.0]])
+    rows = [
+        (1, [0.9, 0.1]), (2, [0.8, 0.0]), (3, [0.7, 0.3]),
+        (4, [0.1, 0.9]), (5, [0.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = [(r.cell, r.proto_rank, r.vec_id)
+           for r in ivf_prototypes(df, C, k=2)
+           .orderBy("cell", "proto_rank").collect()]
+    # cell 0 dots: id1 .9, id2 .8, id3 .7 -> top2 = 1, 2
+    # cell 1 dots: id4 .9, id5 .5 -> top2 = 4, 5
+    assert got == [(0, 1, 1), (0, 2, 2), (1, 1, 4), (1, 2, 5)]

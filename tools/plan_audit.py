@@ -50,6 +50,8 @@ BNLJ_SANCTIONED = {
     "pagerank_event_types",  # broadcast 1-row node-count aggregate
     "zorder_layout",  # broadcast 1-row global min/max range aggregate
     "dense_daily_counts",  # broadcast spine x keys dim product (tiny dims)
+    "cusum_days",  # inherits the dense spine dim product + 1-row totals
+    "triangle_count",  # final assembly joins two 1-row aggregates
 }
 
 
