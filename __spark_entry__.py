@@ -3390,6 +3390,20 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key over (value, event time) — the
+    better-locality companion of zorder_layout (adjacent curve steps
+    are always adjacent cells), same 16-bit equal-width bins."""
+    from hbase_gis_spark.operators.layout import hilbert_key_2d
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", ts_us().alias("__t")
+    )
+    return hilbert_key_2d(ev, "value", "__t", bits=ZORDER_BITS).select(
+        "event_id", "hkey"
+    )
+
+
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle census of the support-filtered co-purchase
     graph (parts co-ordered in >= 2 orders): node/edge/wedge/triangle
@@ -3644,6 +3658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_days": _q_cusum_days,
         "segment_dedup": _q_segment_dedup,
         "ivf_prototypes": _q_ivf_prototypes,
+        "hilbert_layout": _q_hilbert_layout,
     }
 
 
@@ -6781,6 +6796,57 @@ def oracle_sql() -> dict[str, str]:
       SELECT event_id, ((x5 << 1) | y5)::BIGINT AS zkey FROM s5
     )
     SELECT event_id, zkey FROM final
+    """
+
+    # hilbert_layout: the per-level reflect/swap CTE chain is generated
+    # from the SAME hilbert_level_fragments the Spark side executes —
+    # cross-engine equality by shared source, not re-implementation
+    from hbase_gis_spark.operators.layout import hilbert_level_fragments
+
+    _hn = 1 << ZORDER_BITS
+    _hmax = _hn - 1
+    _h_ctes = []
+    _prev = "b1"
+    for _lvl in reversed(range(ZORDER_BITS)):
+        _xe, _ye, _de = hilbert_level_fragments(
+            1 << _lvl, _hn, "x", "y", "d"
+        )
+        _h_ctes.append(
+            f"l{_lvl} AS (SELECT event_id, hnull, {_xe} AS x, "
+            f"{_ye} AS y, {_de} AS d FROM {_prev})"
+        )
+        _prev = f"l{_lvl}"
+    out["hilbert_layout"] = f"""
+    WITH rng AS (
+      SELECT min(CASE WHEN NOT isnan(value::DOUBLE)
+                      THEN value::DOUBLE END) AS xmin,
+             max(CASE WHEN NOT isnan(value::DOUBLE)
+                      THEN value::DOUBLE END) AS xmax,
+             min(epoch_us(ts)::DOUBLE) AS ymin,
+             max(epoch_us(ts)::DOUBLE) AS ymax
+      FROM events
+    ),
+    b0 AS (
+      SELECT event_id,
+             CASE WHEN value IS NULL OR isnan(value::DOUBLE) THEN NULL
+                  ELSE least(greatest(CAST(floor((value::DOUBLE - xmin)
+                    / (CASE WHEN xmax > xmin THEN xmax - xmin END)
+                    * {_hmax}.0) AS BIGINT), 0), {_hmax}) END AS xb,
+             least(greatest(CAST(floor((epoch_us(ts)::DOUBLE - ymin)
+                    / (CASE WHEN ymax > ymin THEN ymax - ymin END)
+                    * {_hmax}.0) AS BIGINT), 0), {_hmax}) AS yb
+      FROM events CROSS JOIN rng
+    ),
+    b1 AS (
+      SELECT event_id, (xb IS NULL OR yb IS NULL) AS hnull,
+             coalesce(xb, 0) AS x, coalesce(yb, 0) AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM b0
+    ),
+    {",".join(_h_ctes)}
+    SELECT event_id,
+           CASE WHEN hnull THEN NULL ELSE d END AS hkey
+    FROM {_prev}
     """
 
     out["boilerplate_coverage"] = f"""

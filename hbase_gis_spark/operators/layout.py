@@ -1,4 +1,4 @@
-"""Multi-dimensional table-layout keys (Z-order clustering).
+"""Multi-dimensional table-layout keys (Z-order and Hilbert clustering).
 
 A 100 TB fact table usually has TWO hot predicates (e.g. value range x
 time range).  Sorting by either column alone makes the other's min/max
@@ -80,6 +80,108 @@ def zorder_key_2d(
     zkey = F.shiftleft(_spread_bits(xb), 1).bitwiseOR(_spread_bits(yb))
     return df.crossJoin(F.broadcast(rng)).select(
         *[F.col(c) for c in df.columns], zkey.cast("bigint").alias("zkey")
+    )
+
+
+def hilbert_level_fragments(
+    s: int, n: int, x: str, y: str, d: str
+) -> tuple[str, str, str]:
+    """One level of the iterative Hilbert xy→d transform as THREE SQL
+    expression strings over the previous level's columns — the shared
+    source both engines execute verbatim (Spark ``F.expr`` per level,
+    DuckDB one CTE per level), so cross-engine equality is by
+    construction, not by re-implementation.
+
+    The step is the classic quadrant walk (s halves each level, n is
+    the full grid size): quadrant index h = (3·rx) xor ry — written as
+    ``3·rx + ry − 2·rx·ry`` because the two engines spell bitwise xor
+    differently while agreeing on +,−,× — contributes s²·h to d, then
+    the (rx, ry)-dependent reflect/swap re-orients the subsquare. Only
+    ``&``, CASE and integer arithmetic appear: the fragment dialect is
+    the exact intersection of Spark SQL and DuckDB."""
+    rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+    # s² as an explicit BIGINT: at s = 2^15 the product s²·3 overflows
+    # INT32, which Spark's ANSI mode turns into a runtime error
+    d_expr = (
+        f"{d} + CAST({s * s} AS BIGINT) "
+        f"* (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+    )
+    x_expr = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {n - 1} - {y} ELSE {y} END) "
+        f"ELSE {x} END"
+    )
+    y_expr = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {n - 1} - {x} ELSE {x} END) "
+        f"ELSE {y} END"
+    )
+    return x_expr, y_expr, d_expr
+
+
+def hilbert_key_2d(
+    df: DataFrame,
+    x_col,
+    y_col,
+    bits: int = 16,
+) -> DataFrame:
+    """Annotate every row with ``hkey`` = the 2-D Hilbert-curve index
+    of the two columns' equal-width bins — the same layout contract as
+    :func:`zorder_key_2d` with strictly better locality: every unit
+    step along the Hilbert curve moves to an ADJACENT cell (Morton
+    order takes long diagonal jumps at power-of-two boundaries), so a
+    rectangle query decomposes into ~2× fewer contiguous key ranges
+    and range-partitioned files stay tighter in both dimensions
+    (Hilbert is what Delta Lake's liquid clustering and modern
+    OPTIMIZE implementations moved to, for exactly this reason).
+
+    Same physical shape as the Z-order key: ONE 1-row global min/max
+    aggregate broadcast into the scan, then a map-only per-level
+    reflect/swap pipeline — ``bits`` chained projections that
+    whole-stage codegen fuses into a single stage. NULL/NaN inputs
+    key to NULL (bins are coalesced to 0 through the walk and masked
+    back at the end, so the per-level CASEs never see NULL)."""
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in [1, 16]")
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+
+    def clean(c: Column) -> Column:
+        d = c.cast("double")
+        return F.when(~F.isnan(d), d)
+
+    rng = df.agg(
+        F.min(clean(x)).alias("__xmin"),
+        F.max(clean(x)).alias("__xmax"),
+        F.min(clean(y)).alias("__ymin"),
+        F.max(clean(y)).alias("__ymax"),
+    )
+    xb = zorder_bin(x, F.col("__xmin"), F.col("__xmax"), bits)
+    yb = zorder_bin(y, F.col("__ymin"), F.col("__ymax"), bits)
+    cols = list(df.columns)
+    cur = df.crossJoin(F.broadcast(rng)).select(
+        *[F.col(c) for c in cols],
+        (xb.isNull() | yb.isNull()).alias("__hnull"),
+        F.coalesce(xb, F.lit(0)).cast("bigint").alias("__hx"),
+        F.coalesce(yb, F.lit(0)).cast("bigint").alias("__hy"),
+        F.lit(0).cast("bigint").alias("__hd"),
+    )
+    n = 1 << bits
+    for level in reversed(range(bits)):
+        x_e, y_e, d_e = hilbert_level_fragments(
+            1 << level, n, "__hx", "__hy", "__hd"
+        )
+        cur = cur.select(
+            *[F.col(c) for c in cols],
+            "__hnull",
+            F.expr(x_e).alias("__hx"),
+            F.expr(y_e).alias("__hy"),
+            F.expr(d_e).alias("__hd"),
+        )
+    return cur.select(
+        *[F.col(c) for c in cols],
+        F.when(~F.col("__hnull"), F.col("__hd")).alias("hkey"),
     )
 
 

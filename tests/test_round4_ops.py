@@ -582,3 +582,65 @@ def test_ivf_prototypes_picks_nearest(spark):
     # cell 0 dots: id1 .9, id2 .8, id3 .7 -> top2 = 1, 2
     # cell 1 dots: id4 .9, id5 .5 -> top2 = 4, 5
     assert got == [(0, 1, 1), (0, 2, 2), (1, 1, 4), (1, 2, 5)]
+
+
+# ------------------------------------------- round-4b: Hilbert layout -----
+
+
+def _xy2d_py(n, x, y):
+    """Reference driver-side replay of the classic iterative xy->d."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_walk(spark):
+    """bits=3: the engine key equals the classic xy2d on every cell of
+    the full 8x8 grid (i.e. the curve is a bijection 0..63)."""
+    from hbase_gis_spark.operators.layout import hilbert_key_2d
+
+    n = 8
+    # x/y values chosen so equal-width binning over [0, 7] is identity
+    rows = [(x * n + y, float(x), float(y)) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    got = {r.id: r.hkey for r in hilbert_key_2d(df, "x", "y", bits=3).collect()}
+    assert got == {x * n + y: _xy2d_py(n, x, y)
+                   for x in range(n) for y in range(n)}
+    assert sorted(got.values()) == list(range(n * n))  # bijective
+
+
+def test_hilbert_unit_steps_are_adjacent(spark):
+    """The locality property Z-order lacks: consecutive curve indices
+    are always 4-neighbor cells (Morton jumps diagonally at
+    power-of-two boundaries)."""
+    from hbase_gis_spark.operators.layout import hilbert_key_2d
+
+    n = 16
+    rows = [(x * n + y, float(x), float(y)) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    by_key = {r.hkey: (r.id // n, r.id % n)
+              for r in hilbert_key_2d(df, "x", "y", bits=4).collect()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_key[d], by_key[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"jump at d={d}"
+
+
+def test_hilbert_null_nan_key_to_null(spark):
+    from hbase_gis_spark.operators.layout import hilbert_key_2d
+
+    rows = [(1, 0.0, 0.0), (2, None, 1.0), (3, float("nan"), 2.0),
+            (4, 3.0, 3.0)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    got = {r.id: r.hkey for r in hilbert_key_2d(df, "x", "y", bits=4).collect()}
+    assert got[2] is None and got[3] is None
+    assert got[1] is not None and got[4] is not None

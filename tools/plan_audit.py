@@ -49,6 +49,7 @@ BNLJ_SANCTIONED = {
     "unigram_lm_score",  # broadcast 1-row token-total aggregate
     "pagerank_event_types",  # broadcast 1-row node-count aggregate
     "zorder_layout",  # broadcast 1-row global min/max range aggregate
+    "hilbert_layout",  # same 1-row range broadcast as zorder_layout
     "dense_daily_counts",  # broadcast spine x keys dim product (tiny dims)
     "cusum_days",  # inherits the dense spine dim product + 1-row totals
     "triangle_count",  # final assembly joins two 1-row aggregates
