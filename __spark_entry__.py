@@ -1429,6 +1429,7 @@ def _q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEARCH_TERMS = ["dup", "spark", "stream"]
 SEARCH_K = 20
+BM25_K1_MILLI, BM25_B_MILLI = 1200, 750  # textbook k1=1.2, b=0.75
 
 
 def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3390,6 +3391,21 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 ranked retrieval for the standard term list — the
+    length-normalized upgrade of keyword_search (k1 saturates tf, b
+    penalizes long docs); integer milli-unit scoring, engine-exact."""
+    from hbase_gis_spark.operators.textstats import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        SEARCH_TERMS,
+        k=SEARCH_K,
+        k1_milli=BM25_K1_MILLI,
+        b_milli=BM25_B_MILLI,
+    )
+
+
 def _q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert-curve layout key over (value, event time) — the
     better-locality companion of zorder_layout (adjacent curve steps
@@ -3659,6 +3675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": _q_segment_dedup,
         "ivf_prototypes": _q_ivf_prototypes,
         "hilbert_layout": _q_hilbert_layout,
+        "bm25_search": _q_bm25_search,
     }
 
 
@@ -7153,6 +7170,45 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum(CASE WHEN df >= {SEG_MIN_DOCS} THEN 1 ELSE 0 END)
                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
     FROM x JOIN c USING (seg) GROUP BY doc_id
+    """
+
+    _terms_in = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    out["bm25_search"] = f"""
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    proj AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+             list_filter(w, x -> x IN ({_terms_in})) AS q
+      FROM t
+    ),
+    tfg AS (
+      SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, dl, unnest(q) AS w FROM proj
+      ) GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST((1000 * sum(dl)) // count(*) AS BIGINT) AS avgdl
+      FROM proj
+    ),
+    idf AS (
+      SELECT w, CAST(round(1000 * ln(1 + (n - df + 0.5) / (df + 0.5)), 0)
+                     AS BIGINT) AS idf_milli
+      FROM (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tfg GROUP BY w)
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id,
+             (idf_milli * tf * (1000 + {BM25_K1_MILLI})) // (
+               1000 * tf + ({BM25_K1_MILLI} * ((1000 - {BM25_B_MILLI})
+               + ({BM25_B_MILLI} * ((dl * 1000000) // avgdl)) // 1000))
+                 // 1000
+             ) AS contrib
+      FROM tfg JOIN idf USING (w) CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_milli,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score_milli DESC, doc_id ASC LIMIT {SEARCH_K}
     """
 
     if ivf_protos_sql is not None:

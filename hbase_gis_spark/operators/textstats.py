@@ -602,6 +602,113 @@ QC_DIM = 1024          # weight buckets
 KNUTH_MULT = 2654435761  # Knuth multiplicative-hash constant
 
 
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full BM25 ranked retrieval (Robertson-Sparck Jones) for a term
+    list — the length-normalized upgrade of ``keyword_search``'s
+    tf-idf ranking: long documents no longer win just by containing
+    more token positions (k1 saturates term frequency, b scales the
+    doc-length penalty; registered defaults k1=1.2, b=0.75 are the
+    textbook values, carried in milli-units).
+
+    Integer-exact scoring: with N docs, S total tokens, dl the doc
+    length and avgdl_milli = (1000*S) div N, each term contributes::
+
+        ratio  = (dl * 1000000) div avgdl_milli            # ~1000*dl/avgdl
+        den    = 1000*tf + (k1 * ((1000 - b)
+                 + (b * ratio) div 1000)) div 1000
+        contrib = (idf_milli * tf * (1000 + k1)) div den
+
+    — every division a floor on BIGINTs, so ranking is engine-exact
+    at any corpus size (all intermediates stay < ~1e12 even at
+    100 TB; the one float is idf_milli =
+    round(1000 * ln(1 + (N - df + 0.5)/(df + 0.5))), rounded to an
+    integer BEFORE scoring under the same libm-ulp discipline as
+    ``tfidf_topk_terms``).
+
+    Plan shape: dl is a map-only ``size(tokens())`` projection — NO
+    second explode consumer; the one explode filters to the query
+    terms immediately, so surviving postings are |terms|-sized; term
+    idf and the (N, S, avgdl) row are broadcast dims; the final doc
+    ranking is TakeOrderedAndProject."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        tokens(text_col).alias("__w"),
+    )
+    # dl rides the filtered explode as a grouping key (functionally
+    # dependent on id), so tf+dl come from ONE corpus scan; the only
+    # other scan is the 1-row (N, S) totals aggregate
+    proj = base.select(
+        "id",
+        F.size("__w").cast("bigint").alias("dl"),
+        F.filter("__w", lambda x: x.isin(terms)).alias("__q"),
+    )
+    tf = (
+        proj.select("id", "dl", F.explode("__q").alias("w"))
+        .groupBy("id", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("dl").alias("__s"),
+    ).select(
+        "__n", F.expr("(1000 * __s) div __n").alias("__avgdl_milli")
+    )
+    idf = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            F.round(
+                F.lit(1000.0)
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                0,
+            )
+            .cast("bigint")
+            .alias("idf_milli"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.expr(
+                f"""(idf_milli * tf * (1000 + {k1_milli})) div (
+                  1000 * tf + ({k1_milli} * ((1000 - {b_milli})
+                  + ({b_milli} * ((dl * 1000000) div __avgdl_milli))
+                    div 1000)) div 1000
+                )"""
+            ).alias("contrib"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("contrib").alias("score_milli"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .select(F.col("id").alias(id_col), "score_milli", "n_terms")
+        .orderBy(F.col("score_milli").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def quality_logit_expr(text_col) -> Column:
     """The hashed-linear quality logit as a reusable Column expression
     (see :func:`quality_classifier` for the model): tokenize → md5

@@ -305,3 +305,43 @@ def test_quality_logit_is_order_invariant(spark):
     got = {r.doc_id: r.quality_logit
            for r in quality_classifier(df).collect()}
     assert got[1] == got[2]
+
+
+def test_bm25_integer_replay_and_length_norm(spark):
+    import math
+
+    from hbase_gis_spark.operators.textstats import bm25_topk
+
+    docs = [
+        (1, "spark line " + "pad " * 40),   # tf(spark)=1, long doc
+        (2, "spark line"),                  # tf(spark)=1, short doc
+        (3, "spark spark spark line"),      # tf=3
+        (4, "other words only here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = [(r.doc_id, r.score_milli, r.n_terms)
+           for r in bm25_topk(df, ["spark"], k=10).collect()]
+
+    def replay():
+        toks = {d: t.split() for d, t in docs}
+        dl = {d: len(w) for d, w in toks.items()}
+        n, s = len(docs), sum(dl.values())
+        avgdl = (1000 * s) // n
+        tf = {d: w.count("spark") for d, w in toks.items() if "spark" in w}
+        dfreq = len(tf)
+        idf = round(1000 * math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5)))
+        out = []
+        for d, t in tf.items():
+            ratio = (dl[d] * 1000000) // avgdl
+            den = 1000 * t + (1200 * ((1000 - 750)
+                              + (750 * ratio) // 1000)) // 1000
+            out.append((d, (idf * t * 2200) // den, 1))
+        return sorted(out, key=lambda r: (-r[1], r[0]))
+
+    assert got == replay()
+    scores = {d: s for d, s, _ in got}
+    assert 4 not in scores                      # no query term -> absent
+    assert scores[2] > scores[1]                # same tf, shorter doc wins
+    assert scores[3] > scores[2]                # higher tf wins
+    # saturation: tf=3 is NOT 3x the tf=1 score (k1 caps the growth)
+    assert scores[3] < 3 * scores[2]

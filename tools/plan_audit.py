@@ -40,6 +40,7 @@ BNLJ_SANCTIONED = {
     "ann_filtered_topk",  # broadcast 1-row query vector over the filtered scan
     "knn_multi",  # broadcast N-origin dim fan-out, big side streams once
     "keyword_search",  # 1-row corpus-total joined onto the tiny term dim
+    "bm25_search",  # same 1-row (N, avgdl) stats row on the term dim
     "mixture_rates",
     "mixture_sample",
     "global_sales_opportunity",  # broadcast 1-row positive-balance aggregate
