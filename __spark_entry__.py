@@ -3497,6 +3497,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_oracles.py (exact order-insensitive compare, stricter
     than the driver hash).  New round-4 queries are APPENDED at the end
     and enter the window in round 5.
+
+    ROUND-5 ROTATION PLAN (execute at the start of round 5): move the
+    round-4 additions -- ngram_diversity..ann_filtered_topk (17) plus
+    triangle_count, cusum_days, segment_dedup, ivf_prototypes,
+    hilbert_layout, bm25_search and any later round-4 appends -- into
+    slots 1..N of the registry; fill the remaining slots up to 50 with
+    the longest-unchecked round-2-era queries as regression canaries.
+    All candidates already pass tools/check_oracles.py exact-match at
+    sf0.01, so the rotation is a reorder, not a fix.
     """
     return {
         # --- slots 1-47: round-3 additions, first time in the driver window
