@@ -208,9 +208,35 @@ def write_zorder_table(
     at scale, persist the four min/max bounds next to the table and
     feed them to zorder_bin instead of re-aggregating per batch."""
     keyed = zorder_key_2d(df, x_col, y_col, bits=bits)
+    _write_curve_clustered(keyed, path, "zkey", n_files, mode)
+
+
+def write_hilbert_table(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 64,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a table Hilbert-clustered on (x_col, y_col) — the
+    :func:`write_zorder_table` contract on the better-locality curve:
+    every file covers a disjoint ``hkey`` range, and because adjacent
+    Hilbert indices are adjacent cells, a rectangle predicate touches
+    fewer files than under the Morton layout. Same append caveat:
+    re-derive keys from PERSISTED min/max bounds, not a per-batch
+    re-aggregate."""
+    keyed = hilbert_key_2d(df, x_col, y_col, bits=bits)
+    _write_curve_clustered(keyed, path, "hkey", n_files, mode)
+
+
+def _write_curve_clustered(
+    keyed: DataFrame, path: str, key: str, n_files: int, mode: str
+) -> None:
     (
-        keyed.repartitionByRange(n_files, F.col("zkey"))
-        .sortWithinPartitions("zkey")
+        keyed.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
         .write.mode(mode)
         .parquet(path)
     )

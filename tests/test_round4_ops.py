@@ -644,3 +644,28 @@ def test_hilbert_null_nan_key_to_null(spark):
     got = {r.id: r.hkey for r in hilbert_key_2d(df, "x", "y", bits=4).collect()}
     assert got[2] is None and got[3] is None
     assert got[1] is not None and got[4] is not None
+
+
+def test_write_hilbert_table_files_cover_disjoint_key_ranges(
+    spark, tmp_path_factory
+):
+    from hbase_gis_spark.operators.layout import write_hilbert_table
+    from hbase_gis_spark.sources.tables import load_table, ts_us
+    from tests.conftest import SF0001
+
+    ev = load_table(spark, SF0001, "events").select(
+        "event_id", "value", ts_us().alias("t")
+    )
+    path = str(tmp_path_factory.mktemp("hilbert") / "ev")
+    write_hilbert_table(ev, path, "value", "t", n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("hkey").alias("lo"), F.max("hkey").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in spans)
+    assert len(spans) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
