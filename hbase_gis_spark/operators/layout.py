@@ -185,6 +185,33 @@ def hilbert_key_2d(
     )
 
 
+def hilbert_d_many(x, y, bits: int = 16):
+    """Vectorized numpy twin of the per-level expression pipeline in
+    :func:`hilbert_key_2d` (same classic xy→d walk, boolean-mask form)
+    — the kernel behind the ``hgs_hilbert`` SQL function. Operates on
+    int64 arrays of pre-binned cells; caller handles NULLs."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    n = 1 << bits
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        m = ry == 0
+        flip = m & (rx == 1)
+        x[flip] = n - 1 - x[flip]
+        y[flip] = n - 1 - y[flip]
+        xt = x[m].copy()
+        x[m] = y[m]
+        y[m] = xt
+        s >>= 1
+    return d
+
+
 def write_zorder_table(
     df: DataFrame,
     path: str,

@@ -286,6 +286,8 @@ def register_sql_api(spark: SparkSession) -> None:
     - ``hgs_phash_lo(media)`` / ``hgs_phash_hi(media) -> bigint``:
       block-mean perceptual-hash halves over a binary payload
       (Arrow-batched; same kernel as ``media_phash``).
+    - ``hgs_hilbert(xb, yb) -> bigint``: Hilbert index of pre-binned
+      16-bit cells (Arrow-batched twin of ``hilbert_key_2d``).
 
     For hot-path batch work still prefer the DataFrame operators —
     they stage shared subexpressions across rows AND across documents
@@ -364,6 +366,28 @@ def register_sql_api(spark: SparkSession) -> None:
 
     spark.udf.register("hgs_phash_lo", _hgs_phash_lo)
     spark.udf.register("hgs_phash_hi", _hgs_phash_hi)
+
+    # layout family: Hilbert index of pre-binned 16-bit cells (the
+    # iterative reflect/swap walk needs per-level state, which a
+    # single inlined SQL-UDF expression cannot thread without
+    # exponential duplication — so this one is the Arrow-batched numpy
+    # twin of hilbert_key_2d's expression pipeline, parity-pinned in
+    # tests/test_sqlapi.py)
+    @F.pandas_udf("long")
+    def _hgs_hilbert(xb: pd.Series, yb: pd.Series) -> pd.Series:
+        from hbase_gis_spark.operators.layout import hilbert_d_many
+
+        mask = (xb.notna() & yb.notna()).to_numpy()
+        out = pd.Series([pd.NA] * len(xb), dtype="Int64")
+        if mask.any():
+            out[mask] = hilbert_d_many(
+                xb[mask].to_numpy(dtype="int64"),
+                yb[mask].to_numpy(dtype="int64"),
+                bits=16,
+            )
+        return out
+
+    spark.udf.register("hgs_hilbert", _hgs_hilbert)
 
     # binary-signature retrieval family — SQL twins of
     # operators/similarity.py::binary_signature_exprs / ann_hamming_topk

@@ -383,3 +383,39 @@ def test_hgs_hamming_funnel_matches_dataframe(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_sql_hilbert_matches_dataframe_key(spark):
+    """hgs_hilbert (Arrow numpy walk) == hilbert_key_2d (per-level
+    expression pipeline) on the events table's real bin distribution,
+    NULLs included."""
+    from hbase_gis_spark.operators.layout import hilbert_key_2d, zorder_bin
+    from hbase_gis_spark.sqlapi import register_sql_api
+    from hbase_gis_spark.sources.tables import load_table, ts_us
+    from tests.conftest import SF0001
+    from pyspark.sql import functions as F
+
+    register_sql_api(spark)
+    ev = load_table(spark, SF0001, "events").select(
+        "event_id", "value", ts_us().alias("t")
+    )
+    df_keys = {r.event_id: r.hkey
+               for r in hilbert_key_2d(ev, "value", "t", bits=16)
+               .select("event_id", "hkey").collect()}
+    rng = ev.agg(
+        F.min("value").alias("xmin"), F.max("value").alias("xmax"),
+        F.min("t").alias("ymin"), F.max("t").alias("ymax"),
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_id",
+        zorder_bin(F.col("value"), F.col("xmin"), F.col("xmax"), 16)
+        .cast("bigint").alias("xb"),
+        zorder_bin(F.col("t").cast("double"), F.col("ymin").cast("double"),
+                   F.col("ymax").cast("double"), 16)
+        .cast("bigint").alias("yb"),
+    )
+    binned.createOrReplaceTempView("__hil_bins")
+    sql_keys = {r.event_id: r.hkey for r in spark.sql(
+        "SELECT event_id, hgs_hilbert(xb, yb) AS hkey FROM __hil_bins"
+    ).collect()}
+    assert sql_keys == df_keys
