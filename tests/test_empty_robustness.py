@@ -27,6 +27,7 @@ NEEDS_DATA = {
     "ann_ivfpq_topk",
     "ann_recall_report",
     "pca_project",
+    "ivf_prototypes",
 }
 # report-shaped queries emit one row per configured step/level even on
 # empty input (a funnel report always has k rows, with zero counts;
