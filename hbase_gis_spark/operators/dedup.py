@@ -1243,8 +1243,12 @@ def segment_dup_stats(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # shuffle the md5 of the segment, not its text: the window key is
+    # 32 bytes instead of up-to-k tokens (the ngram_positions
+    # discipline; md5 collisions are the same accepted epsilon)
     exploded = toks_df.select(
-        F.col(id_col), F.explode(segs).alias("seg")
+        F.col(id_col),
+        F.explode(F.transform(segs, F.md5)).alias("seg"),
     )
     nd = F.count(F.lit(1)).over(Window.partitionBy("seg"))
     return (
