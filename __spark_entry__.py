@@ -3187,6 +3187,8 @@ TRI_MIN_SUPPORT = 2
 CUSUM_THRESHOLD_MILLI = 10
 SEG_K, SEG_MIN_DOCS = 10, 2
 PROTO_K = 5
+GSAMPLE_K = 10  # < docs-per-source at every sf, so the cap always bites
+NOVELTY_N = 3
 
 
 def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3388,6 +3390,28 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zorder_key_2d(ev, "value", "__t", bits=ZORDER_BITS).select(
         "event_id", "zkey"
+    )
+
+
+def _q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size review sample: exactly 10 docs per
+    source in md5-hash order — the human-audit queue primitive next
+    to rate-based stratified_sample."""
+    from hbase_gis_spark.operators.corpus import group_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_sample_k(docs, "source", GSAMPLE_K).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc first-occurrence n-gram novelty under ingest order —
+    the freshness screen for incrementally crawled corpora."""
+    from hbase_gis_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(
+        load_table(spark, sf_dir, "documents"), n=NOVELTY_N
     )
 
 
@@ -3685,6 +3709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_prototypes": _q_ivf_prototypes,
         "hilbert_layout": _q_hilbert_layout,
         "bm25_search": _q_bm25_search,
+        "group_sample": _q_group_sample,
+        "ngram_novelty_first": _q_ngram_novelty,
     }
 
 
@@ -7179,6 +7205,46 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum(CASE WHEN df >= {SEG_MIN_DOCS} THEN 1 ELSE 0 END)
                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
     FROM x JOIN c USING (seg) GROUP BY doc_id
+    """
+
+    out["group_sample"] = f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('gsample:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS pri
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY pri ASC, doc_id ASC)
+                  AS INTEGER) AS sample_rank
+      FROM h
+    )
+    SELECT doc_id, source, sample_rank FROM r
+    WHERE sample_rank <= {GSAMPLE_K}
+    """
+
+    out["ngram_novelty_first"] = f"""
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= {NOVELTY_N}
+                  THEN list_distinct(list_transform(
+                         range(1, len(w) - {NOVELTY_N - 2}),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [] END AS s
+      FROM t
+    ),
+    x AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    f AS (SELECT g, min(doc_id) AS first_doc FROM x GROUP BY g)
+    SELECT x.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           CAST(sum(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+    FROM x JOIN f USING (g) GROUP BY x.doc_id
     """
 
     _terms_in = ", ".join(f"'{t}'" for t in SEARCH_TERMS)

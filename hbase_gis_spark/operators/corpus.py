@@ -562,6 +562,39 @@ def k_anonymity_report(
     )
 
 
+def group_sample_k(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gsample",
+) -> DataFrame:
+    """Deterministic fixed-size sample: exactly ``min(k, |group|)``
+    rows per group, chosen by md5-hash order — the "give me 100 random
+    docs per source for review" primitive next to the rate-based
+    ``stratified_sample`` (Bernoulli keeps a FRACTION and its output
+    size drifts with group size; audits and human-review queues need
+    a fixed count). Deterministic and engine-exact: the priority is
+    the usual ``md5(salt:id)`` integer, ties broken by id. NOT
+    append-stable by design — a new row can displace a sampled one
+    (fixed-k sampling cannot be append-stable; use stratified_sample
+    when stability matters more than size).
+
+    Scale shape: ONE shuffle on the group key; the rank window is
+    eligible for WindowGroupLimit, so each map task forwards at most
+    k rows per group it sees — the shuffle carries ~k rows per
+    (group, task), never whole groups. Output: input columns +
+    ``sample_rank`` (1..k in hash order)."""
+    pri = content_hash(salt, id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        pri.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def quality_resample(
     df: DataFrame,
     id_col: str = "doc_id",

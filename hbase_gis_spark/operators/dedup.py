@@ -1272,6 +1272,55 @@ def segment_dup_stats(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty under doc_id (ingest) order: of a
+    doc's DISTINCT n-grams, the fraction whose FIRST corpus occurrence
+    (minimum doc_id carrying the gram) is this document. The freshness
+    signal of an incrementally-grown corpus — a crawl batch whose docs
+    score near zero is re-crawl/syndication sludge that adds tokens
+    but no new content, the aggregate complement of pairwise dedup.
+
+    Output: (doc_id, n_grams, novel_grams, novelty) over docs with at
+    least n tokens (shorter docs have no grams and no row).
+
+    Scale shape: the proven single-pass span-stats form — one explode
+    of per-doc-distinct gram md5s (32-byte shuffle keys, md5-uniform,
+    no skew), ONE gram-partition window (``min(id)`` — the same
+    partition that would compute the doc count), one per-doc hash
+    aggregate. No joins, no second scan."""
+    g = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(word_shingles(text_col, n), F.md5)
+        ).alias("g"),
+    )
+    first = F.min("id").over(Window.partitionBy("g"))
+    return (
+        g.withColumn("__first", first)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col("id"), 1).otherwise(0)
+            ).alias("novel_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "novel_grams",
+            (
+                F.col("novel_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -669,3 +669,41 @@ def test_write_hilbert_table_files_cover_disjoint_key_ranges(
     assert len(spans) >= 4
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+# --------------------------------------- round-4b: sampling & novelty -----
+
+
+def test_group_sample_k_exact_size_and_determinism(spark):
+    from hbase_gis_spark.operators.corpus import group_sample_k
+
+    rows = [(i, "a" if i < 20 else "b") for i in range(26)]  # |a|=20, |b|=6
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out1 = group_sample_k(df, "source", 5).collect()
+    by_src = {}
+    for r in out1:
+        by_src.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
+    assert len(by_src["a"]) == 5 and len(by_src["b"]) == 5
+    assert sorted(r for r, _ in by_src["a"]) == [1, 2, 3, 4, 5]
+    # deterministic: a second run picks the identical sample
+    out2 = group_sample_k(df, "source", 5).collect()
+    assert sorted((r.source, r.sample_rank, r.doc_id) for r in out1) == \
+           sorted((r.source, r.sample_rank, r.doc_id) for r in out2)
+    # k larger than the group keeps the whole group
+    small = group_sample_k(df.filter("source = 'b'"), "source", 50).collect()
+    assert len(small) == 6
+
+
+def test_ngram_novelty_first_occurrence(spark):
+    from hbase_gis_spark.operators.dedup import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),          # grams: "a b c", "b c d" — both first
+        (2, "a b c x"),          # "a b c" seen in doc 1; "b c x" novel
+        (3, "a b c d"),          # exact re-crawl of doc 1: zero novelty
+        (4, "q r"),              # too short: no grams, no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_grams, r.novel_grams) for r in
+           ngram_novelty(df, n=3).collect()}
+    assert got == {1: (2, 2), 2: (2, 1), 3: (2, 0)}
