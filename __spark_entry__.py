@@ -3189,6 +3189,7 @@ SEG_K, SEG_MIN_DOCS = 10, 2
 PROTO_K = 5
 GSAMPLE_K = 10  # < docs-per-source at every sf, so the cap always bites
 NOVELTY_N = 3
+SNAPDIFF_ADD_OFFSET = 100_000_000
 
 
 def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3391,6 +3392,49 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_key_2d(ev, "value", "__t", bits=ZORDER_BITS).select(
         "event_id", "zkey"
     )
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff of orders vs a deterministically
+    mutated copy (every 7th key removed, every 5th price bumped,
+    every 13th status flipped, one added key per 17th) — the
+    pipeline-regression / CDC-audit primitive. One full outer join on
+    the key, map-only column compare."""
+    from hbase_gis_spark.operators.merge import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        "o_orderstatus",
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (
+                F.col("price_cents")
+                + F.when(F.col("o_orderkey") % 5 == 0, 100).otherwise(0)
+            ).alias("price_cents"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+        .union(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + SNAPDIFF_ADD_OFFSET).alias(
+                    "o_orderkey"
+                ),
+                "o_custkey",
+                "price_cents",
+                "o_orderstatus",
+            )
+        )
+    )
+    return snapshot_diff(o, new, "o_orderkey")
 
 
 def _q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3710,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": _q_hilbert_layout,
         "bm25_search": _q_bm25_search,
         "group_sample": _q_group_sample,
+        "snapshot_diff": _q_snapshot_diff,
         "ngram_novelty_first": _q_ngram_novelty,
     }
 
@@ -7205,6 +7250,53 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum(CASE WHEN df >= {SEG_MIN_DOCS} THEN 1 ELSE 0 END)
                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
     FROM x JOIN c USING (seg) GROUP BY doc_id
+    """
+
+    out["snapshot_diff"] = f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderstatus
+      FROM orders
+    ),
+    n AS (
+      SELECT o_orderkey, o_custkey,
+             price_cents + CASE WHEN o_orderkey % 5 = 0
+                                THEN 100 ELSE 0 END AS price_cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM o WHERE o_orderkey % 7 != 0
+      UNION ALL
+      SELECT o_orderkey + {SNAPDIFF_ADD_OFFSET}, o_custkey,
+             price_cents, o_orderstatus
+      FROM o WHERE o_orderkey % 17 = 0
+    ),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             o.o_custkey AS oc, n.o_custkey AS nc,
+             o.price_cents AS op, n.price_cents AS np,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    ),
+    d AS (
+      SELECT k AS o_orderkey,
+             CASE WHEN NOT in_old THEN 'added'
+                  WHEN NOT in_new THEN 'removed'
+                  ELSE 'changed' END AS change_type,
+             CASE WHEN in_old AND in_new THEN
+               array_to_string(list_filter([
+                 CASE WHEN oc IS DISTINCT FROM nc THEN 'o_custkey' END,
+                 CASE WHEN op IS DISTINCT FROM np THEN 'price_cents' END,
+                 CASE WHEN os IS DISTINCT FROM ns
+                      THEN 'o_orderstatus' END],
+                 x -> x IS NOT NULL), ',')
+             END AS changed_cols
+      FROM j
+    )
+    SELECT o_orderkey, change_type, changed_cols FROM d
+    WHERE change_type != 'changed' OR changed_cols != ''
     """
 
     out["group_sample"] = f"""

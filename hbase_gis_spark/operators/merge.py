@@ -91,3 +91,73 @@ def scd2_intervals(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two snapshots of the same table: one output
+    row per key that was ADDED, REMOVED, or CHANGED, with the
+    comma-joined list of changed columns (in schema order) — the pipeline-regression primitive (validate a
+    rewritten job against the blessed output; audit what a CDC batch
+    actually did; reconcile replicas). Unchanged keys produce NO row,
+    so the output is |delta|-sized, not |table|-sized.
+
+    Semantics: NULL-safe comparison (``<=>``) per compared column —
+    NULL -> value and value -> NULL both count as changes, NULL ->
+    NULL does not. ``compare_cols`` defaults to every shared non-key
+    column.
+
+    Scale shape: ONE full outer join on the key (the minimum for a
+    global per-key decision — same single-shuffle bound as
+    merge_upsert, uniform id-like keys), then map-only column
+    comparison; the changed-column list is a compile-time array of
+    CASE expressions, so no per-row Python and no second pass. At
+    100 TB both sides shuffle once; bucketed/sorted storage on the key
+    would remove even that (the standard bucketed-join story)."""
+    cols = compare_cols or [
+        c for c in old.columns if c != key_col and c in new.columns
+    ]
+    o = old.select(
+        F.col(key_col).alias("__k"),
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(key_col).alias("__k"),
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    )
+    joined = o.join(n, "__k", "full_outer")
+    changed_cols = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                    F.lit(c),
+                )
+                for c in cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        joined.select(
+            F.col("__k").alias(key_col),
+            F.when(F.col("__in_old").isNull(), F.lit("added"))
+            .when(F.col("__in_new").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            F.when(
+                F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull(),
+                F.array_join(changed_cols, ","),
+            ).alias("changed_cols"),
+        )
+        .filter(
+            (F.col("change_type") != "changed")
+            | (F.col("changed_cols") != "")
+        )
+    )

@@ -707,3 +707,39 @@ def test_ngram_novelty_first_occurrence(spark):
     got = {r.doc_id: (r.n_grams, r.novel_grams) for r in
            ngram_novelty(df, n=3).collect()}
     assert got == {1: (2, 2), 2: (2, 1), 3: (2, 0)}
+
+
+# ------------------------------------------- round-4b: snapshot diff ------
+
+
+def test_snapshot_diff_semantics(spark):
+    from hbase_gis_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id bigint, s string, v bigint",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),      # unchanged -> no row
+         (2, "B", 25),      # both columns changed
+         (4, "d", 40),      # NULL -> value counts as a change
+         (5, "e", 50)],     # added
+        "id bigint, s string, v bigint",
+    )
+    got = {r.id: (r.change_type, r.changed_cols)
+           for r in snapshot_diff(old, new, "id").collect()}
+    assert got == {
+        2: ("changed", "s,v"),
+        3: ("removed", None),
+        4: ("changed", "s"),
+        5: ("added", None),
+    }
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    from hbase_gis_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 10)], "id bigint, s string, v bigint")
+    new = spark.createDataFrame([(1, "a", 99)], "id bigint, s string, v bigint")
+    # v excluded from comparison -> no diff row at all
+    assert snapshot_diff(old, new, "id", compare_cols=["s"]).count() == 0
