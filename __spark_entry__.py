@@ -3190,6 +3190,7 @@ PROTO_K = 5
 GSAMPLE_K = 10  # < docs-per-source at every sf, so the cap always bites
 NOVELTY_N = 3
 SNAPDIFF_ADD_OFFSET = 100_000_000
+LPA_ITERS = 3
 
 
 def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3391,6 +3392,25 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zorder_key_2d(ev, "value", "__t", bits=ZORDER_BITS).select(
         "event_id", "zkey"
+    )
+
+
+def _q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous 3-round label-propagation communities over the
+    support-filtered co-purchase graph — deterministic tiebreaks, so
+    engine-exact; the density-seeking complement of the connected-
+    component dedup_clusters."""
+    from hbase_gis_spark.operators.graph import (
+        cooccurrence_edges,
+        lpa_communities,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return lpa_communities(
+        cooccurrence_edges(
+            li, "l_orderkey", "l_partkey", min_support=TRI_MIN_SUPPORT
+        ),
+        iters=LPA_ITERS,
     )
 
 
@@ -3755,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "group_sample": _q_group_sample,
         "snapshot_diff": _q_snapshot_diff,
+        "lpa_communities": _q_lpa_communities,
         "ngram_novelty_first": _q_ngram_novelty,
     }
 
@@ -7250,6 +7271,41 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum(CASE WHEN df >= {SEG_MIN_DOCS} THEN 1 ELSE 0 END)
                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
     FROM x JOIN c USING (seg) GROUP BY doc_id
+    """
+
+    # lpa_communities: the synchronous vote rounds as generated CTEs
+    # (same deterministic count DESC / min-label tiebreak)
+    _lpa_rounds = []
+    for _r in range(1, LPA_ITERS + 1):
+        _lpa_rounds.append(
+            f"""v{_r} AS (
+      SELECT s.u AS node, l.community, count(*) AS n
+      FROM sym s JOIN l{_r - 1} l ON s.v = l.node GROUP BY 1, 2
+    ),
+    l{_r} AS (
+      SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY n DESC, community ASC) AS rn
+        FROM v{_r}
+      ) WHERE rn = 1
+    )"""
+        )
+    out["lpa_communities"] = f"""
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+    ),
+    e AS (
+      SELECT a.i AS a, b.i AS b
+      FROM base a JOIN base b ON a.g = b.g AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ),
+    sym AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS community FROM sym),
+    {",".join(_lpa_rounds)}
+    SELECT node AS v, community FROM l{LPA_ITERS}
     """
 
     out["snapshot_diff"] = f"""

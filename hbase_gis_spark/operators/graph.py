@@ -198,6 +198,61 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def lpa_communities(
+    edges: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation over an undirected (a < b) edge
+    list: ``iters`` fixed rounds where every node simultaneously
+    adopts the most frequent label among its neighbors (count DESC,
+    then MIN label — both tiebreaks deterministic, so the result is
+    shuffle-order- and engine-exact, unlike the async randomized LPA
+    of the original Raghavan et al. formulation). Communities are
+    denser-than-their-surroundings groups — the modularity-style
+    complement of ``dedup_clusters``' connected components, which
+    merge everything reachable regardless of density.
+
+    Output: (v, community) for every vertex; isolated-from-the-edge-
+    list vertices don't appear (they have no neighbors to vote).
+
+    Scale shape per round: ONE join of the symmetrized edge list
+    against the |V|-row label table + ONE (node, label) hash aggregate
+    + a per-node rank window over that aggregate — the same
+    edges-vs-small-table recurrence as ``pagerank_int``, cost linear
+    in |E| per round with a fixed small ``iters``. The symmetrized
+    edge list is lazily checkpointed once, before the loop."""
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("community").asc()
+    )
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("v"), "community"
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "community")
+        )
+    return labels.select(F.col("node").alias("v"), "community")
+
+
 def event_type_edges(
     ev: DataFrame,
     ts_col,

@@ -743,3 +743,55 @@ def test_snapshot_diff_compare_cols_subset(spark):
     new = spark.createDataFrame([(1, "a", 99)], "id bigint, s string, v bigint")
     # v excluded from comparison -> no diff row at all
     assert snapshot_diff(old, new, "id", compare_cols=["s"]).count() == 0
+
+
+def _lpa_py(edges, iters=3):
+    """Driver-side replay of the synchronous vote recurrence."""
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    labels = {v: v for v in sym}
+    for _ in range(iters):
+        nxt = {}
+        for v, nbrs in sym.items():
+            counts = {}
+            for nb in nbrs:
+                counts[labels[nb]] = counts.get(labels[nb], 0) + 1
+            nxt[v] = min(
+                (lbl for lbl in counts),
+                key=lambda x: (-counts[x], x),
+            )
+        labels = nxt
+    return labels
+
+
+def test_lpa_two_cliques_bridge(spark):
+    from hbase_gis_spark.operators.graph import lpa_communities
+
+    # two triangles joined by one bridge edge: LPA keeps them apart
+    # (CC would merge everything into one component)
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(
+        [(a, b, 2) for a, b in edges], "a bigint, b bigint, support bigint"
+    )
+    got = {r.v: r.community for r in lpa_communities(df).collect()}
+    assert got == _lpa_py(edges)
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+
+
+def test_lpa_matches_python_replay_random(spark):
+    import random
+
+    from hbase_gis_spark.operators.graph import lpa_communities
+
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(30), 2)))
+                    for _ in range(60)})
+    df = spark.createDataFrame(
+        [(a, b, 2) for a, b in edges], "a bigint, b bigint, support bigint"
+    )
+    got = {r.v: r.community for r in lpa_communities(df).collect()}
+    assert got == _lpa_py(edges)
