@@ -67,6 +67,8 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     simhash,
     simhash_pairs,
+    ngram_novelty,
+    segment_dup_stats,
     split_assign,
     stratified_sample,
     tfidf_cosine_pairs,
@@ -90,6 +92,7 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
     ann_lsh_topk,
     cosine_topk,
     cosine_topk_filtered,
+    ivf_prototypes,
     pca_project,
     pq_adc_topk,
     semdedup,
@@ -117,6 +120,7 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     token_count,
     token_fertility,
     unigram_lm_score,
+    bm25_topk,
     boilerplate_coverage,
     boilerplate_ngrams,
     doc_length_histogram,
@@ -160,20 +164,30 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     winsorize,
     write_training_shards,
     contamination_report,
+    group_sample_k,
     quality_resample,
 )
 from hbase_gis_spark.operators.graph import (  # noqa: F401
+    cooccurrence_edges,
     event_type_edges,
+    lpa_communities,
     pagerank_int,
+    triangle_stats,
 )
 from hbase_gis_spark.operators.layout import (  # noqa: F401
+    hilbert_key_2d,
+    write_hilbert_table,
     write_zorder_table,
     zorder_key_2d,
 )
-from hbase_gis_spark.operators.timeseries import dense_daily_counts  # noqa: F401
+from hbase_gis_spark.operators.timeseries import (  # noqa: F401
+    cusum_days,
+    dense_daily_counts,
+)
 from hbase_gis_spark.operators.merge import (  # noqa: F401
     merge_upsert,
     scd2_intervals,
+    snapshot_diff,
 )
 from hbase_gis_spark.operators.funnel import (  # noqa: F401
     conversion_lag,
