@@ -3191,6 +3191,7 @@ GSAMPLE_K = 10  # < docs-per-source at every sf, so the cap always bites
 NOVELTY_N = 3
 SNAPDIFF_ADD_OFFSET = 100_000_000
 LPA_ITERS = 3
+PSI_BINS = 10
 
 
 def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3392,6 +3393,45 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zorder_key_2d(ev, "value", "__t", bits=ZORDER_BITS).select(
         "event_id", "zkey"
+    )
+
+
+def _q_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column statistic drift between orders and a deterministically
+    degraded copy (every 7th key dropped, priority NULLed on every 3rd)
+    — the silent-schema-rot monitor. Two one-pass profiles + a
+    |columns|-row join."""
+    from hbase_gis_spark.operators.drift import profile_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    new = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority")
+        ),
+    )
+    return profile_diff(o, new, PROFILE_COLS)
+
+
+def _q_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PSI of the value distribution between even and
+    odd days — reference-decile bins, Laplace-smoothed per-bin terms
+    (a stationary corpus reports near-zero PSI; the pipeline is what
+    the oracle verifies)."""
+    from hbase_gis_spark.operators.drift import value_psi
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {86_400_000_000}")
+        .alias("__d"),
+    )
+    return value_psi(
+        ev.filter(F.col("__d") % 2 == 0),
+        ev.filter(F.col("__d") % 2 == 1),
+        "event_type",
+        "value",
+        n_bins=PSI_BINS,
     )
 
 
@@ -3776,6 +3816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": _q_group_sample,
         "snapshot_diff": _q_snapshot_diff,
         "lpa_communities": _q_lpa_communities,
+        "profile_diff": _q_profile_diff,
+        "value_psi": _q_value_psi,
         "ngram_novelty_first": _q_ngram_novelty,
     }
 
@@ -7271,6 +7313,103 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum(CASE WHEN df >= {SEG_MIN_DOCS} THEN 1 ELSE 0 END)
                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
     FROM x JOIN c USING (seg) GROUP BY doc_id
+    """
+
+    # profile_diff: both snapshots' per-column profiles generated from
+    # PROFILE_COLS (the same non-float column set as table_profile),
+    # joined on the column name
+    def _prof_sql(src: str, suffix: str) -> str:
+        parts = []
+        for c in PROFILE_COLS:
+            parts.append(
+                f"""SELECT '{c}' AS "column",
+             CAST(count(*) AS BIGINT) AS rows_{suffix},
+             CAST(count(*) - count({c}) AS BIGINT) AS nulls_{suffix},
+             CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_{suffix},
+             CAST(min({c}) AS VARCHAR) AS min_{suffix},
+             CAST(max({c}) AS VARCHAR) AS max_{suffix}
+      FROM {src}"""
+            )
+        return "\n      UNION ALL\n      ".join(parts)
+
+    out["profile_diff"] = f"""
+    WITH newsnap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+             CASE WHEN o_orderkey % 3 != 0
+                  THEN o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    po AS ({_prof_sql('orders', 'old')}),
+    pn AS ({_prof_sql('newsnap', 'new')})
+    SELECT po."column", rows_old, rows_new,
+           rows_new - rows_old AS rows_delta,
+           nulls_old, nulls_new, nulls_new - nulls_old AS nulls_delta,
+           distinct_old, distinct_new,
+           distinct_new - distinct_old AS distinct_delta,
+           CAST(CASE WHEN min_old IS DISTINCT FROM min_new
+                THEN 1 ELSE 0 END AS INTEGER) AS min_moved,
+           CAST(CASE WHEN max_old IS DISTINCT FROM max_new
+                THEN 1 ELSE 0 END AS INTEGER) AS max_moved
+    FROM po JOIN pn ON po."column" = pn."column"
+    """
+
+    out["value_psi"] = f"""
+    WITH e AS (
+      SELECT event_type AS k, CAST(value AS DOUBLE) AS v,
+             epoch_us(ts) // 86400000000 AS d
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+    ),
+    r AS (SELECT k, v FROM e WHERE d % 2 = 0),
+    c AS (SELECT k, v FROM e WHERE d % 2 = 1),
+    rk AS (
+      SELECT k, v,
+             row_number() OVER (PARTITION BY k ORDER BY v ASC) AS rn,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM r
+    ),
+    cuts AS (
+      SELECT k, list_sort(list(v)) AS cuts FROM rk
+      WHERE len(list_filter(range(1, {PSI_BINS}),
+                i -> rn = (i * n + {PSI_BINS - 1}) // {PSI_BINS})) > 0
+      GROUP BY k
+    ),
+    nr AS (
+      SELECT r.k,
+             len(list_filter(cuts, b -> b < r.v)) + 1 AS bin,
+             count(*) AS n
+      FROM r JOIN cuts ON r.k = cuts.k GROUP BY 1, 2
+    ),
+    nc AS (
+      SELECT c.k,
+             len(list_filter(cuts, b -> b < c.v)) + 1 AS bin,
+             count(*) AS n
+      FROM c JOIN cuts ON c.k = cuts.k GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT k, unnest(range(1, {PSI_BINS + 1})) AS bin FROM cuts
+    ),
+    j AS (
+      SELECT s.k, s.bin,
+             CAST(coalesce(nr.n, 0) AS BIGINT) AS n_ref,
+             CAST(coalesce(nc.n, 0) AS BIGINT) AS n_cur
+      FROM spine s
+      LEFT JOIN nr ON s.k = nr.k AND s.bin = nr.bin
+      LEFT JOIN nc ON s.k = nc.k AND s.bin = nc.bin
+    ),
+    t AS (
+      SELECT k, bin, n_ref, n_cur,
+             sum(n_ref) OVER (PARTITION BY k) AS tr,
+             sum(n_cur) OVER (PARTITION BY k) AS tc
+      FROM j
+    )
+    SELECT k AS event_type, CAST(bin AS INTEGER) AS bin, n_ref, n_cur,
+           round(((n_ref + 0.5) / (tr + {0.5 * PSI_BINS})
+                  - (n_cur + 0.5) / (tc + {0.5 * PSI_BINS}))
+                 * ln(((n_ref + 0.5) / (tr + {0.5 * PSI_BINS}))
+                      / ((n_cur + 0.5) / (tc + {0.5 * PSI_BINS}))),
+                 9) AS psi
+    FROM t
     """
 
     # lpa_communities: the synchronous vote rounds as generated CTEs

@@ -189,6 +189,10 @@ from hbase_gis_spark.operators.merge import (  # noqa: F401
     scd2_intervals,
     snapshot_diff,
 )
+from hbase_gis_spark.operators.drift import (  # noqa: F401
+    profile_diff,
+    value_psi,
+)
 from hbase_gis_spark.operators.funnel import (  # noqa: F401
     conversion_lag,
     funnel_counts,

@@ -1,0 +1,199 @@
+"""Data-drift monitoring between two snapshots / cohorts of a table.
+
+The training-pipeline failure mode these catch is silent: an upstream
+schema tweak floods a column with NULLs, a crawler change shifts the
+document-length distribution, a feed drops a tenant — and the model
+trained on the drifted data regresses with no error anywhere. The
+monitoring pair:
+
+- :func:`profile_diff` — per-column STATISTIC drift (null counts,
+  distinct counts, min/max movement) between two snapshots, built on
+  the same one-pass ``profile_table`` both sides.
+- :func:`value_psi` — per-key DISTRIBUTION drift of a numeric column
+  (Population Stability Index over reference-decile bins), the
+  standard ML-monitoring statistic (PSI < 0.1 stable, 0.1-0.25
+  moderate shift, > 0.25 action).
+
+The reference has no monitoring surface (extension scope, like the
+OLAP family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Per-column statistic drift between two snapshots: one row per
+    profiled column with old/new row, null and distinct counts, the
+    deltas, and whether the min/max moved. Integer and string outputs
+    only — engine-exact.
+
+    Scale shape: exactly two :func:`profile_table` passes (each ONE
+    aggregate over its table; the Expand-based exact distincts are the
+    documented cost, swappable for approx at 100 TB) and a join of two
+    |columns|-row results — the comparison itself is free."""
+    from hbase_gis_spark.operators.corpus import profile_table
+
+    cols = columns or [c for c in old.columns if c in new.columns]
+    po = profile_table(old, cols).select(
+        "column",
+        F.col("n_rows").alias("rows_old"),
+        F.col("n_nulls").alias("nulls_old"),
+        F.col("n_distinct").alias("distinct_old"),
+        F.col("min_value").alias("min_old"),
+        F.col("max_value").alias("max_old"),
+    )
+    pn = profile_table(new, cols).select(
+        "column",
+        F.col("n_rows").alias("rows_new"),
+        F.col("n_nulls").alias("nulls_new"),
+        F.col("n_distinct").alias("distinct_new"),
+        F.col("min_value").alias("min_new"),
+        F.col("max_value").alias("max_new"),
+    )
+    return po.join(pn, "column").select(
+        "column",
+        "rows_old",
+        "rows_new",
+        (F.col("rows_new") - F.col("rows_old")).alias("rows_delta"),
+        "nulls_old",
+        "nulls_new",
+        (F.col("nulls_new") - F.col("nulls_old")).alias("nulls_delta"),
+        "distinct_old",
+        "distinct_new",
+        (F.col("distinct_new") - F.col("distinct_old")).alias(
+            "distinct_delta"
+        ),
+        (~F.col("min_old").eqNullSafe(F.col("min_new")))
+        .cast("int")
+        .alias("min_moved"),
+        (~F.col("max_old").eqNullSafe(F.col("max_new")))
+        .cast("int")
+        .alias("max_moved"),
+    )
+
+
+def value_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-key Population Stability Index of ``value_col`` between a
+    reference cohort and a current cohort: bins are the REFERENCE's
+    exact per-key quantile cuts (so every reference bin holds ~1/n_bins
+    of its key's mass by construction), both cohorts are histogrammed
+    into them, and each bin contributes ``(p - q) * ln(p / q)`` with
+    Laplace 0.5 smoothing (an empty current bin is a strong but finite
+    signal, not an infinity).
+
+    Output: (key, bin, n_ref, n_cur, psi) — ``sum(psi) over key`` is
+    the headline per-key PSI; emitting per-bin terms keeps the report
+    actionable (WHICH part of the distribution moved). ``psi`` is
+    rounded to 9 decimals on both engines (libm-ulp discipline of
+    tfidf_topk_terms); every other column is an exact integer.
+
+    Scale shape: the cut computation is a rank window PARTITIONED BY
+    KEY (the grouped_quantiles pattern — per-key sort, no global
+    single-task sort; for a truly keyless global PSI at 100 TB, feed
+    approx_percentile cuts or the token_budget_sample sharded-cumsum
+    instead). Cuts collapse to a |keys|-row broadcast dim of sorted
+    arrays; bin assignment is a map-only array count; counts are one
+    hash aggregate per cohort over |keys| x n_bins cells; the dense
+    bin spine explodes from the cuts dim so empty bins exist (PSI
+    needs them)."""
+    w = Window.partitionBy("__k").orderBy(F.col("__v").asc())
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(key_col).alias("__k"),
+            F.col(value_col).cast("double").alias("__v"),
+        ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+
+    r = prep(ref)
+    # cut i = value at rank ceil(i * N / n_bins), i = 1..n_bins-1
+    ranked = r.select(
+        "__k",
+        "__v",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("__k")).alias("__n"),
+    )
+    cuts = (
+        ranked.withColumn(
+            "__is_cut",
+            # ceil(i*N/nb) written as (i*N + nb-1) div nb: operands stay
+            # positive, where Spark's truncating `div` and DuckDB's
+            # flooring `//` agree
+            F.expr(
+                f"exists(sequence(1, {n_bins - 1}), "
+                f"i -> __r = ((i * __n + {n_bins - 1}) div {n_bins}))"
+            ),
+        )
+        .filter(F.col("__is_cut"))
+        .groupBy("__k")
+        .agg(F.array_sort(F.collect_list("__v")).alias("__cuts"))
+    )
+    counts = []
+    for name, side in (("n_ref", r), ("n_cur", prep(cur))):
+        counts.append(
+            side.join(F.broadcast(cuts), "__k")
+            .select(
+                "__k",
+                (
+                    F.size(
+                        F.filter("__cuts", lambda b: b < F.col("__v"))
+                    )
+                    + 1
+                ).alias("bin"),
+            )
+            .groupBy("__k", "bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    spine = cuts.select(
+        "__k", F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("bin")
+    )
+    tot = Window.partitionBy("__k")
+    return (
+        spine.join(counts[0], ["__k", "bin"], "left")
+        .join(counts[1], ["__k", "bin"], "left")
+        .select(
+            "__k",
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .withColumn("__tr", F.sum("n_ref").over(tot))
+        .withColumn("__tc", F.sum("n_cur").over(tot))
+        .select(
+            F.col("__k").alias(key_col),
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(
+                (
+                    (F.col("n_ref") + 0.5)
+                    / (F.col("__tr") + 0.5 * n_bins)
+                    - (F.col("n_cur") + 0.5)
+                    / (F.col("__tc") + 0.5 * n_bins)
+                )
+                * F.log(
+                    (
+                        (F.col("n_ref") + 0.5)
+                        / (F.col("__tr") + 0.5 * n_bins)
+                    )
+                    / (
+                        (F.col("n_cur") + 0.5)
+                        / (F.col("__tc") + 0.5 * n_bins)
+                    )
+                ),
+                9,
+            ).alias("psi"),
+        )
+    )

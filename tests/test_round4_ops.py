@@ -795,3 +795,60 @@ def test_lpa_matches_python_replay_random(spark):
     )
     got = {r.v: r.community for r in lpa_communities(df).collect()}
     assert got == _lpa_py(edges)
+
+
+# ------------------------------------------- round-4b: drift monitors -----
+
+
+def test_profile_diff_detects_degradation(spark):
+    from hbase_gis_spark.operators.drift import profile_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id bigint, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id bigint, s string"
+    )
+    got = {r.column: r for r in profile_diff(old, new).collect()}
+    assert (got["id"].rows_delta, got["id"].nulls_delta) == (-1, 0)
+    assert got["id"].max_moved == 1            # max id 4 -> 3
+    assert got["s"].nulls_delta == 1           # b -> NULL
+    assert got["s"].distinct_delta == -2       # {a,b,c,d} -> {a,c}
+    assert got["s"].min_moved == 0             # still 'a'
+
+
+def test_value_psi_zero_on_identical_and_positive_on_shift(spark):
+    from hbase_gis_spark.operators.drift import value_psi
+
+    ref = spark.createDataFrame(
+        [("k", float(v)) for v in range(1, 101)], "g string, v double"
+    )
+    same = value_psi(ref, ref, "g", "v", n_bins=10).collect()
+    assert len(same) == 10
+    assert all(r.psi == 0.0 for r in same)         # p == q exactly
+    assert all(r.n_ref == 10 for r in same)        # exact decile bins
+    shifted = spark.createDataFrame(
+        [("k", float(v + 50)) for v in range(1, 101)], "g string, v double"
+    )
+    rows = {r.bin: r for r in
+            value_psi(ref, shifted, "g", "v", n_bins=10).collect()}
+    # mass left the bottom deciles and piled into the top bin
+    assert rows[1].n_cur == 0 and rows[1].psi > 0
+    assert rows[10].n_cur == 60
+    total = sum(r.psi for r in rows.values())
+    assert total > 0.25                            # "action" PSI regime
+
+
+def test_value_psi_short_reference_group(spark):
+    from hbase_gis_spark.operators.drift import value_psi
+
+    # fewer ref rows than bins: duplicate cut ranks collapse, bins
+    # still dense 1..n_bins, no crash, counts conserved
+    ref = spark.createDataFrame(
+        [("k", 1.0), ("k", 2.0), ("k", 3.0)], "g string, v double"
+    )
+    cur = spark.createDataFrame([("k", 2.5)], "g string, v double")
+    rows = value_psi(ref, cur, "g", "v", n_bins=10).collect()
+    assert len(rows) == 10
+    assert sum(r.n_ref for r in rows) == 3
+    assert sum(r.n_cur for r in rows) == 1
