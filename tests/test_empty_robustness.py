@@ -37,6 +37,7 @@ FIXED_SHAPE = {
     "table_profile": 5,
     "dataset_card": 7,
     "dedup_recall_report": 5,  # metric rows exist even over zero docs
+    "profile_diff": 5,  # one row per profiled column, zero counts
 }
 # point-query operators keyed to a specific row id return empty when
 # that row is absent — nothing to assert beyond "no crash"
