@@ -130,3 +130,38 @@ def test_registry_window_contract():
     for name in ["ngram_diversity", "zorder_layout", "fuzzy_join_suppliers",
                  "dedup_recall_report", "containment_pairs", "dedup_impact"]:
         assert qs.index(name) >= 100, name
+
+
+def test_round4b_plan_shapes(spark):
+    """Physical-plan pins for the late round-4 operators: the shapes
+    the 100 TB story depends on, so a refactor can't silently degrade
+    them."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def plan_of(name):
+        return (
+            qs[name](spark, SF0001)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    # bm25: final ranking is a bounded top-k, not a global sort
+    p = plan_of("bm25_search")
+    assert "TakeOrderedAndProject" in p, p[:400]
+
+    # group_sample: the rank window is group-limit-pushed so map tasks
+    # forward at most k rows per group
+    p = plan_of("group_sample")
+    assert "WindowGroupLimit" in p, p[:400]
+
+    # hilbert/zorder/psi/segment/novelty: pure JVM — no Python stage
+    for name in ["hilbert_layout", "zorder_layout", "value_psi",
+                 "segment_dedup", "ngram_novelty_first",
+                 "triangle_count", "cusum_days", "snapshot_diff",
+                 "lpa_communities", "profile_diff"]:
+        p = plan_of(name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, (
+            f"{name} unexpectedly crosses the Python boundary"
+        )
