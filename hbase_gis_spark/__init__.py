@@ -191,6 +191,7 @@ from hbase_gis_spark.operators.merge import (  # noqa: F401
 )
 from hbase_gis_spark.operators.drift import (  # noqa: F401
     profile_diff,
+    psi_cuts,
     value_psi,
 )
 from hbase_gis_spark.operators.funnel import (  # noqa: F401

@@ -79,6 +79,61 @@ def profile_diff(
     )
 
 
+def _psi_prep(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    return df.select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+
+
+def psi_cuts(
+    ref: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """The reference cohort's per-key quantile-cut dim: (__k, __cuts)
+    with the sorted array of n_bins-1 exact quantile boundaries — the
+    REUSABLE half of :func:`value_psi`. Persist this next to the
+    reference snapshot and every later cohort (batch or stream) bins
+    against the same boundaries, the precondition for comparable PSI
+    series over time."""
+    w = Window.partitionBy("__k").orderBy(F.col("__v").asc())
+    ranked = _psi_prep(ref, key_col, value_col).select(
+        "__k",
+        "__v",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("__k")).alias("__n"),
+    )
+    return (
+        ranked.withColumn(
+            "__is_cut",
+            # ceil(i*N/nb) written as (i*N + nb-1) div nb: operands stay
+            # positive, where Spark's truncating `div` and DuckDB's
+            # flooring `//` agree
+            F.expr(
+                f"exists(sequence(1, {n_bins - 1}), "
+                f"i -> __r = ((i * __n + {n_bins - 1}) div {n_bins}))"
+            ),
+        )
+        .filter(F.col("__is_cut"))
+        .groupBy("__k")
+        .agg(F.array_sort(F.collect_list("__v")).alias("__cuts"))
+    )
+
+
+def psi_assign_bins(prepped: DataFrame, cuts: DataFrame) -> DataFrame:
+    """(__k, __v) rows -> (__k, bin) via the broadcast cuts dim; bin =
+    1 + |boundaries strictly below v| (boundary values fall into the
+    lower bin on both engines)."""
+    return prepped.join(F.broadcast(cuts), "__k").select(
+        "__k",
+        (
+            F.size(F.filter("__cuts", lambda b: b < F.col("__v"))) + 1
+        ).alias("bin"),
+    )
+
+
 def value_psi(
     ref: DataFrame,
     cur: DataFrame,
@@ -109,50 +164,12 @@ def value_psi(
     hash aggregate per cohort over |keys| x n_bins cells; the dense
     bin spine explodes from the cuts dim so empty bins exist (PSI
     needs them)."""
-    w = Window.partitionBy("__k").orderBy(F.col("__v").asc())
-
-    def prep(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(key_col).alias("__k"),
-            F.col(value_col).cast("double").alias("__v"),
-        ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
-
-    r = prep(ref)
-    # cut i = value at rank ceil(i * N / n_bins), i = 1..n_bins-1
-    ranked = r.select(
-        "__k",
-        "__v",
-        F.row_number().over(w).alias("__r"),
-        F.count(F.lit(1)).over(Window.partitionBy("__k")).alias("__n"),
-    )
-    cuts = (
-        ranked.withColumn(
-            "__is_cut",
-            # ceil(i*N/nb) written as (i*N + nb-1) div nb: operands stay
-            # positive, where Spark's truncating `div` and DuckDB's
-            # flooring `//` agree
-            F.expr(
-                f"exists(sequence(1, {n_bins - 1}), "
-                f"i -> __r = ((i * __n + {n_bins - 1}) div {n_bins}))"
-            ),
-        )
-        .filter(F.col("__is_cut"))
-        .groupBy("__k")
-        .agg(F.array_sort(F.collect_list("__v")).alias("__cuts"))
-    )
+    r = _psi_prep(ref, key_col, value_col)
+    cuts = psi_cuts(ref, key_col, value_col, n_bins)
     counts = []
-    for name, side in (("n_ref", r), ("n_cur", prep(cur))):
+    for name, side in (("n_ref", r), ("n_cur", _psi_prep(cur, key_col, value_col))):
         counts.append(
-            side.join(F.broadcast(cuts), "__k")
-            .select(
-                "__k",
-                (
-                    F.size(
-                        F.filter("__cuts", lambda b: b < F.col("__v"))
-                    )
-                    + 1
-                ).alias("bin"),
-            )
+            psi_assign_bins(side, cuts)
             .groupBy("__k", "bin")
             .agg(F.count(F.lit(1)).alias(name))
         )

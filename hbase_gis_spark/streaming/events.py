@@ -373,3 +373,40 @@ def streaming_decontaminate(
         with_grams.join(F.broadcast(eval_grams.select("g")), cond, how)
         .drop("__grams")
     )
+
+
+def streaming_psi_counts(
+    events: DataFrame,
+    cuts: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming half of the PSI drift monitor: bin arriving values
+    against a PRE-COMPUTED reference-quantile cuts dim (the
+    ``psi_cuts`` output, persisted next to the reference snapshot) and
+    maintain per-(key, bin) counts — a stream-static broadcast join
+    plus one streaming aggregate, the same shape as the mixture-rate
+    stream. The converged counts equal the batch ``value_psi``
+    histogram's ``n_cur`` column exactly (pinned in
+    tests/test_streaming.py); the PSI formula itself is a per-batch
+    finishing select the consumer applies to the tiny (|keys| x
+    n_bins) output table, where late data simply updates the counts
+    it re-scores from.
+
+    State is the aggregate itself — |keys| x n_bins cells, constant in
+    stream length; no watermark needed because the dimension is
+    bounded (unlike time-windowed counts, there is no unbounded key
+    space to expire)."""
+    from hbase_gis_spark.operators.drift import psi_assign_bins
+
+    prepped = events.select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    return (
+        psi_assign_bins(prepped, cuts)
+        .groupBy(
+            F.col("__k").alias(key_col), F.col("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )

@@ -510,3 +510,37 @@ def test_streaming_quality_resample_matches_batch(spark, tmp_path_factory):
     )
     got = {r.doc_id for r in spark.sql("SELECT * FROM qr_stream").collect()}
     assert got == expect and len(expect) > 0
+
+
+def test_streaming_psi_counts_match_batch_histogram(spark):
+    """The stream-static PSI monitor converges to the batch value_psi
+    histogram exactly: bin counts from the event stream (binned
+    against the batch-computed reference cuts) equal the batch n_cur
+    column for the same cohort split."""
+    from hbase_gis_spark.operators.drift import psi_cuts, value_psi
+    from hbase_gis_spark.streaming.events import streaming_psi_counts
+
+    batch = load_table(spark, SF0001, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    ref = batch.filter(day % 2 == 0)
+    cur = batch.filter(day % 2 == 1)
+    expect = {
+        (r.event_type, r.bin): r.n_cur
+        for r in value_psi(ref, cur, "event_type", "value").collect()
+        if r.n_cur > 0
+    }
+    cuts = psi_cuts(ref, "event_type", "value")
+
+    stream = read_event_stream(spark, SF0001).filter(day % 2 == 1)
+    run_stream_to_memory(
+        streaming_psi_counts(stream, cuts), "psi_stream"
+    )
+    # update mode re-emits a (key, bin) on change: keep the final count
+    got = {
+        (r.event_type, r.bin): r.n_cur
+        for r in spark.sql(
+            "SELECT event_type, bin, max(n_cur) AS n_cur "
+            "FROM psi_stream GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got == expect and len(expect) > 0
