@@ -580,6 +580,105 @@ _AUDIO_SCHEMA = (
 )
 
 
+def parse_flac_streaminfo(buf: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bit_depth, total_samples) from a FLAC
+    stream's mandatory first STREAMINFO metadata block — pure byte/bit
+    arithmetic, no audio library (the FLAC analog of the JPEG/PNG/WebP
+    header kernels; frame decode stays behind the optional-dependency
+    guard). Layout per the FLAC spec: 4-byte magic, 4-byte block
+    header, then the 34-byte STREAMINFO whose packed tail is
+    20 bits sample rate | 3 bits channels-1 | 5 bits bps-1 |
+    36 bits total samples."""
+    if len(buf) < 8 + 34 or buf[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC magic)")
+    if buf[4] & 0x7F:  # block type 0 = STREAMINFO, required first
+        raise ValueError("first FLAC metadata block is not STREAMINFO")
+    b = buf[8:42]
+    rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    channels = ((b[12] >> 1) & 0x7) + 1
+    bits = (((b[12] & 0x1) << 4) | (b[13] >> 4)) + 1
+    total = (
+        ((b[13] & 0xF) << 32) | (b[14] << 24) | (b[15] << 16)
+        | (b[16] << 8) | b[17]
+    )
+    if rate == 0:
+        raise ValueError("FLAC STREAMINFO declares sample rate 0")
+    return rate, channels, bits, total
+
+
+def synth_flac_header_bytes(
+    rate: int = 22050, channels: int = 1, bits: int = 16,
+    total: int = 4410,
+) -> bytes:
+    """A minimal valid fLaC + STREAMINFO prefix (no audio frames) for
+    exercising the header parser in-container."""
+    info = bytearray(34)
+    info[0:2] = (4096).to_bytes(2, "big")   # min blocksize
+    info[2:4] = (4096).to_bytes(2, "big")   # max blocksize
+    info[10] = (rate >> 12) & 0xFF
+    info[11] = (rate >> 4) & 0xFF
+    info[12] = ((rate & 0xF) << 4) | (((channels - 1) & 0x7) << 1) | (
+        ((bits - 1) >> 4) & 0x1
+    )
+    info[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    info[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(info)
+
+
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320)  # kbit/s, MPEG-1 Layer III
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def parse_mp3_header(buf: bytes) -> tuple[int, int, int]:
+    """(sample_rate, channels, bitrate_kbps) from the first MPEG-1
+    Layer III frame header — the 4 sync/config bytes, no frame
+    decode. Supports the common case (MPEG-1 L3, defined bitrate);
+    anything else raises rather than guessing."""
+    pos = buf.find(b"\xff")
+    while pos != -1 and pos + 4 <= len(buf):
+        b1, b2, b3 = buf[pos + 1], buf[pos + 2], buf[pos + 3]
+        if (b1 & 0xE0) == 0xE0:
+            version = (b1 >> 3) & 0x3
+            layer = (b1 >> 1) & 0x3
+            br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 0x3
+            if (
+                version == 3 and layer == 1
+                and 0 < br_idx < 15 and sr_idx < 3
+            ):
+                channels = 1 if (b3 >> 6) == 3 else 2
+                return _MP3_RATES[sr_idx], channels, _MP3_BITRATES[br_idx]
+        pos = buf.find(b"\xff", pos + 1)
+    raise ValueError("no MPEG-1 Layer III frame header found")
+
+
+def synth_mp3_header_bytes(
+    rate: int = 44100, channels: int = 2, bitrate: int = 128
+) -> bytes:
+    """A single valid MPEG-1 Layer III frame header (+ zero padding)
+    for exercising the parser in-container."""
+    sr_idx = _MP3_RATES.index(rate)
+    br_idx = _MP3_BITRATES.index(bitrate)
+    b3 = (0x3 if channels == 1 else 0x0) << 6
+    return bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), b3]) + b"\x00" * 16
+
+
+def audio_container_info(buf: bytes) -> tuple[str, int, int, int, int]:
+    """Dispatch on container magic: (format, sample_rate, channels,
+    bit_depth, n_samples) for WAV (full parse), FLAC (STREAMINFO) and
+    MP3 (first frame header; bit_depth 0 — lossy streams have none,
+    n_samples 0 — unknown without a frame walk)."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        rate, nch, bits, n, _ = parse_wav(buf)
+        return "wav", rate, nch, bits, n
+    if buf[:4] == b"fLaC":
+        rate, nch, bits, total = parse_flac_streaminfo(buf)
+        return "flac", rate, nch, bits, total
+    rate, nch, kbps = parse_mp3_header(buf)
+    return "mp3", rate, nch, 0, 0
+
+
+
 def audio_features(
     df: DataFrame, id_col: str = "id", audio_col: str = "audio"
 ) -> DataFrame:

@@ -504,3 +504,53 @@ def test_webp_header_kernel():
         _parse_webp_header(riff(b"VP8 ", b"\x00\x00\x00\xff\xff\xff aaaa"))
     with pytest.raises(ValueError):
         _parse_webp_header(b"RIFF\x00\x00\x00\x00WAVEdata")
+
+
+def test_flac_streaminfo_roundtrip():
+    from hbase_gis_spark.operators.multimodal import (
+        parse_flac_streaminfo,
+        synth_flac_header_bytes,
+    )
+
+    for rate, nch, bits, total in [
+        (22050, 1, 16, 4410),
+        (48000, 2, 24, 123456),
+        (96000, 8, 32, (1 << 36) - 1),   # max widths of every field
+    ]:
+        buf = synth_flac_header_bytes(rate, nch, bits, total)
+        assert parse_flac_streaminfo(buf) == (rate, nch, bits, total)
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_flac_streaminfo(b"fLaX" + b"\x00" * 50)
+
+
+def test_mp3_header_roundtrip():
+    import pytest
+
+    from hbase_gis_spark.operators.multimodal import (
+        parse_mp3_header,
+        synth_mp3_header_bytes,
+    )
+
+    for rate, nch, kbps in [(44100, 2, 128), (32000, 1, 192),
+                            (48000, 2, 320)]:
+        buf = synth_mp3_header_bytes(rate, nch, kbps)
+        assert parse_mp3_header(buf) == (rate, nch, kbps)
+    # garbage sync bytes that are NOT a valid MPEG-1 L3 header
+    with pytest.raises(ValueError):
+        parse_mp3_header(b"\xff\xff\xff\xff\x00\x00")
+
+
+def test_audio_container_dispatch():
+    from hbase_gis_spark.operators.multimodal import (
+        audio_container_info,
+        synth_flac_header_bytes,
+        synth_mp3_header_bytes,
+        synth_wav_bytes,
+    )
+
+    fmt, rate, nch, bits, n = audio_container_info(synth_wav_bytes("x"))
+    assert fmt == "wav" and rate > 0 and bits == 16 and n > 0
+    assert audio_container_info(synth_flac_header_bytes())[0] == "flac"
+    assert audio_container_info(synth_mp3_header_bytes())[0] == "mp3"
