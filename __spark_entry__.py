@@ -3192,6 +3192,7 @@ NOVELTY_N = 3
 SNAPDIFF_ADD_OFFSET = 100_000_000
 LPA_ITERS = 3
 PSI_BINS = 10
+HIST_BINS = 20
 
 
 def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3393,6 +3394,31 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zorder_key_2d(ev, "value", "__t", bits=ZORDER_BITS).select(
         "event_id", "zkey"
+    )
+
+
+def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase association rules (a -> b) with integer milli
+    confidence and lift over the support-filtered order-basket pairs
+    — the classic recommender signal, both directions."""
+    from hbase_gis_spark.operators.graph import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_support=TRI_MIN_SUPPORT
+    )
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equi-width 20-bin histogram of value — the
+    shape companion of value_psi's equi-mass bins."""
+    from hbase_gis_spark.operators.drift import value_histogram
+
+    return value_histogram(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        n_bins=HIST_BINS,
     )
 
 
@@ -3818,6 +3844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": _q_lpa_communities,
         "profile_diff": _q_profile_diff,
         "value_psi": _q_value_psi,
+        "association_rules": _q_association_rules,
+        "value_histogram": _q_value_histogram,
         "ngram_novelty_first": _q_ngram_novelty,
     }
 
@@ -7313,6 +7341,58 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum(CASE WHEN df >= {SEG_MIN_DOCS} THEN 1 ELSE 0 END)
                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
     FROM x JOIN c USING (seg) GROUP BY doc_id
+    """
+
+    out["association_rules"] = f"""
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+    ),
+    n1 AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM base),
+    isup AS (SELECT i, CAST(count(*) AS BIGINT) AS s_i FROM base GROUP BY i),
+    e AS (
+      SELECT a.i AS a, b.i AS b, CAST(count(*) AS BIGINT) AS support
+      FROM base a JOIN base b ON a.g = b.g AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ),
+    pr AS (
+      SELECT a AS ante, b AS cons, support AS support_ab FROM e
+      UNION ALL
+      SELECT b AS ante, a AS cons, support AS support_ab FROM e
+    )
+    SELECT ante, cons, support_ab,
+           sa.s_i AS support_a, sb.s_i AS support_b,
+           CAST((1000 * support_ab) // sa.s_i AS BIGINT)
+             AS confidence_milli,
+           CAST((1000 * support_ab * n1.n) // (sa.s_i * sb.s_i) AS BIGINT)
+             AS lift_milli
+    FROM pr
+    JOIN isup sa ON pr.ante = sa.i
+    JOIN isup sb ON pr.cons = sb.i
+    CROSS JOIN n1
+    """
+
+    out["value_histogram"] = f"""
+    WITH e AS (
+      SELECT event_type AS k, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+    ),
+    rng AS (SELECT k, min(v) AS mn, max(v) AS mx FROM e GROUP BY k),
+    b AS (
+      SELECT e.k,
+             CAST(least(coalesce(CAST(floor((e.v - rng.mn)
+                    / (CASE WHEN rng.mx > rng.mn THEN rng.mx - rng.mn END)
+                    * {HIST_BINS}.0) AS BIGINT), 0),
+                  {HIST_BINS - 1}) AS INTEGER) AS bin
+      FROM e JOIN rng ON e.k = rng.k
+    ),
+    c AS (SELECT k, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+    spine AS (
+      SELECT k, CAST(unnest(range(0, {HIST_BINS})) AS INTEGER) AS bin
+      FROM rng
+    )
+    SELECT s.k AS event_type, s.bin,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_values
+    FROM spine s LEFT JOIN c ON s.k = c.k AND s.bin = c.bin
     """
 
     # profile_diff: both snapshots' per-column profiles generated from

@@ -168,6 +168,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     quality_resample,
 )
 from hbase_gis_spark.operators.graph import (  # noqa: F401
+    association_rules,
     cooccurrence_edges,
     event_type_edges,
     lpa_communities,
@@ -192,6 +193,7 @@ from hbase_gis_spark.operators.merge import (  # noqa: F401
 from hbase_gis_spark.operators.drift import (  # noqa: F401
     profile_diff,
     psi_cuts,
+    value_histogram,
     value_psi,
 )
 from hbase_gis_spark.operators.funnel import (  # noqa: F401

@@ -214,3 +214,65 @@ def value_psi(
             ).alias("psi"),
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-key equi-WIDTH histogram of a numeric column — the shape
+    companion of :func:`value_psi`'s equi-MASS bins: PSI answers "did
+    the distribution move", the histogram shows what it looks like
+    (modes, gaps, outlier shelves). Output: dense (key, bin, n_values)
+    for bin 0..n_bins-1, zero-filled.
+
+    Engine-exact: bin = floor((v - min)/(max - min) * n_bins) clamped
+    to n_bins-1 — the zorder_bin IEEE-op sequence, identical on both
+    engines; counts are integers. One min/max aggregate (broadcast
+    |keys|-row dim), one map-side bin projection, one hash aggregate,
+    and a dim-sized spine for the zero bins."""
+    v = F.col(value_col).cast("double")
+    prepped = df.select(
+        F.col(key_col).alias("__k"), v.alias("__v")
+    ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    rng = prepped.groupBy("__k").agg(
+        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    )
+    binned = (
+        prepped.join(F.broadcast(rng), "__k")
+        .select(
+            "__k",
+            F.least(
+                F.coalesce(
+                    F.floor(
+                        (F.col("__v") - F.col("__mn"))
+                        / F.when(
+                            F.col("__mx") > F.col("__mn"),
+                            F.col("__mx") - F.col("__mn"),
+                        )
+                        * F.lit(float(n_bins))
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("__k", "bin")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+    spine = rng.select(
+        "__k",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    return (
+        spine.join(binned, ["__k", "bin"], "left")
+        .select(
+            F.col("__k").alias(key_col),
+            "bin",
+            F.coalesce("n_values", F.lit(0)).alias("n_values"),
+        )
+    )

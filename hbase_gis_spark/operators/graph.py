@@ -140,6 +140,80 @@ def cooccurrence_edges(
     )
 
 
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket association rules over 2-itemsets: for every
+    ordered pair (a -> b) whose unordered pair co-occurs in >=
+    ``min_support`` groups, the support / confidence / lift triple —
+    the classic co-purchase recommender signal ("customers who bought
+    a also bought b"), emitted BOTH directions because confidence is
+    asymmetric.
+
+    Integer-exact milli-units (floor division, engine-exact)::
+
+        confidence_milli = (1000 * support_ab) div support_a
+        lift_milli       = (1000 * support_ab * n_groups)
+                           div (support_a * support_b)
+
+    Scale shape: pair supports come from :func:`cooccurrence_edges`
+    (work bounded by basket size, then support-filtered); per-item
+    supports are ONE hash aggregate over the distinct (group, item)
+    projection; both join back by item key — the item-support dim is
+    |items| rows and broadcasts. Overflow: 1000 * s_ab * N needs
+    s_ab * N < 9e15 — at 1e9 baskets that allows pair supports to
+    ~9e6, beyond any real co-purchase pair; shard the multiplication
+    if a corpus ever breaks it."""
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).distinct()
+    n1 = base.agg(F.count_distinct("g").alias("__n"))
+    item_support = base.groupBy("i").agg(
+        F.count(F.lit(1)).alias("s_i")
+    )
+    pairs = cooccurrence_edges(df, group_col, item_col, min_support)
+    both = pairs.select(
+        F.col("a").alias("ante"),
+        F.col("b").alias("cons"),
+        F.col("support").alias("support_ab"),
+    ).union(
+        pairs.select(
+            F.col("b").alias("ante"),
+            F.col("a").alias("cons"),
+            F.col("support").alias("support_ab"),
+        )
+    )
+    return (
+        both.join(
+            F.broadcast(item_support.select(F.col("i").alias("ante"),
+                                            F.col("s_i").alias("support_a"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(item_support.select(F.col("i").alias("cons"),
+                                            F.col("s_i").alias("support_b"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "ante",
+            "cons",
+            "support_ab",
+            "support_a",
+            "support_b",
+            F.expr("(1000 * support_ab) div support_a").alias(
+                "confidence_milli"
+            ),
+            F.expr(
+                "(1000 * support_ab * __n) div (support_a * support_b)"
+            ).alias("lift_milli"),
+        )
+    )
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One-row global graph summary over an undirected (a < b) edge
     list: node/edge counts, wedge (open 2-path) count, triangle count,

@@ -852,3 +852,41 @@ def test_value_psi_short_reference_group(spark):
     assert len(rows) == 10
     assert sum(r.n_ref for r in rows) == 3
     assert sum(r.n_cur for r in rows) == 1
+
+
+def test_association_rules_hand_counts(spark):
+    from hbase_gis_spark.operators.graph import association_rules
+
+    # baskets: {1,2} x3, {1,3} x1, {2,3} x1 -> only (1,2) has support 2+
+    rows = []
+    for g, items in enumerate([(1, 2), (1, 2), (1, 2), (1, 3), (2, 3)]):
+        rows += [(f"g{g}", i) for i in items]
+    df = spark.createDataFrame(rows, "g string, i bigint")
+    got = {(r.ante, r.cons): r for r in
+           association_rules(df, "g", "i", min_support=2).collect()}
+    assert set(got) == {(1, 2), (2, 1)}
+    r12 = got[(1, 2)]
+    # item supports: 1 in 4 baskets, 2 in 4 baskets; N=5 baskets
+    assert (r12.support_ab, r12.support_a, r12.support_b) == (3, 4, 4)
+    assert r12.confidence_milli == (1000 * 3) // 4          # 750
+    assert r12.lift_milli == (1000 * 3 * 5) // (4 * 4)      # 937
+    # confidence is asymmetric in general, symmetric here (same s_i)
+    assert got[(2, 1)].confidence_milli == 750
+
+
+def test_value_histogram_dense_and_clamped(spark):
+    from hbase_gis_spark.operators.drift import value_histogram
+
+    rows = [("k", float(v)) for v in range(0, 101)]  # 0..100
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.bin: r.n_values for r in
+           value_histogram(df, "g", "v", n_bins=10).collect()}
+    assert len(got) == 10                       # dense spine
+    assert sum(got.values()) == 101             # every value binned
+    assert got[9] == 11                         # 90..99 plus clamped 100
+    assert all(got[b] == 10 for b in range(9))
+    # degenerate range: everything in bin 0, spine still dense
+    one = spark.createDataFrame([("k", 5.0)] * 3, "g string, v double")
+    g1 = {r.bin: r.n_values for r in
+          value_histogram(one, "g", "v", n_bins=10).collect()}
+    assert g1[0] == 3 and len(g1) == 10 and sum(g1.values()) == 3

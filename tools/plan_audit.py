@@ -54,6 +54,7 @@ BNLJ_SANCTIONED = {
     "dense_daily_counts",  # broadcast spine x keys dim product (tiny dims)
     "cusum_days",  # inherits the dense spine dim product + 1-row totals
     "triangle_count",  # final assembly joins two 1-row aggregates
+    "association_rules",  # broadcast 1-row basket-count aggregate
 }
 
 
