@@ -3409,6 +3409,17 @@ def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_global_value_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global ventile boundaries of events.value computed with
+    NO single-task sort (range shards + per-shard ranks + a bounded
+    driver prefix) — the keyless scale path psi_cuts points to."""
+    from hbase_gis_spark.operators.drift import global_quantile_cuts
+
+    return global_quantile_cuts(
+        load_table(spark, sf_dir, "events"), "value", n_bins=HIST_BINS
+    )
+
+
 def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type equi-width 20-bin histogram of value — the
     shape companion of value_psi's equi-mass bins."""
@@ -3846,6 +3857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_psi": _q_value_psi,
         "association_rules": _q_association_rules,
         "value_histogram": _q_value_histogram,
+        "global_value_cuts": _q_global_value_cuts,
         "ngram_novelty_first": _q_ngram_novelty,
     }
 
@@ -7369,6 +7381,26 @@ def oracle_sql() -> dict[str, str]:
     JOIN isup sa ON pr.ante = sa.i
     JOIN isup sb ON pr.cons = sb.i
     CROSS JOIN n1
+    """
+
+    out["global_value_cuts"] = f"""
+    WITH e AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+    ),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY v ASC) AS rn,
+             count(*) OVER () AS n
+      FROM e
+    ),
+    cr AS (
+      SELECT CAST(max(i) AS INTEGER) AS cut_idx,
+             (i * n + {HIST_BINS - 1}) // {HIST_BINS} AS rk
+      FROM (SELECT unnest(range(1, {HIST_BINS})) AS i),
+           (SELECT DISTINCT n FROM r)
+      GROUP BY rk
+    )
+    SELECT cut_idx, r.v AS cut_value FROM r JOIN cr ON r.rn = cr.rk
     """
 
     out["value_histogram"] = f"""

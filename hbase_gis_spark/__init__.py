@@ -191,6 +191,7 @@ from hbase_gis_spark.operators.merge import (  # noqa: F401
     snapshot_diff,
 )
 from hbase_gis_spark.operators.drift import (  # noqa: F401
+    global_quantile_cuts,
     profile_diff,
     psi_cuts,
     value_histogram,

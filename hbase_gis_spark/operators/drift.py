@@ -276,3 +276,81 @@ def value_histogram(
             F.coalesce("n_values", F.lit(0)).alias("n_values"),
         )
     )
+
+
+def global_quantile_cuts(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    n_shards: int = 64,
+) -> DataFrame:
+    """EXACT global quantile boundaries of a numeric column with NO
+    single-task global sort — the keyless companion of
+    :func:`psi_cuts` and the scale path its docstring promises:
+    ``repartitionByRange`` puts ordered, disjoint value ranges on
+    ``n_shards`` tasks (equal keys land in one shard), each shard
+    ranks locally, and the true global rank is local rank + the
+    prefix-sum of earlier shards' counts — a driver prefix over
+    ``n_shards`` integers (the token_budget_sample bounded-collect
+    pattern; constant in table size). The value AT a global rank is
+    well-defined under ties, so the cuts are engine-exact doubles
+    with no arithmetic at all — pure selection.
+
+    Output: (cut_idx 1..n_bins-1, cut_value) with
+    cut rank = ceil(i*N/n_bins) — the same ceil-rank convention as
+    psi_cuts.
+
+    Cost: one range shuffle + one same-size pid-clustered window
+    shuffle + a |shards|-row aggregate; compare a naive
+    ``row_number() OVER (ORDER BY v)``, which is a single-task sort
+    of the whole table."""
+    prepped = df.select(
+        F.col(value_col).cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    # EAGER localCheckpoint pins the pid column as DATA:
+    # spark_partition_id is nondeterministic per evaluation, and this
+    # plan consumes `sharded` TWICE (size aggregate + rank window) —
+    # without materialization the two could disagree on shard
+    # assignment and the offsets would be wrong. The operator is
+    # action-bearing by design anyway (the bounded shard-size collect
+    # below), so the eager materialization adds no extra pass.
+    sharded = (
+        prepped.repartitionByRange(n_shards, F.col("__v"))
+        .select("__v", F.spark_partition_id().alias("__pid"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
+    ranked = sharded.withColumn("__r", F.row_number().over(w))
+    # bounded collect: one integer per shard (never grows with data)
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in sharded.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    spark = df.sparkSession
+    odf = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __off bigint",
+    )
+    cut_ranks = {
+        (i * total + n_bins - 1) // n_bins: i
+        for i in range(1, n_bins)
+    }
+    rdf = spark.createDataFrame(
+        [(int(r), int(i)) for r, i in cut_ranks.items()],
+        "__gr bigint, cut_idx int",
+    )
+    return (
+        ranked.join(F.broadcast(odf), "__pid")
+        .select(
+            (F.col("__r") + F.col("__off")).alias("__gr"), "__v"
+        )
+        .join(F.broadcast(rdf), "__gr")
+        .select("cut_idx", F.col("__v").alias("cut_value"))
+    )

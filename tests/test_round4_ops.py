@@ -890,3 +890,36 @@ def test_value_histogram_dense_and_clamped(spark):
     g1 = {r.bin: r.n_values for r in
           value_histogram(one, "g", "v", n_bins=10).collect()}
     assert g1[0] == 3 and len(g1) == 10 and sum(g1.values()) == 3
+
+
+def test_global_quantile_cuts_match_naive_sort(spark):
+    from hbase_gis_spark.operators.drift import global_quantile_cuts
+
+    import random
+    rng = random.Random(11)
+    vals = [rng.uniform(-100, 100) for _ in range(997)]  # odd N, dups
+    vals += [vals[0]] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.cut_idx: r.cut_value
+           for r in global_quantile_cuts(df, "v", n_bins=10,
+                                         n_shards=7).collect()}
+    s = sorted(vals)
+    n = len(s)
+    expect = {i: s[(i * n + 9) // 10 - 1] for i in range(1, 10)}
+    assert got == expect
+
+
+def test_global_quantile_cuts_tiny_input(spark):
+    from hbase_gis_spark.operators.drift import global_quantile_cuts
+
+    # N < n_bins: duplicate cut ranks collapse to the highest cut_idx
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    got = {r.cut_idx: r.cut_value
+           for r in global_quantile_cuts(df, "v", n_bins=10,
+                                         n_shards=4).collect()}
+    n = 3
+    expect = {}
+    for i in range(1, 10):
+        expect[(i * n + 9) // 10] = i   # rank -> max i
+    want = {i: float(rank) for rank, i in expect.items()}
+    assert got == want
