@@ -3409,6 +3409,28 @@ def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spearman_value_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of event value vs event time — the
+    monotone drift-over-time QA check; half-unit integer ranks, exact
+    d-squared sum, one rounded normalization."""
+    from hbase_gis_spark.operators.drift import spearman_corr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", ts_us().cast("double").alias("__t")
+    )
+    return spearman_corr(ev, "value", "__t")
+
+
+def _q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of language vs source over the
+    document corpus — per-cell observed/expected/contribution."""
+    from hbase_gis_spark.operators.drift import chi_square_independence
+
+    return chi_square_independence(
+        load_table(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
 def _q_global_value_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global ventile boundaries of events.value computed with
     NO single-task sort (range shards + per-shard ranks + a bounded
@@ -3858,6 +3880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": _q_association_rules,
         "value_histogram": _q_value_histogram,
         "global_value_cuts": _q_global_value_cuts,
+        "spearman_value_time": _q_spearman_value_time,
+        "chi2_lang_source": _q_chi2_lang_source,
         "ngram_novelty_first": _q_ngram_novelty,
     }
 
@@ -7381,6 +7405,66 @@ def oracle_sql() -> dict[str, str]:
     JOIN isup sa ON pr.ante = sa.i
     JOIN isup sb ON pr.cons = sb.i
     CROSS JOIN n1
+    """
+
+    out["spearman_value_time"] = """
+    WITH e AS (
+      SELECT CAST(value AS DOUBLE) AS x,
+             CAST(epoch_us(ts) AS DOUBLE) AS y
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        AND ts IS NOT NULL
+    ),
+    r AS (
+      SELECT
+        CAST(rank() OVER (ORDER BY x ASC) * 2
+             + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+        CAST(rank() OVER (ORDER BY y ASC) * 2
+             + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+      FROM e
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS BIGINT)
+             AS sum_d2_quarter,
+           round(1.0
+                 - (6.0 * CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS DOUBLE)
+                    / 4.0)
+                 / (CAST(count(*) AS DOUBLE)
+                    * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                       - 1.0)),
+                 9) AS rho
+    FROM r
+    """
+
+    out["chi2_lang_source"] = """
+    WITH base AS (
+      SELECT lang AS a, source AS b FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    obs AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT da.a, db.b, CAST(coalesce(obs.o, 0) AS BIGINT) AS o
+      FROM (SELECT DISTINCT a FROM base) da
+      CROSS JOIN (SELECT DISTINCT b FROM base) db
+      LEFT JOIN obs ON da.a = obs.a AND db.b = obs.b
+    ),
+    m AS (
+      SELECT a, b, o,
+             CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+             CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c2,
+             CAST(sum(o) OVER () AS BIGINT) AS t
+      FROM c
+    )
+    SELECT a AS lang, b AS source, o AS observed,
+           round(CAST(r AS DOUBLE) * CAST(c2 AS DOUBLE)
+                 / CAST(t AS DOUBLE), 9) AS expected,
+           round(CAST(o * t - r * c2 AS DOUBLE)
+                 * CAST(o * t - r * c2 AS DOUBLE)
+                 / (CAST(r AS DOUBLE) * CAST(c2 AS DOUBLE)
+                    * CAST(t AS DOUBLE)), 9) AS contrib
+    FROM m
     """
 
     out["global_value_cuts"] = f"""

@@ -191,8 +191,10 @@ from hbase_gis_spark.operators.merge import (  # noqa: F401
     snapshot_diff,
 )
 from hbase_gis_spark.operators.drift import (  # noqa: F401
+    chi_square_independence,
     global_quantile_cuts,
     profile_diff,
+    spearman_corr,
     psi_cuts,
     value_histogram,
     value_psi,

@@ -354,3 +354,153 @@ def global_quantile_cuts(
         .join(F.broadcast(rdf), "__gr")
         .select("cut_idx", F.col("__v").alias("cut_value"))
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    monotone-association QA check (is quality score actually related
+    to document length? does value drift with time?) that Pearson
+    misreads under outliers and nonlinearity.
+
+    Engine-exact core: ties get AVERAGE ranks, which are always whole
+    or half numbers, so ranks are carried in HALF-UNITS (BIGINT
+    ``2*avg_rank``) and the d² sum is exact integer arithmetic; the
+    only floats are the final normalization
+    ``rho = 1 - 6*Σd²/(n(n²-1))`` (one division, rounded to 9) —
+    with the textbook caveat, stated here, that the closed form is
+    exact only without ties and a documented approximation with them.
+    Output: 1 row (n, sum_d2_quarter, rho).
+
+    Scale shape: two per-column rank windows (each a single-key global
+    window — for 100 TB feed the global_quantile_cuts sharding trick
+    per column instead), one join on row identity, one aggregate."""
+    prepped = (
+        df.select(
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .filter(
+            F.col("__x").isNotNull() & ~F.isnan("__x")
+            & F.col("__y").isNotNull() & ~F.isnan("__y")
+        )
+    )
+    # average rank of value v = (min_rank + max_rank)/2 over its tie
+    # group = rank() + (count_in_group - 1)/2; carried doubled
+    def half_ranks(col: str) -> DataFrame:
+        w = Window.orderBy(F.col(col).asc())
+        tie = Window.partitionBy(col)
+        return (
+            F.rank().over(w) * 2 + F.count(F.lit(1)).over(tie) - 1
+        )
+
+    ranked = prepped.select(
+        "__x",
+        "__y",
+        half_ranks("__x").alias("__rx2"),
+        half_ranks("__y").alias("__ry2"),
+    )
+    d2q = F.sum(
+        (F.col("__rx2") - F.col("__ry2"))
+        * (F.col("__rx2") - F.col("__ry2"))
+    )  # quarter-units of d² (both ranks doubled)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        d2q.alias("sum_d2_quarter"),
+    ).select(
+        "n",
+        "sum_d2_quarter",
+        F.round(
+            F.lit(1.0)
+            - (F.lit(6.0) * F.col("sum_d2_quarter") / F.lit(4.0))
+            / (
+                F.col("n").cast("double")
+                * (
+                    F.col("n").cast("double") * F.col("n").cast("double")
+                    - F.lit(1.0)
+                )
+            ),
+            9,
+        ).alias("rho"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-square independence audit of two categorical columns (is
+    language independent of source? label of tenant?) — per-cell
+    observed vs expected contributions so the report shows WHICH cell
+    drives the association, not just one statistic.
+
+    Per cell: contrib = (o*T - r*c)² / (r*c*T) — algebraically
+    (o-e)²/e with e = r*c/T, arranged so the DIFFERENCE o*T - r*c is
+    an exact BIGINT (engine-identical; bound: T below ~3e9 rows keeps
+    o*T inside int64 — beyond that, pre-aggregate the input) and the
+    square/divisions run in double with a pinned operation order
+    (rounded to 9; the headline χ² is the consumer's
+    ``sum(contrib)``).
+
+    Scale shape: ONE (a, b) hash aggregate over the table (map-side
+    combined), a dense |a|×|b| grid from the product of two tiny
+    category dims (zero cells must exist or the statistic
+    under-counts), then margins via windows over the cell table —
+    everything after the first aggregate is dim-sized."""
+    base = df.select(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    observed = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    # DENSE cell grid: a zero cell still contributes (0-e)²/e — without
+    # it the statistic under-counts exactly where dependence is
+    # strongest (the perfect-dependence χ² = n identity fails)
+    cells = (
+        base.select("__a")
+        .distinct()
+        .crossJoin(base.select("__b").distinct())
+        .join(observed, ["__a", "__b"], "left")
+        .select(
+            "__a",
+            "__b",
+            F.coalesce("observed", F.lit(0)).alias("observed"),
+        )
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wt = Window.partitionBy()
+    return (
+        cells.withColumn("__r", F.sum("observed").over(wa))
+        .withColumn("__c", F.sum("observed").over(wb))
+        .withColumn("__t", F.sum("observed").over(wt))
+        .withColumn(
+            "__d",
+            F.col("observed") * F.col("__t") - F.col("__r") * F.col("__c"),
+        )
+        .select(
+            F.col("__a").alias(a_col),
+            F.col("__b").alias(b_col),
+            "observed",
+            F.round(
+                F.col("__r").cast("double")
+                * F.col("__c").cast("double")
+                / F.col("__t").cast("double"),
+                9,
+            ).alias("expected"),
+            F.round(
+                F.col("__d").cast("double")
+                * F.col("__d").cast("double")
+                / (
+                    F.col("__r").cast("double")
+                    * F.col("__c").cast("double")
+                    * F.col("__t").cast("double")
+                ),
+                9,
+            ).alias("contrib"),
+        )
+    )

@@ -923,3 +923,46 @@ def test_global_quantile_cuts_tiny_input(spark):
         expect[(i * n + 9) // 10] = i   # rank -> max i
     want = {i: float(rank) for rank, i in expect.items()}
     assert got == want
+
+
+def test_spearman_known_correlations(spark):
+    from hbase_gis_spark.operators.drift import spearman_corr
+
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 21)],
+        "x double, y double",
+    )
+    r = spearman_corr(mono, "x", "y").collect()[0]
+    assert r.rho == 1.0 and r.sum_d2_quarter == 0     # monotone -> 1
+    anti = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 21)], "x double, y double"
+    )
+    assert spearman_corr(anti, "x", "y").collect()[0].rho == -1.0
+    # ties: average (half-unit) ranks, replayed by scipy-free formula
+    tied = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (3.0, 3.0)],
+        "x double, y double",
+    )
+    r = spearman_corr(tied, "x", "y").collect()[0]
+    # x ranks: 1.5, 1.5, 3, 4 ; y ranks: 1, 2, 3.5, 3.5 (half-units x2)
+    d2q = (3-2)**2 + (3-4)**2 + (6-7)**2 + (8-7)**2
+    assert r.sum_d2_quarter == d2q
+
+
+def test_chi2_independence_cells(spark):
+    from hbase_gis_spark.operators.drift import chi_square_independence
+
+    # perfectly independent 2x2: every contrib is exactly 0
+    rows = [("a", "x")] * 10 + [("a", "y")] * 10 \
+        + [("b", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "u string, v string")
+    got = chi_square_independence(df, "u", "v").collect()
+    assert len(got) == 4
+    assert all(r.contrib == 0.0 and r.expected == 10.0 for r in got)
+    # fully dependent: chi2 == n
+    dep = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "y")] * 5, "u string, v string"
+    )
+    tot = sum(r.contrib for r in
+              chi_square_independence(dep, "u", "v").collect())
+    assert abs(tot - 10.0) < 1e-9

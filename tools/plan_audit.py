@@ -55,6 +55,7 @@ BNLJ_SANCTIONED = {
     "cusum_days",  # inherits the dense spine dim product + 1-row totals
     "triangle_count",  # final assembly joins two 1-row aggregates
     "association_rules",  # broadcast 1-row basket-count aggregate
+    "chi2_lang_source",  # dense cell grid = product of two tiny category dims
 }
 
 
