@@ -3193,6 +3193,7 @@ SNAPDIFF_ADD_OFFSET = 100_000_000
 LPA_ITERS = 3
 PSI_BINS = 10
 HIST_BINS = 20
+MRL_DIMS = (8, 16, 32, 64)
 
 
 def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3406,6 +3407,17 @@ def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return association_rules(
         li, "l_orderkey", "l_partkey", min_support=TRI_MIN_SUPPORT
+    )
+
+
+def _q_mrl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: retained-cosine stats at candidate
+    truncated dims (8/16/32/64) — the measurement behind choosing a
+    cheap retrieval dimension for the ANN funnel."""
+    from hbase_gis_spark.operators.similarity import mrl_truncation_report
+
+    return mrl_truncation_report(
+        load_table(spark, sf_dir, "embeddings"), dims=MRL_DIMS
     )
 
 
@@ -3882,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_value_cuts": _q_global_value_cuts,
         "spearman_value_time": _q_spearman_value_time,
         "chi2_lang_source": _q_chi2_lang_source,
+        "mrl_report": _q_mrl_report,
         "ngram_novelty_first": _q_ngram_novelty,
     }
 
@@ -7406,6 +7419,28 @@ def oracle_sql() -> dict[str, str]:
     JOIN isup sb ON pr.cons = sb.i
     CROSS JOIN n1
     """
+
+    def _prefix_sq(k: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {k} + 1), "
+            "j -> CAST(embedding[j] AS DOUBLE) "
+            "* CAST(embedding[j] AS DOUBLE)))"
+        )
+
+    _mrl_arms = []
+    for _k in MRL_DIMS:
+        _mrl_arms.append(
+            f"""SELECT {_k} AS k_dim, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(cm) // count(*) AS BIGINT) AS mean_cos_milli,
+             CAST(min(cm) AS BIGINT) AS min_cos_milli
+      FROM (
+        SELECT CAST(round(sqrt({_prefix_sq(_k)})
+                    / sqrt({_prefix_sq(EMB_DIM)}) * 1000, 0) AS BIGINT)
+               AS cm
+        FROM embeddings
+      )"""
+        )
+    out["mrl_report"] = "\n      UNION ALL\n      ".join(_mrl_arms)
 
     out["spearman_value_time"] = """
     WITH e AS (

@@ -93,6 +93,7 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     cosine_topk_filtered,
     ivf_prototypes,
+    mrl_truncation_report,
     pca_project,
     pq_adc_topk,
     semdedup,

@@ -368,6 +368,53 @@ def label_purity(
     return tot.join(top, "cell")
 
 
+def mrl_truncation_report(
+    df: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: for each candidate truncated
+    dimension k, how much of each vector's direction the k-dim prefix
+    retains. Because the truncated vector IS the prefix (zero-extended),
+    cosine(full, prefix) collapses to ``|prefix| / |full|`` — the
+    retained-energy ratio — so the audit needs only per-row norms, no
+    pairs. This is the measurement behind choosing a cheap retrieval
+    dimension (Kusupati et al. 2022): pick the smallest k whose
+    retained cosine clears the quality bar, then run the ANN funnel at
+    k dims and rerank at full width.
+
+    Output per k: (k_dim, n_vecs, mean_cos_milli, min_cos_milli) —
+    per-row cosines are rounded to integer millis BEFORE aggregation,
+    so sums and mins are exact integers on both engines (the
+    summation-order discipline: never aggregate raw doubles across
+    rows).
+
+    Scale shape: map-only per-row folds (one staged vector projection,
+    prefix sums via sequential HOF folds), a 4-entry explode, one
+    |dims|-row hash aggregate."""
+    staged = df.select(F.col(vec_col).alias("__v"))
+    entries = []
+    for k in dims:
+        pref = F.slice(F.col("__v"), 1, k)
+        ratio = norm_expr(pref) / norm_expr(F.col("__v"))
+        entries.append(
+            F.struct(
+                F.lit(k).alias("k_dim"),
+                F.round(ratio * 1000, 0).cast("bigint").alias("cm"),
+            )
+        )
+    return (
+        staged.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.k_dim", "e.cm")
+        .groupBy("k_dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr("sum(cm) div count(1)").alias("mean_cos_milli"),
+            F.min("cm").alias("min_cos_milli"),
+        )
+    )
+
+
 def ivf_prototypes(
     df: DataFrame,
     centroids: np.ndarray,

@@ -685,3 +685,26 @@ def test_cosine_topk_filtered_prefilter_semantics(spark):
     # same kernel: scores agree with the unfiltered ranking's values
     full = {r.vec_id: r.cosine for r in cosine_topk(emb, 7, 500).collect()}
     assert all(full[r.vec_id] == r.cosine for r in got)
+
+
+def test_mrl_truncation_report_hand_vectors(spark):
+    from hbase_gis_spark.operators.similarity import mrl_truncation_report
+
+    # v1: all energy in the first 2 dims -> ratio 1.0 at every k >= 2
+    # v2: uniform energy -> ratio sqrt(k/4)
+    rows = [
+        (1, [3.0, 4.0, 0.0, 0.0]),
+        (2, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.k_dim: r for r in
+           mrl_truncation_report(df, dims=(1, 2, 4)).collect()}
+    # k=4: both exactly 1000
+    assert (got[4].mean_cos_milli, got[4].min_cos_milli) == (1000, 1000)
+    # k=2: v1 = 1000, v2 = round(sqrt(2/4)*1000) = 707
+    assert got[2].min_cos_milli == 707
+    assert got[2].mean_cos_milli == (1000 + 707) // 2
+    # k=1: v1 = 3/5 -> 600, v2 = 500
+    assert got[1].min_cos_milli == 500
+    assert got[1].mean_cos_milli == (600 + 500) // 2
+    assert all(r.n_vecs == 2 for r in got.values())
