@@ -304,40 +304,20 @@ def global_quantile_cuts(
     shuffle + a |shards|-row aggregate; compare a naive
     ``row_number() OVER (ORDER BY v)``, which is a single-task sort
     of the whole table."""
+    from hbase_gis_spark.operators.rank import range_sharded
+
     prepped = df.select(
         F.col(value_col).cast("double").alias("__v")
     ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
-    # EAGER localCheckpoint pins the pid column as DATA:
-    # spark_partition_id is nondeterministic per evaluation, and this
-    # plan consumes `sharded` TWICE (size aggregate + rank window) —
-    # without materialization the two could disagree on shard
-    # assignment and the offsets would be wrong. The operator is
-    # action-bearing by design anyway (the bounded shard-size collect
-    # below), so the eager materialization adds no extra pass.
-    sharded = (
-        prepped.repartitionByRange(n_shards, F.col("__v"))
-        .select("__v", F.spark_partition_id().alias("__pid"))
-        .localCheckpoint()
-    )
+    # range_sharded's EAGER localCheckpoint pins the pid column as
+    # DATA: spark_partition_id is nondeterministic per evaluation and
+    # the plan consumes the sharded frame TWICE (size aggregate +
+    # rank window). The operator is action-bearing by design anyway
+    # (the bounded shard-size collect), so no extra pass.
+    sharded, odf, total = range_sharded(prepped, ["__v"], n_shards)
     w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
     ranked = sharded.withColumn("__r", F.row_number().over(w))
-    # bounded collect: one integer per shard (never grows with data)
-    sizes = {
-        r["__pid"]: r["cnt"]
-        for r in sharded.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    total = sum(sizes.values())
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
     spark = df.sparkSession
-    odf = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()],
-        "__pid int, __off bigint",
-    )
     cut_ranks = {
         (i * total + n_bins - 1) // n_bins: i
         for i in range(1, n_bins)
@@ -360,6 +340,7 @@ def spearman_corr(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    n_shards: int = 64,
 ) -> DataFrame:
     """Spearman rank correlation between two numeric columns — the
     monotone-association QA check (is quality score actually related
@@ -375,10 +356,19 @@ def spearman_corr(
     exact only without ties and a documented approximation with them.
     Output: 1 row (n, sum_d2_quarter, rho).
 
-    Scale shape: two per-column rank windows (each a single-key global
-    window — for 100 TB feed the global_quantile_cuts sharding trick
-    per column instead), one join on row identity, one aggregate."""
-    prepped = (
+    Scale shape (VERDICT r4 next-round #2a): each column is ranked by
+    the SHARDED global-rank machinery (rank.global_half_ranks — range
+    shards, per-shard rank + tie counts, bounded driver prefix), NOT a
+    partition-less ``Window.orderBy`` (banned repo-wide by
+    tests/test_plan_hygiene.py). Row identity for the rank join is a
+    monotonically_increasing_id PINNED by an eager localCheckpoint
+    (ids are nondeterministic per evaluation; both rank passes must
+    see the same ids). Cost: one base materialization, two range
+    shuffles + rank windows, two id-keyed joins, one aggregate —
+    every stage parallel over n_shards."""
+    from hbase_gis_spark.operators.rank import global_half_ranks
+
+    base = (
         df.select(
             F.col(x_col).cast("double").alias("__x"),
             F.col(y_col).cast("double").alias("__y"),
@@ -387,22 +377,16 @@ def spearman_corr(
             F.col("__x").isNotNull() & ~F.isnan("__x")
             & F.col("__y").isNotNull() & ~F.isnan("__y")
         )
+        .withColumn("__id", F.monotonically_increasing_id())
+        .localCheckpoint()
     )
-    # average rank of value v = (min_rank + max_rank)/2 over its tie
-    # group = rank() + (count_in_group - 1)/2; carried doubled
-    def half_ranks(col: str) -> DataFrame:
-        w = Window.orderBy(F.col(col).asc())
-        tie = Window.partitionBy(col)
-        return (
-            F.rank().over(w) * 2 + F.count(F.lit(1)).over(tie) - 1
-        )
-
-    ranked = prepped.select(
-        "__x",
-        "__y",
-        half_ranks("__x").alias("__rx2"),
-        half_ranks("__y").alias("__ry2"),
+    rx = global_half_ranks(base, "__x", "__id", n_shards).withColumnRenamed(
+        "__hr2", "__rx2"
     )
+    ry = global_half_ranks(base, "__y", "__id", n_shards).withColumnRenamed(
+        "__hr2", "__ry2"
+    )
+    ranked = rx.join(ry, "__id")
     d2q = F.sum(
         (F.col("__rx2") - F.col("__ry2"))
         * (F.col("__rx2") - F.col("__ry2"))

@@ -96,40 +96,91 @@ def test_round3_tpch_predicates_reach_scans(spark):
 
 def test_registry_window_contract():
     """The driver checks exactly the FIRST 50 queries() entries; round
-    4's window must hold the 47 round-3 additions + sketch_stats + the
-    two r2-era canaries (the rotation VERDICT r3 #1 prescribed), every
-    hash-checkable window query must have an oracle, and new additions
-    must stay appended BEHIND the window."""
+    5's window must hold the 35 round-4 additions + the now-exact
+    sketch_stats + the fourteen longest-unchecked r2-era canaries
+    (the rotation VERDICT r4 #1 prescribed), every window query must
+    have an oracle (sketch_stats included — it is hash-checkable as
+    of r5), and new round-5 additions must stay appended BEHIND the
+    window."""
     import __spark_entry__ as entrymod
 
     qs = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
-    r3_additions = [
-        "tfidf_topk_terms", "unigram_lm_score", "ann_range_search",
-        "embedding_norm_stats", "returned_items", "top_supplier",
-        "discounted_revenue_or", "market_share", "product_profit",
-        "min_cost_supplier", "semdedup", "pq_adc_topk", "bpe_pair_counts",
-        "revenue_rollup", "ann_ivfpq_topk", "tfidf_cosine_pairs", "dbscan",
-        "table_profile", "daily_anomalies", "daily_recon", "ewma_daily",
-        "forecast_revenue_change", "global_sales_opportunity",
-        "interval_join", "grouped_quantiles", "ann_recall_report",
-        "bpe_learned_counts", "audio_features", "video_features",
-        "quality_classifier", "ann_hamming_topk", "volume_shipping",
-        "ann_hamming_rerank", "skew_report", "pca_project",
-        "bigram_lm_score", "dataset_card", "mm_phash",
-        "token_budget_sample", "k_anonymity", "event_paths",
-        "lang_mismatch", "embedding_drift", "rfm_segments",
-        "dup_cluster_sizes", "markov_transitions", "source_quality",
+    r4_additions = [
+        "ngram_diversity", "boilerplate_ngrams", "doc_length_histogram",
+        "quality_resample", "contamination_report", "pagerank_event_types",
+        "zorder_layout", "boilerplate_coverage", "dense_daily_counts",
+        "fuzzy_join_suppliers", "winsorize_balances", "dedup_recall_report",
+        "conversion_lag", "containment_pairs", "token_fertility",
+        "dedup_impact", "ann_filtered_topk", "triangle_count", "cusum_days",
+        "segment_dedup", "ivf_prototypes", "hilbert_layout", "bm25_search",
+        "group_sample", "snapshot_diff", "lpa_communities", "profile_diff",
+        "value_psi", "association_rules", "value_histogram",
+        "global_value_cuts", "spearman_value_time", "chi2_lang_source",
+        "mrl_report", "ngram_novelty_first",
     ]
-    assert qs[:47] == r3_additions
-    assert qs[47] == "sketch_stats"
-    assert qs[48:50] == ["within_polygon_pruned", "knn_top10"]
-    missing = [q for q in qs[:50] if q != "sketch_stats" and q not in oracles]
+    r2_canaries = [
+        "within_concave", "within_multipolygon", "distance_join",
+        "spatial_join", "knn_pruned", "knn_per_region", "topx_per_group",
+        "asof_join", "sessionize_events", "binned_limit", "dedup_geocell",
+        "dedup_exact", "dedup_minhash_lsh", "lang_id",
+    ]
+    assert qs[:35] == r4_additions
+    assert qs[35] == "sketch_stats"
+    assert qs[36:50] == r2_canaries
+    missing = [q for q in qs[:50] if q not in oracles]
     assert missing == [], f"window queries without oracles: {missing}"
-    # round-4 additions appended behind the window, never inserted
-    for name in ["ngram_diversity", "zorder_layout", "fuzzy_join_suppliers",
-                 "dedup_recall_report", "containment_pairs", "dedup_impact"]:
-        assert qs.index(name) >= 100, name
+    # registry entries stay unique (dict literal would silently drop dups
+    # only if keys repeat — guard the invariant the rotation relies on)
+    assert len(qs) == len(set(qs))
+
+
+_GLOBAL_WINDOW_ALLOWED = {
+    # file basename -> (max partition-less Window.orderBy calls, reason)
+    "funnel.py": (1, "step-index frame is |funnel steps| rows (<= 8)"),
+    "__spark_entry__.py": (
+        1,
+        "daily_rolling: rangeBetween window over the per-DAY aggregate "
+        "(|days| rows, bounded by the calendar)",
+    ),
+}
+
+
+def test_no_partitionless_global_sort_windows():
+    """Partition-less ``Window.orderBy(...)`` is the classic
+    scale-killer: one task sorts the entire frame (VERDICT r4 found
+    three — spearman_corr, rfm_segments, balance_deciles — all since
+    replaced by rank.py's sharded global ranks). AST-based ban, like
+    the ``.rdd`` one: any direct ``Window.orderBy`` call outside the
+    explicit dim-scoped allowlist fails."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    files = sorted((root / "hbase_gis_spark").rglob("*.py"))
+    files.append(root / "__spark_entry__.py")
+    counts: dict[str, list[int]] = {}
+    for path in files:
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "orderBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "Window"
+            ):
+                counts.setdefault(path.name, []).append(node.lineno)
+    offenders = {
+        name: lines
+        for name, lines in counts.items()
+        if len(lines) > _GLOBAL_WINDOW_ALLOWED.get(name, (0,))[0]
+    }
+    assert offenders == {}, (
+        f"partition-less Window.orderBy (single-task global sort): "
+        f"{offenders} — use hbase_gis_spark.operators.rank instead, or "
+        f"extend the allowlist with a dim-size reason"
+    )
 
 
 def test_round4b_plan_shapes(spark):

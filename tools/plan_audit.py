@@ -56,6 +56,7 @@ BNLJ_SANCTIONED = {
     "triangle_count",  # final assembly joins two 1-row aggregates
     "association_rules",  # broadcast 1-row basket-count aggregate
     "chi2_lang_source",  # dense cell grid = product of two tiny category dims
+    "sketch_stats",  # 1-row distinct-count x 1-row percentile assembly
 }
 
 
