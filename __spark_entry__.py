@@ -3207,7 +3207,10 @@ SEG_K, SEG_MIN_DOCS = 10, 2
 PROTO_K = 5
 GSAMPLE_K = 10  # < docs-per-source at every sf, so the cap always bites
 NOVELTY_N = 3
-SNAPDIFF_ADD_OFFSET = 100_000_000
+# synthetic "added" snapshot keys are NEGATED real keys: o_orderkey
+# is strictly positive at every TPC-H scale factor, so -key can never
+# collide with a surviving real key (a fixed additive offset could,
+# once keys exceed it at large SF — ADVICE r4)
 LPA_ITERS = 3
 PSI_BINS = 10
 HIST_BINS = 20
@@ -3574,9 +3577,7 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .union(
             o.filter(F.col("o_orderkey") % 17 == 0).select(
-                (F.col("o_orderkey") + SNAPDIFF_ADD_OFFSET).alias(
-                    "o_orderkey"
-                ),
+                (-F.col("o_orderkey")).alias("o_orderkey"),
                 "o_custkey",
                 "price_cents",
                 "o_orderstatus",
@@ -7449,6 +7450,7 @@ def oracle_sql() -> dict[str, str]:
                     / sqrt({_prefix_sq(EMB_DIM)}) * 1000, 0) AS BIGINT)
                AS cm
         FROM embeddings
+        WHERE {_prefix_sq(EMB_DIM)} > 0
       )"""
         )
     out["mrl_report"] = "\n      UNION ALL\n      ".join(_mrl_arms)
@@ -7722,7 +7724,7 @@ def oracle_sql() -> dict[str, str]:
                   ELSE o_orderstatus END AS o_orderstatus
       FROM o WHERE o_orderkey % 7 != 0
       UNION ALL
-      SELECT o_orderkey + {SNAPDIFF_ADD_OFFSET}, o_custkey,
+      SELECT -o_orderkey, o_custkey,
              price_cents, o_orderstatus
       FROM o WHERE o_orderkey % 17 = 0
     ),

@@ -7,6 +7,12 @@ Each query is forced end-to-end with the noop sink (full computation,
 no driver collect bottleneck). Results also matter at 100 TB: these are
 the same code paths the driver's correctness gate checks, so the bench
 measures the real operators, not simplified twins.
+
+Timing note: the rank.py-based queries (sketch_stats, rfm_segments,
+balance_deciles, spearman_value_time, global_value_cuts) execute their
+bounded shard-size collect EAGERLY at DataFrame-construction time, so
+the per-query wall below includes build+execute for them — the honest
+total either way (ADVICE r4 #4).
 """
 
 from __future__ import annotations

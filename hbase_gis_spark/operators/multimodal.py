@@ -634,7 +634,15 @@ def parse_mp3_header(buf: bytes) -> tuple[int, int, int]:
     """(sample_rate, channels, bitrate_kbps) from the first MPEG-1
     Layer III frame header — the 4 sync/config bytes, no frame
     decode. Supports the common case (MPEG-1 L3, defined bitrate);
-    anything else raises rather than guessing."""
+    anything else raises rather than guessing.
+
+    False-sync guard: a valid-looking header occurs by chance with
+    probability ~2^-16 per offset in arbitrary bytes, so on large
+    corrupt buffers a bare sync scan silently misclassifies. A
+    candidate is accepted only if the NEXT frame header (at the frame
+    length the candidate itself implies: 144 * bitrate / sample_rate
+    + padding) also syncs — or the buffer ends before that offset, so
+    a second frame could not exist (synthetic one-frame fixtures)."""
     pos = buf.find(b"\xff")
     while pos != -1 and pos + 4 <= len(buf):
         b1, b2, b3 = buf[pos + 1], buf[pos + 2], buf[pos + 3]
@@ -646,8 +654,15 @@ def parse_mp3_header(buf: bytes) -> tuple[int, int, int]:
                 version == 3 and layer == 1
                 and 0 < br_idx < 15 and sr_idx < 3
             ):
-                channels = 1 if (b3 >> 6) == 3 else 2
-                return _MP3_RATES[sr_idx], channels, _MP3_BITRATES[br_idx]
+                rate = _MP3_RATES[sr_idx]
+                kbps = _MP3_BITRATES[br_idx]
+                padding = (b2 >> 1) & 0x1
+                nxt = pos + (144 * kbps * 1000) // rate + padding
+                if nxt + 2 > len(buf) or (
+                    buf[nxt] == 0xFF and (buf[nxt + 1] & 0xE0) == 0xE0
+                ):
+                    channels = 1 if (b3 >> 6) == 3 else 2
+                    return rate, channels, kbps
         pos = buf.find(b"\xff", pos + 1)
     raise ValueError("no MPEG-1 Layer III frame header found")
 

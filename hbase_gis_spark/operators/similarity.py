@@ -391,8 +391,12 @@ def mrl_truncation_report(
 
     Scale shape: map-only per-row folds (one staged vector projection,
     prefix sums via sequential HOF folds), a 4-entry explode, one
-    |dims|-row hash aggregate."""
-    staged = df.select(F.col(vec_col).alias("__v"))
+    |dims|-row hash aggregate. Zero-norm embeddings are dropped before
+    the ratio (0/0 is NaN — Spark would round-cast it to 0, DuckDB
+    would raise; the sibling ops' NaN-filter discipline, ADVICE r4)."""
+    staged = df.select(F.col(vec_col).alias("__v")).filter(
+        norm_expr(F.col("__v")) > 0
+    )
     entries = []
     for k in dims:
         pref = F.slice(F.col("__v"), 1, k)

@@ -9,7 +9,7 @@ can be missing there). Usage:
 
 Prints queries slower than `ratio` (default 1.5) in NEW, the shared-set
 totals, and entries present on only one side. Remember the machine's
-documented 1.5-3x external-load swing (see .claude/skills/verify):
+documented 1.5-3x external-load swing (see the repo verify notes):
 judge a regression by re-running interleaved in ONE warm JVM before
 believing it.
 """
