@@ -177,7 +177,10 @@ from hbase_gis_spark.operators.graph import (  # noqa: F401
     triangle_stats,
 )
 from hbase_gis_spark.operators.layout import (  # noqa: F401
+    append_hilbert_table,
+    append_zorder_table,
     hilbert_key_2d,
+    read_curve_bounds,
     write_hilbert_table,
     write_zorder_table,
     zorder_key_2d,

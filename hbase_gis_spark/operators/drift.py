@@ -216,34 +216,35 @@ def value_psi(
     )
 
 
-def value_histogram(
-    df: DataFrame,
-    key_col: str,
-    value_col: str,
-    n_bins: int = 20,
+def histogram_range(
+    df: DataFrame, key_col: str, value_col: str
 ) -> DataFrame:
-    """Per-key equi-WIDTH histogram of a numeric column — the shape
-    companion of :func:`value_psi`'s equi-MASS bins: PSI answers "did
-    the distribution move", the histogram shows what it looks like
-    (modes, gaps, outlier shelves). Output: dense (key, bin, n_values)
-    for bin 0..n_bins-1, zero-filled.
-
-    Engine-exact: bin = floor((v - min)/(max - min) * n_bins) clamped
-    to n_bins-1 — the zorder_bin IEEE-op sequence, identical on both
-    engines; counts are integers. One min/max aggregate (broadcast
-    |keys|-row dim), one map-side bin projection, one hash aggregate,
-    and a dim-sized spine for the zero bins."""
-    v = F.col(value_col).cast("double")
-    prepped = df.select(
-        F.col(key_col).alias("__k"), v.alias("__v")
-    ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
-    rng = prepped.groupBy("__k").agg(
-        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    """The per-key (``__k``, ``__mn``, ``__mx``) range dim — the
+    REUSABLE half of :func:`value_histogram`, exactly as
+    :func:`psi_cuts` is value_psi's. Persist this next to the
+    reference snapshot: every later cohort, batch or stream, must bin
+    against the SAME frozen ranges or its bins are incomparable (the
+    same re-derivation hazard as the curve-layout bounds sidecar —
+    VERDICT r4 next-round #6)."""
+    return (
+        _psi_prep(df, key_col, value_col)
+        .groupBy("__k")
+        .agg(F.min("__v").alias("__mn"), F.max("__v").alias("__mx"))
     )
-    binned = (
-        prepped.join(F.broadcast(rng), "__k")
-        .select(
-            "__k",
+
+
+def histogram_assign_bins(
+    prepped: DataFrame, rng: DataFrame, n_bins: int
+) -> DataFrame:
+    """(__k, __v) rows -> (__k, bin) via the broadcast range dim:
+    bin = floor((v - min)/(max - min) * n_bins) clamped to
+    [0, n_bins-1] — the zorder_bin IEEE-op sequence, identical on
+    both engines. Out-of-range values (possible when the dim is a
+    FROZEN reference range and the cohort drifted past it) clamp
+    into the edge bins, the curve-layout append rule."""
+    return prepped.join(F.broadcast(rng), "__k").select(
+        "__k",
+        F.greatest(
             F.least(
                 F.coalesce(
                     F.floor(
@@ -257,10 +258,41 @@ def value_histogram(
                     F.lit(0),
                 ),
                 F.lit(n_bins - 1),
-            )
-            .cast("int")
-            .alias("bin"),
+            ),
+            F.lit(0),
         )
+        .cast("int")
+        .alias("bin"),
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 20,
+    range_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Per-key equi-WIDTH histogram of a numeric column — the shape
+    companion of :func:`value_psi`'s equi-MASS bins: PSI answers "did
+    the distribution move", the histogram shows what it looks like
+    (modes, gaps, outlier shelves). Output: dense (key, bin, n_values)
+    for bin 0..n_bins-1, zero-filled.
+
+    Engine-exact: see :func:`histogram_assign_bins`; counts are
+    integers. One min/max aggregate (broadcast |keys|-row dim — or
+    the PERSISTED ``range_dim`` from :func:`histogram_range`, which
+    makes bins comparable across snapshots and is the only correct
+    input for appends/streams), one map-side bin projection, one hash
+    aggregate, and a dim-sized spine for the zero bins."""
+    prepped = _psi_prep(df, key_col, value_col)
+    rng = (
+        range_dim
+        if range_dim is not None
+        else histogram_range(df, key_col, value_col)
+    )
+    binned = (
+        histogram_assign_bins(prepped, rng, n_bins)
         .groupBy("__k", "bin")
         .agg(F.count(F.lit(1)).alias("n_values"))
     )

@@ -42,43 +42,66 @@ def zorder_bin(v: Column, vmin: Column, vmax: Column, bits: int) -> Column:
     )
 
 
+def _clean_double(c: Column) -> Column:
+    # NaN sorts GREATER than every double in Spark aggregates — one NaN
+    # row would otherwise poison the max and collapse every bin to 0
+    d = c.cast("double")
+    return F.when(~F.isnan(d), d)
+
+
+def _bounded(df: DataFrame, x: Column, y: Column, bounds):
+    """(df-with-range-columns, xmin, xmax, ymin, ymax) — from the
+    PERSISTED bounds literals when given (append path: map-only, no
+    aggregate at all), else from one 1-row global min/max aggregate
+    broadcast into the scan (create path: sanctioned 1-row BNLJ,
+    constant cost in table size)."""
+    if bounds is not None:
+        xmin, xmax, ymin, ymax = (F.lit(float(b)) for b in bounds)
+        return df, xmin, xmax, ymin, ymax
+    rng = df.agg(
+        F.min(_clean_double(x)).alias("__xmin"),
+        F.max(_clean_double(x)).alias("__xmax"),
+        F.min(_clean_double(y)).alias("__ymin"),
+        F.max(_clean_double(y)).alias("__ymax"),
+    )
+    return (
+        df.crossJoin(F.broadcast(rng)),
+        F.col("__xmin"),
+        F.col("__xmax"),
+        F.col("__ymin"),
+        F.col("__ymax"),
+    )
+
+
 def zorder_key_2d(
     df: DataFrame,
     x_col,
     y_col,
     bits: int = 16,
+    bounds: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """Annotate every row with ``zkey`` = the 2-D Morton interleave of
     the two columns' equal-width bins (x in even bit positions).
 
     The bin ranges come from ONE 1-row global min/max aggregate,
     broadcast into the scan (sanctioned 1-row BNLJ — constant cost in
-    table size, same pattern as the IVF centroid literals).  Key
-    computation itself is map-only shift/mask under whole-stage
-    codegen.  ``bits <= 16`` keeps the interleave inside the positive
-    int64 range (2*16 = 32 key bits).
+    table size, same pattern as the IVF centroid literals) — or, when
+    ``bounds`` = (xmin, xmax, ymin, ymax) is given, from those frozen
+    literals (the append path: a later batch MUST bin against the
+    bounds persisted at table create, or its keys disagree with the
+    existing files').  Key computation itself is map-only shift/mask
+    under whole-stage codegen.  ``bits <= 16`` keeps the interleave
+    inside the positive int64 range (2*16 = 32 key bits).
     """
     if not 1 <= bits <= 16:
         raise ValueError("bits must be in [1, 16]")
     x = F.col(x_col) if isinstance(x_col, str) else x_col
     y = F.col(y_col) if isinstance(y_col, str) else y_col
-
-    # NaN sorts GREATER than every double in Spark aggregates — one NaN
-    # row would otherwise poison the max and collapse every bin to 0
-    def clean(c: Column) -> Column:
-        d = c.cast("double")
-        return F.when(~F.isnan(d), d)
-
-    rng = df.agg(
-        F.min(clean(x)).alias("__xmin"),
-        F.max(clean(x)).alias("__xmax"),
-        F.min(clean(y)).alias("__ymin"),
-        F.max(clean(y)).alias("__ymax"),
-    )
-    xb = zorder_bin(x, F.col("__xmin"), F.col("__xmax"), bits)
-    yb = zorder_bin(y, F.col("__ymin"), F.col("__ymax"), bits)
+    base, xmin, xmax, ymin, ymax = _bounded(df, x, y, bounds)
+    xb = zorder_bin(x, xmin, xmax, bits)
+    yb = zorder_bin(y, ymin, ymax, bits)
     zkey = F.shiftleft(_spread_bits(xb), 1).bitwiseOR(_spread_bits(yb))
-    return df.crossJoin(F.broadcast(rng)).select(
+    return base.select(
         *[F.col(c) for c in df.columns], zkey.cast("bigint").alias("zkey")
     )
 
@@ -125,6 +148,7 @@ def hilbert_key_2d(
     x_col,
     y_col,
     bits: int = 16,
+    bounds: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """Annotate every row with ``hkey`` = the 2-D Hilbert-curve index
     of the two columns' equal-width bins — the same layout contract as
@@ -137,30 +161,22 @@ def hilbert_key_2d(
     OPTIMIZE implementations moved to, for exactly this reason).
 
     Same physical shape as the Z-order key: ONE 1-row global min/max
-    aggregate broadcast into the scan, then a map-only per-level
-    reflect/swap pipeline — ``bits`` chained projections that
-    whole-stage codegen fuses into a single stage. NULL/NaN inputs
-    key to NULL (bins are coalesced to 0 through the walk and masked
-    back at the end, so the per-level CASEs never see NULL)."""
+    aggregate broadcast into the scan (or the frozen ``bounds``
+    literals on the append path, as in :func:`zorder_key_2d`), then a
+    map-only per-level reflect/swap pipeline — ``bits`` chained
+    projections that whole-stage codegen fuses into a single stage.
+    NULL/NaN inputs key to NULL (bins are coalesced to 0 through the
+    walk and masked back at the end, so the per-level CASEs never see
+    NULL)."""
     if not 1 <= bits <= 16:
         raise ValueError("bits must be in [1, 16]")
     x = F.col(x_col) if isinstance(x_col, str) else x_col
     y = F.col(y_col) if isinstance(y_col, str) else y_col
-
-    def clean(c: Column) -> Column:
-        d = c.cast("double")
-        return F.when(~F.isnan(d), d)
-
-    rng = df.agg(
-        F.min(clean(x)).alias("__xmin"),
-        F.max(clean(x)).alias("__xmax"),
-        F.min(clean(y)).alias("__ymin"),
-        F.max(clean(y)).alias("__ymax"),
-    )
-    xb = zorder_bin(x, F.col("__xmin"), F.col("__xmax"), bits)
-    yb = zorder_bin(y, F.col("__ymin"), F.col("__ymax"), bits)
+    base, xmin, xmax, ymin, ymax = _bounded(df, x, y, bounds)
+    xb = zorder_bin(x, xmin, xmax, bits)
+    yb = zorder_bin(y, ymin, ymax, bits)
     cols = list(df.columns)
-    cur = df.crossJoin(F.broadcast(rng)).select(
+    cur = base.select(
         *[F.col(c) for c in cols],
         (xb.isNull() | yb.isNull()).alias("__hnull"),
         F.coalesce(xb, F.lit(0)).cast("bigint").alias("__hx"),
@@ -212,6 +228,41 @@ def hilbert_d_many(x, y, bits: int = 16):
     return d
 
 
+def compute_curve_bounds(
+    df: DataFrame, x_col: str, y_col: str
+) -> tuple[float, float, float, float]:
+    """(xmin, xmax, ymin, ymax) of the two layout columns — ONE 1-row
+    aggregate collected driver-side (bounded: four doubles), the
+    values frozen into the table's bounds sidecar at create time."""
+    r = df.agg(
+        F.min(_clean_double(F.col(x_col))).alias("xmin"),
+        F.max(_clean_double(F.col(x_col))).alias("xmax"),
+        F.min(_clean_double(F.col(y_col))).alias("ymin"),
+        F.max(_clean_double(F.col(y_col))).alias("ymax"),
+    ).head()
+    return (r.xmin, r.xmax, r.ymin, r.ymax)
+
+
+def _write_curve_bounds(spark, path: str, bounds, bits: int) -> None:
+    # underscore-prefixed subdirectory: Spark/Hadoop readers treat
+    # `_`-paths as hidden metadata (like _SUCCESS), so scans of the
+    # table never pick the sidecar up; written via the DataFrame
+    # writer so it lands on whatever filesystem the table uses
+    spark.createDataFrame(
+        [tuple(float(b) for b in bounds) + (int(bits),)],
+        "xmin double, xmax double, ymin double, ymax double, bits int",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_bounds")
+
+
+def read_curve_bounds(
+    spark, path: str
+) -> tuple[tuple[float, float, float, float], int]:
+    """((xmin, xmax, ymin, ymax), bits) from a curve-clustered table's
+    bounds sidecar — what every append batch MUST bin against."""
+    r = spark.read.parquet(path + "/_bounds").head()
+    return (r.xmin, r.xmax, r.ymin, r.ymax), r.bits
+
+
 def write_zorder_table(
     df: DataFrame,
     path: str,
@@ -229,13 +280,34 @@ def write_zorder_table(
     same sink pattern as the geohash-prefix and IVF-cell tables in
     sources/ingest.py and operators/similarity.py).
 
-    The zkey column is kept in the file: readers can range-filter on
-    it directly (curve ranges for a rectangle query), and appends can
-    re-derive consistent keys only if they reuse the SAME bin ranges —
-    at scale, persist the four min/max bounds next to the table and
-    feed them to zorder_bin instead of re-aggregating per batch."""
-    keyed = zorder_key_2d(df, x_col, y_col, bits=bits)
+    The zkey column is kept in the file (readers range-filter on it
+    directly — curve ranges for a rectangle query), and the four bin
+    bounds + bits are PERSISTED in a ``_bounds`` sidecar so
+    :func:`append_zorder_table` re-derives byte-identical keys for
+    later batches (the append_ivf_table frozen-quantizer contract:
+    re-aggregating bounds per batch would silently shift every bin)."""
+    bounds = compute_curve_bounds(df, x_col, y_col)
+    keyed = zorder_key_2d(df, x_col, y_col, bits=bits, bounds=bounds)
     _write_curve_clustered(keyed, path, "zkey", n_files, mode)
+    _write_curve_bounds(df.sparkSession, path, bounds, bits)
+
+
+def append_zorder_table(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+) -> None:
+    """Append a batch to an existing :func:`write_zorder_table` layout:
+    keys are derived from the PERSISTED bounds sidecar, never a
+    per-batch re-aggregate, so the new files' zkeys are byte-identical
+    to what the create-time write would have produced (rows outside
+    the frozen bounds clamp into the edge bins — same rule as create).
+    Map-only key computation + one range shuffle of the batch."""
+    bounds, bits = read_curve_bounds(df.sparkSession, path)
+    keyed = zorder_key_2d(df, x_col, y_col, bits=bits, bounds=bounds)
+    _write_curve_clustered(keyed, path, "zkey", n_files, "append")
 
 
 def write_hilbert_table(
@@ -251,11 +323,26 @@ def write_hilbert_table(
     :func:`write_zorder_table` contract on the better-locality curve:
     every file covers a disjoint ``hkey`` range, and because adjacent
     Hilbert indices are adjacent cells, a rectangle predicate touches
-    fewer files than under the Morton layout. Same append caveat:
-    re-derive keys from PERSISTED min/max bounds, not a per-batch
-    re-aggregate."""
-    keyed = hilbert_key_2d(df, x_col, y_col, bits=bits)
+    fewer files than under the Morton layout. Bounds + bits persist
+    in the same ``_bounds`` sidecar for :func:`append_hilbert_table`."""
+    bounds = compute_curve_bounds(df, x_col, y_col)
+    keyed = hilbert_key_2d(df, x_col, y_col, bits=bits, bounds=bounds)
     _write_curve_clustered(keyed, path, "hkey", n_files, mode)
+    _write_curve_bounds(df.sparkSession, path, bounds, bits)
+
+
+def append_hilbert_table(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+) -> None:
+    """Append to an existing :func:`write_hilbert_table` layout using
+    the persisted bounds sidecar — see :func:`append_zorder_table`."""
+    bounds, bits = read_curve_bounds(df.sparkSession, path)
+    keyed = hilbert_key_2d(df, x_col, y_col, bits=bits, bounds=bounds)
+    _write_curve_clustered(keyed, path, "hkey", n_files, "append")
 
 
 def _write_curve_clustered(

@@ -410,3 +410,36 @@ def streaming_psi_counts(
         )
         .agg(F.count(F.lit(1)).alias("n_cur"))
     )
+
+
+def streaming_histogram_counts(
+    events: DataFrame,
+    range_dim: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Streaming half of the equi-width histogram monitor: bin
+    arriving values against a PERSISTED per-key range dim (the
+    :func:`~hbase_gis_spark.operators.drift.histogram_range` output,
+    frozen at reference time — the same contract as
+    ``streaming_psi_counts``' cuts dim and the curve-layout bounds
+    sidecar) and maintain per-(key, bin) counts. Values that drift
+    past the frozen range clamp into the edge bins, so a growing edge
+    bin IS the out-of-range drift signal. Converged counts equal the
+    batch ``value_histogram(..., range_dim=...)`` nonzero bins
+    exactly (pinned in tests/test_streaming.py).
+
+    State: |keys| x n_bins cells, constant in stream length — no
+    watermark needed, the dimension is bounded."""
+    from hbase_gis_spark.operators.drift import histogram_assign_bins
+
+    prepped = events.select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    return (
+        histogram_assign_bins(prepped, range_dim, n_bins)
+        .groupBy(F.col("__k").alias(key_col), F.col("bin"))
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )

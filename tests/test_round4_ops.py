@@ -423,6 +423,59 @@ def test_write_zorder_table_files_cover_disjoint_key_ranges(spark, tmp_path_fact
         assert hi1 <= lo2  # disjoint zkey ranges across files
 
 
+def test_curve_append_bounds_sidecar_keeps_keys_identical(
+    spark, tmp_path_factory
+):
+    """VERDICT r4 next-round #4: a table created in TWO batches via
+    append_{zorder,hilbert}_table must hold byte-identical keys to a
+    one-shot write — the persisted _bounds sidecar (not a per-batch
+    re-aggregate) is what makes that true, because the second batch's
+    value range differs from the full table's."""
+    from hbase_gis_spark.operators.layout import (
+        append_hilbert_table,
+        append_zorder_table,
+        hilbert_key_2d,
+        read_curve_bounds,
+        write_hilbert_table,
+        write_zorder_table,
+        zorder_key_2d,
+    )
+    from hbase_gis_spark.sources.tables import load_table, ts_us
+    from tests.conftest import SF0001
+
+    ev = load_table(spark, SF0001, "events").select(
+        "event_id", "value", ts_us().alias("t")
+    )
+    # batch split correlated with the layout columns so batch-2's
+    # min/max really differ from batch-1's (the failure the sidecar
+    # prevents: per-batch re-aggregated bounds would shift every bin)
+    b1 = ev.filter(F.col("value") < 50)
+    b2 = ev.filter(F.col("value") >= 50)
+
+    for write, append, key_fn, key in (
+        (write_zorder_table, append_zorder_table, zorder_key_2d, "zkey"),
+        (write_hilbert_table, append_hilbert_table, hilbert_key_2d, "hkey"),
+    ):
+        path = str(tmp_path_factory.mktemp("curve_append") / "tbl")
+        write(b1, path, "value", "t", n_files=4, bits=8)
+        # sidecar must hold batch-1 bounds, not anything wider
+        bounds, bits = read_curve_bounds(spark, path)
+        assert bits == 8
+        assert bounds[1] < 50
+        append(b2, path, "value", "t", n_files=2)
+        got = {
+            r.event_id: r[key] for r in spark.read.parquet(path).collect()
+        }
+        # the two-batch table must equal keying ALL rows against the
+        # frozen create-time bounds in one shot (batch-2 rows clamp
+        # into the top bins — same rule the create write applies)
+        want = {
+            r.event_id: r[key]
+            for r in key_fn(ev, "value", "t", bits=8, bounds=bounds).collect()
+        }
+        assert got == want and len(got) == ev.count()
+
+
 def test_deletion_neighborhood_lemma_property():
     """The completeness lemma fuzzy_join_edit1 rests on, property-
     tested without Spark: lev(a, b) <= 1 IMPLIES the {self + one-char

