@@ -283,6 +283,14 @@ def register_sql_api(spark: SparkSession) -> None:
       vector arithmetic (bit-matches the operators/oracles).
     - ``hgs_quality_logit(text) -> double``: hashed-linear quality
       score (exact DataFrame parity — integer weight fold).
+    - ``hgs_bm25_idf(df, n_docs) -> bigint`` /
+      ``hgs_bm25_term(tf, dl, idf_milli, avgdl_milli, k1_milli,
+      b_milli) -> bigint``: the integer-exact BM25 scoring core of
+      ``bm25_topk`` — compose with plain SQL grouping for full ranked
+      retrieval from ``spark.sql``.
+    - ``hgs_psi_term(n_ref, n_cur, tot_ref, tot_cur, n_bins) ->
+      double``: the Laplace-smoothed per-bin PSI contribution of
+      ``value_psi`` — apply over any (key, bin) count table.
     - ``hgs_phash_lo(media)`` / ``hgs_phash_hi(media) -> bigint``:
       block-mean perceptual-hash halves over a binary payload
       (Arrow-batched; same kernel as ``media_phash``).
@@ -418,6 +426,48 @@ def register_sql_api(spark: SparkSession) -> None:
         "a_lo BIGINT, a_hi BIGINT, b_lo BIGINT, b_hi BIGINT) "
         "RETURNS INT RETURN "
         "cast(bit_count(a_lo ^ b_lo) + bit_count(a_hi ^ b_hi) as int)"
+    )
+    # retrieval + drift-monitor family (VERDICT r4 next-round #8) —
+    # the scalar cores of bm25_topk and value_psi as pure-JVM SQL
+    # functions, so spark.sql callers can compose the full pipelines
+    # (grouping/joins are plain SQL; the formulas are what must match
+    # bit-for-bit). Parity with the DataFrame operators is pinned in
+    # tests/test_sqlapi.py by rebuilding both pipelines in SQL.
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_bm25_idf("
+        "df BIGINT, n_docs BIGINT) RETURNS BIGINT RETURN "
+        # idf_milli = round(1000*ln(1 + (N-df+0.5)/(df+0.5))) — the one
+        # float in BM25, integer-rounded BEFORE scoring (libm-ulp
+        # discipline of bm25_topk/textstats.py)
+        "cast(round(1000.0 * ln(1.0 + (cast(n_docs as double) "
+        "- cast(df as double) + 0.5) / (cast(df as double) + 0.5)), 0) "
+        "as bigint)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_bm25_term("
+        "tf BIGINT, dl BIGINT, idf_milli BIGINT, avgdl_milli BIGINT, "
+        "k1_milli BIGINT, b_milli BIGINT) RETURNS BIGINT RETURN "
+        # contrib = (idf*tf*(1000+k1)) div den, all-BIGINT floors —
+        # verbatim the scored expression in bm25_topk
+        "(idf_milli * tf * (1000 + k1_milli)) div ("
+        "1000 * tf + (k1_milli * ((1000 - b_milli) "
+        "+ (b_milli * ((dl * 1000000) div avgdl_milli)) div 1000)) "
+        "div 1000)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hgs_psi_term("
+        "n_ref BIGINT, n_cur BIGINT, tot_ref BIGINT, tot_cur BIGINT, "
+        "n_bins INT) RETURNS DOUBLE RETURN "
+        # (p - q) * ln(p / q) with Laplace 0.5 smoothing, identical
+        # operand order to value_psi's Column form, rounded to 9
+        "round(((cast(n_ref as double) + 0.5) "
+        "/ (cast(tot_ref as double) + 0.5 * cast(n_bins as double)) "
+        "- (cast(n_cur as double) + 0.5) "
+        "/ (cast(tot_cur as double) + 0.5 * cast(n_bins as double))) "
+        "* ln(((cast(n_ref as double) + 0.5) "
+        "/ (cast(tot_ref as double) + 0.5 * cast(n_bins as double))) "
+        "/ ((cast(n_cur as double) + 0.5) "
+        "/ (cast(tot_cur as double) + 0.5 * cast(n_bins as double)))), 9)"
     )
     # hashed-linear quality logit — SQL twin of
     # operators/textstats.py::quality_classifier (same md5 bucket and
