@@ -22,6 +22,7 @@ these entries cover). Oracle-parity rules used throughout:
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 
@@ -3695,6 +3696,188 @@ def _q_ivf_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_prototypes(emb, C, k=PROTO_K)
 
 
+# --- round-5 additions: data-quality audits + remaining TPC-H shapes --------
+
+Q16_SIZES = [5, 11, 23, 28, 36, 42, 49]
+Q20_QTY_THRESHOLD = 50
+LEAK_WEIGHTS = {"train": 2, "val": 1, "test": 1}
+
+
+def _q_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges —
+    two relationships run against deterministically damaged dims
+    (every 7th order / 5th supplier dropped, the profile_diff
+    planted-damage pattern) so the orphan counts are non-vacuous, two
+    against the intact dims as the zero-defect control. One left-anti
+    join + two bounded aggregates per relationship."""
+    from hbase_gis_spark.operators.quality import referential_orphans
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    return referential_orphans(
+        [
+            (
+                "lineitem_orders_dropped7",
+                li,
+                "l_orderkey",
+                o.filter(F.col("o_orderkey") % 7 != 0),
+                "o_orderkey",
+            ),
+            ("orders_customer", o, "o_custkey", c, "c_custkey"),
+            ("lineitem_part", li, "l_partkey", p, "p_partkey"),
+            (
+                "lineitem_supplier_dropped5",
+                li,
+                "l_suppkey",
+                s.filter(F.col("s_suppkey") % 5 != 0),
+                "s_suppkey",
+            ),
+        ]
+    )
+
+
+def _q_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness audit of the orders table: the primary key must
+    be unique, the FK and low-cardinality columns show their true
+    multiplicity — the pre-ingest sanity check every snapshot runs."""
+    from hbase_gis_spark.operators.quality import uniqueness_audit
+
+    return uniqueness_audit(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+    )
+
+
+def _q_benford_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) distribution of order totals in integer
+    cents vs the log10(1+1/d) expectation — the fabricated-value
+    screen. The synthetic uniform-ish prices FAIL Benford loudly
+    (digit 1 share far below 30.1%), which is the point: the audit
+    reports the deviation, it does not assume the law holds."""
+    from hbase_gis_spark.operators.quality import benford_first_digit
+
+    return benford_first_digit(
+        load_table(spark, sf_dir, "orders"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+    )
+
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: normalized-content
+    fingerprints shared between different splits of the deterministic
+    content-keyed partition. The synthetic corpus has no exact dupes,
+    so the query plants them (every 11th doc re-ingested under a
+    negated id — the snapshot_diff synthetic-key trick) and the audit
+    must find exactly the planted pairs that landed in different
+    splits."""
+    from hbase_gis_spark.operators.quality import cross_split_leakage
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", -F.col("doc_id")
+    )
+    return cross_split_leakage(
+        docs.unionByName(planted), weights=LEAK_WEIGHTS
+    )
+
+
+def _q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (PartSupp Relationship) adapted to the schema's
+    lineitem-as-partsupp: distinct suppliers per (brand, type, size)
+    for parts outside the excluded brand/type, sizes in the Q16-style
+    IN-list, suppliers with negative balance excluded (the complaints
+    stand-in — no s_comment column exists). Plan: broadcast part dim
+    pre-filtered (pushable predicates), one distinct aggregate on the
+    join result; reference scope note — the reference engine has no
+    relational surface at all (extension scope)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(Q16_SIZES)
+    )
+    bad_s = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad_s),
+            li.l_suppkey == bad_s.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (Potential Part Promotion): suppliers who
+    shipped more than the threshold quantity of '%bolt' parts during
+    1996 — the exists-with-aggregate-subquery decorrelated into an
+    explicit aggregate + join (the Q17 discipline). Quantities are
+    exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        )
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("bolt_qty"))
+        .filter(F.col("bolt_qty") > Q20_QTY_THRESHOLD)
+    )
+    return (
+        s.join(shipped, s.s_suppkey == shipped.l_suppkey)
+        .select("s_suppkey", "s_name", "bolt_qty")
+    )
+
+
+def _q_lone_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (Suppliers Who Kept Orders Waiting) on the
+    available columns: per multi-supplier order, the supplier who was
+    the ONLY one with a returned line (l_returnflag = 'R') takes the
+    blame; count blamed orders per supplier, top 20. The
+    EXISTS/NOT-EXISTS pair decorrelates into one per-order aggregate
+    (distinct suppliers, distinct returning suppliers) joined back —
+    one shuffle on the order key, no correlated per-row subqueries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -3908,6 +4091,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_urgent": _q_customers_no_urgent,
         "large_volume_customers": _q_large_volume_customers,
         "promo_revenue": _q_promo_revenue,
+        # --- round-5 additions (appended per the ordering policy;
+        # they rotate into the driver window in round 6) -------------
+        "orphan_check": _q_orphan_check,
+        "uniqueness_audit": _q_uniqueness_audit,
+        "benford_revenue": _q_benford_revenue,
+        "split_leakage": _q_split_leakage,
+        "supplier_part_variety": _q_supplier_part_variety,
+        "potential_promotion": _q_potential_promotion,
+        "lone_returned_supplier": _q_lone_returned_supplier,
     }
 
 
@@ -7837,5 +8029,162 @@ def oracle_sql() -> dict[str, str]:
 
     if ivf_protos_sql is not None:
         out["ivf_prototypes"] = ivf_protos_sql
+
+    # --- round-5 additions: data-quality audits + TPC-H Q16/Q20/Q21 ---
+
+    def _orphan_arm(name: str, fact: str, fk: str, dim_sql: str, dk: str) -> str:
+        return f"""SELECT '{name}' AS relationship,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(CASE WHEN {fk} IS NULL THEN 1 END) AS BIGINT)
+               AS n_null_keys,
+             CAST((SELECT count(*) FROM {fact} f
+                   WHERE f.{fk} IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM ({dim_sql}) d WHERE d.{dk} = f.{fk}))
+               AS BIGINT) AS n_orphans
+      FROM {fact}"""
+
+    out["orphan_check"] = (
+        _orphan_arm(
+            "lineitem_orders_dropped7", "lineitem", "l_orderkey",
+            "SELECT o_orderkey FROM orders WHERE o_orderkey % 7 != 0",
+            "o_orderkey",
+        )
+        + "\n      UNION ALL\n      "
+        + _orphan_arm(
+            "orders_customer", "orders", "o_custkey",
+            "SELECT c_custkey FROM customer", "c_custkey",
+        )
+        + "\n      UNION ALL\n      "
+        + _orphan_arm(
+            "lineitem_part", "lineitem", "l_partkey",
+            "SELECT p_partkey FROM part", "p_partkey",
+        )
+        + "\n      UNION ALL\n      "
+        + _orphan_arm(
+            "lineitem_supplier_dropped5", "lineitem", "l_suppkey",
+            "SELECT s_suppkey FROM supplier WHERE s_suppkey % 5 != 0",
+            "s_suppkey",
+        )
+    )
+
+    uniq_arms = [
+        f"""SELECT '{c}' AS "column",
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT)
+               AS n_dup_keys,
+             CAST(max(n) AS BIGINT) AS max_dup
+      FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY {c})"""
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus")
+    ]
+    out["uniqueness_audit"] = "\n      UNION ALL\n      ".join(uniq_arms)
+
+    # expected_ppm literals from PYTHON math (driver-computed on the
+    # Spark side too — never engine libm)
+    benford_vals = ", ".join(
+        f"({d}, {int(round(1_000_000 * math.log10(1.0 + 1.0 / d)))})"
+        for d in range(1, 10)
+    )
+    out["benford_revenue"] = f"""
+    WITH d AS (
+      SELECT CAST(substring(CAST(a AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS a
+            FROM orders)
+      WHERE a >= 100
+    ),
+    g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM g),
+    e(digit, expected_ppm) AS (VALUES {benford_vals})
+    SELECT e.digit,
+           CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+           CAST((coalesce(g.n, 0) * 1000000) // tt AS BIGINT)
+             AS observed_ppm,
+           CAST(expected_ppm AS BIGINT) AS expected_ppm,
+           CAST((coalesce(g.n, 0) * 1000000) // tt - expected_ppm
+             AS BIGINT) AS delta_ppm
+    FROM e LEFT JOIN g ON e.digit = g.digit CROSS JOIN t
+    """
+
+    leak_total = sum(LEAK_WEIGHTS.values())
+    leak_case, acc = [], 0
+    for name, w in LEAK_WEIGHTS.items():
+        acc += w
+        leak_case.append((name, acc))
+    leak_case_sql = " ".join(
+        f"WHEN b < {hi} THEN '{name}'" for name, hi in leak_case[:-1]
+    ) + f" ELSE '{leak_case[-1][0]}'"
+    out["split_leakage"] = f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -doc_id, text FROM documents WHERE doc_id % 11 = 0
+    ),
+    assigned AS (
+      SELECT CASE {leak_case_sql} END AS split,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fp
+      FROM (
+        SELECT text,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % {leak_total} AS b
+        FROM all_docs
+      )
+    ),
+    ps AS (
+      SELECT fp, split, CAST(count(*) AS BIGINT) AS n
+      FROM assigned GROUP BY fp, split
+    )
+    SELECT a.split AS split_a, b.split AS split_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fps,
+           CAST(sum(b.n) AS BIGINT) AS n_leaked_docs
+    FROM ps a JOIN ps b ON a.fp = b.fp AND a.split < b.split
+    GROUP BY 1, 2
+    """
+
+    q16_sizes = ", ".join(str(x) for x in Q16_SIZES)
+    out["supplier_part_variety"] = f"""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#2' AND p_type <> 'ECONOMY'
+      AND p_size IN ({q16_sizes})
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
+    GROUP BY 1, 2, 3
+    """
+
+    out["potential_promotion"] = f"""
+    SELECT s_suppkey, s_name, bolt_qty
+    FROM supplier JOIN (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS bolt_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%bolt'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+      HAVING sum(CAST(l_quantity AS BIGINT)) > {Q20_QTY_THRESHOLD}
+    ) shipped ON s_suppkey = shipped.l_suppkey
+    """
+
+    out["lone_returned_supplier"] = """
+    WITH po AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                 THEN l_suppkey END) AS n_ret
+      FROM lineitem GROUP BY 1
+    ),
+    blamed AS (
+      SELECT DISTINCT li.l_orderkey, li.l_suppkey
+      FROM lineitem li JOIN po ON li.l_orderkey = po.l_orderkey
+      WHERE li.l_returnflag = 'R' AND po.n_supp >= 2 AND po.n_ret = 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """
 
     return out

@@ -1,0 +1,203 @@
+"""Data-quality audits: the checks a 100 TB ingest runs BEFORE
+training touches the data — referential integrity, key uniqueness,
+first-digit (Benford) plausibility, and cross-split leakage.
+
+The reference has no QA surface (extension scope, like the drift
+family in operators/drift.py); these are the batch complement of the
+drift monitors: drift answers "did the data move since the reference
+snapshot", these answer "is this snapshot internally sound at all".
+
+Engine-exactness discipline: every output column is an integer
+(counts, ppm shares) or a driver-computed literal — no float
+aggregate ever crosses rows, so the DuckDB oracles match by
+construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def referential_orphans(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit over FK relationships: for each
+    ``(name, fact, fact_key, dim, dim_key)``, count fact rows whose
+    key has no match in the dim (NULL keys are counted separately —
+    a NULL FK is a different defect than a dangling one). Output one
+    row per relationship: (relationship, n_rows, n_null_keys,
+    n_orphans).
+
+    Scale shape: per relationship ONE left-anti join on the key (AQE
+    broadcasts the dim side when it fits; otherwise a shuffled hash
+    join — either way no row explosion, anti joins only shrink) plus
+    two count aggregates; the union is |relationships| rows."""
+    out = None
+    for name, fact, fact_key, dim, dim_key in pairs:
+        keyed = fact.select(F.col(fact_key).alias("__k"))
+        counts = keyed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("__k").isNull(), 1)).alias("n_null_keys"),
+        )
+        orphans = (
+            keyed.filter(F.col("__k").isNotNull())
+            .join(
+                dim.select(F.col(dim_key).alias("__k")).distinct(),
+                "__k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        row = (
+            counts.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_rows",
+                "n_null_keys",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def uniqueness_audit(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key-uniqueness audit: for each candidate key column — is it
+    actually unique, and how bad is the damage if not. Output one row
+    per column: (column, n_rows, n_distinct, n_dup_keys = distinct
+    values appearing more than once, max_dup = worst multiplicity).
+
+    Scale shape: per column one (value)-keyed count aggregate
+    (map-side combined) collapsed by a second tiny aggregate —
+    the two-phase exact-distinct shape of exact_event_stats, never a
+    global sort. NULLs group as one value (a NULL-keyed 'key' column
+    is itself the finding)."""
+    out = None
+    for c in cols:
+        per_val = df.groupBy(F.col(c).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        row = per_val.agg(
+            F.sum("__n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.count(F.when(F.col("__n") > 1, 1)).alias("n_dup_keys"),
+            F.max("__n").alias("max_dup"),
+        ).select(
+            F.lit(c).alias("column"),
+            "n_rows",
+            "n_distinct",
+            "n_dup_keys",
+            "max_dup",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def benford_first_digit(
+    df: DataFrame, amount_cents_col, min_cents: int = 100
+) -> DataFrame:
+    """First-significant-digit distribution of a positive integer
+    amount vs Benford's law — the classic fabricated-/corrupted-value
+    screen for financial and count columns. Output one row per digit
+    1-9: (digit, n, observed_ppm, expected_ppm, delta_ppm).
+
+    Engine-exact: the first digit comes from the DECIMAL STRING of
+    the integer cents (substring of cast-to-string — no log10 float
+    whose last ulp could disagree across engines), observed_ppm is
+    integer floor division, and expected_ppm = round(1e6 *
+    log10(1 + 1/d)) is a 9-entry DRIVER-side literal dim (Python
+    math, not engine libm). Rows below ``min_cents`` are excluded
+    (sub-dollar noise has no stable leading digit).
+
+    Scale shape: one map-side projection + one 9-key hash aggregate
+    + a broadcast 9-row dim join; one 1-row total broadcast for the
+    ppm share."""
+    c = (
+        F.col(amount_cents_col)
+        if isinstance(amount_cents_col, str)
+        else amount_cents_col
+    )
+    digits = (
+        df.select(c.cast("bigint").alias("__a"))
+        .filter(F.col("__a") >= min_cents)
+        .select(
+            F.substring(F.col("__a").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = digits.agg(F.sum("n").alias("__t"))
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [
+            (d, int(round(1_000_000 * math.log10(1.0 + 1.0 / d))))
+            for d in range(1, 10)
+        ],
+        "digit int, expected_ppm bigint",
+    )
+    return (
+        expected.join(digits, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.expr("(coalesce(n, 0) * 1000000) div __t").alias(
+                "observed_ppm"
+            ),
+            "expected_ppm",
+            (
+                F.expr("(coalesce(n, 0) * 1000000) div __t")
+                - F.col("expected_ppm")
+            ).alias("delta_ppm"),
+        )
+    )
+
+
+def cross_split_leakage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Train/val/test leakage audit: normalized-content fingerprints
+    (textstats.fingerprint — md5 of lowercased collapsed text) shared
+    between DIFFERENT splits of the deterministic ``split_assign``
+    partition. A fingerprint in both train and test is an eval-set
+    contamination even when doc ids differ. Output per ordered split
+    pair: (split_a, split_b, n_shared_fps, n_leaked_docs) where
+    n_leaked_docs counts split_b documents whose fingerprint also
+    occurs in split_a.
+
+    Scale shape: one fingerprint projection (map-only), one
+    (fp, split) aggregate, then a dim-sized self-join on fp between
+    per-split fingerprint sets — work is Σ per-fp split-pair
+    products, bounded by split count (3), never |docs|²."""
+    from hbase_gis_spark.operators.dedup import split_assign
+    from hbase_gis_spark.operators.textstats import fingerprint
+
+    assigned = split_assign(df, id_col=id_col, weights=weights).select(
+        F.col(id_col), "split", fingerprint(text_col).alias("__fp")
+    )
+    per_split = assigned.groupBy("__fp", "split").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    a = per_split.select(
+        "__fp", F.col("split").alias("split_a"), F.col("__n").alias("__na")
+    )
+    b = per_split.select(
+        "__fp", F.col("split").alias("split_b"), F.col("__n").alias("__nb")
+    )
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fps"),
+            F.sum("__nb").alias("n_leaked_docs"),
+        )
+    )

@@ -57,6 +57,8 @@ BNLJ_SANCTIONED = {
     "association_rules",  # broadcast 1-row basket-count aggregate
     "chi2_lang_source",  # dense cell grid = product of two tiny category dims
     "sketch_stats",  # 1-row distinct-count x 1-row percentile assembly
+    "orphan_check",  # per-relationship 1-row counts x 1-row orphan total
+    "benford_revenue",  # broadcast 1-row total for the ppm share
 }
 
 
