@@ -3878,6 +3878,152 @@ def _q_lone_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUTOCORR_LAG = 7
+MAD_K_MILLI = 3500
+
+
+def _daily_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, cents) frame: exact integer-cent revenue per order day —
+    ONE map-side-combined aggregate over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "__c"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("__c").alias("cents"))
+    )
+
+
+def _q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 Pearson autocorrelation of daily revenue — the weekly-
+    seasonality detector; self-join pairing, exact BIGINT moments,
+    one rounded float."""
+    from hbase_gis_spark.operators.timeseries import autocorr_lag
+
+    return autocorr_lag(
+        _daily_revenue_cents(spark, sf_dir), lag=AUTOCORR_LAG
+    )
+
+
+def _q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week profile of the event stream: counts, exact milli
+    value sums, ppm share — 7 rows from one hash aggregate."""
+    from hbase_gis_spark.operators.timeseries import weekday_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return weekday_profile(ev, ts_us())
+
+
+def _q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly screen over daily event volume —
+    the outlier-resistant twin of daily_anomalies, fully
+    integer-exact (both statistics are sharded rank selections)."""
+    from hbase_gis_spark.operators.timeseries import mad_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {86_400_000_000}"
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return mad_anomalies(days, value_col="n_events", k_milli=MAD_K_MILLI)
+
+
+PMI_MIN_COUNT = 5
+PMI_K = 50
+ZIPF_TOP_N = 100
+OUTLIER_K = 20
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 vectors least aligned with their own IVF centroid — the
+    embedding-space outlier review queue (inverse of ivf_prototypes'
+    coreset); same frozen centroids as the IVF retrieval family,
+    bottom-k via TakeOrderedAndProject."""
+    from hbase_gis_spark.operators.similarity import (
+        embedding_outliers,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(
+        emb, IVF_NLIST, train_rows=IVF_TRAIN_ROWS, seed=ANN_SEED
+    )
+    return embedding_outliers(emb, C, k=OUTLIER_K)
+
+
+def _q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard between event types on the transition
+    graph — structural-equivalence scan; integer milli scores."""
+    from hbase_gis_spark.operators.graph import (
+        event_type_edges,
+        node_jaccard,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return node_jaccard(event_type_edges(ev, ts_us()))
+
+
+def _q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session bounce rate: share of 5-minute-gap sessions
+    with exactly one event — the engagement-health daily, built on
+    the same session_window operator the streaming path uses."""
+    from hbase_gis_spark.streaming.events import user_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = user_sessions(ev, gap="5 minutes").select(
+        F.expr(
+            "unix_micros(cast(ss as timestamp)) div 86400000000"
+        ).alias("day"),
+        "n_events",
+    )
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+    ).select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        F.expr("(n_bounces * 1000000) div n_sessions").alias(
+            "bounce_ppm"
+        ),
+    )
+
+
+def _q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over the corpus (min pair count 5) —
+    the phrase/new-terminology detector; integer counts, one
+    milli-rounded ln."""
+    from hbase_gis_spark.operators.textstats import collocations_pmi
+
+    return collocations_pmi(
+        load_table(spark, sf_dir, "documents"),
+        min_count=PMI_MIN_COUNT,
+        k=PMI_K,
+    )
+
+
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS fit over the top-100 terms — the
+    one-row corpus-health audit (natural text fits slope ~ -1)."""
+    from hbase_gis_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(
+        load_table(spark, sf_dir, "documents"), top_n=ZIPF_TOP_N
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -4100,6 +4246,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": _q_supplier_part_variety,
         "potential_promotion": _q_potential_promotion,
         "lone_returned_supplier": _q_lone_returned_supplier,
+        "autocorr_daily": _q_autocorr_daily,
+        "weekday_seasonality": _q_weekday_seasonality,
+        "mad_anomalies": _q_mad_anomalies,
+        "collocations_pmi": _q_collocations_pmi,
+        "zipf_fit": _q_zipf_fit,
+        "embedding_outliers": _q_embedding_outliers,
+        "node_jaccard": _q_node_jaccard,
+        "bounce_rate": _q_bounce_rate,
     }
 
 
@@ -4679,6 +4833,27 @@ def oracle_sql() -> dict[str, str]:
       FROM best
     ) WHERE rk <= {PROTO_K}
     """
+        # embedding_outliers: same centroid replay, global BOTTOM-k of
+        # the per-vec best dot — mirrors similarity.py:embedding_outliers
+        emb_outliers_sql = f"""
+    WITH cents(ci, cv) AS (VALUES
+      {cent_rows}),
+    dots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+      SELECT vec_id, ci AS cell, d AS cdot FROM (
+        SELECT vec_id, ci, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell, cdot
+    FROM best ORDER BY cdot ASC, vec_id ASC LIMIT {OUTLIER_K}
+    """
         # semdedup: identical centroid replay (same nlist/seed/sample as
         # IVF), intra-cell lower-id cosine pruning — mirrors
         # operators/similarity.py:semdedup
@@ -4929,6 +5104,7 @@ def oracle_sql() -> dict[str, str]:
         ivf_cells_sql = None
         label_purity_sql = None
         ivf_protos_sql = None
+        emb_outliers_sql = None
         semdedup_sql = None
         pq_adc_sql = None
         ann_ivfpq_sql = None
@@ -8029,6 +8205,8 @@ def oracle_sql() -> dict[str, str]:
 
     if ivf_protos_sql is not None:
         out["ivf_prototypes"] = ivf_protos_sql
+    if emb_outliers_sql is not None:
+        out["embedding_outliers"] = emb_outliers_sql
 
     # --- round-5 additions: data-quality audits + TPC-H Q16/Q20/Q21 ---
 
@@ -8165,6 +8343,193 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY 1
       HAVING sum(CAST(l_quantity AS BIGINT)) > {Q20_QTY_THRESHOLD}
     ) shipped ON s_suppkey = shipped.l_suppkey
+    """
+
+    out["autocorr_daily"] = f"""
+    WITH days AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT a.x AS x, b.x AS y
+      FROM days a JOIN days b ON a.d = b.d + {AUTOCORR_LAG}
+    ),
+    m AS (
+      -- HUGEINT (int128) moments: exact, the twin of Spark's
+      -- DECIMAL(38,0) sums
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx2,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM p
+    )
+    SELECT {AUTOCORR_LAG} AS lag, CAST(n AS BIGINT) AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx2 - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS r
+    FROM m
+    """
+
+    out["weekday_seasonality"] = """
+    WITH base AS (
+      SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+             CAST(round(CASE WHEN isnan(CAST(value AS DOUBLE)) THEN NULL
+                             ELSE CAST(value AS DOUBLE) END * 1000, 0)
+               AS BIGINT) AS vm
+      FROM events
+    ),
+    g AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(vm) AS BIGINT) AS sum_value_milli
+      FROM base GROUP BY dow
+    ),
+    t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tt FROM g)
+    SELECT dow, n_events, sum_value_milli,
+           CAST((n_events * 1000000) // tt AS BIGINT) AS share_ppm
+    FROM g CROSS JOIN t
+    """
+
+    out["mad_anomalies"] = f"""
+    WITH days AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS value
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT value, row_number() OVER (ORDER BY value) AS rk,
+             count(*) OVER () AS n
+      FROM days
+    ),
+    med AS (SELECT value AS m FROM ranked WHERE rk = (n + 1) // 2),
+    dev AS (
+      SELECT day, value, abs(value - m) AS deviation, m
+      FROM days CROSS JOIN med
+    ),
+    rdev AS (
+      SELECT deviation, row_number() OVER (ORDER BY deviation) AS rk,
+             count(*) OVER () AS n
+      FROM dev
+    ),
+    mad AS (SELECT deviation AS md FROM rdev WHERE rk = (n + 1) // 2)
+    SELECT day, value, deviation,
+           CAST(m AS BIGINT) AS median, CAST(md AS BIGINT) AS mad,
+           CAST(CASE WHEN 1000 * deviation > {MAD_K_MILLI} * md
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM dev CROSS JOIN mad
+    """
+
+    out["collocations_pmi"] = f"""
+    WITH t AS (SELECT {toks} AS w FROM documents),
+    pos AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM t WHERE len(w) >= 2
+    ),
+    uc AS (
+      SELECT u AS wd, CAST(count(*) AS BIGINT) AS n_w
+      FROM (SELECT unnest(w) AS u FROM t) GROUP BY u
+    ),
+    tu AS (SELECT CAST(sum(n_w) AS BIGINT) AS tt FROM uc),
+    pc AS (SELECT bg, CAST(count(*) AS BIGINT) AS n_pair FROM pos GROUP BY bg),
+    tp AS (SELECT CAST(sum(n_pair) AS BIGINT) AS t2 FROM pc),
+    sp AS (
+      SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+             n_pair
+      FROM pc WHERE n_pair >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, n_pair,
+           u1.n_w AS n_w1, u2.n_w AS n_w2,
+           CAST(round(1000.0 * ln(
+             (CAST(n_pair AS DOUBLE) * CAST(tt AS DOUBLE)
+              * CAST(tt AS DOUBLE))
+             / (CAST(u1.n_w AS DOUBLE) * CAST(u2.n_w AS DOUBLE)
+                * CAST(t2 AS DOUBLE))), 0) AS BIGINT) AS pmi_milli
+    FROM sp
+    JOIN uc u1 ON sp.w1 = u1.wd
+    JOIN uc u2 ON sp.w2 = u2.wd
+    CROSS JOIN tu CROSS JOIN tp
+    ORDER BY pmi_milli DESC, w1 ASC, w2 ASC
+    LIMIT {PMI_K}
+    """
+
+    out["zipf_fit"] = f"""
+    WITH f AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({toks}) AS u FROM documents)
+      GROUP BY u ORDER BY c DESC, u ASC LIMIT {ZIPF_TOP_N}
+    ),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, u ASC) AS rk FROM f
+    ),
+    micro AS (
+      SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000, 0) AS BIGINT)
+               AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)
+               AS y
+      FROM r
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM micro
+    )
+    SELECT n AS n_terms,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000.0, 9) AS intercept
+    FROM m
+    """
+
+    out["node_jaccard"] = """
+    WITH edges AS (
+      SELECT from_type AS src, to_type AS dst FROM (
+        SELECT event_type AS from_type,
+               lead(event_type, 1) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS to_type
+        FROM events
+      ) WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM edges
+        UNION ALL
+        SELECT dst AS a, src AS b FROM edges
+      ) WHERE a != b
+    ),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS n FROM sym GROUP BY a),
+    common AS (
+      SELECT l.a AS x, r.a AS y, CAST(count(*) AS BIGINT) AS n_common
+      FROM sym l JOIN sym r ON l.b = r.b AND l.a < r.a
+      GROUP BY 1, 2
+    )
+    SELECT x AS node_a, y AS node_b, n_common,
+           da.n AS n_a, db.n AS n_b,
+           CAST((1000 * n_common) // (da.n + db.n - n_common) AS BIGINT)
+             AS jaccard_milli
+    FROM common JOIN deg da ON x = da.a JOIN deg db ON y = db.a
+    """
+
+    out["bounce_rate"] = f"""
+    WITH sess AS ({user_sessions_sql}),
+    d AS (SELECT ss_us // 86400000000 AS day, n_events FROM sess)
+    SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+             AS n_bounces,
+           CAST((count(CASE WHEN n_events = 1 THEN 1 END) * 1000000)
+                // count(*) AS BIGINT) AS bounce_ppm
+    FROM d GROUP BY day
     """
 
     out["lone_returned_supplier"] = """

@@ -478,6 +478,55 @@ def ivf_prototypes(
     )
 
 
+def embedding_outliers(
+    df: DataFrame,
+    centroids: np.ndarray,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """The ``k`` vectors LEAST aligned with their own best centroid —
+    the embedding-space outlier queue (mislabeled items, encoder
+    failures, out-of-distribution inputs) and the inverse of
+    :func:`ivf_prototypes`' coreset: prototypes are what you keep,
+    outliers are what a human reviews first.
+
+    Output: (vec_id, cell, cdot) for the k globally lowest best-dots,
+    ties by ascending id. Same fold-exact dot discipline as the IVF
+    family (centroids are unit-norm — max dot == max cosine).
+
+    Scale shape: ONE scan computes all centroid dots (Arrow kernel /
+    codegen fold) and the global bottom-k is
+    ``orderBy().limit(k)`` -> TakeOrderedAndProject (per-partition
+    heaps + a k-row driver merge, never a global sort)."""
+    if use_arrow:
+        dots = fold_dots(F.col(vec_col), centroids)
+    else:
+        dots = F.array(
+            *[
+                dot_expr(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                )
+                for c in centroids
+            ]
+        )
+    staged = df.select(
+        F.col(id_col),
+        dots.alias("__dots"),
+    ).select(
+        F.col(id_col),
+        (F.array_position(F.col("__dots"), F.array_max("__dots")) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.array_max("__dots").alias("cdot"),
+    )
+    return staged.select(id_col, "cell", "cdot").orderBy(
+        F.col("cdot").asc(), F.col(id_col).asc()
+    ).limit(k)
+
+
 def quantize_int8_stats(
     df: DataFrame,
     id_col: str = "vec_id",

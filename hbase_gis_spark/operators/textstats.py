@@ -1021,3 +1021,159 @@ def token_fertility(
             ).alias("bytes_per_token"),
         )
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k pointwise-mutual-information collocations: word pairs
+    that co-occur adjacently far more than their marginal frequencies
+    predict — the classic phrase detector (new-terminology discovery,
+    tokenizer-merge candidates) behind word2phrase and collocation
+    extraction. PMI = ln(p(xy) / (p(x) p(y))) with p from corpus
+    counts; ``min_count`` suppresses the low-frequency pairs whose
+    PMI is pure noise (the standard correction).
+
+    Engine-exact form: all counts are integers; the one float is
+    pmi_milli = round(1000 * ln((c_xy * T * T) / (c_x * c_y * T2)))
+    — a single ln of a ratio of exact integers in pinned operand
+    order, integer-rounded before ranking (the bm25 idf_milli
+    discipline). Output: (w1, w2, n_pair, n_w1, n_w2, pmi_milli),
+    top-k by (pmi_milli DESC, w1, w2).
+
+    Scale shape: one bigram explode + one unigram explode, both
+    collapsed by content-keyed hash aggregates (vocab-sized, map-side
+    combined); two |vocab|-row marginal joins; totals are broadcast
+    1-row aggregates; the final top-k is TakeOrderedAndProject."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    w = tokens(text_col)
+    m = F.greatest(F.size(w) - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, 1, m), F.slice(w, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = _spread(df)
+    pos = base.select(F.explode(bg).alias("bg"))
+    uni = base.select(F.explode(tokens(text_col)).alias("w")).groupBy(
+        "w"
+    ).agg(F.count(F.lit(1)).alias("n_w"))
+    tot_uni = uni.agg(F.sum("n_w").alias("__t"))
+    pairs = pos.groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
+    tot_pairs = pairs.agg(F.sum("n_pair").alias("__t2"))
+    split = pairs.filter(F.col("n_pair") >= min_count).select(
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+        "n_pair",
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        split.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot_uni))
+        .crossJoin(F.broadcast(tot_pairs))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(
+                F.lit(1000.0)
+                * F.log(
+                    (d("n_pair") * d("__t") * d("__t"))
+                    / (d("n_w1") * d("n_w2") * d("__t2"))
+                ),
+                0,
+            )
+            .cast("bigint")
+            .alias("pmi_milli"),
+        )
+        .orderBy(
+            F.col("pmi_milli").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(k)
+    )
+
+
+def zipf_fit(
+    df: DataFrame, top_n: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus's top-N terms: the OLS
+    slope of log-frequency on log-rank (a healthy natural-language
+    corpus fits slope ~ -1; synthetic, templated, or scraped-garbage
+    corpora bend away from it) — a one-row corpus-health audit.
+
+    Engine-exact: log(rank) and log(freq) round to integer MICROS
+    per term BEFORE any cross-row sum (the summation-order
+    discipline — float sums across rows are order-dependent, integer
+    sums are not), the OLS slope/intercept come from exact BIGINT
+    moments, and the two output floats are single divisions rounded
+    to 9. Rank is derived by a bounded N x N self-join on the top-N
+    dim (count of strictly-greater (freq, term) pairs — no global
+    window, and the frame is top_n rows by construction).
+
+    Output: 1 row (n_terms, slope, intercept). Scale shape: one
+    explode + vocab hash aggregate, TakeOrderedAndProject for the
+    top-N, then constant-size arithmetic."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    freq = (
+        _spread(df)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(top_n)
+    )
+    a = freq.select(F.col("w").alias("__wa"), F.col("c").alias("__ca"))
+    b = freq.select(F.col("w").alias("__wb"), F.col("c").alias("__cb"))
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("__cb") > F.col("__ca"))
+            | (
+                (F.col("__cb") == F.col("__ca"))
+                & (F.col("__wb") < F.col("__wa"))
+            ),
+            "left",
+        )
+        .groupBy("__wa", "__ca")
+        .agg((F.count(F.col("__wb")) + 1).alias("__rank"))
+    )
+    micro = ranked.select(
+        F.round(F.log(F.col("__rank").cast("double")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("__x"),
+        F.round(F.log(F.col("__ca").cast("double")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("__y"),
+    )
+    mo = micro.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    num = F.col("n_terms") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("n_terms") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = num.cast("double") / den.cast("double")
+    return mo.select(
+        "n_terms",
+        F.round(slope, 9).alias("slope"),
+        F.round(
+            (
+                F.col("__sy").cast("double")
+                - slope * F.col("__sx").cast("double")
+            )
+            / F.col("n_terms").cast("double")
+            / F.lit(1_000_000.0),
+            9,
+        ).alias("intercept"),
+    )

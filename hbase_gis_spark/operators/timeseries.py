@@ -126,3 +126,167 @@ def dense_daily_counts(
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
         )
     )
+
+
+def autocorr_lag(
+    days: DataFrame,
+    lag: int,
+    day_col: str = "day",
+    value_col: str = "cents",
+    scale_div: int = 1,
+) -> DataFrame:
+    """Lag-k Pearson autocorrelation of a pre-aggregated daily series
+    — the seasonality detector (lag 7 screams on weekly patterns) and
+    the residual-whiteness check behind every forecast. Output: one
+    row (lag, n_pairs, r).
+
+    No window at all: the lagged pairing is a SELF-JOIN on
+    ``day = day + lag`` (day frames are dense spines, so the join
+    hits every eligible pair), then ONE aggregate of the six exact
+    BIGINT moment sums; r = (n*Sxy - Sx*Sy) /
+    sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)) is the only float, computed
+    once from the integer moments and rounded to 9 — engine-exact by
+    the established moments discipline (spearman/chi2).
+
+    Overflow: moment sums are DECIMAL(38,0) (Spark BigDecimal) vs
+    HUGEINT (DuckDB int128) — both EXACT integers at any realistic
+    scale (squares of per-day totals summed over a calendar of days
+    stay far under 1e38), so the two engines hold identical integer
+    moments and the one double conversion at the end rounds the same
+    integers to the same doubles (IEEE nearest). ``scale_div``
+    remains as a knob for series whose squares would approach the
+    128-bit bound."""
+    x = days.select(
+        F.col(day_col).alias("__d"),
+        F.expr(f"CAST({value_col} AS BIGINT) div {scale_div}").alias("__x"),
+    )
+    y = x.select(
+        (F.col("__d") + lag).alias("__d"), F.col("__x").alias("__y")
+    )
+    xd = F.col("__x").cast("decimal(20,0)")
+    yd = F.col("__y").cast("decimal(20,0)")
+    m = (
+        x.join(y, "__d")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(xd).alias("__sx"),
+            F.sum(yd).alias("__sy"),
+            F.sum(xd * xd).alias("__sxx"),
+            F.sum(yd * yd).alias("__syy"),
+            F.sum(xd * yd).alias("__sxy"),
+        )
+    )
+    n_dec = F.col("n_pairs").cast("decimal(20,0)")
+    num = n_dec * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    denx = n_dec * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    deny = n_dec * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return m.select(
+        F.lit(lag).alias("lag"),
+        "n_pairs",
+        F.round(
+            num.cast("double")
+            / F.sqrt(denx.cast("double") * deny.cast("double")),
+            9,
+        ).alias("r"),
+    )
+
+
+def weekday_profile(
+    ev: DataFrame,
+    ts_us_col: Column,
+    value_col: str = "value",
+) -> DataFrame:
+    """Day-of-week seasonality profile: per weekday (0 = Monday,
+    epoch-day arithmetic — 1970-01-01 was a Thursday, so
+    dow = (day + 3) % 7), event count, exact milli-unit value sum
+    (each value rounds to integer millis BEFORE the sum — the
+    summation-order discipline), and the ppm share of total events.
+
+    Scale shape: one map-side-combined 7-key hash aggregate over the
+    fact table + a broadcast 1-row total; output is always 7 rows."""
+    # integer day via a staged projection (`div` keeps it exact; `/`
+    # on Columns would round through double)
+    # NaN guard BEFORE the bigint cast: non-ANSI Spark casts NaN to 0
+    # silently while DuckDB errors (the mrl_report lesson); NULL/NaN
+    # values contribute the count but not the milli sum
+    v = F.col(value_col).cast("double")
+    base = (
+        ev.select(
+            ts_us_col.alias("__us"),
+            F.round(F.when(~F.isnan(v), v) * 1000, 0)
+            .cast("bigint")
+            .alias("__vm"),
+        )
+        .select(
+            F.expr(f"(__us div {US_PER_DAY} + 3) % 7").alias("dow"), "__vm"
+        )
+    )
+    g = base.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__vm").alias("sum_value_milli"),
+    )
+    total = g.agg(F.sum("n_events").alias("__t"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "n_events",
+        "sum_value_milli",
+        F.expr("(n_events * 1000000) div __t").alias("share_ppm"),
+    )
+
+
+def mad_anomalies(
+    days: DataFrame,
+    day_col: str = "day",
+    value_col: str = "cents",
+    k_milli: int = 3500,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Robust daily anomaly screen: flag days whose deviation from
+    the MEDIAN exceeds ``k_milli/1000`` times the median absolute
+    deviation (MAD) — the outlier-resistant alternative to
+    ``daily_anomalies``' mean/std z-scores, which a single extreme
+    day can mask (it inflates the std it is judged against; the
+    median barely moves).
+
+    FULLY integer-exact — unusual for an anomaly detector: both the
+    median and the MAD are rank SELECTIONS at ceil(N/2) via
+    rank.global_percentiles (range shards + bounded driver prefix,
+    never a single-task sort, no arithmetic on the selected values),
+    and the flag compares 1000*|x - med| against k_milli*MAD in
+    BIGINTs. Output: every day with (value, deviation, median, mad,
+    is_anomaly).
+
+    Scale shape: the input is already a |days|-sized aggregate; two
+    eager sharded selections (each a range shuffle of the tiny
+    frame + a 64-int driver prefix) and a map-only flag."""
+    from hbase_gis_spark.operators.rank import global_percentiles
+
+    vals = days.select(
+        F.col(day_col).alias("day"),
+        F.col(value_col).cast("bigint").alias("value"),
+    )
+    med = global_percentiles(
+        vals, "value", {"med": (1, 2)}, n_shards=n_shards
+    ).select(F.col("med").cast("bigint").alias("__med"))
+    devs = vals.crossJoin(F.broadcast(med)).select(
+        "day",
+        "value",
+        F.abs(F.col("value") - F.col("__med")).alias("deviation"),
+        "__med",
+    )
+    mad = global_percentiles(
+        devs, "deviation", {"mad": (1, 2)}, n_shards=n_shards
+    ).select(F.col("mad").cast("bigint").alias("__mad"))
+    return devs.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "value",
+        "deviation",
+        F.col("__med").alias("median"),
+        F.col("__mad").alias("mad"),
+        (
+            F.lit(1000) * F.col("deviation")
+            > F.lit(k_milli) * F.col("__mad")
+        )
+        .cast("int")
+        .alias("is_anomaly"),
+    )

@@ -59,6 +59,11 @@ BNLJ_SANCTIONED = {
     "sketch_stats",  # 1-row distinct-count x 1-row percentile assembly
     "orphan_check",  # per-relationship 1-row counts x 1-row orphan total
     "benford_revenue",  # broadcast 1-row total for the ppm share
+    "collocations_pmi",  # broadcast 1-row unigram/bigram totals
+    "zipf_fit",  # bounded N x N self-join of the top-N term dim
+    "mad_anomalies",  # broadcast 1-row median / MAD selections
+    "weekday_seasonality",  # broadcast 1-row total for the ppm share
+    "autocorr_daily",  # 1-row exact-moment aggregate assembly
 }
 
 
