@@ -4024,6 +4024,40 @@ def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_DRIFT_MIN = 10
+VOCAB_DRIFT_K = 50
+JOINCARD_K = 20
+
+
+def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 term-share movers between the even/odd doc_id cohorts —
+    the lexical drift monitor; integer ppm shares."""
+    from hbase_gis_spark.operators.textstats import vocab_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        min_count=VOCAB_DRIFT_MIN,
+        k=VOCAB_DRIFT_K,
+    )
+
+
+def _q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight size audit of a prospective events.user_id x
+    orders.o_custkey join: the 20 hottest keys by exact estimated
+    output rows — two count aggregates, the join itself never runs."""
+    from hbase_gis_spark.operators.quality import join_cardinality_audit
+
+    return join_cardinality_audit(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        k=JOINCARD_K,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -4254,6 +4288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,
         "node_jaccard": _q_node_jaccard,
         "bounce_rate": _q_bounce_rate,
+        "vocab_drift": _q_vocab_drift,
+        "join_cardinality": _q_join_cardinality,
     }
 
 
@@ -8488,6 +8524,53 @@ def oracle_sql() -> dict[str, str]:
                     * CAST(sx AS DOUBLE))
                  / CAST(n AS DOUBLE) / 1000000.0, 9) AS intercept
     FROM m
+    """
+
+    out["vocab_drift"] = f"""
+    WITH co AS (
+      SELECT u AS term, CAST(count(*) AS BIGINT) AS n_old
+      FROM (SELECT unnest({toks}) AS u FROM documents
+            WHERE doc_id % 2 = 0) GROUP BY u
+    ),
+    cn AS (
+      SELECT u AS term, CAST(count(*) AS BIGINT) AS n_new
+      FROM (SELECT unnest({toks}) AS u FROM documents
+            WHERE doc_id % 2 = 1) GROUP BY u
+    ),
+    t1 AS (SELECT CAST(sum(n_old) AS BIGINT) AS tto FROM co),
+    t2 AS (SELECT CAST(sum(n_new) AS BIGINT) AS ttn FROM cn),
+    j AS (
+      SELECT coalesce(co.term, cn.term) AS term,
+             CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+             CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+      FROM co FULL OUTER JOIN cn ON co.term = cn.term
+    )
+    SELECT term, n_old, n_new,
+           CAST((n_old * 1000000) // tto AS BIGINT) AS old_ppm,
+           CAST((n_new * 1000000) // ttn AS BIGINT) AS new_ppm,
+           CAST((n_new * 1000000) // ttn
+                - (n_old * 1000000) // tto AS BIGINT) AS delta_ppm
+    FROM j CROSS JOIN t1 CROSS JOIN t2
+    WHERE n_old + n_new >= {VOCAB_DRIFT_MIN}
+    ORDER BY abs((n_new * 1000000) // ttn
+                 - (n_old * 1000000) // tto) DESC, term ASC
+    LIMIT {VOCAB_DRIFT_K}
+    """
+
+    out["join_cardinality"] = f"""
+    WITH nl AS (
+      SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_left
+      FROM events GROUP BY 1
+    ),
+    nr AS (
+      SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_right
+      FROM orders GROUP BY 1
+    )
+    SELECT nl.key, n_left, n_right,
+           CAST(n_left * n_right AS BIGINT) AS est_rows
+    FROM nl JOIN nr ON nl.key = nr.key
+    ORDER BY est_rows DESC, nl.key ASC
+    LIMIT {JOINCARD_K}
     """
 
     out["node_jaccard"] = """

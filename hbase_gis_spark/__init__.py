@@ -94,6 +94,7 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
     cosine_topk_filtered,
     ivf_prototypes,
     mrl_truncation_report,
+    embedding_outliers,
     pca_project,
     pq_adc_topk,
     semdedup,
@@ -126,6 +127,9 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     boilerplate_ngrams,
     doc_length_histogram,
     ngram_diversity,
+    collocations_pmi,
+    vocab_drift,
+    zipf_fit,
 )
 from hbase_gis_spark.operators.multimodal import (  # noqa: F401
     attach_fake_audio,
@@ -173,6 +177,7 @@ from hbase_gis_spark.operators.graph import (  # noqa: F401
     cooccurrence_edges,
     event_type_edges,
     lpa_communities,
+    node_jaccard,
     pagerank_int,
     triangle_stats,
 )
@@ -186,8 +191,18 @@ from hbase_gis_spark.operators.layout import (  # noqa: F401
     zorder_key_2d,
 )
 from hbase_gis_spark.operators.timeseries import (  # noqa: F401
+    autocorr_lag,
     cusum_days,
     dense_daily_counts,
+    mad_anomalies,
+    weekday_profile,
+)
+from hbase_gis_spark.operators.quality import (  # noqa: F401
+    benford_first_digit,
+    cross_split_leakage,
+    join_cardinality_audit,
+    referential_orphans,
+    uniqueness_audit,
 )
 from hbase_gis_spark.operators.merge import (  # noqa: F401
     merge_upsert,
@@ -197,11 +212,18 @@ from hbase_gis_spark.operators.merge import (  # noqa: F401
 from hbase_gis_spark.operators.drift import (  # noqa: F401
     chi_square_independence,
     global_quantile_cuts,
+    histogram_range,
     profile_diff,
     spearman_corr,
     psi_cuts,
     value_histogram,
     value_psi,
+)
+from hbase_gis_spark.operators.rank import (  # noqa: F401
+    global_half_ranks,
+    global_percentiles,
+    range_sharded,
+    sharded_ntile,
 )
 from hbase_gis_spark.operators.funnel import (  # noqa: F401
     conversion_lag,

@@ -201,3 +201,41 @@ def cross_split_leakage(
             F.sum("__nb").alias("n_leaked_docs"),
         )
     )
+
+
+def join_cardinality_audit(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    k: int = 20,
+) -> DataFrame:
+    """Pre-flight join-size audit: BEFORE running an expensive join,
+    estimate its exact output size per key — est_rows(key) =
+    n_left(key) * n_right(key) — and surface the k hottest keys. At
+    100 TB this is the check that catches the accidental
+    many-to-many (one hot key producing 1e12 output rows) while it
+    is still a two-aggregate query; the runtime companion of
+    ``skew_report``'s single-table view. Output: (key, n_left,
+    n_right, est_rows) for the top-k by est_rows, ties by key.
+
+    Scale shape: one count aggregate per side (map-side combined,
+    key-cardinality-sized), an inner join of the two count dims, and
+    a TakeOrderedAndProject — the FULL join never runs."""
+    nl = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    nr = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    return (
+        nl.join(nr, "key")
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).alias("est_rows"),
+        )
+        .orderBy(F.col("est_rows").desc(), F.col("key").asc())
+        .limit(k)
+    )

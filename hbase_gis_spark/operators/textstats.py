@@ -1177,3 +1177,68 @@ def zipf_fit(
             9,
         ).alias("intercept"),
     )
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    min_count: int = 10,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots: the k terms
+    whose frequency SHARE moved most — the lexical complement of
+    value_psi (a crawler change, a new spam campaign, or a domain
+    shift shows up here before any aggregate statistic moves).
+
+    Integer-exact end to end: per-cohort term counts and totals are
+    BIGINTs, shares are floor ppm ((c * 1e6) div T), delta is their
+    difference, ordering is (|delta| DESC, term ASC) on integers.
+    Terms below ``min_count`` combined occurrences are dropped (rare
+    terms flap share without meaning). Output: (term, n_old, n_new,
+    old_ppm, new_ppm, delta_ppm).
+
+    Scale shape: one explode + vocab hash aggregate per cohort
+    (map-side combined), a full-outer join of the two vocab dims,
+    broadcast 1-row totals, TakeOrderedAndProject top-k."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            _spread(df)
+            .select(F.explode(tokens(text_col)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    co = counts(old, "n_old")
+    cn = counts(new, "n_new")
+    to = co.agg(F.sum("n_old").alias("__to"))
+    tn = cn.agg(F.sum("n_new").alias("__tn"))
+    return (
+        co.join(cn, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .filter(F.col("n_old") + F.col("n_new") >= min_count)
+        .crossJoin(F.broadcast(to))
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "term",
+            "n_old",
+            "n_new",
+            F.expr("(n_old * 1000000) div __to").alias("old_ppm"),
+            F.expr("(n_new * 1000000) div __tn").alias("new_ppm"),
+            (
+                F.expr("(n_new * 1000000) div __tn")
+                - F.expr("(n_old * 1000000) div __to")
+            ).alias("delta_ppm"),
+        )
+        .orderBy(
+            F.abs(F.col("delta_ppm")).desc(),
+            F.col("term").asc(),
+        )
+        .limit(k)
+    )

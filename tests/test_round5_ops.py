@@ -1,0 +1,219 @@
+"""Round-5 operator unit tests: known-answer checks on constructed
+inputs that the sf0.01 oracle parity can't pin (numpy cross-checks,
+degenerate inputs, rank machinery edge cases)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- sharded rank machinery (operators/rank.py) ------------------------------
+
+
+def test_sharded_ntile_matches_spark_ntile_semantics(spark):
+    """sharded_ntile reproduces ANSI NTILE bucket sizes exactly for
+    totals that do and do not divide evenly, including total < n."""
+    from hbase_gis_spark.operators.rank import sharded_ntile
+
+    for total, n in [(10, 4), (12, 4), (3, 10), (7, 7), (100, 10)]:
+        df = spark.createDataFrame([(i,) for i in range(total)], "v bigint")
+        got = {
+            r.v: r.b
+            for r in sharded_ntile(df, n, ["v"], "b", n_shards=4).collect()
+        }
+        q, rem = divmod(total, n)
+        want = {}
+        r = 1
+        for b in range(1, n + 1):
+            size = q + 1 if b <= rem else q
+            for _ in range(size):
+                if r <= total:
+                    want[r - 1] = b if q > 0 else r
+                    r += 1
+        if q == 0:
+            want = {i: i + 1 for i in range(total)}
+        assert got == want, (total, n, got)
+
+
+def test_global_percentiles_rank_selection(spark):
+    """Exact value at ceil(p*N): cross-checked against the sorted
+    list, with ties and with NaN/NULL rows dropped."""
+    from hbase_gis_spark.operators.rank import global_percentiles
+
+    vals = [5.0, 1.0, 3.0, 3.0, 2.0, None, float("nan"), 4.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = global_percentiles(
+        df, "v", {"p50": (1, 2), "p100": (1, 1)}, n_shards=3
+    ).head()
+    clean = sorted(v for v in vals if v is not None and v == v)
+    n = len(clean)
+    assert row.p50 == clean[(n + 1) // 2 - 1]
+    assert row.p100 == clean[-1]
+
+
+def test_global_half_ranks_average_ties(spark):
+    """2*average-rank with ties: [10, 20, 20, 30] -> avg ranks
+    1, 2.5, 2.5, 4 -> doubled 2, 5, 5, 8."""
+    from hbase_gis_spark.operators.rank import global_half_ranks
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0)], "id bigint, v double"
+    )
+    got = {
+        r.id: r.hr
+        for r in global_half_ranks(df, "v", "id", n_shards=2)
+        .withColumnRenamed("__hr2", "hr")
+        .collect()
+    }
+    assert got == {1: 2, 2: 5, 3: 5, 4: 8}
+
+
+# --- time series -------------------------------------------------------------
+
+
+def test_autocorr_matches_numpy_pearson(spark):
+    import numpy as np
+
+    from hbase_gis_spark.operators.timeseries import autocorr_lag
+
+    series = [10, 12, 9, 14, 11, 13, 8, 15, 10, 12, 9, 16]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(series)], "day bigint, cents bigint"
+    )
+    lag = 3
+    row = autocorr_lag(df, lag=lag).head()
+    x = np.array(series[lag:], dtype=float)  # day d pairs with d - lag
+    y = np.array(series[:-lag], dtype=float)
+    want = np.corrcoef(x, y)[0, 1]
+    assert row.n_pairs == len(series) - lag
+    assert abs(row.r - want) < 1e-9
+
+
+def test_mad_anomalies_flags_single_spike(spark):
+    from hbase_gis_spark.operators.timeseries import mad_anomalies
+
+    vals = [100, 101, 99, 100, 102, 98, 100, 1000, 101, 99, 100]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "day bigint, cents bigint"
+    )
+    rows = {r.day: r for r in mad_anomalies(df, k_milli=3500).collect()}
+    assert rows[7].is_anomaly == 1
+    assert sum(r.is_anomaly for r in rows.values()) == 1
+    assert rows[0].median == 100
+    # deviations sorted: [0,0,0,0,1,1,1,1,2,2,900] -> MAD = value at
+    # rank ceil(11/2)=6 -> 1
+    assert rows[0].mad == 1
+
+
+def test_weekday_profile_dow_anchor(spark):
+    """1970-01-01 (day 0) was a Thursday: dow = (0+3)%7 = 3; day 4
+    (Monday 1970-01-05) maps to 0."""
+    from hbase_gis_spark.operators.timeseries import weekday_profile
+
+    us = 86_400_000_000
+    df = spark.createDataFrame(
+        [(0 * us, 1.0), (4 * us, 2.0), (11 * us, 4.0)], "t bigint, value double"
+    )
+    got = {r.dow: r for r in weekday_profile(df, F.col("t")).collect()}
+    assert got[3].n_events == 1
+    assert got[0].n_events == 2
+    assert got[0].sum_value_milli == 6000
+
+
+# --- text --------------------------------------------------------------------
+
+
+def test_collocations_pmi_known_corpus(spark):
+    """'new york' appears 4x among 16 tokens; PMI computed by hand
+    must match to the milli."""
+    docs = [
+        (1, "new york new york"),
+        (2, "new york new york"),
+        (3, "a b c d"),
+        (4, "e f g h"),
+    ]
+    from hbase_gis_spark.operators.textstats import collocations_pmi
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = collocations_pmi(df, min_count=2, k=10).collect()
+    got = {(r.w1, r.w2): r for r in rows}
+    ny = got[("new", "york")]
+    # counts: 'new' 4, 'york' 4, pair 'new york' 4, T=16 unigrams,
+    # T2 = 12 bigram positions
+    assert (ny.n_pair, ny.n_w1, ny.n_w2) == (4, 4, 4)
+    want = round(1000 * math.log((4 * 16 * 16) / (4 * 4 * 12)))
+    assert ny.pmi_milli == want
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """freq = 1000 / rank exactly -> slope == -1 (up to the micro
+    rounding the operator defines)."""
+    from hbase_gis_spark.operators.textstats import zipf_fit
+
+    # exact c = K / rank corpus: K divisible by every rank, so the
+    # frequencies sit exactly on the power law
+    K = 27720  # divisible by 1..12
+    toks = []
+    for r in range(1, 13):
+        toks += [f"w{r:02d}"] * (K // r)
+    df = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id bigint, text string"
+    )
+    row = zipf_fit(df, top_n=12).head()
+    assert row.n_terms == 12
+    assert abs(row.slope + 1.0) < 1e-4
+    assert abs(row.intercept - math.log(K)) < 1e-4
+
+
+# --- graph / similarity / sessions ------------------------------------------
+
+
+def test_node_jaccard_triangle_plus_leaf(spark):
+    """Graph a-b, b-c, a-c, c-d: neighbors a={b,c}, b={a,c},
+    c={a,b,d}, d={c}."""
+    from hbase_gis_spark.operators.graph import node_jaccard
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.n_a, r.n_b, r.jaccard_milli)
+        for r in node_jaccard(edges).collect()
+    }
+    # a,b share {c}: 1 common, union 3 -> 333
+    assert got[("a", "b")] == (1, 2, 2, 333)
+    # a,c share {b}: union {b,c}+{a,b,d} minus common -> 4 -> 250
+    assert got[("a", "c")] == (1, 2, 3, 250)
+    # b,d share {c}: union 2+1-1=2 -> 500
+    assert got[("b", "d")] == (1, 2, 1, 500)
+
+
+def test_embedding_outliers_bottom_k(spark):
+    import numpy as np
+
+    from hbase_gis_spark.operators.similarity import embedding_outliers
+
+    C = np.array([[1.0, 0.0], [0.0, 1.0]])
+    rows = [
+        (1, [1.0, 0.0]),    # perfectly aligned cell 0
+        (2, [0.0, 1.0]),    # perfectly aligned cell 1
+        (3, [-1.0, -1.0]),  # anti-aligned: the outlier
+        (4, [0.6, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = embedding_outliers(df, C, k=2, use_arrow=False).collect()
+    assert [r.vec_id for r in got] == [3, 4]
+    assert got[0].cdot < got[1].cdot
+
+
+def test_bounce_rate_query_counts(spark):
+    import __spark_entry__ as entry
+    from tests.conftest import SF0001
+
+    rows = entry._q_bounce_rate(spark, str(SF0001)).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_bounces <= r.n_sessions
+        assert r.bounce_ppm == (r.n_bounces * 1_000_000) // r.n_sessions

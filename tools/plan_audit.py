@@ -64,6 +64,7 @@ BNLJ_SANCTIONED = {
     "mad_anomalies",  # broadcast 1-row median / MAD selections
     "weekday_seasonality",  # broadcast 1-row total for the ppm share
     "autocorr_daily",  # 1-row exact-moment aggregate assembly
+    "vocab_drift",  # broadcast 1-row per-cohort token totals
 }
 
 
