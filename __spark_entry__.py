@@ -3208,10 +3208,11 @@ SEG_K, SEG_MIN_DOCS = 10, 2
 PROTO_K = 5
 GSAMPLE_K = 10  # < docs-per-source at every sf, so the cap always bites
 NOVELTY_N = 3
-# synthetic "added" snapshot keys are NEGATED real keys: o_orderkey
-# is strictly positive at every TPC-H scale factor, so -key can never
-# collide with a surviving real key (a fixed additive offset could,
-# once keys exceed it at large SF — ADVICE r4)
+# synthetic "added" snapshot keys are -(key+1): o_orderkey is
+# non-negative at every scale factor (this testdata starts at 0), so
+# -(key+1) is strictly negative and can never collide with a
+# surviving real key (a fixed additive offset could, once keys
+# exceed it at large SF — ADVICE r4; bare -key would collide at 0)
 LPA_ITERS = 3
 PSI_BINS = 10
 HIST_BINS = 20
@@ -3578,7 +3579,9 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .union(
             o.filter(F.col("o_orderkey") % 17 == 0).select(
-                (-F.col("o_orderkey")).alias("o_orderkey"),
+                # -(key+1), not -key: keys start at 0 and -0 == 0
+                # would collide with the real key 0
+                (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
                 "o_custkey",
                 "price_cents",
                 "o_orderstatus",
@@ -3777,7 +3780,9 @@ def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
-        "doc_id", -F.col("doc_id")
+        # -(id+1): ids start at 0, so a bare negation would leave the
+        # planted copy of doc 0 under its original id (and split)
+        "doc_id", -(F.col("doc_id") + 1)
     )
     return cross_split_leakage(
         docs.unionByName(planted), weights=LEAK_WEIGHTS
@@ -4082,6 +4087,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order-insensitive compare, stricter than the driver hash).  New
     round-5 queries are APPENDED at the end and enter the window in
     round 6.
+
+    ROUND-6 ROTATION PLAN (execute at the start of round 6): move
+    the 17 round-5 additions (orphan_check, uniqueness_audit,
+    benford_revenue, split_leakage, supplier_part_variety,
+    potential_promotion, lone_returned_supplier, autocorr_daily,
+    weekday_seasonality, mad_anomalies, collocations_pmi, zipf_fit,
+    embedding_outliers, node_jaccard, bounce_rate, vocab_drift,
+    join_cardinality, plus any later round-5 appends) into slots
+    1..N; fill the remaining slots up to 50 with the
+    longest-unchecked round-2-era queries (last driver row r2:
+    within_hole, spatial_clusters, spatial_join_cells,
+    knn_haversine, within_radius, dedup_ngram_jaccard,
+    dedup_clusters, dedup_simhash, text_quality, doc_fingerprint,
+    token_counts, mm_decode, term_stats, revenue_by_nation, ...) as
+    regression canaries. All candidates already pass
+    tools/check_oracles.py exact-match at sf0.01, so the rotation is
+    a reorder, not a fix. Update
+    tests/test_plan_hygiene.py::test_registry_window_contract to pin
+    the new order.
     """
     return {
         # --- slots 1-35: round-4 additions, first time in the driver window
@@ -8128,7 +8152,7 @@ def oracle_sql() -> dict[str, str]:
                   ELSE o_orderstatus END AS o_orderstatus
       FROM o WHERE o_orderkey % 7 != 0
       UNION ALL
-      SELECT -o_orderkey, o_custkey,
+      SELECT -(o_orderkey + 1), o_custkey,
              price_cents, o_orderstatus
       FROM o WHERE o_orderkey % 17 = 0
     ),
@@ -8331,7 +8355,7 @@ def oracle_sql() -> dict[str, str]:
     WITH all_docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT -doc_id, text FROM documents WHERE doc_id % 11 = 0
+      SELECT -(doc_id + 1), text FROM documents WHERE doc_id % 11 = 0
     ),
     assigned AS (
       SELECT CASE {leak_case_sql} END AS split,
