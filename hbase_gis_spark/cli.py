@@ -21,6 +21,7 @@ Usage (python -m hbase_gis_spark ...):
     knn         <lon> <lat> <n> --table <path>
     topx        <x> <ref_col> <ts_col> --table <path>
     spatialjoin "<WKT>" ["<WKT>" ...] --table <path> [--cells]
+    audit       unique|benford|orphans --table <path> --keys ...
 """
 
 from __future__ import annotations
@@ -206,6 +207,45 @@ def cmd_skew(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_audit(args: argparse.Namespace) -> int:
+    """Data-quality audits over any parquet table: key uniqueness,
+    Benford first digits, or referential orphans vs a dim table."""
+    from pyspark.sql import functions as F
+
+    from hbase_gis_spark.operators.quality import (
+        benford_first_digit,
+        referential_orphans,
+        uniqueness_audit,
+    )
+
+    spark = _spark("audit")
+    t0 = time.perf_counter()
+    df = spark.read.parquet(args.table)
+    if args.op == "unique":
+        out = uniqueness_audit(df, args.keys.split(","))
+    elif args.op == "benford":
+        if not args.amount:
+            print("audit benford requires --amount")
+            return 2
+        out = benford_first_digit(
+            df, F.round(F.col(args.amount) * 100).cast("bigint")
+        )
+    else:  # orphans
+        if not (args.dim and args.dim_key):
+            print("audit orphans requires --dim and --dim-key")
+            return 2
+        dim = spark.read.parquet(args.dim)
+        out = referential_orphans(
+            [("fk", df, args.keys, dim, args.dim_key)]
+        )
+    for r in out.collect():
+        print("\t".join(str(v) for v in r))
+    print(
+        f"audit {args.op} done in {time.perf_counter() - t0:.3f} seconds."
+    )
+    return 0
+
+
 def cmd_cluster(args: argparse.Namespace) -> int:
     """Density clustering (DBSCAN) over a geo table."""
     from hbase_gis_spark.operators.spatial_join import dbscan
@@ -377,6 +417,22 @@ def main(argv: list[str] | None = None) -> int:
         help="rows-per-task target for the salt suggestion",
     )
     s.set_defaults(fn=cmd_skew)
+
+    s = sub.add_parser(
+        "audit",
+        help="data-quality audits: unique | benford | orphans",
+    )
+    s.add_argument("op", choices=["unique", "benford", "orphans"])
+    s.add_argument("--table", required=True, help="parquet dir")
+    s.add_argument(
+        "--keys",
+        required=True,
+        help="unique: comma-separated columns; orphans: the FK column",
+    )
+    s.add_argument("--amount", help="benford: the money column")
+    s.add_argument("--dim", help="orphans: dim parquet dir")
+    s.add_argument("--dim-key", dest="dim_key", help="orphans: dim PK column")
+    s.set_defaults(fn=cmd_audit)
 
     s = sub.add_parser("cluster", help="DBSCAN density clustering")
     s.add_argument("eps", type=float, help="neighborhood radius (degrees)")

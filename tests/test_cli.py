@@ -117,3 +117,37 @@ def test_results_to_geojson_roundtrip(spark):
     assert "lon" not in fc["features"][0]["properties"]
     with pytest.raises(ValueError):
         results_to_geojson(df, max_rows=1)
+
+
+def test_cli_audit(capsys):
+    from hbase_gis_spark.cli import main
+
+    orders = "/root/testdata/sf0.001/orders.parquet"
+    customer = "/root/testdata/sf0.001/customer.parquet"
+
+    rc = main(["audit", "unique", "--table", orders,
+               "--keys", "o_orderkey,o_custkey"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "o_orderkey" in out and "audit unique done" in out
+
+    rc = main(["audit", "benford", "--table", orders,
+               "--keys", "o_orderkey", "--amount", "o_totalprice"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "audit benford done" in out
+    assert len([ln for ln in out.splitlines() if ln.count("\t") >= 4]) == 9
+
+    rc = main(["audit", "orphans", "--table", orders,
+               "--keys", "o_custkey", "--dim", customer,
+               "--dim-key", "c_custkey"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "audit orphans done" in out
+
+    # missing required extras exit 2, not a traceback
+    assert main(["audit", "benford", "--table", orders,
+                 "--keys", "k"]) == 2
+    capsys.readouterr()
+    assert main(["audit", "orphans", "--table", orders,
+                 "--keys", "k"]) == 2

@@ -28,6 +28,7 @@ NEEDS_DATA = {
     "ann_recall_report",
     "pca_project",
     "ivf_prototypes",
+    "embedding_outliers",
 }
 # report-shaped queries emit one row per configured step/level even on
 # empty input (a funnel report always has k rows, with zero counts;
@@ -38,6 +39,9 @@ FIXED_SHAPE = {
     "dataset_card": 7,
     "dedup_recall_report": 5,  # metric rows exist even over zero docs
     "profile_diff": 5,  # one row per profiled column, zero counts
+    "orphan_check": 4,  # one row per audited FK relationship
+    "uniqueness_audit": 3,  # one row per audited column
+    "benford_revenue": 9,  # the 9-digit expectation spine always exists
 }
 # point-query operators keyed to a specific row id return empty when
 # that row is absent — nothing to assert beyond "no crash"

@@ -183,6 +183,45 @@ def test_no_partitionless_global_sort_windows():
     )
 
 
+def test_round5_plan_shapes(spark):
+    """Physical-plan pins for the round-5 operators: bounded top-k
+    stays TakeOrderedAndProject (never a global sort), the orphan
+    audit anti-joins, the Q16 shape broadcast-joins its dims, and the
+    scalar families never cross the Python boundary."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def plan_of(name):
+        return (
+            qs[name](spark, SF0001)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    for name in ["join_cardinality", "collocations_pmi", "zipf_fit",
+                 "embedding_outliers", "lone_returned_supplier",
+                 "vocab_drift"]:
+        p = plan_of(name)
+        assert "TakeOrderedAndProject" in p, name
+
+    p = plan_of("orphan_check")
+    assert "LeftAnti" in p, p[:400]
+
+    p = plan_of("supplier_part_variety")
+    assert "BroadcastHashJoin" in p, p[:400]
+
+    for name in ["orphan_check", "uniqueness_audit", "benford_revenue",
+                 "split_leakage", "autocorr_daily",
+                 "weekday_seasonality", "mad_anomalies", "bounce_rate",
+                 "node_jaccard", "collocations_pmi", "zipf_fit",
+                 "vocab_drift", "join_cardinality"]:
+        p = plan_of(name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, (
+            f"{name} unexpectedly crosses the Python boundary"
+        )
+
+
 def test_round4b_plan_shapes(spark):
     """Physical-plan pins for the late round-4 operators: the shapes
     the 100 TB story depends on, so a refactor can't silently degrade
