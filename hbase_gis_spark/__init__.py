@@ -150,6 +150,9 @@ from hbase_gis_spark.streaming.events import (  # noqa: F401
     purchase_view_attribution,
     streaming_daily_anomalies,
     streaming_decontaminate,
+    streaming_histogram_counts,
+    streaming_orphan_counts,
+    streaming_psi_counts,
     streaming_top_x_earliest,
     user_sessions,
     windowed_event_counts,

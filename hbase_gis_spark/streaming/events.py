@@ -412,6 +412,38 @@ def streaming_psi_counts(
     )
 
 
+def streaming_orphan_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    fk_col: str = "user_id",
+    dim_key: str = "user_id",
+) -> DataFrame:
+    """Streaming referential-integrity monitor: count arriving rows
+    whose FK has no match in a STATIC dim snapshot, per FK value —
+    the ingest-time alarm version of
+    :func:`~hbase_gis_spark.operators.quality.referential_orphans`
+    (a growing orphan count means the upstream dim feed stalled or a
+    producer started emitting unknown keys). Stream-static LEFT ANTI
+    join (supported shape: stream on the left) + one streaming
+    aggregate; output (fk_value, n_orphans).
+
+    State: one count per DISTINCT ORPHAN key — bounded by the
+    defect's own cardinality (healthy streams keep zero state).
+    NULL FKs pass the anti join on both engines' semantics and are
+    reported under the NULL key, consistent with the batch audit's
+    separate NULL accounting."""
+    keyed = events.select(F.col(fk_col).alias("__fk"))
+    return (
+        keyed.join(
+            dim.select(F.col(dim_key).alias("__fk")).distinct(),
+            "__fk",
+            "left_anti",
+        )
+        .groupBy(F.col("__fk").alias("fk_value"))
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
 def streaming_histogram_counts(
     events: DataFrame,
     range_dim: DataFrame,

@@ -546,6 +546,45 @@ def test_streaming_psi_counts_match_batch_histogram(spark):
     assert got == expect and len(expect) > 0
 
 
+def test_streaming_orphan_counts_match_batch_audit(spark):
+    """The stream-static orphan monitor converges to the batch
+    referential audit: with a damaged user dim (every 3rd user
+    removed), per-key streaming orphan counts equal the batch
+    per-key counts, and their total equals referential_orphans'
+    n_orphans."""
+    from hbase_gis_spark.operators.quality import referential_orphans
+    from hbase_gis_spark.streaming.events import streaming_orphan_counts
+
+    batch = load_table(spark, SF0001, "events")
+    dim = (
+        batch.select("user_id").distinct().filter(F.col("user_id") % 3 != 0)
+    )
+    total = referential_orphans(
+        [("ev_users", batch, "user_id", dim, "user_id")]
+    ).head()
+    expect = {
+        r.user_id: r.n
+        for r in batch.join(dim, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(expect.values()) == total.n_orphans > 0
+
+    stream = read_event_stream(spark, SF0001)
+    run_stream_to_memory(
+        streaming_orphan_counts(stream, dim), "orphan_stream"
+    )
+    got = {
+        r.fk_value: r.n_orphans
+        for r in spark.sql(
+            "SELECT fk_value, max(n_orphans) AS n_orphans "
+            "FROM orphan_stream GROUP BY 1"
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_streaming_histogram_matches_batch_with_persisted_range_dim(
     spark, tmp_path_factory
 ):
