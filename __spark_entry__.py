@@ -3883,6 +3883,100 @@ def _q_lone_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATE_SHIP_DAYS = 365
+Q11_SHARE_TENTHS = 15  # "important" = part revenue > 1.5x the mean share
+
+
+def _q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (Shipping Modes and Order Priority) on the
+    available columns: lineitems shipped >= LATE_SHIP_DAYS after the
+    order date, bucketed by return flag (the shipmode stand-in — no
+    l_shipmode column exists), with the canonical CASE-sum split of
+    high-priority (1-URGENT / 2-HIGH) vs everything else. Completes
+    the 22-shape TPC-H sweep alongside Q16/Q20/Q21 (extension scope —
+    the reference engine has no relational surface).
+
+    Plan: ONE shuffled hash join of the two fact tables on the order
+    key (both sides too big to broadcast at 100 TB; AQE coalesces)
+    with the date predicate applied post-join (it references both
+    sides), then a 3-key hash aggregate of integer CASE counts —
+    map-side combined, exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate")
+            + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("bigint")).alias("high_line_count"),
+            F.sum((~hi).cast("bigint")).alias("low_line_count"),
+        )
+    )
+
+
+def _q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (Important Stock Identification) adapted to
+    lineitem-as-partsupp: parts whose exact integer-cent revenue
+    exceeds Q11_SHARE_TENTHS/10 x the MEAN per-part share — the
+    HAVING-vs-global-scalar-subquery pattern. The spec's fraction is
+    SF-scaled (0.0001/SF); comparing against the mean share is the
+    scale-invariant equivalent, so the selectivity survives a 100x
+    scale-up instead of going empty.
+
+    Plan: one (partkey)-keyed integer-cent aggregate, a 1-row total
+    (count + sum of the per-part frame) broadcast back, and a filter —
+    the aggregate is reused for both sides via cache-free
+    self-reference (Catalyst plans two scans of the same shuffle;
+    exchange reuse collapses them)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("value_cents")
+    )
+    totals = per_part.agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum("value_cents").alias("__tot"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("value_cents") * F.col("__np") * 10
+            > F.col("__tot") * Q11_SHARE_TENTHS
+        )
+        .select("l_partkey", "value_cents")
+    )
+
+
+def _q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit across the snapshot: two
+    dependencies that must HOLD (event_id -> event_type: ids are
+    unique; doc_id -> lang) as the zero-defect control, two that are
+    naturally violated (user_id -> event_type: users emit many types;
+    lang -> source: every language spans sources) so the violation
+    counters are non-vacuous — the planted-contrast discipline of
+    orphan_check."""
+    from hbase_gis_spark.operators.quality import fd_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    return fd_audit(
+        [
+            ("events.event_id->event_type", ev, "event_id", "event_type"),
+            ("events.user_id->event_type", ev, "user_id", "event_type"),
+            ("documents.doc_id->lang", docs, "doc_id", "lang"),
+            ("documents.lang->source", docs, "lang", "source"),
+        ]
+    )
+
+
 AUTOCORR_LAG = 7
 MAD_K_MILLI = 3500
 
@@ -4089,12 +4183,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 6.
 
     ROUND-6 ROTATION PLAN (execute at the start of round 6): move
-    the 17 round-5 additions (orphan_check, uniqueness_audit,
+    the round-5 additions (orphan_check, uniqueness_audit,
     benford_revenue, split_leakage, supplier_part_variety,
     potential_promotion, lone_returned_supplier, autocorr_daily,
     weekday_seasonality, mad_anomalies, collocations_pmi, zipf_fit,
     embedding_outliers, node_jaccard, bounce_rate, vocab_drift,
-    join_cardinality, plus any later round-5 appends) into slots
+    join_cardinality, late_shipments, important_parts, fd_audit,
+    plus any later round-5 appends) into slots
     1..N; fill the remaining slots up to 50 with the
     longest-unchecked round-2-era queries (last driver row r2:
     within_hole, spatial_clusters, spatial_join_cells,
@@ -4314,6 +4409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounce_rate": _q_bounce_rate,
         "vocab_drift": _q_vocab_drift,
         "join_cardinality": _q_join_cardinality,
+        "late_shipments": _q_late_shipments,
+        "important_parts": _q_important_parts,
+        "fd_audit": _q_fd_audit,
     }
 
 
@@ -8658,5 +8756,54 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY numwait DESC, s_name ASC
     LIMIT 20
     """
+
+    out["late_shipments"] = f"""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+    GROUP BY l_returnflag
+    """
+
+    out["important_parts"] = f"""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_cents FROM pr
+    WHERE value_cents * (SELECT count(*) FROM pr) * 10
+          > (SELECT sum(value_cents) FROM pr) * {Q11_SHARE_TENTHS}
+    """
+
+    def _fd_arm(name: str, table: str, lhs: str, rhs: str) -> str:
+        return f"""SELECT '{name}' AS dependency,
+             CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(count(CASE WHEN v > 1 THEN 1 END) AS BIGINT)
+               AS n_violating_lhs,
+             CAST(max(v) AS BIGINT) AS max_variants,
+             CAST(coalesce(sum(CASE WHEN v > 1 THEN n END), 0) AS BIGINT)
+               AS n_rows_in_violation
+      FROM (SELECT count(DISTINCT {rhs}) AS v, count(*) AS n
+            FROM {table} GROUP BY {lhs})"""
+
+    out["fd_audit"] = "\n      UNION ALL\n      ".join(
+        [
+            _fd_arm(
+                "events.event_id->event_type", "events",
+                "event_id", "event_type",
+            ),
+            _fd_arm(
+                "events.user_id->event_type", "events",
+                "user_id", "event_type",
+            ),
+            _fd_arm("documents.doc_id->lang", "documents", "doc_id", "lang"),
+            _fd_arm("documents.lang->source", "documents", "lang", "source"),
+        ]
+    )
 
     return out

@@ -203,6 +203,52 @@ def cross_split_leakage(
     )
 
 
+def fd_audit(
+    deps: list[tuple[str, DataFrame, str, str]],
+) -> DataFrame:
+    """Functional-dependency audit: for each ``(name, df, lhs, rhs)``
+    check whether the dependency lhs -> rhs actually HOLDS in the
+    data — the schema-contract screen that catches a denormalized
+    column drifting out of sync (one customer id mapping to two
+    nations, one doc id to two languages) before a downstream join
+    silently fans out or a group-by double-counts. Output one row per
+    dependency: (dependency, n_lhs = distinct lhs values,
+    n_violating_lhs = lhs values with >1 distinct rhs, max_variants =
+    worst rhs multiplicity, n_rows_in_violation = rows whose lhs is a
+    violating one).
+
+    Scale shape: per dependency one (lhs)-keyed aggregate with an
+    exact distinct-rhs count (Expand-based two-phase, the
+    exact_event_stats shape — swappable for approx_count_distinct at
+    100 TB when a >1 screen tolerates HLL error) collapsed by a tiny
+    second aggregate; never a sort, never a join. NULL lhs groups as
+    one value in both engines; a NULL rhs is ignored by the distinct
+    count in both engines (an all-NULL rhs group counts 0 variants,
+    not a violation)."""
+    out = None
+    for name, df, lhs, rhs in deps:
+        per_lhs = df.groupBy(F.col(lhs).alias("__l")).agg(
+            F.countDistinct(F.col(rhs)).alias("__v"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        row = per_lhs.agg(
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.count(F.when(F.col("__v") > 1, 1)).alias("n_violating_lhs"),
+            F.max("__v").alias("max_variants"),
+            F.coalesce(
+                F.sum(F.when(F.col("__v") > 1, F.col("__n"))), F.lit(0)
+            ).alias("n_rows_in_violation"),
+        ).select(
+            F.lit(name).alias("dependency"),
+            "n_lhs",
+            "n_violating_lhs",
+            "max_variants",
+            "n_rows_in_violation",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def join_cardinality_audit(
     left: DataFrame,
     left_key: str,

@@ -42,6 +42,7 @@ FIXED_SHAPE = {
     "orphan_check": 4,  # one row per audited FK relationship
     "uniqueness_audit": 3,  # one row per audited column
     "benford_revenue": 9,  # the 9-digit expectation spine always exists
+    "fd_audit": 4,  # one row per audited dependency
 }
 # point-query operators keyed to a specific row id return empty when
 # that row is absent — nothing to assert beyond "no crash"

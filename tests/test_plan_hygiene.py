@@ -221,6 +221,19 @@ def test_round5_plan_shapes(spark):
             f"{name} unexpectedly crosses the Python boundary"
         )
 
+    # late round-5 additions: the Q12 shape joins its two fact tables
+    # with a hash join (broadcast at this SF via AQE; SMJ at scale —
+    # never nested-loop), the Q11 shape's only BNLJ is the sanctioned
+    # 1-row totals broadcast, and the FD audit is pure aggregate
+    p = plan_of("late_shipments")
+    assert "HashJoin" in p, p[:400]
+    for name in ["late_shipments", "important_parts", "fd_audit"]:
+        p = plan_of(name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+    assert "Join" not in plan_of("fd_audit")
+
 
 def test_round4b_plan_shapes(spark):
     """Physical-plan pins for the late round-4 operators: the shapes

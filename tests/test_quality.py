@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from hbase_gis_spark.operators.quality import (
     benford_first_digit,
     cross_split_leakage,
+    fd_audit,
     referential_orphans,
     uniqueness_audit,
 )
@@ -75,6 +76,43 @@ def test_cross_split_leakage_finds_planted_pairs(spark):
     assert sum(r.n_shared_fps for r in out) == expect_pairs
     for r in out:
         assert r.split_a < r.split_b
+
+
+def test_fd_audit_violation_accounting(spark):
+    # k=1 maps to one v (holds), k=2 maps to two vs across 3 rows
+    # (violates), k=3 maps to one v twice (holds)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b"), (2, "a"), (3, "c"), (3, "c")],
+        "k bigint, v string",
+    )
+    row = fd_audit([("d", df, "k", "v")]).head()
+    assert row.dependency == "d"
+    assert (row.n_lhs, row.n_violating_lhs) == (3, 1)
+    assert (row.max_variants, row.n_rows_in_violation) == (2, 3)
+
+
+def test_fd_audit_null_rhs_is_not_a_variant(spark):
+    # NULL rhs is ignored by the distinct count in BOTH engines: an
+    # all-NULL group counts 0 variants, a {NULL, 'a'} group counts 1
+    # — neither is a violation; NULL lhs groups as one ordinary value
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, None), (2, "a"), (None, "x"),
+         (None, "y")],
+        "k bigint, v string",
+    )
+    row = fd_audit([("d", df, "k", "v")]).head()
+    assert row.n_lhs == 3
+    assert row.n_violating_lhs == 1  # only the NULL-lhs {x, y} group
+    assert row.n_rows_in_violation == 2
+
+
+def test_fd_audit_holds_everywhere_reports_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b")], "k bigint, v string"
+    )
+    row = fd_audit([("d", df, "k", "v")]).head()
+    assert (row.n_violating_lhs, row.n_rows_in_violation) == (0, 0)
+    assert row.max_variants == 1
 
 
 @pytest.mark.parametrize("digit", [1])

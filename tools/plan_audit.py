@@ -65,6 +65,7 @@ BNLJ_SANCTIONED = {
     "weekday_seasonality",  # broadcast 1-row total for the ppm share
     "autocorr_daily",  # 1-row exact-moment aggregate assembly
     "vocab_drift",  # broadcast 1-row per-cohort token totals
+    "important_parts",  # broadcast 1-row (count, sum) share threshold
 }
 
 
