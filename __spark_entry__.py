@@ -3977,6 +3977,31 @@ def _q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYBRID_K, HYBRID_ARM_K, RRF_K = 10, 20, 60
+
+
+def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    arm (SEARCH_TERMS) and the cosine semantic arm (ANN_QUERY_ID's
+    embedding) — rank-based fusion needs no score calibration, and
+    the integer micro-unit contributions keep it engine-exact. Each
+    arm is its own bounded TakeOrderedAndProject; everything after is
+    constant-size."""
+    from hbase_gis_spark.operators.retrieval import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        SEARCH_TERMS,
+        ANN_QUERY_ID,
+        k=HYBRID_K,
+        arm_k=HYBRID_ARM_K,
+        rrf_k=RRF_K,
+        k1_milli=BM25_K1_MILLI,
+        b_milli=BM25_B_MILLI,
+    )
+
+
 AUTOCORR_LAG = 7
 MAD_K_MILLI = 3500
 
@@ -4412,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipments": _q_late_shipments,
         "important_parts": _q_important_parts,
         "fd_audit": _q_fd_audit,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
     }
 
 
@@ -8805,5 +8831,73 @@ def oracle_sql() -> dict[str, str]:
             _fd_arm("documents.lang->source", "documents", "lang", "source"),
         ]
     )
+
+    # hybrid RRF: the bm25_search CTE chain verbatim for the lexical
+    # arm, the ann_cosine_topk scan for the semantic arm, ranks via
+    # row_number over each bounded arm, integer micro fusion
+    out["hybrid_search_rrf"] = f"""
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    proj AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+             list_filter(w, x -> x IN ({_terms_in})) AS q
+      FROM t
+    ),
+    tfg AS (
+      SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, dl, unnest(q) AS w FROM proj
+      ) GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST((1000 * sum(dl)) // count(*) AS BIGINT) AS avgdl
+      FROM proj
+    ),
+    idf AS (
+      SELECT w, CAST(round(1000 * ln(1 + (n - df + 0.5) / (df + 0.5)), 0)
+                     AS BIGINT) AS idf_milli
+      FROM (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tfg GROUP BY w)
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id,
+             (idf_milli * tf * (1000 + {BM25_K1_MILLI})) // (
+               1000 * tf + ({BM25_K1_MILLI} * ((1000 - {BM25_B_MILLI})
+               + ({BM25_B_MILLI} * ((dl * 1000000) // avgdl)) // 1000))
+                 // 1000
+             ) AS contrib
+      FROM tfg JOIN idf USING (w) CROSS JOIN stats
+    ),
+    lex_arm AS (
+      SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_milli
+      FROM scored GROUP BY doc_id
+      ORDER BY score_milli DESC, doc_id ASC LIMIT {HYBRID_ARM_K}
+    ),
+    lex AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY score_milli DESC, doc_id ASC) AS BIGINT)
+               AS rank_lex
+      FROM lex_arm
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {ANN_QUERY_ID}),
+    sem_arm AS (
+      SELECT vec_id AS doc_id, {_cos('embedding', 'qv')} AS cosine
+      FROM embeddings CROSS JOIN qv
+      WHERE vec_id != {ANN_QUERY_ID}
+      ORDER BY cosine DESC, vec_id ASC LIMIT {HYBRID_ARM_K}
+    ),
+    sem AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank_sem
+      FROM sem_arm
+    )
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           CAST(coalesce(1000000 // ({RRF_K} + rank_lex), 0)
+                + coalesce(1000000 // ({RRF_K} + rank_sem), 0)
+             AS BIGINT) AS rrf_micro,
+           rank_lex, rank_sem
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_micro DESC, doc_id ASC LIMIT {HYBRID_K}
+    """
 
     return out

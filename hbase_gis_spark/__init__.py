@@ -233,6 +233,10 @@ from hbase_gis_spark.operators.funnel import (  # noqa: F401
     funnel_counts,
     retention_cohorts,
 )
+from hbase_gis_spark.operators.retrieval import (  # noqa: F401
+    hybrid_rrf_topk,
+    rrf_fuse,
+)
 from hbase_gis_spark.sources.corpus_io import (  # noqa: F401
     compact_parquet,
     jsonl_to_parquet,

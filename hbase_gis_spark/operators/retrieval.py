@@ -1,0 +1,129 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) of a lexical arm
+(BM25 over the text column) and a semantic arm (embedding cosine
+top-k) — the standard two-tower retrieval pattern for RAG corpus
+serving, where neither keyword match nor embedding similarity alone
+ranks well. RRF (Cormack et al., SIGIR 2009) fuses by RANK, not by
+score, so the two arms' incomparable score scales never need
+calibration.
+
+Extension scope: the reference engine (a spatial HBase coprocessor,
+see SURVEY.md §2) has no text or vector retrieval; this composes the
+repo's own bm25_topk and cosine_topk cores.
+
+Engine-exactness discipline: every fused score is integer micro-units
+— contribution = 1_000_000 div (rrf_k + rank) with integer floor
+division — and the per-arm ranks derive from already-exact orderings
+(BM25 scores are integer milli-units; cosine is the bit-identical
+sequential-fold float shared with the DuckDB oracle), so fusion is
+exact in both engines.
+
+Scale shape: each arm is its own bounded top-k (TakeOrderedAndProject
+— per-partition heap + k-row merge, never a global sort of the
+corpus); the rank windows and the full-outer fusion join then operate
+on <= 2*arm_k rows (a constant), so everything after the arms is
+driver-trivial no matter the corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    arms: list[tuple[str, DataFrame, str]],
+    k: int,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuse ranked arms by reciprocal rank. Each arm is
+    ``(rank_col_name, top-k frame, score_col)``; the frame must
+    already be bounded (ordered + limited) — the rank window here
+    sorts only those <= arm_k rows, which is why the partition-less
+    window is sanctioned for this module (constant-size frame, see
+    tests/test_plan_hygiene.py allowlist). Rank i contributes
+    ``1_000_000 div (rrf_k + i)`` fused micro-points; ids missing
+    from an arm contribute 0 from it. Output: (id, rrf_micro,
+    <rank cols...>) top-k by fused score, ties by id."""
+    fused = None
+    rank_cols = []
+    for rank_name, arm, score_col in arms:
+        ranked = arm.select(
+            F.col(id_col),
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col(score_col).desc(), F.col(id_col).asc()
+                )
+            )
+            .cast("bigint")
+            .alias(rank_name),
+        )
+        rank_cols.append(rank_name)
+        fused = (
+            ranked
+            if fused is None
+            else fused.join(ranked, id_col, "full_outer")
+        )
+    contribs = [
+        F.coalesce(
+            F.expr(f"1000000 div ({rrf_k} + {r})"), F.lit(0)
+        )
+        for r in rank_cols
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return (
+        fused.select(
+            F.col(id_col),
+            score.cast("bigint").alias("rrf_micro"),
+            *rank_cols,
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_id: int,
+    k: int = 10,
+    arm_k: int = 20,
+    rrf_k: int = 60,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BM25 + cosine hybrid search: the lexical arm retrieves the
+    top-``arm_k`` BM25 docs for ``terms``, the semantic arm the
+    top-``arm_k`` cosine neighbors of the ``query_id`` embedding
+    (vec ids are doc ids — TESTDATA.md's embeddings table embeds the
+    documents table row-for-row), and RRF fuses the two rankings.
+    Output: (doc_id, rrf_micro, rank_lex, rank_sem) — NULL rank means
+    the doc surfaced in only one arm."""
+    from hbase_gis_spark.operators.similarity import cosine_topk
+    from hbase_gis_spark.operators.textstats import bm25_topk
+
+    lex = bm25_topk(
+        docs,
+        terms,
+        k=arm_k,
+        k1_milli=k1_milli,
+        b_milli=b_milli,
+        id_col=doc_id_col,
+        text_col=text_col,
+    ).select(F.col(doc_id_col).alias("doc_id"), "score_milli")
+    sem = cosine_topk(
+        emb, query_id, arm_k, id_col=vec_id_col, vec_col=vec_col
+    ).select(F.col(vec_id_col).alias("doc_id"), "cosine")
+    return rrf_fuse(
+        [("rank_lex", lex, "score_milli"), ("rank_sem", sem, "cosine")],
+        k=k,
+        rrf_k=rrf_k,
+    )

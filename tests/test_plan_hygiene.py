@@ -138,6 +138,12 @@ def test_registry_window_contract():
 _GLOBAL_WINDOW_ALLOWED = {
     # file basename -> (max partition-less Window.orderBy calls, reason)
     "funnel.py": (1, "step-index frame is |funnel steps| rows (<= 8)"),
+    "retrieval.py": (
+        1,
+        "rrf_fuse ranks an already-limited top-k arm (<= arm_k rows, "
+        "a constant) — the corpus-sized sort happened in the arm's "
+        "TakeOrderedAndProject",
+    ),
     "__spark_entry__.py": (
         1,
         "daily_rolling: rangeBetween window over the per-DAY aggregate "
@@ -233,6 +239,13 @@ def test_round5_plan_shapes(spark):
         assert "ArrowEvalPython" not in p, name
         assert "CartesianProduct" not in p, name
     assert "Join" not in plan_of("fd_audit")
+
+    # hybrid RRF: both arms stay bounded top-k heaps (never a global
+    # sort of the corpus); the semantic arm's pandas-UDF cosine is the
+    # approved Arrow path, so only row-at-a-time Python is banned
+    p = plan_of("hybrid_search_rrf")
+    assert "TakeOrderedAndProject" in p, p[:400]
+    assert "BatchEvalPython" not in p
 
 
 def test_round4b_plan_shapes(spark):

@@ -217,3 +217,49 @@ def test_bounce_rate_query_counts(spark):
     for r in rows:
         assert 0 <= r.n_bounces <= r.n_sessions
         assert r.bounce_ppm == (r.n_bounces * 1_000_000) // r.n_sessions
+
+
+def test_rrf_fuse_known_ranks(spark):
+    from hbase_gis_spark.operators.retrieval import rrf_fuse
+
+    # lex ranks: a=1, b=2, c=3; sem ranks: b=1, d=2
+    lex = spark.createDataFrame(
+        [("a", 30), ("b", 20), ("c", 10)], "doc_id string, s bigint"
+    )
+    sem = spark.createDataFrame(
+        [("b", 90), ("d", 80)], "doc_id string, s2 bigint"
+    )
+    out = rrf_fuse(
+        [("rank_lex", lex, "s"), ("rank_sem", sem, "s2")], k=10
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    assert rows["b"].rrf_micro == 1_000_000 // 62 + 1_000_000 // 61
+    assert rows["a"].rrf_micro == 1_000_000 // 61
+    assert rows["d"].rrf_micro == 1_000_000 // 62
+    assert rows["a"].rank_sem is None and rows["d"].rank_lex is None
+    assert [r.doc_id for r in out] == ["b", "a", "d", "c"]
+
+
+def test_rrf_fuse_score_ties_break_by_id(spark):
+    from hbase_gis_spark.operators.retrieval import rrf_fuse
+
+    # equal scores: rank order must be id order in BOTH engines
+    arm = spark.createDataFrame(
+        [("z", 5), ("a", 5), ("m", 5)], "doc_id string, s bigint"
+    )
+    out = rrf_fuse([("r", arm, "s")], k=3).collect()
+    assert [(r.doc_id, r.r) for r in out] == [("a", 1), ("m", 2), ("z", 3)]
+
+
+def test_hybrid_rrf_k_caps_output(spark):
+    import __spark_entry__ as entry
+    from tests.conftest import SF0001
+
+    rows = entry._q_hybrid_search_rrf(spark, str(SF0001)).collect()
+    assert 0 < len(rows) <= entry.HYBRID_K
+    # fused scores are bounded by the best possible two-arm sum and
+    # monotone non-increasing in the returned order
+    best = 2 * (1_000_000 // (entry.RRF_K + 1))
+    scores = [r.rrf_micro for r in rows]
+    assert all(0 < s <= best for s in scores)
+    assert scores == sorted(scores, reverse=True)

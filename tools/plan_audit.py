@@ -66,6 +66,7 @@ BNLJ_SANCTIONED = {
     "autocorr_daily",  # 1-row exact-moment aggregate assembly
     "vocab_drift",  # broadcast 1-row per-cohort token totals
     "important_parts",  # broadcast 1-row (count, sum) share threshold
+    "hybrid_search_rrf",  # inherits bm25's 1-row stats + ann's 1-row query
 }
 
 
