@@ -4002,6 +4002,52 @@ def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_SEGMENT_A, AB_SEGMENT_B = "BUILDING", "MACHINERY"
+# below the synthetic corpus's 31 types so the OOV rate is non-vacuous
+VOCAB_TOP_N = 20
+
+
+def _q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test of order totals (integer milli-units) between
+    two market segments — the A/B readout primitive: exact 128-bit
+    moments in ONE conditional-aggregation pass, one rounded double
+    t / dof at the end. The synthetic segments are exchangeable, so a
+    |t| near 0 is itself the expected (and verified) answer."""
+    from hbase_gis_spark.operators.drift import welch_t_test
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 1000).cast("bigint").alias(
+            "v_milli"
+        ),
+    )
+    return welch_t_test(
+        joined, "c_mktsegment", "v_milli", AB_SEGMENT_A, AB_SEGMENT_B
+    )
+
+
+def _q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user reach per day: first-seen-day
+    collapse + running sum over the calendar-bounded day frame —
+    distinct-over-prefix without unbounded state."""
+    from hbase_gis_spark.operators.timeseries import cumulative_users
+
+    ev = load_table(spark, sf_dir, "events")
+    return cumulative_users(ev, ts_us())
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV audit for a frequency-built vocabulary of VOCAB_TOP_N
+    types: token-occurrence coverage and integer-ppm OOV rate."""
+    from hbase_gis_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(
+        load_table(spark, sf_dir, "documents"), VOCAB_TOP_N
+    )
+
+
 AUTOCORR_LAG = 7
 MAD_K_MILLI = 3500
 
@@ -4438,6 +4484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": _q_important_parts,
         "fd_audit": _q_fd_audit,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "ab_test_welch": _q_ab_test_welch,
+        "cumulative_users": _q_cumulative_users,
+        "vocab_coverage": _q_vocab_coverage,
     }
 
 
@@ -8898,6 +8947,99 @@ def oracle_sql() -> dict[str, str]:
            rank_lex, rank_sem
     FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
     ORDER BY rrf_micro DESC, doc_id ASC LIMIT {HYBRID_K}
+    """
+
+    # Welch t: HUGEINT moments (exact twin of Spark's DECIMAL(38,0))
+    # then the IDENTICAL double expression tree, rounded once
+    out["ab_test_welch"] = f"""
+    WITH j AS (
+      SELECT c_mktsegment AS g,
+             CAST(round(o_totalprice * 1000) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{AB_SEGMENT_A}', '{AB_SEGMENT_B}')
+    ),
+    m AS (
+      SELECT
+        CAST(count(CASE WHEN g = '{AB_SEGMENT_A}' THEN 1 END) AS BIGINT)
+          AS n_a,
+        CAST(count(CASE WHEN g = '{AB_SEGMENT_B}' THEN 1 END) AS BIGINT)
+          AS n_b,
+        sum(CASE WHEN g = '{AB_SEGMENT_A}' THEN CAST(v AS HUGEINT) END)
+          AS sa,
+        sum(CASE WHEN g = '{AB_SEGMENT_B}' THEN CAST(v AS HUGEINT) END)
+          AS sb,
+        sum(CASE WHEN g = '{AB_SEGMENT_A}' THEN CAST(v AS HUGEINT) * v END)
+          AS saa,
+        sum(CASE WHEN g = '{AB_SEGMENT_B}' THEN CAST(v AS HUGEINT) * v END)
+          AS sbb
+      FROM j
+    ),
+    d AS (
+      SELECT n_a, n_b, sa, sb,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(sa AS DOUBLE) AS dsa, CAST(sb AS DOUBLE) AS dsb,
+             CAST(saa AS DOUBLE) AS dsaa, CAST(sbb AS DOUBLE) AS dsbb
+      FROM m
+    ),
+    e AS (
+      SELECT n_a, n_b, sa, sb, na, nb, dsa, dsb,
+             ((dsaa - dsa * dsa / na) / (na - 1.0)) / na AS sea,
+             ((dsbb - dsb * dsb / nb) / (nb - 1.0)) / nb AS seb
+      FROM d
+    )
+    SELECT n_a, n_b,
+           CAST((sa * 1000) // n_a AS BIGINT) AS mean_a_milli,
+           CAST((sb * 1000) // n_b AS BIGINT) AS mean_b_milli,
+           round((dsa / na - dsb / nb) / sqrt(sea + seb), 9) AS t,
+           round(((sea + seb) * (sea + seb))
+                 / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)),
+                 9) AS dof
+    FROM e
+    """
+
+    out["cumulative_users"] = """
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_us
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT first_us // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS new_users
+      FROM f GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (
+             ORDER BY day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM d
+    """
+
+    out["vocab_coverage"] = f"""
+    WITH c AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest({toks}) AS w FROM documents
+      ) GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS distinct_terms,
+             CAST(sum(cnt) AS BIGINT) AS total_tokens
+      FROM c
+    ),
+    v AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(cnt) AS BIGINT) AS covered_tokens
+      FROM (SELECT w, cnt FROM c
+            ORDER BY cnt DESC, w ASC LIMIT {VOCAB_TOP_N})
+    )
+    SELECT vocab_size, distinct_terms,
+           coalesce(covered_tokens, 0) AS covered_tokens,
+           coalesce(total_tokens, 0) AS total_tokens,
+           CASE WHEN total_tokens > 0 THEN
+             CAST(((total_tokens - covered_tokens) * 1000000)
+                  // total_tokens AS BIGINT)
+           END AS oov_ppm
+    FROM v CROSS JOIN tot
     """
 
     return out

@@ -122,6 +122,7 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     token_count,
     token_fertility,
     unigram_lm_score,
+    vocab_coverage,
     bm25_topk,
     boilerplate_coverage,
     boilerplate_ngrams,
@@ -195,6 +196,7 @@ from hbase_gis_spark.operators.layout import (  # noqa: F401
 )
 from hbase_gis_spark.operators.timeseries import (  # noqa: F401
     autocorr_lag,
+    cumulative_users,
     cusum_days,
     dense_daily_counts,
     mad_anomalies,
@@ -203,6 +205,7 @@ from hbase_gis_spark.operators.timeseries import (  # noqa: F401
 from hbase_gis_spark.operators.quality import (  # noqa: F401
     benford_first_digit,
     cross_split_leakage,
+    fd_audit,
     join_cardinality_audit,
     referential_orphans,
     uniqueness_audit,
@@ -214,6 +217,7 @@ from hbase_gis_spark.operators.merge import (  # noqa: F401
 )
 from hbase_gis_spark.operators.drift import (  # noqa: F401
     chi_square_independence,
+    welch_t_test,
     global_quantile_cuts,
     histogram_range,
     profile_diff,

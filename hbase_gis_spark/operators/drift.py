@@ -520,3 +520,70 @@ def chi_square_independence(
             ).alias("contrib"),
         )
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    value_milli_col,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two cohorts — the
+    experiment-analysis primitive behind every A/B readout, and the
+    drift family's "did the MEAN move" complement to value_psi's
+    "did the DISTRIBUTION move". Input values must already be integer
+    milli-units (the caller rounds per row — never sum raw doubles
+    across rows). Output one row: (n_a, n_b, mean_a_milli,
+    mean_b_milli = floor integer means, t = Welch statistic,
+    dof = Welch-Satterthwaite degrees of freedom, both rounded to 9).
+
+    Engine-exactness: ONE conditional-aggregation pass accumulates
+    both cohorts' exact moments — counts BIGINT, sums and sums of
+    squares DECIMAL(38,0) (Spark) / HUGEINT (DuckDB int128), exact
+    far past 100 TB row counts (squares of 1e9-milli values sum to
+    ~1e33 at 1e15 rows) — then t and dof are computed ONCE from the
+    identical integers with the identical double expression tree and
+    rounded, the autocorr_lag moments discipline.
+
+    Scale shape: one map-side-combined aggregate over the filtered
+    scan, a 1-row output — no join, no shuffle beyond the final
+    1-row combine."""
+    v = (
+        F.col(value_milli_col)
+        if isinstance(value_milli_col, str)
+        else value_milli_col
+    )
+    xa = F.when(F.col(group_col) == group_a, v).cast("decimal(20,0)")
+    xb = F.when(F.col(group_col) == group_b, v).cast("decimal(20,0)")
+    m = df.filter(F.col(group_col).isin(group_a, group_b)).agg(
+        F.count(xa).alias("n_a"),
+        F.count(xb).alias("n_b"),
+        F.sum(xa).alias("__sa"),
+        F.sum(xb).alias("__sb"),
+        F.sum(xa * xa).alias("__saa"),
+        F.sum(xb * xb).alias("__sbb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    saa, sbb = F.col("__saa").cast("double"), F.col("__sbb").cast("double")
+    va = (saa - sa * sa / na) / (na - F.lit(1.0))
+    vb = (sbb - sb * sb / nb) / (nb - F.lit(1.0))
+    sea, seb = va / na, vb / nb
+    se2 = sea + seb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(__sa * 1000 AS DECIMAL(38,0)) div n_a")
+        .cast("bigint")
+        .alias("mean_a_milli"),
+        F.expr("CAST(__sb * 1000 AS DECIMAL(38,0)) div n_b")
+        .cast("bigint")
+        .alias("mean_b_milli"),
+        F.round(t, 9).alias("t"),
+        F.round(dof, 9).alias("dof"),
+    )

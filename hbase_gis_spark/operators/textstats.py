@@ -1242,3 +1242,68 @@ def vocab_drift(
         )
         .limit(k)
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_n: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary audit: what fraction of corpus TOKEN
+    OCCURRENCES would a frequency-built vocabulary of ``top_n`` types
+    cover — the first number a tokenizer design needs (a vocab that
+    covers 98% of tokens at 32k types behaves very differently from
+    one that needs 200k). Output one row: (vocab_size = actual types
+    kept, distinct_terms = corpus type count, covered_tokens,
+    total_tokens, oov_ppm = integer floor ppm of occurrences OUTSIDE
+    the vocab).
+
+    Vocabulary selection is deterministic: top_n by (count DESC,
+    term ASC) — the tie at the boundary resolves lexicographically
+    in both engines.
+
+    Scale shape: one explode collapsed to a vocab-sized (term, count)
+    hash aggregate; the top-n is a bounded TakeOrderedAndProject;
+    coverage is that n-row frame's 1-row sum cross-joined with the
+    1-row corpus totals — nothing after the term aggregate scales
+    with the corpus."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    counts = (
+        _spread(df)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("distinct_terms"),
+        F.sum("cnt").alias("total_tokens"),
+    )
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(top_n)
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("cnt").alias("covered_tokens"),
+        )
+    )
+    return (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "vocab_size",
+            "distinct_terms",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+        )
+        .select(
+            "vocab_size",
+            "distinct_terms",
+            "covered_tokens",
+            "total_tokens",
+            F.expr(
+                "CASE WHEN total_tokens > 0 THEN"
+                " ((total_tokens - covered_tokens) * 1000000)"
+                " div total_tokens END"
+            ).alias("oov_ppm"),
+        )
+    )

@@ -12,7 +12,7 @@ OLAP family in __spark_entry__).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 US_PER_DAY = 86_400_000_000
@@ -289,4 +289,48 @@ def mad_anomalies(
         )
         .cast("int")
         .alias("is_anomaly"),
+    )
+
+
+def cumulative_users(
+    events: DataFrame,
+    ts_us_expr,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cumulative distinct-user reach per day — the growth curve
+    every launch dashboard plots. Counting distinct users per prefix
+    naively is a running set-union (unbounded state); instead each
+    user collapses to their FIRST-SEEN day (one exact aggregate) and
+    the reach curve is the running sum of the per-day new-user
+    counts, which telescopes to the same number. Output per active
+    first-seen day: (day, new_users, cum_users).
+
+    Scale shape: one (user)-keyed min aggregate (map-side combined)
+    + one |days|-row aggregate + one cumulative window over the
+    pre-aggregated day frame — the frame is calendar-bounded
+    (|days| rows, never raw events), which is why the partition-less
+    window is allowlisted for this module (the daily_rolling
+    argument, tests/test_plan_hygiene.py)."""
+    first = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(
+            (ts_us_expr if not isinstance(ts_us_expr, str)
+             else F.expr(ts_us_expr))
+            .cast("bigint")
+        ).alias("__first_us")
+    )
+    per_day = (
+        first.select(
+            F.expr("__first_us div 86400000000").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = (
+        Window.orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )

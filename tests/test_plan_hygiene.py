@@ -144,6 +144,12 @@ _GLOBAL_WINDOW_ALLOWED = {
         "a constant) — the corpus-sized sort happened in the arm's "
         "TakeOrderedAndProject",
     ),
+    "timeseries.py": (
+        1,
+        "cumulative_users running sum over the pre-aggregated "
+        "first-seen-day frame (|days| rows, calendar-bounded — the "
+        "daily_rolling argument)",
+    ),
     "__spark_entry__.py": (
         1,
         "daily_rolling: rangeBetween window over the per-DAY aggregate "

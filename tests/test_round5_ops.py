@@ -263,3 +263,58 @@ def test_hybrid_rrf_k_caps_output(spark):
     scores = [r.rrf_micro for r in rows]
     assert all(0 < s <= best for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_welch_t_matches_numpy(spark):
+    import numpy as np
+
+    from hbase_gis_spark.operators.drift import welch_t_test
+
+    a = [1000, 2000, 3000, 4000, 9000]
+    b = [1500, 1500, 2500, 6500]
+    rows = [("A", v) for v in a] + [("B", v) for v in b] + [("C", 7)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = welch_t_test(df, "g", "v", "A", "B").head()
+    A, B = np.array(a, float), np.array(b, float)
+    va, vb = A.var(ddof=1), B.var(ddof=1)
+    se2 = va / len(A) + vb / len(B)
+    t = (A.mean() - B.mean()) / np.sqrt(se2)
+    dof = se2**2 / (
+        (va / len(A)) ** 2 / (len(A) - 1)
+        + (vb / len(B)) ** 2 / (len(B) - 1)
+    )
+    assert (got.n_a, got.n_b) == (5, 4)
+    assert got.mean_a_milli == (sum(a) * 1000) // len(a)
+    assert got.mean_b_milli == (sum(b) * 1000) // len(b)
+    assert abs(got.t - t) < 1e-8 and abs(got.dof - dof) < 1e-6
+
+
+def test_cumulative_users_telescopes_to_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from hbase_gis_spark.operators.timeseries import cumulative_users
+
+    us_day = 86_400_000_000
+    # u1 day0+day2, u2 day0, u3 day2, u4 day5
+    rows = [(1, 0), (1, 2 * us_day + 7), (2, 5), (3, 2 * us_day),
+            (4, 5 * us_day)]
+    df = spark.createDataFrame(rows, "user_id bigint, us bigint")
+    got = {
+        r.day: (r.new_users, r.cum_users)
+        for r in cumulative_users(df, F.col("us")).collect()
+    }
+    assert got == {0: (2, 2), 2: (1, 3), 5: (1, 4)}
+
+
+def test_vocab_coverage_boundary_tie_is_lexicographic(spark):
+    from hbase_gis_spark.operators.textstats import vocab_coverage
+
+    # counts: aa=3, zz=2, bb=2, cc=1 -> top2 must keep bb (tie at 2
+    # resolves lexicographically), covering 3+2=5 of 8 tokens
+    df = spark.createDataFrame(
+        [(1, "aa aa aa zz"), (2, "zz bb cc bb")], "doc_id bigint, text string"
+    )
+    got = vocab_coverage(df, 2).head()
+    assert (got.vocab_size, got.distinct_terms) == (2, 4)
+    assert (got.covered_tokens, got.total_tokens) == (5, 8)
+    assert got.oov_ppm == (3 * 1_000_000) // 8

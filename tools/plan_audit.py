@@ -67,6 +67,7 @@ BNLJ_SANCTIONED = {
     "vocab_drift",  # broadcast 1-row per-cohort token totals
     "important_parts",  # broadcast 1-row (count, sum) share threshold
     "hybrid_search_rrf",  # inherits bm25's 1-row stats + ann's 1-row query
+    "vocab_coverage",  # broadcast 1-row corpus totals onto the 1-row vocab sum
 }
 
 
