@@ -209,11 +209,13 @@ def cmd_skew(args: argparse.Namespace) -> int:
 
 def cmd_audit(args: argparse.Namespace) -> int:
     """Data-quality audits over any parquet table: key uniqueness,
-    Benford first digits, or referential orphans vs a dim table."""
+    Benford first digits, functional dependencies, or referential
+    orphans vs a dim table."""
     from pyspark.sql import functions as F
 
     from hbase_gis_spark.operators.quality import (
         benford_first_digit,
+        fd_audit,
         referential_orphans,
         uniqueness_audit,
     )
@@ -223,6 +225,15 @@ def cmd_audit(args: argparse.Namespace) -> int:
     df = spark.read.parquet(args.table)
     if args.op == "unique":
         out = uniqueness_audit(df, args.keys.split(","))
+    elif args.op == "fd":
+        deps = []
+        for spec in args.keys.split(","):
+            lhs, _, rhs = spec.partition("->")
+            if not rhs:
+                print("audit fd --keys wants lhs->rhs[,lhs2->rhs2...]")
+                return 2
+            deps.append((spec, df, lhs, rhs))
+        out = fd_audit(deps)
     elif args.op == "benford":
         if not args.amount:
             print("audit benford requires --amount")
@@ -242,6 +253,42 @@ def cmd_audit(args: argparse.Namespace) -> int:
         print("\t".join(str(v) for v in r))
     print(
         f"audit {args.op} done in {time.perf_counter() - t0:.3f} seconds."
+    )
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    """Text retrieval over a documents parquet: BM25 lexical ranking,
+    or hybrid reciprocal-rank fusion with a cosine arm over an
+    embeddings parquet (vec ids = doc ids)."""
+    spark = _spark(f"search-{args.mode}")
+    t0 = time.perf_counter()
+    docs = spark.read.parquet(args.table)
+    terms = args.terms.split(",")
+    if args.mode == "lexical":
+        from hbase_gis_spark.operators.textstats import bm25_topk
+
+        out = bm25_topk(docs, terms, k=args.k)
+    else:  # hybrid
+        if not args.emb or args.query_id is None:
+            print("search hybrid requires --emb and --query-id")
+            return 2
+        from hbase_gis_spark.operators.retrieval import hybrid_rrf_topk
+
+        out = hybrid_rrf_topk(
+            docs,
+            spark.read.parquet(args.emb),
+            terms,
+            args.query_id,
+            k=args.k,
+            arm_k=args.arm_k,
+        )
+    rows = out.collect()
+    for r in rows:
+        print("\t".join(str(v) for v in r))
+    print(
+        f"search ({args.mode}) returned {len(rows)} docs in "
+        f"{time.perf_counter() - t0:.3f} seconds."
     )
     return 0
 
@@ -420,19 +467,38 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser(
         "audit",
-        help="data-quality audits: unique | benford | orphans",
+        help="data-quality audits: unique | benford | fd | orphans",
     )
-    s.add_argument("op", choices=["unique", "benford", "orphans"])
+    s.add_argument("op", choices=["unique", "benford", "fd", "orphans"])
     s.add_argument("--table", required=True, help="parquet dir")
     s.add_argument(
         "--keys",
         required=True,
-        help="unique: comma-separated columns; orphans: the FK column",
+        help="unique: comma-separated columns; orphans: the FK column; "
+        "fd: lhs->rhs[,lhs2->rhs2...] dependencies",
     )
     s.add_argument("--amount", help="benford: the money column")
     s.add_argument("--dim", help="orphans: dim parquet dir")
     s.add_argument("--dim-key", dest="dim_key", help="orphans: dim PK column")
     s.set_defaults(fn=cmd_audit)
+
+    s = sub.add_parser(
+        "search", help="text retrieval: lexical (BM25) | hybrid (RRF)"
+    )
+    s.add_argument("mode", choices=["lexical", "hybrid"])
+    s.add_argument("--table", required=True, help="documents parquet dir")
+    s.add_argument("--terms", required=True, help="comma-separated terms")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--emb", help="hybrid: embeddings parquet dir")
+    s.add_argument(
+        "--query-id", type=int, dest="query_id",
+        help="hybrid: vec_id of the semantic query embedding",
+    )
+    s.add_argument(
+        "--arm-k", type=int, default=20, dest="arm_k",
+        help="hybrid: per-arm candidate depth before fusion",
+    )
+    s.set_defaults(fn=cmd_search)
 
     s = sub.add_parser("cluster", help="DBSCAN density clustering")
     s.add_argument("eps", type=float, help="neighborhood radius (degrees)")

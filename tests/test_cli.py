@@ -151,3 +151,41 @@ def test_cli_audit(capsys):
     capsys.readouterr()
     assert main(["audit", "orphans", "--table", orders,
                  "--keys", "k"]) == 2
+
+
+def test_cli_audit_fd(capsys):
+    from hbase_gis_spark.cli import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    rc = main(["audit", "fd", "--table", docs,
+               "--keys", "doc_id->lang,lang->source"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "doc_id->lang\t" in out and "lang->source\t" in out
+    assert "audit fd done" in out
+
+    rc = main(["audit", "fd", "--table", docs, "--keys", "no-arrow"])
+    assert rc == 2
+
+
+def test_cli_search(capsys):
+    from hbase_gis_spark.cli import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+    rc = main(["search", "lexical", "--table", docs,
+               "--terms", "dup,spark,stream", "--k", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "search (lexical) returned 5 docs" in out
+
+    rc = main(["search", "hybrid", "--table", docs, "--emb", emb,
+               "--terms", "dup,spark", "--query-id", "0", "--k", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "search (hybrid) returned 5 docs" in out
+
+    rc = main(["search", "hybrid", "--table", docs,
+               "--terms", "dup"])  # missing --emb/--query-id
+    assert rc == 2
