@@ -4048,6 +4048,46 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ENTROPY_BUCKET_MILLI = 100
+
+
+def _q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified split-balance audit: per-language observed vs
+    expected ppm shares of the deterministic content-keyed split —
+    the small-stratum screen run before any eval set is trusted.
+    LEAK_WEIGHTS (2/1/1) keeps every stratum x split cell populated
+    at sf0.001."""
+    from hbase_gis_spark.operators.quality import split_balance
+
+    return split_balance(
+        load_table(spark, sf_dir, "documents"),
+        "lang",
+        weights=LEAK_WEIGHTS,
+    )
+
+
+def _q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy (Shannon, milli-nats) of the
+    event-type distribution, histogrammed into 0.1-nat buckets — the
+    bot-vs-human diversity screen: single-type users land in bucket
+    0, uniform-over-k users near ln(k). Engine-exact by the idf_milli
+    ln discipline: ONE rounded ln per (user, type) cell, BIGINT
+    weighting, floor divisions.
+
+    Scale shape: one (user, type) hash aggregate, a per-user totals
+    aggregate joined back on the user key (key-partitioned shuffle,
+    no skew beyond the user's own type count), one per-user fold,
+    and a bucket-sized final aggregate."""
+    from hbase_gis_spark.operators.quality import behavior_entropy
+
+    return behavior_entropy(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        bucket_milli=ENTROPY_BUCKET_MILLI,
+    )
+
+
 AUTOCORR_LAG = 7
 MAD_K_MILLI = 3500
 
@@ -4487,6 +4527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_welch": _q_ab_test_welch,
         "cumulative_users": _q_cumulative_users,
         "vocab_coverage": _q_vocab_coverage,
+        "split_balance": _q_split_balance,
+        "behavior_entropy": _q_behavior_entropy,
     }
 
 
@@ -9040,6 +9082,68 @@ def oracle_sql() -> dict[str, str]:
                   // total_tokens AS BIGINT)
            END AS oov_ppm
     FROM v CROSS JOIN tot
+    """
+
+    # split_balance: the split_assign md5 bucketing verbatim, CASE
+    # arms in weight-dict iteration order, driver-literal expectations
+    _sb_total = sum(LEAK_WEIGHTS.values())
+    _sb_arms, _sb_acc = [], 0
+    for _sb_name, _sb_w in LEAK_WEIGHTS.items():
+        _sb_acc += _sb_w
+        _sb_arms.append(f"WHEN b < {_sb_acc} THEN '{_sb_name}'")
+    _sb_case = " ".join(_sb_arms[:-1]) + f" ELSE '{_sb_name}'"
+    _sb_exp = ", ".join(
+        f"('{n}', CAST({(w * 1_000_000) // _sb_total} AS BIGINT))"
+        for n, w in LEAK_WEIGHTS.items()
+    )
+    out["split_balance"] = f"""
+    WITH assigned AS (
+      SELECT lang, CASE {_sb_case} END AS split
+      FROM (
+        SELECT lang,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % {_sb_total} AS b
+        FROM documents
+      )
+    ),
+    cells AS (
+      SELECT lang AS stratum, split, CAST(count(*) AS BIGINT) AS n
+      FROM assigned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT stratum, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1
+    ),
+    exp AS (SELECT * FROM (VALUES {_sb_exp}) AS e(split, expected_ppm))
+    SELECT stratum, split, n,
+           CAST((n * 1000000) // t AS BIGINT) AS observed_ppm,
+           expected_ppm,
+           CAST((n * 1000000) // t - expected_ppm AS BIGINT) AS delta_ppm
+    FROM cells JOIN tot USING (stratum) JOIN exp USING (split)
+    """
+
+    out["behavior_entropy"] = f"""
+    WITH cells AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT user_id, CAST(sum(n) AS BIGINT) AS nu FROM cells GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.user_id, nu,
+             n * CAST(round(1000 * ln(CAST(nu AS DOUBLE)
+                                      / CAST(n AS DOUBLE)), 0) AS BIGINT)
+               AS w
+      FROM cells c JOIN tot USING (user_id)
+    ),
+    h AS (
+      SELECT CAST(sum(w) AS BIGINT) // nu AS h_milli
+      FROM terms GROUP BY user_id, nu
+    )
+    SELECT CAST(h_milli // {ENTROPY_BUCKET_MILLI} AS BIGINT)
+             AS entropy_bucket,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM h GROUP BY 1
     """
 
     return out

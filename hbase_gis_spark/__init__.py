@@ -203,9 +203,11 @@ from hbase_gis_spark.operators.timeseries import (  # noqa: F401
     weekday_profile,
 )
 from hbase_gis_spark.operators.quality import (  # noqa: F401
+    behavior_entropy,
     benford_first_digit,
     cross_split_leakage,
     fd_audit,
+    split_balance,
     join_cardinality_audit,
     referential_orphans,
     uniqueness_audit,

@@ -285,3 +285,112 @@ def join_cardinality_audit(
         .orderBy(F.col("est_rows").desc(), F.col("key").asc())
         .limit(k)
     )
+
+
+def split_balance(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Stratified split-balance audit: after the deterministic
+    content-keyed split (``split_assign``), does every stratum (e.g.
+    language) land in train/val/test at the configured ratios? A
+    stratum whose observed share drifts from the weight is the
+    classic small-language hazard — the hash is unbiased but a
+    30-document language can easily land 0 eval rows. Output one row
+    per (stratum, split): (stratum, split, n, observed_ppm = integer
+    floor share within the stratum, expected_ppm = driver-computed
+    weight share, delta_ppm).
+
+    Scale shape: one map-only split projection, one
+    (stratum, split)-keyed hash aggregate, a |strata|-row totals
+    aggregate joined back, and a broadcast |splits|-row expectation
+    dim — nothing after the cell aggregate scales with the table."""
+    from hbase_gis_spark.operators.dedup import split_assign
+
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    total = sum(weights.values())
+    cells = (
+        split_assign(df, id_col=id_col, weights=weights, salt=salt)
+        .groupBy(F.col(strata_col).alias("stratum"), "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = cells.groupBy("stratum").agg(F.sum("n").alias("__tot"))
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(name, (w * 1_000_000) // total) for name, w in weights.items()],
+        "split string, expected_ppm bigint",
+    )
+    return (
+        cells.join(totals, "stratum")
+        .join(F.broadcast(expected), "split")
+        .select(
+            "stratum",
+            "split",
+            "n",
+            F.expr("(n * 1000000) div __tot").alias("observed_ppm"),
+            "expected_ppm",
+            (
+                F.expr("(n * 1000000) div __tot")
+                - F.col("expected_ppm")
+            ).alias("delta_ppm"),
+        )
+    )
+
+
+def behavior_entropy(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    bucket_milli: int = 100,
+) -> DataFrame:
+    """Per-key Shannon entropy (milli-nats) of a categorical
+    distribution, histogrammed into ``bucket_milli`` buckets — the
+    behavioral-diversity screen: a key that only ever emits one
+    category lands in bucket 0, a uniform-over-k key near ln(k).
+    Output: (entropy_bucket, n_users).
+
+    Engine-exact by the idf_milli ln discipline: per (key, category)
+    cell the ONLY float is one rounded ln of a BIGINT ratio; the
+    per-key fold is BIGINT weighting with floor divisions, so both
+    engines bucket identical integers.
+
+    Scale shape: one (key, category) hash aggregate, a per-key totals
+    aggregate joined back on the key (key-partitioned — skew bounded
+    by a key's own category count), one per-key fold, and a
+    bucket-count-sized final aggregate."""
+    cells = df.groupBy(
+        F.col(key_col).alias("__k"), F.col(cat_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    tot = cells.groupBy("__k").agg(F.sum("__n").alias("__nu"))
+    terms = cells.join(tot, "__k").select(
+        "__k",
+        "__nu",
+        (
+            F.col("__n")
+            * F.round(
+                F.lit(1000.0)
+                * F.log(
+                    F.col("__nu").cast("double")
+                    / F.col("__n").cast("double")
+                ),
+                0,
+            ).cast("bigint")
+        ).alias("__w"),
+    )
+    h = (
+        terms.groupBy("__k", "__nu")
+        .agg(F.sum("__w").alias("__hw"))
+        .select(F.expr("__hw div __nu").alias("__h_milli"))
+    )
+    return (
+        h.select(
+            F.expr(f"__h_milli div {int(bucket_milli)}").alias(
+                "entropy_bucket"
+            )
+        )
+        .groupBy("entropy_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

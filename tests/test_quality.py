@@ -127,3 +127,43 @@ def test_benford_expected_is_driver_literal(spark, digit):
         assert r.expected_ppm == int(
             round(1_000_000 * math.log10(1 + 1 / r.digit))
         )
+
+
+def test_split_balance_accounts_every_doc(spark):
+    from hbase_gis_spark.operators.quality import split_balance
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(40)],
+        "doc_id bigint, lang string",
+    )
+    w = {"train": 2, "val": 1, "test": 1}
+    rows = split_balance(df, "lang", weights=w).collect()
+    assert sum(r.n for r in rows) == 40
+    for r in rows:
+        assert r.observed_ppm + r.n >= 0  # shares are non-negative ints
+        assert r.delta_ppm == r.observed_ppm - r.expected_ppm
+    # per-stratum shares must sum to ~1e6 (floor-division remainder)
+    from collections import defaultdict
+
+    per = defaultdict(int)
+    for r in rows:
+        per[r.stratum] += r.observed_ppm
+    for s, tot in per.items():
+        assert 1_000_000 - 3 <= tot <= 1_000_000
+
+
+def test_behavior_entropy_buckets(spark):
+    import math
+
+    from hbase_gis_spark.operators.quality import behavior_entropy
+
+    # key 1: single category -> 0 milli-nats, bucket 0
+    # key 2: uniform over 4 -> ln(4) = 1.386 nats -> bucket 13
+    rows = [(1, "a")] * 6 + [(2, c) for c in "abcd"]
+    df = spark.createDataFrame(rows, "k bigint, c string")
+    got = {
+        r.entropy_bucket: r.n_users
+        for r in behavior_entropy(df, "k", "c").collect()
+    }
+    ln4_milli = round(1000 * math.log(4.0))
+    assert got == {0: 1, ln4_milli // 100: 1}
