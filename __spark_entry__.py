@@ -4088,6 +4088,52 @@ def _q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BACKTEST_LAGS = [1, 7]
+
+
+def _q_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    cluster-separation audit complementing label_purity: labels whose
+    centers sit at cosine ~1 are indistinguishable to any index.
+    Integer-micro component quantization keeps every cross-row sum
+    exact."""
+    from hbase_gis_spark.operators.similarity import (
+        label_centroid_separation,
+    )
+
+    return label_centroid_separation(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _q_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistence (lag-1) and seasonal-naive (lag-7) forecast
+    backtest over daily revenue — the baseline error floor every
+    forecasting model must beat; all-BIGINT absolute errors."""
+    from hbase_gis_spark.operators.timeseries import naive_backtest
+
+    return naive_backtest(
+        _daily_revenue_cents(spark, sf_dir), BACKTEST_LAGS
+    )
+
+
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy histogram — the
+    compression-ratio proxy quality signal (gibberish and repeated
+    boilerplate sit in low buckets, natural text clusters tightly):
+    behavior_entropy over the exploded character stream, keyed by
+    doc."""
+    from hbase_gis_spark.operators.quality import behavior_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
+    return behavior_entropy(
+        chars, "doc_id", "ch", bucket_milli=ENTROPY_BUCKET_MILLI
+    ).withColumnRenamed("n_users", "n_docs")
+
+
 AUTOCORR_LAG = 7
 MAD_K_MILLI = 3500
 
@@ -4529,6 +4575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "split_balance": _q_split_balance,
         "behavior_entropy": _q_behavior_entropy,
+        "label_separation": _q_label_separation,
+        "naive_backtest": _q_naive_backtest,
+        "char_entropy": _q_char_entropy,
     }
 
 
@@ -9145,5 +9194,88 @@ def oracle_sql() -> dict[str, str]:
            CAST(count(*) AS BIGINT) AS n_users
     FROM h GROUP BY 1
     """
+
+    # char_entropy: the behavior_entropy fold over the exploded
+    # character stream, keyed by document
+    out["char_entropy"] = f"""
+    WITH cells AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS nu FROM cells GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.doc_id, nu,
+             n * CAST(round(1000 * ln(CAST(nu AS DOUBLE)
+                                      / CAST(n AS DOUBLE)), 0) AS BIGINT)
+               AS w
+      FROM cells c JOIN tot USING (doc_id)
+    ),
+    h AS (
+      SELECT CAST(sum(w) AS BIGINT) // nu AS h_milli
+      FROM terms GROUP BY doc_id, nu
+    )
+    SELECT CAST(h_milli // {ENTROPY_BUCKET_MILLI} AS BIGINT)
+             AS entropy_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM h GROUP BY 1
+    """
+
+    out["label_separation"] = f"""
+    WITH cells AS (
+      SELECT label, i - 1 AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+               AS BIGINT) AS xm
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)
+    ),
+    agg AS (
+      SELECT label, dim, CAST(sum(xm) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cells GROUP BY 1, 2
+    ),
+    cent AS (SELECT label, dim, s // n AS c FROM agg),
+    norms AS (
+      SELECT label, CAST(sum(c * c) AS BIGINT) AS nn FROM cent GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           round(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)),
+                 9) AS cosine
+    FROM dots
+    JOIN norms na ON label_a = na.label
+    JOIN norms nb ON label_b = nb.label
+    """
+
+    _bt_days = """
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    """
+    _bt_arms = [
+        f"""SELECT {lag} AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(coalesce(sum(abs(a.x - b.x)), 0) AS BIGINT)
+               AS total_abs_err,
+             CASE WHEN count(*) > 0 THEN
+               CAST(coalesce(sum(abs(a.x - b.x)), 0) // count(*)
+                 AS BIGINT)
+             END AS mae
+      FROM days a JOIN days b ON a.d = b.d + {lag}"""
+        for lag in BACKTEST_LAGS
+    ]
+    out["naive_backtest"] = (
+        f"WITH days AS ({_bt_days})\n    "
+        + "\n      UNION ALL\n      ".join(_bt_arms)
+    )
 
     return out

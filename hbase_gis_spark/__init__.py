@@ -93,6 +93,7 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     cosine_topk_filtered,
     ivf_prototypes,
+    label_centroid_separation,
     mrl_truncation_report,
     embedding_outliers,
     pca_project,
@@ -198,6 +199,7 @@ from hbase_gis_spark.operators.timeseries import (  # noqa: F401
     autocorr_lag,
     cumulative_users,
     cusum_days,
+    naive_backtest,
     dense_daily_counts,
     mad_anomalies,
     weekday_profile,

@@ -1549,3 +1549,85 @@ def cosine_topk_filtered(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def label_centroid_separation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster-separation audit: pairwise cosine between per-label
+    centroids — the companion to :func:`label_purity` (purity asks
+    "do cells contain one label", separation asks "are the labels'
+    centers actually apart"; two labels whose centroids sit at
+    cosine ~1 are indistinguishable to any retrieval index). Output
+    one row per unordered label pair: (label_a, label_b, cosine),
+    cosine rounded to 9.
+
+    Engine-exactness: components quantize to integer MICRO units per
+    element (round(x * 1e6), the established per-row rounding — never
+    a float sum across rows), so the (label, dim) sums, floor-divided
+    centroids, dots and norms are all exact BIGINTs in both engines;
+    the single float division happens once per pair on identical
+    integers. Bounds: |component| <= ~1e3 keeps c*c*dims < 2^63 for
+    unit-ish embeddings at any row count (sums are per-dim means).
+
+    Scale shape: one posexplode collapsed by a (label, dim) hash
+    aggregate (map-side combined — |labels|*dims rows out, raw
+    vectors never shuffle); everything after is dim-sized: a
+    |labels|*dims self-join on dim and two |labels|-row norm dims."""
+    cells = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "__x"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("__x").cast("double") * 1_000_000)
+            .cast("bigint")
+            .alias("__xm"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("__xm").alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    cent = cells.select(
+        "label", "dim", F.expr("__s div __n").alias("__c")
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("__c") * F.col("__c")).alias("__nn")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("__c").alias("__ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("__c").alias("__cb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("__nn").alias("__na")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("__nn").alias("__nb")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("__dot").cast("double")
+                / F.sqrt(
+                    F.col("__na").cast("double")
+                    * F.col("__nb").cast("double")
+                ),
+                9,
+            ).alias("cosine"),
+        )
+    )

@@ -334,3 +334,55 @@ def cumulative_users(
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+def naive_backtest(
+    days: DataFrame,
+    lags: list[int],
+    day_col: str = "day",
+    value_col: str = "cents",
+) -> DataFrame:
+    """Naive-forecast backtest over a pre-aggregated daily series:
+    for each lag, score the forecaster "tomorrow equals lag days
+    ago" — lag 1 is the persistence baseline every real model must
+    beat, lag 7 the seasonal-naive twin of autocorr_lag's weekly
+    detector. Output one row per lag: (lag, n_pairs,
+    total_abs_err, mae = floor integer mean absolute error in the
+    series' own units).
+
+    Engine-exact: the pairing is the autocorr_lag self-join on
+    ``day = day + lag`` (dense day spines hit every eligible pair),
+    errors are BIGINT absolute differences, mae a floor division —
+    no float anywhere.
+
+    Scale shape: per lag one |days|-row self-join + a 1-row
+    aggregate; the frame is calendar-bounded, never raw rows."""
+    out = None
+    for lag in lags:
+        x = days.select(
+            F.col(day_col).alias("__d"),
+            F.col(value_col).cast("bigint").alias("__x"),
+        )
+        y = x.select(
+            (F.col("__d") + lag).alias("__d"), F.col("__x").alias("__y")
+        )
+        row = (
+            x.join(y, "__d")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.coalesce(
+                    F.sum(F.abs(F.col("__x") - F.col("__y"))), F.lit(0)
+                ).alias("total_abs_err"),
+            )
+            .select(
+                F.lit(lag).alias("lag"),
+                "n_pairs",
+                "total_abs_err",
+                F.expr(
+                    "CASE WHEN n_pairs > 0"
+                    " THEN total_abs_err div n_pairs END"
+                ).alias("mae"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

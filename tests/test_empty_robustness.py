@@ -43,6 +43,7 @@ FIXED_SHAPE = {
     "uniqueness_audit": 3,  # one row per audited column
     "benford_revenue": 9,  # the 9-digit expectation spine always exists
     "fd_audit": 4,  # one row per audited dependency
+    "naive_backtest": 2,  # one row per configured lag
 }
 # point-query operators keyed to a specific row id return empty when
 # that row is absent — nothing to assert beyond "no crash"

@@ -318,3 +318,39 @@ def test_vocab_coverage_boundary_tie_is_lexicographic(spark):
     assert (got.vocab_size, got.distinct_terms) == (2, 4)
     assert (got.covered_tokens, got.total_tokens) == (5, 8)
     assert got.oov_ppm == (3 * 1_000_000) // 8
+
+
+def test_label_separation_orthogonal_vs_aligned(spark):
+    from hbase_gis_spark.operators.similarity import (
+        label_centroid_separation,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0), (2, [1.0, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 1), (4, [0.0, 1.0, 0.0], 1),
+        (5, [1.0, 0.0, 0.0], 2),  # label 2 aligned with label 0
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {
+        (r.label_a, r.label_b): r.cosine
+        for r in label_centroid_separation(df).collect()
+    }
+    assert got[(0, 1)] == 0.0 and got[(1, 2)] == 0.0
+    assert got[(0, 2)] == 1.0
+
+
+def test_naive_backtest_known_series(spark):
+    from hbase_gis_spark.operators.timeseries import naive_backtest
+
+    # days 0..4 with values 10, 13, 11, 20, 20
+    df = spark.createDataFrame(
+        [(0, 10), (1, 13), (2, 11), (3, 20), (4, 20)],
+        "day bigint, cents bigint",
+    )
+    got = {r.lag: r for r in naive_backtest(df, [1, 3]).collect()}
+    # lag 1 errors: |13-10|, |11-13|, |20-11|, |20-20| = 3+2+9+0
+    assert (got[1].n_pairs, got[1].total_abs_err, got[1].mae) == (4, 14, 3)
+    # lag 3 errors: |20-10|, |20-13| = 10+7
+    assert (got[3].n_pairs, got[3].total_abs_err, got[3].mae) == (2, 17, 8)
