@@ -4134,6 +4134,24 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("n_users", "n_docs")
 
 
+def _q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quantile normalization of event values (NaN-dropped,
+    milli-quantized so ties are integer-identical across engines):
+    per-event percentile rank in floor milli-units via the sharded
+    exact-rank machinery — the pre-training feature transform, and
+    rank.py's per-row (not statistic-sized) consumer."""
+    from hbase_gis_spark.operators.rank import quantile_transform
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.filter(~F.isnan(F.col("value").cast("double"))).select(
+        "event_id",
+        F.round(F.col("value").cast("double") * 1000)
+        .cast("bigint")
+        .alias("value_milli"),
+    )
+    return quantile_transform(vals, "value_milli", "event_id")
+
+
 AUTOCORR_LAG = 7
 MAD_K_MILLI = 3500
 
@@ -4578,6 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_separation": _q_label_separation,
         "naive_backtest": _q_naive_backtest,
         "char_entropy": _q_char_entropy,
+        "quantile_transform": _q_quantile_transform,
     }
 
 
@@ -9277,5 +9296,29 @@ def oracle_sql() -> dict[str, str]:
         f"WITH days AS ({_bt_days})\n    "
         + "\n      UNION ALL\n      ".join(_bt_arms)
     )
+
+    # quantile_transform: single-window oracle twin of the sharded
+    # exact ranks (min-rank + tie-count average, floor milli)
+    out["quantile_transform"] = """
+    WITH v AS (
+      SELECT event_id,
+             CAST(round(CAST(value AS DOUBLE) * 1000) AS BIGINT)
+               AS value_milli
+      FROM events WHERE NOT isnan(CAST(value AS DOUBLE))
+    ),
+    r AS (
+      SELECT event_id, value_milli,
+             CAST(rank() OVER (ORDER BY value_milli ASC) AS BIGINT)
+               AS mn,
+             CAST(count(*) OVER (PARTITION BY value_milli) AS BIGINT)
+               AS tc,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM v
+    )
+    SELECT event_id, value_milli,
+           CAST(((2 * mn + tc - 1) * 1000) // (2 * n) AS BIGINT)
+             AS pct_milli
+    FROM r
+    """
 
     return out

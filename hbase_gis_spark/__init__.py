@@ -233,6 +233,7 @@ from hbase_gis_spark.operators.drift import (  # noqa: F401
 from hbase_gis_spark.operators.rank import (  # noqa: F401
     global_half_ranks,
     global_percentiles,
+    quantile_transform,
     range_sharded,
     sharded_ntile,
 )

@@ -170,3 +170,47 @@ def global_half_ranks(
             - 1
         ).alias("__hr2"),
     )
+
+
+def quantile_transform(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Global quantile (rank) normalization of a column — the
+    feature transform that maps any distribution to ~uniform [0, 1]
+    before training, expressed exactly: per row
+    ``pct_milli = floor(1000 * avg_rank / n)`` with average tie
+    ranks. Output: (``id_col``, ``col``, pct_milli).
+
+    Rank on an INTEGER column (round to milli units first): ranking
+    raw doubles risks engine tie-order differences; ranking the
+    quantized integer makes ties identical everywhere.
+
+    Scale shape: the global_half_ranks sharded machinery — range
+    shards, per-shard rank windows in parallel, a bounded
+    n_shards-integer driver prefix, and the total row count as a plan
+    LITERAL (known from the same bounded collect) — never a
+    single-task global sort, no totals join."""
+    sharded, odf, total = range_sharded(
+        df.select(id_col, col), [col], n_shards
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(col).asc())
+    tie = Window.partitionBy("__pid", col)
+    hr2 = (
+        (F.rank().over(w) + F.col("__off")) * 2
+        + F.count(F.lit(1)).over(tie)
+        - 1
+    )
+    return (
+        sharded.join(F.broadcast(odf), "__pid")
+        .select(id_col, col, hr2.alias("__hr2"))
+        .select(
+            id_col,
+            col,
+            F.expr(f"(__hr2 * 1000) div {max(1, 2 * total)}").alias(
+                "pct_milli"
+            ),
+        )
+    )

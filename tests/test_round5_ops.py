@@ -354,3 +354,24 @@ def test_naive_backtest_known_series(spark):
     assert (got[1].n_pairs, got[1].total_abs_err, got[1].mae) == (4, 14, 3)
     # lag 3 errors: |20-10|, |20-13| = 10+7
     assert (got[3].n_pairs, got[3].total_abs_err, got[3].mae) == (2, 17, 8)
+
+
+def test_quantile_transform_known_ranks(spark):
+    from hbase_gis_spark.operators.rank import quantile_transform
+
+    # values 10, 20, 20, 40 -> avg ranks 1, 2.5, 2.5, 4 over n=4
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 40)], "id bigint, v bigint"
+    )
+    got = {
+        r.id: r.pct_milli
+        for r in quantile_transform(df, "v", "id", n_shards=3).collect()
+    }
+    assert got == {1: 250, 2: 625, 3: 625, 4: 1000}
+
+
+def test_quantile_transform_empty(spark):
+    from hbase_gis_spark.operators.rank import quantile_transform
+
+    df = spark.createDataFrame([], "id bigint, v bigint")
+    assert quantile_transform(df, "v", "id").count() == 0
