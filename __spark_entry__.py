@@ -4134,6 +4134,38 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("n_users", "n_docs")
 
 
+def _q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    calendar month, revenue tracked by months-since-acquisition — the
+    revenue companion of retention_cohorts (which counts users, this
+    sums exact integer cents). Month index = year*12 + month - 1
+    (calendar functions agree across engines; no months_between
+    semantics to reconcile).
+
+    Scale shape: one per-customer min aggregate, one join back on the
+    customer key (key-partitioned), one (cohort, offset) hash
+    aggregate with an exact distinct — |months|² output ceiling."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("__m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("__c"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("__m").alias("__cm"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            F.col("__cm").alias("cohort_month"),
+            (F.col("__m") - F.col("__cm")).alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("__c").alias("revenue_cents"),
+        )
+    )
+
+
 def _q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global quantile normalization of event values (NaN-dropped,
     milli-quantized so ties are integer-identical across engines):
@@ -4597,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_backtest": _q_naive_backtest,
         "char_entropy": _q_char_entropy,
         "quantile_transform": _q_quantile_transform,
+        "cohort_ltv": _q_cohort_ltv,
     }
 
 
@@ -9319,6 +9352,21 @@ def oracle_sql() -> dict[str, str]:
            CAST(((2 * mn + tc - 1) * 1000) // (2 * n) AS BIGINT)
              AS pct_milli
     FROM r
+    """
+
+    out["cohort_ltv"] = """
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    f AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY o_custkey)
+    SELECT cm AS cohort_month, m - cm AS months_since,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(c) AS BIGINT) AS revenue_cents
+    FROM o JOIN f USING (o_custkey)
+    GROUP BY 1, 2
     """
 
     return out

@@ -475,3 +475,28 @@ def streaming_histogram_counts(
         .groupBy(F.col("__k").alias(key_col), F.col("bin"))
         .agg(F.count(F.lit(1)).alias("n_values"))
     )
+
+
+def streaming_first_seen(
+    events: DataFrame,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Streaming twin of the batch ``cumulative_users`` reach curve's
+    per-user first-seen collapse: (user_id, first_us) maintained
+    incrementally as a MIN aggregation (update mode) — arrival-order
+    independent, unlike a dedup-based "first row wins" (a shuffled
+    replay would change which row survives a dedup, but never the
+    min). Downstream day bucketing and the cumulative fold stay
+    read-side batch transforms (two chained stateful aggregations in
+    one streaming query are unsupported, and a running total over
+    unbounded days is reporting, not stream state).
+
+    State: one (user, min) entry per user seen inside the watermark
+    horizon. Batch input falls back to the identical exact aggregate.
+    """
+    withts = events.withColumn("event_ts", event_time("ts"))
+    if events.isStreaming:
+        withts = withts.withWatermark("event_ts", watermark)
+    return withts.groupBy("user_id").agg(
+        F.expr("min(unix_micros(event_ts))").alias("first_us")
+    )

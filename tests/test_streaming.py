@@ -635,3 +635,51 @@ def test_streaming_histogram_matches_batch_with_persisted_range_dim(
         ).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_streaming_first_seen_matches_batch_reach(
+    spark, tmp_path_factory
+):
+    """The streaming first-seen MIN aggregation converges to the batch
+    cumulative_users day collapse regardless of arrival order: stream
+    the events table in 4 RANDOMLY partitioned files, keep the latest
+    emission per user, bucket to days, and compare with the batch
+    reach curve exactly."""
+    from hbase_gis_spark.operators.timeseries import cumulative_users
+    from hbase_gis_spark.sources.tables import ts_us
+    from hbase_gis_spark.streaming.events import (
+        run_stream_to_memory,
+        streaming_first_seen,
+    )
+
+    ev = load_table(spark, SF0001, "events")
+    expect = {
+        r.day: (r.new_users, r.cum_users)
+        for r in cumulative_users(ev, ts_us()).collect()
+    }
+    assert len(expect) > 0
+
+    base = str(tmp_path_factory.mktemp("evsplit_reach") / "events")
+    ev.repartition(4).write.mode("overwrite").parquet(base)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    run_stream_to_memory(
+        streaming_first_seen(stream),
+        "first_seen_stream",
+        output_mode="update",
+    )
+    latest = {}
+    for r in spark.sql("SELECT * FROM first_seen_stream").collect():
+        latest[r.user_id] = r.first_us  # emission order: last wins
+    per_day = {}
+    for us in latest.values():
+        d = us // 86_400_000_000
+        per_day[d] = per_day.get(d, 0) + 1
+    got, cum = {}, 0
+    for d in sorted(per_day):
+        cum += per_day[d]
+        got[d] = (per_day[d], cum)
+    assert got == expect
