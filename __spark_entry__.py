@@ -4134,6 +4134,19 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("n_users", "n_docs")
 
 
+def _q_revenue_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape report of order totals: exact 128-bit raw
+    power sums -> variance / skewness / excess kurtosis, one rounded
+    double expression tree — the shape-drift screen beside
+    ab_test_welch's mean test."""
+    from hbase_gis_spark.operators.drift import moments_report
+
+    return moments_report(
+        load_table(spark, sf_dir, "orders"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+    )
+
+
 def _q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curve: customers grouped by first-order
     calendar month, revenue tracked by months-since-acquisition — the
@@ -4630,6 +4643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "quantile_transform": _q_quantile_transform,
         "cohort_ltv": _q_cohort_ltv,
+        "revenue_moments": _q_revenue_moments,
     }
 
 
@@ -9367,6 +9381,44 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum(c) AS BIGINT) AS revenue_cents
     FROM o JOIN f USING (o_custkey)
     GROUP BY 1, 2
+    """
+
+    # moments: HUGEINT raw power sums, then the IDENTICAL double
+    # expression tree as drift.moments_report, rounded once
+    out["revenue_moments"] = """
+    WITH x AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ),
+    m AS (
+      SELECT CAST(count(v) AS BIGINT) AS n,
+             sum(CAST(v AS HUGEINT)) AS s1,
+             sum(CAST(v AS HUGEINT) * v) AS s2,
+             sum(CAST(v AS HUGEINT) * v * v) AS s3,
+             sum(CAST(v AS HUGEINT) * v * v * v) AS s4
+      FROM x
+    ),
+    d AS (
+      SELECT n, s1, CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) AS ds1, CAST(s2 AS DOUBLE) AS ds2,
+             CAST(s3 AS DOUBLE) AS ds3, CAST(s4 AS DOUBLE) AS ds4
+      FROM m
+    ),
+    e AS (
+      SELECT n, s1, nd, ds1, ds2, ds3, ds4, ds1 / nd AS mean,
+             ds2 / nd - (ds1 / nd) * (ds1 / nd) AS m2
+      FROM d
+    )
+    SELECT n,
+           CAST(s1 // n AS BIGINT) AS mean_floor,
+           round(m2, 9) AS variance,
+           round((ds3 / nd - 3.0 * mean * (ds2 / nd)
+                  + 2.0 * mean * mean * mean)
+                 / (sqrt(m2) * m2), 9) AS skewness,
+           round((ds4 / nd - 4.0 * mean * (ds3 / nd)
+                  + 6.0 * mean * mean * (ds2 / nd)
+                  - 3.0 * mean * mean * mean * mean)
+                 / (m2 * m2) - 3.0, 9) AS excess_kurtosis
+    FROM e
     """
 
     return out

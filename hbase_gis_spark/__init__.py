@@ -222,6 +222,7 @@ from hbase_gis_spark.operators.merge import (  # noqa: F401
 )
 from hbase_gis_spark.operators.drift import (  # noqa: F401
     chi_square_independence,
+    moments_report,
     welch_t_test,
     global_quantile_cuts,
     histogram_range,

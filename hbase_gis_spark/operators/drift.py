@@ -587,3 +587,68 @@ def welch_t_test(
         F.round(t, 9).alias("t"),
         F.round(dof, 9).alias("dof"),
     )
+
+
+def moments_report(
+    df: DataFrame,
+    value_cents_col,
+    scale_div: int = 1,
+) -> DataFrame:
+    """Distribution-shape report from exact raw moments: count, floor
+    integer mean, and variance / skewness / excess kurtosis — the
+    "did the SHAPE move" drift screen complementing welch_t_test's
+    mean comparison and value_psi's binned view. Input must be
+    integer cents (caller rounds per row).
+
+    Engine-exactness: ONE aggregate accumulates the four raw power
+    sums as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact
+    integers — then every statistic is computed once from the
+    identical integers with the identical double expression tree
+    (central moments via the raw-moment expansion) and rounded to 9.
+
+    Overflow bound: |x|^4 summed must stay under ~1e38 — with cents
+    <= 5e7 that is ~1.6e7 rows; ``scale_div`` divides the input
+    (integer floor) to trade resolution for headroom at larger
+    scales, the autocorr_lag knob.
+
+    Scale shape: one map-side-combined aggregate, 1-row output."""
+    c = (
+        F.col(value_cents_col)
+        if isinstance(value_cents_col, str)
+        else value_cents_col
+    )
+    xd = (
+        (c.cast("bigint") / F.lit(int(scale_div)))
+        .cast("bigint")
+        .cast("decimal(9,0)")
+    )
+    m = df.agg(
+        F.count(xd).alias("n"),
+        F.sum(xd).alias("__s1"),
+        F.sum(xd * xd).alias("__s2"),
+        F.sum(xd * xd * xd).alias("__s3"),
+        F.sum(xd * xd * xd * xd).alias("__s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    s3 = F.col("__s3").cast("double")
+    s4 = F.col("__s4").cast("double")
+    mean = s1 / nd
+    m2 = s2 / nd - mean * mean
+    m3 = s3 / nd - 3.0 * mean * (s2 / nd) + 2.0 * mean * mean * mean
+    m4 = (
+        s4 / nd
+        - 4.0 * mean * (s3 / nd)
+        + 6.0 * mean * mean * (s2 / nd)
+        - 3.0 * mean * mean * mean * mean
+    )
+    return m.select(
+        "n",
+        F.expr("CAST(__s1 AS DECIMAL(38,0)) div n")
+        .cast("bigint")
+        .alias("mean_floor"),
+        F.round(m2, 9).alias("variance"),
+        F.round(m3 / (F.sqrt(m2) * m2), 9).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 9).alias("excess_kurtosis"),
+    )

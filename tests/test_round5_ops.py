@@ -375,3 +375,33 @@ def test_quantile_transform_empty(spark):
 
     df = spark.createDataFrame([], "id bigint, v bigint")
     assert quantile_transform(df, "v", "id").count() == 0
+
+
+def test_moments_report_matches_numpy(spark):
+    import numpy as np
+
+    from hbase_gis_spark.operators.drift import moments_report
+
+    vals = [100, 200, 200, 300, 1000, 50]
+    df = spark.createDataFrame([(v,) for v in vals], "cents bigint")
+    got = moments_report(df, "cents").head()
+    a = np.array(vals, float)
+    m2 = ((a - a.mean()) ** 2).mean()
+    m3 = ((a - a.mean()) ** 3).mean()
+    m4 = ((a - a.mean()) ** 4).mean()
+    assert got.n == len(vals)
+    assert got.mean_floor == sum(vals) // len(vals)
+    assert abs(got.variance - m2) < 1e-6
+    assert abs(got.skewness - m3 / m2**1.5) < 1e-9
+    assert abs(got.excess_kurtosis - (m4 / m2**2 - 3)) < 1e-9
+
+
+def test_moments_report_scale_div(spark):
+    from hbase_gis_spark.operators.drift import moments_report
+
+    df = spark.createDataFrame([(1000,), (2000,), (3000,)], "c bigint")
+    full = moments_report(df, "c").head()
+    scaled = moments_report(df, "c", scale_div=10).head()
+    # dividing input by 10 scales mean by 10 and variance by 100
+    assert scaled.mean_floor == full.mean_floor // 10
+    assert abs(scaled.variance * 100 - full.variance) < 1e-6
