@@ -325,6 +325,43 @@ def _q_knn_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "distance", "region_rank")
 
 
+DENSITY_TOPK = 25
+
+
+def _q_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density hotspots: point count per geohash-4 cell, top
+    DENSITY_TOPK cells — the heatmap aggregate behind every density
+    viewer (the reference's figures render exactly this visually,
+    figures/index.htm). Cells are keyed by the NUMERIC 15-bit
+    lon/lat bins (geohash-6 equality == bin equality, the
+    dedup_geocell bit-interleave identity) so the DuckDB oracle can
+    reproduce them without a base32 encoder; the synthetic points
+    span 687 such cells at sf0.01, so the top-k is non-vacuous.
+
+    Scale shape: one map-side projection + one (cell) hash aggregate
+    + TakeOrderedAndProject — the densest cells never concentrate
+    work beyond map-side combine."""
+    pts = derived_points(spark, sf_dir)
+    return (
+        pts.select(
+            F.floor((F.col("lon") + 180.0) / 360.0 * 32768.0)
+            .cast("bigint")
+            .alias("lon_bin"),
+            F.floor((F.col("lat") + 90.0) / 180.0 * 32768.0)
+            .cast("bigint")
+            .alias("lat_bin"),
+        )
+        .groupBy("lon_bin", "lat_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("n").desc(),
+            F.col("lon_bin").asc(),
+            F.col("lat_bin").asc(),
+        )
+        .limit(DENSITY_TOPK)
+    )
+
+
 def _q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNN under great-circle meters (opt-in metric; the reference's
     default stays planar degree space)."""
@@ -4644,6 +4681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_transform": _q_quantile_transform,
         "cohort_ltv": _q_cohort_ltv,
         "revenue_moments": _q_revenue_moments,
+        "cell_density": _q_cell_density,
     }
 
 
@@ -9419,6 +9457,19 @@ def oracle_sql() -> dict[str, str]:
                   - 3.0 * mean * mean * mean * mean)
                  / (m2 * m2) - 3.0, 9) AS excess_kurtosis
     FROM e
+    """
+
+    out["cell_density"] = f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT)
+             AS lon_bin,
+           CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT)
+             AS lat_bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pts
+    GROUP BY 1, 2
+    ORDER BY n DESC, lon_bin ASC, lat_bin ASC
+    LIMIT {DENSITY_TOPK}
     """
 
     return out
