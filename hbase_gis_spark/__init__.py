@@ -51,7 +51,10 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     cell_footprint_pairs,
     containment_pairs,
     cluster_representatives,
+    append_catalog_postings,
     dedup_incremental,
+    dedup_incremental_stored,
+    write_catalog_postings,
     dedup_recall_report,
     dup_ngram_spans,
     edit_distance_pairs,
@@ -247,6 +250,10 @@ from hbase_gis_spark.operators.funnel import (  # noqa: F401
 from hbase_gis_spark.operators.retrieval import (  # noqa: F401
     hybrid_rrf_topk,
     rrf_fuse,
+)
+from hbase_gis_spark.sources.bucketed import (  # noqa: F401
+    read_bucketed_table,
+    write_bucketed_table,
 )
 from hbase_gis_spark.sources.corpus_io import (  # noqa: F401
     compact_parquet,

@@ -615,29 +615,48 @@ def dedup_incremental(
     from the catalog docs."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
-    inc = _spread(incoming).select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("t")
-    )
     cat = _spread(catalog).select(
         F.col(id_col).alias("cid"), F.col(text_col).alias("ct")
     )
-
     cat_hash = cat.groupBy(F.md5("ct").alias("h")).agg(
         F.min("cid").alias("exact_id")
+    )
+    cat_sh = cat.select("cid", word_shingles("ct", n).alias("s"))
+    cat_post = cat_sh.select(
+        "cid", F.size("s").alias("szc"), F.explode("s").alias("shingle")
+    )
+    return _incremental_verdicts(
+        incoming, cat_hash, cat_post, n, threshold, max_df,
+        id_col, text_col,
+    )
+
+
+def _incremental_verdicts(
+    incoming: DataFrame,
+    cat_hash: DataFrame,
+    cat_post: DataFrame,
+    n: int,
+    threshold: float,
+    max_df: int | None,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared incremental-dedup core over a catalog given as its two
+    derived tables: the exact-hash dim (h, exact_id) and the shingle
+    postings (cid, szc, shingle) — computed on the fly by
+    :func:`dedup_incremental`, read from parquet by
+    :func:`dedup_incremental_stored`."""
+    inc = _spread(incoming).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
     )
     exact = (
         inc.select("id", F.md5("t").alias("h"))
         .join(cat_hash, "h")
         .select("id", "exact_id")
     )
-
     inc_sh = inc.select("id", word_shingles("t", n).alias("s"))
     inc_post = inc_sh.select(
         "id", F.size("s").alias("szi"), F.explode("s").alias("shingle")
-    )
-    cat_sh = cat.select("cid", word_shingles("ct", n).alias("s"))
-    cat_post = cat_sh.select(
-        "cid", F.size("s").alias("szc"), F.explode("s").alias("shingle")
     )
     if max_df is not None:
         hot = (
@@ -1901,4 +1920,93 @@ def dedup_impact(
                 / F.col("tokens_total").cast("double")
             ).alias("token_dup_rate"),
         )
+    )
+
+
+def write_catalog_postings(
+    catalog: DataFrame,
+    path: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the incremental-dedup catalog sidecars —
+    ``{path}/hash`` (md5 exact-match dim) and ``{path}/postings``
+    (shingle inverted index) plus a 1-row ``{path}/meta`` pinning the
+    shingle width — so a continuously-fed pipeline pays the catalog
+    scan ONCE instead of re-tokenizing history every arriving batch
+    (the production shape dedup_incremental's docstring promises; the
+    append_ivf_table persisted-artifact pattern). At 100 TB the
+    postings table is the big artifact; bucket or sort it on
+    ``shingle`` at write time if the batch join becomes
+    shuffle-bound."""
+    cat = _spread(catalog).select(
+        F.col(id_col).alias("cid"), F.col(text_col).alias("ct")
+    )
+    cat.groupBy(F.md5("ct").alias("h")).agg(
+        F.min("cid").alias("exact_id")
+    ).write.mode(mode).parquet(f"{path}/hash")
+    cat.select("cid", word_shingles("ct", n).alias("s")).select(
+        "cid", F.size("s").alias("szc"), F.explode("s").alias("shingle")
+    ).write.mode(mode).parquet(f"{path}/postings")
+    spark = catalog.sparkSession
+    spark.createDataFrame([(int(n),)], "n int").write.mode(mode).parquet(
+        f"{path}/meta"
+    )
+
+
+def append_catalog_postings(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append newly-ingested (kept) documents to the stored catalog
+    sidecars using the PERSISTED shingle width — the read-back
+    contract that keeps appended postings byte-compatible with the
+    original write (the layout.py bounds-sidecar discipline)."""
+    spark = new_docs.sparkSession
+    n = spark.read.parquet(f"{path}/meta").head()["n"]
+    cat = _spread(new_docs).select(
+        F.col(id_col).alias("cid"), F.col(text_col).alias("ct")
+    )
+    cat.groupBy(F.md5("ct").alias("h")).agg(
+        F.min("cid").alias("exact_id")
+    ).write.mode("append").parquet(f"{path}/hash")
+    cat.select("cid", word_shingles("ct", int(n)).alias("s")).select(
+        "cid", F.size("s").alias("szc"), F.explode("s").alias("shingle")
+    ).write.mode("append").parquet(f"{path}/postings")
+
+
+def dedup_incremental_stored(
+    incoming: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingest dedup against a MATERIALIZED catalog
+    (written by :func:`write_catalog_postings`): identical verdicts
+    to :func:`dedup_incremental` over the same catalog docs (pinned
+    in tests/test_dedup.py), but the catalog side is a parquet scan
+    instead of a re-tokenization — the steady-state production plan.
+
+    Note: an appended ``hash`` sidecar can hold one (h, exact_id) row
+    per batch for the same content; the min-id winner is re-reduced
+    here, so verdicts stay batch-layout independent."""
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
+    spark = incoming.sparkSession
+    n = int(spark.read.parquet(f"{path}/meta").head()["n"])
+    cat_hash = (
+        spark.read.parquet(f"{path}/hash")
+        .groupBy("h")
+        .agg(F.min("exact_id").alias("exact_id"))
+    )
+    cat_post = spark.read.parquet(f"{path}/postings")
+    return _incremental_verdicts(
+        incoming, cat_hash, cat_post, n, threshold, max_df,
+        id_col, text_col,
     )

@@ -681,3 +681,49 @@ def test_containment_pairs_finds_quotes_jaccard_misses(spark):
     assert set(got) == {(1, 2)}
     ca, cb = got[(1, 2)]
     assert ca == 1.0 and cb < 0.1  # doc 1 fully contained in doc 2
+
+
+def test_dedup_incremental_stored_matches_on_the_fly(spark, tmp_path):
+    """The materialized-catalog path returns IDENTICAL verdicts to the
+    compute-on-the-fly path, including after an append (min-id
+    exact-match winner re-reduced across batch sidecar rows)."""
+    from hbase_gis_spark.operators.dedup import (
+        append_catalog_postings,
+        dedup_incremental,
+        dedup_incremental_stored,
+        write_catalog_postings,
+    )
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    cat1 = docs.filter("doc_id % 3 = 0")
+    cat2 = docs.filter("doc_id % 3 = 1")
+    inc = docs.filter("doc_id % 3 = 2")
+
+    path = str(tmp_path / "catalog")
+    write_catalog_postings(cat1, path)
+    got1 = {
+        r.doc_id: (r.dup_of, r.reason)
+        for r in dedup_incremental_stored(inc, path, 0.5).collect()
+    }
+    exp1 = {
+        r.doc_id: (r.dup_of, r.reason)
+        for r in dedup_incremental(inc, cat1, threshold=0.5).collect()
+    }
+    assert got1 == exp1 and len(got1) > 0
+
+    append_catalog_postings(cat2, path)
+    got2 = {
+        r.doc_id: (r.dup_of, r.reason)
+        for r in dedup_incremental_stored(inc, path, 0.5).collect()
+    }
+    exp2 = {
+        r.doc_id: (r.dup_of, r.reason)
+        for r in dedup_incremental(
+            inc, cat1.unionByName(cat2), threshold=0.5
+        ).collect()
+    }
+    assert got2 == exp2
+    # the appended catalog must have changed at least one verdict
+    assert got2 != got1
