@@ -4171,6 +4171,43 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("n_users", "n_docs")
 
 
+WKADJ_Z_MILLI = 1500
+MIX_ALPHA_MILLI = 300
+
+
+def _q_weekday_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonality-corrected anomaly screen over daily event
+    volume: leave-one-out z against same-weekday peers — busy Mondays
+    stop masquerading as weekly anomalies."""
+    from hbase_gis_spark.operators.timeseries import (
+        weekday_adjusted_anomalies,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {86_400_000_000}"
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return weekday_adjusted_anomalies(days, z_milli=WKADJ_Z_MILLI)
+
+
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights over document sources
+    (share ∝ count^0.3, the mC4/XLM-R multilingual rebalancing
+    recipe) — integer ppm shares, one rounded pow per source."""
+    from hbase_gis_spark.operators.corpus import temperature_mixture
+
+    return temperature_mixture(
+        load_table(spark, sf_dir, "documents"),
+        alpha_milli=MIX_ALPHA_MILLI,
+    )
+
+
 def _q_revenue_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report of order totals: exact 128-bit raw
     power sums -> variance / skewness / excess kurtosis, one rounded
@@ -4682,6 +4719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": _q_cohort_ltv,
         "revenue_moments": _q_revenue_moments,
         "cell_density": _q_cell_density,
+        "weekday_anomalies": _q_weekday_anomalies,
+        "temperature_mixture": _q_temperature_mixture,
     }
 
 
@@ -9470,6 +9509,64 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2
     ORDER BY n DESC, lon_bin ASC, lat_bin ASC
     LIMIT {DENSITY_TOPK}
+    """
+
+    out["weekday_anomalies"] = f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS s2
+      FROM d GROUP BY dow
+    ),
+    j AS (
+      SELECT day, d.dow AS dow, y,
+             CAST(n - 1 AS DOUBLE) AS nl,
+             CAST(s - y AS DOUBLE) AS sl,
+             CAST(s2 - y * y AS DOUBLE) AS s2l
+      FROM d JOIN stats ON d.dow = stats.dow
+      WHERE n >= 3
+    )
+    SELECT day, dow, y, z FROM (
+      SELECT day, dow, y,
+             s2l / nl - (sl / nl) * (sl / nl) AS var, sl / nl AS mean,
+             CASE WHEN s2l / nl - (sl / nl) * (sl / nl) > 0 THEN
+               round((CAST(y AS DOUBLE) - sl / nl)
+                     / sqrt(s2l / nl - (sl / nl) * (sl / nl)), 9)
+             END AS z
+      FROM j
+    ) WHERE z >= {WKADJ_Z_MILLI / 1000.0} OR z <= -{WKADJ_Z_MILLI / 1000.0}
+          OR (var = 0 AND CAST(y AS DOUBLE) != mean)
+    """
+
+    out["temperature_mixture"] = f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(round(1000 * pow(CAST(n_docs AS DOUBLE),
+                                   {MIX_ALPHA_MILLI / 1000.0}))
+               AS BIGINT) AS m
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+             CAST(sum(m) AS BIGINT) AS tm
+      FROM w
+    )
+    SELECT source, n_docs,
+           CAST((n_docs * 1000000) // tn AS BIGINT) AS raw_ppm,
+           CAST((m * 1000000) // tm AS BIGINT) AS temp_ppm,
+           CAST(((m * 1000000) // tm) * 1000
+                // ((n_docs * 1000000) // tn) AS BIGINT) AS boost_milli
+    FROM w CROSS JOIN tot
     """
 
     return out

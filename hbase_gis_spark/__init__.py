@@ -174,6 +174,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     pii_scrub,
     profile_table,
     skew_report,
+    temperature_mixture,
     token_budget_sample,
     winsorize,
     write_training_shards,
@@ -204,6 +205,7 @@ from hbase_gis_spark.operators.timeseries import (  # noqa: F401
     cumulative_users,
     cusum_days,
     naive_backtest,
+    weekday_adjusted_anomalies,
     dense_daily_counts,
     mad_anomalies,
     weekday_profile,

@@ -752,3 +752,51 @@ def winsorize(
             clamped.alias(f"win_{value_col}"),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha_milli: int = 300,
+) -> DataFrame:
+    """Temperature-scaled mixture weights: the multilingual-corpus
+    rebalancing computation (sampling probability ∝ count^alpha,
+    alpha < 1 upsamples small sources — the mC4 / XLM-R recipe,
+    default alpha = 0.3). Output one row per source: (source, n_docs,
+    raw_ppm = natural share, temp_ppm = temperature share,
+    boost_milli = temp/raw ratio in milli — >1000 means upsampled).
+
+    Engine-exact by the idf_milli discipline: count^alpha is ONE
+    rounded float per SOURCE row (m = round(1000 * pow(n, alpha)));
+    the normalizing sum then runs over integers, and every share is
+    an integer floor ppm — no float ever sums across rows.
+
+    Scale shape: one |sources|-row count aggregate + a broadcast
+    1-row totals dim; constant-size everything."""
+    alpha = alpha_milli / 1000.0
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        F.round(F.lit(1000.0) * F.pow(F.col("n_docs").cast("double"), alpha))
+        .cast("bigint")
+        .alias("__m"),
+    )
+    totals = weighted.agg(
+        F.sum("n_docs").alias("__tn"), F.sum("__m").alias("__tm")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div __tn").alias("raw_ppm"),
+            F.expr("(__m * 1000000) div __tm").alias("temp_ppm"),
+            F.expr(
+                "((__m * 1000000) div __tm) * 1000"
+                " div ((n_docs * 1000000) div __tn)"
+            ).alias("boost_milli"),
+        )
+    )

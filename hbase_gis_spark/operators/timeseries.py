@@ -386,3 +386,56 @@ def naive_backtest(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def weekday_adjusted_anomalies(
+    days: DataFrame,
+    z_milli: int = 2000,
+    day_col: str = "day",
+    value_col: str = "n_events",
+) -> DataFrame:
+    """Seasonality-corrected anomaly screen: each day's count is
+    z-scored against the OTHER days sharing its weekday (leave-one-out
+    moments), so a busy-Monday pattern stops masquerading as seven
+    weekly anomalies — the weekday-aware complement of
+    daily_anomalies' trailing window. Output flagged days only:
+    (day, dow, y, z), z rounded to 9.
+
+    Engine-exact: per-weekday n/Σy/Σy² are BIGINT sums over the
+    pre-aggregated day frame; the leave-one-out correction is integer
+    subtraction; ONE double z per surviving row. Scale shape: a 7-row
+    stats dim broadcast back onto the |days|-row frame — nothing
+    beyond the day aggregate scales with the raw table."""
+    d = days.select(
+        F.col(day_col).alias("day"),
+        F.expr(f"({day_col} + 3) % 7").alias("dow"),
+        F.col(value_col).cast("bigint").alias("y"),
+    )
+    stats = d.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("y").alias("__s"),
+        F.sum(F.col("y") * F.col("y")).alias("__s2"),
+    )
+    j = d.join(F.broadcast(stats), "dow").filter(F.col("__n") >= 3)
+    nl = (F.col("__n") - 1).cast("double")
+    sl = (F.col("__s") - F.col("y")).cast("double")
+    s2l = (F.col("__s2") - F.col("y") * F.col("y")).cast("double")
+    mean = sl / nl
+    var = s2l / nl - mean * mean
+    # constant peers give no scale: a deviant against zero variance is
+    # trivially anomalous (flagged with NULL z), never a division
+    z = F.when(
+        var > 0,
+        F.round((F.col("y").cast("double") - mean) / F.sqrt(var), 9),
+    )
+    staged = j.select(
+        "day", "dow", "y", z.alias("z"), var.alias("__var"), mean.alias("__mean")
+    )
+    return staged.filter(
+        (F.col("z") >= z_milli / 1000.0)
+        | (F.col("z") <= -z_milli / 1000.0)
+        | (
+            (F.col("__var") == 0.0)
+            & (F.col("y").cast("double") != F.col("__mean"))
+        )
+    ).select("day", "dow", "y", "z")

@@ -405,3 +405,40 @@ def test_moments_report_scale_div(spark):
     # dividing input by 10 scales mean by 10 and variance by 100
     assert scaled.mean_floor == full.mean_floor // 10
     assert abs(scaled.variance * 100 - full.variance) < 1e-6
+
+
+def test_weekday_adjusted_anomalies_leave_one_out(spark):
+    import math
+
+    from hbase_gis_spark.operators.timeseries import (
+        weekday_adjusted_anomalies,
+    )
+
+    # weekday 0 (days 4, 11, 18, 25): counts 10, 10, 10, 100 — the
+    # spike must be flagged against its weekday peers only
+    rows = [(4, 10), (11, 10), (18, 10), (25, 100)]
+    # weekday 1 peers are uniform: never flagged
+    rows += [(5, 50), (12, 50), (19, 50), (26, 50)]
+    df = spark.createDataFrame(rows, "day bigint, n_events bigint")
+    got = {r.day: r for r in weekday_adjusted_anomalies(df, 2000).collect()}
+    assert set(got) == {25}
+    # leave-one-out peers of day 25: [10,10,10] -> mean 10, var 0 ->
+    # z infinite? no: var of [10,10,10] is 0 -> z inf... guard check
+    r = got[25]
+    assert r.dow == (25 + 3) % 7 and r.y == 100
+
+
+def test_temperature_mixture_upsamples_small_sources(spark):
+    from hbase_gis_spark.operators.corpus import temperature_mixture
+
+    rows = [(i, "big") for i in range(90)] + [(i + 100, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {r.source: r for r in temperature_mixture(df).collect()}
+    assert got["big"].raw_ppm == 900_000 and got["small"].raw_ppm == 100_000
+    # alpha < 1 compresses the gap: small's temperature share must
+    # exceed its raw share, big's must shrink
+    assert got["small"].temp_ppm > got["small"].raw_ppm
+    assert got["big"].temp_ppm < got["big"].raw_ppm
+    assert got["small"].boost_milli > 1000 > got["big"].boost_milli
+    # shares sum to ~1e6 (floor remainder)
+    assert 999_998 <= got["big"].temp_ppm + got["small"].temp_ppm <= 1_000_000

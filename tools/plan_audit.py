@@ -68,6 +68,7 @@ BNLJ_SANCTIONED = {
     "important_parts",  # broadcast 1-row (count, sum) share threshold
     "hybrid_search_rrf",  # inherits bm25's 1-row stats + ann's 1-row query
     "vocab_coverage",  # broadcast 1-row corpus totals onto the 1-row vocab sum
+    "temperature_mixture",  # broadcast 1-row normalizing totals
 }
 
 
