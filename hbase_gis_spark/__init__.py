@@ -173,6 +173,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     mixture_sample,
     pii_scrub,
     profile_table,
+    salted_join,
     skew_report,
     temperature_mixture,
     token_budget_sample,
