@@ -1616,6 +1616,58 @@ def _q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_view_attribution(ev, lookback=ATTR_LOOKBACK)
 
 
+ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000
+
+
+def _q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every view inside a purchase's
+    24h lookback shares the credit equally (credit_ppm = 1e6 div k,
+    k = touches on that purchase) — the fair-share complement of
+    purchase_attribution's pairing. Output per view day:
+    (day, n_touches, credit_ppm_sum) — integer floor credits, so the
+    books add up identically in both engines.
+
+    Scale shape: one user-keyed interval self-join (pairs bounded by
+    per-user activity × lookback), a per-purchase count window
+    (PARTITIONED by purchase — never global), and a |days|-row
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    p = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("us").alias("pus"),
+    )
+    v = base.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("vid"),
+        F.col("us").alias("vus"),
+    )
+    pairs = v.join(
+        p,
+        (v.user_id == p.user_id)
+        & (v.vus <= p.pus)
+        & (p.pus < v.vus + F.lit(ATTR_LOOKBACK_US)),
+    ).select("pid", "vid", "vus")
+    w = Window.partitionBy("pid")
+    credited = pairs.select(
+        F.expr("vus div 86400000000").alias("day"),
+        F.count(F.lit(1)).over(w).alias("__k"),
+    ).select("day", F.expr("1000000 div __k").alias("credit_ppm"))
+    return (
+        credited.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_ppm").alias("credit_ppm_sum"),
+        )
+    )
+
+
 SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.5, "de": 0.25, "es": 0.25, "und": 0.05}
 
 
@@ -4721,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_density": _q_cell_density,
         "weekday_anomalies": _q_weekday_anomalies,
         "temperature_mixture": _q_temperature_mixture,
+        "linear_attribution": _q_linear_attribution,
     }
 
 
@@ -9567,6 +9620,30 @@ def oracle_sql() -> dict[str, str]:
            CAST(((m * 1000000) // tm) * 1000
                 // ((n_docs * 1000000) // tn) AS BIGINT) AS boost_milli
     FROM w CROSS JOIN tot
+    """
+
+    out["linear_attribution"] = f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events
+    ),
+    p AS (SELECT user_id, event_id AS pid, us AS pus
+          FROM base WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id AS vid, us AS vus
+          FROM base WHERE event_type = 'view'),
+    pairs AS (
+      SELECT pid, vus FROM v JOIN p ON v.user_id = p.user_id
+        AND v.vus <= p.pus AND p.pus < v.vus + {ATTR_LOOKBACK_US}
+    ),
+    credited AS (
+      SELECT vus // 86400000000 AS day,
+             CAST(1000000 // (count(*) OVER (PARTITION BY pid))
+               AS BIGINT) AS credit_ppm
+      FROM pairs
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum
+    FROM credited GROUP BY day
     """
 
     return out
