@@ -4529,19 +4529,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 6.
 
     ROUND-6 ROTATION PLAN (execute at the start of round 6): move
-    the round-5 additions (orphan_check, uniqueness_audit,
+    the 36 round-5 additions (orphan_check, uniqueness_audit,
     benford_revenue, split_leakage, supplier_part_variety,
     potential_promotion, lone_returned_supplier, autocorr_daily,
     weekday_seasonality, mad_anomalies, collocations_pmi, zipf_fit,
     embedding_outliers, node_jaccard, bounce_rate, vocab_drift,
     join_cardinality, late_shipments, important_parts, fd_audit,
-    plus any later round-5 appends) into slots
-    1..N; fill the remaining slots up to 50 with the
+    hybrid_search_rrf, ab_test_welch, cumulative_users,
+    vocab_coverage, split_balance, behavior_entropy,
+    label_separation, naive_backtest, char_entropy,
+    quantile_transform, cohort_ltv, revenue_moments, cell_density,
+    weekday_anomalies, temperature_mixture, linear_attribution)
+    into slots 1..36; fill the remaining 14 slots with the
     longest-unchecked round-2-era queries (last driver row r2:
     within_hole, spatial_clusters, spatial_join_cells,
     knn_haversine, within_radius, dedup_ngram_jaccard,
     dedup_clusters, dedup_simhash, text_quality, doc_fingerprint,
-    token_counts, mm_decode, term_stats, revenue_by_nation, ...) as
+    token_counts, mm_decode, term_stats, revenue_by_nation) as
     regression canaries. All candidates already pass
     tools/check_oracles.py exact-match at sf0.01, so the rotation is
     a reorder, not a fix. Update

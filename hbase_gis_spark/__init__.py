@@ -255,6 +255,7 @@ from hbase_gis_spark.operators.retrieval import (  # noqa: F401
     rrf_fuse,
 )
 from hbase_gis_spark.sources.bucketed import (  # noqa: F401
+    bucketed_join_plan_is_shuffle_free,
     read_bucketed_table,
     write_bucketed_table,
 )

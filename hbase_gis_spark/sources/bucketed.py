@@ -1,22 +1,19 @@
-"""Bucketed-table sink for shuffle-free co-located joins.
+"""Bucketed (co-located) table layout — the shuffle-elimination story
+for repeated big-big joins.
 
-At 100 TB the dominant cost of a repeated fact-fact join (orders ⋈
-lineitem every pipeline run) is re-shuffling both sides on the join
-key every time. Spark bucketing pays that shuffle ONCE at write:
-``bucketBy(n, key)`` hash-partitions rows into a fixed bucket count
-persisted in the table metadata, and every later equi-join or
-aggregation on the key reuses the bucketing as a reported output
-partitioning — the join plans with NO Exchange on either bucketed
-side (pinned in tests/test_bucketed.py). This is the Spark-native
-equivalent of the reference's rowkey-ordered HBase regions: data
-pre-organized by key so reads never re-sort (SURVEY.md §1.6).
+At 100 TB the dominant cost of a key-key join is the shuffle of both
+sides. Spark's bucketing (`bucketBy(n, key)` + `sortBy`) persists each
+side pre-partitioned (and pre-sorted) by the join key: a join between
+two tables bucketed by the same key into the same bucket count plans
+with NO Exchange on either side — each task zips bucket i with bucket
+i. The pin test (tests/test_corpus.py) asserts the Exchange-free plan,
+not just the row counts.
 
-Bucketing requires the session catalog (``saveAsTable``); plain
-``.parquet(path)`` writes cannot carry bucket metadata. Bucket count
-is a real tuning choice at scale: buckets ≈ total_size /
-target_partition_size, and BOTH sides of a co-located join must use
-the same count (or a multiple, with
-``spark.sql.bucketing.coalesceBucketsInJoin.enabled``).
+Bucketing requires the table catalog (`saveAsTable`) — path-only
+parquet cannot carry bucket metadata. Pick the bucket count once per
+dataset family (here: both sides must match; a multiple also works for
+one-side coalesced bucketed reads when
+`spark.sql.bucketing.coalesceBucketsInJoin.enabled` is set).
 """
 
 from __future__ import annotations
@@ -26,20 +23,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed_table(
     df: DataFrame,
-    table: str,
+    name: str,
     key: str,
-    n_buckets: int,
-    sort_by_key: bool = True,
+    buckets: int,
+    sort: bool = True,
     mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` as a catalog table bucketed (and by default
-    sorted within buckets) on ``key``. Sorting makes later merge
-    joins skip their per-partition sort too — the full
-    exchange-free + sort-free join."""
-    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
-    if sort_by_key:
+    """Persist ``df`` as a catalog table bucketed (and optionally
+    sorted) by ``key`` — subsequent equi-joins between tables bucketed
+    on the same key/count plan shuffle-free, and the sort enables
+    merge-join without a per-task sort."""
+    w = df.write.mode(mode).bucketBy(buckets, key).format("parquet")
+    if sort:
         w = w.sortBy(key)
-    w.saveAsTable(table)
+    w.saveAsTable(name)
+
+
+def bucketed_join_plan_is_shuffle_free(
+    spark: SparkSession, left: str, right: str, key: str
+) -> bool:
+    """True iff joining catalog tables ``left`` and ``right`` on
+    ``key`` plans without any Exchange (shuffle) operator — the
+    co-location proof used by the bucketing pin test."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the test exercises the shuffle path the
+        # bucketing is supposed to eliminate
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(left).join(spark.table(right), key)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
