@@ -1616,6 +1616,31 @@ def _q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_view_attribution(ev, lookback=ATTR_LOOKBACK)
 
 
+SHUF_ORD_BASE = 1_000_000_000
+
+
+def _q_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit: Spearman rank correlation between
+    doc_id and the document's position in the global_shuffle read
+    order (shard-major ordkey). A well-mixed shuffle scores |rho|
+    near 0; a buggy shuffle that preserves ingest order screams at
+    rho ~ 1 — the pre-training check that the curriculum really is
+    randomized. Both ids and ordkeys are unique, so the closed-form
+    rho is exact (no ties)."""
+    from hbase_gis_spark.operators.corpus import global_shuffle
+    from hbase_gis_spark.operators.drift import spearman_corr
+
+    docs = load_table(spark, sf_dir, "documents")
+    shuffled = global_shuffle(docs)
+    keyed = shuffled.select(
+        "doc_id",
+        (
+            F.col("shard").cast("bigint") * SHUF_ORD_BASE + F.col("pos")
+        ).alias("ordkey"),
+    )
+    return spearman_corr(keyed, "doc_id", "ordkey")
+
+
 ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000
 
 
@@ -4778,6 +4803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_anomalies": _q_weekday_anomalies,
         "temperature_mixture": _q_temperature_mixture,
         "linear_attribution": _q_linear_attribution,
+        "shuffle_audit": _q_shuffle_audit,
     }
 
 
@@ -9648,6 +9674,45 @@ def oracle_sql() -> dict[str, str]:
     SELECT day, CAST(count(*) AS BIGINT) AS n_touches,
            CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum
     FROM credited GROUP BY day
+    """
+
+    out["shuffle_audit"] = f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, h % 64 AS shard,
+             row_number() OVER (
+               PARTITION BY h % 64 ORDER BY h, doc_id) AS pos
+      FROM h
+    ),
+    e AS (
+      SELECT doc_id AS x,
+             shard * {SHUF_ORD_BASE} + pos AS y
+      FROM s
+    ),
+    r AS (
+      SELECT
+        CAST(rank() OVER (ORDER BY x ASC) * 2
+             + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+        CAST(rank() OVER (ORDER BY y ASC) * 2
+             + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+      FROM e
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS BIGINT)
+             AS sum_d2_quarter,
+           round(1.0
+                 - (6.0 * CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS DOUBLE)
+                    / 4.0)
+                 / (CAST(count(*) AS DOUBLE)
+                    * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                       - 1.0)),
+                 9) AS rho
+    FROM r
     """
 
     return out
