@@ -4554,7 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 6.
 
     ROUND-6 ROTATION PLAN (execute at the start of round 6): move
-    the 36 round-5 additions (orphan_check, uniqueness_audit,
+    the 37 round-5 additions (orphan_check, uniqueness_audit,
     benford_revenue, split_leakage, supplier_part_variety,
     potential_promotion, lone_returned_supplier, autocorr_daily,
     weekday_seasonality, mad_anomalies, collocations_pmi, zipf_fit,
@@ -4564,14 +4564,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vocab_coverage, split_balance, behavior_entropy,
     label_separation, naive_backtest, char_entropy,
     quantile_transform, cohort_ltv, revenue_moments, cell_density,
-    weekday_anomalies, temperature_mixture, linear_attribution)
-    into slots 1..36; fill the remaining 14 slots with the
-    longest-unchecked round-2-era queries (last driver row r2:
-    within_hole, spatial_clusters, spatial_join_cells,
+    weekday_anomalies, temperature_mixture, linear_attribution,
+    shuffle_audit) into slots 1..37; fill the remaining 13 slots
+    with the longest-unchecked round-2-era queries (last driver row
+    r2: within_hole, spatial_clusters, spatial_join_cells,
     knn_haversine, within_radius, dedup_ngram_jaccard,
     dedup_clusters, dedup_simhash, text_quality, doc_fingerprint,
-    token_counts, mm_decode, term_stats, revenue_by_nation) as
-    regression canaries. All candidates already pass
+    token_counts, mm_decode, term_stats) as regression canaries. All candidates already pass
     tools/check_oracles.py exact-match at sf0.01, so the rotation is
     a reorder, not a fix. Update
     tests/test_plan_hygiene.py::test_registry_window_contract to pin
