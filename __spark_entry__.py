@@ -4538,46 +4538,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (within_polygon..promo_revenue); round 3 checked the second half
     (local_supplier_volume..quantize_int8, +within_polygon); round 4
     checked the 47 round-3 additions + sketch_stats + two r2-era
-    canaries -- all green except sketch_stats (no_oracle by its old
-    approximate form).  ROUND 5 (this ordering, VERDICT r4 next-round
-    #1): slots 1-35 are the round-4 additions
-    (ngram_diversity..ngram_novelty_first), never driver-checked
-    before; slot 36 is ``sketch_stats``, now EXACT and hash-checkable
-    (rank-selection percentiles -- VERDICT r4 #3) so it can finally
-    earn the green row it was denied for four rounds; slots 37-50 are
-    the fourteen longest-unchecked round-2-era queries (last driver
-    row: r2) as regression canaries spanning the geo/topx/dedup/text
-    families.  Everything outside the window stays verified every
-    round by tests/ and tools/check_oracles.py (exact
+    canaries (all green except sketch_stats, then no_oracle); round 5
+    checked the 35 round-4 additions + the now-exact sketch_stats +
+    fourteen r2-era canaries -- 50/50 green.  ROUND 6 (this ordering,
+    VERDICT r5 next-round #1): slots 1-37 are the 37 round-5 additions
+    (orphan_check..shuffle_audit), never driver-checked before but all
+    exact under tools/check_oracles.py; slots 38-50 are the thirteen
+    longest-unchecked round-2-era queries (last driver row: r2) as
+    regression canaries spanning the geo/cluster/dedup/text/multimodal
+    families.  After round 6 every registered query has earned at least
+    one driver-green row.  Everything outside the window stays verified
+    every round by tests/ and tools/check_oracles.py (exact
     order-insensitive compare, stricter than the driver hash).  New
-    round-5 queries are APPENDED at the end and enter the window in
-    round 6.
+    round-6 queries are APPENDED at the end and enter the window in
+    round 7.
 
-    ROUND-6 ROTATION PLAN (execute at the start of round 6): move
-    the 37 round-5 additions (orphan_check, uniqueness_audit,
-    benford_revenue, split_leakage, supplier_part_variety,
-    potential_promotion, lone_returned_supplier, autocorr_daily,
-    weekday_seasonality, mad_anomalies, collocations_pmi, zipf_fit,
-    embedding_outliers, node_jaccard, bounce_rate, vocab_drift,
-    join_cardinality, late_shipments, important_parts, fd_audit,
-    hybrid_search_rrf, ab_test_welch, cumulative_users,
-    vocab_coverage, split_balance, behavior_entropy,
-    label_separation, naive_backtest, char_entropy,
-    quantile_transform, cohort_ltv, revenue_moments, cell_density,
-    weekday_anomalies, temperature_mixture, linear_attribution,
-    shuffle_audit) into slots 1..37; fill the remaining 13 slots
-    with the longest-unchecked round-2-era queries (last driver row
-    r2: within_hole, spatial_clusters, spatial_join_cells,
-    knn_haversine, within_radius, dedup_ngram_jaccard,
-    dedup_clusters, dedup_simhash, text_quality, doc_fingerprint,
-    token_counts, mm_decode, term_stats) as regression canaries. All candidates already pass
-    tools/check_oracles.py exact-match at sf0.01, so the rotation is
-    a reorder, not a fix. Update
-    tests/test_plan_hygiene.py::test_registry_window_contract to pin
-    the new order.
+    ROUND-7 ROTATION PLAN: move the round-6 additions (appended behind
+    slot 50's cohort; see the tail of this dict) into slots 1..N; fill
+    the remaining 50-N slots with the longest-unchecked r2/r3-era
+    queries as canaries.  Update
+    tests/test_plan_hygiene.py::test_registry_window_contract in the
+    same commit.
     """
     return {
-        # --- slots 1-35: round-4 additions, first time in the driver window
+        # --- slots 1-37: round-5 additions, first time in the driver window
+        "orphan_check": _q_orphan_check,
+        "uniqueness_audit": _q_uniqueness_audit,
+        "benford_revenue": _q_benford_revenue,
+        "split_leakage": _q_split_leakage,
+        "supplier_part_variety": _q_supplier_part_variety,
+        "potential_promotion": _q_potential_promotion,
+        "lone_returned_supplier": _q_lone_returned_supplier,
+        "autocorr_daily": _q_autocorr_daily,
+        "weekday_seasonality": _q_weekday_seasonality,
+        "mad_anomalies": _q_mad_anomalies,
+        "collocations_pmi": _q_collocations_pmi,
+        "zipf_fit": _q_zipf_fit,
+        "embedding_outliers": _q_embedding_outliers,
+        "node_jaccard": _q_node_jaccard,
+        "bounce_rate": _q_bounce_rate,
+        "vocab_drift": _q_vocab_drift,
+        "join_cardinality": _q_join_cardinality,
+        "late_shipments": _q_late_shipments,
+        "important_parts": _q_important_parts,
+        "fd_audit": _q_fd_audit,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "ab_test_welch": _q_ab_test_welch,
+        "cumulative_users": _q_cumulative_users,
+        "vocab_coverage": _q_vocab_coverage,
+        "split_balance": _q_split_balance,
+        "behavior_entropy": _q_behavior_entropy,
+        "label_separation": _q_label_separation,
+        "naive_backtest": _q_naive_backtest,
+        "char_entropy": _q_char_entropy,
+        "quantile_transform": _q_quantile_transform,
+        "cohort_ltv": _q_cohort_ltv,
+        "revenue_moments": _q_revenue_moments,
+        "cell_density": _q_cell_density,
+        "weekday_anomalies": _q_weekday_anomalies,
+        "temperature_mixture": _q_temperature_mixture,
+        "linear_attribution": _q_linear_attribution,
+        "shuffle_audit": _q_shuffle_audit,
+        # --- slots 38-50: longest-unchecked r2-era regression canaries
+        "within_hole": _q_within_hole,
+        "spatial_clusters": _q_spatial_clusters,
+        "spatial_join_cells": _q_spatial_join_cells,
+        "knn_haversine": _q_knn_haversine,
+        "within_radius": _q_within_radius,
+        "dedup_ngram_jaccard": _q_jaccard_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_simhash": _q_simhash_pairs,
+        "text_quality": _q_text_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "token_counts": _q_token_counts,
+        "mm_decode": _q_mm_decode,
+        "term_stats": _q_term_stats,
+        # --- slots 51+: driver-checked in rounds 2-5; covered by tests +
+        # tools/check_oracles.py every round ------------------------------
         "ngram_diversity": _q_ngram_diversity,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "doc_length_histogram": _q_doc_length_histogram,
@@ -4613,9 +4650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_lang_source": _q_chi2_lang_source,
         "mrl_report": _q_mrl_report,
         "ngram_novelty_first": _q_ngram_novelty,
-        # --- slot 36: sketch_stats, exact + oracle-checkable as of r5
         "sketch_stats": _q_sketch_stats,
-        # --- slots 37-50: longest-unchecked r2-era regression canaries
         "within_concave": _q_within_concave,
         "within_multipolygon": _q_within_multi,
         "distance_join": _q_distance_join,
@@ -4630,8 +4665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "lang_id": _q_lang_id,
-        # --- slots 51+: driver-checked in rounds 2-4; covered by tests +
-        # tools/check_oracles.py every round ------------------------------
         "tfidf_topk_terms": _q_tfidf_topk_terms,
         "unigram_lm_score": _q_unigram_lm_score,
         "ann_range_search": _q_ann_range_search,
@@ -4731,30 +4764,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_purity": _q_label_purity,
         "quantize_int8": _q_quantize_int8,
         "within_polygon": _q_within,
-        "within_hole": _q_within_hole,
-        "spatial_clusters": _q_spatial_clusters,
-        "spatial_join_cells": _q_spatial_join_cells,
-        "knn_haversine": _q_knn_haversine,
-        "within_radius": _q_within_radius,
-        "dedup_ngram_jaccard": _q_jaccard_pairs,
-        "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
         "repetition_stats": _q_repetition_stats,
         "text_clean": _q_text_clean,
         "simhash_signatures": _q_simhash_signatures,
-        "dedup_simhash": _q_simhash_pairs,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        "text_quality": _q_text_quality,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "token_counts": _q_token_counts,
-        "mm_decode": _q_mm_decode,
         "mm_frames": _q_mm_frames,
         "mm_resize": _q_mm_resize,
         "windowed_event_counts": _q_windowed_event_counts,
-        "term_stats": _q_term_stats,
         "user_sessions": _q_user_sessions,
         "revenue_by_nation": _q_revenue_by_nation,
         "pricing_summary": _q_pricing_summary,
@@ -4764,45 +4784,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_urgent": _q_customers_no_urgent,
         "large_volume_customers": _q_large_volume_customers,
         "promo_revenue": _q_promo_revenue,
-        # --- round-5 additions (appended per the ordering policy;
-        # they rotate into the driver window in round 6) -------------
-        "orphan_check": _q_orphan_check,
-        "uniqueness_audit": _q_uniqueness_audit,
-        "benford_revenue": _q_benford_revenue,
-        "split_leakage": _q_split_leakage,
-        "supplier_part_variety": _q_supplier_part_variety,
-        "potential_promotion": _q_potential_promotion,
-        "lone_returned_supplier": _q_lone_returned_supplier,
-        "autocorr_daily": _q_autocorr_daily,
-        "weekday_seasonality": _q_weekday_seasonality,
-        "mad_anomalies": _q_mad_anomalies,
-        "collocations_pmi": _q_collocations_pmi,
-        "zipf_fit": _q_zipf_fit,
-        "embedding_outliers": _q_embedding_outliers,
-        "node_jaccard": _q_node_jaccard,
-        "bounce_rate": _q_bounce_rate,
-        "vocab_drift": _q_vocab_drift,
-        "join_cardinality": _q_join_cardinality,
-        "late_shipments": _q_late_shipments,
-        "important_parts": _q_important_parts,
-        "fd_audit": _q_fd_audit,
-        "hybrid_search_rrf": _q_hybrid_search_rrf,
-        "ab_test_welch": _q_ab_test_welch,
-        "cumulative_users": _q_cumulative_users,
-        "vocab_coverage": _q_vocab_coverage,
-        "split_balance": _q_split_balance,
-        "behavior_entropy": _q_behavior_entropy,
-        "label_separation": _q_label_separation,
-        "naive_backtest": _q_naive_backtest,
-        "char_entropy": _q_char_entropy,
-        "quantile_transform": _q_quantile_transform,
-        "cohort_ltv": _q_cohort_ltv,
-        "revenue_moments": _q_revenue_moments,
-        "cell_density": _q_cell_density,
-        "weekday_anomalies": _q_weekday_anomalies,
-        "temperature_mixture": _q_temperature_mixture,
-        "linear_attribution": _q_linear_attribution,
-        "shuffle_audit": _q_shuffle_audit,
     }
 
 

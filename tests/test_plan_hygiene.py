@@ -96,38 +96,36 @@ def test_round3_tpch_predicates_reach_scans(spark):
 
 def test_registry_window_contract():
     """The driver checks exactly the FIRST 50 queries() entries; round
-    5's window must hold the 35 round-4 additions + the now-exact
-    sketch_stats + the fourteen longest-unchecked r2-era canaries
-    (the rotation VERDICT r4 #1 prescribed), every window query must
-    have an oracle (sketch_stats included — it is hash-checkable as
-    of r5), and new round-5 additions must stay appended BEHIND the
-    window."""
+    6's window must hold the 37 round-5 additions + the thirteen
+    longest-unchecked r2-era canaries (the rotation VERDICT r5 #1
+    prescribed), every window query must have an oracle, and new
+    round-6 additions must stay appended BEHIND the window."""
     import __spark_entry__ as entrymod
 
     qs = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
-    r4_additions = [
-        "ngram_diversity", "boilerplate_ngrams", "doc_length_histogram",
-        "quality_resample", "contamination_report", "pagerank_event_types",
-        "zorder_layout", "boilerplate_coverage", "dense_daily_counts",
-        "fuzzy_join_suppliers", "winsorize_balances", "dedup_recall_report",
-        "conversion_lag", "containment_pairs", "token_fertility",
-        "dedup_impact", "ann_filtered_topk", "triangle_count", "cusum_days",
-        "segment_dedup", "ivf_prototypes", "hilbert_layout", "bm25_search",
-        "group_sample", "snapshot_diff", "lpa_communities", "profile_diff",
-        "value_psi", "association_rules", "value_histogram",
-        "global_value_cuts", "spearman_value_time", "chi2_lang_source",
-        "mrl_report", "ngram_novelty_first",
+    r5_additions = [
+        "orphan_check", "uniqueness_audit", "benford_revenue",
+        "split_leakage", "supplier_part_variety", "potential_promotion",
+        "lone_returned_supplier", "autocorr_daily", "weekday_seasonality",
+        "mad_anomalies", "collocations_pmi", "zipf_fit",
+        "embedding_outliers", "node_jaccard", "bounce_rate", "vocab_drift",
+        "join_cardinality", "late_shipments", "important_parts", "fd_audit",
+        "hybrid_search_rrf", "ab_test_welch", "cumulative_users",
+        "vocab_coverage", "split_balance", "behavior_entropy",
+        "label_separation", "naive_backtest", "char_entropy",
+        "quantile_transform", "cohort_ltv", "revenue_moments",
+        "cell_density", "weekday_anomalies", "temperature_mixture",
+        "linear_attribution", "shuffle_audit",
     ]
     r2_canaries = [
-        "within_concave", "within_multipolygon", "distance_join",
-        "spatial_join", "knn_pruned", "knn_per_region", "topx_per_group",
-        "asof_join", "sessionize_events", "binned_limit", "dedup_geocell",
-        "dedup_exact", "dedup_minhash_lsh", "lang_id",
+        "within_hole", "spatial_clusters", "spatial_join_cells",
+        "knn_haversine", "within_radius", "dedup_ngram_jaccard",
+        "dedup_clusters", "dedup_simhash", "text_quality",
+        "doc_fingerprint", "token_counts", "mm_decode", "term_stats",
     ]
-    assert qs[:35] == r4_additions
-    assert qs[35] == "sketch_stats"
-    assert qs[36:50] == r2_canaries
+    assert qs[:37] == r5_additions
+    assert qs[37:50] == r2_canaries
     missing = [q for q in qs[:50] if q not in oracles]
     assert missing == [], f"window queries without oracles: {missing}"
     # registry entries stay unique (dict literal would silently drop dups
