@@ -1626,7 +1626,13 @@ def _q_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     near 0; a buggy shuffle that preserves ingest order screams at
     rho ~ 1 — the pre-training check that the curriculum really is
     randomized. Both ids and ordkeys are unique, so the closed-form
-    rho is exact (no ties)."""
+    rho is exact (no ties) — PROVIDED every shard holds fewer than
+    SHUF_ORD_BASE (1e9) docs: ordkey = shard*BASE + pos aliases
+    across shards past that (ADVICE r5 #3). With global_shuffle's
+    default 64 shards that bounds the audit to ~6.4e10 documents
+    (~1e9 per shard); widen SHUF_ORD_BASE (bigint holds
+    shards*BASE up to ~9.2e18) before auditing a corpus beyond
+    that."""
     from hbase_gis_spark.operators.corpus import global_shuffle
     from hbase_gis_spark.operators.drift import spearman_corr
 
@@ -1638,7 +1644,7 @@ def _q_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shard").cast("bigint") * SHUF_ORD_BASE + F.col("pos")
         ).alias("ordkey"),
     )
-    return spearman_corr(keyed, "doc_id", "ordkey")
+    return spearman_corr(keyed, "doc_id", "ordkey", id_col="doc_id")
 
 
 ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000
@@ -1796,6 +1802,22 @@ def _q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose gram recurs in another doc)."""
     docs = load_table(spark, sf_dir, "documents")
     return span_dup_stats(docs, n=SPAN_N)
+
+
+SUBSTR_MIN_LEN = 50
+
+
+def _q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL variable-length duplicated substrings >= 50 tokens
+    (RefinedWeb / Lee-et-al-style span dedup): consecutive duplicated
+    8-gram anchors chain into one maximal run per occurrence, so a
+    100-token cross-doc duplicate reports as ONE 100-token span, not
+    93 overlapping grams — the actionable unit a span-removal pass
+    trims (VERDICT r5 next-round #4)."""
+    from hbase_gis_spark.operators.dedup import dup_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_substring_spans(docs, n=SPAN_N, min_len=SUBSTR_MIN_LEN)
 
 
 CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
@@ -3048,12 +3070,23 @@ def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every ntile orders by (metric, custkey) so ties
     split identically in both engines. Plan: one aggregate on
     o_custkey, then three SHARDED global NTILEs over the
-    CUSTOMER-level frame (rank.sharded_ntile — range shards +
-    per-shard row_number + bounded driver prefix; VERDICT r4
+    CUSTOMER-level frame (rank.sharded_ntile — boundary-literal
+    shards + per-shard row_number + bounded driver prefix; VERDICT r4
     next-round #2b replaced the previous three partition-less
     ``Window.orderBy`` windows, which funneled the whole customer
     frame through one task three times). Bucket arithmetic
-    reproduces ANSI NTILE exactly, so the oracle is unchanged."""
+    reproduces ANSI NTILE exactly, so the oracle is unchanged.
+
+    The per-customer base is persist()ed (MEMORY_AND_DISK): the
+    chained ntiles consume it repeatedly (each does a boundary-sketch
+    pass + a shard-size pass + the rank join), and without a cache
+    the orders aggregate would recompute per pass. Unlike the old
+    eager localCheckpoint this keeps LINEAGE — a lost executor
+    recomputes the partition instead of failing the job — and the
+    cached frame is CUSTOMER-scale (one row per customer, ~1/10 the
+    fact rows), not a fact-table copy."""
+    from pyspark import StorageLevel
+
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(
@@ -3069,12 +3102,13 @@ def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hbase_gis_spark.operators.rank import sharded_ntile
 
+    per_cust = per_cust.persist(StorageLevel.MEMORY_AND_DISK)
     out = sharded_ntile(
         per_cust, RFM_BUCKETS, ["last_day", "o_custkey"], "r_score"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     out = sharded_ntile(
         out, RFM_BUCKETS, ["n_orders", "o_custkey"], "f_score"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     out = sharded_ntile(
         out, RFM_BUCKETS, ["total_cents", "o_custkey"], "m_score"
     )
@@ -3565,9 +3599,9 @@ def _q_spearman_value_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_gis_spark.operators.drift import spearman_corr
 
     ev = load_table(spark, sf_dir, "events").select(
-        "value", ts_us().cast("double").alias("__t")
+        "event_id", "value", ts_us().cast("double").alias("__t")
     )
-    return spearman_corr(ev, "value", "__t")
+    return spearman_corr(ev, "value", "__t", id_col="event_id")
 
 
 def _q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4046,7 +4080,13 @@ def _q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count + sum of the per-part frame) broadcast back, and a filter —
     the aggregate is reused for both sides via cache-free
     self-reference (Catalyst plans two scans of the same shuffle;
-    exchange reuse collapses them)."""
+    exchange reuse collapses them).
+
+    Overflow: the share compare multiplies two table-scale integers
+    (value_cents x n_parts, total_cents x tenths), so both sides run
+    in DECIMAL(38,0) — Spark's non-ANSI int64 would WRAP silently
+    while DuckDB's HUGEINT carries on, a latent engine divergence
+    (ADVICE r5 #2). 38 digits hold to ~1e19 parts x 1e19 total."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(
@@ -4062,8 +4102,10 @@ def _q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(totals))
         .filter(
-            F.col("value_cents") * F.col("__np") * 10
-            > F.col("__tot") * Q11_SHARE_TENTHS
+            F.col("value_cents").cast("decimal(38,0)")
+            * F.col("__np")
+            * 10
+            > F.col("__tot").cast("decimal(38,0)") * Q11_SHARE_TENTHS
         )
         .select("l_partkey", "value_cents")
     )
@@ -4285,15 +4327,37 @@ def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOMENTS_MAX_ROWS = 12_000_000  # DECIMAL(38,0) / (5.3e7 cents)^4
+
+
 def _q_revenue_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report of order totals: exact 128-bit raw
     power sums -> variance / skewness / excess kurtosis, one rounded
     double expression tree — the shape-drift screen beside
-    ab_test_welch's mean test."""
+    ab_test_welch's mean test.
+
+    Overflow guard (ADVICE r5 #4): the |x|^4 DECIMAL(38,0) sums hold
+    only to ~1.2e7 rows at TPC-H's ~5.3e7-cent price ceiling, and
+    past that Spark's non-ANSI decimal sum goes silently NULL while
+    DuckDB's HUGEINT overflows loudly — a latent engine divergence.
+    The registered query therefore ASSERTS the row bound up front
+    (parquet metadata count — no data scan) and fails with the
+    scale_div remedy instead of diverging; around sf>=1, re-register
+    with moments_report(..., scale_div=100) (dollar resolution buys
+    1e8x row headroom)."""
     from hbase_gis_spark.operators.drift import moments_report
 
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    if n > MOMENTS_MAX_ROWS:
+        raise ValueError(
+            f"revenue_moments: {n} orders exceeds the DECIMAL(38,0) "
+            f"|x|^4 bound (~{MOMENTS_MAX_ROWS}); pass scale_div "
+            "(e.g. 100) to moments_report to trade resolution for "
+            "headroom"
+        )
     return moments_report(
-        load_table(spark, sf_dir, "orders"),
+        o,
         F.round(F.col("o_totalprice") * 100).cast("bigint"),
     )
 
@@ -4784,6 +4848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_urgent": _q_customers_no_urgent,
         "large_volume_customers": _q_large_volume_customers,
         "promo_revenue": _q_promo_revenue,
+        # --- round-6 additions (appended per the ordering policy;
+        # they rotate into the driver window in round 7) -------------
+        "dup_substring_spans": _q_dup_substring_spans,
     }
 
 
@@ -4963,6 +5030,35 @@ def oracle_sql() -> dict[str, str]:
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            min(doc_id) AS first_doc
     FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    """
+    # maximal duplicated-substring spans: same anchor grams as
+    # dup_ngram_spans; min!=max over the gram partition decides
+    # cross-doc duplication, pos - row_number chains consecutive
+    # anchors into maximal runs (operators/dedup.py:
+    # dup_substring_spans)
+    dup_substring_sql = f"""
+    {span_g_cte},
+    d AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               min(doc_id) OVER (PARTITION BY gram) AS mn,
+               max(doc_id) OVER (PARTITION BY gram) AS mx
+        FROM g
+      ) WHERE mn <> mx
+    ),
+    r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos
+             ) AS grp
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS start_pos,
+           CAST(max(pos) - min(pos) + {SPAN_N} AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_anchors
+    FROM r GROUP BY doc_id, grp
+    HAVING max(pos) - min(pos) + {SPAN_N} >= {SUBSTR_MIN_LEN}
     """
     span_stats_sql = f"""
     {span_g_cte},
@@ -6799,6 +6895,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "dup_ngram_spans": dup_spans_sql,
         "span_dup_stats": span_stats_sql,
+        "dup_substring_spans": dup_substring_sql,
         # winnowing: same k-gram 60-bit md5 hashes, same window mins as
         # operators/dedup.py:winnow_fingerprints
         # chunking: same tokenization, 1-based inclusive slices,
@@ -9285,8 +9382,8 @@ def oracle_sql() -> dict[str, str]:
       FROM d
     )
     SELECT n_a, n_b,
-           CAST((sa * 1000) // n_a AS BIGINT) AS mean_a_milli,
-           CAST((sb * 1000) // n_b AS BIGINT) AS mean_b_milli,
+           CAST((sa * 1000) // n_a AS BIGINT) AS mean_a_micro,
+           CAST((sb * 1000) // n_b AS BIGINT) AS mean_b_micro,
            round((dsa / na - dsb / nb) / sqrt(sea + seb), 9) AS t,
            round(((sea + seb) * (sea + seb))
                  / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)),

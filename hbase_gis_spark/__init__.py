@@ -37,11 +37,14 @@ from hbase_gis_spark.session import make_session  # noqa: F401
 from hbase_gis_spark.sqlapi import (  # noqa: F401
     bbox_sql,
     geohash_prefix_sql,
+    global_percentiles_sql,
     haversine_distance_sql,
     lang_id_sql,
     minhash_band_sql,
     planar_distance_sql,
+    quantile_transform_sql,
     register_sql_api,
+    sharded_ntile_sql,
     simhash_sql,
     tokens_sql,
     within_convex_sql,
@@ -57,6 +60,7 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     write_catalog_postings,
     dedup_recall_report,
     dup_ngram_spans,
+    dup_substring_spans,
     edit_distance_pairs,
     fuzzy_join_edit1,
     near_dup_clusters,
@@ -243,6 +247,7 @@ from hbase_gis_spark.operators.rank import (  # noqa: F401
     global_percentiles,
     quantile_transform,
     range_sharded,
+    shard_boundaries,
     sharded_ntile,
 )
 from hbase_gis_spark.operators.funnel import (  # noqa: F401

@@ -1164,6 +1164,72 @@ def dup_ngram_spans(
     )
 
 
+def dup_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_len: int = 50,
+) -> DataFrame:
+    """MAXIMAL duplicated substring spans of >= ``min_len`` tokens —
+    the variable-length upgrade over :func:`dup_ngram_spans`' fixed
+    grams (VERDICT r5 next-round #4). Real pipelines
+    (RefinedWeb / Lee et al. 2022 suffix-array dedup) remove long
+    VARIABLE-length repeated spans; reporting a 100-token duplicate
+    as one 100-token span (not 93 overlapping 8-grams) is what makes
+    the report actionable.
+
+    Semantics: a token position is a *duplicated anchor* when the
+    fixed ``n``-gram starting there also occurs in at least one OTHER
+    document (cross-doc; same-doc repeats don't count). Consecutive
+    anchors (stride exactly 1) chain into maximal runs; a run from
+    anchor ``a`` to anchor ``b`` covers tokens ``a .. b+n-1``, i.e.
+    ``span_len = b - a + n``. A true maximal repeated substring of
+    length S >= n produces exactly its S-n+1 consecutive anchors, so
+    it is reported as ONE span of exactly S tokens (pytest-pinned in
+    tests/test_dedup.py). Approximation vs a suffix array, stated:
+    spans shorter than ``n`` are invisible, and a single
+    corpus-unique gram breaks a run even where the flanking spans
+    duplicate independently — false-negative-only at the boundaries,
+    like every cap in this family.
+
+    Output: (``id_col``, start_pos, span_len, n_anchors), spans of
+    ``span_len >= min_len`` only; all BIGINT.
+
+    Scale shape: ONE explode (ngram_positions), ONE gram-keyed window
+    exchange where ``min(doc) != max(doc)`` over the gram partition
+    decides cross-doc duplication — exact for the >= 2-distinct-docs
+    predicate with NO countDistinct and NO join-back — then ONE
+    doc-keyed window (runs) + ONE (doc, run) aggregate. Gram keys are
+    md5-uniform (no skew); the doc window is per-doc bounded."""
+    g = ngram_positions(df, id_col, text_col, n)
+    gw = Window.partitionBy("gram")
+    anchors = (
+        g.withColumn(
+            "__dup",
+            F.min(id_col).over(gw) != F.max(id_col).over(gw),
+        )
+        .filter(F.col("__dup"))
+        .select(id_col, "pos")
+    )
+    runw = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    runs = anchors.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(runw)
+    )
+    return (
+        runs.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_pos"),
+            (F.max("pos") - F.min("pos") + n)
+            .cast("bigint")
+            .alias("span_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(id_col, "start_pos", "span_len", "n_anchors")
+    )
+
+
 def span_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -341,13 +341,13 @@ def global_quantile_cuts(
     prepped = df.select(
         F.col(value_col).cast("double").alias("__v")
     ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
-    # range_sharded's EAGER localCheckpoint pins the pid column as
-    # DATA: spark_partition_id is nondeterministic per evaluation and
-    # the plan consumes the sharded frame TWICE (size aggregate +
-    # rank window). The operator is action-bearing by design anyway
-    # (the bounded shard-size collect), so no extra pass.
+    # range_sharded derives __shard from boundary LITERALS frozen in
+    # the plan, so both consumptions of the sharded frame (size
+    # aggregate + rank window) agree deterministically — retry-safe,
+    # no pinning materialization (VERDICT r5 #2 replaced the old
+    # eager localCheckpoint, which truncated lineage).
     sharded, odf, total = range_sharded(prepped, ["__v"], n_shards)
-    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
+    w = Window.partitionBy("__shard").orderBy(F.col("__v").asc())
     ranked = sharded.withColumn("__r", F.row_number().over(w))
     spark = df.sparkSession
     cut_ranks = {
@@ -359,7 +359,7 @@ def global_quantile_cuts(
         "__gr bigint, cut_idx int",
     )
     return (
-        ranked.join(F.broadcast(odf), "__pid")
+        ranked.join(F.broadcast(odf), "__shard")
         .select(
             (F.col("__r") + F.col("__off")).alias("__gr"), "__v"
         )
@@ -373,6 +373,7 @@ def spearman_corr(
     x_col: str,
     y_col: str,
     n_shards: int = 64,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Spearman rank correlation between two numeric columns — the
     monotone-association QA check (is quality score actually related
@@ -389,29 +390,35 @@ def spearman_corr(
     Output: 1 row (n, sum_d2_quarter, rho).
 
     Scale shape (VERDICT r4 next-round #2a): each column is ranked by
-    the SHARDED global-rank machinery (rank.global_half_ranks — range
-    shards, per-shard rank + tie counts, bounded driver prefix), NOT a
-    partition-less ``Window.orderBy`` (banned repo-wide by
-    tests/test_plan_hygiene.py). Row identity for the rank join is a
-    monotonically_increasing_id PINNED by an eager localCheckpoint
-    (ids are nondeterministic per evaluation; both rank passes must
-    see the same ids). Cost: one base materialization, two range
-    shuffles + rank windows, two id-keyed joins, one aggregate —
-    every stage parallel over n_shards."""
+    the SHARDED global-rank machinery (rank.global_half_ranks —
+    boundary-literal shards, per-shard rank + tie counts, bounded
+    driver prefix), NOT a partition-less ``Window.orderBy`` (banned
+    repo-wide by tests/test_plan_hygiene.py). Row identity for the
+    rank join: pass ``id_col`` (a UNIQUE key — duplicates would
+    cross-join the rank frames) and the whole plan is deterministic
+    lineage, retry-safe with no materialization. Only when the input
+    has no key does the fallback mint ``monotonically_increasing_id``
+    and pin it with an eager localCheckpoint (ids are
+    nondeterministic per evaluation; both rank passes must see the
+    same ids) — prefer ``id_col`` at scale. Cost: two range-boundary
+    sketch passes, two shard windows, two id-keyed joins, one
+    aggregate — every stage parallel over n_shards."""
     from hbase_gis_spark.operators.rank import global_half_ranks
 
-    base = (
-        df.select(
-            F.col(x_col).cast("double").alias("__x"),
-            F.col(y_col).cast("double").alias("__y"),
-        )
-        .filter(
-            F.col("__x").isNotNull() & ~F.isnan("__x")
-            & F.col("__y").isNotNull() & ~F.isnan("__y")
-        )
-        .withColumn("__id", F.monotonically_increasing_id())
-        .localCheckpoint()
+    proj = [
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ]
+    if id_col is not None:
+        proj.append(F.col(id_col).alias("__id"))
+    base = df.select(*proj).filter(
+        F.col("__x").isNotNull() & ~F.isnan("__x")
+        & F.col("__y").isNotNull() & ~F.isnan("__y")
     )
+    if id_col is None:
+        base = base.withColumn(
+            "__id", F.monotonically_increasing_id()
+        ).localCheckpoint()
     rx = global_half_ranks(base, "__x", "__id", n_shards).withColumnRenamed(
         "__hr2", "__rx2"
     )
@@ -534,8 +541,11 @@ def welch_t_test(
     drift family's "did the MEAN move" complement to value_psi's
     "did the DISTRIBUTION move". Input values must already be integer
     milli-units (the caller rounds per row — never sum raw doubles
-    across rows). Output one row: (n_a, n_b, mean_a_milli,
-    mean_b_milli = floor integer means, t = Welch statistic,
+    across rows). Output one row: (n_a, n_b, mean_a_micro,
+    mean_b_micro = floor integer means carrying THREE EXTRA
+    fractional digits relative to the input unit (the sum is
+    multiplied by 1000 before the integer division, so milli-unit
+    inputs yield micro-unit means), t = Welch statistic,
     dof = Welch-Satterthwaite degrees of freedom, both rounded to 9).
 
     Engine-exactness: ONE conditional-aggregation pass accumulates
@@ -580,10 +590,10 @@ def welch_t_test(
         "n_b",
         F.expr("CAST(__sa * 1000 AS DECIMAL(38,0)) div n_a")
         .cast("bigint")
-        .alias("mean_a_milli"),
+        .alias("mean_a_micro"),
         F.expr("CAST(__sb * 1000 AS DECIMAL(38,0)) div n_b")
         .cast("bigint")
-        .alias("mean_b_milli"),
+        .alias("mean_b_micro"),
         F.round(t, 9).alias("t"),
         F.round(dof, 9).alias("dof"),
     )

@@ -4,33 +4,84 @@ a bounded driver prefix, never a single-task global sort.
 The classic scale-killer is ``row_number() OVER (ORDER BY v)`` — one
 task sorts the whole table. Every helper here replaces that shape
 with the machinery drift.global_quantile_cuts introduced (VERDICT r4
-next-round #2): ``repartitionByRange`` puts ordered, DISJOINT value
-ranges on ``n_shards`` tasks (equal keys land in one shard), each
+next-round #2): the order-column domain is split into ``n_shards``
+ordered, DISJOINT value ranges (equal keys land in one shard), each
 shard ranks locally in parallel, and the true global rank is the
 local rank plus the prefix-sum of earlier shards' row counts — a
 driver-side prefix over ``n_shards`` integers, constant in table
 size (the token_budget_sample bounded-collect pattern).
 
 Consumers: :func:`sharded_ntile` (rfm_segments, balance_deciles),
-:func:`global_percentiles` (sketch_stats), and
-:func:`global_half_ranks` (spearman_corr) — all previously global
-single-task ``Window.orderBy`` windows, now banned repo-wide by the
-AST check in tests/test_plan_hygiene.py.
+:func:`global_percentiles` (sketch_stats, mad_anomalies),
+:func:`global_half_ranks` (spearman_corr, shuffle_audit), and
+:func:`quantile_transform` — all previously global single-task
+``Window.orderBy`` windows, now banned repo-wide by the AST check in
+tests/test_plan_hygiene.py.
 
-Determinism note: the eager ``localCheckpoint`` is load-bearing, not
-an optimization. ``spark_partition_id()`` is nondeterministic per
-evaluation and every helper consumes the sharded frame TWICE (the
-bounded shard-size collect + the rank window); materializing pins
-the pid column as data so both passes agree. Range-partitioner
-boundary sampling may vary between runs, but output VALUES are
-boundary-independent: offsets correct every shard's ranks to the
-same global ranks regardless of where the boundaries fell.
+Determinism & fault tolerance (VERDICT r5 next-round #2): shard ids
+derive from BOUNDARY LITERALS baked into the plan — n_shards-1 cut
+values collected ONCE driver-side (a single bounded
+``approxQuantile`` sketch pass) and frozen as plan constants. A
+retried task re-evaluates ``value vs literals`` and lands every row
+in the same shard, so no pinning materialization is needed: the old
+implementation pinned a nondeterministic ``spark_partition_id()``
+with an eager ``localCheckpoint()``, which truncated lineage (a lost
+executor killed the job instead of recomputing) and double-stored a
+fact-table-sized frame. Output VALUES are boundary-independent —
+offsets correct every shard's ranks to the same global ranks
+regardless of where the cuts fall — so balance (not correctness)
+is all the sketch accuracy buys.
+
+Tie-mass skew contract: equal keys MUST share a shard (the tie-count
+identity in :func:`global_half_ranks` needs it), so a heavily
+quantized or near-constant order column funnels its tie mass into
+one shard and degenerates back toward a single-task sort. The
+bounded shard-size collect doubles as the guard: when the fattest
+shard holds more than ``max(25%, 4/n_shards)`` of the rows a
+``RuntimeWarning`` names the column and the fraction (pinned in
+tests/test_round5_ops.py). The fix at that point is upstream —
+rank a finer quantization or add a tiebreak column.
+
+Overflow bound: boundary literals are chosen via a double-precision
+sketch, so integral order columns beyond 2**53 could see cast
+round-trips disagree with native ordering near a cut. Ranked columns
+in this repo are milli/cent units << 2**53; the guard is documented
+here rather than paid for per row.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def shard_boundaries(
+    df: DataFrame, col: str, n_shards: int
+) -> list[int | float]:
+    """n_shards-1 ascending, deduplicated cut values for ``col``,
+    collected once (bounded Greenwald-Khanna sketch pass — O(1/err)
+    driver memory, never O(rows)) and intended to be frozen into the
+    plan as literals. Integral columns get integral boundaries
+    (floor) so shard comparison happens in the column's native type
+    — no double-cast ordering disagreement."""
+    if n_shards <= 1:
+        return []
+    dtype = dict(df.dtypes)[col]
+    probs = [i / n_shards for i in range(1, n_shards)]
+    err = max(0.001, 0.25 / n_shards)
+    raw = (
+        df.select(F.col(col).cast("double").alias("__aq"))
+        .filter(F.col("__aq").isNotNull() & ~F.isnan("__aq"))
+        .stat.approxQuantile("__aq", probs, err)
+    )
+    vals = [b for b in raw if b == b]  # drop NaN defensively
+    if dtype in _INTEGRAL_TYPES:
+        vals = [int(b // 1) for b in vals]
+    return sorted(set(vals))
 
 
 def range_sharded(
@@ -38,33 +89,58 @@ def range_sharded(
     order_cols: list[str],
     n_shards: int = 64,
 ) -> tuple[DataFrame, DataFrame, int]:
-    """Shard ``df`` into ``n_shards`` ordered, disjoint ranges of
-    ``order_cols`` and return ``(sharded, offsets, total)``:
-    ``sharded`` carries every input column plus ``__pid`` (pinned by
-    an eager localCheckpoint), ``offsets`` is an n_shards-row
-    (``__pid``, ``__off``) frame where ``__off`` is the number of
+    """Shard ``df`` into ordered, disjoint ranges of
+    ``order_cols[0]`` and return ``(sharded, offsets, total)``:
+    ``sharded`` carries every input column plus ``__shard`` (a
+    DETERMINISTIC id = how many boundary literals the row's key
+    exceeds — retry-safe, no materialization), ``offsets`` is a
+    (``__shard``, ``__off``) frame where ``__off`` is the number of
     rows in earlier shards, and ``total`` is the overall row count.
-    ``local rank + __off`` is then an exact global rank."""
-    sharded = (
-        df.repartitionByRange(n_shards, *[F.col(c).asc() for c in order_cols])
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    # bounded collect: one integer per shard (never grows with data)
+    ``local rank + __off`` is then an exact global rank.
+
+    Sharding on the FIRST order column alone is sufficient for any
+    ``order_cols`` suffix: rows strictly below a cut precede every
+    row above it under the full lexicographic order, and first-key
+    ties (which the suffix may reorder) always share a shard. NULL
+    keys compare NULL against every boundary and land in shard 0,
+    matching ASC NULLS FIRST window order; NaN compares greater than
+    every boundary (Spark NaN ordering) and lands in the last shard,
+    matching NaN-sorts-last."""
+    key = order_cols[0]
+    bounds = shard_boundaries(df, key, n_shards)
+    shard = F.lit(0)
+    for b in bounds:
+        shard = shard + F.when(F.col(key) > F.lit(b), 1).otherwise(0)
+    sharded = df.withColumn("__shard", shard.cast("int"))
+    # bounded collect: one integer per shard (never grows with data);
+    # recomputable — losing an executor replays lineage, it does not
+    # kill the job (the localCheckpoint this replaced did).
     sizes = {
-        r["__pid"]: r["cnt"]
-        for r in sharded.groupBy("__pid")
+        r["__shard"]: r["cnt"]
+        for r in sharded.groupBy("__shard")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
     total = sum(sizes.values())
+    if total and len(sizes) >= 1 and n_shards > 1:
+        max_frac = max(sizes.values()) / total
+        n_eff = len(bounds) + 1
+        if max_frac > max(0.25, 4.0 / n_shards):
+            warnings.warn(
+                f"range_sharded tie-mass skew on {key!r}: fattest shard "
+                f"holds {max_frac:.0%} of {total} rows across {n_eff} "
+                "effective shards (equal keys cannot split). Rank a "
+                "finer quantization or add a tiebreak column.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     offsets, acc = [], 0
-    for pid in sorted(sizes):
-        offsets.append((int(pid), int(acc)))
-        acc += sizes[pid]
+    for sid in sorted(sizes):
+        offsets.append((int(sid), int(acc)))
+        acc += sizes[sid]
     spark = df.sparkSession
     odf = spark.createDataFrame(
-        offsets or [(0, 0)], "__pid int, __off bigint"
+        offsets or [(0, 0)], "__shard int, __off bigint"
     )
     return sharded, odf, total
 
@@ -83,10 +159,10 @@ def sharded_ntile(
     row_number, all integer ops, engine-exact. ``order_cols`` must be
     a total order (append a key tiebreak) for deterministic output."""
     sharded, odf, total = range_sharded(df, order_cols, n_shards)
-    w = Window.partitionBy("__pid").orderBy(
+    w = Window.partitionBy("__shard").orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
-    ranked = sharded.join(F.broadcast(odf), "__pid").withColumn(
+    ranked = sharded.join(F.broadcast(odf), "__shard").withColumn(
         "__gr", F.row_number().over(w) + F.col("__off")
     )
     q, rem = divmod(total, n)
@@ -101,7 +177,7 @@ def sharded_ntile(
         ).otherwise(F.expr(f"{rem} + (__gr - {head} + {q - 1}) div {q}"))
     return (
         ranked.withColumn(out_col, bucket.cast("int"))
-        .drop("__pid", "__off", "__gr")
+        .drop("__shard", "__off", "__gr")
     )
 
 
@@ -131,9 +207,9 @@ def global_percentiles(
     rdf = spark.createDataFrame(
         [(n_, int(r)) for n_, r in ranks], "__name string, __gr bigint"
     )
-    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
+    w = Window.partitionBy("__shard").orderBy(F.col("__v").asc())
     hits = (
-        sharded.join(F.broadcast(odf), "__pid")
+        sharded.join(F.broadcast(odf), "__shard")
         .select(
             (F.row_number().over(w) + F.col("__off")).alias("__gr"), "__v"
         )
@@ -160,9 +236,9 @@ def global_half_ranks(
     one shard, so the per-(shard, value) count IS the global tie
     count and local ``rank()`` + shard offset IS the global min-rank."""
     sharded, odf, _ = range_sharded(df.select(id_col, col), [col], n_shards)
-    w = Window.partitionBy("__pid").orderBy(F.col(col).asc())
-    tie = Window.partitionBy("__pid", col)
-    return sharded.join(F.broadcast(odf), "__pid").select(
+    w = Window.partitionBy("__shard").orderBy(F.col(col).asc())
+    tie = Window.partitionBy("__shard", col)
+    return sharded.join(F.broadcast(odf), "__shard").select(
         id_col,
         (
             (F.rank().over(w) + F.col("__off")) * 2
@@ -188,23 +264,23 @@ def quantile_transform(
     raw doubles risks engine tie-order differences; ranking the
     quantized integer makes ties identical everywhere.
 
-    Scale shape: the global_half_ranks sharded machinery — range
-    shards, per-shard rank windows in parallel, a bounded
+    Scale shape: the global_half_ranks sharded machinery — boundary
+    literals, per-shard rank windows in parallel, a bounded
     n_shards-integer driver prefix, and the total row count as a plan
     LITERAL (known from the same bounded collect) — never a
     single-task global sort, no totals join."""
     sharded, odf, total = range_sharded(
         df.select(id_col, col), [col], n_shards
     )
-    w = Window.partitionBy("__pid").orderBy(F.col(col).asc())
-    tie = Window.partitionBy("__pid", col)
+    w = Window.partitionBy("__shard").orderBy(F.col(col).asc())
+    tie = Window.partitionBy("__shard", col)
     hr2 = (
         (F.rank().over(w) + F.col("__off")) * 2
         + F.count(F.lit(1)).over(tie)
         - 1
     )
     return (
-        sharded.join(F.broadcast(odf), "__pid")
+        sharded.join(F.broadcast(odf), "__shard")
         .select(id_col, col, hr2.alias("__hr2"))
         .select(
             id_col,

@@ -144,6 +144,163 @@ def tokens_sql(text_expr: str = "text") -> str:
     return f"split(trim({text_expr}), '\\\\s+')"
 
 
+# --- sharded-rank statement generators (VERDICT r5 next-round #6) ----------
+#
+# The rank family (operators/rank.py) needs two bounded driver
+# artifacts — boundary literals and shard-size offsets — so its SQL
+# surface is a STATEMENT generator, not pure text: each function runs
+# the same bounded collects the DataFrame path runs (one
+# approxQuantile sketch + one n_shards-integer aggregate), freezes
+# them into the emitted statement as literals, and returns a
+# self-contained SELECT over the named view. The emitted plan is the
+# same scale-safe family: every window PARTITIONED BY the literal
+# shard id, offsets as a CASE projection (no join at all), never a
+# single-task global sort. SQL == DataFrame rows pinned in
+# tests/test_sqlapi.py.
+
+
+def _shard_expr_sql(key_expr: str, bounds: list) -> str:
+    """Shard id = how many boundary literals the key exceeds (the
+    rank.range_sharded comparison ladder, as SQL text)."""
+    if not bounds:
+        return "0"
+    terms = " + ".join(
+        f"(CASE WHEN {key_expr} > {b!r} THEN 1 ELSE 0 END)" for b in bounds
+    )
+    return f"CAST({terms} AS INT)"
+
+
+def _off_case_sql(offsets: list[tuple[int, int]]) -> str:
+    """Shard-id -> prefix-offset mapping as a CASE projection (the
+    broadcast-join-free SQL form of range_sharded's offsets frame)."""
+    if not offsets:
+        return "CAST(0 AS BIGINT)"
+    whens = " ".join(
+        f"WHEN {sid} THEN CAST({off} AS BIGINT)" for sid, off in offsets
+    )
+    return f"(CASE __shard {whens} ELSE CAST(0 AS BIGINT) END)"
+
+
+def _sharded_plan_parts(
+    spark: SparkSession,
+    view: str,
+    key_expr: str,
+    n_shards: int,
+    where_sql: str = "",
+) -> tuple[str, list[tuple[int, int]], int]:
+    """Shared driver-side prep: boundary literals from the view, then
+    shard sizes/offsets/total via one bounded aggregate — both frozen
+    into SQL text. Returns (shard_expr, offsets, total)."""
+    from hbase_gis_spark.operators.rank import shard_boundaries
+
+    src = spark.table(view)
+    if where_sql:
+        src = src.filter(where_sql)
+    key_df = src.selectExpr(f"{key_expr} AS __k")
+    bounds = shard_boundaries(key_df, "__k", n_shards)
+    shard = _shard_expr_sql(key_expr, bounds)
+    where = f"WHERE {where_sql}" if where_sql else ""
+    sizes = spark.sql(
+        f"SELECT {shard} AS s, count(*) AS c FROM {view} {where} GROUP BY 1"
+    ).collect()
+    by_sid = {int(r.s): int(r.c) for r in sizes}
+    offsets, acc = [], 0
+    for sid in sorted(by_sid):
+        offsets.append((sid, acc))
+        acc += by_sid[sid]
+    return shard, offsets, acc
+
+
+def sharded_ntile_sql(
+    spark: SparkSession,
+    view: str,
+    n: int,
+    order_cols: list[str],
+    out_col: str,
+    n_shards: int = 64,
+) -> str:
+    """``NTILE(n) OVER (ORDER BY order_cols)`` for ``spark.sql`` with
+    no single-task sort — the SQL twin of ``rank.sharded_ntile``
+    (same ANSI bucket arithmetic, same boundary-literal shards).
+    ``view`` must be a registered table/view name."""
+    shard, offsets, total = _sharded_plan_parts(
+        spark, view, order_cols[0], n_shards
+    )
+    order = ", ".join(f"{c} ASC" for c in order_cols)
+    q, rem = divmod(total, n)
+    if q == 0:
+        bucket = "__gr"
+    else:
+        head = rem * (q + 1)
+        bucket = (
+            f"(CASE WHEN __gr <= {head} THEN (__gr + {q}) div {q + 1} "
+            f"ELSE {rem} + (__gr - {head} + {q - 1}) div {q} END)"
+        )
+    return f"""
+    SELECT * EXCEPT (__shard, __gr), CAST({bucket} AS INT) AS {out_col}
+    FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY __shard ORDER BY {order})
+               + {_off_case_sql(offsets)} AS __gr
+      FROM (SELECT *, {shard} AS __shard FROM {view})
+    )"""
+
+
+def global_percentiles_sql(
+    spark: SparkSession,
+    view: str,
+    value_expr: str,
+    percentiles: dict[str, tuple[int, int]],
+    n_shards: int = 64,
+) -> str:
+    """One-row exact rank-selection percentiles for ``spark.sql`` —
+    the SQL twin of ``rank.global_percentiles`` (NULL/NaN dropped,
+    value at global rank ceil(num*N/den) per requested name). The
+    requested ranks are plan literals, so selection is a conditional
+    aggregate — no join."""
+    val = f"CAST({value_expr} AS DOUBLE)"
+    where = f"{val} IS NOT NULL AND NOT isnan({val})"
+    shard, offsets, total = _sharded_plan_parts(
+        spark, view, val, n_shards, where_sql=where
+    )
+    sels = ", ".join(
+        f"max(CASE WHEN __gr = {(num * total + den - 1) // den} "
+        f"THEN __v END) AS {name}"
+        for name, (num, den) in percentiles.items()
+    )
+    return f"""
+    SELECT {sels} FROM (
+      SELECT __v,
+             row_number() OVER (PARTITION BY __shard ORDER BY __v ASC)
+               + {_off_case_sql(offsets)} AS __gr
+      FROM (SELECT {val} AS __v, {shard} AS __shard
+            FROM {view} WHERE {where})
+    )"""
+
+
+def quantile_transform_sql(
+    spark: SparkSession,
+    view: str,
+    col: str,
+    id_col: str,
+    n_shards: int = 64,
+) -> str:
+    """Per-row global quantile normalization for ``spark.sql`` — the
+    SQL twin of ``rank.quantile_transform`` (average tie ranks carried
+    doubled in BIGINTs, pct_milli = (2*avg_rank*1000) div (2*n))."""
+    shard, offsets, total = _sharded_plan_parts(spark, view, col, n_shards)
+    return f"""
+    SELECT {id_col}, {col},
+           (__hr2 * 1000) div {max(1, 2 * total)} AS pct_milli
+    FROM (
+      SELECT {id_col}, {col},
+             (rank() OVER (PARTITION BY __shard ORDER BY {col} ASC)
+                + {_off_case_sql(offsets)}) * 2
+               + count(*) OVER (PARTITION BY __shard, {col}) - 1 AS __hr2
+      FROM (SELECT {id_col}, {col}, {shard} AS __shard FROM {view})
+    )"""
+
+
 def word_shingles_sql(text_expr: str = "text", n: int = 3) -> str:
     """Distinct word n-gram shingles — twin of
     ``operators.dedup.word_shingles`` (same zip_with fold over shifted

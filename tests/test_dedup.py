@@ -727,3 +727,56 @@ def test_dedup_incremental_stored_matches_on_the_fly(spark, tmp_path):
     assert got2 == exp2
     # the appended catalog must have changed at least one verdict
     assert got2 != got1
+
+
+def test_dup_substring_spans_one_span_not_93_grams(spark):
+    """A 100-token cross-doc duplicate is reported as ONE maximal
+    span of exactly 100 tokens (its 93 consecutive 8-gram anchors
+    chained), at each document's own offset — the VERDICT r5 #4
+    contract. Same-doc-only repeats and short overlaps produce
+    nothing."""
+    from hbase_gis_spark.operators.dedup import dup_substring_spans
+
+    shared = " ".join(f"s{i}" for i in range(100))
+    selfrep = " ".join(f"r{i % 9}" for i in range(40))  # same-doc repeat
+    rows = [
+        (1, "a1 a2 a3 " + shared + " z9"),
+        (2, "b1 " + shared + " y1 y2"),
+        (3, " ".join(f"u{i}" for i in range(30))),
+        (4, selfrep),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        tuple(r)
+        for r in dup_substring_spans(df, n=8, min_len=50)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == [(1, 3, 100, 93), (2, 1, 100, 93)]
+
+
+def test_dup_substring_spans_unique_gram_breaks_run(spark):
+    """Two 60-token duplicates separated by one corpus-unique token
+    chain into TWO spans (the documented boundary approximation),
+    and min_len filters spans independently."""
+    from hbase_gis_spark.operators.dedup import dup_substring_spans
+
+    a = " ".join(f"a{i}" for i in range(60))
+    b = " ".join(f"b{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, a + " UNIQ1 " + b), (2, a + " UNIQ2 " + b)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_id, r.start_pos): (r.span_len, r.n_anchors)
+        for r in dup_substring_spans(df, n=8, min_len=50).collect()
+    }
+    # doc tokens: a0..a59 (0-59), UNIQx (60), b0..b59 (61-120); the
+    # grams touching position 60 are unique per doc, so anchors are
+    # 0..52 and 61..113 -> spans (0, 60) and (61, 60)
+    assert got == {
+        (1, 0): (60, 53),
+        (1, 61): (60, 53),
+        (2, 0): (60, 53),
+        (2, 61): (60, 53),
+    }

@@ -508,3 +508,73 @@ def test_psi_sql_finishing_matches_operator(spark):
     assert len(rows) > 0
     for r in rows:
         assert r.psi == r.psi_sql, (r.event_type, r.bin, r.psi, r.psi_sql)
+
+
+# --- sharded-rank statement generators (VERDICT r5 #6) ----------------------
+
+
+@pytest.fixture(scope="module")
+def cust_view(spark):
+    (
+        spark.read.parquet(f"{SF0001}/customer.parquet")
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        )
+        .createOrReplaceTempView("cust_rank_sql")
+    )
+    return "cust_rank_sql"
+
+
+def test_sharded_ntile_sql_matches_dataframe(spark, cust_view):
+    """spark.sql(sharded_ntile_sql(...)) == rank.sharded_ntile, every
+    row, and the emitted plan partitions its window by the literal
+    shard id (never a partition-less global sort)."""
+    from hbase_gis_spark.operators.rank import sharded_ntile
+
+    stmt = hgs.sharded_ntile_sql(
+        spark, cust_view, 10, ["cents", "c_custkey"], "decile", n_shards=8
+    )
+    got = {
+        (r.c_custkey, r.decile) for r in spark.sql(stmt).collect()
+    }
+    src = spark.table(cust_view)
+    want = {
+        (r.c_custkey, r.decile)
+        for r in sharded_ntile(
+            src, 10, ["cents", "c_custkey"], "decile", n_shards=8
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    plan = spark.sql(stmt)._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" in plan
+
+
+def test_global_percentiles_sql_matches_dataframe(spark, cust_view):
+    from hbase_gis_spark.operators.rank import global_percentiles
+
+    pcts = {"p25": (1, 4), "p50": (1, 2), "p99": (99, 100)}
+    stmt = hgs.global_percentiles_sql(
+        spark, cust_view, "cents", pcts, n_shards=8
+    )
+    got = spark.sql(stmt).head()
+    want = global_percentiles(
+        spark.table(cust_view), "cents", pcts, n_shards=8
+    ).head()
+    assert (got.p25, got.p50, got.p99) == (want.p25, want.p50, want.p99)
+
+
+def test_quantile_transform_sql_matches_dataframe(spark, cust_view):
+    from hbase_gis_spark.operators.rank import quantile_transform
+
+    stmt = hgs.quantile_transform_sql(
+        spark, cust_view, "cents", "c_custkey", n_shards=8
+    )
+    got = {(r.c_custkey, r.pct_milli) for r in spark.sql(stmt).collect()}
+    want = {
+        (r.c_custkey, r.pct_milli)
+        for r in quantile_transform(
+            spark.table(cust_view), "cents", "c_custkey", n_shards=8
+        ).collect()
+    }
+    assert got == want and len(want) > 0
