@@ -159,6 +159,7 @@ from hbase_gis_spark.streaming.events import (  # noqa: F401
     purchase_view_attribution,
     streaming_daily_anomalies,
     streaming_decontaminate,
+    streaming_dedup_incremental_stored,
     streaming_first_seen,
     streaming_histogram_counts,
     streaming_orphan_counts,

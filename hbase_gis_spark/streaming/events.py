@@ -375,6 +375,144 @@ def streaming_decontaminate(
     )
 
 
+def streaming_dedup_incremental_stored(
+    docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time dedup of an arriving document stream against the
+    MATERIALIZED postings catalog (write_catalog_postings sidecars) —
+    the streaming twin of ``dedup.dedup_incremental_stored``, with
+    identical verdicts (pinned in tests/test_streaming.py). This is
+    the natural stream-static join: the catalog is a parquet scan on
+    the static side; arriving docs md5-probe the exact dim, their
+    shingles equi-join the postings index, and a per-document grouped
+    kernel reduces candidates to one (doc_id, dup_of, reason) row.
+
+    Stateless across batches BY CONSTRUCTION: a document's exploded
+    rows all live in the micro-batch it arrived in, so the
+    applyInPandasWithState kernel emits each doc's verdict from that
+    batch alone and retains NO state (each key occurs in exactly one
+    batch; nothing to expire, no watermark needed). The shingle width
+    comes from the catalog's persisted meta sidecar — the same
+    contract the batch stored path honors, so stream and batch
+    tokenize identically.
+
+    ``max_df`` hot-shingle cap: hot shingles are NULLed on the stream
+    side (keeping the doc row alive, unlike the batch anti-join which
+    can afford to drop rows because its verdict frame re-joins
+    ``inc``) and anti-joined off the static postings — the same
+    false-negative-only contract.
+
+    Scale shape: doc-level stream-static LEFT hash join (exact dim),
+    one explode, shingle-keyed stream-static LEFT hash join
+    (postings; content-uniform keys), ONE doc-keyed shuffle into the
+    Arrow kernel whose per-group width is bounded by the doc's
+    candidate count (capped by max_df). No BNLJ, no broadcast of the
+    fact-scale catalog."""
+    from hbase_gis_spark.operators.dedup import word_shingles
+
+    if threshold <= 0:
+        raise ValueError(
+            "threshold must be > 0 (zero-overlap pairs are pruned)"
+        )
+    spark = docs.sparkSession
+    n = int(spark.read.parquet(f"{path}/meta").head()["n"])
+    cat_hash = (
+        spark.read.parquet(f"{path}/hash")
+        .groupBy("h")
+        .agg(F.min("exact_id").alias("exact_id"))
+    )
+    cat_post = spark.read.parquet(f"{path}/postings")
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("t")
+        )
+        .withColumn("h", F.md5("t"))
+        .join(cat_hash, "h", "left")
+        .withColumn("s", word_shingles("t", n))
+        .select(
+            "id",
+            "exact_id",
+            F.size("s").alias("szi"),
+            F.explode_outer("s").alias("shingle"),
+        )
+    )
+    if max_df is not None:
+        hot = (
+            cat_post.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle", F.lit(True).alias("__hot"))
+        )
+        cat_post = cat_post.join(
+            hot.select("shingle"), "shingle", "left_anti"
+        )
+        base = (
+            base.join(hot, "shingle", "left")
+            .withColumn(
+                "shingle",
+                F.when(F.col("__hot").isNull(), F.col("shingle")),
+            )
+            .drop("__hot")
+        )
+    cands = base.join(cat_post, "shingle", "left")
+
+    out_schema = f"{id_col} bigint, dup_of bigint, reason string"
+    state_schema = "done boolean"
+    thr = float(threshold)
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (doc,) = key
+        exact = None
+        szi = 0
+        inter: dict[int, int] = {}
+        szc: dict[int, int] = {}
+        for pdf in pdfs:
+            ex = pdf["exact_id"].dropna()
+            if len(ex):
+                e = int(ex.min())
+                exact = e if exact is None else min(exact, e)
+            if len(pdf):
+                szi = max(szi, int(pdf["szi"].max()))
+            sub = pdf.dropna(subset=["cid"])
+            for c, sc in zip(sub["cid"], sub["szc"]):
+                c = int(c)
+                inter[c] = inter.get(c, 0) + 1
+                szc[c] = int(sc)
+        near = None
+        for c, i in inter.items():
+            denom = szi + szc[c] - i
+            if denom > 0 and i / denom >= thr:
+                near = c if near is None else min(near, c)
+        dup = exact if exact is not None else near
+        reason = (
+            "exact"
+            if exact is not None
+            else ("near" if near is not None else None)
+        )
+        yield pd.DataFrame(
+            {
+                id_col: pd.array([int(doc)], dtype="Int64"),
+                "dup_of": pd.array([dup], dtype="Int64"),
+                "reason": [reason],
+            }
+        )
+
+    return cands.groupBy("id").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_psi_counts(
     events: DataFrame,
     cuts: DataFrame,

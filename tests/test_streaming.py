@@ -683,3 +683,55 @@ def test_streaming_first_seen_matches_batch_reach(
         cum += per_day[d]
         got[d] = (per_day[d], cum)
     assert got == expect
+
+
+def test_streaming_dedup_stored_matches_batch_verdicts(spark, tmp_path):
+    """Arriving documents deduped against the materialized postings
+    catalog produce IDENTICAL verdicts to the batch stored path,
+    regardless of how the stream is split into micro-batches — the
+    stream-static twin of dedup_incremental_stored (VERDICT r5 #7).
+    Runs with and without the max_df hot-shingle cap."""
+    from hbase_gis_spark.operators.dedup import (
+        dedup_incremental_stored,
+        write_catalog_postings,
+    )
+    from hbase_gis_spark.streaming.events import (
+        run_stream_to_memory,
+        streaming_dedup_incremental_stored,
+    )
+
+    docs = load_table(spark, SF0001, "documents")
+    cat = docs.filter("doc_id % 3 < 2")
+    inc = docs.filter("doc_id % 3 = 2")
+    path = str(tmp_path / "catalog")
+    write_catalog_postings(cat, path)
+
+    base = str(tmp_path / "incoming")
+    inc.repartition(3).write.mode("overwrite").parquet(base)
+    stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+
+    for max_df in (None, 5):
+        want = {
+            r.doc_id: (r.dup_of, r.reason)
+            for r in dedup_incremental_stored(
+                inc, path, 0.5, max_df=max_df
+            ).collect()
+        }
+        name = f"dedup_stream_{max_df or 0}"
+        run_stream_to_memory(
+            streaming_dedup_incremental_stored(
+                stream, path, 0.5, max_df=max_df
+            ),
+            name,
+            output_mode="update",
+        )
+        got = {
+            r.doc_id: (r.dup_of, r.reason)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == want and len(got) > 0
+        assert any(v[1] is not None for v in got.values())
