@@ -142,6 +142,7 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
 )
 from hbase_gis_spark.operators.multimodal import (  # noqa: F401
     attach_fake_audio,
+    audio_decode_real,
     attach_fake_media,
     attach_fake_video,
     audio_features,

@@ -36,6 +36,13 @@ try:  # decode backends are optional; absent in this container
 except Exception:  # pragma: no cover - import guard
     _HAS_PIL = False
 
+try:  # optional audio backend (libsndfile) — absent in this container
+    import soundfile  # noqa: F401
+
+    _HAS_SF = True
+except Exception:  # pragma: no cover - import guard
+    _HAS_SF = False
+
 
 def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic binary payload fabricated from a text column —
@@ -579,6 +586,58 @@ _AUDIO_SCHEMA = (
     "n_samples int, duration_ms bigint, rms double"
 )
 
+_SF_BITS = {"PCM_S8": 8, "PCM_U8": 8, "PCM_16": 16, "PCM_24": 24, "PCM_32": 32}
+
+
+def audio_decode_real(buf: bytes) -> tuple[int, int, int, int, int, float]:
+    """Tiered REAL audio decode, mirroring the image ``_decode_real``
+    ladder (VERDICT r5 next-round #8):
+
+    1. PCM WAV — pure-Python full decode + int-domain RMS (executes
+       in this container; the registered-query path, unchanged).
+    2. soundfile (libsndfile) when importable — full sample decode of
+       FLAC/OGG/MP3/..., RMS scaled by 32768 so it reads in the same
+       int16 units as the WAV kernel (exactly equal for 16-bit
+       sources, where libsndfile's floats are int/32768).
+    3. FLAC STREAMINFO / MP3 first-frame header without soundfile —
+       REAL metadata parse, NaN rms (surfaces as SQL NULL through
+       Arrow, the image header tier's convention).
+    4. Anything else — clearly-marked NotImplementedError (never a
+       silent fake fallback)."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return wav_features(buf)
+    if _HAS_SF:
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        data, rate = sf.read(
+            io.BytesIO(buf), dtype="float64", always_2d=True
+        )
+        info = sf.info(io.BytesIO(buf))
+        n, nch = data.shape
+        bits = _SF_BITS.get(info.subtype, 0)
+        rms = (
+            float(np.sqrt(np.mean(np.square(data)))) * 32768.0
+            if n
+            else 0.0
+        )
+        return int(rate), int(nch), bits, n, n * 1000 // int(rate), rms
+    if buf[:4] == b"fLaC":
+        rate, nch, bits, total = parse_flac_streaminfo(buf)
+        dur = total * 1000 // rate if rate else 0
+        return rate, nch, bits, total, dur, float("nan")
+    try:
+        rate, nch, _kbps = parse_mp3_header(buf)
+    except ValueError:
+        raise NotImplementedError(
+            "audio decode beyond WAV samples and FLAC/MP3 headers "
+            "requires soundfile/libsndfile; not present in this "
+            "container"
+        ) from None
+    return rate, nch, 0, 0, 0, float("nan")
+
 
 def parse_flac_streaminfo(buf: bytes) -> tuple[int, int, int, int]:
     """(sample_rate, channels, bit_depth, total_samples) from a FLAC
@@ -698,14 +757,16 @@ def audio_features(
     df: DataFrame, id_col: str = "id", audio_col: str = "audio"
 ) -> DataFrame:
     """Typed audio metadata + signal level via mapInPandas — the audio
-    leg of the multimodal family. The WAV parser and RMS kernel are
-    real (pure Python over the RIFF container, no audio library);
-    opaque-binary + typed-struct columns keep the 100 TB plumbing
+    leg of the multimodal family. Decode is the tiered
+    :func:`audio_decode_real` ladder: pure-Python WAV (real, executes
+    in this container), soundfile full decode when the library
+    exists, FLAC/MP3 header metadata (NaN rms -> SQL NULL) without
+    it; opaque-binary + typed-struct columns keep the 100 TB plumbing
     identical to the image path."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [wav_features(b) for b in pdf[audio_col]]
+            feats = [audio_decode_real(b) for b in pdf[audio_col]]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].values,
