@@ -1820,6 +1820,91 @@ def _q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_substring_spans(docs, n=SPAN_N, min_len=SUBSTR_MIN_LEN)
 
 
+SUBSTR_PROFILE_MIN = 16
+
+
+def _q_substring_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplication profile from the maximal spans (>= 16
+    tokens at this corpus's doc lengths): span count, longest span,
+    and EXACT union token coverage (running-max interval sweep — two
+    overlapping runs never double-count a token) with milli fraction;
+    every doc appears, zeros when clean — the sizing report for a
+    span-removal pass."""
+    from hbase_gis_spark.operators.dedup import substring_dedup_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup_profile(
+        docs, n=SPAN_N, min_len=SUBSTR_PROFILE_MIN
+    )
+
+
+def _q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (vowel-group syllable
+    heuristic): exact integer word/sentence/syllable counts, one
+    rounded float score — the readability screen beside
+    quality_features."""
+    from hbase_gis_spark.operators.textstats import readability_scores
+
+    return readability_scores(load_table(spark, sf_dir, "documents"))
+
+
+COVERAGE_N, COVERAGE_K = 2, 100
+
+
+def _q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative coverage of the top-100 bigrams over all bigram
+    occurrences — the vocabulary-concentration curve beside zipf_fit
+    (cliff = templated/boilerplate corpus)."""
+    from hbase_gis_spark.operators.textstats import ngram_coverage_curve
+
+    return ngram_coverage_curve(
+        load_table(spark, sf_dir, "documents"),
+        n=COVERAGE_N,
+        k=COVERAGE_K,
+    )
+
+
+def _q_inter_arrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type median inter-arrival time: each event's
+    gap to the SAME USER's previous event (any type, µs), grouped by
+    the later event's type — the activity-cadence profile behind
+    session-gap tuning. Median is rank-selection (lower median at
+    ceil(n/2)) partitioned by type — deterministic under ties,
+    engine-portable, never a global sort (the grouped_median shape:
+    user-partitioned lag window, then type-partitioned rank window —
+    both keyed, group count bounded)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us().alias("us"),
+    )
+    uw = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    gaps = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("us") - F.lag("us").over(uw)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    tw = Window.partitionBy("event_type").orderBy(
+        F.col("gap_us").asc(), F.col("event_id").asc()
+    )
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(tw).alias("__rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("__n"),
+    )
+    return ranked.filter(F.col("__rn") == F.expr("(__n + 1) div 2")).select(
+        "event_type",
+        F.col("__n").alias("n_gaps"),
+        F.col("gap_us").alias("median_gap_us"),
+    )
+
+
 CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
 
 
@@ -4851,6 +4936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 additions (appended per the ordering policy;
         # they rotate into the driver window in round 7) -------------
         "dup_substring_spans": _q_dup_substring_spans,
+        "substring_dedup_profile": _q_substring_dedup_profile,
+        "readability_scores": _q_readability_scores,
+        "ngram_coverage_curve": _q_ngram_coverage_curve,
+        "inter_arrival_median": _q_inter_arrival_median,
     }
 
 
@@ -5059,6 +5148,130 @@ def oracle_sql() -> dict[str, str]:
            CAST(count(*) AS BIGINT) AS n_anchors
     FROM r GROUP BY doc_id, grp
     HAVING max(pos) - min(pos) + {SPAN_N} >= {SUBSTR_MIN_LEN}
+    """
+    # per-doc profile over the same maximal runs at the profile's
+    # min_len: union coverage via the running-max interval sweep
+    substr_profile_sql = f"""
+    {span_g_cte},
+    d AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               min(doc_id) OVER (PARTITION BY gram) AS mn,
+               max(doc_id) OVER (PARTITION BY gram) AS mx
+        FROM g
+      ) WHERE mn <> mx
+    ),
+    r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos
+             ) AS grp
+      FROM d
+    ),
+    sp AS (
+      SELECT doc_id, min(pos) AS start_pos,
+             max(pos) - min(pos) + {SPAN_N} AS span_len
+      FROM r GROUP BY doc_id, grp
+      HAVING max(pos) - min(pos) + {SPAN_N} >= {SUBSTR_PROFILE_MIN}
+    ),
+    cov AS (
+      SELECT doc_id, span_len,
+             greatest(0, start_pos + span_len - greatest(start_pos,
+               coalesce(max(start_pos + span_len) OVER (
+                 PARTITION BY doc_id ORDER BY start_pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), start_pos))) AS covered
+      FROM sp
+    ),
+    pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(max(span_len) AS BIGINT) AS longest_span,
+             CAST(sum(covered) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    ),
+    tk AS (
+      SELECT doc_id,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len({toks}) END AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT t.doc_id, t.n_tokens,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.longest_span, 0) AS BIGINT) AS longest_span,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(CASE WHEN t.n_tokens > 0
+                THEN (coalesce(p.dup_tokens, 0) * 1000) // t.n_tokens
+                ELSE 0 END AS BIGINT) AS dup_frac_milli
+    FROM tk t LEFT JOIN pd p ON t.doc_id = p.doc_id
+    """
+    readability_sql = f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len({toks}) END AS BIGINT) AS n_words,
+             CAST(greatest(
+               len(regexp_extract_all(text, '[.!?]+')), 1
+             ) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS syllable_groups
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, syllable_groups,
+           CASE WHEN n_words > 0 THEN round(
+             206.835 - 1.015 * (n_words / n_sentences)
+                     - 84.6 * (syllable_groups / n_words), 9)
+           END AS flesch
+    FROM b
+    """
+    coverage_sql = f"""
+    WITH t AS (SELECT {toks} AS w FROM documents),
+    p AS (
+      SELECT w, unnest(generate_series(0, len(w) - {COVERAGE_N}))
+             AS i
+      FROM t WHERE len(w) >= {COVERAGE_N}
+    ),
+    g AS (
+      SELECT array_to_string(w[i+1:i+{COVERAGE_N}], ' ') AS gram FROM p
+    ),
+    c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+          FROM g GROUP BY gram),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+    top AS (SELECT gram, cnt FROM c
+            ORDER BY cnt DESC, gram ASC LIMIT {COVERAGE_K})
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram ASC)
+             AS BIGINT) AS rank,
+           gram, cnt,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, gram ASC)
+             AS BIGINT) AS cum_cnt,
+           CAST((CAST(sum(cnt) OVER (ORDER BY cnt DESC, gram ASC)
+             AS BIGINT) * 1000) // (SELECT total FROM tot)
+             AS BIGINT) AS cum_share_milli
+    FROM top
+    """
+    inter_arrival_sql = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events
+    ),
+    gp AS (
+      SELECT event_type, event_id,
+             us - lag(us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+             ) AS gap_us
+      FROM e
+    ),
+    f AS (SELECT * FROM gp WHERE gap_us IS NOT NULL),
+    r AS (
+      SELECT event_type, gap_us,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY gap_us, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM f
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           CAST(gap_us AS BIGINT) AS median_gap_us
+    FROM r WHERE rn = (n + 1) // 2
     """
     span_stats_sql = f"""
     {span_g_cte},
@@ -6896,6 +7109,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_spans": dup_spans_sql,
         "span_dup_stats": span_stats_sql,
         "dup_substring_spans": dup_substring_sql,
+        "substring_dedup_profile": substr_profile_sql,
+        "readability_scores": readability_sql,
+        "ngram_coverage_curve": coverage_sql,
+        "inter_arrival_median": inter_arrival_sql,
         # winnowing: same k-gram 60-bit md5 hashes, same window mins as
         # operators/dedup.py:winnow_fingerprints
         # chunking: same tokenization, 1-based inclusive slices,

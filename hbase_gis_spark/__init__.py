@@ -61,6 +61,7 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     dedup_recall_report,
     dup_ngram_spans,
     dup_substring_spans,
+    substring_dedup_profile,
     edit_distance_pairs,
     fuzzy_join_edit1,
     near_dup_clusters,
@@ -121,8 +122,10 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     fingerprint,
     lang_id,
     ngram_contamination,
+    ngram_coverage_curve,
     pack_sequences,
     quality_classifier,
+    readability_scores,
     quality_features,
     repetition_stats,
     term_stats,

@@ -1230,6 +1230,85 @@ def dup_substring_spans(
     )
 
 
+def substring_dedup_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_len: int = 50,
+) -> DataFrame:
+    """Per-document rollup of :func:`dup_substring_spans` — the
+    duplication profile a span-removal pass is sized from: how many
+    maximal duplicated spans >= ``min_len`` a doc carries, the longest
+    one, and the EXACT number of tokens under any such span.
+
+    ``dup_tokens`` is the UNION length of the span intervals, not the
+    sum of span lengths: two maximal runs separated by one
+    corpus-unique anchor still overlap as token ranges (by up to
+    n-1 tokens), and a removal pass deletes each token once. The union
+    is the classic running-max interval sweep — per doc, spans ordered
+    by start, each contributes
+    ``max(0, end - max(start, max(previous ends)))`` — a per-doc
+    window, exact integers.
+
+    Output: (``id_col``, n_tokens, n_spans, longest_span, dup_tokens,
+    dup_frac_milli = 1000*dup_tokens div n_tokens); every document
+    appears, zeros when clean.
+
+    Scale shape: dup_substring_spans' two exchanges + one per-doc
+    interval window over the SPAN frame (rows = spans, far fewer than
+    tokens) + one per-doc aggregate joined back to a map-only token
+    count of the corpus."""
+    spans = dup_substring_spans(df, id_col, text_col, n, min_len)
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("start_pos").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end_excl = F.col("start_pos") + F.col("span_len")
+    covered = F.greatest(
+        F.lit(0).cast("bigint"),
+        end_excl
+        - F.greatest(
+            F.col("start_pos"),
+            F.coalesce(
+                F.max(F.col("start_pos") + F.col("span_len")).over(prev),
+                F.col("start_pos"),
+            ),
+        ),
+    )
+    per_doc = (
+        spans.withColumn("__cov", covered)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.max("span_len").alias("longest_span"),
+            F.sum("__cov").alias("dup_tokens"),
+        )
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return toks.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("longest_span", F.lit(0)).alias("longest_span"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(coalesce(dup_tokens, 0) * 1000) div n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup_frac_milli"),
+    )
+
+
 def span_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",

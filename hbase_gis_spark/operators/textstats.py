@@ -1307,3 +1307,116 @@ def vocab_coverage(
             ).alias("oov_ppm"),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable
+    heuristic — the classic readability screen a quality pipeline runs
+    beside length/punct ratios (quality_features) before training.
+
+    Features are EXACT integers computed with one regex pass each:
+    words = whitespace tokens, sentences = non-overlapping runs of
+    sentence punctuation ``[.!?]+`` floored at 1, syllable groups =
+    runs of ``[aeiouy]+`` in the lowercased text (the standard
+    dependency-free approximation — each vowel cluster ~ one
+    syllable). The score is ONE float expression over those integers,
+    rounded to 9 (the tfidf round-9 discipline):
+    ``206.835 - 1.015*(W/S) - 84.6*(Y/W)``; NULL when a doc has no
+    words. Identical operand order in the DuckDB oracle.
+
+    Scale shape: map-only projection — three regex evaluations per
+    row, no shuffle, no UDF."""
+    t = F.col(text_col)
+    words = (
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .cast("bigint")
+    )
+    sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syls = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("bigint")
+    out = df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("syllable_groups"),
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "syllable_groups",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+                - F.lit(84.6)
+                * (F.col("syllable_groups") / F.col("n_words")),
+                9,
+            ),
+        ).alias("flesch"),
+    )
+
+
+def ngram_coverage_curve(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cumulative corpus-coverage curve of the top-``k`` token
+    n-grams: how much of ALL n-gram occurrences the most frequent k
+    cover — the vocabulary-concentration diagnostic beside zipf_fit's
+    slope (a near-flat curve means diffuse text; a cliff means
+    boilerplate or templated data). Occurrence counts (NOT per-doc
+    distinct — this measures mass, not document reach).
+
+    Output per rank 1..k: (rank, gram, cnt, cum_cnt,
+    cum_share_milli = 1000*cum_cnt div total) — exact integers;
+    deterministic total order (cnt DESC, gram ASC).
+
+    Scale shape: one explode + one gram-keyed hash aggregate
+    (map-side combined, md5-free raw grams — the output needs them),
+    a bounded TakeOrdered top-k, a 1-row total dim cross-joined
+    (sanctioned 1-row BNLJ, the vocab_coverage pattern), and a
+    partition-less window over k<=constant rows (dim-bounded
+    allowlist, tests/test_plan_hygiene.py)."""
+    toks = df.select(tokens(text_col).alias("__w"))
+    sz = F.size("__w")
+    idx = F.when(sz >= n, F.sequence(F.lit(0), sz - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice("__w", i + 1, F.lit(n)))
+    )
+    counts = (
+        toks.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(F.sum("cnt").alias("__total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "gram",
+            "cnt",
+            F.sum("cnt").over(w).alias("cum_cnt"),
+            "__total",
+        )
+        .select(
+            "rank",
+            "gram",
+            "cnt",
+            "cum_cnt",
+            F.expr("(cum_cnt * 1000) div __total").alias(
+                "cum_share_milli"
+            ),
+        )
+    )

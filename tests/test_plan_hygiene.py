@@ -153,6 +153,12 @@ _GLOBAL_WINDOW_ALLOWED = {
         "daily_rolling: rangeBetween window over the per-DAY aggregate "
         "(|days| rows, bounded by the calendar)",
     ),
+    "textstats.py": (
+        1,
+        "ngram_coverage_curve ranks an already-limited top-k gram "
+        "frame (<= k rows, a constant) — the corpus-sized ordering "
+        "happened in the TakeOrderedAndProject limit",
+    ),
 }
 
 

@@ -69,6 +69,7 @@ BNLJ_SANCTIONED = {
     "hybrid_search_rrf",  # inherits bm25's 1-row stats + ann's 1-row query
     "vocab_coverage",  # broadcast 1-row corpus totals onto the 1-row vocab sum
     "temperature_mixture",  # broadcast 1-row normalizing totals
+    "ngram_coverage_curve",  # broadcast 1-row occurrence total onto top-k
 }
 
 
