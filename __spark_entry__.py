@@ -1823,6 +1823,17 @@ def _q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_PROFILE_MIN = 16
 
 
+def _q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the span dedup (keep-first corpus-wide): rewrite each doc
+    with its >= 16-token duplicated spans removed unless this doc is
+    the span's minimal owner — the trimmed-corpus output the profile
+    sized (whitespace-normalized text, stated contract)."""
+    from hbase_gis_spark.operators.dedup import remove_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_dup_spans(docs, n=SPAN_N, min_len=SUBSTR_PROFILE_MIN)
+
+
 def _q_substring_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplication profile from the maximal spans (>= 16
     tokens at this corpus's doc lengths): span count, longest span,
@@ -4940,6 +4951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": _q_readability_scores,
         "ngram_coverage_curve": _q_ngram_coverage_curve,
         "inter_arrival_median": _q_inter_arrival_median,
+        "dedup_span_removal": _q_dedup_span_removal,
     }
 
 
@@ -5203,6 +5215,56 @@ def oracle_sql() -> dict[str, str]:
                 THEN (coalesce(p.dup_tokens, 0) * 1000) // t.n_tokens
                 ELSE 0 END AS BIGINT) AS dup_frac_milli
     FROM tk t LEFT JOIN pd p ON t.doc_id = p.doc_id
+    """
+    span_removal_sql = f"""
+    {span_g_cte},
+    rem AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               min(doc_id) OVER (PARTITION BY gram) AS mn,
+               max(doc_id) OVER (PARTITION BY gram) AS mx
+        FROM g
+      ) WHERE mn <> mx AND doc_id <> mn
+    ),
+    r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos
+             ) AS grp
+      FROM rem
+    ),
+    iv AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_N} AS e
+      FROM r GROUP BY doc_id, grp
+      HAVING max(pos) + {SPAN_N} - min(pos) >= {SUBSTR_PROFILE_MIN}
+    ),
+    tk AS (SELECT doc_id, {toks} AS w, trim(text) AS tt FROM documents),
+    px AS (
+      SELECT doc_id, i, w[i+1] AS tok
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(0, len(w) - 1)) AS i
+            FROM tk)
+    ),
+    keep AS (
+      SELECT p.doc_id, p.i, p.tok FROM px p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM iv v
+        WHERE v.doc_id = p.doc_id AND v.s <= p.i AND p.i < v.e
+      )
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY i) AS text_clean
+      FROM keep GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(CASE WHEN len(tt) = 0 THEN 0 ELSE len(w) END
+             AS BIGINT) AS n_tokens,
+           CAST(greatest(0,
+             (CASE WHEN len(tt) = 0 THEN 0 ELSE len(w) END)
+             - coalesce(a.n_kept, 0)) AS BIGINT) AS n_removed,
+           coalesce(a.text_clean, '') AS text_clean
+    FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
     """
     readability_sql = f"""
     WITH b AS (
@@ -7113,6 +7175,7 @@ def oracle_sql() -> dict[str, str]:
         "readability_scores": readability_sql,
         "ngram_coverage_curve": coverage_sql,
         "inter_arrival_median": inter_arrival_sql,
+        "dedup_span_removal": span_removal_sql,
         # winnowing: same k-gram 60-bit md5 hashes, same window mins as
         # operators/dedup.py:winnow_fingerprints
         # chunking: same tokenization, 1-based inclusive slices,

@@ -61,6 +61,7 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     dedup_recall_report,
     dup_ngram_spans,
     dup_substring_spans,
+    remove_dup_spans,
     substring_dedup_profile,
     edit_distance_pairs,
     fuzzy_join_edit1,

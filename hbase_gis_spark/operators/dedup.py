@@ -1309,6 +1309,92 @@ def substring_dedup_profile(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_len: int = 50,
+) -> DataFrame:
+    """APPLY the span dedup: rewrite each document with its long
+    duplicated substrings removed, KEEPING the first occurrence
+    corpus-wide — the final stage of the span arc
+    (dup_substring_spans detects, substring_dedup_profile sizes, this
+    trims), the Lee et al. 2022 remove-all-but-one policy at anchor
+    granularity.
+
+    Keep-first semantics: a duplicated anchor gram's OWNER is the
+    minimal doc id carrying it (``min(doc) over the gram partition``);
+    anchors are removable only in non-owner docs. Removable anchors
+    chain into maximal runs (the dup_substring_spans grouping), runs
+    shorter than ``min_len`` tokens are kept (short matches are
+    phrases, not plagiarism), and a doc's surviving tokens re-join
+    with single spaces — output text is WHITESPACE-NORMALIZED, stated
+    contract (the oracle normalizes identically).
+
+    Output: (``id_col``, n_tokens, n_removed, text_clean).
+
+    Scale shape: the span machinery's two exchanges (gram window +
+    doc window) + one per-doc interval aggregate (collect_list is
+    per-doc bounded by span count, never corpus-wide) joined back to
+    the corpus; token filtering is a map-only two-arg ``filter`` HOF
+    whose lambda touches only the intervals ATTRIBUTE and its loop
+    vars (the interpreted-HOF discipline — nothing non-cheap
+    re-evaluates per token)."""
+    g = ngram_positions(df, id_col, text_col, n)
+    gw = Window.partitionBy("gram")
+    rem = (
+        g.withColumn("__mn", F.min(id_col).over(gw))
+        .withColumn("__mx", F.max(id_col).over(gw))
+        .filter(
+            (F.col("__mn") != F.col("__mx"))
+            & (F.col(id_col) != F.col("__mn"))
+        )
+        .select(id_col, "pos")
+    )
+    runw = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    ivs = (
+        rem.withColumn("__grp", F.col("pos") - F.row_number().over(runw))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + n).alias("e"),  # end-exclusive token index
+        )
+        .filter(F.col("e") - F.col("s") >= min_len)
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("__ivs")
+        )
+    )
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    joined = toks_df.join(ivs, id_col, "left").withColumn(
+        "__ivs",
+        F.coalesce(
+            "__ivs", F.array().cast("array<struct<s:int,e:int>>")
+        ),
+    )
+    kept = F.filter(
+        "__w",
+        lambda tok, i: ~F.exists(
+            "__ivs", lambda v: (v["s"] <= i) & (i < v["e"])
+        ),
+    )
+    n_tokens = F.when(
+        F.length(F.trim(F.concat_ws(" ", "__w"))) == 0, F.lit(0)
+    ).otherwise(F.size("__w"))
+    return joined.select(
+        id_col,
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (n_tokens - F.size(kept)).cast("bigint"),
+        ).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_clean"),
+    )
+
+
 def span_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",

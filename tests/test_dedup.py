@@ -780,3 +780,27 @@ def test_dup_substring_spans_unique_gram_breaks_run(spark):
         (2, 0): (60, 53),
         (2, 61): (60, 53),
     }
+
+
+def test_remove_dup_spans_keep_first(spark):
+    """Span removal keeps the corpus-minimal owner's copy intact,
+    strips the duplicate from every other doc, never touches clean
+    docs, and reports exact removed-token counts; min_len keeps short
+    matches."""
+    from hbase_gis_spark.operators.dedup import remove_dup_spans
+
+    shared = " ".join(f"s{i}" for i in range(60))
+    short = "p q r s t u v w x"  # 9-token cross-doc match < min_len
+    rows = [
+        (1, "a1 a2 " + shared + " a3"),
+        (2, "b1 " + shared + " b2 " + short),
+        (3, " ".join(f"u{i}" for i in range(20)) + " " + short),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r for r in remove_dup_spans(df, n=8, min_len=50).collect()
+    }
+    assert out[1].n_removed == 0 and out[1].text_clean == rows[0][1]
+    assert out[2].n_removed == 60
+    assert out[2].text_clean == "b1 b2 " + short
+    assert out[3].n_removed == 0  # short match survives min_len
