@@ -1834,6 +1834,45 @@ def _q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_dup_spans(docs, n=SPAN_N, min_len=SUBSTR_PROFILE_MIN)
 
 
+RARE_CAT_MIN = 55
+
+
+def _q_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-engineering guard: collapse customer nation codes seen
+    on fewer than 55 customers into 'OTHER' (a value seen a handful of
+    times teaches a model nothing and bloats every one-hot/embedding).
+    One bounded category aggregate broadcast back; fact rows never
+    shuffle."""
+    from hbase_gis_spark.operators.corpus import rare_category_collapse
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("string").alias("nation_code"),
+    )
+    return rare_category_collapse(
+        c, "nation_code", min_count=RARE_CAT_MIN, id_col="c_custkey"
+    )
+
+
+def _q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free LOO target encoding of order priority by exact
+    cent order value: each order's feature is its priority's mean
+    value EXCLUDING itself (plain category means leak the row's own
+    label). All-integer: enc_micro = (sum - own)*1000 div (n-1) in
+    DECIMAL(38,0) — milli-cents (3 extra fractional digits vs the
+    cent input)."""
+    from hbase_gis_spark.operators.corpus import target_encoding_loo
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return target_encoding_loo(
+        o, "o_orderpriority", "cents", "o_orderkey"
+    )
+
+
 def _q_substring_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplication profile from the maximal spans (>= 16
     tokens at this corpus's doc lengths): span count, longest span,
@@ -4952,6 +4991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_coverage_curve": _q_ngram_coverage_curve,
         "inter_arrival_median": _q_inter_arrival_median,
         "dedup_span_removal": _q_dedup_span_removal,
+        "rare_category_collapse": _q_rare_category_collapse,
+        "target_encoding": _q_target_encoding,
     }
 
 
@@ -7176,6 +7217,36 @@ def oracle_sql() -> dict[str, str]:
         "ngram_coverage_curve": coverage_sql,
         "inter_arrival_median": inter_arrival_sql,
         "dedup_span_removal": span_removal_sql,
+        "rare_category_collapse": f"""
+    WITH c AS (
+      SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS nation_code
+      FROM customer
+    ),
+    k AS (
+      SELECT nation_code FROM c GROUP BY nation_code
+      HAVING count(*) >= {RARE_CAT_MIN}
+    )
+    SELECT c.c_custkey, c.nation_code,
+           CASE WHEN k.nation_code IS NOT NULL THEN c.nation_code
+                ELSE 'OTHER' END AS nation_code_out
+    FROM c LEFT JOIN k ON c.nation_code = k.nation_code
+    """,
+        "target_encoding": """
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    a AS (
+      SELECT o_orderpriority, sum(cents) AS s, count(*) AS n
+      FROM o GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CASE WHEN a.n > 1 THEN
+             CAST(((a.s - o.cents) * 1000) // (a.n - 1) AS BIGINT)
+           END AS enc_micro
+    FROM o JOIN a ON o.o_orderpriority = a.o_orderpriority
+    """,
         # winnowing: same k-gram 60-bit md5 hashes, same window mins as
         # operators/dedup.py:winnow_fingerprints
         # chunking: same tokenization, 1-based inclusive slices,

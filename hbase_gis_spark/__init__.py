@@ -183,7 +183,9 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     mixture_sample,
     pii_scrub,
     profile_table,
+    rare_category_collapse,
     salted_join,
+    target_encoding_loo,
     skew_report,
     temperature_mixture,
     token_budget_sample,

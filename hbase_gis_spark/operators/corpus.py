@@ -800,3 +800,98 @@ def temperature_mixture(
             ).alias("boost_milli"),
         )
     )
+
+
+def rare_category_collapse(
+    df: DataFrame,
+    cat_col: str,
+    min_count: int = 100,
+    other: str = "OTHER",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse rare categorical values below ``min_count`` rows into
+    one ``other`` bucket — the feature-engineering guard against
+    high-cardinality categoricals (a value seen 3 times teaches a
+    model nothing and bloats every embedding/one-hot downstream).
+    NULL categories collapse too (they are by definition untrusted).
+
+    Output: every input row as (``id_col``, ``cat_col``, ``{cat}_out``)
+    — the applied projection, so downstream selects the collapsed
+    column and drops the raw one.
+
+    Scale shape: one hash aggregate over the category key (bounded by
+    |categories|, map-side combined) broadcast back onto the fact rows
+    — the dimension is tiny by construction, the fact side never
+    shuffles."""
+    counts = (
+        df.groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .filter(F.col(cat_col).isNotNull())
+        .select(F.col(cat_col), F.lit(True).alias("__keep"))
+    )
+    return (
+        df.select(id_col, cat_col)
+        .join(F.broadcast(counts), cat_col, "left")
+        .select(
+            id_col,
+            cat_col,
+            F.when(F.col("__keep"), F.col(cat_col))
+            .otherwise(F.lit(other))
+            .alias(f"{cat_col}_out"),
+        )
+    )
+
+
+def target_encoding_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_milli_col,
+    id_col: str,
+) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding of a categorical column: each
+    row's encoding is the mean target of its category EXCLUDING the
+    row itself — the standard leakage-free form (plain category means
+    leak each row's own label into its feature; LOO is what scikit's
+    TargetEncoder / CatBoost ordered boosting approximate).
+
+    Exactness: target must arrive as an exact integer unit (caller
+    rounds per row); the encoding is
+    ``floor((sum - own) * 1000 / (n - 1))`` — all-integer, and
+    ``enc_micro`` carries THREE EXTRA fractional digits relative to
+    the input unit (cents in -> milli-cents out; the welch_t_test
+    naming lesson, ADVICE r5 #1). NULL when the category has a single
+    row (no peers to average).
+
+    Scale shape: one category-keyed aggregate (|categories| rows,
+    map-side combined) broadcast back onto the fact rows; the fact
+    side never shuffles. Singleton and NULL categories stay NULL —
+    feed :func:`rare_category_collapse` first to pool them."""
+    t = (
+        F.col(target_milli_col)
+        if isinstance(target_milli_col, str)
+        else target_milli_col
+    )
+    base = df.select(
+        F.col(id_col), F.col(cat_col), t.cast("bigint").alias("__t")
+    )
+    agg = base.groupBy(cat_col).agg(
+        F.sum("__t").alias("__sum"), F.count(F.lit(1)).alias("__n")
+    )
+    # DECIMAL(38,0) sums: (sum*1000) wraps int64 past ~9.2e15 in
+    # category total (a few 1e8 rows of cent values) — the
+    # important_parts overflow lesson; DuckDB promotes to HUGEINT
+    return (
+        base.join(F.broadcast(agg), cat_col, "left")
+        .select(
+            id_col,
+            cat_col,
+            F.when(
+                F.col("__n") > 1,
+                F.expr(
+                    "CAST(((CAST(__sum AS DECIMAL(38,0)) - __t) * 1000)"
+                    " div (__n - 1) AS BIGINT)"
+                ),
+            ).alias("enc_micro"),
+        )
+    )

@@ -415,3 +415,39 @@ def test_token_budget_sample_equals_global_window(spark):
     assert got == expect and len(expect) > 0
     small = {r.doc_id for r in token_budget_sample(docs, 5_000).collect()}
     assert small < set(got)
+
+
+def test_rare_category_collapse_boundary_and_nulls(spark):
+    """min_count is inclusive; NULL categories always collapse."""
+    from hbase_gis_spark.operators.corpus import rare_category_collapse
+
+    rows = (
+        [(i, "big") for i in range(5)]
+        + [(10 + i, "edge") for i in range(3)]
+        + [(20, "rare"), (21, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, cat string")
+    got = {
+        r.doc_id: r.cat_out
+        for r in rare_category_collapse(
+            df, "cat", min_count=3, id_col="doc_id"
+        ).collect()
+    }
+    assert got[0] == "big" and got[10] == "edge"  # >= min_count kept
+    assert got[20] == "OTHER" and got[21] == "OTHER"
+
+
+def test_target_encoding_loo_excludes_own_row(spark):
+    """Leave-one-out: each row's encoding is the mean of its PEERS
+    (hand-checked), singletons NULL."""
+    from hbase_gis_spark.operators.corpus import target_encoding_loo
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 7)]
+    df = spark.createDataFrame(rows, "id bigint, cat string, t bigint")
+    got = {
+        r.id: r.enc_micro
+        for r in target_encoding_loo(df, "cat", "t", "id").collect()
+    }
+    # row 1: peers (20+30)/2 = 25.0 -> 25000 micro
+    assert got[1] == 25000 and got[2] == 20000 and got[3] == 15000
+    assert got[4] is None
