@@ -56,8 +56,10 @@ from hbase_gis_spark.operators.dedup import (  # noqa: F401
     cluster_representatives,
     append_catalog_postings,
     dedup_incremental,
+    dedup_incremental_bucketed,
     dedup_incremental_stored,
     write_catalog_postings,
+    write_catalog_postings_bucketed,
     dedup_recall_report,
     dup_ngram_spans,
     dup_substring_spans,

@@ -2241,3 +2241,83 @@ def dedup_incremental_stored(
         incoming, cat_hash, cat_post, n, threshold, max_df,
         id_col, text_col,
     )
+
+
+def write_catalog_postings_bucketed(
+    catalog: DataFrame,
+    table_prefix: str,
+    n: int = 3,
+    buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the incremental-dedup catalog as BUCKETED catalog
+    tables (``{prefix}_postings`` bucketed+sorted on ``shingle``,
+    ``{prefix}_hash`` bucketed on ``h``, ``{prefix}_meta`` 1-row) —
+    the 100 TB layout the path-parquet ``write_catalog_postings``
+    docstring promises: the postings table is the fact-scale artifact
+    and every arriving batch equi-joins it on ``shingle``, so
+    persisting it pre-partitioned (and pre-sorted) by the join key
+    removes its Exchange AND its per-task sort from every probe —
+    only the small incoming batch shuffles (Exchange-count delta
+    pinned in tests/test_dedup.py)."""
+    cat = _spread(catalog).select(
+        F.col(id_col).alias("cid"), F.col(text_col).alias("ct")
+    )
+    (
+        cat.groupBy(F.md5("ct").alias("h"))
+        .agg(F.min("cid").alias("exact_id"))
+        .write.mode(mode)
+        .bucketBy(buckets, "h")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_hash")
+    )
+    (
+        cat.select("cid", word_shingles("ct", n).alias("s"))
+        .select(
+            "cid", F.size("s").alias("szc"), F.explode("s").alias("shingle")
+        )
+        .write.mode(mode)
+        .bucketBy(buckets, "shingle")
+        .sortBy("shingle")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_postings")
+    )
+    spark = catalog.sparkSession
+    spark.createDataFrame(
+        [(int(n),)], "n int"
+    ).write.mode(mode).format("parquet").saveAsTable(f"{table_prefix}_meta")
+
+
+def dedup_incremental_bucketed(
+    incoming: DataFrame,
+    table_prefix: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingest dedup against the BUCKETED catalog tables
+    (written by :func:`write_catalog_postings_bucketed`): identical
+    verdicts to :func:`dedup_incremental_stored` over the same docs
+    (pytest-pinned), but the fact-scale postings side of the shingle
+    join arrives pre-partitioned from the table catalog — no Exchange,
+    no per-task sort on the catalog side; only the arriving batch
+    shuffles."""
+    if threshold <= 0:
+        raise ValueError(
+            "threshold must be > 0 (zero-overlap pairs are pruned)"
+        )
+    spark = incoming.sparkSession
+    n = int(spark.table(f"{table_prefix}_meta").head()["n"])
+    cat_hash = (
+        spark.table(f"{table_prefix}_hash")
+        .groupBy("h")
+        .agg(F.min("exact_id").alias("exact_id"))
+    )
+    cat_post = spark.table(f"{table_prefix}_postings")
+    return _incremental_verdicts(
+        incoming, cat_hash, cat_post, n, threshold, max_df,
+        id_col, text_col,
+    )

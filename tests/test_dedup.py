@@ -804,3 +804,57 @@ def test_remove_dup_spans_keep_first(spark):
     assert out[2].n_removed == 60
     assert out[2].text_clean == "b1 b2 " + short
     assert out[3].n_removed == 0  # short match survives min_len
+
+
+def test_dedup_incremental_bucketed_verdicts_and_no_catalog_exchange(spark):
+    """The bucketed-catalog probe returns IDENTICAL verdicts to the
+    path-parquet stored catalog, and bucketing removes the fact-scale
+    postings side's shuffle: with broadcast disabled, the bucketed
+    probe plans strictly fewer Exchanges than the parquet probe of the
+    same catalog (only the arriving batch shuffles)."""
+    import tempfile
+
+    from hbase_gis_spark.operators.dedup import (
+        dedup_incremental_bucketed,
+        dedup_incremental_stored,
+        write_catalog_postings,
+        write_catalog_postings_bucketed,
+    )
+    from hbase_gis_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    cat = docs.filter("doc_id % 3 < 2")
+    inc = docs.filter("doc_id % 3 = 2")
+    path = tempfile.mkdtemp(prefix="cat_parquet_")
+    write_catalog_postings(cat, path)
+    write_catalog_postings_bucketed(cat, "dedup_cat_bkt", buckets=8)
+
+    want = {
+        r.doc_id: (r.dup_of, r.reason)
+        for r in dedup_incremental_stored(inc, path, 0.5).collect()
+    }
+    got = {
+        r.doc_id: (r.dup_of, r.reason)
+        for r in dedup_incremental_bucketed(inc, "dedup_cat_bkt", 0.5)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_parquet = (
+            dedup_incremental_stored(inc, path, 0.5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        plan_bucketed = (
+            dedup_incremental_bucketed(inc, "dedup_cat_bkt", 0.5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    n_ex_parquet = plan_parquet.count("Exchange")
+    n_ex_bucketed = plan_bucketed.count("Exchange")
+    assert n_ex_bucketed < n_ex_parquet, (n_ex_bucketed, n_ex_parquet)
+    assert "Bucketed: true" in plan_bucketed
