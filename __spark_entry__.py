@@ -1644,7 +1644,9 @@ def _q_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shard").cast("bigint") * SHUF_ORD_BASE + F.col("pos")
         ).alias("ordkey"),
     )
-    return spearman_corr(keyed, "doc_id", "ordkey", id_col="doc_id")
+    return spearman_corr(
+        keyed, "doc_id", "ordkey", id_col="doc_id", cache=True
+    )
 
 
 ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000
@@ -3736,7 +3738,9 @@ def _q_spearman_value_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "value", ts_us().cast("double").alias("__t")
     )
-    return spearman_corr(ev, "value", "__t", id_col="event_id")
+    return spearman_corr(
+        ev, "value", "__t", id_col="event_id", cache=True
+    )
 
 
 def _q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4752,10 +4756,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-6 queries are APPENDED at the end and enter the window in
     round 7.
 
-    ROUND-7 ROTATION PLAN: move the round-6 additions (appended behind
-    slot 50's cohort; see the tail of this dict) into slots 1..N; fill
-    the remaining 50-N slots with the longest-unchecked r2/r3-era
-    queries as canaries.  Update
+    ROUND-7 ROTATION PLAN (execute at the start of round 7): move the
+    8 round-6 additions (dup_substring_spans, substring_dedup_profile,
+    readability_scores, ngram_coverage_curve, inter_arrival_median,
+    dedup_span_removal, rare_category_collapse, target_encoding) into
+    slots 1..8; fill slots 9..50 with the longest-unchecked r2/r3-era
+    queries as canaries (candidates: the r3-checked cohort
+    local_supplier_volume..quantize_int8, whose last driver row is
+    r3).  All 8 pass tools/check_oracles.py exact-match at sf0.01, so
+    the rotation is a reorder, not a fix.  Update
     tests/test_plan_hygiene.py::test_registry_window_contract in the
     same commit.
     """

@@ -374,6 +374,7 @@ def spearman_corr(
     y_col: str,
     n_shards: int = 64,
     id_col: str | None = None,
+    cache: bool = False,
 ) -> DataFrame:
     """Spearman rank correlation between two numeric columns — the
     monotone-association QA check (is quality score actually related
@@ -419,6 +420,14 @@ def spearman_corr(
         base = base.withColumn(
             "__id", F.monotonically_increasing_id()
         ).localCheckpoint()
+    elif cache:
+        # the 3-column projected frame feeds six consumptions (two
+        # boundary sketches, two shard-size aggregates, two rank
+        # branches); a lineage-KEPT persist computes it once and stays
+        # recoverable — it is a narrow projection, never the fact table
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     rx = global_half_ranks(base, "__x", "__id", n_shards).withColumnRenamed(
         "__hr2", "__rx2"
     )
