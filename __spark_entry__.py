@@ -1875,6 +1875,43 @@ def _q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_REPLICATES = 16
+
+
+def _q_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap of the mean order value: 16
+    md5-seeded replicates in ONE scan (conditional aggregates, no
+    explode); sorting the replicate means brackets the sampling
+    uncertainty a drift monitor needs before alarming on a mean
+    shift. All-integer outputs (mean in milli-cents)."""
+    from hbase_gis_spark.operators.quality import bootstrap_means
+
+    o = load_table(spark, sf_dir, "orders")
+    return bootstrap_means(
+        o,
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        "o_orderkey",
+        replicates=BOOT_REPLICATES,
+    )
+
+
+def _q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer revenue — the
+    inequality index of the customer base (0 even, ->1 concentrated),
+    ranked by the boundary-literal sharded machinery (never a
+    single-task sort); DECIMAL(38,0) rank-weighted sums, one rounded
+    float expression."""
+    from hbase_gis_spark.operators.drift import gini_coefficient
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    return gini_coefficient(per_cust, "cents", "o_custkey")
+
+
 def _q_substring_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplication profile from the maximal spans (>= 16
     tokens at this corpus's doc lengths): span count, longest span,
@@ -5002,6 +5039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": _q_dedup_span_removal,
         "rare_category_collapse": _q_rare_category_collapse,
         "target_encoding": _q_target_encoding,
+        "bootstrap_means": _q_bootstrap_means,
+        "revenue_gini": _q_revenue_gini,
     }
 
 
@@ -7226,6 +7265,94 @@ def oracle_sql() -> dict[str, str]:
         "ngram_coverage_curve": coverage_sql,
         "inter_arrival_median": inter_arrival_sql,
         "dedup_span_removal": span_removal_sql,
+        "bootstrap_means": """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    a AS (
+      SELECT sum((CASE WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n0, sum((CASE WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s0,
+             sum((CASE WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n1, sum((CASE WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s1,
+             sum((CASE WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n2, sum((CASE WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s2,
+             sum((CASE WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n3, sum((CASE WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s3,
+             sum((CASE WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n4, sum((CASE WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s4,
+             sum((CASE WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n5, sum((CASE WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s5,
+             sum((CASE WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n6, sum((CASE WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s6,
+             sum((CASE WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n7, sum((CASE WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s7,
+             sum((CASE WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n8, sum((CASE WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s8,
+             sum((CASE WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n9, sum((CASE WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s9,
+             sum((CASE WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n10, sum((CASE WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s10,
+             sum((CASE WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n11, sum((CASE WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s11,
+             sum((CASE WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n12, sum((CASE WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s12,
+             sum((CASE WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n13, sum((CASE WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s13,
+             sum((CASE WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n14, sum((CASE WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s14,
+             sum((CASE WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END)) AS n15, sum((CASE WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 367879 THEN 0 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 735758 THEN 1 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 919698 THEN 2 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 981011 THEN 3 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 996340 THEN 4 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999405 THEN 5 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999916 THEN 6 WHEN (('0x' || substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 999989 THEN 7 ELSE 8 END) * cents) AS s15
+      FROM o
+    ),
+    u AS (
+      SELECT 0 AS replicate, n0 AS n_eff, s0 AS s FROM a
+      UNION ALL
+      SELECT 1 AS replicate, n1 AS n_eff, s1 AS s FROM a
+      UNION ALL
+      SELECT 2 AS replicate, n2 AS n_eff, s2 AS s FROM a
+      UNION ALL
+      SELECT 3 AS replicate, n3 AS n_eff, s3 AS s FROM a
+      UNION ALL
+      SELECT 4 AS replicate, n4 AS n_eff, s4 AS s FROM a
+      UNION ALL
+      SELECT 5 AS replicate, n5 AS n_eff, s5 AS s FROM a
+      UNION ALL
+      SELECT 6 AS replicate, n6 AS n_eff, s6 AS s FROM a
+      UNION ALL
+      SELECT 7 AS replicate, n7 AS n_eff, s7 AS s FROM a
+      UNION ALL
+      SELECT 8 AS replicate, n8 AS n_eff, s8 AS s FROM a
+      UNION ALL
+      SELECT 9 AS replicate, n9 AS n_eff, s9 AS s FROM a
+      UNION ALL
+      SELECT 10 AS replicate, n10 AS n_eff, s10 AS s FROM a
+      UNION ALL
+      SELECT 11 AS replicate, n11 AS n_eff, s11 AS s FROM a
+      UNION ALL
+      SELECT 12 AS replicate, n12 AS n_eff, s12 AS s FROM a
+      UNION ALL
+      SELECT 13 AS replicate, n13 AS n_eff, s13 AS s FROM a
+      UNION ALL
+      SELECT 14 AS replicate, n14 AS n_eff, s14 AS s FROM a
+      UNION ALL
+      SELECT 15 AS replicate, n15 AS n_eff, s15 AS s FROM a
+    )
+    SELECT CAST(replicate AS BIGINT) AS replicate,
+           CAST(coalesce(n_eff, 0) AS BIGINT) AS n_eff,
+           CAST(coalesce(s, 0) AS BIGINT) AS sum_value,
+           CASE WHEN n_eff > 0
+                THEN CAST((coalesce(s, 0) * 1000) // n_eff AS BIGINT)
+           END AS mean_milli
+    FROM u
+    """,
+        "revenue_gini": """
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT x,
+             2 * rank() OVER (ORDER BY x ASC)
+               + count(*) OVER (PARTITION BY x) - 1 AS hr2
+      FROM pc
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS total_value,
+           round(
+             CAST(sum(hr2 * x) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+             - (CAST(count(*) AS DOUBLE) + 1.0)
+               / CAST(count(*) AS DOUBLE), 9) AS gini
+    FROM r
+    """,
         "rare_category_collapse": f"""
     WITH c AS (
       SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS nation_code

@@ -228,6 +228,7 @@ from hbase_gis_spark.operators.timeseries import (  # noqa: F401
 from hbase_gis_spark.operators.quality import (  # noqa: F401
     behavior_entropy,
     benford_first_digit,
+    bootstrap_means,
     cross_split_leakage,
     fd_audit,
     split_balance,
@@ -242,6 +243,7 @@ from hbase_gis_spark.operators.merge import (  # noqa: F401
 )
 from hbase_gis_spark.operators.drift import (  # noqa: F401
     chi_square_independence,
+    gini_coefficient,
     moments_report,
     welch_t_test,
     global_quantile_cuts,

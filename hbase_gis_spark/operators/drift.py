@@ -671,3 +671,58 @@ def moments_report(
         F.round(m3 / (F.sqrt(m2) * m2), 9).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3.0, 9).alias("excess_kurtosis"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col,
+    id_col: str,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Exact GINI COEFFICIENT of a non-negative integer metric — the
+    standard inequality index (0 = perfectly even, ->1 = one row holds
+    everything); the concentration complement of skew_report (is
+    revenue/domain mass/token count concentrated in few keys?).
+
+    Formula with tie-averaged ranks: ``G = (2*SUM(r_i*x_i)) /
+    (n*SUM(x)) - (n+1)/n``. Ranks come from the boundary-literal
+    sharded machinery (rank.global_half_ranks — never a single-task
+    global sort); ``__hr2 = 2*avg_rank`` is an exact BIGINT, so
+    ``SUM(hr2*x)`` IS the numerator, accumulated in DECIMAL(38,0)
+    (hr2*x reaches ~2n*value — int64 wraps at table scale). One float
+    expression rounded to 9, identical operand order in the oracle.
+
+    Output: 1 row (n, total_value, gini).
+
+    Scale shape: one boundary sketch + one shard-size aggregate + one
+    shard rank window, an id-keyed join back for the values, one
+    1-row aggregate."""
+    from hbase_gis_spark.operators.rank import global_half_ranks
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(id_col).alias("__id"), v.cast("bigint").alias("__x")
+    )
+    hr = global_half_ranks(base, "__x", "__id", n_shards)
+    joined = base.join(hr, "__id")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        # cast BEFORE multiplying: an int64 hr2*x product wraps first
+        # and the decimal cast would only launder the wrong value
+        # (the important_parts overflow lesson)
+        F.sum(
+            F.col("__hr2").cast("decimal(38,0)") * F.col("__x")
+        ).alias("__srx"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("__sx").cast("bigint").alias("total_value"),
+        F.round(
+            F.col("__srx").cast("double")
+            / (nd * F.col("__sx").cast("double"))
+            - (nd + F.lit(1.0)) / nd,
+            9,
+        ).alias("gini"),
+    )

@@ -394,3 +394,96 @@ def behavior_entropy(
         .groupBy("entropy_bucket")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# cumulative Poisson(1) thresholds in ppm (floor of e^-1 partial sums)
+# — the deterministic-resampling CDF ladder for bootstrap_means
+POISSON1_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
+
+
+def _poisson1_weight(u):
+    """Deterministic Poisson(1) draw from a ppm-uniform column via the
+    inverse-CDF ladder (counts 0..8; the >0.999989 tail collapses to
+    8 — a stated approximation identical in both engines)."""
+    w = F.lit(8)
+    for k in range(len(POISSON1_PPM) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_PPM[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_means(
+    df: DataFrame,
+    value_col,
+    id_col: str,
+    replicates: int = 16,
+    salt: str = "boot",
+) -> DataFrame:
+    """Deterministic POISSON BOOTSTRAP of a metric's mean: each row
+    joins replicate ``b`` with weight ~ Poisson(1) derived from
+    md5(salt:b:id) — the reproducible, engine-portable form of the
+    classic resample (true multinomial resampling needs coordinated
+    global counts; Poisson bootstrap is the standard big-data
+    substitute, exact in expectation, and each draw is a pure function
+    of the row id). Sorting the replicate means brackets the sampling
+    uncertainty of the observed mean — the CI a drift monitor needs
+    before alarming on a mean shift.
+
+    Exactness: value must arrive as an exact integer unit;
+    per-replicate sums/counts are exact integers (DECIMAL(38,0)
+    weighted sums — weights reach 8) and ``mean_milli`` carries three
+    extra fractional digits vs the input unit (integer floor — the
+    welch naming discipline).
+
+    Output: one row per replicate (replicate, n_eff, sum_value,
+    mean_milli), replicate in 0..replicates-1. ``sum_value`` is
+    emitted as BIGINT (bound: 8x the table's value total must stay
+    under ~9.2e18 — ~2e10 rows of 5e7-cent values); the mean division
+    itself runs in DECIMAL(38,0), far past that.
+
+    Scale shape: ONE scan computing ``2*replicates`` conditional
+    aggregates map-side (no explode — a naive row x replicate explode
+    would scan-amplify the fact table by B), then a 1-row unpivot to B
+    rows. Cost is B md5 evaluations per row — md5 is the only hash
+    both engines share bit-for-bit; swap content_hash to xxhash64
+    per-replicate seeds on a Spark-only deployment for ~10x cheaper
+    hashing."""
+    from hbase_gis_spark.operators.corpus import content_hash
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(id_col).alias("__id"), v.cast("bigint").alias("__x")
+    )
+    aggs = []
+    for b in range(replicates):
+        u = content_hash(f"{salt}:{b}", "__id", 1_000_000)
+        w = _poisson1_weight(u)
+        aggs.append(
+            F.sum(w.cast("bigint")).alias(f"__n{b}")
+        )
+        aggs.append(
+            F.sum(
+                (w.cast("bigint") * F.col("__x")).cast("decimal(38,0)")
+            ).alias(f"__s{b}")
+        )
+    row = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"{b}, __n{b}, CAST(__s{b} AS DECIMAL(38,0))"
+        for b in range(replicates)
+    )
+    return row.selectExpr(
+        f"stack({replicates}, {stack_args}) AS "
+        "(replicate, n_eff, __sum)"
+    ).select(
+        F.col("replicate").cast("bigint").alias("replicate"),
+        F.coalesce(F.col("n_eff"), F.lit(0)).cast("bigint").alias("n_eff"),
+        F.coalesce(F.col("__sum"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_value"),
+        F.when(
+            F.col("n_eff") > 0,
+            F.expr(
+                "CAST((CAST(coalesce(__sum, 0) AS DECIMAL(38,0)) * 1000)"
+                " div n_eff AS BIGINT)"
+            ),
+        ).alias("mean_milli"),
+    )

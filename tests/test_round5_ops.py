@@ -497,3 +497,55 @@ def test_temperature_mixture_upsamples_small_sources(spark):
     assert got["small"].boost_milli > 1000 > got["big"].boost_milli
     # shares sum to ~1e6 (floor remainder)
     assert 999_998 <= got["big"].temp_ppm + got["small"].temp_ppm <= 1_000_000
+
+
+def test_gini_coefficient_hand_checked(spark):
+    """[1, 1, 2]: tie-averaged ranks 1.5, 1.5, 3 -> G = 18/12 - 4/3 =
+    1/6 (matches the mean-absolute-difference definition); constant
+    values give G = 0."""
+    from hbase_gis_spark.operators.drift import gini_coefficient
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2)], "id bigint, x bigint"
+    )
+    r = gini_coefficient(df, "x", "id", n_shards=2).head()
+    assert (r.n, r.total_value) == (3, 4)
+    assert abs(r.gini - 1 / 6) < 1e-9
+    const = spark.createDataFrame(
+        [(i, 5) for i in range(10)], "id bigint, x bigint"
+    )
+    assert gini_coefficient(const, "x", "id", n_shards=2).head().gini == 0.0
+
+
+def test_bootstrap_means_matches_python_replication(spark):
+    """The md5-seeded Poisson weights are a pure function of the row
+    id: a python replication of the ladder reproduces every
+    replicate's n_eff and sum exactly."""
+    import hashlib
+
+    from hbase_gis_spark.operators.quality import (
+        POISSON1_PPM,
+        bootstrap_means,
+    )
+
+    rows = [(i, 10 * i + 3) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "id bigint, x bigint")
+    got = {
+        r.replicate: (r.n_eff, r.sum_value)
+        for r in bootstrap_means(df, "x", "id", replicates=4).collect()
+    }
+
+    def weight(b, i):
+        u = (
+            int(hashlib.md5(f"boot:{b}:{i}".encode()).hexdigest()[:15], 16)
+            % 1_000_000
+        )
+        for k, t in enumerate(POISSON1_PPM):
+            if u < t:
+                return k
+        return 8
+
+    for b in range(4):
+        n = sum(weight(b, i) for i, _ in rows)
+        s = sum(weight(b, i) * x for i, x in rows)
+        assert got[b] == (n, s), (b, got[b], (n, s))
