@@ -4794,13 +4794,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 7.
 
     ROUND-7 ROTATION PLAN (execute at the start of round 7): move the
-    8 round-6 additions (dup_substring_spans, substring_dedup_profile,
+    10 round-6 additions (dup_substring_spans, substring_dedup_profile,
     readability_scores, ngram_coverage_curve, inter_arrival_median,
-    dedup_span_removal, rare_category_collapse, target_encoding) into
-    slots 1..8; fill slots 9..50 with the longest-unchecked r2/r3-era
-    queries as canaries (candidates: the r3-checked cohort
+    dedup_span_removal, rare_category_collapse, target_encoding,
+    bootstrap_means, revenue_gini) into slots 1..10; fill slots 11..50
+    with the longest-unchecked r2/r3-era queries as canaries
+    (candidates: the r3-checked cohort
     local_supplier_volume..quantize_int8, whose last driver row is
-    r3).  All 8 pass tools/check_oracles.py exact-match at sf0.01, so
+    r3).  All 10 pass tools/check_oracles.py exact-match at sf0.01, so
     the rotation is a reorder, not a fix.  Update
     tests/test_plan_hygiene.py::test_registry_window_contract in the
     same commit.
