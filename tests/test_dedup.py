@@ -828,6 +828,15 @@ def test_dedup_incremental_bucketed_verdicts_and_no_catalog_exchange(spark):
     inc = docs.filter("doc_id % 3 = 2")
     path = tempfile.mkdtemp(prefix="cat_parquet_")
     write_catalog_postings(cat, path)
+    # a previous SESSION may have left the managed-table directories
+    # behind (its teardown DROP only ran in its own catalog); clear
+    # both the catalog entry and the orphaned location
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("hash", "postings", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS dedup_cat_bkt_{t}")
+        shutil.rmtree(f"{wh}/dedup_cat_bkt_{t}", ignore_errors=True)
     write_catalog_postings_bucketed(cat, "dedup_cat_bkt", buckets=8)
 
     want = {

@@ -44,6 +44,7 @@ FIXED_SHAPE = {
     "benford_revenue": 9,  # the 9-digit expectation spine always exists
     "fd_audit": 4,  # one row per audited dependency
     "naive_backtest": 2,  # one row per configured lag
+    "bootstrap_means": 16,  # one row per replicate, zero sums
 }
 # point-query operators keyed to a specific row id return empty when
 # that row is absent — nothing to assert beyond "no crash"

@@ -1,0 +1,68 @@
+"""Property-based checks (hypothesis) for the boundary-literal sharded
+rank machinery — the round-6 rewrite of operators/rank.py. Each
+property compares against a brute-force python oracle on arbitrary
+small integer multisets (ties, negatives, constants, singletons), the
+shapes most likely to break shard-boundary arithmetic."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+VALS = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(vals=VALS, n=st.integers(min_value=1, max_value=7))
+@_SETTINGS
+def test_sharded_ntile_property(spark, vals, n):
+    """sharded_ntile == ANSI NTILE semantics for any multiset: bucket
+    b of N rows gets N div n + 1 rows when b <= N % n else N div n,
+    assigned in (v, id) order."""
+    from hbase_gis_spark.operators.rank import sharded_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    got = {
+        r.id: r.b
+        for r in sharded_ntile(df, n, ["v", "id"], "b", n_shards=4)
+        .collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    total = len(order)
+    q, rem = divmod(total, n)
+    want, pos = {}, 0
+    for b in range(1, n + 1):
+        size = (q + 1 if b <= rem else q) if q > 0 else (1 if b <= total else 0)
+        for _ in range(size):
+            if pos < total:
+                want[order[pos][0]] = b if q > 0 else pos + 1
+                pos += 1
+    assert got == want
+
+
+@given(vals=VALS)
+@_SETTINGS
+def test_half_ranks_property(spark, vals):
+    """global_half_ranks == 2 * average tie rank for any multiset."""
+    from hbase_gis_spark.operators.rank import global_half_ranks
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    got = {
+        r.id: r["__hr2"]
+        for r in global_half_ranks(df, "v", "id", n_shards=3).collect()
+    }
+    s = sorted(vals)
+    want = {}
+    for i, v in rows:
+        lo = s.index(v) + 1  # min rank
+        cnt = s.count(v)
+        want[i] = 2 * lo + cnt - 1  # 2 * (lo + (cnt-1)/2)
+    assert got == want
