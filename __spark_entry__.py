@@ -1878,6 +1878,21 @@ def _q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOOT_REPLICATES = 16
 
 
+WF_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def _q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel: users with SOME ordered
+    signup->view->click->purchase chain spanning <= 24h per level —
+    ANY anchor counts (a second signup can rescue the window), unlike
+    funnel_counts' earliest-traversal. One user-key shuffle, a ladder
+    of running-max windows, never an event self-join."""
+    from hbase_gis_spark.operators.funnel import window_funnel
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", ts_us())
+    return window_funnel(ev, FUNNEL_STEPS, WF_WINDOW_US)
+
+
 def _q_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson-bootstrap of the mean order value: 16
     md5-seeded replicates in ONE scan (conditional aggregates, no
@@ -4794,14 +4809,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 7.
 
     ROUND-7 ROTATION PLAN (execute at the start of round 7): move the
-    10 round-6 additions (dup_substring_spans, substring_dedup_profile,
+    11 round-6 additions (dup_substring_spans, substring_dedup_profile,
     readability_scores, ngram_coverage_curve, inter_arrival_median,
     dedup_span_removal, rare_category_collapse, target_encoding,
-    bootstrap_means, revenue_gini) into slots 1..10; fill slots 11..50
+    bootstrap_means, revenue_gini, window_funnel) into slots 1..11;
+    fill slots 12..50
     with the longest-unchecked r2/r3-era queries as canaries
     (candidates: the r3-checked cohort
     local_supplier_volume..quantize_int8, whose last driver row is
-    r3).  All 10 pass tools/check_oracles.py exact-match at sf0.01, so
+    r3).  All 11 pass tools/check_oracles.py exact-match at sf0.01, so
     the rotation is a reorder, not a fix.  Update
     tests/test_plan_hygiene.py::test_registry_window_contract in the
     same commit.
@@ -5042,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encoding": _q_target_encoding,
         "bootstrap_means": _q_bootstrap_means,
         "revenue_gini": _q_revenue_gini,
+        "window_funnel": _q_window_funnel,
     }
 
 
@@ -7266,6 +7283,46 @@ def oracle_sql() -> dict[str, str]:
         "ngram_coverage_curve": coverage_sql,
         "inter_arrival_median": inter_arrival_sql,
         "dedup_span_removal": span_removal_sql,
+        "window_funnel": """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+      FROM events
+    ),
+    l1 AS (
+      SELECT *, CASE WHEN event_type = 'signup' THEN t END AS a1 FROM e
+    ),
+    l2 AS (
+      SELECT *, CASE WHEN event_type = 'view'
+                THEN max(a1) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS a2
+      FROM l1
+    ),
+    l3 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                THEN max(a2) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS a3
+      FROM l2
+    ),
+    l4 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                THEN max(a3) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS a4
+      FROM l3
+    ),
+    agg AS (
+      SELECT
+        count(DISTINCT CASE WHEN a1 IS NOT NULL THEN user_id END) AS n1,
+        count(DISTINCT CASE WHEN a2 >= t - 86400000000 THEN user_id END) AS n2,
+        count(DISTINCT CASE WHEN a3 >= t - 86400000000 THEN user_id END) AS n3,
+        count(DISTINCT CASE WHEN a4 >= t - 86400000000 THEN user_id END) AS n4
+      FROM l4
+    )
+    SELECT CAST(level AS BIGINT) AS level, step,
+           CAST(n_users AS BIGINT) AS n_users
+    FROM (
+      SELECT 1 AS level, 'signup' AS step, n1 AS n_users FROM agg
+      UNION ALL SELECT 2, 'view', n2 FROM agg
+      UNION ALL SELECT 3, 'click', n3 FROM agg
+      UNION ALL SELECT 4, 'purchase', n4 FROM agg
+    )
+    """,
         "bootstrap_means": """
     WITH o AS (
       SELECT o_orderkey,

@@ -265,6 +265,7 @@ from hbase_gis_spark.operators.rank import (  # noqa: F401
 from hbase_gis_spark.operators.funnel import (  # noqa: F401
     conversion_lag,
     funnel_counts,
+    window_funnel,
     retention_cohorts,
 )
 from hbase_gis_spark.operators.retrieval import (  # noqa: F401

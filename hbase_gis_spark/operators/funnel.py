@@ -167,3 +167,82 @@ def conversion_lag(
         .groupBy("lag_bucket")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: list[str],
+    window_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse-style ``windowFunnel``: per level j, how many users
+    have SOME ordered chain step1 < step2 < ... < stepj whose total
+    span fits in ``window_us`` — unlike :func:`funnel_counts`'
+    earliest-traversal semantic, ANY anchor works, so a user who
+    signed up twice gets credit if either signup opens a fast-enough
+    chain (the retention question "did the user convert within N
+    hours of a signup", not "of the FIRST signup").
+
+    Exact single-shuffle formulation (no per-anchor join fan-out):
+    only the chain's FIRST timestamp matters for the window, and a
+    LATER first-step time can only help, so per event carry
+    ``best_j = the maximum achievable chain-start time over chains of
+    length j ending strictly before this row``:
+    ``a_1 = ts if type = step1``; ``best_j = running max of a_j over
+    strictly-preceding rows``; ``a_j = best_{j-1} if type = step_j``.
+    A user reaches level j iff some step-j row has
+    ``a_j >= ts - window_us``. Each ``best_j`` is a per-user ordered
+    window with the same spec, so the whole ladder costs ONE user-key
+    shuffle + one sort, k chained window passes — never an event
+    self-join. "Strictly before" means earlier in (ts, id) order
+    (row frame; simultaneous-timestamp events order by id — stated
+    tie contract, identical in the oracle).
+
+    Output: (level, step, n_users), level 1..k, monotone
+    non-increasing."""
+    from pyspark.sql import Window
+
+    k = len(steps)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = df.select(user_col, id_col, type_col, ts_col).withColumn(
+        "a1",
+        F.when(F.col(type_col) == steps[0], F.col(ts_col)),
+    )
+    for j in range(2, k + 1):
+        cur = cur.withColumn(f"b{j-1}", F.max(f"a{j-1}").over(w))
+        cur = cur.withColumn(
+            f"a{j}",
+            F.when(F.col(type_col) == steps[j - 1], F.col(f"b{j-1}")),
+        )
+    aggs = [
+        F.countDistinct(
+            F.when(F.col("a1").isNotNull(), F.col(user_col))
+        ).alias("n1")
+    ]
+    for j in range(2, k + 1):
+        aggs.append(
+            F.countDistinct(
+                F.when(
+                    F.col(f"a{j}") >= F.col(ts_col) - F.lit(window_us),
+                    F.col(user_col),
+                )
+            ).alias(f"n{j}")
+        )
+    row = cur.agg(*aggs)
+    stack = ", ".join(
+        f"{j}, '{steps[j-1]}', n{j}" for j in range(1, k + 1)
+    )
+    return row.selectExpr(
+        f"stack({k}, {stack}) AS (level, step, n_users)"
+    ).select(
+        F.col("level").cast("bigint").alias("level"),
+        "step",
+        F.col("n_users").cast("bigint").alias("n_users"),
+    )

@@ -591,3 +591,40 @@ def test_dbscan_minpts2_equals_spatial_clusters(spark):
             assert got[pid] == (cl, "core")
         else:
             assert got[pid] == (-1, "noise")
+
+
+def test_window_funnel_any_anchor_semantics(spark):
+    """windowFunnel credits ANY in-window chain: a user whose first
+    signup is stale but whose SECOND signup opens a fast chain still
+    reaches the final level (funnel_counts' earliest-traversal denies
+    this user); a user whose chain spans past the window stops at
+    level 1; order violations never count."""
+    from hbase_gis_spark.operators.funnel import window_funnel
+
+    H = 3600 * 1_000_000
+    rows = [
+        # u1: stale signup at t=0, fresh signup at 100h; chain within 2h
+        (1, 1, "signup", 0),
+        (1, 2, "signup", 100 * H),
+        (1, 3, "view", 101 * H),
+        (1, 4, "purchase", 102 * H),
+        # u2: complete chain but spanning 50h > window
+        (2, 5, "signup", 0),
+        (2, 6, "view", 25 * H),
+        (2, 7, "purchase", 50 * H),
+        # u3: purchase BEFORE view -> order violation, level 2 only
+        (3, 8, "signup", 0),
+        (3, 9, "purchase", 1 * H),
+        (3, 10, "view", 2 * H),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ts_us bigint"
+    )
+    got = {
+        r.level: r.n_users
+        for r in window_funnel(
+            df, ["signup", "view", "purchase"], 24 * H
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}
+    # u2's view IS within 24h of signup (level 2); only u1 finishes
