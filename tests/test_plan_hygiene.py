@@ -143,10 +143,11 @@ _GLOBAL_WINDOW_ALLOWED = {
         "TakeOrderedAndProject",
     ),
     "timeseries.py": (
-        1,
-        "cumulative_users running sum over the pre-aggregated "
-        "first-seen-day frame (|days| rows, calendar-bounded — the "
-        "daily_rolling argument)",
+        2,
+        "cumulative_users running sum + _bounded_rank_select rank "
+        "selection, both over pre-aggregated per-DAY frames (|days| "
+        "rows, calendar-bounded — the daily_rolling argument; "
+        "fact-scale ranking stays in rank.global_percentiles)",
     ),
     "__spark_entry__.py": (
         1,
