@@ -84,47 +84,47 @@ def shard_boundaries(
     return sorted(set(vals))
 
 
-def range_sharded(
+def apply_range_shards(
     df: DataFrame,
-    order_cols: list[str],
-    n_shards: int = 64,
-) -> tuple[DataFrame, DataFrame, int]:
-    """Shard ``df`` into ordered, disjoint ranges of
-    ``order_cols[0]`` and return ``(sharded, offsets, total)``:
-    ``sharded`` carries every input column plus ``__shard`` (a
-    DETERMINISTIC id = how many boundary literals the row's key
-    exceeds — retry-safe, no materialization), ``offsets`` is a
-    (``__shard``, ``__off``) frame where ``__off`` is the number of
-    rows in earlier shards, and ``total`` is the overall row count.
-    ``local rank + __off`` is then an exact global rank.
-
-    Sharding on the FIRST order column alone is sufficient for any
-    ``order_cols`` suffix: rows strictly below a cut precede every
-    row above it under the full lexicographic order, and first-key
-    ties (which the suffix may reorder) always share a shard. NULL
-    keys compare NULL against every boundary and land in shard 0,
-    matching ASC NULLS FIRST window order; NaN compares greater than
-    every boundary (Spark NaN ordering) and lands in the last shard,
-    matching NaN-sorts-last."""
-    key = order_cols[0]
-    bounds = shard_boundaries(df, key, n_shards)
+    key: str,
+    bounds: list,
+    shard_col: str = "__shard",
+) -> DataFrame:
+    """Attach the DETERMINISTIC shard id (= how many boundary literals
+    the row's key exceeds — retry-safe, no materialization) as
+    ``shard_col``. NULL keys compare NULL against every boundary and
+    land in shard 0, matching ASC NULLS FIRST window order; NaN
+    compares greater than every boundary (Spark NaN ordering) and
+    lands in the last shard, matching NaN-sorts-last."""
     shard = F.lit(0)
     for b in bounds:
         shard = shard + F.when(F.col(key) > F.lit(b), 1).otherwise(0)
-    sharded = df.withColumn("__shard", shard.cast("int"))
-    # bounded collect: one integer per shard (never grows with data);
-    # recomputable — losing an executor replays lineage, it does not
-    # kill the job (the localCheckpoint this replaced did).
+    return df.withColumn(shard_col, shard.cast("int"))
+
+
+def shard_offsets(
+    sharded: DataFrame,
+    key: str,
+    n_bounds: int,
+    n_shards: int,
+    shard_col: str = "__shard",
+) -> tuple[DataFrame, int]:
+    """Bounded collect of per-shard sizes (one integer per shard —
+    never grows with data; recomputable, so losing an executor
+    replays lineage instead of killing the job): returns the
+    (shard, prefix-offset) frame and the total row count, and raises
+    the tie-mass skew RuntimeWarning when one shard holds
+    > max(25%, 4/n_shards) of the rows."""
     sizes = {
-        r["__shard"]: r["cnt"]
-        for r in sharded.groupBy("__shard")
+        r[shard_col]: r["cnt"]
+        for r in sharded.groupBy(shard_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
     total = sum(sizes.values())
     if total and len(sizes) >= 1 and n_shards > 1:
         max_frac = max(sizes.values()) / total
-        n_eff = len(bounds) + 1
+        n_eff = n_bounds + 1
         if max_frac > max(0.25, 4.0 / n_shards):
             warnings.warn(
                 f"range_sharded tie-mass skew on {key!r}: fattest shard "
@@ -132,16 +132,41 @@ def range_sharded(
                 "effective shards (equal keys cannot split). Rank a "
                 "finer quantization or add a tiebreak column.",
                 RuntimeWarning,
-                stacklevel=2,
+                stacklevel=3,
             )
     offsets, acc = [], 0
     for sid in sorted(sizes):
         offsets.append((int(sid), int(acc)))
         acc += sizes[sid]
-    spark = df.sparkSession
+    spark = sharded.sparkSession
     odf = spark.createDataFrame(
-        offsets or [(0, 0)], "__shard int, __off bigint"
+        offsets or [(0, 0)], f"{shard_col} int, __off bigint"
     )
+    return odf, total
+
+
+def range_sharded(
+    df: DataFrame,
+    order_cols: list[str],
+    n_shards: int = 64,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Shard ``df`` into ordered, disjoint ranges of
+    ``order_cols[0]`` and return ``(sharded, offsets, total)``:
+    ``sharded`` carries every input column plus ``__shard``
+    (:func:`apply_range_shards`), ``offsets`` is a
+    (``__shard``, ``__off``) frame where ``__off`` is the number of
+    rows in earlier shards (:func:`shard_offsets`), and ``total`` is
+    the overall row count. ``local rank + __off`` is then an exact
+    global rank.
+
+    Sharding on the FIRST order column alone is sufficient for any
+    ``order_cols`` suffix: rows strictly below a cut precede every
+    row above it under the full lexicographic order, and first-key
+    ties (which the suffix may reorder) always share a shard."""
+    key = order_cols[0]
+    bounds = shard_boundaries(df, key, n_shards)
+    sharded = apply_range_shards(df, key, bounds)
+    odf, total = shard_offsets(sharded, key, len(bounds), n_shards)
     return sharded, odf, total
 
 
