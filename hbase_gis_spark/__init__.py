@@ -255,11 +255,13 @@ from hbase_gis_spark.operators.drift import (  # noqa: F401
     value_psi,
 )
 from hbase_gis_spark.operators.rank import (  # noqa: F401
+    apply_range_shards,
     global_half_ranks,
     global_percentiles,
     quantile_transform,
     range_sharded,
     shard_boundaries,
+    shard_offsets,
     sharded_ntile,
 )
 from hbase_gis_spark.operators.funnel import (  # noqa: F401
