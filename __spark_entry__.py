@@ -3400,6 +3400,50 @@ def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET = 20_000  # ~half the sf0.01 corpus
 
 
+LDIV_L = 2
+
+
+def _q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of daily order
+    revenue (centered 7-day integer-milli moving average; day-of-week
+    means of the detrended series as one rounded float division per
+    dow) — separates "weekends are always low" from "this week sags"
+    from "Tuesday was weird"."""
+    from hbase_gis_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    ).groupBy("day").agg(F.sum("c").alias("cents"))
+    return seasonal_decompose_daily(days)
+
+
+def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over (user_id, day) with event_type as the
+    sensitive attribute: user-days whose behavior is HOMOGENEOUS
+    (fewer than 2 distinct types) — groups k-anonymity may pass while
+    the attribute still discloses (the homogeneity attack)."""
+    from hbase_gis_spark.operators.corpus import l_diversity_report
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # integer `div`, never a truncated double quotient — a float
+        # rounding at a midnight boundary would misplace a row
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+        "event_type",
+    )
+    return l_diversity_report(
+        ev, ["user_id", "day"], "event_type", l=LDIV_L
+    )
+
+
 def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget dataset assembly: exact global running token total
     in (shard, md5, id) order WITHOUT a global sort (per-shard window
@@ -4809,15 +4853,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 7.
 
     ROUND-7 ROTATION PLAN (execute at the start of round 7): move the
-    11 round-6 additions (dup_substring_spans, substring_dedup_profile,
+    13 round-6 additions (dup_substring_spans, substring_dedup_profile,
     readability_scores, ngram_coverage_curve, inter_arrival_median,
     dedup_span_removal, rare_category_collapse, target_encoding,
-    bootstrap_means, revenue_gini, window_funnel) into slots 1..11;
-    fill slots 12..50
+    bootstrap_means, revenue_gini, window_funnel, l_diversity,
+    seasonal_decompose) into slots 1..13; fill slots 14..50
     with the longest-unchecked r2/r3-era queries as canaries
     (candidates: the r3-checked cohort
     local_supplier_volume..quantize_int8, whose last driver row is
-    r3).  All 11 pass tools/check_oracles.py exact-match at sf0.01, so
+    r3).  All 13 pass tools/check_oracles.py exact-match at sf0.01, so
     the rotation is a reorder, not a fix.  Update
     tests/test_plan_hygiene.py::test_registry_window_contract in the
     same commit.
@@ -5059,6 +5103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_means": _q_bootstrap_means,
         "revenue_gini": _q_revenue_gini,
         "window_funnel": _q_window_funnel,
+        "l_diversity": _q_l_diversity,
+        "seasonal_decompose": _q_seasonal_decompose,
     }
 
 
@@ -7283,6 +7329,50 @@ def oracle_sql() -> dict[str, str]:
         "ngram_coverage_curve": coverage_sql,
         "inter_arrival_median": inter_arrival_sql,
         "dedup_span_removal": span_removal_sql,
+        "seasonal_decompose": """
+    WITH d AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS value
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT day, value,
+             CAST(CASE WHEN count(*) OVER w = 7 THEN
+               (sum(value * 1000) OVER w
+                 - (sum(value * 1000) OVER w) % 7) / 7
+             END AS BIGINT) AS trend_milli,
+             (day + 3) % 7 AS dow
+      FROM d
+      WINDOW w AS (ORDER BY day
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT *, value * 1000 - trend_milli AS __det FROM t
+    ),
+    season AS (
+      SELECT dow,
+             CAST((CAST(sum(__det) AS BIGINT)
+                   - CAST(sum(__det) AS BIGINT) % count(__det))
+                  / count(__det) AS BIGINT) AS seasonal_milli
+      FROM det GROUP BY dow
+    )
+    SELECT d2.day, d2.value, d2.trend_milli, s.seasonal_milli,
+           CAST(d2.__det - s.seasonal_milli AS BIGINT)
+             AS residual_milli
+    FROM det d2 JOIN season s ON d2.dow = s.dow
+    """,
+        "l_diversity": """
+    SELECT user_id, day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive
+    FROM (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+      FROM events
+    )
+    GROUP BY user_id, day
+    HAVING count(DISTINCT event_type) < 2
+    """,
         "window_funnel": """
     WITH e AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS t

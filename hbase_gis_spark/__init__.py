@@ -181,6 +181,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     domain_cap,
     global_shuffle,
     k_anonymity_report,
+    l_diversity_report,
     mixture_rates,
     mixture_sample,
     pii_scrub,
@@ -223,6 +224,7 @@ from hbase_gis_spark.operators.timeseries import (  # noqa: F401
     weekday_adjusted_anomalies,
     dense_daily_counts,
     mad_anomalies,
+    seasonal_decompose_daily,
     weekday_profile,
 )
 from hbase_gis_spark.operators.quality import (  # noqa: F401

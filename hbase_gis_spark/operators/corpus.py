@@ -562,6 +562,42 @@ def k_anonymity_report(
     )
 
 
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """The l-diversity half of the release gate, beside
+    :func:`k_anonymity_report`: a quasi-identifier group can be
+    plenty large yet still leak when every member shares the same
+    SENSITIVE value (k-anonymity passes, the attribute is disclosed
+    anyway — the classic homogeneity attack). Report every group
+    whose sensitive column takes FEWER than ``l`` distinct values.
+
+    Output: (quasi columns..., n_rows, n_sensitive), ascending by
+    (n_sensitive, n_rows, keys) — least-diverse first.
+
+    Scale shape: ONE hash aggregate on the quasi-identifier key with
+    an exact distinct on the sensitive column (Expand-based — the
+    profile_table cost note applies; swap for approx_count_distinct
+    past ~10^9 groups); output bounded by violating groups, never the
+    table."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+        .orderBy(
+            F.col("n_sensitive").asc(),
+            F.col("n_rows").asc(),
+            *[F.col(c).asc() for c in quasi_cols],
+        )
+    )
+
+
 def group_sample_k(
     df: DataFrame,
     group_col: str,

@@ -467,3 +467,91 @@ def weekday_adjusted_anomalies(
             & (F.col("y").cast("double") != F.col("__mean"))
         )
     ).select("day", "dow", "y", "z")
+
+
+def seasonal_decompose_daily(
+    days: DataFrame,
+    day_col: str = "day",
+    value_col: str = "cents",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive decomposition of a daily series —
+    value = trend + seasonal + residual — the STL-lite screen that
+    separates "weekends are always low" (seasonal) from "this week is
+    genuinely sagging" (trend) from "Tuesday was weird" (residual),
+    which raw anomaly flags conflate.
+
+    Method, ALL-INTEGER and engine-exact: trend is the CENTERED
+    ``period``-day moving average in milli units; the seasonal
+    component is the day-of-week mean of the detrended series; the
+    residual is an exact subtraction. Every division uses the
+    TRUNCATING identity ``(a - a % b) / b`` — `%` follows the
+    dividend's sign identically in Spark and DuckDB, so both engines
+    truncate the (possibly negative) detrended means the same way,
+    where Spark ``div`` (truncate) vs DuckDB ``//`` (floor) would
+    diverge and float round(.,9) is ulp-unstable at 1e10+ magnitudes.
+    The numerator must stay under 2^53 (exact double quotient):
+    per-day milli totals to ~9e15, far past any daily revenue. dow
+    anchors Thursday = epoch day 0 via (day+3) % 7, the
+    weekday_profile convention.
+
+    Output: (day, value, trend_milli, seasonal_milli,
+    residual_milli) — all exact BIGINTs; trend/residual NULL on the
+    ``period//2`` edge days.
+
+    Scale shape: the input is a per-DAY aggregate (calendar-bounded
+    by contract), so the centered range window is a bounded
+    partition-less window (allowlisted — the daily_rolling argument);
+    the seasonal dim is ``period`` rows broadcast back. Never feed
+    raw fact rows here — aggregate to days first."""
+    half = period // 2
+    w = (
+        Window.orderBy(F.col("day").asc())
+        .rangeBetween(-half, half)
+    )
+    base = days.select(
+        F.col(day_col).cast("bigint").alias("day"),
+        F.col(value_col).cast("bigint").alias("value"),
+    )
+    msum = F.sum(F.col("value") * 1000).over(w)
+    trended = base.select(
+        "day",
+        "value",
+        F.when(
+            F.count(F.lit(1)).over(w) == period,
+            (msum - msum % period) / period,
+        )
+        .cast("bigint")
+        .alias("trend_milli"),
+    ).withColumn(
+        "__det", F.col("value") * 1000 - F.col("trend_milli")
+    ).withColumn("__dow", F.expr("(day + 3) % 7"))
+    seasonal = (
+        trended.groupBy("__dow")
+        .agg(
+            F.sum("__det").cast("bigint").alias("__s"),
+            F.count("__det").alias("__c"),
+        )
+        .select(
+            "__dow",
+            F.when(
+                F.col("__c") > 0,
+                (
+                    (F.col("__s") - F.col("__s") % F.col("__c"))
+                    / F.col("__c")
+                ).cast("bigint"),
+            ).alias("seasonal_milli"),
+        )
+    )
+    return (
+        trended.join(F.broadcast(seasonal), "__dow")
+        .select(
+            "day",
+            "value",
+            "trend_milli",
+            "seasonal_milli",
+            (F.col("__det") - F.col("seasonal_milli")).alias(
+                "residual_milli"
+            ),
+        )
+    )

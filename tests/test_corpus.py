@@ -451,3 +451,28 @@ def test_target_encoding_loo_excludes_own_row(spark):
     # row 1: peers (20+30)/2 = 25.0 -> 25000 micro
     assert got[1] == 25000 and got[2] == 20000 and got[3] == 15000
     assert got[4] is None
+
+
+def test_l_diversity_homogeneity_attack(spark):
+    """A group can pass k-anonymity (size >= k) and still fail
+    l-diversity when every member shares the sensitive value — the
+    homogeneity attack the report exists to catch."""
+    from hbase_gis_spark.operators.corpus import (
+        k_anonymity_report,
+        l_diversity_report,
+    )
+
+    rows = (
+        [("g1", i, "flu") for i in range(10)]          # big but homogeneous
+        + [("g2", i, ["flu", "cold"][i % 2]) for i in range(10)]  # diverse
+        + [("g3", 0, "rare")]                          # small AND homogeneous
+    )
+    df = spark.createDataFrame(rows, "quasi string, i bigint, dx string")
+    kan = {r.quasi for r in k_anonymity_report(df, ["quasi"], k=5).collect()}
+    ldiv = {
+        r.quasi: (r.n_rows, r.n_sensitive)
+        for r in l_diversity_report(df, ["quasi"], "dx", l=2).collect()
+    }
+    assert kan == {"g3"}  # k-anonymity alone misses g1
+    assert set(ldiv) == {"g1", "g3"}
+    assert ldiv["g1"] == (10, 1)

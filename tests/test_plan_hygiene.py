@@ -143,9 +143,10 @@ _GLOBAL_WINDOW_ALLOWED = {
         "TakeOrderedAndProject",
     ),
     "timeseries.py": (
-        2,
-        "cumulative_users running sum + _bounded_rank_select rank "
-        "selection, both over pre-aggregated per-DAY frames (|days| "
+        3,
+        "cumulative_users running sum, _bounded_rank_select rank "
+        "selection, and seasonal_decompose_daily's centered moving "
+        "average — all over pre-aggregated per-DAY frames (|days| "
         "rows, calendar-bounded — the daily_rolling argument; "
         "fact-scale ranking stays in rank.global_percentiles)",
     ),

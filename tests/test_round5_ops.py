@@ -549,3 +549,52 @@ def test_bootstrap_means_matches_python_replication(spark):
         n = sum(weight(b, i) for i, _ in rows)
         s = sum(weight(b, i) * x for i, x in rows)
         assert got[b] == (n, s), (b, got[b], (n, s))
+
+
+def test_seasonal_decompose_matches_python_replication(spark):
+    """Trend (centered MA), seasonal (dow truncated mean of
+    detrended), and residual replicate a brute-force python
+    computation exactly, including NULL edges and negative detrended
+    values (where truncating vs flooring division differ)."""
+    from hbase_gis_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    vals = {d: 1000 + (d % 7) * 37 + (d % 5) * 11 - 60 for d in range(25)}
+    df = spark.createDataFrame(
+        list(vals.items()), "day bigint, cents bigint"
+    )
+    got = {
+        r.day: (r.trend_milli, r.seasonal_milli, r.residual_milli)
+        for r in seasonal_decompose_daily(df).collect()
+    }
+
+    def tdiv(a, b):  # truncating (a - a % b)/b with python % -> emulate
+        m = a - (a - (a // b) * b if (a < 0) == (b < 0) or a % b == 0
+                 else a % b - b)
+        return m // b
+
+    # python: % sign-of-dividend (like Spark/DuckDB) then exact div
+    def cmod(a, b):
+        r = abs(a) % abs(b)
+        return r if a >= 0 else -r
+
+    trend, det = {}, {}
+    for d in vals:
+        win = [vals[d + o] for o in range(-3, 4) if d + o in vals]
+        if len(win) == 7:
+            s7 = sum(v * 1000 for v in win)
+            trend[d] = (s7 - cmod(s7, 7)) // 7
+            det[d] = vals[d] * 1000 - trend[d]
+    seas = {}
+    for dow in range(7):
+        ds = [det[d] for d in det if (d + 3) % 7 == dow]
+        if ds:
+            sd = sum(ds)
+            seas[dow] = (sd - cmod(sd, len(ds))) // len(ds)
+    for d in vals:
+        dow = (d + 3) % 7
+        want_t = trend.get(d)
+        want_s = seas.get(dow)
+        want_r = det[d] - want_s if d in det else None
+        assert got[d] == (want_t, want_s, want_r), (d, got[d])
