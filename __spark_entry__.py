@@ -4861,8 +4861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the longest-unchecked r2/r3-era queries as canaries
     (candidates: the r3-checked cohort
     local_supplier_volume..quantize_int8, whose last driver row is
-    r3).  All 13 pass tools/check_oracles.py exact-match at sf0.01, so
-    the rotation is a reorder, not a fix.  Update
+    r3).  All 13 pass tools/check_oracles.py exact-match at BOTH sf0.01
+    and sf0.1 (10x the driver's compare scale), so the rotation is a
+    reorder, not a fix.  Update
     tests/test_plan_hygiene.py::test_registry_window_contract in the
     same commit.
     """
