@@ -832,7 +832,9 @@ Q1_CUTOFF = "1998-09-02 00:00:00"  # l_shipdate reads as TIMESTAMP_NTZ
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem: one scan, a
     sargable timestamp filter, map-side partial aggregation. Quantities
-    are integral doubles and prices sum as exact cents."""
+    are integral doubles and prices sum as exact cents (the only
+    product is the per-row ×100 cents conversion — the BIGINT sum
+    wraps only past ~9e16 USD per group, the stated bound)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.expr(f"TIMESTAMP_NTZ '{Q1_CUTOFF}'"))
@@ -1142,7 +1144,11 @@ def _q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day, count) points, surfaced as the integer numerator/denominator
     pair — no float division, so the result is engine-exact. Two
     map-side-combined aggregations (events→days, days→sums); the
-    regression itself touches only n_days rows per type."""
+    regression itself touches only n_days rows per type.
+
+    Overflow bound (round-7 sweep): Σ(day·y) ≤ epoch-day (~2e4) ×
+    total events per type — int64-safe to ~4e14 events per type; Σday²
+    is ~4e8 × |days|, negligible. State, don't wrap."""
     ev = load_table(spark, sf_dir, "events")
     d = (
         ev.select(
@@ -1480,7 +1486,12 @@ def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is engine-exact. Plan: the token explode filters to the
     query terms IMMEDIATELY (the postings that survive are |terms|
     columns' worth, not the corpus), term stats are a tiny broadcast
-    dim, and the doc-score top-k is TakeOrderedAndProject."""
+    dim, and the doc-score top-k is TakeOrderedAndProject.
+
+    Overflow bound (round-7 sweep): per-doc Σ(tf·wgt) ≤ doc-tf ×
+    1000·n_docs — int64-safe while n_docs × max-tf stays under ~9e15
+    (e.g. 1e12 docs × tf 1000); past that, cast the product to
+    DECIMAL(38,0) on both engines."""
     from hbase_gis_spark.operators.dedup import _spread, tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2752,7 +2763,11 @@ def _q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     band, quantity cap), every one pushed into the parquet scan; no
     join, no shuffle beyond the final 1-row aggregate. The discount
     band compares in integer percent (round(l_discount*100)), so
-    boundary rows cannot flip between engines."""
+    boundary rows cannot flip between engines.
+
+    Overflow bound (round-7 sweep): Σ(cents × pct ≤ 100) ≤ 100 ×
+    total band cents — int64-safe to ~$9e14 of band revenue; far
+    above any registry scale, stated not wrapped."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate",
         F.col("l_quantity").cast("bigint").alias("qty"),
@@ -2830,12 +2845,16 @@ def _q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     |z| >= 2 — the monitoring query a pipeline runs on its own event
     stream.
 
-    Determinism discipline: the rolling window carries only integer
-    sums (n, Σy, Σy²); mean/variance/z are one fixed float expression
-    over those integers, written identically in the oracle SQL, so
-    there is no summation-order exposure. The window operates on the
-    tiny per-day aggregate (n_days rows per type), never raw events —
-    same shape as daily_rolling."""
+    Determinism discipline: the rolling window carries only exact
+    integer sums (n, Σy, Σy² — the square accumulated in
+    DECIMAL(38,0) with the cast BEFORE the multiply: a per-type day
+    of > ~3e9 events wraps int64 y² silently in Spark while DuckDB
+    promotes to HUGEINT — the round-7 overflow sweep); mean/variance/z
+    are one fixed float expression over those integers, written
+    identically in the oracle SQL, so there is no summation-order
+    exposure. The window operates on the tiny per-day aggregate
+    (n_days rows per type), never raw events — same shape as
+    daily_rolling."""
     ev = load_table(spark, sf_dir, "events")
     d = (
         ev.select(
@@ -2858,7 +2877,9 @@ def _q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("y").over(w).alias("s"),
-        F.sum(F.col("y") * F.col("y")).over(w).alias("s2"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .over(w)
+        .alias("s2"),
     ).filter(F.col("n") == ANOM_WIN)
     mean = F.col("s").cast("double") / F.col("n").cast("double")
     var = F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
@@ -3254,7 +3275,10 @@ RFM_BUCKETS = 4
 def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency (last order day), frequency
     (order count), monetary (exact cent total) per customer, each
-    quartile-scored 1-4 with ntile — the classic CRM rollup.
+    quartile-scored 1-4 with ntile — the classic CRM rollup. The only
+    product is the per-row ×100 cents conversion; the per-customer
+    BIGINT cent total wraps only past ~9e16 USD per customer, the
+    stated bound.
 
     Determinism: every ntile orders by (metric, custkey) so ties
     split identically in both engines. Plan: one aggregate on
@@ -4839,36 +4863,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checked the 47 round-3 additions + sketch_stats + two r2-era
     canaries (all green except sketch_stats, then no_oracle); round 5
     checked the 35 round-4 additions + the now-exact sketch_stats +
-    fourteen r2-era canaries -- 50/50 green.  ROUND 6 (this ordering,
-    VERDICT r5 next-round #1): slots 1-37 are the 37 round-5 additions
-    (orphan_check..shuffle_audit), never driver-checked before but all
-    exact under tools/check_oracles.py; slots 38-50 are the thirteen
-    longest-unchecked round-2-era queries (last driver row: r2) as
-    regression canaries spanning the geo/cluster/dedup/text/multimodal
-    families.  After round 6 every registered query has earned at least
-    one driver-green row.  Everything outside the window stays verified
-    every round by tests/ and tools/check_oracles.py (exact
-    order-insensitive compare, stricter than the driver hash).  New
-    round-6 queries are APPENDED at the end and enter the window in
-    round 7.
+    fourteen r2-era canaries -- 50/50 green.  Round 6 checked the 37
+    round-5 additions + thirteen r2-era canaries -- 50/50 green; after
+    round 6 every query registered through round 5 has a driver-green
+    row.  ROUND 7 (this ordering, VERDICT r6 next-round #1, applied
+    AFTER the spearman DECIMAL(38,0) fix and the span-arc de-skew so
+    the green rows certify the FIXED plans): slots 1-13 are the 13
+    round-6 additions (dup_substring_spans..seasonal_decompose), never
+    driver-checked before; slots 14-33 are the twenty
+    longest-unchecked queries (last driver row: round 2 --
+    dedup_keep_best..promo_revenue); slots 34-50 are seventeen r3-era
+    canaries (last driver row: round 3), led by span_dup_stats because
+    round 7 rewrote its plan (complement form, no gram window) and the
+    driver row should pin the new shape, then the registry-order head
+    of the r3 cohort (local_supplier_volume..event_cooccurrence).
+    Everything outside the window stays verified every round by tests/
+    and tools/check_oracles.py (exact order-insensitive compare,
+    stricter than the driver hash).  New round-7 queries are APPENDED
+    at the end and enter the window in round 8.
 
-    ROUND-7 ROTATION PLAN (execute at the start of round 7): move the
-    13 round-6 additions (dup_substring_spans, substring_dedup_profile,
-    readability_scores, ngram_coverage_curve, inter_arrival_median,
-    dedup_span_removal, rare_category_collapse, target_encoding,
-    bootstrap_means, revenue_gini, window_funnel, l_diversity,
-    seasonal_decompose) into slots 1..13; fill slots 14..50
-    with the longest-unchecked r2/r3-era queries as canaries
-    (candidates: the r3-checked cohort
-    local_supplier_volume..quantize_int8, whose last driver row is
-    r3).  All 13 pass tools/check_oracles.py exact-match at BOTH sf0.01
-    and sf0.1 (10x the driver's compare scale), so the rotation is a
-    reorder, not a fix.  Update
+    ROUND-8 ROTATION PLAN (execute at the start of round 8): move any
+    round-7 additions (appended behind slot 232) into the head slots;
+    fill the remainder with the longest-unchecked queries -- first the
+    33 remaining r3-era entries (balance_deciles..quantize_int8 plus
+    within_polygon, i.e. the r3 cohort minus the seventeen checked in
+    round 7), then r4-era.  Update
     tests/test_plan_hygiene.py::test_registry_window_contract in the
     same commit.
     """
     return {
-        # --- slots 1-37: round-5 additions, first time in the driver window
+        # --- slots 1-13: round-6 additions, first time in the driver window
+        "dup_substring_spans": _q_dup_substring_spans,
+        "substring_dedup_profile": _q_substring_dedup_profile,
+        "readability_scores": _q_readability_scores,
+        "ngram_coverage_curve": _q_ngram_coverage_curve,
+        "inter_arrival_median": _q_inter_arrival_median,
+        "dedup_span_removal": _q_dedup_span_removal,
+        "rare_category_collapse": _q_rare_category_collapse,
+        "target_encoding": _q_target_encoding,
+        "bootstrap_means": _q_bootstrap_means,
+        "revenue_gini": _q_revenue_gini,
+        "window_funnel": _q_window_funnel,
+        "l_diversity": _q_l_diversity,
+        "seasonal_decompose": _q_seasonal_decompose,
+        # --- slots 14-33: the twenty longest-unchecked queries (last
+        # driver row: round 2) as regression canaries
+        "dedup_keep_best": _q_dedup_keep_best,
+        "repetition_stats": _q_repetition_stats,
+        "text_clean": _q_text_clean,
+        "simhash_signatures": _q_simhash_signatures,
+        "embedding_dup_lsh": _q_embedding_dup_lsh,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "mm_frames": _q_mm_frames,
+        "mm_resize": _q_mm_resize,
+        "windowed_event_counts": _q_windowed_event_counts,
+        "user_sessions": _q_user_sessions,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "pricing_summary": _q_pricing_summary,
+        "shipping_priority": _q_shipping_priority,
+        "order_priority_counts": _q_order_priority_counts,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "customers_no_urgent": _q_customers_no_urgent,
+        "large_volume_customers": _q_large_volume_customers,
+        "promo_revenue": _q_promo_revenue,
+        # --- slots 34-50: r3-era canaries (last driver row: round 3);
+        # span_dup_stats leads because round 7 de-skewed its plan and
+        # the green row should certify the NEW shape
+        "span_dup_stats": _q_span_dup_stats,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "grouped_median": _q_grouped_median,
+        "purchase_attribution": _q_purchase_attribution,
+        "dedup_incremental": _q_dedup_incremental,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "daily_trend": _q_daily_trend,
+        "corpus_pipeline": _q_corpus_pipeline,
+        "knn_multi": _q_knn_multi,
+        "trajectory_similarity": _q_trajectory_similarity,
+        "od_flows": _q_od_flows,
+        "stay_points": _q_stay_points,
+        "keyword_search": _q_keyword_search,
+        "event_gaps": _q_event_gaps,
+        "dup_source_matrix": _q_dup_source_matrix,
+        "user_concentration": _q_user_concentration,
+        "event_cooccurrence": _q_event_cooccurrence,
+        # --- behind the window: previous relative order preserved
         "orphan_check": _q_orphan_check,
         "uniqueness_audit": _q_uniqueness_audit,
         "benford_revenue": _q_benford_revenue,
@@ -4906,7 +4986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": _q_temperature_mixture,
         "linear_attribution": _q_linear_attribution,
         "shuffle_audit": _q_shuffle_audit,
-        # --- slots 38-50: longest-unchecked r2-era regression canaries
         "within_hole": _q_within_hole,
         "spatial_clusters": _q_spatial_clusters,
         "spatial_join_cells": _q_spatial_join_cells,
@@ -4920,8 +4999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "mm_decode": _q_mm_decode,
         "term_stats": _q_term_stats,
-        # --- slots 51+: driver-checked in rounds 2-5; covered by tests +
-        # tools/check_oracles.py every round ------------------------------
         "ngram_diversity": _q_ngram_diversity,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "doc_length_histogram": _q_doc_length_histogram,
@@ -5021,22 +5098,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": _q_source_quality,
         "within_polygon_pruned": _q_within_pruned,
         "knn_top10": _q_knn,
-        "local_supplier_volume": _q_local_supplier_volume,
-        "grouped_median": _q_grouped_median,
-        "purchase_attribution": _q_purchase_attribution,
-        "dedup_incremental": _q_dedup_incremental,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "daily_trend": _q_daily_trend,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "knn_multi": _q_knn_multi,
-        "trajectory_similarity": _q_trajectory_similarity,
-        "od_flows": _q_od_flows,
-        "stay_points": _q_stay_points,
-        "keyword_search": _q_keyword_search,
-        "event_gaps": _q_event_gaps,
-        "dup_source_matrix": _q_dup_source_matrix,
-        "user_concentration": _q_user_concentration,
-        "event_cooccurrence": _q_event_cooccurrence,
         "balance_deciles": _q_balance_deciles,
         "repeat_customers": _q_repeat_customers,
         "churned_customers": _q_churned_customers,
@@ -5063,7 +5124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "pii_scrub": _q_pii_scrub,
         "dup_ngram_spans": _q_dup_ngram_spans,
-        "span_dup_stats": _q_span_dup_stats,
         "winnow_matches": _q_winnow_matches,
         "chunk_documents": _q_chunk_documents,
         "corpus_stats": _q_corpus_stats,
@@ -5071,41 +5131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_purity": _q_label_purity,
         "quantize_int8": _q_quantize_int8,
         "within_polygon": _q_within,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "repetition_stats": _q_repetition_stats,
-        "text_clean": _q_text_clean,
-        "simhash_signatures": _q_simhash_signatures,
-        "embedding_dup_lsh": _q_embedding_dup_lsh,
-        "ann_cosine_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "mm_frames": _q_mm_frames,
-        "mm_resize": _q_mm_resize,
-        "windowed_event_counts": _q_windowed_event_counts,
-        "user_sessions": _q_user_sessions,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "pricing_summary": _q_pricing_summary,
-        "shipping_priority": _q_shipping_priority,
-        "order_priority_counts": _q_order_priority_counts,
-        "customer_order_distribution": _q_customer_order_distribution,
-        "customers_no_urgent": _q_customers_no_urgent,
-        "large_volume_customers": _q_large_volume_customers,
-        "promo_revenue": _q_promo_revenue,
-        # --- round-6 additions (appended per the ordering policy;
-        # they rotate into the driver window in round 7) -------------
-        "dup_substring_spans": _q_dup_substring_spans,
-        "substring_dedup_profile": _q_substring_dedup_profile,
-        "readability_scores": _q_readability_scores,
-        "ngram_coverage_curve": _q_ngram_coverage_curve,
-        "inter_arrival_median": _q_inter_arrival_median,
-        "dedup_span_removal": _q_dedup_span_removal,
-        "rare_category_collapse": _q_rare_category_collapse,
-        "target_encoding": _q_target_encoding,
-        "bootstrap_means": _q_bootstrap_means,
-        "revenue_gini": _q_revenue_gini,
-        "window_funnel": _q_window_funnel,
-        "l_diversity": _q_l_diversity,
-        "seasonal_decompose": _q_seasonal_decompose,
     }
 
 
@@ -7475,8 +7500,12 @@ def oracle_sql() -> dict[str, str]:
     SELECT CAST(replicate AS BIGINT) AS replicate,
            CAST(coalesce(n_eff, 0) AS BIGINT) AS n_eff,
            CAST(coalesce(s, 0) AS BIGINT) AS sum_value,
+           -- remainder-subtract identity: exact-divisible numerator
+           -- makes // (floor) equal Spark div (truncate) on negatives
            CASE WHEN n_eff > 0
-                THEN CAST((coalesce(s, 0) * 1000) // n_eff AS BIGINT)
+                THEN CAST(((coalesce(s, 0) * 1000)
+                           - (coalesce(s, 0) * 1000) % n_eff)
+                          // n_eff AS BIGINT)
            END AS mean_milli
     FROM u
     """,
@@ -7527,8 +7556,12 @@ def oracle_sql() -> dict[str, str]:
       FROM o GROUP BY o_orderpriority
     )
     SELECT o.o_orderkey, o.o_orderpriority,
+           -- remainder-subtract identity: exact-divisible numerator
+           -- makes // (floor) equal Spark div (truncate) on negatives
            CASE WHEN a.n > 1 THEN
-             CAST(((a.s - o.cents) * 1000) // (a.n - 1) AS BIGINT)
+             CAST((((a.s - o.cents) * 1000)
+                   - ((a.s - o.cents) * 1000) % (a.n - 1))
+                  // (a.n - 1) AS BIGINT)
            END AS enc_micro
     FROM o JOIN a ON o.o_orderpriority = a.o_orderpriority
     """,
@@ -9103,10 +9136,11 @@ def oracle_sql() -> dict[str, str]:
       FROM e
     )
     SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS BIGINT)
+           CAST(sum(CAST(rx2 - ry2 AS HUGEINT) * (rx2 - ry2)) AS DOUBLE)
              AS sum_d2_quarter,
            round(1.0
-                 - (6.0 * CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS DOUBLE)
+                 - (6.0 * CAST(sum(CAST(rx2 - ry2 AS HUGEINT)
+                                   * (rx2 - ry2)) AS DOUBLE)
                     / 4.0)
                  / (CAST(count(*) AS DOUBLE)
                     * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
@@ -10416,10 +10450,11 @@ def oracle_sql() -> dict[str, str]:
       FROM e
     )
     SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS BIGINT)
+           CAST(sum(CAST(rx2 - ry2 AS HUGEINT) * (rx2 - ry2)) AS DOUBLE)
              AS sum_d2_quarter,
            round(1.0
-                 - (6.0 * CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS DOUBLE)
+                 - (6.0 * CAST(sum(CAST(rx2 - ry2 AS HUGEINT)
+                                   * (rx2 - ry2)) AS DOUBLE)
                     / 4.0)
                  / (CAST(count(*) AS DOUBLE)
                     * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)

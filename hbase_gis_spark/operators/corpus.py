@@ -892,12 +892,18 @@ def target_encoding_loo(
     TargetEncoder / CatBoost ordered boosting approximate).
 
     Exactness: target must arrive as an exact integer unit (caller
-    rounds per row); the encoding is
-    ``floor((sum - own) * 1000 / (n - 1))`` — all-integer, and
-    ``enc_micro`` carries THREE EXTRA fractional digits relative to
-    the input unit (cents in -> milli-cents out; the welch_t_test
-    naming lesson, ADVICE r5 #1). NULL when the category has a single
-    row (no peers to average).
+    rounds per row); the encoding is the TRUNCATING quotient
+    ``trunc((sum - own) * 1000 / (n - 1))`` computed via the
+    remainder-subtract identity ``(a - a % b) div b`` — once the
+    numerator is exactly divisible, truncate and floor coincide, and
+    ``%`` follows the dividend's sign identically in Spark and DuckDB
+    where bare Spark ``div`` (truncate) vs DuckDB ``//`` (floor)
+    diverge on NEGATIVE numerators (negative targets, e.g. balances
+    — the seasonal_decompose_daily trap, ADVICE r6 #1). ``enc_micro``
+    carries THREE EXTRA fractional digits relative to the input unit
+    (cents in -> milli-cents out; the welch_t_test naming lesson,
+    ADVICE r5 #1). NULL when the category has a single row (no peers
+    to average).
 
     Scale shape: one category-keyed aggregate (|categories| rows,
     map-side combined) broadcast back onto the fact rows; the fact
@@ -919,13 +925,17 @@ def target_encoding_loo(
     # important_parts overflow lesson; DuckDB promotes to HUGEINT
     return (
         base.join(F.broadcast(agg), cat_col, "left")
+        .withColumn(
+            "__num",
+            F.expr("(CAST(__sum AS DECIMAL(38,0)) - __t) * 1000"),
+        )
         .select(
             id_col,
             cat_col,
             F.when(
                 F.col("__n") > 1,
                 F.expr(
-                    "CAST(((CAST(__sum AS DECIMAL(38,0)) - __t) * 1000)"
+                    "CAST((__num - __num % (__n - 1))"
                     " div (__n - 1) AS BIGINT)"
                 ),
             ).alias("enc_micro"),

@@ -383,8 +383,12 @@ def spearman_corr(
 
     Engine-exact core: ties get AVERAGE ranks, which are always whole
     or half numbers, so ranks are carried in HALF-UNITS (BIGINT
-    ``2*avg_rank``) and the d² sum is exact integer arithmetic; the
-    only floats are the final normalization
+    ``2*avg_rank``) and the d² sum is exact integer arithmetic in
+    DECIMAL(38,0) — raw BIGINT would wrap silently at n ≈ 2.4e6 rows
+    (Σd² ~ 2n³/3 quarter-units for uncorrelated data); the decimal
+    accumulator is exact to n ≈ 5e12 rows, the stated overflow bound.
+    The only floats are ``sum_d2_quarter`` (the exact decimal cast to
+    double — bit-identical across engines) and the final normalization
     ``rho = 1 - 6*Σd²/(n(n²-1))`` (one division, rounded to 9) —
     with the textbook caveat, stated here, that the closed form is
     exact only without ties and a documented approximation with them.
@@ -465,19 +469,31 @@ def spearman_corr(
         .join(F.broadcast(oy), "__sy")
         .select("__rx2", hr2("__y", "__sy").alias("__ry2"))
     )
+    # quarter-units of d² (both ranks doubled). Accumulate in
+    # DECIMAL(38,0): ranks reach 2n, so uncorrelated data sums to
+    # ~2n³/3 quarter-units — raw BIGINT wraps SILENTLY (non-ANSI) at
+    # n ≈ 2.4e6 rows while DuckDB promotes to HUGEINT, a latent engine
+    # divergence (VERDICT r6 #1). Cast BEFORE the multiply (the
+    # important_parts/gini lesson: a wrapped int64 product can't be
+    # laundered by a later cast). DECIMAL(38,0) holds the sum to
+    # n ≈ 5e12 input rows, stated bound.
     d2q = F.sum(
-        (F.col("__rx2") - F.col("__ry2"))
+        (F.col("__rx2") - F.col("__ry2")).cast("decimal(38,0)")
         * (F.col("__rx2") - F.col("__ry2"))
-    )  # quarter-units of d² (both ranks doubled)
+    )
     return ranked.agg(
         F.count(F.lit(1)).alias("n"),
-        d2q.alias("sum_d2_quarter"),
+        d2q.alias("__d2q"),
     ).select(
         "n",
-        "sum_d2_quarter",
+        # exact integer → double is correctly rounded in both engines
+        # (bit-exact below 2^53 quarter-units, i.e. n ≲ 2.4e5;
+        # identically rounded above) — a BIGINT output column would
+        # just re-introduce the wrap at the output edge
+        F.col("__d2q").cast("double").alias("sum_d2_quarter"),
         F.round(
             F.lit(1.0)
-            - (F.lit(6.0) * F.col("sum_d2_quarter") / F.lit(4.0))
+            - (F.lit(6.0) * F.col("__d2q").cast("double") / F.lit(4.0))
             / (
                 F.col("n").cast("double")
                 * (
@@ -723,6 +739,12 @@ def gini_coefficient(
     expression rounded to 9, identical operand order in the oracle.
 
     Output: 1 row (n, total_value, gini).
+
+    Preconditions (ADVICE r6 #5): values non-negative AND ``id_col``
+    UNIQUE — the rank frame joins back on the id, so a duplicated id
+    fans the join out and silently skews n, total_value, and the
+    rank-weighted sum (the same unique-key contract spearman's old
+    id-join form carried). Pass the table's natural primary key.
 
     Scale shape: one boundary sketch + one shard-size aggregate + one
     shard rank window, an id-keyed join back for the values, one

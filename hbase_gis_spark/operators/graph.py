@@ -28,6 +28,7 @@ def pagerank_int(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "weight",
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank, ``iters`` fixed power iterations, all-integer
     arithmetic: ranks in micro-units (sum ~= RANK_SCALE), damping in
@@ -72,7 +73,9 @@ def pagerank_int(
     out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
     # pre-merge out-degree into the edge table once; the loop then
     # only ever joins (edges+ow) against the small rank table
-    ew = e.join(out_w, "src").localCheckpoint(eager=False)
+    from hbase_gis_spark.operators.checkpointing import truncate_lineage
+
+    ew = truncate_lineage(e.join(out_w, "src"), mode=checkpoint_mode)
 
     # integer floor division throughout — `div` in expr form because
     # the Python / operator on Columns goes through double
@@ -214,7 +217,9 @@ def association_rules(
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(
+    edges: DataFrame, checkpoint_mode: str | None = None
+) -> DataFrame:
     """One-row global graph summary over an undirected (a < b) edge
     list: node/edge counts, wedge (open 2-path) count, triangle count,
     and the global clustering coefficient in exact milli-units
@@ -237,7 +242,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     aggregate and all three legs of the triangle join, and its
     producing pipeline (a groupBy-filtered self-join for
     ``cooccurrence_edges``) is too expensive to re-run four times."""
-    e = edges.select("a", "b").localCheckpoint(eager=False)
+    from hbase_gis_spark.operators.checkpointing import truncate_lineage
+
+    e = truncate_lineage(edges.select("a", "b"), mode=checkpoint_mode)
     deg = (
         e.select(F.col("a").alias("v"))
         .union(e.select(F.col("b").alias("v")))
@@ -275,6 +282,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 def lpa_communities(
     edges: DataFrame,
     iters: int = 3,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Synchronous label propagation over an undirected (a < b) edge
     list: ``iters`` fixed rounds where every node simultaneously
@@ -297,10 +305,12 @@ def lpa_communities(
     edge list is lazily checkpointed once, before the loop."""
     from pyspark.sql import Window
 
-    sym = (
+    from hbase_gis_spark.operators.checkpointing import truncate_lineage
+
+    sym = truncate_lineage(
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint(eager=False)
+        .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v"))),
+        mode=checkpoint_mode,
     )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("community")

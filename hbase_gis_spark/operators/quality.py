@@ -428,11 +428,14 @@ def bootstrap_means(
     uncertainty of the observed mean — the CI a drift monitor needs
     before alarming on a mean shift.
 
-    Exactness: value must arrive as an exact integer unit;
-    per-replicate sums/counts are exact integers (DECIMAL(38,0)
-    weighted sums — weights reach 8) and ``mean_milli`` carries three
-    extra fractional digits vs the input unit (integer floor — the
-    welch naming discipline).
+    Exactness: value must arrive as an exact integer unit (negative
+    values allowed); per-replicate sums/counts are exact integers
+    (DECIMAL(38,0) weighted sums — weights reach 8) and ``mean_milli``
+    carries three extra fractional digits vs the input unit, as the
+    TRUNCATING integer quotient via the remainder-subtract identity
+    ``(a - a % b) div b`` — exact-divisible numerators make Spark
+    ``div`` (truncate) and DuckDB ``//`` (floor) coincide on negative
+    sums (ADVICE r6 #2; the welch naming discipline for the unit).
 
     Output: one row per replicate (replicate, n_eff, sum_value,
     mean_milli), replicate in 0..replicates-1. ``sum_value`` is
@@ -482,8 +485,9 @@ def bootstrap_means(
         F.when(
             F.col("n_eff") > 0,
             F.expr(
-                "CAST((CAST(coalesce(__sum, 0) AS DECIMAL(38,0)) * 1000)"
-                " div n_eff AS BIGINT)"
+                "CAST(((CAST(coalesce(__sum, 0) AS DECIMAL(38,0)) * 1000)"
+                " - (CAST(coalesce(__sum, 0) AS DECIMAL(38,0)) * 1000)"
+                " % n_eff) div n_eff AS BIGINT)"
             ),
         ).alias("mean_milli"),
     )

@@ -235,6 +235,7 @@ def dbscan(
     id_col: str = "id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Full DBSCAN (core / border / noise) over planar points — the
     minPts generalization of the minPts=2 density clustering in
@@ -271,9 +272,17 @@ def dbscan(
     e = distance_join(df, eps, id_col, lon_col, lat_col).select(
         "id_a", "id_b"
     )
-    sym = e.union(
-        e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).localCheckpoint(eager=True)
+    from hbase_gis_spark.operators.checkpointing import truncate_lineage
+
+    sym = truncate_lineage(
+        e.union(
+            e.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        ),
+        mode=checkpoint_mode,
+        eager=True,
+    )
     deg = sym.groupBy(F.col("id_a").alias("id")).agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -284,7 +293,9 @@ def dbscan(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    comp = near_dup_clusters(core, core_edges, id_col="id").select(
+    comp = near_dup_clusters(
+        core, core_edges, id_col="id", checkpoint_mode=checkpoint_mode
+    ).select(
         F.col("id").alias("__coreid"), F.col("cluster_id").alias("__ccl")
     )
     border = (

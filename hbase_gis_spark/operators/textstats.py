@@ -950,7 +950,10 @@ def boilerplate_coverage(
         F.col(group_col).alias("g"),
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("s"),
-    ).localCheckpoint(eager=False)
+    )
+    from hbase_gis_spark.operators.checkpointing import truncate_lineage
+
+    base = truncate_lineage(base)  # conf-driven backend
     grams = base.select("g", "id", F.explode("s").alias("gram"))
     boiler = (
         grams.groupBy("g", "gram")
@@ -1120,7 +1123,13 @@ def zipf_fit(
 
     Output: 1 row (n_terms, slope, intercept). Scale shape: one
     explode + vocab hash aggregate, TakeOrderedAndProject for the
-    top-N, then constant-size arithmetic."""
+    top-N, then constant-size arithmetic.
+
+    Overflow bound (round-7 sweep): the OLS moment sums run over the
+    top_n frame only — |x|,|y| are log-MICRO magnitudes (≤ ~1e8 for
+    any count below e^100), so Σx² ≤ top_n × 1e16: int64-safe for
+    top_n into the hundreds of thousands; top_n is a small constant
+    here."""
     from hbase_gis_spark.operators.dedup import _spread, tokens
 
     freq = (

@@ -429,11 +429,16 @@ def weekday_adjusted_anomalies(
     daily_anomalies' trailing window. Output flagged days only:
     (day, dow, y, z), z rounded to 9.
 
-    Engine-exact: per-weekday n/Σy/Σy² are BIGINT sums over the
-    pre-aggregated day frame; the leave-one-out correction is integer
-    subtraction; ONE double z per surviving row. Scale shape: a 7-row
-    stats dim broadcast back onto the |days|-row frame — nothing
-    beyond the day aggregate scales with the raw table."""
+    Engine-exact: per-weekday n/Σy/Σy² are exact integer sums over the
+    pre-aggregated day frame — Σy² accumulates in DECIMAL(38,0) with
+    the cast BEFORE the multiply (round-7 overflow sweep: a per-day
+    value y wraps int64 y² at y > ~3e9, i.e. a $30M revenue day in
+    cents — Spark would wrap SILENTLY where DuckDB promotes to
+    HUGEINT; the decimal holds to y ~ 1e19); the leave-one-out
+    correction is exact integer subtraction in the same decimal; ONE
+    double z per surviving row. Scale shape: a 7-row stats dim
+    broadcast back onto the |days|-row frame — nothing beyond the day
+    aggregate scales with the raw table."""
     d = days.select(
         F.col(day_col).alias("day"),
         F.expr(f"({day_col} + 3) % 7").alias("dow"),
@@ -442,12 +447,15 @@ def weekday_adjusted_anomalies(
     stats = d.groupBy("dow").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("y").alias("__s"),
-        F.sum(F.col("y") * F.col("y")).alias("__s2"),
+        # cast BEFORE multiplying (the important_parts/gini lesson)
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("__s2"),
     )
     j = d.join(F.broadcast(stats), "dow").filter(F.col("__n") >= 3)
     nl = (F.col("__n") - 1).cast("double")
     sl = (F.col("__s") - F.col("y")).cast("double")
-    s2l = (F.col("__s2") - F.col("y") * F.col("y")).cast("double")
+    s2l = (
+        F.col("__s2") - F.col("y").cast("decimal(38,0)") * F.col("y")
+    ).cast("double")
     mean = sl / nl
     var = s2l / nl - mean * mean
     # constant peers give no scale: a deviant against zero variance is
@@ -499,11 +507,27 @@ def seasonal_decompose_daily(
     residual_milli) — all exact BIGINTs; trend/residual NULL on the
     ``period//2`` edge days.
 
+    ``period`` must be ODD (7 by default): the centered
+    rangeBetween(-period//2, period//2) frame spans exactly ``period``
+    days only then — an even period would make the frame span
+    period+1 days, so the ``count == period`` trend guard would NULL
+    every dense window and instead fire off-center on windows missing
+    exactly one day (ADVICE r6 #3). The classical 2xMA used for even
+    periods is deliberately out of scope; raise loudly rather than
+    decompose wrong.
+
     Scale shape: the input is a per-DAY aggregate (calendar-bounded
     by contract), so the centered range window is a bounded
     partition-less window (allowlisted — the daily_rolling argument);
     the seasonal dim is ``period`` rows broadcast back. Never feed
     raw fact rows here — aggregate to days first."""
+    if period % 2 == 0 or period < 1:
+        raise ValueError(
+            f"seasonal_decompose_daily: period must be a positive ODD "
+            f"number of days (got {period}) — the centered "
+            f"count==period trend guard is only correct for odd "
+            f"periods; use the classical 2xMA elsewhere for even ones"
+        )
     half = period // 2
     w = (
         Window.orderBy(F.col("day").asc())

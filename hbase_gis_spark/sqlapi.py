@@ -161,7 +161,21 @@ def tokens_sql(text_expr: str = "text") -> str:
 
 def _shard_expr_sql(key_expr: str, bounds: list) -> str:
     """Shard id = how many boundary literals the key exceeds (the
-    rank.range_sharded comparison ladder, as SQL text)."""
+    rank.range_sharded comparison ladder, as SQL text).
+
+    Non-finite boundaries are dropped before rendering (ADVICE r6
+    #4): an infinite double reaching the sketch would render as the
+    bare token ``inf`` — invalid SQL — and a boundary at ±inf never
+    splits anything anyway (no value compares strictly above +inf;
+    everything does above -inf), so dropping it only merges shards,
+    never changes a rank."""
+    import math
+
+    bounds = [
+        b
+        for b in bounds
+        if not (isinstance(b, float) and not math.isfinite(b))
+    ]
     if not bounds:
         return "0"
     terms = " + ".join(
@@ -222,7 +236,14 @@ def sharded_ntile_sql(
     """``NTILE(n) OVER (ORDER BY order_cols)`` for ``spark.sql`` with
     no single-task sort — the SQL twin of ``rank.sharded_ntile``
     (same ANSI bucket arithmetic, same boundary-literal shards).
-    ``view`` must be a registered table/view name."""
+    ``view`` must be a registered table/view name.
+
+    CONTRACT (ADVICE r6 #4): the emitted statement freezes boundary
+    literals and shard-size offsets from the view's contents AT
+    GENERATION TIME — generate immediately before executing. Running
+    the text after the view's data changes silently corrupts every
+    global rank (unseen shards fall into the CASE's ELSE-0 offset);
+    this is a snapshot statement, not a reusable view definition."""
     shard, offsets, total = _sharded_plan_parts(
         spark, view, order_cols[0], n_shards
     )
@@ -257,7 +278,12 @@ def global_percentiles_sql(
     the SQL twin of ``rank.global_percentiles`` (NULL/NaN dropped,
     value at global rank ceil(num*N/den) per requested name). The
     requested ranks are plan literals, so selection is a conditional
-    aggregate — no join."""
+    aggregate — no join.
+
+    CONTRACT (ADVICE r6 #4): boundary/offset/total literals are
+    frozen from the view AT GENERATION TIME — generate immediately
+    before executing; the text is a snapshot statement, stale data
+    silently mis-ranks."""
     val = f"CAST({value_expr} AS DOUBLE)"
     where = f"{val} IS NOT NULL AND NOT isnan({val})"
     shard, offsets, total = _sharded_plan_parts(
@@ -287,7 +313,12 @@ def quantile_transform_sql(
 ) -> str:
     """Per-row global quantile normalization for ``spark.sql`` — the
     SQL twin of ``rank.quantile_transform`` (average tie ranks carried
-    doubled in BIGINTs, pct_milli = (2*avg_rank*1000) div (2*n))."""
+    doubled in BIGINTs, pct_milli = (2*avg_rank*1000) div (2*n)).
+
+    CONTRACT (ADVICE r6 #4): boundary/offset/total literals are
+    frozen from the view AT GENERATION TIME — generate immediately
+    before executing; the text is a snapshot statement, stale data
+    silently mis-ranks."""
     shard, offsets, total = _sharded_plan_parts(spark, view, col, n_shards)
     return f"""
     SELECT {id_col}, {col},

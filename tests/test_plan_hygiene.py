@@ -96,36 +96,43 @@ def test_round3_tpch_predicates_reach_scans(spark):
 
 def test_registry_window_contract():
     """The driver checks exactly the FIRST 50 queries() entries; round
-    6's window must hold the 37 round-5 additions + the thirteen
-    longest-unchecked r2-era canaries (the rotation VERDICT r5 #1
+    7's window must hold the 13 round-6 additions + the twenty
+    longest-unchecked (r2-last) canaries + seventeen r3-era canaries
+    led by the de-skewed span_dup_stats (the rotation VERDICT r6 #1
     prescribed), every window query must have an oracle, and new
-    round-6 additions must stay appended BEHIND the window."""
+    round-7 additions must stay appended BEHIND the window."""
     import __spark_entry__ as entrymod
 
     qs = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
-    r5_additions = [
-        "orphan_check", "uniqueness_audit", "benford_revenue",
-        "split_leakage", "supplier_part_variety", "potential_promotion",
-        "lone_returned_supplier", "autocorr_daily", "weekday_seasonality",
-        "mad_anomalies", "collocations_pmi", "zipf_fit",
-        "embedding_outliers", "node_jaccard", "bounce_rate", "vocab_drift",
-        "join_cardinality", "late_shipments", "important_parts", "fd_audit",
-        "hybrid_search_rrf", "ab_test_welch", "cumulative_users",
-        "vocab_coverage", "split_balance", "behavior_entropy",
-        "label_separation", "naive_backtest", "char_entropy",
-        "quantile_transform", "cohort_ltv", "revenue_moments",
-        "cell_density", "weekday_anomalies", "temperature_mixture",
-        "linear_attribution", "shuffle_audit",
+    r6_additions = [
+        "dup_substring_spans", "substring_dedup_profile",
+        "readability_scores", "ngram_coverage_curve",
+        "inter_arrival_median", "dedup_span_removal",
+        "rare_category_collapse", "target_encoding", "bootstrap_means",
+        "revenue_gini", "window_funnel", "l_diversity",
+        "seasonal_decompose",
     ]
     r2_canaries = [
-        "within_hole", "spatial_clusters", "spatial_join_cells",
-        "knn_haversine", "within_radius", "dedup_ngram_jaccard",
-        "dedup_clusters", "dedup_simhash", "text_quality",
-        "doc_fingerprint", "token_counts", "mm_decode", "term_stats",
+        "dedup_keep_best", "repetition_stats", "text_clean",
+        "simhash_signatures", "embedding_dup_lsh", "ann_cosine_topk",
+        "ann_lsh_topk", "ann_ivf_topk", "mm_frames", "mm_resize",
+        "windowed_event_counts", "user_sessions", "revenue_by_nation",
+        "pricing_summary", "shipping_priority", "order_priority_counts",
+        "customer_order_distribution", "customers_no_urgent",
+        "large_volume_customers", "promo_revenue",
     ]
-    assert qs[:37] == r5_additions
-    assert qs[37:50] == r2_canaries
+    r3_canaries = [
+        "span_dup_stats", "local_supplier_volume", "grouped_median",
+        "purchase_attribution", "dedup_incremental", "small_qty_revenue",
+        "daily_trend", "corpus_pipeline", "knn_multi",
+        "trajectory_similarity", "od_flows", "stay_points",
+        "keyword_search", "event_gaps", "dup_source_matrix",
+        "user_concentration", "event_cooccurrence",
+    ]
+    assert qs[:13] == r6_additions
+    assert qs[13:33] == r2_canaries
+    assert qs[33:50] == r3_canaries
     missing = [q for q in qs[:50] if q not in oracles]
     assert missing == [], f"window queries without oracles: {missing}"
     # registry entries stay unique (dict literal would silently drop dups
