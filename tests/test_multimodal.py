@@ -620,3 +620,79 @@ def test_audio_decode_real_tier_ladder_lib_conditional(spark):
     if not _HAS_SF:
         assert got[2].rms is None
         assert (got[2].sample_rate, got[2].n_samples) == (8000, 800)
+
+
+def test_image_decode_real_pixel_tier_lib_conditional(spark):
+    """The image twin of the audio tier-ladder test (VERDICT r6 #5,
+    mirroring the soundfile two-branch pattern): asserted on BOTH
+    branches, no skip either way. BMP always full-decodes via the pure
+    kernel; PNG full-decodes to exact pixel stats under PIL (the
+    fixture is PIL-built, so the branch only runs where it can), else
+    REAL IHDR header metadata with NaN mean (SQL NULL through Arrow)
+    and junk raises the clearly-marked NotImplementedError."""
+    import math
+
+    from hbase_gis_spark.operators.multimodal import (
+        _HAS_PIL,
+        _decode_real,
+        decode_media,
+    )
+
+    # tier 1: BMP full pixel decode via the pure kernel, any branch
+    bmp = _bmp_bytes(_BMP_PIXELS)
+    w, h, nch, mean = _decode_real(bmp)
+    assert (w, h, nch) == (3, 2, 3)
+    flat = [c for row in _BMP_PIXELS for px in row for c in px]
+    assert mean == pytest.approx(sum(flat) / len(flat))
+
+    if _HAS_PIL:
+        # tier 2: real PNG round-trip — known RGB pixels written via
+        # PIL, decoded by the kernel, exact dims/channels/mean
+        import io
+
+        from PIL import Image
+
+        im = Image.new("RGB", (4, 2))
+        pixels = [
+            (10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120),
+            (130, 140, 150), (160, 170, 180), (190, 200, 210),
+            (220, 230, 240),
+        ]
+        im.putdata(pixels)
+        bio = io.BytesIO()
+        im.save(bio, format="PNG")
+        w, h, nch, mean = _decode_real(bio.getvalue())
+        assert (w, h, nch) == (4, 2, 3)
+        want = sum(sum(p) for p in pixels) / (len(pixels) * 3)
+        assert mean == pytest.approx(want)
+        rows = [(1, bmp), (2, bio.getvalue())]
+    else:
+        # tier 3: IHDR header metadata, NaN mean; junk raises
+        png_header = (
+            b"\x89PNG\r\n\x1a\n"
+            + b"\x00\x00\x00\rIHDR"
+            + (320).to_bytes(4, "big")
+            + (200).to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0])  # 8-bit, color type 2 (RGB)
+            + b"\x00\x00\x00\x00"
+        )
+        w, h, nch, mean = _decode_real(png_header)
+        assert (w, h, nch) == (320, 200, 3)
+        assert math.isnan(mean)
+        with pytest.raises(NotImplementedError):
+            _decode_real(b"II*\x00 not an image the kernel covers")
+        rows = [(1, bmp), (2, png_header)]
+
+    # Spark plumbing on the same rows (both branches): BMP keeps exact
+    # pure-kernel stats; the PNG row carries real metadata either way
+    df = spark.createDataFrame(rows, "id bigint, media binary")
+    got = {r.id: r for r in decode_media(df, fake=False).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (3, 2, 3)
+    assert got[2].channels == 3
+    if _HAS_PIL:
+        assert got[2].mean_byte == pytest.approx(
+            sum(sum(p) for p in pixels) / (len(pixels) * 3)
+        )
+    else:
+        assert (got[2].width, got[2].height) == (320, 200)
+        assert got[2].mean_byte is None  # header tier: no pixel decode

@@ -7,6 +7,13 @@ can be missing there). Usage:
 
     python tools/bench_compare.py OLD.json NEW.json [ratio]
 
+With a single argument, OLD defaults to the frozen per-query
+reference point BASELINE_perquery.json (round-6 minima for all 232
+queries — VERDICT r6 #6: the r1-set-only baseline hides creep in the
+other ~190):
+
+    python tools/bench_compare.py NEW.json [ratio]
+
 Prints queries slower than `ratio` (default 1.5) in NEW, the shared-set
 totals, and entries present on only one side. Remember the machine's
 documented 1.5-3x external-load swing (see the repo verify notes):
@@ -39,11 +46,22 @@ def load(path: str) -> dict[str, float]:
 
 
 def main() -> int:
-    if len(sys.argv) < 3:
+    args = sys.argv[1:]
+    if not args:
         print(__doc__)
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    import pathlib
+
+    ratio = 1.5
+    if len(args) >= 2 and args[-1].replace(".", "", 1).isdigit():
+        ratio = float(args.pop())
+    if len(args) == 1:
+        default_old = (
+            pathlib.Path(__file__).resolve().parents[1]
+            / "BASELINE_perquery.json"
+        )
+        args.insert(0, str(default_old))
+    old, new = load(args[0]), load(args[1])
     shared = sorted(set(old) & set(new))
     regs = [
         (k, old[k], new[k])
