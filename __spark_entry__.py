@@ -4851,6 +4851,159 @@ def _q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-7 additions (appended behind the window; enter round 8) ------
+
+DEBOUNCE_GAP_US = 300_000_000  # 5 minutes
+TCLOSE_T_MILLI = 10
+LORENZ_BUCKETS = 10
+
+
+def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-count series — the
+    median pairwise slope in micro units (exact rank selection over
+    the calendar-squared-bounded pair frame)."""
+    from hbase_gis_spark.operators.timeseries import theil_sen_slope
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return theil_sen_slope(days)
+
+
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend statistic of the daily event-count
+    series: exact integer S over all day pairs + truncating tau_milli
+    (negative S is where bare div-vs-// diverges — identity applied)."""
+    from hbase_gis_spark.operators.timeseries import mann_kendall_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return mann_kendall_trend(days)
+
+
+def _q_lorenz_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of per-customer revenue in deciles — the curve
+    behind revenue_gini's single number; sharded-ntile buckets, exact
+    integer cumulative shares."""
+    from hbase_gis_spark.operators.drift import lorenz_curve
+
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    return lorenz_curve(pc, "cents", "o_custkey", buckets=LORENZ_BUCKETS)
+
+
+def _q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (40/20/40) multi-touch attribution over the same
+    view->purchase 24h-lookback pairs as linear_attribution — exact
+    ppm credits, per-day rollup."""
+    from hbase_gis_spark.operators.funnel import position_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    p = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("us").alias("pus")
+    )
+    v = base.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("vid"), F.col("us").alias("vus")
+    )
+    pairs = v.join(
+        p,
+        (v.user_id == p.user_id)
+        & (v.vus <= p.pus)
+        & (p.pus < v.vus + F.lit(ATTR_LOOKBACK_US)),
+    ).select("pid", "vid", "vus")
+    credits = position_attribution(pairs)
+    return (
+        credits.select(
+            F.expr("vus div 86400000000").alias("day"), "credit_ppm"
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_ppm").cast("bigint").alias("credit_ppm_sum"),
+        )
+    )
+
+
+def _q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) debounce summary at a 5-minute gap:
+    raw vs kept event counts after collapsing bursts to their first
+    event."""
+    from hbase_gis_spark.operators.timeseries import event_debounce
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+    )
+    flagged = event_debounce(ev, DEBOUNCE_GAP_US)
+    return flagged.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("kept").cast("bigint")).cast("bigint").alias("n_kept"),
+    )
+
+
+def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of documents: sources whose language
+    distribution diverges from the corpus by more than
+    TCLOSE_T_MILLI/1000 total variation — the skewness-attack
+    complement of k_anonymity and l_diversity."""
+    from hbase_gis_spark.operators.corpus import t_closeness_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return t_closeness_report(
+        docs, ["source"], "lang", t_milli=TCLOSE_T_MILLI
+    )
+
+
+def _q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — which feeds are
+    lexical near-clones; exact distinct-term set arithmetic."""
+    from hbase_gis_spark.operators.textstats import source_vocab_jaccard
+
+    return source_vocab_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+def _q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete churn-hazard table over customer order lifetimes —
+    per observed tenure, churned vs at-risk counts and the integer
+    milli hazard."""
+    from hbase_gis_spark.operators.timeseries import churn_hazard
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("day"),
+    )
+    return churn_hazard(o)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -4882,14 +5035,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stricter than the driver hash).  New round-7 queries are APPENDED
     at the end and enter the window in round 8.
 
-    ROUND-8 ROTATION PLAN (execute at the start of round 8): move any
-    round-7 additions (appended behind slot 232) into the head slots;
-    fill the remainder with the longest-unchecked queries -- first the
-    33 remaining r3-era entries (balance_deciles..quantize_int8 plus
-    within_polygon, i.e. the r3 cohort minus the seventeen checked in
-    round 7), then r4-era.  Update
-    tests/test_plan_hygiene.py::test_registry_window_contract in the
-    same commit.
+    ROUND-8 ROTATION PLAN (execute at the start of round 8): move the
+    round-7 additions (theil_sen_trend, mann_kendall, lorenz_revenue,
+    position_attribution, event_debounce, t_closeness,
+    source_vocab_overlap, churn_hazard -- all verified exact by
+    tools/check_oracles.py at BOTH sf0.01 and sf0.1 when added) into
+    the head slots; fill the remainder with the longest-unchecked
+    queries -- first the 33 remaining r3-era entries
+    (balance_deciles..quantize_int8 plus within_polygon, i.e. the r3
+    cohort minus the seventeen checked in round 7), then r4-era.
+    Update tests/test_plan_hygiene.py::test_registry_window_contract
+    in the same commit.
     """
     return {
         # --- slots 1-13: round-6 additions, first time in the driver window
@@ -5131,6 +5287,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_purity": _q_label_purity,
         "quantize_int8": _q_quantize_int8,
         "within_polygon": _q_within,
+        # --- round-7 additions (behind the window; enter round 8)
+        "theil_sen_trend": _q_theil_sen,
+        "mann_kendall": _q_mann_kendall,
+        "lorenz_revenue": _q_lorenz_revenue,
+        "position_attribution": _q_position_attribution,
+        "event_debounce": _q_event_debounce,
+        "t_closeness": _q_t_closeness,
+        "source_vocab_overlap": _q_source_vocab_overlap,
+        "churn_hazard": _q_churn_hazard,
     }
 
 
@@ -10461,6 +10626,219 @@ def oracle_sql() -> dict[str, str]:
                        - 1.0)),
                  9) AS rho
     FROM r
+    """
+
+    # ---- round-7 additions ------------------------------------------
+
+    out["theil_sen_trend"] = f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT (b.y - a.y) * 1000000 AS num, b.d - a.d AS den
+      FROM d a JOIN d b ON b.d > a.d
+    ),
+    sl AS (SELECT CAST((num - num % den) // den AS BIGINT) AS slope FROM p),
+    r AS (SELECT slope, row_number() OVER (ORDER BY slope ASC) AS rk FROM sl),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS np FROM sl)
+    SELECT n.n_days,
+           CAST(n.n_days * (n.n_days - 1) // 2 AS BIGINT) AS n_pairs,
+           (SELECT slope FROM r, c WHERE rk = (c.np + 1) // 2)
+             AS slope_micro
+    FROM n
+    """
+
+    out["mann_kendall"] = f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+      FROM d a JOIN d b ON b.d > a.d
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+    s AS (SELECT CAST(coalesce(sum(sg), 0) AS BIGINT) AS s_stat FROM p)
+    SELECT n.n_days,
+           CAST(n.n_days * (n.n_days - 1) // 2 AS BIGINT) AS n_pairs,
+           s.s_stat,
+           CASE WHEN n.n_days >= 2 THEN
+             CAST((1000 * s.s_stat
+                   - (1000 * s.s_stat) % (n.n_days * (n.n_days - 1) // 2))
+                  // (n.n_days * (n.n_days - 1) // 2) AS BIGINT)
+           END AS tau_milli
+    FROM n, s
+    """
+
+    out["lorenz_revenue"] = f"""
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT x, o_custkey, ntile({LORENZ_BUCKETS})
+               OVER (ORDER BY x ASC, o_custkey ASC) AS b
+      FROM pc
+    ),
+    per AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(x) AS BIGINT) AS bucket_value
+      FROM r GROUP BY b
+    ),
+    c AS (
+      SELECT p1.b, p1.n_rows, p1.bucket_value,
+             CAST(sum(p2.bucket_value) AS BIGINT) AS cum_value
+      FROM per p1 JOIN per p2 ON p2.b <= p1.b
+      GROUP BY 1, 2, 3
+    ),
+    t AS (SELECT CAST(sum(bucket_value) AS BIGINT) AS tt FROM per)
+    SELECT CAST(b AS BIGINT) AS bucket, n_rows, bucket_value, cum_value,
+           CAST((1000 * cum_value) // tt AS BIGINT) AS cum_share_milli
+    FROM c, t
+    """
+
+    out["position_attribution"] = f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events
+    ),
+    p AS (SELECT user_id, event_id AS pid, us AS pus
+          FROM base WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id AS vid, us AS vus
+          FROM base WHERE event_type = 'view'),
+    pairs AS (
+      SELECT pid, vid, vus FROM v JOIN p ON v.user_id = p.user_id
+        AND v.vus <= p.pus AND p.pus < v.vus + {ATTR_LOOKBACK_US}
+    ),
+    j AS (
+      SELECT pid, vus,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY vus ASC, vid ASC) AS pos,
+             count(*) OVER (PARTITION BY pid) AS k
+      FROM pairs
+    ),
+    credited AS (
+      SELECT vus // 86400000000 AS day,
+             CAST(CASE WHEN k = 1 THEN 1000000
+                       WHEN k = 2 THEN 500000
+                       WHEN pos = 1 THEN 400000
+                       WHEN pos = k THEN 400000
+                       ELSE 200000 // (k - 2) END AS BIGINT) AS credit_ppm
+      FROM j
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum
+    FROM credited GROUP BY day
+    """
+
+    out["event_debounce"] = f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, event_type, us,
+             lag(us) OVER (PARTITION BY user_id, event_type
+                           ORDER BY us ASC, event_id ASC) AS pus
+      FROM e
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN pus IS NULL
+                         OR us - pus > {DEBOUNCE_GAP_US}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM l GROUP BY 1, 2
+    """
+
+    out["t_closeness"] = f"""
+    WITH base AS (
+      SELECT source, lang FROM documents WHERE lang IS NOT NULL
+    ),
+    cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS cgc
+      FROM base GROUP BY 1, 2
+    ),
+    gsz AS (SELECT source, CAST(sum(cgc) AS BIGINT) AS ng
+            FROM cells GROUP BY source),
+    marg AS (SELECT lang, CAST(count(*) AS BIGINT) AS cc
+             FROM base GROUP BY lang),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    terms AS (
+      SELECT c.source, g.ng, t.n,
+             abs(CAST(c.cgc AS HUGEINT) * t.n
+                 - CAST(m.cc AS HUGEINT) * g.ng) AS term,
+             m.cc
+      FROM cells c
+      JOIN gsz g ON c.source = g.source
+      JOIN marg m ON c.lang = m.lang
+      CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT source, CAST(min(ng) AS BIGINT) AS ng,
+             CAST(min(n) AS BIGINT) AS n,
+             sum(term) AS present, CAST(sum(cc) AS BIGINT) AS pcc
+      FROM terms GROUP BY source
+    ),
+    scored AS (
+      SELECT source, ng AS n_rows,
+             CAST(((present + CAST(ng AS HUGEINT) * (n - pcc)) * 1000)
+                  // (CAST(2 AS HUGEINT) * ng * n) AS BIGINT)
+               AS tvd_milli
+      FROM agg
+    )
+    SELECT source, n_rows, tvd_milli FROM scored
+    WHERE tvd_milli > {TCLOSE_T_MILLI}
+    """
+
+    out["source_vocab_overlap"] = f"""
+    WITH post AS (
+      SELECT DISTINCT source AS g, w AS term
+      FROM (SELECT source, unnest({toks}) AS w FROM documents)
+    ),
+    sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS sz
+              FROM post GROUP BY g),
+    inter AS (
+      SELECT a.g AS source_a, b.g AS source_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM post a JOIN post b ON a.term = b.term AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT sa.g AS source_a, sb.g AS source_b,
+           sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+           CAST((1000 * coalesce(i.inter, 0))
+                // (sa.sz + sb.sz - coalesce(i.inter, 0)) AS BIGINT)
+             AS jaccard_milli
+    FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+    LEFT JOIN inter i ON i.source_a = sa.g AND i.source_b = sb.g
+    """
+
+    out["churn_hazard"] = """
+    WITH lt AS (
+      SELECT o_custkey,
+             CAST(max(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                      // 86400000000)
+                  - min(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                        // 86400000000) AS BIGINT) AS l
+      FROM orders GROUP BY o_custkey
+    ),
+    hist AS (SELECT l AS t, CAST(count(*) AS BIGINT) AS churned
+             FROM lt GROUP BY l),
+    risk AS (
+      SELECT a.t, a.churned, CAST(sum(b.churned) AS BIGINT) AS at_risk
+      FROM hist a JOIN hist b ON b.t >= a.t
+      GROUP BY 1, 2
+    )
+    SELECT t, churned, at_risk,
+           CAST((1000 * churned) // at_risk AS BIGINT) AS hazard_milli
+    FROM risk
     """
 
     return out

@@ -126,6 +126,7 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     lang_id,
     ngram_contamination,
     ngram_coverage_curve,
+    source_vocab_jaccard,
     pack_sequences,
     quality_classifier,
     readability_scores,
@@ -197,6 +198,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     contamination_report,
     group_sample_k,
     quality_resample,
+    t_closeness_report,
 )
 from hbase_gis_spark.operators.graph import (  # noqa: F401
     association_rules,
@@ -226,6 +228,10 @@ from hbase_gis_spark.operators.timeseries import (  # noqa: F401
     mad_anomalies,
     seasonal_decompose_daily,
     weekday_profile,
+    theil_sen_slope,
+    mann_kendall_trend,
+    event_debounce,
+    churn_hazard,
 )
 from hbase_gis_spark.operators.quality import (  # noqa: F401
     behavior_entropy,
@@ -255,6 +261,7 @@ from hbase_gis_spark.operators.drift import (  # noqa: F401
     psi_cuts,
     value_histogram,
     value_psi,
+    lorenz_curve,
 )
 from hbase_gis_spark.operators.rank import (  # noqa: F401
     apply_range_shards,
@@ -271,6 +278,7 @@ from hbase_gis_spark.operators.funnel import (  # noqa: F401
     funnel_counts,
     window_funnel,
     retention_cohorts,
+    position_attribution,
 )
 from hbase_gis_spark.operators.retrieval import (  # noqa: F401
     hybrid_rrf_topk,

@@ -598,6 +598,87 @@ def l_diversity_report(
     )
 
 
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_milli: int = 200,
+) -> DataFrame:
+    """The t-closeness third of the release gate
+    (:func:`k_anonymity_report` -> :func:`l_diversity_report` -> this):
+    a group can be large AND diverse yet still leak when its sensitive
+    DISTRIBUTION differs sharply from the corpus (the skewness attack
+    — "90% of this zip code's rows say positive" discloses plenty even
+    with l > 1 distinct values). For a categorical sensitive column
+    the distance is TOTAL VARIATION: ``tvd = 1/2 * sum_c |p_gc - p_c|``;
+    report every group with ``tvd_milli > t_milli``.
+
+    Engine-exact integer core: with group size ``n_g``, corpus size
+    ``n``, counts ``c_gc``/``c_c``, the common-denominator form is
+    ``tvd_milli = (1000 * sum_c |c_gc*n - c_c*n_g|) div (2*n_g*n)`` —
+    the numerator terms are products of two TABLE-SCALE BIGINTs, so
+    they accumulate in DECIMAL(38,0) with the cast BEFORE the multiply
+    (the round-7 overflow sweep; raw int64 wraps once c*n passes
+    ~9e18, i.e. tables past ~3e9 rows), mirrored as HUGEINT in the
+    DuckDB oracle. Every term is non-negative, so ``div`` (truncate)
+    and ``//`` (floor) coincide — stated, not assumed. Categories the
+    group never exhibits contribute ``c_c*n_g`` each; their mass folds
+    in closed form as ``n_g*(n - sum_present c_c)``, so the dense
+    group x category grid is never materialized.
+
+    Output: (quasi columns..., n_rows, tvd_milli) — violating groups
+    only, worst first (tvd_milli desc, n_rows desc, keys asc).
+
+    Scale shape: one (quasi, sensitive) hash aggregate (map-side
+    combined; the cell frame is bounded by groups x |categories|), a
+    group-keyed size join over that cell frame, a broadcast of the
+    |categories|-row marginal and the 1-row total, one group-keyed
+    aggregate — output bounded by violating groups, never the table."""
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    cells = base.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__cgc")
+    )
+    gsz = cells.groupBy(*quasi_cols).agg(F.sum("__cgc").alias("__ng"))
+    marg = base.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).alias("__cc")
+    )
+    total = base.agg(F.count(F.lit(1)).alias("__n"))
+    dec = "decimal(38,0)"
+    j = (
+        cells.join(gsz, quasi_cols)
+        .join(F.broadcast(marg), sensitive_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            # cast BEFORE the multiply (the important_parts lesson)
+            "__term",
+            F.abs(
+                F.col("__cgc").cast(dec) * F.col("__n")
+                - F.col("__cc").cast(dec) * F.col("__ng")
+            ),
+        )
+    )
+    agg = j.groupBy(*quasi_cols).agg(
+        F.first("__ng").alias("__ng"),
+        F.first("__n").alias("__n"),
+        F.sum("__term").alias("__present"),
+        F.sum("__cc").alias("__pcc"),
+    )
+    out = agg.select(
+        *quasi_cols,
+        F.col("__ng").cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST(((__present + CAST(__ng AS DECIMAL(38,0))"
+            " * (__n - __pcc)) * 1000)"
+            " div (CAST(2 AS DECIMAL(38,0)) * __ng * __n) AS BIGINT)"
+        ).alias("tvd_milli"),
+    )
+    return out.filter(F.col("tvd_milli") > t_milli).orderBy(
+        F.col("tvd_milli").desc(),
+        F.col("n_rows").desc(),
+        *[F.col(c).asc() for c in quasi_cols],
+    )
+
+
 def group_sample_k(
     df: DataFrame,
     group_col: str,

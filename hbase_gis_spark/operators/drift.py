@@ -778,3 +778,70 @@ def gini_coefficient(
             9,
         ).alias("gini"),
     )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    value_col,
+    id_col: str,
+    buckets: int = 10,
+    n_shards: int = 64,
+) -> DataFrame:
+    """LORENZ CURVE of a non-negative integer metric in ``buckets``
+    equal-population slices: bucket b's row count, value mass, and the
+    cumulative share of total value held by the poorest b buckets —
+    the curve behind :func:`gini_coefficient`'s single number (the
+    report a "top decile holds 61% of revenue" sentence reads from).
+
+    Preconditions: values non-negative, ``id_col`` unique (the gini
+    contract — documented there).
+
+    Engine-exact: bucket assignment is ANSI NTILE over the total order
+    (value, id) via the boundary-literal sharded machinery (never a
+    single-task sort); per-bucket sums are BIGINTs; the cumulative
+    share is ``(1000·cum) div total`` — non-negative, so truncate ==
+    floor in both engines (stated). Output bound: value totals must
+    stay under int64 (~9e18 — the cents-conversion bound).
+
+    Output: ``buckets`` rows ascending — (bucket, n_rows,
+    bucket_value, cum_value, cum_share_milli).
+
+    Scale shape: one sharded-ntile pass over the (value, id)
+    projection, one bucket-keyed aggregate (``buckets`` rows), then
+    the cumulative sum as a triangle self-join over the bucket DIM
+    (buckets² pairs — 100 for deciles; no window, no global sort)."""
+    from hbase_gis_spark.operators.rank import sharded_ntile
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(id_col).alias("__id"), v.cast("bigint").alias("__x")
+    )
+    tiled = sharded_ntile(
+        base, buckets, ["__x", "__id"], "__b", n_shards
+    )
+    per = tiled.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__x").alias("bucket_value"),
+    )
+    other = per.select(
+        F.col("__b").alias("__b2"), F.col("bucket_value").alias("__v2")
+    )
+    cum = (
+        per.join(F.broadcast(other), F.col("__b2") <= F.col("__b"))
+        .groupBy("__b", "n_rows", "bucket_value")
+        .agg(F.sum("__v2").alias("cum_value"))
+    )
+    total = per.agg(F.sum("bucket_value").alias("__t"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            F.col("__b").cast("bigint").alias("bucket"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("bucket_value").cast("bigint").alias("bucket_value"),
+            F.col("cum_value").cast("bigint").alias("cum_value"),
+            F.expr(
+                "CAST((1000 * cum_value) div __t AS BIGINT)"
+            ).alias("cum_share_milli"),
+        )
+        .orderBy(F.col("bucket").asc())
+    )

@@ -246,3 +246,73 @@ def window_funnel(
         "step",
         F.col("n_users").cast("bigint").alias("n_users"),
     )
+
+
+def position_attribution(
+    pairs: DataFrame,
+    conv_col: str = "pid",
+    touch_col: str = "vid",
+    ts_col: str = "vus",
+    first_ppm: int = 400_000,
+    last_ppm: int = 400_000,
+) -> DataFrame:
+    """POSITION-BASED (U-shaped, 40/20/40) multi-touch attribution
+    over (conversion, touch, touch_ts) pairs: the first and last
+    touch of each conversion's journey take ``first_ppm``/``last_ppm``
+    of the credit, the middles split the remainder — the standard
+    middle ground between first-touch, last-touch, and
+    ``linear_attribution``'s equal split.
+
+    Exact integer credits, stated rounding: a lone touch takes the
+    full 1,000,000 ppm; exactly two touches split the pot as
+    ``first_ppm + mid div 2`` / ``last_ppm + mid − mid div 2`` (both
+    plan-time Python constants — no runtime division); middles each
+    take ``mid div (k − 2)`` ppm (non-negative, so truncate == floor
+    in both engines) with the division remainder left unassigned —
+    books under-add by at most k − 3 ppm per conversion, the same
+    floor convention as linear_attribution (stated, never silently
+    re-spread).
+
+    Output: one row per (conversion, touch) —
+    (``conv_col``, ``touch_col``, ``ts_col``, position 1..k,
+    n_touches, credit_ppm). Deterministic order inside a journey:
+    (ts, touch id).
+
+    Scale shape: ONE shuffle on the conversion key; rank + count
+    windows are PARTITIONED by conversion (journey-bounded, never
+    global); credit assignment is pure integer arithmetic."""
+    from pyspark.sql import Window
+
+    mid_ppm = 1_000_000 - first_ppm - last_ppm
+    w = Window.partitionBy(conv_col).orderBy(
+        F.col("__ts").asc(), F.col(touch_col).asc()
+    )
+    staged = (
+        pairs.select(
+            F.col(conv_col),
+            F.col(touch_col),
+            F.col(ts_col).alias("__ts"),
+        )
+        .withColumn("__k", F.count(F.lit(1)).over(Window.partitionBy(conv_col)))
+        .withColumn("__pos", F.row_number().over(w))
+    )
+    credit = (
+        F.when(F.col("__k") == 1, F.lit(1_000_000))
+        .when(
+            F.col("__k") == 2,
+            F.when(
+                F.col("__pos") == 1, F.lit(first_ppm + mid_ppm // 2)
+            ).otherwise(F.lit(last_ppm + mid_ppm - mid_ppm // 2)),
+        )
+        .when(F.col("__pos") == 1, F.lit(first_ppm))
+        .when(F.col("__pos") == F.col("__k"), F.lit(last_ppm))
+        .otherwise(F.expr(f"{mid_ppm} div (__k - 2)"))
+    )
+    return staged.select(
+        conv_col,
+        touch_col,
+        F.col("__ts").alias(ts_col),
+        F.col("__pos").cast("bigint").alias("position"),
+        F.col("__k").cast("bigint").alias("n_touches"),
+        credit.cast("bigint").alias("credit_ppm"),
+    )

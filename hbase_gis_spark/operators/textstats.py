@@ -1429,3 +1429,78 @@ def ngram_coverage_curve(
             ),
         )
     )
+
+
+def source_vocab_jaccard(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise VOCABULARY JACCARD between sources: for every source
+    pair, |shared distinct terms| / |union| — the corpus-composition
+    audit that says which feeds are lexical near-clones of each other
+    (two mirrors of the same site waste a data budget even when no
+    single document duplicates — the SOURCE-level complement of
+    ``dedup_impact`` and ``vocab_drift``).
+
+    Engine-exact: set sizes and intersections are BIGINT counts over
+    DISTINCT (source, term) postings; ``jaccard_milli =
+    (1000·inter) div (sz_a + sz_b − inter)`` is non-negative, so
+    truncate == floor in both engines (stated).
+
+    Output: one row per unordered source pair (source_a < source_b) —
+    (source_a, source_b, sz_a, sz_b, inter, jaccard_milli); pairs
+    with zero overlap included (a LEFT-complete pair grid over the
+    |sources|² dim, tiny by construction).
+
+    Scale shape: one explode → (source, term) DISTINCT aggregate
+    (map-side combined — the corpus collapses to |sources|·|vocab|
+    postings); per-source sizes are a |sources|-row dim; the
+    intersection is a term-keyed self-join of the postings where each
+    term carries at most |sources| rows — bounded fan-out per key, no
+    content skew possible; the final grid is a broadcast join of two
+    tiny dims."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    postings = (
+        _spread(df)
+        .select(F.col(group_col).alias("g"), tokens(text_col).alias("__w"))
+        .select("g", F.explode("__w").alias("term"))
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select("g", "term")
+    )
+    sizes = postings.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    pa = postings.select(F.col("g").alias("source_a"), "term")
+    pb = postings.select(F.col("g").alias("source_b"), "term")
+    inter = (
+        pa.join(pb, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("g").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("g").alias("source_b"), F.col("sz").alias("sz_b"))
+    grid = (
+        sa.crossJoin(sb)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "sz_a",
+            "sz_b",
+            F.coalesce("inter", F.lit(0)).cast("bigint").alias("inter"),
+        )
+    )
+    return grid.select(
+        "source_a",
+        "source_b",
+        "sz_a",
+        "sz_b",
+        "inter",
+        F.expr(
+            "CAST((1000 * inter) div (sz_a + sz_b - inter) AS BIGINT)"
+        ).alias("jaccard_milli"),
+    )

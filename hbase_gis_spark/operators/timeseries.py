@@ -579,3 +579,228 @@ def seasonal_decompose_daily(
             ),
         )
     )
+
+
+def theil_sen_slope(
+    days: DataFrame,
+    day_col: str = "day",
+    value_col: str = "y",
+    n_shards: int = 64,
+) -> DataFrame:
+    """THEIL–SEN estimator of a daily series' trend: the MEDIAN of all
+    pairwise slopes (y_j − y_i)/(day_j − day_i), i < j — the robust
+    complement of the OLS slope in ``daily_trend`` (one outlier day
+    drags an OLS fit arbitrarily; the pairwise-slope median has a 29%
+    breakdown point — Sen 1968).
+
+    Engine-exact core: each pair's slope is carried in integer MICRO
+    units via the truncating remainder-subtract identity
+    ``(Δy·1e6 − (Δy·1e6) % Δd) div Δd`` (Δy can be NEGATIVE — bare
+    Spark div vs DuckDB // diverge there; the identity makes them
+    coincide), and the median is a pure RANK SELECTION at ceil(N/2)
+    (lower median, the repo convention) — no value arithmetic, so the
+    selected slope is engine-exact. Overflow bound, stated: the micro
+    slope needs |Δy|·1e6 < 2^63 (|Δy| < ~9e12 — any daily count and
+    all but absurd cent deltas); the selected double round-trips
+    exactly below 2^53.
+
+    Output: 1 row (n_days, n_pairs, slope_micro BIGINT); NULL slope
+    when fewer than 2 days.
+
+    Scale shape: the input is a per-DAY aggregate (calendar-bounded
+    by contract), so the pair self-join is |days|²/2 — bounded by the
+    CALENDAR squared (~6.6M pairs for a decade), not by the fact
+    table; the median runs through rank.global_percentiles' sharded
+    machinery (boundary-literal shards, no single-task sort even over
+    the pair frame). n_pairs is the closed form n(n−1)/2 — never a
+    second count over the pairs."""
+    from hbase_gis_spark.operators.rank import global_percentiles
+
+    d = days.select(
+        F.col(day_col).cast("bigint").alias("__d"),
+        F.col(value_col).cast("bigint").alias("__y"),
+    ).filter(F.col("__y").isNotNull() & F.col("__d").isNotNull())
+    a = d.select(F.col("__d").alias("__d1"), F.col("__y").alias("__y1"))
+    b = d.select(F.col("__d").alias("__d2"), F.col("__y").alias("__y2"))
+    # broadcast the second day frame: the non-equi pair join plans as
+    # BroadcastNestedLoopJoin over two calendar-bounded dims (a bare
+    # inner theta-join would fall to the banned CartesianProduct);
+    # nullif guards the d2 == d1 diagonal — Catalyst pushes the
+    # NULL/NaN slope filter INTO the join predicate, where the slope
+    # expression evaluates on raw pairs BEFORE the d2 > d1 conjunct
+    # (observed ANSI REMAINDER_BY_ZERO; a NULL slope there just drops
+    # the diagonal row the condition drops anyway)
+    pairs = (
+        a.join(F.broadcast(b), F.col("__d2") > F.col("__d1"))
+        .withColumn("__num", (F.col("__y2") - F.col("__y1")) * 1_000_000)
+        .withColumn("__den", F.nullif(F.col("__d2") - F.col("__d1"), F.lit(0)))
+        .select(
+            F.expr(
+                "CAST((__num - __num % __den) div __den AS BIGINT)"
+            ).alias("__slope")
+        )
+    )
+    med = global_percentiles(
+        pairs.select(F.col("__slope").cast("double").alias("__slope")),
+        "__slope",
+        {"__m": (1, 2)},
+        n_shards,
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_days"))
+    return n.crossJoin(F.broadcast(med)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.expr("CAST(n_days * (n_days - 1) div 2 AS BIGINT)").alias(
+            "n_pairs"
+        ),
+        F.col("__m").cast("bigint").alias("slope_micro"),
+    )
+
+
+def mann_kendall_trend(
+    days: DataFrame,
+    day_col: str = "day",
+    value_col: str = "y",
+) -> DataFrame:
+    """MANN–KENDALL monotone-trend statistic of a daily series:
+    ``S = Σ_{i<j} sign(y_j − y_i)`` and the Kendall
+    ``tau = S / (n(n−1)/2)`` — the nonparametric "is this going up"
+    test that pairs with :func:`theil_sen_slope` (Theil–Sen says how
+    steep; Mann–Kendall says how consistently monotone, immune to the
+    series' scale and to any monotone transform of the values).
+
+    Engine-exact: S is an exact BIGINT sum of {-1, 0, +1} (|S| ≤
+    n_pairs — never overflows), n_pairs is the closed form n(n−1)/2,
+    and ``tau_milli`` is the truncating remainder-subtract quotient
+    ``(1000·S − (1000·S) % n_pairs) div n_pairs`` — S is routinely
+    NEGATIVE (downtrends), exactly where bare Spark div vs DuckDB //
+    diverge, hence the identity on both engines.
+
+    Output: 1 row (n_days, n_pairs, s_stat, tau_milli); NULL tau when
+    fewer than 2 days.
+
+    Scale shape: per-DAY input by contract → the pair self-join is
+    calendar²-bounded (the theil_sen argument); ONE aggregate over the
+    pairs, no window anywhere."""
+    d = days.select(
+        F.col(day_col).cast("bigint").alias("__d"),
+        F.col(value_col).cast("bigint").alias("__y"),
+    ).filter(F.col("__y").isNotNull() & F.col("__d").isNotNull())
+    a = d.select(F.col("__d").alias("__d1"), F.col("__y").alias("__y1"))
+    b = d.select(F.col("__d").alias("__d2"), F.col("__y").alias("__y2"))
+    s = (
+        a.join(F.broadcast(b), F.col("__d2") > F.col("__d1"))
+        .agg(
+            F.coalesce(
+                F.sum(F.signum(F.col("__y2") - F.col("__y1")).cast("bigint")),
+                F.lit(0),
+            ).alias("s_stat")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_days"))
+    return n.crossJoin(F.broadcast(s)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.expr("CAST(n_days * (n_days - 1) div 2 AS BIGINT)").alias(
+            "n_pairs"
+        ),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        F.expr(
+            "CASE WHEN n_days >= 2 THEN CAST((1000 * s_stat"
+            " - (1000 * s_stat) % (n_days * (n_days - 1) div 2))"
+            " div (n_days * (n_days - 1) div 2) AS BIGINT) END"
+        ).alias("tau_milli"),
+    )
+
+
+def event_debounce(
+    events: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_us_col: str = "ts_us",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """DEBOUNCE an event stream: within each (user, event_type), an
+    event is KEPT iff it is the first of its burst — more than
+    ``gap_us`` after the previous event of that key (double-clicks,
+    retry storms, and tracking-pixel refires collapse to one event;
+    the per-key complement of whole-stream ``sessionize_events``).
+
+    Deterministic order: (ts, event_id) — simultaneous events keep
+    the smallest id first and the rest debounce against it. NOTE the
+    stated semantics: the gap is measured to the PREVIOUS RAW event
+    (trailing-edge debounce, the analytics convention), not to the
+    burst's first event — a long slow burst with every inter-arrival
+    under gap_us keeps only its first event no matter its total span.
+
+    Output: input key/ts/id columns + ``kept`` boolean — callers
+    filter or aggregate (the registered query pins per-key totals).
+
+    Scale shape: ONE shuffle on (user, type); the lag window is
+    per-key bounded (a user's own events), never global; the decision
+    is pure integer comparison — engine-exact."""
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.col(ts_us_col).asc(), F.col(id_col).asc()
+    )
+    prev = F.lag(ts_us_col).over(w)
+    return events.select(
+        user_col,
+        type_col,
+        id_col,
+        ts_us_col,
+        (
+            prev.isNull() | (F.col(ts_us_col) - prev > F.lit(gap_us))
+        ).alias("kept"),
+    )
+
+
+def churn_hazard(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    day_col: str = "day",
+) -> DataFrame:
+    """Discrete-time CHURN HAZARD table (the Kaplan–Meier ingredient):
+    per customer, observed lifetime = last order day − first order
+    day; for every OBSERVED lifetime t, ``hazard(t) = churned(t) /
+    at_risk(t)`` where at_risk counts customers whose lifetime is at
+    least t. The table a retention model or an LTV discount curve is
+    fitted from — per-tenure-day risk, not the survival product
+    (cumulative KM products are float-order exposed; the hazard table
+    is all-integer and the caller can fold it however it likes).
+
+    Engine-exact: lifetimes, counts and the suffix sum are BIGINTs;
+    ``hazard_milli = (1000·churned) div at_risk`` is non-negative, so
+    truncate == floor in both engines (stated, not assumed).
+
+    Output: one row per observed lifetime t, ascending —
+    (t, churned, at_risk, hazard_milli).
+
+    Scale shape: one customer-keyed aggregate (fact → |customers|),
+    one lifetime histogram aggregate (|customers| → |distinct
+    lifetimes| ≤ calendar days), then the at_risk suffix sum as a
+    triangle self-join over the HISTOGRAM dim (calendar²-bounded,
+    the theil_sen argument) — no window, no fact-scale sort."""
+    lt = orders.groupBy(F.col(cust_col).alias("__c")).agg(
+        (F.max(day_col) - F.min(day_col)).cast("bigint").alias("__lt")
+    )
+    hist = lt.groupBy("__lt").agg(F.count(F.lit(1)).alias("__churned"))
+    a = hist.select(
+        F.col("__lt").alias("t"), F.col("__churned").alias("churned")
+    )
+    b = hist.select(
+        F.col("__lt").alias("__l2"), F.col("__churned").alias("__c2")
+    )
+    # broadcast: non-equi suffix-sum join over the histogram dim —
+    # BNLJ (sanctioned, calendar-bounded), never CartesianProduct
+    risk = (
+        a.join(F.broadcast(b), F.col("__l2") >= F.col("t"))
+        .groupBy("t", "churned")
+        .agg(F.sum("__c2").alias("at_risk"))
+    )
+    return risk.select(
+        F.col("t"),
+        F.col("churned"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.expr("CAST((1000 * churned) div at_risk AS BIGINT)").alias(
+            "hazard_milli"
+        ),
+    ).orderBy(F.col("t").asc())

@@ -638,3 +638,75 @@ def streaming_first_seen(
     return withts.groupBy("user_id").agg(
         F.expr("min(unix_micros(event_ts))").alias("first_us")
     )
+
+
+def streaming_event_debounce(
+    events: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of the batch ``timeseries.event_debounce``:
+    per (user, event_type), emit only each burst's FIRST event — an
+    event survives iff it arrives more than ``gap_us`` after the
+    key's previous RAW event (trailing-edge debounce, the same stated
+    semantics as the batch operator).
+
+    State per key is ONE bigint (the last raw event timestamp) —
+    bounded regardless of stream length. Within a micro-batch rows
+    are processed in (ts, event_id) order; ACROSS batches parity with
+    the batch operator holds for in-order delivery (the established
+    parity caveat of this module's stateful twins — a late event that
+    time-travels behind the stored last-ts cannot retroactively
+    un-keep an already-emitted event in any single-pass streaming
+    formulation; it is debounced against the newest seen ts).
+
+    Emits (user, type, event_id, ts_us) for KEPT events only."""
+    out_schema = (
+        f"{user_col} bigint, {type_col} string, "
+        "event_id bigint, ts_us bigint"
+    )
+    state_schema = "last_us bigint"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid, etype = key
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            for r in (
+                pdf[["event_id", "ts_us"]]
+                .sort_values(["ts_us", "event_id"])
+                .itertuples(index=False)
+            ):
+                if last is None or r.ts_us - last > gap_us:
+                    rows.append((r.event_id, r.ts_us))
+                last = r.ts_us
+        if last is not None:
+            state.update((int(last),))
+        yield pd.DataFrame(
+            {
+                user_col: [uid] * len(rows),
+                type_col: [etype] * len(rows),
+                "event_id": [i for i, _ in rows],
+                "ts_us": [t for _, t in rows],
+            }
+        )
+
+    return (
+        events.select(
+            user_col,
+            type_col,
+            "event_id",
+            F.unix_micros(event_time("ts")).alias("ts_us"),
+        )
+        .groupBy(user_col, type_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -735,3 +735,33 @@ def test_streaming_dedup_stored_matches_batch_verdicts(spark, tmp_path):
         }
         assert got == want and len(got) > 0
         assert any(v[1] is not None for v in got.values())
+
+
+def test_streaming_event_debounce_matches_batch(spark):
+    """Round-7 twin: the stateful streaming debounce keeps exactly the
+    batch operator's kept set on in-order delivery."""
+    from hbase_gis_spark.operators.timeseries import event_debounce
+    from hbase_gis_spark.streaming.events import streaming_event_debounce
+
+    gap = 300_000_000
+    batch = load_table(spark, SF0001, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+    )
+    expect = {
+        r.event_id
+        for r in event_debounce(batch, gap).collect()
+        if r.kept
+    }
+
+    stream = read_event_stream(spark, SF0001)
+    assert stream.isStreaming
+    run_stream_to_memory(
+        streaming_event_debounce(stream, gap), "debounced", "update"
+    )
+    got = {
+        r.event_id for r in spark.sql("SELECT * FROM debounced").collect()
+    }
+    assert got == expect and len(got) > 0

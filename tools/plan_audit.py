@@ -70,6 +70,13 @@ BNLJ_SANCTIONED = {
     "vocab_coverage",  # broadcast 1-row corpus totals onto the 1-row vocab sum
     "temperature_mixture",  # broadcast 1-row normalizing totals
     "ngram_coverage_curve",  # broadcast 1-row occurrence total onto top-k
+    # --- round-7 additions: calendar-/dim-bounded non-equi pair joins
+    "theil_sen_trend",  # day-frame theta self-join, calendar²-bounded pairs
+    "mann_kendall",  # same day-frame pair join + 1-row S assembly
+    "churn_hazard",  # lifetime-histogram suffix-sum triangle (calendar dim)
+    "lorenz_revenue",  # buckets² triangle over the 10-row decile dim
+    "t_closeness",  # broadcast 1-row corpus total onto the cell dim
+    "source_vocab_overlap",  # |sources|² pair grid of the tiny sizes dim
 }
 
 
