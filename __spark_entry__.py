@@ -5004,6 +5004,72 @@ def _q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return churn_hazard(o)
 
 
+PARETO_SHARE_MILLI = 800
+TTP_PCTS = {"p50_us": (1, 2), "p90_us": (9, 10)}
+
+
+def _q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-continuity audit of the two load-bearing key columns
+    (orders.o_orderkey is sparse BY TPC-H design — the audit proves
+    it; events.event_id should be dense): missing-in-span and
+    duplicate counts from one exact aggregate each."""
+    from hbase_gis_spark.operators.quality import sequence_gap_audit
+
+    o = sequence_gap_audit(
+        load_table(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.lit("o_orderkey").alias("column"), "*")
+    e = sequence_gap_audit(
+        load_table(spark, sf_dir, "events"), "event_id"
+    ).select(F.lit("event_id").alias("column"), "*")
+    return o.unionByName(e)
+
+
+def _q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many top customers make 80% of revenue — the minimal
+    prefix of the (value desc, id) order whose cumulative cents reach
+    PARETO_SHARE_MILLI/1000 of the total; sharded cumsum, exact."""
+    from hbase_gis_spark.operators.drift import pareto_threshold
+
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    return pareto_threshold(
+        pc, "cents", "o_custkey", share_milli=PARETO_SHARE_MILLI
+    )
+
+
+def _q_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation latency: per user with at least one purchase, the
+    exact microseconds from their FIRST event of any kind to their
+    FIRST purchase; p50/p90 by exact sharded rank selection."""
+    from hbase_gis_spark.operators.rank import global_percentiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    first_any = ev.groupBy("user_id").agg(F.min("us").alias("__a"))
+    first_buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("__p"))
+    )
+    deltas = first_buy.join(first_any, "user_id").select(
+        (F.col("__p") - F.col("__a")).cast("double").alias("__d")
+    )
+    n = deltas.agg(F.count(F.lit(1)).alias("n_users"))
+    pct = global_percentiles(deltas, "__d", TTP_PCTS)
+    return n.crossJoin(F.broadcast(pct)).select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "p50_us",
+        "p90_us",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -5296,6 +5362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": _q_t_closeness,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "churn_hazard": _q_churn_hazard,
+        "id_gap_audit": _q_id_gap_audit,
+        "pareto_customers": _q_pareto_customers,
+        "time_to_purchase": _q_time_to_purchase,
     }
 
 
@@ -10839,6 +10908,79 @@ def oracle_sql() -> dict[str, str]:
     SELECT t, churned, at_risk,
            CAST((1000 * churned) // at_risk AS BIGINT) AS hazard_milli
     FROM risk
+    """
+
+    out["id_gap_audit"] = """
+    WITH a AS (
+      SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(min(o_orderkey) AS BIGINT) AS min_id,
+             CAST(max(o_orderkey) AS BIGINT) AS max_id
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    b AS (
+      SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+             CAST(min(event_id) AS BIGINT) AS min_id,
+             CAST(max(event_id) AS BIGINT) AS max_id
+      FROM events WHERE event_id IS NOT NULL
+    ),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT col AS "column", n_rows, n_distinct, min_id, max_id,
+           CAST(max_id - min_id + 1 - n_distinct AS BIGINT) AS missing,
+           CAST(n_rows - n_distinct AS BIGINT) AS duplicates
+    FROM u
+    """
+
+    out["pareto_customers"] = f"""
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT x,
+             CAST(sum(x) OVER (ORDER BY x DESC, o_custkey ASC
+                               ROWS UNBOUNDED PRECEDING) - x
+               AS HUGEINT) AS prefix
+      FROM pc
+    ),
+    t AS (SELECT CAST(sum(x) AS BIGINT) AS total FROM pc)
+    SELECT CAST((SELECT count(*) FROM pc) AS BIGINT) AS n_rows,
+           t.total AS total_value,
+           CAST((SELECT count(*) FROM c, t
+                 WHERE prefix * 1000
+                       < CAST({PARETO_SHARE_MILLI} AS HUGEINT) * t.total)
+             AS BIGINT) AS k_rows,
+           CAST((1000 * (SELECT count(*) FROM c, t
+                         WHERE prefix * 1000
+                               < CAST({PARETO_SHARE_MILLI} AS HUGEINT)
+                                 * t.total))
+                // (SELECT count(*) FROM pc) AS BIGINT) AS k_frac_milli
+    FROM t
+    """
+
+    out["time_to_purchase"] = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    fa AS (SELECT user_id, min(us) AS a FROM e GROUP BY user_id),
+    fp AS (SELECT user_id, min(us) AS p FROM e
+           WHERE event_type = 'purchase' GROUP BY user_id),
+    d AS (
+      SELECT CAST(fp.p - fa.a AS DOUBLE) AS delta
+      FROM fp JOIN fa ON fp.user_id = fa.user_id
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM d),
+    r AS (SELECT delta, row_number() OVER (ORDER BY delta ASC) AS rk
+          FROM d)
+    SELECT n.n_users,
+           (SELECT delta FROM r, n WHERE rk = (1 * n.n_users + 1) // 2)
+             AS p50_us,
+           (SELECT delta FROM r, n
+            WHERE rk = (9 * n.n_users + 9) // 10) AS p90_us
+    FROM n
     """
 
     return out

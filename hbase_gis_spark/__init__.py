@@ -243,6 +243,7 @@ from hbase_gis_spark.operators.quality import (  # noqa: F401
     join_cardinality_audit,
     referential_orphans,
     uniqueness_audit,
+    sequence_gap_audit,
 )
 from hbase_gis_spark.operators.merge import (  # noqa: F401
     merge_upsert,
@@ -262,6 +263,7 @@ from hbase_gis_spark.operators.drift import (  # noqa: F401
     value_histogram,
     value_psi,
     lorenz_curve,
+    pareto_threshold,
 )
 from hbase_gis_spark.operators.rank import (  # noqa: F401
     apply_range_shards,

@@ -845,3 +845,93 @@ def lorenz_curve(
         )
         .orderBy(F.col("bucket").asc())
     )
+
+
+def pareto_threshold(
+    df: DataFrame,
+    value_col,
+    id_col: str,
+    share_milli: int = 800,
+    n_shards: int = 64,
+) -> DataFrame:
+    """PARETO concentration answer: the MINIMAL number of top rows
+    (customers, domains, keys) whose cumulative value reaches
+    ``share_milli``/1000 of the total — "how many customers make 80%
+    of revenue", the operational headline behind
+    :func:`lorenz_curve`'s full shape.
+
+    Preconditions: values non-negative, ``id_col`` unique (the gini
+    contract).
+
+    Engine-exact: rows are walked in the TOTAL ORDER (value desc, id
+    asc); each row's EXCLUSIVE cumulative prefix is an exact BIGINT
+    from the sharded-cumsum machinery (per-shard window + offsets of
+    the higher shards' value sums — never a global sort), and the row
+    counts toward k iff ``prefix·1000 < share_milli·total`` with both
+    products in DECIMAL(38,0) (total·1000 wraps int64 past ~9e15
+    total — the cents bound; the round-7 overflow discipline).
+
+    Output: 1 row (n_rows, total_value, k_rows, k_frac_milli =
+    (1000·k) div n — non-negative, truncate == floor).
+
+    Scale shape: one boundary sketch on the value, one shard-size /
+    shard-sum bounded collect, per-shard DESC cumsum windows + a
+    broadcast offset dim, one 1-row aggregate. The
+    token_budget_sample shape pointed at a value order instead of a
+    hash order."""
+    from hbase_gis_spark.operators.rank import (
+        apply_range_shards,
+        shard_boundaries,
+    )
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(id_col).alias("__id"), v.cast("bigint").alias("__x")
+    )
+    bounds = shard_boundaries(base, "__x", n_shards)
+    sharded = apply_range_shards(base, "__x", bounds, "__s")
+    shard_sums = sharded.groupBy("__s").agg(F.sum("__x").alias("__t"))
+    rows = shard_sums.collect()  # bounded: one integer per shard
+    by_sid = {int(r["__s"]): int(r["__t"]) for r in rows}
+    # DESC value order = shards from HIGH id to LOW: a shard's offset
+    # is the total value of all HIGHER shards
+    offsets, acc = [], 0
+    for sid in sorted(by_sid, reverse=True):
+        offsets.append((sid, acc))
+        acc += by_sid[sid]
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        offsets or [(0, 0)], "__s int, __off bigint"
+    )
+    w = (
+        Window.partitionBy("__s")
+        .orderBy(F.col("__x").desc(), F.col("__id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        sharded.join(F.broadcast(off), "__s")
+        .withColumn("__cum", F.sum("__x").over(w) + F.col("__off"))
+        .withColumn("__prefix", F.col("__cum") - F.col("__x"))
+    )
+    total = acc
+    return cum.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(total).cast("bigint").alias("total_value"),
+        F.sum(
+            F.when(
+                F.col("__prefix").cast("decimal(38,0)") * 1000
+                < F.lit(share_milli).cast("decimal(38,0)") * F.lit(total),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("k_rows"),
+    ).select(
+        "n_rows",
+        "total_value",
+        "k_rows",
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN"
+            " CAST((1000 * k_rows) div n_rows AS BIGINT) END"
+        ).alias("k_frac_milli"),
+    )

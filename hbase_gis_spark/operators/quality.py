@@ -512,3 +512,43 @@ def bootstrap_means(
             ),
         ).alias("mean_milli"),
     )
+
+
+def sequence_gap_audit(df: DataFrame, id_col: str) -> DataFrame:
+    """Identity-column continuity audit: row count, distinct count,
+    min/max, the number of MISSING values in the observed span, and
+    the number of duplicate rows — the 5-second ingestion QA that
+    catches a dropped partition (a hole in the sequence) or a
+    double-loaded batch (duplicates) before anything downstream reads
+    the table.
+
+    All exact BIGINTs from ONE aggregate over the column projection
+    (the distinct is the Expand-based exact pass — the profile_table
+    cost note applies at extreme scale). ``missing = (max − min + 1)
+    − n_distinct``; span arithmetic stays in int64 for any id space
+    narrower than ~9e18 (stated bound).
+
+    Output: 1 row (n_rows, n_distinct, min_id, max_id, missing,
+    duplicates)."""
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("__id"))
+        .filter(F.col("__id").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("__id").alias("n_distinct"),
+            F.min("__id").alias("min_id"),
+            F.max("__id").alias("max_id"),
+        )
+        .select(
+            "n_rows",
+            "n_distinct",
+            "min_id",
+            "max_id",
+            (F.col("max_id") - F.col("min_id") + 1 - F.col("n_distinct"))
+            .cast("bigint")
+            .alias("missing"),
+            (F.col("n_rows") - F.col("n_distinct"))
+            .cast("bigint")
+            .alias("duplicates"),
+        )
+    )

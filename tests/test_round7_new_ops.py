@@ -184,3 +184,34 @@ def test_churn_hazard_table(spark):
         5: (1, 2, 500),
         10: (1, 1, 1000),
     }
+
+
+def test_sequence_gap_audit(spark):
+    from hbase_gis_spark.operators.quality import sequence_gap_audit
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (2,), (5,), (7,)], "id bigint"
+    )
+    r = sequence_gap_audit(df, "id").collect()[0]
+    # span 1..7 = 7 slots, 4 distinct -> 3 missing; 5 rows -> 1 dup
+    assert tuple(r) == (5, 4, 1, 7, 3, 1)
+
+
+def test_pareto_threshold_exact_prefix(spark):
+    from hbase_gis_spark.operators.drift import pareto_threshold
+
+    # values 100, 50, 30, 15, 5 (total 200); 80% = 160:
+    # prefixes (exclusive): 0, 100, 150, 180 -> k = 3 (100+50+30=180>=160,
+    # and row 4's prefix 180 >= 160 stops it)
+    df = spark.createDataFrame(
+        [(1, 100), (2, 50), (3, 30), (4, 15), (5, 5)],
+        "id bigint, v bigint",
+    )
+    r = pareto_threshold(df, "v", "id", share_milli=800).collect()[0]
+    assert tuple(r) == (5, 200, 3, 600)
+    # ties broken by id: equal values must count deterministically
+    df2 = spark.createDataFrame(
+        [(i, 10) for i in range(1, 11)], "id bigint, v bigint"
+    )
+    r2 = pareto_threshold(df2, "v", "id", share_milli=500).collect()[0]
+    assert (r2.k_rows, r2.k_frac_milli) == (5, 500)

@@ -77,6 +77,7 @@ BNLJ_SANCTIONED = {
     "lorenz_revenue",  # buckets² triangle over the 10-row decile dim
     "t_closeness",  # broadcast 1-row corpus total onto the cell dim
     "source_vocab_overlap",  # |sources|² pair grid of the tiny sizes dim
+    "time_to_purchase",  # broadcast 1-row percentile selection assembly
 }
 
 
