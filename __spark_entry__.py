@@ -4880,7 +4880,8 @@ def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotone-trend statistic of the daily event-count
     series: exact integer S over all day pairs + truncating tau_milli
-    (negative S is where bare div-vs-// diverges — identity applied)."""
+    (negative S pins to truncation via the identity — engine- and
+    version-proof; see mann_kendall_trend)."""
     from hbase_gis_spark.operators.timeseries import mann_kendall_trend
 
     ev = load_table(spark, sf_dir, "events")
@@ -7735,7 +7736,7 @@ def oracle_sql() -> dict[str, str]:
            CAST(coalesce(n_eff, 0) AS BIGINT) AS n_eff,
            CAST(coalesce(s, 0) AS BIGINT) AS sum_value,
            -- remainder-subtract identity: exact-divisible numerator
-           -- makes // (floor) equal Spark div (truncate) on negatives
+           -- pins truncation on negatives across engines/versions
            CASE WHEN n_eff > 0
                 THEN CAST(((coalesce(s, 0) * 1000)
                            - (coalesce(s, 0) * 1000) % n_eff)
@@ -7791,7 +7792,7 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT o.o_orderkey, o.o_orderpriority,
            -- remainder-subtract identity: exact-divisible numerator
-           -- makes // (floor) equal Spark div (truncate) on negatives
+           -- pins truncation on negatives across engines/versions
            CASE WHEN a.n > 1 THEN
              CAST((((a.s - o.cents) * 1000)
                    - ((a.s - o.cents) * 1000) % (a.n - 1))

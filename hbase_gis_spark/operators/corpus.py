@@ -620,8 +620,8 @@ def t_closeness_report(
     they accumulate in DECIMAL(38,0) with the cast BEFORE the multiply
     (the round-7 overflow sweep; raw int64 wraps once c*n passes
     ~9e18, i.e. tables past ~3e9 rows), mirrored as HUGEINT in the
-    DuckDB oracle. Every term is non-negative, so ``div`` (truncate)
-    and ``//`` (floor) coincide — stated, not assumed. Categories the
+    DuckDB oracle. Every term is non-negative, where ALL integer-division
+    conventions coincide — stated, not assumed. Categories the
     group never exhibits contribute ``c_c*n_g`` each; their mass folds
     in closed form as ``n_g*(n - sum_present c_c)``, so the dense
     group x category grid is never materialized.
@@ -976,11 +976,13 @@ def target_encoding_loo(
     rounds per row); the encoding is the TRUNCATING quotient
     ``trunc((sum - own) * 1000 / (n - 1))`` computed via the
     remainder-subtract identity ``(a - a % b) div b`` — once the
-    numerator is exactly divisible, truncate and floor coincide, and
-    ``%`` follows the dividend's sign identically in Spark and DuckDB
-    where bare Spark ``div`` (truncate) vs DuckDB ``//`` (floor)
-    diverge on NEGATIVE numerators (negative targets, e.g. balances
-    — the seasonal_decompose_daily trap, ADVICE r6 #1). ``enc_micro``
+    numerator is exactly divisible, every division convention agrees,
+    and ``%`` follows the dividend's sign identically in Spark and
+    DuckDB, so the NEGATIVE-numerator case (negative targets, e.g.
+    balances) is pinned to truncation independent of either engine's
+    native integer division (measured round 7: current DuckDB ``//``
+    truncates like Spark ``div``; Python's ``//`` floors — the
+    identity is engine- and version-proof; ADVICE r6 #1). ``enc_micro``
     carries THREE EXTRA fractional digits relative to the input unit
     (cents in -> milli-cents out; the welch_t_test naming lesson,
     ADVICE r5 #1). NULL when the category has a single row (no peers

@@ -643,6 +643,12 @@ def welch_t_test(
     return m.select(
         "n_a",
         "n_b",
+        # TRUNCATING means, identical in both engines for ALL signs:
+        # measured this round, DuckDB's // truncates toward zero
+        # exactly like Spark's div ((-7)//3 == -2 in DuckDB 1.x), so a
+        # negative cohort mean stays engine-exact with the bare
+        # operators (round-7 div sweep; Python's // FLOORS — never
+        # reimplement these quotients with it)
         F.expr("CAST(__sa * 1000 AS DECIMAL(38,0)) div n_a")
         .cast("bigint")
         .alias("mean_a_micro"),
@@ -710,6 +716,11 @@ def moments_report(
     )
     return m.select(
         "n",
+        # TRUNCATING quotient, engine-identical for all signs (DuckDB
+        # // truncates like Spark div — measured round 7); "floor"
+        # in the name is exact for the non-negative cents this takes,
+        # and for negative means both engines report the SAME
+        # truncated value (stated)
         F.expr("CAST(__s1 AS DECIMAL(38,0)) div n")
         .cast("bigint")
         .alias("mean_floor"),

@@ -434,9 +434,12 @@ def bootstrap_means(
     (DECIMAL(38,0) weighted sums — weights reach 8) and ``mean_milli``
     carries three extra fractional digits vs the input unit, as the
     TRUNCATING integer quotient via the remainder-subtract identity
-    ``(a - a % b) div b`` — exact-divisible numerators make Spark
-    ``div`` (truncate) and DuckDB ``//`` (floor) coincide on negative
-    sums (ADVICE r6 #2; the welch naming discipline for the unit).
+    ``(a - a % b) div b`` — an exact-divisible numerator pins the
+    negative-sum convention independent of either engine's native
+    integer division (measured round 7: current DuckDB ``//``
+    truncates like Spark ``div``; Python's ``//`` floors — the
+    identity is engine- and version-proof; ADVICE r6 #2, the welch
+    naming discipline for the unit).
 
     Output: one row per replicate (replicate, n_eff, sum_value,
     mean_milli), replicate in 0..replicates-1. ``sum_value`` is

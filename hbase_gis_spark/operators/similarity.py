@@ -1592,7 +1592,13 @@ def label_centroid_separation(
         .agg(F.sum("__xm").alias("__s"), F.count(F.lit(1)).alias("__n"))
     )
     cent = cells.select(
-        "label", "dim", F.expr("__s div __n").alias("__c")
+        "label",
+        "dim",
+        # TRUNCATING centroid components — component sums are
+        # routinely negative; DuckDB // truncates toward zero exactly
+        # like Spark div (measured round 7: (-7)//3 == -2), so the
+        # bare operators are engine-identical for all signs
+        F.expr("__s div __n").alias("__c"),
     )
     norms = cent.groupBy("label").agg(
         F.sum(F.col("__c") * F.col("__c")).alias("__nn")

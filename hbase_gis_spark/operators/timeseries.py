@@ -495,9 +495,12 @@ def seasonal_decompose_daily(
     residual is an exact subtraction. Every division uses the
     TRUNCATING identity ``(a - a % b) / b`` — `%` follows the
     dividend's sign identically in Spark and DuckDB, so both engines
-    truncate the (possibly negative) detrended means the same way,
-    where Spark ``div`` (truncate) vs DuckDB ``//`` (floor) would
-    diverge and float round(.,9) is ulp-unstable at 1e10+ magnitudes.
+    truncate the (possibly negative) detrended means the same way
+    REGARDLESS of each engine's native integer-division convention
+    (measured round 7: current DuckDB ``//`` truncates like Spark
+    ``div``, but Python's ``//`` floors — the identity keeps the
+    contract engine- and version-proof); float round(.,9) is
+    ulp-unstable at 1e10+ magnitudes.
     The numerator must stay under 2^53 (exact double quotient):
     per-day milli totals to ~9e15, far past any daily revenue. dow
     anchors Thursday = epoch day 0 via (day+3) % 7, the
@@ -595,9 +598,10 @@ def theil_sen_slope(
 
     Engine-exact core: each pair's slope is carried in integer MICRO
     units via the truncating remainder-subtract identity
-    ``(Δy·1e6 − (Δy·1e6) % Δd) div Δd`` (Δy can be NEGATIVE — bare
-    Spark div vs DuckDB // diverge there; the identity makes them
-    coincide), and the median is a pure RANK SELECTION at ceil(N/2)
+    ``(Δy·1e6 − (Δy·1e6) % Δd) div Δd`` (Δy can be NEGATIVE — the
+    identity pins truncation independent of either engine's native
+    integer division; measured round 7, current DuckDB // truncates
+    like Spark div while Python's // floors), and the median is a pure RANK SELECTION at ceil(N/2)
     (lower median, the repo convention) — no value arithmetic, so the
     selected slope is engine-exact. Overflow bound, stated: the micro
     slope needs |Δy|·1e6 < 2^63 (|Δy| < ~9e12 — any daily count and
@@ -672,8 +676,10 @@ def mann_kendall_trend(
     n_pairs — never overflows), n_pairs is the closed form n(n−1)/2,
     and ``tau_milli`` is the truncating remainder-subtract quotient
     ``(1000·S − (1000·S) % n_pairs) div n_pairs`` — S is routinely
-    NEGATIVE (downtrends), exactly where bare Spark div vs DuckDB //
-    diverge, hence the identity on both engines.
+    NEGATIVE (downtrends), where division conventions differ across
+    engines/versions (Python // floors; current DuckDB // truncates
+    like Spark div — measured round 7), hence the pinning identity on
+    both engines.
 
     Output: 1 row (n_days, n_pairs, s_stat, tau_milli); NULL tau when
     fewer than 2 days.

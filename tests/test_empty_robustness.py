@@ -46,6 +46,7 @@ FIXED_SHAPE = {
     "naive_backtest": 2,  # one row per configured lag
     "bootstrap_means": 16,  # one row per replicate, zero sums
     "window_funnel": 4,  # one row per funnel level, zero users
+    "id_gap_audit": 2,  # one row per audited key column, null span
 }
 # point-query operators keyed to a specific row id return empty when
 # that row is absent — nothing to assert beyond "no crash"
