@@ -7735,12 +7735,10 @@ def oracle_sql() -> dict[str, str]:
     SELECT CAST(replicate AS BIGINT) AS replicate,
            CAST(coalesce(n_eff, 0) AS BIGINT) AS n_eff,
            CAST(coalesce(s, 0) AS BIGINT) AS sum_value,
-           -- remainder-subtract identity: exact-divisible numerator
-           -- pins truncation on negatives across engines/versions
+           -- bare //: truncates like Spark div (measured round 7);
+           -- negative-sum agreement pinned in tests
            CASE WHEN n_eff > 0
-                THEN CAST(((coalesce(s, 0) * 1000)
-                           - (coalesce(s, 0) * 1000) % n_eff)
-                          // n_eff AS BIGINT)
+                THEN CAST((coalesce(s, 0) * 1000) // n_eff AS BIGINT)
            END AS mean_milli
     FROM u
     """,
@@ -7791,12 +7789,10 @@ def oracle_sql() -> dict[str, str]:
       FROM o GROUP BY o_orderpriority
     )
     SELECT o.o_orderkey, o.o_orderpriority,
-           -- remainder-subtract identity: exact-divisible numerator
-           -- pins truncation on negatives across engines/versions
+           -- bare //: truncates like Spark div (measured round 7);
+           -- negative-target agreement pinned in tests
            CASE WHEN a.n > 1 THEN
-             CAST((((a.s - o.cents) * 1000)
-                   - ((a.s - o.cents) * 1000) % (a.n - 1))
-                  // (a.n - 1) AS BIGINT)
+             CAST(((a.s - o.cents) * 1000) // (a.n - 1) AS BIGINT)
            END AS enc_micro
     FROM o JOIN a ON o.o_orderpriority = a.o_orderpriority
     """,
@@ -10710,7 +10706,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT (b.y - a.y) * 1000000 AS num, b.d - a.d AS den
       FROM d a JOIN d b ON b.d > a.d
     ),
-    sl AS (SELECT CAST((num - num % den) // den AS BIGINT) AS slope FROM p),
+    sl AS (SELECT CAST(num // den AS BIGINT) AS slope FROM p),
     r AS (SELECT slope, row_number() OVER (ORDER BY slope ASC) AS rk FROM sl),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
     c AS (SELECT CAST(count(*) AS BIGINT) AS np FROM sl)
@@ -10738,8 +10734,7 @@ def oracle_sql() -> dict[str, str]:
            CAST(n.n_days * (n.n_days - 1) // 2 AS BIGINT) AS n_pairs,
            s.s_stat,
            CASE WHEN n.n_days >= 2 THEN
-             CAST((1000 * s.s_stat
-                   - (1000 * s.s_stat) % (n.n_days * (n.n_days - 1) // 2))
+             CAST((1000 * s.s_stat)
                   // (n.n_days * (n.n_days - 1) // 2) AS BIGINT)
            END AS tau_milli
     FROM n, s

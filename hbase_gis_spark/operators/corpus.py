@@ -974,15 +974,14 @@ def target_encoding_loo(
 
     Exactness: target must arrive as an exact integer unit (caller
     rounds per row); the encoding is the TRUNCATING quotient
-    ``trunc((sum - own) * 1000 / (n - 1))`` computed via the
-    remainder-subtract identity ``(a - a % b) div b`` — once the
-    numerator is exactly divisible, every division convention agrees,
-    and ``%`` follows the dividend's sign identically in Spark and
-    DuckDB, so the NEGATIVE-numerator case (negative targets, e.g.
-    balances) is pinned to truncation independent of either engine's
-    native integer division (measured round 7: current DuckDB ``//``
-    truncates like Spark ``div``; Python's ``//`` floors — the
-    identity is engine- and version-proof; ADVICE r6 #1). ``enc_micro``
+    ``trunc((sum - own) * 1000 / (n - 1))`` — NEGATIVE numerators
+    (negative targets, e.g. balances) truncate toward zero in BOTH
+    engines: measured round 7, DuckDB's ``//`` and ``%`` truncate
+    exactly like Spark's ``div``/``%`` ((-7)//3 == -2), pinned by the
+    negative-target regression test (ADVICE r6 #1 suspected a
+    floor-vs-truncate divergence; the measurement disproved it —
+    Python's ``//`` floors, so never replay this quotient in bare
+    Python). ``enc_micro``
     carries THREE EXTRA fractional digits relative to the input unit
     (cents in -> milli-cents out; the welch_t_test naming lesson,
     ADVICE r5 #1). NULL when the category has a single row (no peers
@@ -1008,17 +1007,18 @@ def target_encoding_loo(
     # important_parts overflow lesson; DuckDB promotes to HUGEINT
     return (
         base.join(F.broadcast(agg), cat_col, "left")
-        .withColumn(
-            "__num",
-            F.expr("(CAST(__sum AS DECIMAL(38,0)) - __t) * 1000"),
-        )
         .select(
             id_col,
             cat_col,
+            # bare truncating div: measured round 7, DuckDB's // and %
+            # truncate exactly like Spark's div for all signs, and the
+            # remainder-subtract belt cost ~2x on this fact projection;
+            # the negative-target agreement is pinned by
+            # tests/test_round7_ops.py instead of runtime arithmetic
             F.when(
                 F.col("__n") > 1,
                 F.expr(
-                    "CAST((__num - __num % (__n - 1))"
+                    "CAST(((CAST(__sum AS DECIMAL(38,0)) - __t) * 1000)"
                     " div (__n - 1) AS BIGINT)"
                 ),
             ).alias("enc_micro"),

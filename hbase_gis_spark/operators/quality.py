@@ -433,12 +433,11 @@ def bootstrap_means(
     values allowed); per-replicate sums/counts are exact integers
     (DECIMAL(38,0) weighted sums — weights reach 8) and ``mean_milli``
     carries three extra fractional digits vs the input unit, as the
-    TRUNCATING integer quotient via the remainder-subtract identity
-    ``(a - a % b) div b`` — an exact-divisible numerator pins the
-    negative-sum convention independent of either engine's native
-    integer division (measured round 7: current DuckDB ``//``
-    truncates like Spark ``div``; Python's ``//`` floors — the
-    identity is engine- and version-proof; ADVICE r6 #2, the welch
+    TRUNCATING integer quotient — NEGATIVE replicate sums truncate
+    toward zero identically in both engines (measured round 7:
+    DuckDB's ``//`` truncates like Spark's ``div``; pinned by the
+    negative-sum regression test — ADVICE r6 #2 suspected a
+    floor-vs-truncate divergence, disproved by measurement; the welch
     naming discipline for the unit).
 
     Output: one row per replicate (replicate, n_eff, sum_value,
@@ -509,9 +508,8 @@ def bootstrap_means(
         F.when(
             F.col("n_eff") > 0,
             F.expr(
-                "CAST(((CAST(coalesce(__sum, 0) AS DECIMAL(38,0)) * 1000)"
-                " - (CAST(coalesce(__sum, 0) AS DECIMAL(38,0)) * 1000)"
-                " % n_eff) div n_eff AS BIGINT)"
+                "CAST((CAST(coalesce(__sum, 0) AS DECIMAL(38,0)) * 1000)"
+                " div n_eff AS BIGINT)"
             ),
         ).alias("mean_milli"),
     )

@@ -597,11 +597,10 @@ def theil_sen_slope(
     breakdown point — Sen 1968).
 
     Engine-exact core: each pair's slope is carried in integer MICRO
-    units via the truncating remainder-subtract identity
-    ``(Δy·1e6 − (Δy·1e6) % Δd) div Δd`` (Δy can be NEGATIVE — the
-    identity pins truncation independent of either engine's native
-    integer division; measured round 7, current DuckDB // truncates
-    like Spark div while Python's // floors), and the median is a pure RANK SELECTION at ceil(N/2)
+    units as the TRUNCATING quotient ``(Δy·1e6) div Δd`` — Δy can be
+    NEGATIVE, and both engines truncate toward zero identically
+    (measured round 7: DuckDB // truncates like Spark div; Python's
+    // floors — pinned by the negative-slope unit test), and the median is a pure RANK SELECTION at ceil(N/2)
     (lower median, the repo convention) — no value arithmetic, so the
     selected slope is engine-exact. Overflow bound, stated: the micro
     slope needs |Δy|·1e6 < 2^63 (|Δy| < ~9e12 — any daily count and
@@ -639,9 +638,11 @@ def theil_sen_slope(
         .withColumn("__num", (F.col("__y2") - F.col("__y1")) * 1_000_000)
         .withColumn("__den", F.nullif(F.col("__d2") - F.col("__d1"), F.lit(0)))
         .select(
-            F.expr(
-                "CAST((__num - __num % __den) div __den AS BIGINT)"
-            ).alias("__slope")
+            # bare truncating div (engines agree for all signs —
+            # measured round 7; agreement pinned by the negative-slope
+            # unit test); nullif keeps the pushed-down-filter diagonal
+            # from dividing by zero under ANSI
+            F.expr("CAST(__num div __den AS BIGINT)").alias("__slope")
         )
     )
     med = global_percentiles(
@@ -674,12 +675,11 @@ def mann_kendall_trend(
 
     Engine-exact: S is an exact BIGINT sum of {-1, 0, +1} (|S| ≤
     n_pairs — never overflows), n_pairs is the closed form n(n−1)/2,
-    and ``tau_milli`` is the truncating remainder-subtract quotient
-    ``(1000·S − (1000·S) % n_pairs) div n_pairs`` — S is routinely
-    NEGATIVE (downtrends), where division conventions differ across
-    engines/versions (Python // floors; current DuckDB // truncates
-    like Spark div — measured round 7), hence the pinning identity on
-    both engines.
+    and ``tau_milli`` is the TRUNCATING quotient
+    ``(1000·S) div n_pairs`` — S is routinely NEGATIVE (downtrends),
+    and both engines truncate toward zero identically (measured
+    round 7: DuckDB // truncates like Spark div; Python's // floors —
+    pinned by the negative-tau unit test).
 
     Output: 1 row (n_days, n_pairs, s_stat, tau_milli); NULL tau when
     fewer than 2 days.
@@ -710,8 +710,7 @@ def mann_kendall_trend(
         ),
         F.col("s_stat").cast("bigint").alias("s_stat"),
         F.expr(
-            "CASE WHEN n_days >= 2 THEN CAST((1000 * s_stat"
-            " - (1000 * s_stat) % (n_days * (n_days - 1) div 2))"
+            "CASE WHEN n_days >= 2 THEN CAST((1000 * s_stat)"
             " div (n_days * (n_days - 1) div 2) AS BIGINT) END"
         ).alias("tau_milli"),
     )

@@ -21,8 +21,8 @@ def test_theil_sen_exact_median_and_negative_truncation(spark):
         [(0, 0), (3, -1), (6, -2)], "day bigint, y bigint"
     )
     r2 = theil_sen_slope(d2).collect()[0]
-    # all pairwise slopes are -1/3 -> -333334? no: (-1*1e6) % 3 == -1
-    # (dividend-sign %), so (-1e6 - (-1)) div 3 = -333333 (truncation)
+    # all pairwise slopes are -1/3: -1e6 div 3 TRUNCATES to -333333 in
+    # both engines (Python's // would floor to -333334)
     assert r2.slope_micro == -333333
 
 

@@ -171,7 +171,9 @@ def test_segment_dup_stats_hot_segment_no_window(spark):
 
 def test_target_encoding_truncates_on_negative_targets(spark):
     """ADVICE r6 #1: negative numerators must TRUNCATE toward zero in
-    both engines (the remainder-subtract identity), not floor."""
+    both engines — pinned here by value: Spark's div and DuckDB's
+    bare // agree (measured round 7; ADVICE's floor claim disproved),
+    while Python's // floors and must never replay this quotient."""
     import duckdb
 
     from hbase_gis_spark.operators.corpus import target_encoding_loo
@@ -189,11 +191,10 @@ def test_target_encoding_truncates_on_negative_targets(spark):
     assert got[1] == -1333
     assert got[2] == got[3] == -333  # (-2+1)*1000/3 truncated
     assert got[4] == 0
-    # and DuckDB's // over the same identity agrees
-    dd = duckdb.sql(
-        "SELECT ((-4000) - (-4000) % 3) // 3"
-    ).fetchone()[0]
-    assert dd == -1333
+    # DuckDB's BARE // truncates to the same value (the load-bearing
+    # engine-agreement pin — Python's -4000 // 3 would floor to -1334)
+    assert duckdb.sql("SELECT (-4000) // 3").fetchone()[0] == -1333
+    assert (-4000) // 3 == -1334  # Python floors: never replay in Python
 
 
 def test_bootstrap_means_truncates_negative_sums(spark):
