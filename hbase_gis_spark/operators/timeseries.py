@@ -645,6 +645,12 @@ def theil_sen_slope(
             F.expr("CAST(__num div __den AS BIGINT)").alias("__slope")
         )
     )
+    # global_percentiles consumes the slope frame three times
+    # (boundary sketch, shard-size offsets, the rank plan); the pair
+    # join recomputes per pass DELIBERATELY — it is a broadcast BNLJ
+    # of two calendar-bounded day frames, cheaper to replay than to
+    # materialize (an interleaved persist A/B showed no win), and the
+    # lineage stays trivially recoverable
     med = global_percentiles(
         pairs.select(F.col("__slope").cast("double").alias("__slope")),
         "__slope",
