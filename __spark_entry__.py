@@ -4900,7 +4900,9 @@ def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lorenz_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve of per-customer revenue in deciles — the curve
     behind revenue_gini's single number; sharded-ntile buckets, exact
-    integer cumulative shares."""
+    integer cumulative shares. The only product is the per-row x100
+    cents conversion; per-customer BIGINT totals wrap only past ~9e16
+    USD per customer, the stated bound."""
     from hbase_gis_spark.operators.drift import lorenz_curve
 
     o = load_table(spark, sf_dir, "orders")
@@ -5028,7 +5030,9 @@ def _q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many top customers make 80% of revenue — the minimal
     prefix of the (value desc, id) order whose cumulative cents reach
-    PARETO_SHARE_MILLI/1000 of the total; sharded cumsum, exact."""
+    PARETO_SHARE_MILLI/1000 of the total; sharded cumsum, exact. The
+    only product is the per-row x100 cents conversion; per-customer
+    BIGINT totals wrap only past ~9e16 USD, the stated bound."""
     from hbase_gis_spark.operators.drift import pareto_threshold
 
     o = load_table(spark, sf_dir, "orders")
@@ -5068,6 +5072,33 @@ def _q_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("bigint").alias("n_users"),
         "p50_us",
         "p90_us",
+    )
+
+
+HEAPS_POINTS = 8
+
+
+def _q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth fit over the documents corpus in
+    ingest order — V ~ K·N^beta; templated corpora bend flat, spam
+    bends toward 1. Exact prefix boundaries by rank selection, one
+    term-dim pass for all cut vocabularies."""
+    from hbase_gis_spark.operators.textstats import heaps_law_fit
+
+    return heaps_law_fit(
+        load_table(spark, sf_dir, "documents"), n_points=HEAPS_POINTS
+    )
+
+
+def _q_daily_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Fano factor (variance/mean of dense daily
+    counts) — the burstiness index capacity planning reads; zero days
+    included via the dense spine."""
+    from hbase_gis_spark.operators.timeseries import daily_fano_factor
+    from hbase_gis_spark.sources.tables import ts_us
+
+    return daily_fano_factor(
+        load_table(spark, sf_dir, "events"), ts_us()
     )
 
 
@@ -5366,6 +5397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_gap_audit": _q_id_gap_audit,
         "pareto_customers": _q_pareto_customers,
         "time_to_purchase": _q_time_to_purchase,
+        "heaps_law": _q_heaps_law,
+        "daily_fano": _q_daily_fano,
     }
 
 
@@ -10977,6 +11010,97 @@ def oracle_sql() -> dict[str, str]:
            (SELECT delta FROM r, n
             WHERE rk = (9 * n.n_users + 9) // 10) AS p90_us
     FROM n
+    """
+
+    out["heaps_law"] = f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {toks} AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id AS id,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END AS nt
+      FROM documents
+    ),
+    first AS (
+      SELECT t, CAST(min(id) AS BIGINT) AS fd
+      FROM (SELECT id, unnest(w) AS t FROM toks) GROUP BY t
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    ranked AS (
+      SELECT CAST(id AS DOUBLE) AS did,
+             row_number() OVER (ORDER BY CAST(id AS DOUBLE) ASC) AS rk
+      FROM per_doc
+    ),
+    cuts AS (
+      SELECT i,
+             (SELECT did FROM ranked, n
+              WHERE rk = (i * n.nd + {HEAPS_POINTS} - 1)
+                         // {HEAPS_POINTS}) AS cut
+      FROM unnest(range(1, {HEAPS_POINTS} + 1)) AS u(i)
+    ),
+    pts AS (
+      SELECT c.i,
+             (SELECT CAST(sum(CASE WHEN p.id <= c.cut THEN p.nt
+                                   ELSE 0 END) AS BIGINT)
+              FROM per_doc p) AS toks_i,
+             (SELECT CAST(sum(CASE WHEN f.fd <= c.cut THEN 1
+                                   ELSE 0 END) AS BIGINT)
+              FROM first f) AS vocab_i
+      FROM cuts c
+    ),
+    micro AS (
+      SELECT CAST(round(ln(CAST(toks_i AS DOUBLE)) * 1000000)
+               AS BIGINT) AS x,
+             CAST(round(ln(CAST(vocab_i AS DOUBLE)) * 1000000)
+               AS BIGINT) AS y
+      FROM pts WHERE toks_i > 0 AND vocab_i > 0
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM micro
+    )
+    SELECT n_points,
+           round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_points * sxx - sx * sx AS DOUBLE), 9) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n_points * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_points * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_points AS DOUBLE) / 1000000.0, 9) AS intercept
+    FROM mo
+    """
+
+    out["daily_fano"] = """
+    WITH d0 AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+    spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM rng),
+    keys AS (SELECT DISTINCT event_type FROM d0),
+    dense AS (
+      SELECT s.day, k.event_type, CAST(coalesce(d0.y, 0) AS BIGINT) AS y
+      FROM spine s CROSS JOIN keys k
+      LEFT JOIN d0 ON d0.day = s.day AND d0.event_type = k.event_type
+    ),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(y) AS BIGINT) AS s,
+             sum(CAST(y AS HUGEINT) * y) AS s2
+      FROM dense GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CAST((1000 * s) // n_days AS BIGINT) AS mean_milli,
+           CASE WHEN s > 0 THEN
+             round(CAST(CAST(n_days AS HUGEINT) * s2
+                        - CAST(s AS HUGEINT) * s AS DOUBLE)
+                   / CAST(CAST(n_days AS HUGEINT) * s AS DOUBLE), 9)
+           END AS fano
+    FROM agg
     """
 
     return out

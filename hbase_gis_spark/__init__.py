@@ -125,6 +125,7 @@ from hbase_gis_spark.operators.textstats import (  # noqa: F401
     fingerprint,
     lang_id,
     ngram_contamination,
+    heaps_law_fit,
     ngram_coverage_curve,
     source_vocab_jaccard,
     pack_sequences,
@@ -230,6 +231,7 @@ from hbase_gis_spark.operators.timeseries import (  # noqa: F401
     weekday_profile,
     theil_sen_slope,
     mann_kendall_trend,
+    daily_fano_factor,
     event_debounce,
     churn_hazard,
 )

@@ -1504,3 +1504,120 @@ def source_vocab_jaccard(
             "CAST((1000 * inter) div (sz_a + sz_b - inter) AS BIGINT)"
         ).alias("jaccard_milli"),
     )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    n_points: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> DataFrame:
+    """HEAPS' LAW fit over the corpus in ingest (doc-id) order: the
+    OLS slope of log-vocabulary on log-tokens across ``n_points``
+    growing prefixes — natural text grows vocabulary like V ~ K·Nᵝ
+    with β ≈ 0.4-0.6; templated or deduplicated-to-death corpora bend
+    flat, spam/gibberish bends toward 1. The corpus-GROWTH complement
+    of :func:`zipf_fit`'s static rank-frequency check.
+
+    Exact prefix mechanics with NO repeated corpus scans: the i-th
+    prefix boundary is the EXACT doc id at global rank ceil(i·N/n)
+    (rank.global_percentiles sharded selection); a term belongs to
+    prefix i iff its FIRST-occurrence doc id (min over its carriers,
+    one map-side-combined aggregate) is ≤ the boundary — so vocab at
+    every cut comes from ONE pass over the term dim with ``n_points``
+    conditional sums, and prefix token totals from one pass over the
+    per-doc token counts. Zero-token prefixes are dropped (log needs
+    mass); log(·) rounds to integer MICROS per point BEFORE the
+    moment sums (the zipf_fit ln discipline), the slope/intercept are
+    one double expression each, rounded to 9. Overflow bound: the
+    moment sums run over n_points log-micro values (|x| < 5e7 for any
+    corpus under e^50 tokens), so Σx² ≤ n_points·2.5e15 — int64-safe
+    for thousands of points; n_points is a small constant here.
+
+    Output: 1 row (n_points, slope, intercept);
+    intercept = log K / 1e6 in the zipf convention.
+
+    Scale shape: one explode → (term, min doc) hash aggregate, one
+    per-doc token count aggregate, a 1-row boundary dim broadcast
+    onto both, ``n_points``-row arithmetic after that."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+    from hbase_gis_spark.operators.rank import global_percentiles
+
+    toks = _spread(df).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        tokens(text_col).alias("__w"),
+    )
+    per_doc = toks.select(
+        "id",
+        F.when(F.length(F.trim(F.concat_ws(" ", "__w"))) == 0, F.lit(0))
+        .otherwise(F.size("__w"))
+        .cast("bigint")
+        .alias("__nt"),
+    )
+    first = (
+        toks.select("id", F.explode("__w").alias("t"))
+        .groupBy("t")
+        .agg(F.min("id").alias("__fd"))
+    )
+    cuts = global_percentiles(
+        per_doc.select(F.col("id").cast("double").alias("__id")),
+        "__id",
+        {f"__c{i}": (i, n_points) for i in range(1, n_points + 1)},
+        n_shards,
+    )
+    vocab_aggs = [
+        F.sum(
+            F.when(F.col("__fd") <= F.col(f"__c{i}"), 1).otherwise(0)
+        ).alias(f"__v{i}")
+        for i in range(1, n_points + 1)
+    ]
+    tok_aggs = [
+        F.sum(
+            F.when(F.col("id") <= F.col(f"__c{i}"), F.col("__nt")).otherwise(0)
+        ).alias(f"__t{i}")
+        for i in range(1, n_points + 1)
+    ]
+    v = first.crossJoin(F.broadcast(cuts)).agg(*vocab_aggs)
+    t = per_doc.crossJoin(F.broadcast(cuts)).agg(*tok_aggs)
+    stack = ", ".join(
+        f"__t{i}, __v{i}" for i in range(1, n_points + 1)
+    )
+    points = (
+        v.crossJoin(F.broadcast(t))
+        .selectExpr(f"stack({n_points}, {stack}) AS (__toks, __vocab)")
+        .filter((F.col("__toks") > 0) & (F.col("__vocab") > 0))
+        .select(
+            F.round(F.log(F.col("__toks").cast("double")) * 1_000_000, 0)
+            .cast("bigint")
+            .alias("__x"),
+            F.round(F.log(F.col("__vocab").cast("double")) * 1_000_000, 0)
+            .cast("bigint")
+            .alias("__y"),
+        )
+    )
+    mo = points.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        # bounded moments: n_points log-micro values (|x| < 5e7 for
+        # any corpus under e^50 tokens), far inside int64 — stated
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    num = F.col("n_points") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("n_points") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = num.cast("double") / den.cast("double")
+    return mo.select(
+        "n_points",
+        F.round(slope, 9).alias("slope"),
+        F.round(
+            (
+                F.col("__sy").cast("double")
+                - slope * F.col("__sx").cast("double")
+            )
+            / F.col("n_points").cast("double")
+            / F.lit(1_000_000.0),
+            9,
+        ).alias("intercept"),
+    )

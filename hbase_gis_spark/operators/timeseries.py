@@ -815,3 +815,52 @@ def churn_hazard(
             "hazard_milli"
         ),
     ).orderBy(F.col("t").asc())
+
+
+def daily_fano_factor(
+    ev: DataFrame,
+    ts_us_col: Column,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per-key FANO FACTOR (variance-to-mean ratio) of daily event
+    counts over the DENSE day spine — the burstiness index (Poisson
+    arrivals give 1; > 1 means clumped traffic / incident storms,
+    < 1 means throttled or quota-shaped flow). One number per key
+    that tells a capacity planner whether mean-based sizing is safe.
+
+    Engine-exact: counts over the dense spine (zero days INCLUDED —
+    omitting them understates variance, the dense_daily_counts
+    argument) give exact BIGINT n/Σy; Σy² accumulates in
+    DECIMAL(38,0) with the cast BEFORE the multiply (a >3e9-events
+    day would wrap int64 y² — the round-7 overflow discipline);
+    ``fano = (n·Σy² − (Σy)²) / (n·Σy)`` is ONE double division of
+    exact integers, rounded to 9; ``mean_milli = (1000·Σy) div n``
+    is non-negative integer arithmetic.
+
+    Output: one row per key — (key, n_days, mean_milli, fano).
+
+    Scale shape: dense_daily_counts' ONE fact aggregate, then a
+    |keys|-row rollup; nothing else scales with the table."""
+    d = dense_daily_counts(ev, ts_us_col, key_col)
+    dec = "decimal(38,0)"
+    agg = d.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("__s"),
+        F.sum(
+            F.col("n_events").cast(dec) * F.col("n_events")
+        ).alias("__s2"),
+    )
+    nd = F.col("n_days").cast("decimal(38,0)")
+    num = nd * F.col("__s2") - F.col("__s").cast(dec) * F.col("__s")
+    den = nd * F.col("__s")
+    return agg.select(
+        key_col,
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.expr("CAST((1000 * __s) div n_days AS BIGINT)").alias(
+            "mean_milli"
+        ),
+        F.when(
+            F.col("__s") > 0,
+            F.round(num.cast("double") / den.cast("double"), 9),
+        ).alias("fano"),
+    )

@@ -215,3 +215,47 @@ def test_pareto_threshold_exact_prefix(spark):
     )
     r2 = pareto_threshold(df2, "v", "id", share_milli=500).collect()[0]
     assert (r2.k_rows, r2.k_frac_milli) == (5, 500)
+
+
+def test_heaps_law_synthetic_growth(spark):
+    from hbase_gis_spark.operators.textstats import heaps_law_fit
+
+    # sub-linear vocab growth: doc i contributes i//2 repeated tokens
+    # plus a couple of fresh ones — slope must land strictly in (0, 1)
+    rows = [
+        (
+            i,
+            " ".join(["common"] * (2 + i))
+            + f" fresh{i}a fresh{i}b"
+            + (" extra" + str(i // 3) if i % 3 == 0 else ""),
+        )
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    r = heaps_law_fit(df, n_points=8).collect()[0]
+    assert r.n_points == 8
+    assert 0.0 < r.slope < 1.0
+
+
+def test_daily_fano_factor_dense_zero_days(spark):
+    from pyspark.sql import functions as F
+
+    from hbase_gis_spark.operators.timeseries import daily_fano_factor
+
+    # type "a": 4 events on day 0 of a 3-day span (bursty, fano > 1);
+    # type "b": 1 event on each of days 0..2 (uniform, fano == 0)
+    us = 86_400_000_000
+    rows = (
+        [(1, "a", 0)] * 4
+        + [(2, "b", 0), (3, "b", us), (4, "b", 2 * us)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, us bigint"
+    )
+    got = {
+        r.event_type: (r.n_days, r.mean_milli, r.fano)
+        for r in daily_fano_factor(df, F.col("us")).collect()
+    }
+    # a: counts [4,0,0] -> n=3, s=4, s2=16: fano = (3*16-16)/(3*4)
+    assert got["a"] == (3, 1333, round(32 / 12, 9))
+    assert got["b"] == (3, 1000, 0.0)

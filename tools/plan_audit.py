@@ -78,6 +78,8 @@ BNLJ_SANCTIONED = {
     "t_closeness",  # broadcast 1-row corpus total onto the cell dim
     "source_vocab_overlap",  # |sources|² pair grid of the tiny sizes dim
     "time_to_purchase",  # broadcast 1-row percentile selection assembly
+    "heaps_law",  # broadcast 1-row prefix-boundary dim onto two frames
+    "daily_fano",  # inherits dense_daily_counts' spine x keys dim product
 }
 
 
