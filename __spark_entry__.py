@@ -5133,17 +5133,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stricter than the driver hash).  New round-7 queries are APPENDED
     at the end and enter the window in round 8.
 
-    ROUND-8 ROTATION PLAN (execute at the start of round 8): move the
-    round-7 additions (theil_sen_trend, mann_kendall, lorenz_revenue,
-    position_attribution, event_debounce, t_closeness,
-    source_vocab_overlap, churn_hazard -- all verified exact by
-    tools/check_oracles.py at BOTH sf0.01 and sf0.1 when added) into
-    the head slots; fill the remainder with the longest-unchecked
-    queries -- first the 33 remaining r3-era entries
-    (balance_deciles..quantize_int8 plus within_polygon, i.e. the r3
-    cohort minus the seventeen checked in round 7), then r4-era.
-    Update tests/test_plan_hygiene.py::test_registry_window_contract
-    in the same commit.
+    ROUND-8 ROTATION PLAN (execute at the start of round 8): move
+    the THIRTEEN round-7 additions (theil_sen_trend, mann_kendall,
+    lorenz_revenue, position_attribution, event_debounce,
+    t_closeness, source_vocab_overlap, churn_hazard, id_gap_audit,
+    pareto_customers, time_to_purchase, heaps_law, daily_fano -- all
+    verified exact by tools/check_oracles.py at BOTH sf0.01 and sf0.1
+    when added) into slots 1..13; fill slots 14..50 with the
+    longest-unchecked queries -- first the 33 remaining r3-era
+    entries (balance_deciles..quantize_int8 plus within_polygon,
+    i.e. the r3 cohort minus the seventeen checked in round 7), then
+    r4-era. Update
+    tests/test_plan_hygiene.py::test_registry_window_contract in the
+    same commit.
     """
     return {
         # --- slots 1-13: round-6 additions, first time in the driver window

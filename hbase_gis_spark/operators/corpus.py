@@ -658,6 +658,8 @@ def t_closeness_report(
         )
     )
     agg = j.groupBy(*quasi_cols).agg(
+        # first() is deterministic here: __ng/__n are CONSTANT within
+        # the group (group size / corpus total), never row-dependent
         F.first("__ng").alias("__ng"),
         F.first("__n").alias("__n"),
         F.sum("__term").alias("__present"),
