@@ -5102,6 +5102,60 @@ def _q_daily_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QDC_BUCKETS = 10
+
+
+def _q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the quality score against exact duplication:
+    documents in quality-score deciles (sharded ntile over
+    (score, doc_id) — a total order, engine-exact given the
+    identically-computed doubles) x the exact-dup rate per decile
+    (a doc is a dup when it is NOT its content hash's min-id keeper).
+    The audit that says whether "low quality" and "copied" are the
+    same problem or two problems — which decides whether one filter
+    or two belong in the pipeline.
+
+    Exactness: the score doubles replicate text_quality's oracle
+    expression; dup flags are integer; dup_rate_milli is non-negative
+    integer division. NaN scores (empty docs) sort last in BOTH
+    engines (Spark NaN-greatest == DuckDB NaN-greatest).
+
+    Scale shape: one scan computes score + content hash; keeper =
+    groupBy(hash) min(id) joined back (the de-skewed dedup_exact
+    shape); one sharded-ntile pass; one 10-row aggregate."""
+    from hbase_gis_spark.operators.rank import sharded_ntile
+    from hbase_gis_spark.operators.textstats import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(docs).select(
+        "doc_id", F.md5("text").alias("__key"), "quality_score"
+    )
+    keepers = q.groupBy("__key").agg(F.min("doc_id").alias("__kid"))
+    flagged = q.join(keepers, "__key").select(
+        "doc_id",
+        "quality_score",
+        (F.col("doc_id") != F.col("__kid")).cast("int").alias("__dup"),
+    )
+    tiled = sharded_ntile(
+        flagged, QDC_BUCKETS, ["quality_score", "doc_id"], "decile"
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__dup").cast("bigint").alias("n_dups"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs",
+            "n_dups",
+            F.expr("CAST((1000 * n_dups) div n_docs AS BIGINT)").alias(
+                "dup_rate_milli"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -5134,12 +5188,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at the end and enter the window in round 8.
 
     ROUND-8 ROTATION PLAN (execute at the start of round 8): move
-    the THIRTEEN round-7 additions (theil_sen_trend, mann_kendall,
+    the FOURTEEN round-7 additions (theil_sen_trend, mann_kendall,
     lorenz_revenue, position_attribution, event_debounce,
     t_closeness, source_vocab_overlap, churn_hazard, id_gap_audit,
-    pareto_customers, time_to_purchase, heaps_law, daily_fano -- all
-    verified exact by tools/check_oracles.py at BOTH sf0.01 and sf0.1
-    when added) into slots 1..13; fill slots 14..50 with the
+    pareto_customers, time_to_purchase, heaps_law, daily_fano,
+    quality_dup_calibration -- all verified exact by
+    tools/check_oracles.py at BOTH sf0.01 and sf0.1 when added) into
+    slots 1..14; fill slots 15..50 with the
     longest-unchecked queries -- first the 33 remaining r3-era
     entries (balance_deciles..quantize_int8 plus within_polygon,
     i.e. the r3 cohort minus the seventeen checked in round 7), then
@@ -5401,6 +5456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_purchase": _q_time_to_purchase,
         "heaps_law": _q_heaps_law,
         "daily_fano": _q_daily_fano,
+        "quality_dup_calibration": _q_quality_dup_calibration,
     }
 
 
@@ -11103,6 +11159,32 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(CAST(n_days AS HUGEINT) * s AS DOUBLE), 9)
            END AS fano
     FROM agg
+    """
+
+    out["quality_dup_calibration"] = f"""
+    WITH q AS (
+      SELECT doc_id, {score_expr} AS s
+      FROM (SELECT doc_id, text, {toks} AS w FROM documents)
+    ),
+    k AS (SELECT doc_id, md5(text) AS key FROM documents),
+    keep AS (SELECT key, min(doc_id) AS kid FROM k GROUP BY key),
+    f AS (
+      SELECT q.doc_id, q.s,
+             CASE WHEN k.doc_id != keep.kid THEN 1 ELSE 0 END AS is_dup
+      FROM q JOIN k USING (doc_id) JOIN keep ON k.key = keep.key
+    ),
+    r AS (
+      SELECT ntile({QDC_BUCKETS})
+               OVER (ORDER BY s ASC, doc_id ASC) AS decile,
+             is_dup
+      FROM f
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dups,
+           CAST((1000 * sum(is_dup)) // count(*) AS BIGINT)
+             AS dup_rate_milli
+    FROM r GROUP BY decile
     """
 
     return out
