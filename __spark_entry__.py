@@ -5156,6 +5156,20 @@ def _q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hourly distinct users via the batch/stream-parity
+    dedup-then-count pipeline (windowed_unique_users) — the reach
+    twin of windowed_event_counts' volume."""
+    from hbase_gis_spark.streaming.events import windowed_unique_users
+
+    out = windowed_unique_users(load_table(spark, sf_dir, "events"))
+    return out.select(
+        F.unix_micros(F.col("ws")).alias("ws_us"),
+        F.unix_micros(F.col("we")).alias("we_us"),
+        "n_users",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -5188,13 +5202,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at the end and enter the window in round 8.
 
     ROUND-8 ROTATION PLAN (execute at the start of round 8): move
-    the FOURTEEN round-7 additions (theil_sen_trend, mann_kendall,
+    the FIFTEEN round-7 additions (theil_sen_trend, mann_kendall,
     lorenz_revenue, position_attribution, event_debounce,
     t_closeness, source_vocab_overlap, churn_hazard, id_gap_audit,
     pareto_customers, time_to_purchase, heaps_law, daily_fano,
-    quality_dup_calibration -- all verified exact by
-    tools/check_oracles.py at BOTH sf0.01 and sf0.1 when added) into
-    slots 1..14; fill slots 15..50 with the
+    quality_dup_calibration, hourly_unique_users -- all verified
+    exact by tools/check_oracles.py at BOTH sf0.01 and sf0.1 when
+    added) into slots 1..15; fill slots 16..50 with the
     longest-unchecked queries -- first the 33 remaining r3-era
     entries (balance_deciles..quantize_int8 plus within_polygon,
     i.e. the r3 cohort minus the seventeen checked in round 7), then
@@ -5457,6 +5471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": _q_heaps_law,
         "daily_fano": _q_daily_fano,
         "quality_dup_calibration": _q_quality_dup_calibration,
+        "hourly_unique_users": _q_hourly_unique_users,
     }
 
 
@@ -11185,6 +11200,14 @@ def oracle_sql() -> dict[str, str]:
            CAST((1000 * sum(is_dup)) // count(*) AS BIGINT)
              AS dup_rate_milli
     FROM r GROUP BY decile
+    """
+
+    out["hourly_unique_users"] = """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+           epoch_us(time_bucket(INTERVAL '1 hour', ts)
+                    + INTERVAL '1 hour') AS we_us,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
     """
 
     return out

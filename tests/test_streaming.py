@@ -765,3 +765,36 @@ def test_streaming_event_debounce_matches_batch(spark):
         r.event_id for r in spark.sql("SELECT * FROM debounced").collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_windowed_unique_users_stream_matches_batch(spark):
+    """Round-7 twin: exact hourly distinct users via
+    dedup-then-count, equal to batch countDistinct."""
+    from hbase_gis_spark.streaming.events import windowed_unique_users
+
+    batch = load_table(spark, SF0001, "events")
+    expect_direct = {
+        (r.ws,): r.n
+        for r in batch.withColumn(
+            "event_ts", F.col("ts").cast("timestamp")
+        )
+        .groupBy(F.window("event_ts", "1 hour"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+        .collect()
+    }
+    got_batch = {
+        (r.ws,): r.n_users
+        for r in windowed_unique_users(batch).collect()
+    }
+    assert got_batch == expect_direct
+
+    stream = read_event_stream(spark, SF0001)
+    run_stream_to_memory(
+        windowed_unique_users(stream), "uniq_users", "update"
+    )
+    got_stream = {
+        (r.ws,): r.n_users
+        for r in spark.sql("SELECT * FROM uniq_users").collect()
+    }
+    assert got_stream == expect_direct and len(got_stream) > 0
