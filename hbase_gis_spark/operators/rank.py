@@ -123,9 +123,14 @@ def shard_offsets(
     }
     total = sum(sizes.values())
     if total and len(sizes) >= 1 and n_shards > 1:
-        max_frac = max(sizes.values()) / total
+        max_size = max(sizes.values())
+        max_frac = max_size / total
         n_eff = n_bounds + 1
-        if max_frac > max(0.25, 4.0 / n_shards):
+        # skew = fattest shard far above the IDEAL ceil(total/n_shards)
+        # AND a dominant fraction — the absolute leg keeps tiny frames
+        # (where even perfect balance is a big fraction) quiet
+        ideal = -(-total // n_shards)
+        if max_frac > max(0.25, 4.0 / n_shards) and max_size > 4 * ideal:
             warnings.warn(
                 f"range_sharded tie-mass skew on {key!r}: fattest shard "
                 f"holds {max_frac:.0%} of {total} rows across {n_eff} "
@@ -143,6 +148,76 @@ def shard_offsets(
         offsets or [(0, 0)], f"{shard_col} int, __off bigint"
     )
     return odf, total
+
+
+def pair_shard_boundaries(
+    df: DataFrame,
+    vcol: str,
+    tcol: str,
+    n_shards: int,
+    sample_per_shard: int = 128,
+) -> list[tuple]:
+    """``n_shards - 1`` ascending, deduplicated LEXICOGRAPHIC cut
+    pairs for the total order ``(vcol, tcol)`` — the tie-splitting
+    variant of :func:`shard_boundaries`. A single-column range shard
+    cannot split equal keys (the tie-mass contract above), so an
+    all-ties order column degenerates to one shard; cutting on the
+    (value, tiebreak) PAIR splits the tie mass while every cut still
+    respects the lexicographic order, so ``local row_number + prefix
+    offset`` stays an exact global rank.
+
+    Boundaries come from a bounded DETERMINISTIC sample (Spark's own
+    RangePartitioner recipe): the ``n_shards * sample_per_shard``
+    rows smallest under a hash order — a per-partition bounded heap
+    (TakeOrderedAndProject), never a global sort — collected once
+    driver-side (a planning edge constant in table size, the
+    shard_offsets argument), sorted, and cut at even ranks. Sample
+    skew only affects BALANCE, never correctness: offsets re-anchor
+    every shard's ranks regardless of where the cuts fall."""
+    if n_shards <= 1:
+        return []
+    cap = n_shards * sample_per_shard
+    samp = (
+        df.select(F.col(vcol).alias("__sv"), F.col(tcol).alias("__st"))
+        .filter(F.col(vcol).isNotNull())
+        .orderBy(
+            F.xxhash64(F.col(vcol), F.col(tcol)).asc(),
+            F.col(vcol).asc(),
+            F.col(tcol).asc(),
+        )
+        .limit(cap)
+        .collect()
+    )
+    pairs = sorted((r["__sv"], r["__st"]) for r in samp)
+    if not pairs:
+        return []
+    cuts = []
+    for i in range(1, n_shards):
+        idx = (i * len(pairs)) // n_shards
+        if 0 < idx < len(pairs):
+            cuts.append(pairs[idx - 1])
+    return sorted(set(cuts))
+
+
+def apply_pair_range_shards(
+    df: DataFrame,
+    vkey: str,
+    tkey: str,
+    bounds: list[tuple],
+    shard_col: str = "__shard",
+) -> DataFrame:
+    """Attach the deterministic shard id for the LEXICOGRAPHIC order
+    ``(vkey, tkey)``: how many boundary pairs the row strictly
+    exceeds under ``(v > bv) OR (v = bv AND t > bt)``. NULL
+    tiebreaks never exceed an equal-value cut, matching the window's
+    ASC NULLS FIRST ordering of ``tkey``."""
+    shard = F.lit(0)
+    for bv, bt in bounds:
+        gt = (F.col(vkey) > F.lit(bv)) | (
+            (F.col(vkey) == F.lit(bv)) & (F.col(tkey) > F.lit(bt))
+        )
+        shard = shard + F.when(gt, 1).otherwise(0)
+    return df.withColumn(shard_col, shard.cast("int"))
 
 
 def range_sharded(
@@ -211,17 +286,38 @@ def global_percentiles(
     value_col: str,
     percentiles: dict[str, tuple[int, int]],
     n_shards: int = 64,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """One row holding the EXACT value at global rank
     ``ceil(num*N/den)`` for each ``name: (num, den)`` requested —
     pure rank selection, no value arithmetic, so the outputs are
     engine-exact doubles (the global_quantile_cuts convention,
     generalized from evenly spaced cuts to arbitrary fractions).
-    NULL/NaN values are dropped before ranking."""
-    prepped = df.select(
-        F.col(value_col).cast("double").alias("__v")
-    ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
-    sharded, odf, total = range_sharded(prepped, ["__v"], n_shards)
+    NULL/NaN values are dropped before ranking.
+
+    ``tiebreak_col`` (a deterministic, preferably near-unique column,
+    e.g. ``xxhash64`` of the row's natural key) switches sharding to
+    the lexicographic ``(value, tiebreak)`` pair so heavy tie mass in
+    the value column SPLITS across shards instead of funneling into
+    one (the rank.py header's tie-mass contract — theil_sen's
+    all-ties slope frame was the motivating case). The selected
+    values are unchanged: ties carry equal values, so the value at
+    global rank k under ``(v, t)`` order IS the k-th smallest v."""
+    if tiebreak_col is not None:
+        prepped = df.select(
+            F.col(value_col).cast("double").alias("__v"),
+            F.col(tiebreak_col).alias("__t"),
+        ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+        bounds = pair_shard_boundaries(prepped, "__v", "__t", n_shards)
+        sharded = apply_pair_range_shards(prepped, "__v", "__t", bounds)
+        odf, total = shard_offsets(
+            sharded, f"({value_col},{tiebreak_col})", len(bounds), n_shards
+        )
+    else:
+        prepped = df.select(
+            F.col(value_col).cast("double").alias("__v")
+        ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+        sharded, odf, total = range_sharded(prepped, ["__v"], n_shards)
     # ceil(num*N/den) as (num*N + den-1) div den: positive operands,
     # identical on Spark `div` and DuckDB `//`
     ranks = [
@@ -232,7 +328,11 @@ def global_percentiles(
     rdf = spark.createDataFrame(
         [(n_, int(r)) for n_, r in ranks], "__name string, __gr bigint"
     )
-    w = Window.partitionBy("__shard").orderBy(F.col("__v").asc())
+    order = [F.col("__v").asc()]
+    if tiebreak_col is not None:
+        # window order must match the pair cuts' lexicographic order
+        order.append(F.col("__t").asc())
+    w = Window.partitionBy("__shard").orderBy(*order)
     hits = (
         sharded.join(F.broadcast(odf), "__shard")
         .select(

@@ -615,8 +615,12 @@ def theil_sen_slope(
     CALENDAR squared (~6.6M pairs for a decade), not by the fact
     table; the median runs through rank.global_percentiles' sharded
     machinery (boundary-literal shards, no single-task sort even over
-    the pair frame). n_pairs is the closed form n(n−1)/2 — never a
-    second count over the pairs."""
+    the pair frame), sharding on the (slope, xxhash64(d1,d2)) PAIR —
+    flat/linear series tie every slope, and single-column range
+    shards cannot split equal keys, so the value-only shard
+    degenerated to one task (VERDICT r7 defect #1; fixed round 8).
+    n_pairs is the closed form n(n−1)/2 — never a second count over
+    the pairs."""
     from hbase_gis_spark.operators.rank import global_percentiles
 
     d = days.select(
@@ -642,7 +646,12 @@ def theil_sen_slope(
             # measured round 7; agreement pinned by the negative-slope
             # unit test); nullif keeps the pushed-down-filter diagonal
             # from dividing by zero under ANSI
-            F.expr("CAST(__num div __den AS BIGINT)").alias("__slope")
+            F.expr("CAST(__num div __den AS BIGINT)").alias("__slope"),
+            # deterministic per-pair tiebreak: slopes of a flat or
+            # near-linear series are ALL-TIES (equal keys cannot
+            # range-split — rank.py's tie-mass contract), so the
+            # median selection shards on the (slope, hash) pair
+            F.xxhash64(F.col("__d1"), F.col("__d2")).alias("__t"),
         )
     )
     # global_percentiles consumes the slope frame three times
@@ -652,10 +661,13 @@ def theil_sen_slope(
     # materialize (an interleaved persist A/B showed no win), and the
     # lineage stays trivially recoverable
     med = global_percentiles(
-        pairs.select(F.col("__slope").cast("double").alias("__slope")),
+        pairs.select(
+            F.col("__slope").cast("double").alias("__slope"), "__t"
+        ),
         "__slope",
         {"__m": (1, 2)},
         n_shards,
+        tiebreak_col="__t",
     )
     n = d.agg(F.count(F.lit(1)).alias("n_days"))
     return n.crossJoin(F.broadcast(med)).select(

@@ -26,6 +26,25 @@ def test_theil_sen_exact_median_and_negative_truncation(spark):
     assert r2.slope_micro == -333333
 
 
+def test_theil_sen_all_ties_splits_shards(spark):
+    """A flat/linear series ties EVERY pairwise slope; the value-only
+    range shard cannot split equal keys, so before round 8 the median
+    collapsed to one shard and rank.py's tie-mass RuntimeWarning fired
+    (VERDICT r7 defect #1). The (slope, xxhash64(d1,d2)) pair shard
+    must keep the selection warning-free AND exact."""
+    import warnings
+
+    from hbase_gis_spark.operators.timeseries import theil_sen_slope
+
+    flat = spark.createDataFrame(
+        [(i, 42) for i in range(40)], "day bigint, y bigint"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        r = theil_sen_slope(flat, n_shards=8).collect()[0]
+    assert (r.n_days, r.n_pairs, r.slope_micro) == (40, 780, 0)
+
+
 def test_mann_kendall_known_series(spark):
     from hbase_gis_spark.operators.timeseries import mann_kendall_trend
 
