@@ -6593,7 +6593,11 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, cluster_id, quality_score FROM (
       SELECT c.doc_id, c.cluster_id, q.quality_score,
              row_number() OVER (PARTITION BY c.cluster_id
-                                ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+                                ORDER BY (CASE WHEN isnan(q.quality_score)
+                                               THEN NULL
+                                               ELSE q.quality_score END)
+                                          DESC NULLS LAST,
+                                         c.doc_id ASC) AS rn
       FROM clus c JOIN q USING (doc_id)
     ) WHERE rn = 1
     """
@@ -10947,7 +10951,7 @@ def oracle_sql() -> dict[str, str]:
                  - CAST(m.cc AS HUGEINT) * g.ng) AS term,
              m.cc
       FROM cells c
-      JOIN gsz g ON c.source = g.source
+      JOIN gsz g ON c.source IS NOT DISTINCT FROM g.source
       JOIN marg m ON c.lang = m.lang
       CROSS JOIN tot t
     ),
@@ -11207,7 +11211,7 @@ def oracle_sql() -> dict[str, str]:
            epoch_us(time_bucket(INTERVAL '1 hour', ts)
                     + INTERVAL '1 hour') AS we_us,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events GROUP BY 1, 2
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
     """
 
     return out

@@ -644,8 +644,21 @@ def t_closeness_report(
     )
     total = base.agg(F.count(F.lit(1)).alias("__n"))
     dec = "decimal(38,0)"
+    # NULL-SAFE group-size join (ADVICE r7 #3): a plain equi-join on
+    # the quasi keys silently dropped any group whose quasi value is
+    # NULL — while k_anonymity_report (pure groupBy) reports it, so
+    # the release gate's leakiest catch-all bucket was the one the
+    # tvd audit skipped. <=> keys still plan as a hash join.
+    gkeys = gsz.select(
+        *[F.col(c).alias(f"__g_{c}") for c in quasi_cols], "__ng"
+    )
+    gcond = None
+    for c in quasi_cols:
+        t = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        gcond = t if gcond is None else (gcond & t)
     j = (
-        cells.join(gsz, quasi_cols)
+        cells.join(gkeys, gcond)
+        .drop(*[f"__g_{c}" for c in quasi_cols])
         .join(F.broadcast(marg), sensitive_col)
         .crossJoin(F.broadcast(total))
         .withColumn(

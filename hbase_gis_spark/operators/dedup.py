@@ -375,7 +375,15 @@ def cluster_representatives(
     exists.
 
     ``clusters`` is ``near_dup_clusters`` output (id, cluster_id);
-    ``scores`` carries (id, score; numeric, non-null by the join).
+    ``scores`` carries (id, score). NULL/NaN scores are UNSCORED:
+    they sort after every real score (so an unscored member wins only
+    when its whole cluster is unscored — tie broken by smallest id,
+    score passed through as-is), a convention pinned by
+    tests/test_round7_ops.py's NULL/NaN case and mirrored in the
+    dedup_keep_best oracle's ``isnan → NULL ... DESC NULLS LAST``
+    ordering (ADVICE r7 #1: the raw min-of-struct put a NULL first
+    field SMALLEST, silently making a NULL-score member win).
+
     One shuffle join on the id key, then grouped top-1 as a
     **min-of-struct partial aggregate** over ``(-score, id)`` —
     lexicographic struct ordering IS "score desc, id asc", and unlike
@@ -386,10 +394,13 @@ def cluster_representatives(
     semantics as the reference's TopXEndpoint per region
     (coprocessor/TopXEndpoint.java:89-103), here keyed by cluster."""
     j = clusters.join(scores.select(id_col, score_col), id_col)
+    unscored = F.col(score_col).isNull() | F.isnan(score_col)
     best = j.groupBy("cluster_id").agg(
         F.min(
             F.struct(
-                (-F.col(score_col)).alias("__ns"),
+                F.when(unscored, F.lit(float("inf")))
+                .otherwise(-F.col(score_col))
+                .alias("__ns"),
                 F.col(id_col).alias("__id"),
                 F.col(score_col).alias("__s"),
             )

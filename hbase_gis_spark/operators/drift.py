@@ -810,9 +810,13 @@ def lorenz_curve(
     Engine-exact: bucket assignment is ANSI NTILE over the total order
     (value, id) via the boundary-literal sharded machinery (never a
     single-task sort); per-bucket sums are BIGINTs; the cumulative
-    share is ``(1000·cum) div total`` — non-negative, so truncate ==
-    floor in both engines (stated). Output bound: value totals must
-    stay under int64 (~9e18 — the cents-conversion bound).
+    share is ``(1000·cum) div total`` with the product in
+    DECIMAL(38,0) — DuckDB's HUGEINT sum never wraps, so a bare int64
+    ``1000·cum`` past ~9.2e15 total value was a silent Spark-side
+    engine divergence (ADVICE r7 #2; the pareto_threshold guard,
+    now mirrored here). Non-negative, so truncate == floor in both
+    engines (stated). Output bound: value totals must stay under
+    int64 (~9e18 — the cents-conversion bound).
 
     Output: ``buckets`` rows ascending — (bucket, n_rows,
     bucket_value, cum_value, cum_share_milli).
@@ -851,7 +855,8 @@ def lorenz_curve(
             F.col("bucket_value").cast("bigint").alias("bucket_value"),
             F.col("cum_value").cast("bigint").alias("cum_value"),
             F.expr(
-                "CAST((1000 * cum_value) div __t AS BIGINT)"
+                "CAST((1000 * CAST(cum_value AS DECIMAL(38,0))) div __t"
+                " AS BIGINT)"
             ).alias("cum_share_milli"),
         )
         .orderBy(F.col("bucket").asc())

@@ -728,13 +728,22 @@ def windowed_unique_users(
     one entry per distinct pair inside the watermark horizon, exactly
     the information a distinct NEEDS), then a plain windowed count.
     On batch the same pipeline degenerates to dropDuplicates +
-    count — bit-identical to ``countDistinct`` by construction.
+    count — bit-identical to ``countDistinct`` by construction ONLY
+    once NULL users are dropped first: dropDuplicates keeps one row
+    per (NULL, window) and count(1) would count it, while
+    countDistinct excludes NULLs (ADVICE r7 #4 — the filter below,
+    mirrored in the hourly_unique_users oracle, restores the claim
+    and is pinned by the NULL-user parity test).
 
     Output: (ws, we, n_users)."""
-    bucketed = events.withColumn("event_ts", event_time("ts")).select(
-        "user_id",
-        "event_ts",
-        F.window("event_ts", window).alias("__w"),
+    bucketed = (
+        events.filter(F.col("user_id").isNotNull())
+        .withColumn("event_ts", event_time("ts"))
+        .select(
+            "user_id",
+            "event_ts",
+            F.window("event_ts", window).alias("__w"),
+        )
     )
     if bucketed.isStreaming:
         deduped = bucketed.withWatermark(

@@ -92,6 +92,24 @@ def test_lorenz_curve_deciles(spark):
     }
 
 
+def test_lorenz_curve_no_int64_wrap_on_huge_totals(spark):
+    """ADVICE r7 #2: bare int64 ``1000 * cum_value`` wrapped silently
+    past ~9.2e15 total value while DuckDB's HUGEINT sum stayed exact
+    — the DECIMAL(38,0) product (pareto_threshold's guard) must keep
+    the share exact."""
+    from hbase_gis_spark.operators.drift import lorenz_curve
+
+    big = 5_000_000_000_000_000  # 5e15; 1000 * 1e16 total wraps int64
+    df = spark.createDataFrame(
+        [(1, big), (2, big)], "id bigint, v bigint"
+    )
+    rows = {
+        r.bucket: (r.cum_value, r.cum_share_milli)
+        for r in lorenz_curve(df, "v", "id", buckets=2).collect()
+    }
+    assert rows == {1: (big, 500), 2: (2 * big, 1000)}
+
+
 def test_position_attribution_credit_ladder(spark):
     from hbase_gis_spark.operators.funnel import position_attribution
 
@@ -164,6 +182,27 @@ def test_t_closeness_skewed_group(spark):
     assert (
         t_closeness_report(df, ["grp"], "sens", t_milli=500).count() == 0
     )
+
+
+def test_t_closeness_null_quasi_group_reported(spark):
+    """ADVICE r7 #3: the NULL quasi-key group — the catch-all bucket
+    k_anonymity DOES report — must not vanish from the tvd audit
+    through a non-null-safe join."""
+    from hbase_gis_spark.operators.corpus import t_closeness_report
+
+    rows = (
+        [(None, "a")] * 10
+        + [("g2", "b")] * 10
+        + [("g3", "a")] * 5
+        + [("g3", "b")] * 5
+    )
+    df = spark.createDataFrame(rows, "grp string, sens string")
+    got = {
+        r.grp: (r.n_rows, r.tvd_milli)
+        for r in t_closeness_report(df, ["grp"], "sens", t_milli=100).collect()
+    }
+    # the all-a NULL group skews exactly like g1 did: tvd 500 milli
+    assert got == {None: (10, 500), "g2": (10, 500)}
 
 
 def test_source_vocab_jaccard_pairs(spark):

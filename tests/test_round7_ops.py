@@ -150,6 +150,28 @@ def test_cluster_representatives_min_struct_semantics(spark):
     assert got == {10: (2, 0.9), 20: (4, 0.1)}
 
 
+def test_cluster_representatives_null_nan_scores_lose(spark):
+    """ADVICE r7 #1: NULL/NaN scores are UNSCORED — they must never
+    beat a real score (the raw min-of-struct ranked a NULL first field
+    smallest, so a NULL-score member silently won), and a fully
+    unscored cluster still keeps its smallest-id member."""
+    from hbase_gis_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    scores = spark.createDataFrame(
+        [(1, None), (2, 0.3), (3, float("nan")), (5, None), (4, None)],
+        "doc_id bigint, quality_score double",
+    )
+    out = cluster_representatives(clusters, scores)
+    got = {r.cluster_id: r.doc_id for r in out.collect()}
+    # cluster 10: real 0.3 beats NULL(1) and NaN(3); cluster 20: all
+    # unscored -> smallest id 4
+    assert got == {10: 2, 20: 4}
+
+
 def test_segment_dup_stats_hot_segment_no_window(spark):
     from hbase_gis_spark.operators.dedup import segment_dup_stats
 

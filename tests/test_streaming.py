@@ -798,3 +798,36 @@ def test_windowed_unique_users_stream_matches_batch(spark):
         for r in spark.sql("SELECT * FROM uniq_users").collect()
     }
     assert got_stream == expect_direct and len(got_stream) > 0
+
+
+def test_windowed_unique_users_null_users_match_count_distinct(spark):
+    """ADVICE r7 #4: dropDuplicates keeps one (NULL, window) row that
+    count(1) would tally, while countDistinct excludes NULLs — the
+    NULL-user filter must hold parity on a fixture that actually HAS
+    NULL user_ids (the sf fixture has none, which is how the
+    off-by-one hid)."""
+    from datetime import datetime
+
+    from hbase_gis_spark.streaming.events import windowed_unique_users
+
+    rows = [
+        (1, datetime(2026, 1, 1, 10, 5)),
+        (1, datetime(2026, 1, 1, 10, 15)),
+        (2, datetime(2026, 1, 1, 10, 25)),
+        (None, datetime(2026, 1, 1, 10, 35)),
+        (None, datetime(2026, 1, 1, 11, 5)),  # NULL-only window
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (r.ws,): r.n_users for r in windowed_unique_users(df).collect()
+    }
+    expect = {
+        (r.ws,): r.n
+        for r in df.groupBy(F.window(F.col("ts"), "1 hour"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    assert got == expect
+    assert list(got.values()) == [2]
