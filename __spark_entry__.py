@@ -5185,39 +5185,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fourteen r2-era canaries -- 50/50 green.  Round 6 checked the 37
     round-5 additions + thirteen r2-era canaries -- 50/50 green; after
     round 6 every query registered through round 5 has a driver-green
-    row.  ROUND 7 (this ordering, VERDICT r6 next-round #1, applied
-    AFTER the spearman DECIMAL(38,0) fix and the span-arc de-skew so
-    the green rows certify the FIXED plans): slots 1-13 are the 13
-    round-6 additions (dup_substring_spans..seasonal_decompose), never
-    driver-checked before; slots 14-33 are the twenty
-    longest-unchecked queries (last driver row: round 2 --
-    dedup_keep_best..promo_revenue); slots 34-50 are seventeen r3-era
-    canaries (last driver row: round 3), led by span_dup_stats because
-    round 7 rewrote its plan (complement form, no gram window) and the
-    driver row should pin the new shape, then the registry-order head
-    of the r3 cohort (local_supplier_volume..event_cooccurrence).
-    Everything outside the window stays verified every round by tests/
-    and tools/check_oracles.py (exact order-insensitive compare,
-    stricter than the driver hash).  New round-7 queries are APPENDED
-    at the end and enter the window in round 8.
+    row.  Round 7 checked the 13 round-6 additions + the twenty
+    r2-last canaries + seventeen r3-era canaries led by the de-skewed
+    span_dup_stats -- 50/50 green; after round 7 every query
+    registered through round 6 has a driver-green row.  ROUND 8 (this
+    ordering -- VERDICT r7 next-round #1, executed AFTER the
+    theil_sen pair-shard fix and the four ADVICE r7 NULL/NaN/overflow
+    fixes so the green rows certify the FIXED plans): slots 1-15 are
+    the 15 round-7 additions (theil_sen_trend..hourly_unique_users),
+    never driver-checked before; slots 16-48 are the 33
+    longest-unchecked queries (last driver row: round 3 -- the r3
+    cohort minus the seventeen rechecked in round 7:
+    balance_deciles..quantize_int8 plus within_polygon); slots 49-50
+    begin the r4-era backlog (tfidf_topk_terms, unigram_lm_score --
+    last driver row: round 4).  Everything outside the window stays
+    verified every round by tests/ and tools/check_oracles.py (exact
+    order-insensitive compare, stricter than the driver hash).  New
+    round-8 queries are APPENDED at the end and enter the window in
+    round 9.
 
-    ROUND-8 ROTATION PLAN (execute at the start of round 8): move
-    the FIFTEEN round-7 additions (theil_sen_trend, mann_kendall,
-    lorenz_revenue, position_attribution, event_debounce,
-    t_closeness, source_vocab_overlap, churn_hazard, id_gap_audit,
-    pareto_customers, time_to_purchase, heaps_law, daily_fano,
-    quality_dup_calibration, hourly_unique_users -- all verified
-    exact by tools/check_oracles.py at BOTH sf0.01 and sf0.1 when
-    added) into slots 1..15; fill slots 16..50 with the
-    longest-unchecked queries -- first the 33 remaining r3-era
-    entries (balance_deciles..quantize_int8 plus within_polygon,
-    i.e. the r3 cohort minus the seventeen checked in round 7), then
-    r4-era. Update
+    ROUND-9 ROTATION PLAN (execute at the start of round 9): move
+    the round-8 additions (appended at the end of this dict -- see
+    the trailing comment block) into the head slots, then fill the
+    remaining slots with the longest-unchecked queries: first the 47
+    remaining r4-era entries (the CORRECTNESS_r04 window minus
+    tfidf_topk_terms/unigram_lm_score, in registry order:
+    ann_range_search, embedding_norm_stats, returned_items, ...),
+    then r5-era.  Update
     tests/test_plan_hygiene.py::test_registry_window_contract in the
     same commit.
     """
     return {
-        # --- slots 1-13: round-6 additions, first time in the driver window
+        # --- slots 1-15: round-7 additions, first time in the driver
+        # window (all verified exact by tools/check_oracles.py at both
+        # sf0.01 and sf0.1 when added; theil_sen enters on the FIXED
+        # pair-sharded plan, per VERDICT r7 sequencing)
+        "theil_sen_trend": _q_theil_sen,
+        "mann_kendall": _q_mann_kendall,
+        "lorenz_revenue": _q_lorenz_revenue,
+        "position_attribution": _q_position_attribution,
+        "event_debounce": _q_event_debounce,
+        "t_closeness": _q_t_closeness,
+        "source_vocab_overlap": _q_source_vocab_overlap,
+        "churn_hazard": _q_churn_hazard,
+        "id_gap_audit": _q_id_gap_audit,
+        "pareto_customers": _q_pareto_customers,
+        "time_to_purchase": _q_time_to_purchase,
+        "heaps_law": _q_heaps_law,
+        "daily_fano": _q_daily_fano,
+        "quality_dup_calibration": _q_quality_dup_calibration,
+        "hourly_unique_users": _q_hourly_unique_users,
+        # --- slots 16-48: the 33 longest-unchecked queries (last
+        # driver row: round 3 -- the r3 cohort minus the seventeen
+        # rechecked in round 7) as regression canaries
+        "balance_deciles": _q_balance_deciles,
+        "repeat_customers": _q_repeat_customers,
+        "churned_customers": _q_churned_customers,
+        "sliding_event_counts": _q_sliding_event_counts,
+        "daily_active_users": _q_daily_active_users,
+        "exact_event_stats": _q_exact_event_stats,
+        "top_rare_terms": _q_top_rare_terms,
+        "ann_multi_topk": _q_ann_multi_topk,
+        "funnel_counts": _q_funnel,
+        "retention_cohorts": _q_retention,
+        "merge_upsert": _q_merge_upsert,
+        "scd2_intervals": _q_scd2,
+        "event_pivot": _q_event_pivot,
+        "json_props": _q_json_props,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "daily_rolling": _q_daily_rolling,
+        "split_assign": _q_split_assign,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
+        "global_shuffle": _q_global_shuffle,
+        "domain_cap": _q_domain_cap,
+        "mixture_rates": _q_mixture_rates,
+        "mixture_sample": _q_mixture_sample,
+        "pii_scrub": _q_pii_scrub,
+        "dup_ngram_spans": _q_dup_ngram_spans,
+        "winnow_matches": _q_winnow_matches,
+        "chunk_documents": _q_chunk_documents,
+        "corpus_stats": _q_corpus_stats,
+        "ivf_cells": _q_ivf_cells,
+        "label_purity": _q_label_purity,
+        "quantize_int8": _q_quantize_int8,
+        "within_polygon": _q_within,
+        # --- slots 49-50: r4-era fill (last driver row: round 4)
+        "tfidf_topk_terms": _q_tfidf_topk_terms,
+        "unigram_lm_score": _q_unigram_lm_score,
+        # --- behind the window: previous relative order preserved
         "dup_substring_spans": _q_dup_substring_spans,
         "substring_dedup_profile": _q_substring_dedup_profile,
         "readability_scores": _q_readability_scores,
@@ -5231,8 +5288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel": _q_window_funnel,
         "l_diversity": _q_l_diversity,
         "seasonal_decompose": _q_seasonal_decompose,
-        # --- slots 14-33: the twenty longest-unchecked queries (last
-        # driver row: round 2) as regression canaries
         "dedup_keep_best": _q_dedup_keep_best,
         "repetition_stats": _q_repetition_stats,
         "text_clean": _q_text_clean,
@@ -5253,9 +5308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_urgent": _q_customers_no_urgent,
         "large_volume_customers": _q_large_volume_customers,
         "promo_revenue": _q_promo_revenue,
-        # --- slots 34-50: r3-era canaries (last driver row: round 3);
-        # span_dup_stats leads because round 7 de-skewed its plan and
-        # the green row should certify the NEW shape
         "span_dup_stats": _q_span_dup_stats,
         "local_supplier_volume": _q_local_supplier_volume,
         "grouped_median": _q_grouped_median,
@@ -5273,7 +5325,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_source_matrix": _q_dup_source_matrix,
         "user_concentration": _q_user_concentration,
         "event_cooccurrence": _q_event_cooccurrence,
-        # --- behind the window: previous relative order preserved
         "orphan_check": _q_orphan_check,
         "uniqueness_audit": _q_uniqueness_audit,
         "benford_revenue": _q_benford_revenue,
@@ -5374,8 +5425,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "lang_id": _q_lang_id,
-        "tfidf_topk_terms": _q_tfidf_topk_terms,
-        "unigram_lm_score": _q_unigram_lm_score,
         "ann_range_search": _q_ann_range_search,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "returned_items": _q_returned_items,
@@ -5423,55 +5472,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": _q_source_quality,
         "within_polygon_pruned": _q_within_pruned,
         "knn_top10": _q_knn,
-        "balance_deciles": _q_balance_deciles,
-        "repeat_customers": _q_repeat_customers,
-        "churned_customers": _q_churned_customers,
-        "sliding_event_counts": _q_sliding_event_counts,
-        "daily_active_users": _q_daily_active_users,
-        "exact_event_stats": _q_exact_event_stats,
-        "top_rare_terms": _q_top_rare_terms,
-        "ann_multi_topk": _q_ann_multi_topk,
-        "funnel_counts": _q_funnel,
-        "retention_cohorts": _q_retention,
-        "merge_upsert": _q_merge_upsert,
-        "scd2_intervals": _q_scd2,
-        "event_pivot": _q_event_pivot,
-        "json_props": _q_json_props,
-        "edit_distance_pairs": _q_edit_distance_pairs,
-        "daily_rolling": _q_daily_rolling,
-        "split_assign": _q_split_assign,
-        "stratified_sample": _q_stratified_sample,
-        "decontaminate": _q_decontaminate,
-        "pack_sequences": _q_pack_sequences,
-        "global_shuffle": _q_global_shuffle,
-        "domain_cap": _q_domain_cap,
-        "mixture_rates": _q_mixture_rates,
-        "mixture_sample": _q_mixture_sample,
-        "pii_scrub": _q_pii_scrub,
-        "dup_ngram_spans": _q_dup_ngram_spans,
-        "winnow_matches": _q_winnow_matches,
-        "chunk_documents": _q_chunk_documents,
-        "corpus_stats": _q_corpus_stats,
-        "ivf_cells": _q_ivf_cells,
-        "label_purity": _q_label_purity,
-        "quantize_int8": _q_quantize_int8,
-        "within_polygon": _q_within,
-        # --- round-7 additions (behind the window; enter round 8)
-        "theil_sen_trend": _q_theil_sen,
-        "mann_kendall": _q_mann_kendall,
-        "lorenz_revenue": _q_lorenz_revenue,
-        "position_attribution": _q_position_attribution,
-        "event_debounce": _q_event_debounce,
-        "t_closeness": _q_t_closeness,
-        "source_vocab_overlap": _q_source_vocab_overlap,
-        "churn_hazard": _q_churn_hazard,
-        "id_gap_audit": _q_id_gap_audit,
-        "pareto_customers": _q_pareto_customers,
-        "time_to_purchase": _q_time_to_purchase,
-        "heaps_law": _q_heaps_law,
-        "daily_fano": _q_daily_fano,
-        "quality_dup_calibration": _q_quality_dup_calibration,
-        "hourly_unique_users": _q_hourly_unique_users,
     }
 
 

@@ -96,43 +96,39 @@ def test_round3_tpch_predicates_reach_scans(spark):
 
 def test_registry_window_contract():
     """The driver checks exactly the FIRST 50 queries() entries; round
-    7's window must hold the 13 round-6 additions + the twenty
-    longest-unchecked (r2-last) canaries + seventeen r3-era canaries
-    led by the de-skewed span_dup_stats (the rotation VERDICT r6 #1
-    prescribed), every window query must have an oracle, and new
-    round-7 additions must stay appended BEHIND the window."""
+    8's window must hold the 15 round-7 additions (entering on the
+    FIXED theil_sen pair-shard plan, the VERDICT r7 sequencing) + the
+    33 r3-era longest-unchecked canaries + the first two r4-era
+    backlog entries, every window query must have an oracle, and new
+    round-8 additions must stay appended BEHIND the window."""
     import __spark_entry__ as entrymod
 
     qs = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
-    r6_additions = [
-        "dup_substring_spans", "substring_dedup_profile",
-        "readability_scores", "ngram_coverage_curve",
-        "inter_arrival_median", "dedup_span_removal",
-        "rare_category_collapse", "target_encoding", "bootstrap_means",
-        "revenue_gini", "window_funnel", "l_diversity",
-        "seasonal_decompose",
-    ]
-    r2_canaries = [
-        "dedup_keep_best", "repetition_stats", "text_clean",
-        "simhash_signatures", "embedding_dup_lsh", "ann_cosine_topk",
-        "ann_lsh_topk", "ann_ivf_topk", "mm_frames", "mm_resize",
-        "windowed_event_counts", "user_sessions", "revenue_by_nation",
-        "pricing_summary", "shipping_priority", "order_priority_counts",
-        "customer_order_distribution", "customers_no_urgent",
-        "large_volume_customers", "promo_revenue",
+    r7_additions = [
+        "theil_sen_trend", "mann_kendall", "lorenz_revenue",
+        "position_attribution", "event_debounce", "t_closeness",
+        "source_vocab_overlap", "churn_hazard", "id_gap_audit",
+        "pareto_customers", "time_to_purchase", "heaps_law",
+        "daily_fano", "quality_dup_calibration", "hourly_unique_users",
     ]
     r3_canaries = [
-        "span_dup_stats", "local_supplier_volume", "grouped_median",
-        "purchase_attribution", "dedup_incremental", "small_qty_revenue",
-        "daily_trend", "corpus_pipeline", "knn_multi",
-        "trajectory_similarity", "od_flows", "stay_points",
-        "keyword_search", "event_gaps", "dup_source_matrix",
-        "user_concentration", "event_cooccurrence",
+        "balance_deciles", "repeat_customers", "churned_customers",
+        "sliding_event_counts", "daily_active_users",
+        "exact_event_stats", "top_rare_terms", "ann_multi_topk",
+        "funnel_counts", "retention_cohorts", "merge_upsert",
+        "scd2_intervals", "event_pivot", "json_props",
+        "edit_distance_pairs", "daily_rolling", "split_assign",
+        "stratified_sample", "decontaminate", "pack_sequences",
+        "global_shuffle", "domain_cap", "mixture_rates",
+        "mixture_sample", "pii_scrub", "dup_ngram_spans",
+        "winnow_matches", "chunk_documents", "corpus_stats",
+        "ivf_cells", "label_purity", "quantize_int8", "within_polygon",
     ]
-    assert qs[:13] == r6_additions
-    assert qs[13:33] == r2_canaries
-    assert qs[33:50] == r3_canaries
+    r4_fill = ["tfidf_topk_terms", "unigram_lm_score"]
+    assert qs[:15] == r7_additions
+    assert qs[15:48] == r3_canaries
+    assert qs[48:50] == r4_fill
     missing = [q for q in qs[:50] if q not in oracles]
     assert missing == [], f"window queries without oracles: {missing}"
     # registry entries stay unique (dict literal would silently drop dups
