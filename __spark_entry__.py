@@ -2084,6 +2084,34 @@ def _q_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_purity(emb, C)
 
 
+def _q_ivf_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-IVF maintenance report (round-8 addition, VERDICT r7
+    next-round #7): vectors with vec_id % 5 != 0 play the stored
+    index (its FROZEN quantizer trained on their first
+    IVF_TRAIN_ROWS by id), the rest arrive as the appended batch;
+    retraining on the combined table yields the would-be new cells,
+    and the report counts per frozen cell how many vectors the
+    retrain would move — the rebuild trigger for the append-only
+    index ann_ivf_topk_stored serves. Deterministic given ANN_SEED;
+    the oracle replays BOTH centroid trainings with the same numpy
+    routine."""
+    from hbase_gis_spark.operators.similarity import (
+        ivf_reassign_report,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stored = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    frozen = train_ivf_centroids(
+        stored, IVF_NLIST, train_rows=IVF_TRAIN_ROWS, seed=ANN_SEED
+    )
+    retrained = train_ivf_centroids(
+        emb, IVF_NLIST, train_rows=IVF_TRAIN_ROWS, seed=ANN_SEED
+    )
+    return ivf_reassign_report(stored, batch, frozen, retrained)
+
+
 def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization audit (scale, integer content
     sums, max dequantization error)."""
@@ -5472,6 +5500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": _q_source_quality,
         "within_polygon_pruned": _q_within_pruned,
         "knn_top10": _q_knn,
+        # --- round-8 additions (behind the window; enter round 9)
+        "ivf_reassign": _q_ivf_reassign,
     }
 
 
@@ -6254,6 +6284,65 @@ def oracle_sql() -> dict[str, str]:
       FROM best
     ) WHERE rk <= {PROTO_K}
     """
+        # ivf_reassign: replay BOTH trainings — the frozen quantizer on
+        # the stored subset's (vec_id % 5 != 0) first train_rows by id,
+        # the retrained one on the full table (identical to cent_rows
+        # above) — then mirror the two argmax assignments and the
+        # per-frozen-cell move counts (similarity.py:ivf_reassign_report)
+        sorder = np.argsort(ids, kind="stable")
+        sorder_stored = sorder[(ids[sorder] % 5) != 0][:IVF_TRAIN_ROWS]
+        C_frozen = kmeans_centroids(
+            V_all[sorder_stored], IVF_NLIST, iters=IVF_ITERS, seed=ANN_SEED
+        )
+        fcent_rows = ",\n      ".join(
+            f"({i}, {_arr(c)})" for i, c in enumerate(C_frozen)
+        )
+        ivf_reassign_sql = f"""
+    WITH fcents(ci, cv) AS (VALUES
+      {fcent_rows}),
+    rcents(ci, cv) AS (VALUES
+      {cent_rows}),
+    fdots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e CROSS JOIN fcents c
+    ),
+    fcells AS (
+      SELECT vec_id, ci AS cell FROM (
+        SELECT vec_id, ci,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM fdots
+      ) WHERE rn = 1
+    ),
+    rdots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e CROSS JOIN rcents c
+    ),
+    rcells AS (
+      SELECT vec_id, ci AS new_cell FROM (
+        SELECT vec_id, ci,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM rdots
+      ) WHERE rn = 1
+    ),
+    j AS (
+      SELECT f.vec_id, f.cell, r.new_cell,
+             CASE WHEN f.vec_id % 5 = 0 THEN 1 ELSE 0 END AS is_batch
+      FROM fcells f JOIN rcells r USING (vec_id)
+    )
+    SELECT CAST(cell AS INTEGER) AS cell,
+           CAST(sum(1 - is_batch) AS BIGINT) AS n_stored,
+           CAST(sum(is_batch) AS BIGINT) AS n_batch,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN new_cell != cell THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST((1000 * sum(CASE WHEN new_cell != cell THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS move_milli
+    FROM j GROUP BY cell
+    """
         # embedding_outliers: same centroid replay, global BOTTOM-k of
         # the per-vec best dot — mirrors similarity.py:embedding_outliers
         emb_outliers_sql = f"""
@@ -6523,6 +6612,7 @@ def oracle_sql() -> dict[str, str]:
         # entry out (driver falls back to the rows-only check)
         ann_ivf_sql = None
         ivf_cells_sql = None
+        ivf_reassign_sql = None
         label_purity_sql = None
         ivf_protos_sql = None
         emb_outliers_sql = None
@@ -8821,6 +8911,8 @@ def oracle_sql() -> dict[str, str]:
         out["ann_ivf_topk"] = ann_ivf_sql
     if ivf_cells_sql is not None:
         out["ivf_cells"] = ivf_cells_sql
+    if ivf_reassign_sql is not None:
+        out["ivf_reassign"] = ivf_reassign_sql
     if label_purity_sql is not None:
         out["label_purity"] = label_purity_sql
     if semdedup_sql is not None:

@@ -104,6 +104,8 @@ from hbase_gis_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     cosine_topk_filtered,
     ivf_prototypes,
+    ivf_reassign_delta,
+    ivf_reassign_report,
     label_centroid_separation,
     mrl_truncation_report,
     embedding_outliers,

@@ -708,3 +708,85 @@ def test_mrl_truncation_report_hand_vectors(spark):
     assert got[1].min_cos_milli == 500
     assert got[1].mean_cos_milli == (600 + 500) // 2
     assert all(r.n_vecs == 2 for r in got.values())
+
+
+def test_ivf_reassign_report_hand_centroids(spark):
+    """Frozen quantizer {x-axis, y-axis}; retrained quantizer rotated
+    45 degrees — vectors near the diagonal MOVE, axis-aligned ones
+    stay split deterministically by the argmax tiebreak."""
+    from hbase_gis_spark.operators.similarity import ivf_reassign_report
+
+    frozen = np.array([[1.0, 0.0], [0.0, 1.0]])
+    s = 1 / np.sqrt(2.0)
+    retrained = np.array([[s, s], [s, -s]])
+    stored = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.1, 1.0]), (3, [0.9, 0.8])],
+        "vec_id bigint, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(4, [0.05, 1.2]), (5, [1.2, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r.cell: (r.n_stored, r.n_batch, r.n_total, r.n_moved, r.move_milli)
+        for r in ivf_reassign_report(
+            stored, batch, frozen, retrained, use_arrow=False
+        ).collect()
+    }
+    # frozen cell 0 (x-dominant): ids 1, 3, 5. retrained cells: all
+    # land in cell 0 ([s,s] wins for non-negative x~y and 1-heavy
+    # vectors) -> moved 0. frozen cell 1 (y-dominant): ids 2, 4 ->
+    # retrained cell 0 too (y-heavy vectors dot [s,s] > [s,-s]) ->
+    # both MOVE (cell 1 -> 0).
+    assert got == {0: (2, 1, 3, 0, 0), 1: (1, 1, 2, 2, 1000)}
+
+
+def test_ivf_reassign_delta_changed_rows_and_bucketed_plan(spark):
+    """Delta = exactly the rows whose retrained cell differs from the
+    catalog cell; with catalog and vectors as co-bucketed tables the
+    join plans Exchange-free (the dedup_incremental catalog
+    discipline applied to the stored-ANN arc)."""
+    from hbase_gis_spark.operators.similarity import (
+        ivf_cell_expr,
+        ivf_reassign_delta,
+        train_ivf_centroids,
+    )
+    from hbase_gis_spark.sources.bucketed import write_bucketed_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF0001, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    frozen = train_ivf_centroids(
+        emb.filter(F.col("vec_id") % 5 != 0), 16, train_rows=4096, seed=13
+    )
+    retrained = train_ivf_centroids(emb, 16, train_rows=4096, seed=13)
+    catalog = emb.select(
+        "vec_id", ivf_cell_expr(F.col("embedding"), frozen).alias("ivf_cell")
+    )
+    # expected delta from a plain (non-bucketed) computation
+    expect = {
+        (r.vec_id, r.old_cell, r.new_cell)
+        for r in ivf_reassign_delta(catalog, emb, retrained).collect()
+    }
+    assert expect  # the retrain moves SOMETHING on this data
+    write_bucketed_table(catalog, "bk_ivf_catalog", "vec_id", 8)
+    write_bucketed_table(emb, "bk_ivf_vectors", "vec_id", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        delta = ivf_reassign_delta(
+            spark.table("bk_ivf_catalog"),
+            spark.table("bk_ivf_vectors"),
+            retrained,
+        )
+        plan = delta._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        got = {
+            (r.vec_id, r.old_cell, r.new_cell) for r in delta.collect()
+        }
+        assert got == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_ivf_catalog")
+        spark.sql("DROP TABLE IF EXISTS bk_ivf_vectors")
