@@ -1251,11 +1251,20 @@ def dup_substring_spans(
     postings list into one task's sort group — and a boilerplate gram
     (license header, nav bar) occurring in 10M docs is precisely what
     span dedup exists to find; gram keys are md5-uniform in KEY SPACE
-    but per-key document frequency is unbounded. Windows cannot be
-    split; a skewed sort-merge-join partition CAN (AQE skew-join
-    splits the position side while replicating the single matching
-    verdict row). Then ONE doc-keyed window (runs) + ONE (doc, run)
-    aggregate, both per-doc bounded."""
+    but per-key document frequency is unbounded. With a bounded
+    dup-gram set the semi join plans as a BROADCAST probe (the
+    position stream never shuffles at all; a fact-scale verdict frame
+    falls back to a sort-merge join whose skewed partition AQE can
+    split). Measured on a purpose-built skewed fixture (round 8,
+    tools/bench_skew_ab.py; SCALE.md "The de-skew trade, measured"):
+    the window plan actually stays FASTER locally until the hot group
+    is tens of millions of rows (one in-memory Tungsten sort beats
+    the probe's second explode pass), then hits the single-task
+    memory cliff — 68M hot postings: 232.8 s spilling vs 148.0 s —
+    and past it no cluster size helps, while this plan's per-task
+    state stays map-side-bounded at any skew. Then ONE doc-keyed
+    window (runs) + ONE (doc, run) aggregate, both per-doc
+    bounded."""
     g = ngram_positions(df, id_col, text_col, n)
     dup_grams = (
         g.groupBy("gram")

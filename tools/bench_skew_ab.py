@@ -9,11 +9,14 @@ AQE-splittable join partition instead of one unsplittable window sort
 group — was asserted, never measured. This tool measures it on the
 data the trade was made for:
 
-- SKEWED fixture: ``pct_hot``% of docs carry the SAME 8-token
-  boilerplate block repeated ``reps`` times (license header / nav bar
-  shape — exactly what span dedup exists to find), so each of the 8
-  rotated grams lands ~``reps * pct_hot * n_docs / 100`` postings in
-  ONE window partition; the rest of each doc is corpus-unique filler.
+- SKEWED fixture: ``pct_hot``% of docs carry a run of ``hot_run``
+  REPEATED identical tokens (license-header / nav-bar boilerplate
+  collapsed to its worst case), so every one of the ``hot_run - 7``
+  gram positions per doc is the SAME single gram: ONE window
+  partition holds ``(hot_run-7) * pct_hot * n_docs / 100`` rows — the
+  unsplittable mega-group the de-skew was built for (at 20k docs /
+  hot_run 400 that is ~6.7M rows in one task's sort). The rest of
+  each doc is corpus-unique filler.
 - FLAT fixture: every doc shares a 40-token block with exactly ONE
   partner doc (pairwise duplication, max gram frequency 2 — the
   no-skew baseline where the round-6 window plan is at its best).
@@ -63,10 +66,12 @@ def _spans_from_anchors(anchors: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def plan_window(df: DataFrame) -> DataFrame:
+def plan_window(df: DataFrame, stage: str = "full") -> DataFrame:
     """Round-6 shape (git 05692ad dedup.py:1206): cross-doc verdict as
     min/max over Window.partitionBy(gram) — a hot gram's whole
-    postings list is ONE unsplittable sort group."""
+    postings list is ONE unsplittable sort group. ``stage='anchors'``
+    stops at the contested verdict stage (the downstream span
+    assembly is IDENTICAL in both plans and would dilute the A/B)."""
     g = ngram_positions(df, "doc_id", "text", N)
     gw = Window.partitionBy("gram")
     anchors = (
@@ -76,13 +81,18 @@ def plan_window(df: DataFrame) -> DataFrame:
         .filter(F.col("__dup"))
         .select("doc_id", "pos")
     )
+    if stage == "anchors":
+        return anchors
     return _spans_from_anchors(anchors, "doc_id")
 
 
-def plan_groupby(df: DataFrame) -> DataFrame:
+def plan_groupby(df: DataFrame, stage: str = "full") -> DataFrame:
     """Round-7 shape (current dup_substring_spans): groupBy(gram)
     partial aggregate (map-side combine) + left-semi join back — a hot
-    gram becomes an AQE-splittable join partition."""
+    gram becomes an AQE-splittable join partition (and with a small
+    dup-gram set, a broadcast probe with NO shuffle of the positions
+    at all); the position stream is deliberately recomputed rather
+    than persisted (the 100 TB no-double-storage rule)."""
     g = ngram_positions(df, "doc_id", "text", N)
     dup_grams = (
         g.groupBy("gram")
@@ -91,16 +101,17 @@ def plan_groupby(df: DataFrame) -> DataFrame:
         .select("gram")
     )
     anchors = g.join(dup_grams, "gram", "leftsemi").select("doc_id", "pos")
+    if stage == "anchors":
+        return anchors
     return _spans_from_anchors(anchors, "doc_id")
 
 
-def make_skewed(spark: SparkSession, n_docs: int, reps: int = 24,
+def make_skewed(spark: SparkSession, n_docs: int, hot_run: int = 400,
                 pct_hot: int = 85) -> DataFrame:
-    """pct_hot% of docs: the SAME 8-token block repeated ``reps``
-    times + 40 unique filler tokens; the rest all-unique."""
-    boiler = " ".join(
-        " ".join(f"hot{j}" for j in range(8)) for _ in range(reps)
-    )
+    """pct_hot% of docs: a run of ``hot_run`` identical tokens (every
+    gram position is ONE shared gram) + 40 unique filler tokens; the
+    rest all-unique."""
+    boiler = " ".join("hot" for _ in range(hot_run))
     return spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.when(
@@ -123,7 +134,7 @@ def make_skewed(spark: SparkSession, n_docs: int, reps: int = 24,
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.sequence(F.lit(1), F.lit(40 + 8 * reps)),
+                    F.sequence(F.lit(1), F.lit(40 + hot_run)),
                     lambda i: F.concat(
                         F.lit("u"), F.col("id"), F.lit("x"), i
                     ),
@@ -164,18 +175,83 @@ def make_flat(spark: SparkSession, n_docs: int) -> DataFrame:
     )
 
 
-def run_once(plan, df: DataFrame) -> tuple[float, tuple]:
+def run_once(plan, df: DataFrame, stage: str = "full") -> tuple[float, tuple]:
     t0 = time.perf_counter()
-    row = plan(df).agg(
+    out = plan(df, stage)
+    agg_col = "span_len" if stage == "full" else "pos"
+    row = out.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("span_len"), F.lit(0)).alias("tok"),
+        F.coalesce(F.sum(agg_col), F.lit(0)).alias("chk"),
     ).collect()[0]
-    return time.perf_counter() - t0, (row["n"], row["tok"])
+    return time.perf_counter() - t0, (row["n"], row["chk"])
+
+
+def _session(cores: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def sweep(n_docs: int, hot_run: int, cores_list: list[int],
+          rounds: int = 2) -> dict:
+    """Amdahl probe: the de-skew's 100-TB argument is that the window
+    plan's wall-clock has an IRREDUCIBLE serial term — one task sorts
+    the whole hot-gram group no matter how many cores exist — while
+    the groupBy plan is parallel all the way down. Locally the window
+    plan can still WIN on totals (a single in-memory sort of 17M rows
+    is cheaper than the groupBy plan's second explode pass, measured
+    below), so the honest demonstration is the SCALING CURVE, not one
+    wall-clock: time both plans on the same skewed fixture at several
+    core counts (plans interleaved inside each JVM), fit
+    t(c) = s + p/c through the end points, and report each plan's
+    serial seconds ``s``. The window plan's s IS the hot-group sort;
+    extrapolated to a 1000-core cluster it is the job's floor, while
+    the groupBy plan's floor is ~0."""
+    out: dict = {"cores": {}, "n_docs": n_docs, "hot_run": hot_run}
+    for cores in cores_list:
+        spark = _session(cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        df = make_skewed(spark, n_docs, hot_run=hot_run).cache()
+        df.count()
+        res = {"window": [], "groupby": []}
+        for _ in range(rounds):
+            for pname, plan in (
+                ("window", plan_window),
+                ("groupby", plan_groupby),
+            ):
+                # time the contested verdict stage only — the span
+                # assembly downstream is identical in both plans
+                sec, _ = run_once(plan, df, stage="anchors")
+                res[pname].append(round(sec, 4))
+        out["cores"][cores] = {p: min(v) for p, v in res.items()}
+        spark.stop()
+    lo, hi = min(cores_list), max(cores_list)
+    if lo != hi:
+        for p in ("window", "groupby"):
+            tlo, thi = out["cores"][lo][p], out["cores"][hi][p]
+            par = (tlo - thi) / (1.0 / lo - 1.0 / hi)
+            serial = thi - par / hi
+            out[f"{p}_parallel_sec"] = round(par, 2)
+            out[f"{p}_serial_sec"] = round(serial, 2)
+    return out
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+        hot_run = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+        cores = [int(c) for c in (sys.argv[4].split(",")
+                                  if len(sys.argv) > 4 else [4, 16, 32])]
+        print(json.dumps(sweep(n_docs, hot_run, cores)))
+        return 0
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    hot_run = int(sys.argv[3]) if len(sys.argv) > 3 else 400
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -186,7 +262,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     fixtures = {
-        "skewed": make_skewed(spark, n_docs).cache(),
+        "skewed": make_skewed(spark, n_docs, hot_run=hot_run).cache(),
         "flat": make_flat(spark, n_docs).cache(),
     }
     for df in fixtures.values():
