@@ -1613,6 +1613,36 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition of the corpus_pipeline cascade (round-8
+    addition): where does the corpus shrink — raw → lang gate → exact
+    dedup → near-dup drop → per-source cap — the funnel chart a
+    curation run is steered by. Same stage compositions as
+    _q_corpus_pipeline (each already oracled on its own); counts via
+    operators.corpus.stage_funnel."""
+    from hbase_gis_spark.operators.corpus import stage_funnel
+    from hbase_gis_spark.operators.textstats import lang_id as _lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.withColumn("lang_pred", _lang_id("text")).filter(
+        F.col("lang_pred") != "und"
+    )
+    ex = dedup_exact(gated)
+    pairs = minhash_lsh_pairs(ex, n=JACCARD_N, threshold=JACCARD_T)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    nd = ex.join(drop, "doc_id", "left_anti")
+    capped = domain_cap(nd, cap=PIPE_CAP)
+    return stage_funnel(
+        [
+            ("raw", docs),
+            ("lang_gate", gated),
+            ("exact_dedup", ex),
+            ("near_dedup", nd),
+            ("domain_cap", capped),
+        ]
+    )
+
+
 ATTR_LOOKBACK = "24 hours"
 
 
@@ -2110,6 +2140,34 @@ def _q_ivf_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, IVF_NLIST, train_rows=IVF_TRAIN_ROWS, seed=ANN_SEED
     )
     return ivf_reassign_report(stored, batch, frozen, retrained)
+
+
+def _q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe tuning curve (round-8 addition): recall@nprobe of the
+    query's exact top-k for EVERY nprobe in 1..nlist from one
+    assignment pass — the chart that picks nprobe against the
+    ~nprobe/nlist scan-cost line. Same frozen centroids as the IVF
+    retrieval family (deterministic given ANN_SEED)."""
+    from hbase_gis_spark.operators.similarity import (
+        ivf_nprobe_recall_curve,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(
+        emb, IVF_NLIST, train_rows=IVF_TRAIN_ROWS, seed=ANN_SEED
+    )
+    return ivf_nprobe_recall_curve(emb, ANN_QUERY_ID, ANN_K, C)
+
+
+def _q_token_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token entropy rate (round-8 addition): unigram entropy
+    vs bigram conditional entropy in milli-nats - the predictability
+    gap a data-mixing decision reads (template-heavy corpora show a
+    large gap)."""
+    from hbase_gis_spark.operators.textstats import token_entropy_rate
+
+    return token_entropy_rate(load_table(spark, sf_dir, "documents"))
 
 
 def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5502,6 +5560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_top10": _q_knn,
         # --- round-8 additions (behind the window; enter round 9)
         "ivf_reassign": _q_ivf_reassign,
+        "ivf_nprobe_curve": _q_ivf_nprobe_curve,
+        "curation_funnel": _q_curation_funnel,
+        "token_entropy_rate": _q_token_entropy_rate,
     }
 
 
@@ -6343,6 +6404,54 @@ def oracle_sql() -> dict[str, str]:
                 // count(*) AS BIGINT) AS move_milli
     FROM j GROUP BY cell
     """
+        # ivf_nprobe_curve: same centroid replay; probe order = numpy
+        # argsort of centroid-vs-query dots (ties impossible on this
+        # data, argsort is stable anyway); exact top-k CTE + cell
+        # argmax + the bounded nprobe grid — mirrors
+        # similarity.py:ivf_nprobe_recall_curve
+        porder = [int(j) for j in np.argsort(-(C @ qn))]
+        prank_rows = ",\n      ".join(
+            f"({c}, {r})" for r, c in enumerate(porder)
+        )
+        ivf_nprobe_curve_sql = f"""
+    WITH cents(ci, cv) AS (VALUES
+      {cent_rows}),
+    ranks(cell, probe_rank) AS (VALUES
+      {prank_rows}),
+    q AS (SELECT embedding AS qv FROM embeddings
+          WHERE vec_id = {ANN_QUERY_ID}),
+    topk AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, {_cos('e.embedding', 'qv')} AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != {ANN_QUERY_ID}
+      ) ORDER BY cosine DESC, vec_id ASC LIMIT {ANN_K}
+    ),
+    dots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e JOIN topk USING (vec_id) CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, ci AS cell FROM (
+        SELECT vec_id, ci,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    hits AS (
+      SELECT r.probe_rank FROM cells c JOIN ranks r ON c.cell = r.cell
+    ),
+    grid AS (SELECT CAST(range AS INTEGER) AS nprobe
+             FROM range(1, {IVF_NLIST} + 1))
+    SELECT g.nprobe,
+           CAST(count(h.probe_rank) AS BIGINT) AS n_hits,
+           CAST((1000 * count(h.probe_rank)) // {ANN_K} AS BIGINT)
+             AS recall_milli
+    FROM grid g LEFT JOIN hits h ON h.probe_rank < g.nprobe
+    GROUP BY g.nprobe
+    """
         # embedding_outliers: same centroid replay, global BOTTOM-k of
         # the per-vec best dot — mirrors similarity.py:embedding_outliers
         emb_outliers_sql = f"""
@@ -6613,6 +6722,7 @@ def oracle_sql() -> dict[str, str]:
         ann_ivf_sql = None
         ivf_cells_sql = None
         ivf_reassign_sql = None
+        ivf_nprobe_curve_sql = None
         label_purity_sql = None
         ivf_protos_sql = None
         emb_outliers_sql = None
@@ -7042,6 +7152,36 @@ def oracle_sql() -> dict[str, str]:
       FROM capped
     )
     """
+    # curation_funnel: the SAME stage CTEs, reduced to per-stage counts
+    # with dropped/kept-milli derived on the |stages|-row dim — mirrors
+    # operators/corpus.py:stage_funnel over _q_curation_funnel's stages
+    head = corpus_pipeline_sql[
+        : corpus_pipeline_sql.rfind(
+            "SELECT doc_id, lang_pred, source,\n           CASE"
+        )
+    ]
+    curation_funnel_sql = (
+        head
+        + f""", counts AS (
+      SELECT 0 AS stage_idx, 'raw' AS stage,
+             (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+      UNION ALL SELECT 1, 'lang_gate',
+             (SELECT CAST(count(*) AS BIGINT) FROM gated)
+      UNION ALL SELECT 2, 'exact_dedup',
+             (SELECT CAST(count(*) AS BIGINT) FROM ex)
+      UNION ALL SELECT 3, 'near_dedup',
+             (SELECT CAST(count(*) AS BIGINT) FROM nd)
+      UNION ALL SELECT 4, 'domain_cap',
+             (SELECT CAST(count(*) AS BIGINT) FROM capped)
+    )
+    SELECT CAST(c.stage_idx AS INTEGER) AS stage_idx, c.stage, c.n_docs,
+           CAST(coalesce(p.n_docs - c.n_docs, 0) AS BIGINT) AS dropped,
+           CAST((1000 * c.n_docs)
+                // nullif((SELECT n_docs FROM counts WHERE stage_idx = 0),
+                          0) AS BIGINT) AS kept_milli
+    FROM counts c LEFT JOIN counts p ON p.stage_idx = c.stage_idx - 1
+    """
+    )
     # bpe_learned_counts: replay the bounded-vocab trainer in python on
     # the oracle's parquet (IVF/PQ discipline), embed the per-word token
     # counts as a literal dim, and let SQL do the corpus-side join+agg
@@ -7324,6 +7464,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": jaccard_sql,
         "dedup_incremental": dedup_incremental_sql,
         "corpus_pipeline": corpus_pipeline_sql,
+        "curation_funnel": curation_funnel_sql,
         "knn_multi": knn_multi_sql,
         "trajectory_similarity": trajectory_sql,
         "od_flows": od_flows_sql,
@@ -8913,6 +9054,8 @@ def oracle_sql() -> dict[str, str]:
         out["ivf_cells"] = ivf_cells_sql
     if ivf_reassign_sql is not None:
         out["ivf_reassign"] = ivf_reassign_sql
+    if ivf_nprobe_curve_sql is not None:
+        out["ivf_nprobe_curve"] = ivf_nprobe_curve_sql
     if label_purity_sql is not None:
         out["label_purity"] = label_purity_sql
     if semdedup_sql is not None:
@@ -10150,6 +10293,46 @@ def oracle_sql() -> dict[str, str]:
            CAST(CASE WHEN 1000 * deviation > {MAD_K_MILLI} * md
                      THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
     FROM dev CROSS JOIN mad
+    """
+
+    out["token_entropy_rate"] = f"""
+    WITH t AS (SELECT {toks} AS w FROM documents),
+    uni AS (
+      SELECT x AS w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(w) AS x FROM t) GROUP BY 1
+    ),
+    t1 AS (SELECT CAST(sum(n) AS BIGINT) AS tt,
+                  CAST(count(*) AS BIGINT) AS v FROM uni),
+    h1 AS (
+      SELECT CAST(sum(n * CAST(round(1000 * ln(
+               CAST(tt AS DOUBLE) / CAST(n AS DOUBLE)), 0) AS BIGINT))
+             AS BIGINT) AS hw
+      FROM uni CROSS JOIN t1
+    ),
+    bg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n2
+      FROM (SELECT unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1])) AS g FROM t)
+      GROUP BY 1
+    ),
+    t2 AS (SELECT CAST(sum(n2) AS BIGINT) AS tt2,
+                  CAST(count(*) AS BIGINT) AS v2 FROM bg),
+    ctx AS (
+      SELECT split_part(g, ' ', 1) AS w1,
+             CAST(sum(n2) AS BIGINT) AS c1
+      FROM bg GROUP BY 1
+    ),
+    hc AS (
+      SELECT CAST(sum(b.n2 * CAST(round(1000 * ln(
+               CAST(c.c1 AS DOUBLE) / CAST(b.n2 AS DOUBLE)), 0)
+               AS BIGINT)) AS BIGINT) AS hw2
+      FROM bg b JOIN ctx c ON split_part(b.g, ' ', 1) = c.w1
+    )
+    SELECT t1.tt AS n_tokens, t1.v AS vocab,
+           t2.tt2 AS n_bigrams, t2.v2 AS bigram_vocab,
+           CAST(h1.hw // nullif(t1.tt, 0) AS BIGINT) AS h_unigram_milli,
+           CAST(hc.hw2 // nullif(t2.tt2, 0) AS BIGINT) AS h_cond_milli
+    FROM t1 CROSS JOIN t2 CROSS JOIN h1 CROSS JOIN hc
     """
 
     out["collocations_pmi"] = f"""

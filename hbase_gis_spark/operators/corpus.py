@@ -1039,3 +1039,55 @@ def target_encoding_loo(
             ).alias("enc_micro"),
         )
     )
+
+
+def stage_funnel(
+    stages: list[tuple[str, DataFrame]],
+) -> DataFrame:
+    """Per-stage ATTRITION report for a filter cascade — the
+    data-curation funnel chart: each ``(name, frame)`` is a stage's
+    SURVIVOR set (already composed in order, e.g. raw → lang gate →
+    exact dedup → near dedup → cap), and the report shows where the
+    corpus shrinks: (stage_idx, stage, n_docs, dropped = previous
+    stage's count − this one's, kept_milli = (1000·n_docs) div
+    raw_count — non-negative, truncate == floor in both engines;
+    NULL when the raw set is empty, the nullif discipline).
+
+    Scale shape: one COUNT aggregate per stage (map-side, 1 row out),
+    unioned into a |stages|-row dim; dropped/kept come from equi/
+    broadcast joins on that dim. Earlier stages are re-evaluated
+    inside later counts (stage k costs k pipeline evaluations) —
+    deliberate: the replay-over-persist rule (a persisted fact-scale
+    intermediate is double storage at 100 TB) at a depth bounded by
+    the CASCADE length, which is a configuration constant (~5), not
+    a data quantity."""
+    counts = None
+    for i, (name, df) in enumerate(stages):
+        c = df.agg(F.count(F.lit(1)).alias("__n")).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("__n").cast("bigint").alias("n_docs"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    prev = counts.select(
+        (F.col("stage_idx") + 1).alias("stage_idx"),
+        F.col("n_docs").alias("__prev_n"),
+    )
+    raw = counts.filter(F.col("stage_idx") == 0).select(
+        F.col("n_docs").alias("__n0")
+    )
+    return (
+        counts.join(F.broadcast(prev), "stage_idx", "left")
+        .crossJoin(F.broadcast(raw))
+        .select(
+            "stage_idx",
+            "stage",
+            "n_docs",
+            F.coalesce(F.col("__prev_n") - F.col("n_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("dropped"),
+            F.expr(
+                "CAST((1000 * n_docs) div nullif(__n0, 0) AS BIGINT)"
+            ).alias("kept_milli"),
+        )
+    )

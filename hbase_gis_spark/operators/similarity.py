@@ -1251,6 +1251,79 @@ def append_ivf_table(
     )
 
 
+def ivf_nprobe_recall_curve(
+    df: DataFrame,
+    query_id: int,
+    k: int,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """The nprobe TUNING CURVE for an IVF index: for every nprobe in
+    1..nlist, how much of the query's EXACT top-k an
+    ``ann_ivf_topk``-style probe would recover — the one chart an
+    index operator reads before picking nprobe (recall@nprobe vs the
+    ~nprobe/nlist scan-cost line). ``ann_recall_report`` audits many
+    queries at ONE nprobe; this sweeps every nprobe for one query
+    from a single assignment pass, with zero extra scans per point:
+    a probe at nprobe covers exactly the cells whose centroid-dot
+    rank against the query is below nprobe, so a true neighbor is
+    recovered iff rank(its cell) < nprobe — monotone in nprobe by
+    construction.
+
+    Output: nlist rows (nprobe INT, n_hits, recall_milli =
+    (1000·n_hits) div k — non-negative, truncate == floor both
+    engines).
+
+    Scale shape: ONE exact top-k (per-partition heap, broadcast
+    1-row query), cell assignment on k rows, a broadcast join to the
+    nlist-row probe-rank dim, one |k·nlist|-bounded grid aggregate —
+    everything after the top-k is constant-sized regardless of the
+    table."""
+    spark = df.sparkSession
+    nlist = len(centroids)
+    qrow = (
+        df.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    )
+    q = np.asarray(qrow[0][0], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe_order = [int(j) for j in np.argsort(-(centroids @ qn))]
+    ranks = spark.createDataFrame(
+        [(int(c), int(r)) for r, c in enumerate(probe_order)],
+        "cell int, probe_rank int",
+    )
+    top = cosine_topk(df, query_id, k, id_col=id_col, vec_col=vec_col)
+    hits = (
+        df.join(top.select(id_col), id_col, "leftsemi")
+        .select(
+            ivf_cell_expr(
+                F.col(vec_col), centroids, use_arrow=use_arrow
+            ).alias("cell")
+        )
+        .join(F.broadcast(ranks), "cell")
+    )
+    grid = spark.range(1, nlist + 1).select(
+        F.col("id").cast("int").alias("nprobe")
+    )
+    return (
+        grid.join(
+            F.broadcast(hits), F.col("probe_rank") < F.col("nprobe"), "left"
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.col("probe_rank")).cast("bigint").alias("n_hits")
+        )
+        .select(
+            "nprobe",
+            "n_hits",
+            F.expr(f"CAST((1000 * n_hits) div {k} AS BIGINT)").alias(
+                "recall_milli"
+            ),
+        )
+    )
+
+
 def ivf_reassign_report(
     stored: DataFrame,
     batch: DataFrame,

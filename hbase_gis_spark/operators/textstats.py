@@ -1621,3 +1621,113 @@ def heaps_law_fit(
             9,
         ).alias("intercept"),
     )
+
+
+def token_entropy_rate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level token ENTROPY RATE: unigram entropy H(w) and the
+    bigram conditional entropy H(w2 | w1) — the language-modeling
+    predictability signal (a boilerplate-heavy or template corpus
+    shows a large H(w) − H(w2|w1) gap: the next token is much easier
+    given context; a decontaminated natural corpus keeps the gap
+    moderate). The pair complements ``collocations_pmi`` (which ranks
+    individual pairs) with the corpus-wide number a data-mixing
+    decision reads.
+
+    Engine-exact by the behavior_entropy / idf_milli ln discipline:
+    every count is a BIGINT; per unigram cell the only float is ONE
+    rounded ``1000·ln(T1/c)``, per bigram cell ONE rounded
+    ``1000·ln(c1(w1)/c(w1,w2))`` (the conditional form — context
+    marginal over bigram slots, never mixing the two totals); weights
+    fold as exact BIGINTs and the final division is a truncating
+    ``div`` of non-negative integers (== floor in both engines).
+
+    Output: 1 row (n_tokens, vocab, n_bigrams, bigram_vocab,
+    h_unigram_milli, h_cond_milli — milli-nats; NULL on an empty
+    corpus, the nullif discipline).
+
+    Scale shape: one unigram explode + one bigram explode, each
+    collapsed by a content-keyed hash aggregate (map-side combined,
+    vocab-sized output); the context marginal is a second aggregate
+    OVER THE BIGRAM CELLS (vocab-sized, never the corpus) joined back
+    on w1 — a join, not a window, so a hot context word ("the") is an
+    AQE-splittable partition, per the round-7 content-key lesson;
+    totals are broadcast 1-row aggregates."""
+    from hbase_gis_spark.operators.dedup import _spread, tokens
+
+    w = tokens(text_col)
+    m = F.greatest(F.size(w) - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, 1, m), F.slice(w, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = _spread(df)
+    uni = (
+        base.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    t1 = uni.agg(
+        F.sum("__n").alias("__t1"),
+        F.count(F.lit(1)).alias("__v1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    h1 = (
+        uni.crossJoin(F.broadcast(t1))
+        .select(
+            (
+                F.col("__n")
+                * F.round(
+                    F.lit(1000.0) * F.log(d("__t1") / d("__n")), 0
+                ).cast("bigint")
+            ).alias("__w")
+        )
+        .agg(F.sum("__w").alias("__hw1"))
+    )
+    cells = (
+        base.select(F.explode(bg).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__n2"))
+    )
+    t2 = cells.agg(
+        F.sum("__n2").alias("__t2"),
+        F.count(F.lit(1)).alias("__v2"),
+    )
+    ctx = (
+        cells.select(
+            F.substring_index("g", " ", 1).alias("__w1"), "__n2"
+        )
+        .groupBy("__w1")
+        .agg(F.sum("__n2").alias("__c1"))
+    )
+    hc = (
+        cells.select(
+            F.substring_index("g", " ", 1).alias("__w1"), "__n2"
+        )
+        .join(ctx, "__w1")
+        .select(
+            (
+                F.col("__n2")
+                * F.round(
+                    F.lit(1000.0) * F.log(d("__c1") / d("__n2")), 0
+                ).cast("bigint")
+            ).alias("__w")
+        )
+        .agg(F.sum("__w").alias("__hw2"))
+    )
+    return (
+        t1.crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(h1))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            F.col("__t1").cast("bigint").alias("n_tokens"),
+            F.col("__v1").cast("bigint").alias("vocab"),
+            F.col("__t2").cast("bigint").alias("n_bigrams"),
+            F.col("__v2").cast("bigint").alias("bigram_vocab"),
+            F.expr(
+                "CAST(__hw1 div nullif(__t1, 0) AS BIGINT)"
+            ).alias("h_unigram_milli"),
+            F.expr(
+                "CAST(__hw2 div nullif(__t2, 0) AS BIGINT)"
+            ).alias("h_cond_milli"),
+        )
+    )

@@ -476,3 +476,27 @@ def test_l_diversity_homogeneity_attack(spark):
     assert kan == {"g3"}  # k-anonymity alone misses g1
     assert set(ldiv) == {"g1", "g3"}
     assert ldiv["g1"] == (10, 1)
+
+
+def test_stage_funnel_attrition_counts(spark):
+    """Funnel rows carry (count, dropped-from-previous, kept share of
+    raw); NULL-safe on an empty raw set."""
+    from hbase_gis_spark.operators.corpus import stage_funnel
+
+    raw = spark.range(100).select(F.col("id").alias("doc_id"))
+    s1 = raw.filter(F.col("doc_id") % 2 == 0)   # 50
+    s2 = s1.filter(F.col("doc_id") % 10 == 0)   # 10
+    got = {
+        r.stage_idx: (r.stage, r.n_docs, r.dropped, r.kept_milli)
+        for r in stage_funnel(
+            [("raw", raw), ("even", s1), ("tens", s2)]
+        ).collect()
+    }
+    assert got == {
+        0: ("raw", 100, 0, 1000),
+        1: ("even", 50, 50, 500),
+        2: ("tens", 10, 40, 100),
+    }
+    empty = raw.filter(F.lit(False))
+    rows = stage_funnel([("raw", empty), ("s", empty)]).collect()
+    assert all(r.kept_milli is None for r in rows)

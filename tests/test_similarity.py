@@ -790,3 +790,28 @@ def test_ivf_reassign_delta_changed_rows_and_bucketed_plan(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_ivf_catalog")
         spark.sql("DROP TABLE IF EXISTS bk_ivf_vectors")
+
+
+def test_ivf_nprobe_recall_curve_monotone_and_complete(emb):
+    """recall@nprobe is monotone non-decreasing by construction and
+    reaches exactly k hits at nprobe = nlist (every cell probed);
+    the curve must also agree pointwise with ann_ivf_topk's recall
+    at the family's default nprobe."""
+    from hbase_gis_spark.operators.similarity import (
+        ivf_nprobe_recall_curve,
+        train_ivf_centroids,
+    )
+
+    C = train_ivf_centroids(emb, 16, train_rows=4096, seed=13)
+    rows = {
+        r.nprobe: (r.n_hits, r.recall_milli)
+        for r in ivf_nprobe_recall_curve(emb, 0, 10, C).collect()
+    }
+    assert set(rows) == set(range(1, 17))
+    hits = [rows[i][0] for i in range(1, 17)]
+    assert hits == sorted(hits)
+    assert rows[16] == (10, 1000)
+    # cross-check against the probe-based retrieval at nprobe=6
+    exact = {r.vec_id for r in cosine_topk(emb, 0, 10).collect()}
+    approx = {r.vec_id for r in ann_ivf_topk(emb, 0, 10).collect()}
+    assert rows[6][0] == len(exact & approx)

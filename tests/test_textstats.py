@@ -345,3 +345,19 @@ def test_bm25_integer_replay_and_length_norm(spark):
     assert scores[3] > scores[2]                # higher tf wins
     # saturation: tf=3 is NOT 3x the tf=1 score (k1 caps the growth)
     assert scores[3] < 3 * scores[2]
+
+
+def test_token_entropy_rate_hand_counts(spark):
+    """Hand-checkable corpus: unigrams a/b are 50/50 (H = ln 2), yet
+    the next token is fully determined by its context, so the
+    conditional entropy is exactly 0 — the template-corpus signature
+    the operator exists to expose."""
+    from hbase_gis_spark.operators.textstats import token_entropy_rate
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id bigint, text string"
+    )
+    r = token_entropy_rate(df).collect()[0]
+    assert (r.n_tokens, r.vocab, r.n_bigrams, r.bigram_vocab) == (6, 2, 4, 2)
+    assert r.h_unigram_milli == 693  # round(1000 * ln 2)
+    assert r.h_cond_milli == 0

@@ -80,6 +80,10 @@ BNLJ_SANCTIONED = {
     "time_to_purchase",  # broadcast 1-row percentile selection assembly
     "heaps_law",  # broadcast 1-row prefix-boundary dim onto two frames
     "daily_fano",  # inherits dense_daily_counts' spine x keys dim product
+    # --- round-8 additions
+    "ivf_nprobe_curve",  # nprobe grid x k-hit dim (nlist*k rows) + 1-row query
+    "token_entropy_rate",  # broadcast 1-row corpus totals onto vocab cells
+    "curation_funnel",  # broadcast 1-row raw count onto the |stages| dim
 }
 
 
