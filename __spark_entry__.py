@@ -2170,6 +2170,27 @@ def _q_token_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy_rate(load_table(spark, sf_dir, "documents"))
 
 
+def _q_changepoint_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type change-point location (round-8 addition): the
+    day where the CUSUM deviation peaks, with before/after daily
+    rates - WHEN the level shifted and by how much, answering
+    cusum_days' flag."""
+    from hbase_gis_spark.operators.timeseries import changepoint_days
+
+    ev = load_table(spark, sf_dir, "events")
+    return changepoint_days(ev, ts_us())
+
+
+def _q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity sweep (round-8 addition): pairs
+    surviving and docs dropped at every candidate cutoff - the
+    calibration table next to quality_dup_calibration."""
+    from hbase_gis_spark.operators.dedup import dedup_threshold_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_threshold_curve(docs, n=JACCARD_N)
+
+
 def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization audit (scale, integer content
     sums, max dequantization error)."""
@@ -5563,6 +5584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_nprobe_curve": _q_ivf_nprobe_curve,
         "curation_funnel": _q_curation_funnel,
         "token_entropy_rate": _q_token_entropy_rate,
+        "changepoint_days": _q_changepoint_days,
+        "dedup_threshold_curve": _q_dedup_threshold_curve,
     }
 
 
@@ -6012,6 +6035,39 @@ def oracle_sql() -> dict[str, str]:
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     ) WHERE jaccard >= {JACCARD_T}
     """
+    dedup_threshold_curve_sql = f"""
+    {shingles_cte.rstrip()},
+    p AS (
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CASE WHEN len(a.s) + len(b.s)
+                         - len(list_intersect(a.s, b.s)) > 0
+                    THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / CAST(len(a.s) + len(b.s)
+                                - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    ELSE 0.0 END AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.3
+    ),
+    grid AS (SELECT CAST(range AS BIGINT) AS t_milli
+             FROM range(300, 951, 50)),
+    pc AS (
+      SELECT g.t_milli, CAST(count(*) AS BIGINT) AS np
+      FROM grid g JOIN p ON p.jaccard * 1000 >= g.t_milli
+      GROUP BY 1
+    ),
+    md AS (SELECT id_b, max(jaccard) AS mj FROM p GROUP BY 1),
+    dc AS (
+      SELECT g.t_milli, CAST(count(*) AS BIGINT) AS nd
+      FROM grid g JOIN md ON md.mj * 1000 >= g.t_milli
+      GROUP BY 1
+    )
+    SELECT g.t_milli,
+           CAST(coalesce(pc.np, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(dc.nd, 0) AS BIGINT) AS n_docs_dropped
+    FROM grid g LEFT JOIN pc USING (t_milli) LEFT JOIN dc USING (t_milli)
+    """
+
     dedup_incremental_sql = f"""
     {shingles_cte.rstrip()},
     cat AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
@@ -7465,6 +7521,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": dedup_incremental_sql,
         "corpus_pipeline": corpus_pipeline_sql,
         "curation_funnel": curation_funnel_sql,
+        "dedup_threshold_curve": dedup_threshold_curve_sql,
         "knn_multi": knn_multi_sql,
         "trajectory_similarity": trajectory_sql,
         "od_flows": od_flows_sql,
@@ -9618,6 +9675,57 @@ def oracle_sql() -> dict[str, str]:
                           > {CUSUM_THRESHOLD_MILLI} * t.n * t.s
                 THEN 1 ELSE 0 END AS INTEGER) AS is_change
     FROM w JOIN tot t ON w.key = t.key
+    """
+
+    out["changepoint_days"] = f"""
+    WITH d AS (
+      SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n
+      FROM events GROUP BY key, day
+    ),
+    rng AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM rng),
+    keys AS (SELECT DISTINCT key FROM d),
+    dense AS (
+      SELECT s.day, k.key, CAST(coalesce(dd.n, 0) AS BIGINT) AS n_events
+      FROM spine s CROSS JOIN keys k
+      LEFT JOIN d dd ON s.day = dd.day AND k.key = dd.key
+    ),
+    tot AS (
+      SELECT key, CAST(sum(n_events) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM dense GROUP BY key
+    ),
+    w AS (
+      SELECT day, key, n_events,
+             CAST(sum(n_events) OVER (PARTITION BY key ORDER BY day)
+                  AS BIGINT) AS pre,
+             CAST(row_number() OVER (PARTITION BY key ORDER BY day)
+                  AS BIGINT) AS rn
+      FROM dense
+    ),
+    c AS (
+      SELECT w.key, w.day, w.pre, w.rn, t.n, t.s,
+             CAST(t.n * w.pre - w.rn * t.s AS BIGINT) AS cv
+      FROM w JOIN tot t ON w.key = t.key
+    ),
+    best AS (
+      SELECT key, day, pre, rn, n, s, cv FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY key ORDER BY abs(cv) DESC, day ASC) AS pick
+        FROM c
+      ) WHERE pick = 1
+    )
+    SELECT key AS event_type, n AS n_days, s AS n_total,
+           day AS cp_day, rn AS cp_index,
+           CAST(abs(cv) AS BIGINT) AS max_abs_cusum_scaled,
+           CAST((1000 * pre) // rn AS BIGINT) AS pre_rate_milli,
+           CAST((1000 * (s - pre)) // nullif(n - rn, 0) AS BIGINT)
+             AS post_rate_milli,
+           CAST(CAST((1000 * (s - pre)) // nullif(n - rn, 0) AS BIGINT)
+                - CAST((1000 * pre) // rn AS BIGINT) AS BIGINT)
+             AS shift_milli
+    FROM best
     """
 
     out["segment_dedup"] = f"""

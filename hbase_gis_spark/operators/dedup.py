@@ -2437,3 +2437,79 @@ def dedup_incremental_bucketed(
         incoming, cat_hash, cat_post, n, threshold, max_df,
         id_col, text_col,
     )
+
+
+def dedup_threshold_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_min_milli: int = 300,
+    t_max_milli: int = 950,
+    step_milli: int = 50,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Threshold SWEEP for near-dup removal — the calibration table
+    behind "which Jaccard cutoff do I ship": for every threshold in
+    the milli grid, how many exact n-gram Jaccard pairs survive and
+    how many documents a keep-first pass would DROP (a doc drops at
+    threshold t iff its max pair Jaccard ≥ t, so the drop count is a
+    per-doc max aggregate, not a per-threshold dedup). Pairs with
+    Jaccard below ``t_min_milli`` are never materialized — the grid's
+    left edge bounds the inverted-index verify exactly like the
+    single-threshold operator. Complements
+    :func:`quality_dup_calibration` (quality vs duplication) with the
+    dup-axis sensitivity curve.
+
+    Output: one row per grid threshold — (t_milli, n_pairs,
+    n_docs_dropped), zero-filled where nothing survives.
+
+    Scale shape: ONE :func:`jaccard_pairs` inverted-index pass at the
+    grid floor (the only fact-scale work, same Σdf² bound and
+    ``max_df`` guard); the sweep itself is a broadcast of the tiny
+    threshold dim over the PAIR frame (pairs ≥ floor — output-sized)
+    and over the per-doc max frame, then grid-keyed counts."""
+    spark = df.sparkSession
+    pairs = jaccard_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=t_min_milli / 1000.0,
+        max_df=max_df,
+    )
+    grid = spark.range(t_min_milli, t_max_milli + 1, step_milli).select(
+        F.col("id").cast("bigint").alias("t_milli")
+    )
+    pc = (
+        pairs.join(
+            F.broadcast(grid),
+            F.col("jaccard") * 1000.0 >= F.col("t_milli").cast("double"),
+        )
+        .groupBy("t_milli")
+        .agg(F.count(F.lit(1)).alias("__np"))
+    )
+    md = pairs.groupBy(F.col("id_b").alias("__doc")).agg(
+        F.max("jaccard").alias("__mj")
+    )
+    dc = (
+        md.join(
+            F.broadcast(grid),
+            F.col("__mj") * 1000.0 >= F.col("t_milli").cast("double"),
+        )
+        .groupBy("t_milli")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+    )
+    return (
+        grid.join(pc, "t_milli", "left")
+        .join(dc, "t_milli", "left")
+        .select(
+            "t_milli",
+            F.coalesce(F.col("__np"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.coalesce(F.col("__nd"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_dropped"),
+        )
+    )

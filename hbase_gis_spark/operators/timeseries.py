@@ -876,3 +876,93 @@ def daily_fano_factor(
             F.round(num.cast("double") / den.cast("double"), 9),
         ).alias("fano"),
     )
+
+
+def changepoint_days(
+    ev: DataFrame,
+    ts_us_col: Column,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per-key LEVEL-SHIFT LOCATION: the day where the CUSUM deviation
+    peaks — the single most likely change-point under the binary-
+    segmentation criterion — with the before/after daily rates, the
+    answer to :func:`cusum_days`' "something shifted" flag ("WHEN did
+    it shift, from WHAT rate to WHAT rate"). argmax_k |C_k| is the
+    first-split statistic of binary segmentation (Scott & Knott), and
+    for a single sustained shift it is the maximum-likelihood split
+    day of a Poisson rate model.
+
+    Engine-exact integer core: the scaled statistic
+    ``N·prefix_k − k·S`` (BIGINT, the cusum_days form — no division),
+    argmax via the grouped min-of-struct top-1 over
+    ``(−|cusum|, day)`` (ties → earliest day; a partial aggregate,
+    never a per-key sort — the round-7 grouped-top-1 idiom);
+    before/after rates are truncating divs of non-negative BIGINTs
+    (== floor in both engines), with the post side nullif-guarded
+    (k = N only on an all-flat key, where the tie rule picks day 1
+    and keeps the guard dead — stated, not assumed).
+
+    Output: one row per key — (key, n_days, n_total, cp_day,
+    cp_index, max_abs_cusum_scaled, pre_rate_milli events/day·1000
+    through cp_day inclusive, post_rate_milli after it, shift_milli
+    = post − pre, signed).
+
+    Scale shape: inherits dense_daily_counts' ONE fact-table hash
+    aggregate; the prefix window and the argmax run over the
+    |days| x |keys| frame — calendar-bounded, thousands of rows at
+    any corpus size."""
+    d = dense_daily_counts(ev, ts_us_col, key_col)
+    totals = d.groupBy(key_col).agg(
+        F.sum("n_events").alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("day").asc())
+    staged = (
+        d.join(F.broadcast(totals), key_col)
+        .select(
+            key_col,
+            "day",
+            "__n",
+            "__s",
+            F.sum("n_events").over(w).alias("__pre"),
+            F.row_number().over(w).cast("bigint").alias("__k"),
+        )
+        .withColumn(
+            "__c", F.col("__n") * F.col("__pre") - F.col("__k") * F.col("__s")
+        )
+    )
+    best = staged.groupBy(key_col, "__n", "__s").agg(
+        F.min(
+            F.struct(
+                (-F.abs(F.col("__c"))).alias("__negabs"),
+                F.col("day").alias("__day"),
+                F.col("__c").alias("__cv"),
+                F.col("__pre").alias("__prefix"),
+                F.col("__k").alias("__kk"),
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        F.col(key_col),
+        F.col("__n").cast("bigint").alias("n_days"),
+        F.col("__s").cast("bigint").alias("n_total"),
+        F.col("__b.__day").cast("bigint").alias("cp_day"),
+        F.col("__b.__kk").cast("bigint").alias("cp_index"),
+        F.abs(F.col("__b.__cv")).cast("bigint").alias(
+            "max_abs_cusum_scaled"
+        ),
+        F.expr("CAST((1000 * __b.__prefix) div __b.__kk AS BIGINT)").alias(
+            "pre_rate_milli"
+        ),
+        F.expr(
+            "CAST((1000 * (__s - __b.__prefix))"
+            " div nullif(__n - __b.__kk, 0) AS BIGINT)"
+        ).alias("post_rate_milli"),
+        (
+            F.expr(
+                "CAST((1000 * (__s - __b.__prefix))"
+                " div nullif(__n - __b.__kk, 0) AS BIGINT)"
+            )
+            - F.expr("CAST((1000 * __b.__prefix) div __b.__kk AS BIGINT)")
+        ).alias("shift_milli"),
+    )

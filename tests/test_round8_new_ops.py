@@ -1,0 +1,95 @@
+"""Round-8 operator additions: IVF maintenance, curation funnel,
+entropy rate, change-point location, dedup threshold sweep."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_changepoint_days_level_shift(spark):
+    """10 days at rate 2 then 10 days at rate 8: the CUSUM peak sits
+    on the last low day, the rates bracket the shift exactly."""
+    from datetime import datetime, timedelta
+
+    from hbase_gis_spark.operators.timeseries import changepoint_days
+
+    base = datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(20):
+        rate = 2 if day < 10 else 8
+        for j in range(rate):
+            rows.append((eid, base + timedelta(days=day, hours=j), "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string"
+    )
+    r = changepoint_days(ev, F.unix_micros(F.col("ts"))).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.n_days, row.n_total, row.cp_index) == (20, 100, 10)
+    # through day 10: 20 events / 10 days = 2000 milli; after: 80/10
+    assert (row.pre_rate_milli, row.post_rate_milli) == (2000, 8000)
+    assert row.shift_milli == 6000
+    # scaled statistic at k=10: N*prefix - k*S = 20*20 - 10*100 = -600
+    assert row.max_abs_cusum_scaled == 600
+
+
+def test_changepoint_days_flat_series_ties_to_first_day(spark):
+    """An all-flat key has cusum 0 everywhere; the tie rule must pick
+    the EARLIEST day (keeping the post-side guard dead for N > 1)."""
+    from datetime import datetime, timedelta
+
+    from hbase_gis_spark.operators.timeseries import changepoint_days
+
+    base = datetime(2026, 1, 1)
+    rows = [
+        (d * 3 + j, base + timedelta(days=d, hours=j), "view")
+        for d in range(5)
+        for j in range(3)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string"
+    )
+    row = changepoint_days(ev, F.unix_micros(F.col("ts"))).collect()[0]
+    assert row.cp_index == 1 and row.max_abs_cusum_scaled == 0
+    assert row.pre_rate_milli == 3000 and row.post_rate_milli == 3000
+
+
+def test_dedup_threshold_curve_monotone_and_exact(spark):
+    """Counts are non-increasing in the threshold and agree with a
+    brute-force pair enumeration at every grid point."""
+    from itertools import combinations
+
+    from hbase_gis_spark.operators.dedup import dedup_threshold_curve
+
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),   # high overlap with 1
+        (3, "a b c d q r s t"),   # medium overlap with 1/2
+        (4, "z y x w v u t q"),   # low overlap
+        (5, "m n o p m n o p"),   # disjoint from all
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def shingles(t, n=3):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    exact = {}
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 0.0
+        if j >= 0.3:
+            exact[(ia, ib)] = j
+    got = {
+        r.t_milli: (r.n_pairs, r.n_docs_dropped)
+        for r in dedup_threshold_curve(df).collect()
+    }
+    assert set(got) == set(range(300, 951, 50))
+    for t in got:
+        pairs_t = {k: v for k, v in exact.items() if v * 1000 >= t}
+        dropped = {b for (_, b) in pairs_t}
+        assert got[t] == (len(pairs_t), len(dropped)), t
+    np_seq = [got[t][0] for t in sorted(got)]
+    assert np_seq == sorted(np_seq, reverse=True)

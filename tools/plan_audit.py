@@ -84,6 +84,8 @@ BNLJ_SANCTIONED = {
     "ivf_nprobe_curve",  # nprobe grid x k-hit dim (nlist*k rows) + 1-row query
     "token_entropy_rate",  # broadcast 1-row corpus totals onto vocab cells
     "curation_funnel",  # broadcast 1-row raw count onto the |stages| dim
+    "changepoint_days",  # inherits dense_daily_counts' spine x keys dim product
+    "dedup_threshold_curve",  # broadcast threshold grid over the pair frame
 }
 
 
