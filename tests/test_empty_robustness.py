@@ -29,11 +29,16 @@ NEEDS_DATA = {
     "pca_project",
     "ivf_prototypes",
     "embedding_outliers",
+    # round-8: both IVF maintenance queries train quantizers
+    "ivf_reassign",
+    "ivf_nprobe_curve",
 }
 # report-shaped queries emit one row per configured step/level even on
 # empty input (a funnel report always has k rows, with zero counts;
 # a table profile always has one row per profiled column)
 FIXED_SHAPE = {
+    "curation_funnel": 5,  # one row per cascade stage, zero counts
+    "dedup_threshold_curve": 14,  # the threshold grid always exists
     "funnel_counts": 4,
     "table_profile": 5,
     "dataset_card": 7,
