@@ -2191,6 +2191,16 @@ def _q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_threshold_curve(docs, n=JACCARD_N)
 
 
+def _q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency audit (round-8 addition): per-shard
+    sequence counts, tail padding, and boundary-straddling docs for
+    the pack_sequences plan."""
+    from hbase_gis_spark.operators.textstats import packing_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_stats(docs, PACK_SEQ_LEN, n_shards=PACK_SHARDS)
+
+
 def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization audit (scale, integer content
     sums, max dequantization error)."""
@@ -5586,6 +5596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy_rate": _q_token_entropy_rate,
         "changepoint_days": _q_changepoint_days,
         "dedup_threshold_curve": _q_dedup_threshold_curve,
+        "packing_stats": _q_packing_stats,
     }
 
 
@@ -6023,6 +6034,38 @@ def oracle_sql() -> dict[str, str]:
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              // {PACK_SEQ_LEN} AS BIGINT) AS seq_idx
     FROM t
+    """
+    packing_stats_sql = f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             CAST(len({toks}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    plan AS (
+      SELECT doc_id, shard, n_tok,
+             CAST(COALESCE(sum(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_start
+      FROM t
+    ),
+    x AS (
+      SELECT shard, n_tok,
+             CASE WHEN n_tok > 0
+                  THEN (tok_start + n_tok - 1) // {PACK_SEQ_LEN}
+                       - tok_start // {PACK_SEQ_LEN}
+                  ELSE 0 END AS nx
+      FROM plan
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST((sum(n_tok) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN}
+                AS BIGINT) AS n_seqs,
+           CAST(((sum(n_tok) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN})
+                * {PACK_SEQ_LEN} - sum(n_tok) AS BIGINT) AS tail_waste,
+           CAST(sum(CASE WHEN nx > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundary_docs
+    FROM x GROUP BY shard
     """
     jaccard_sql = f"""
     {shingles_cte}
@@ -7805,6 +7848,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ann_lsh_sql,
         "decontaminate": decontaminate_sql,
         "pack_sequences": pack_sql,
+        "packing_stats": packing_stats_sql,
         # global_shuffle: mirrors operators/corpus.py:global_shuffle —
         # md5 60-bit hash, shard = h % 64, per-shard dense position
         "global_shuffle": """

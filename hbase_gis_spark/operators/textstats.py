@@ -1731,3 +1731,64 @@ def token_entropy_rate(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("h_cond_milli"),
         )
     )
+
+
+def packing_stats(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Efficiency audit of the :func:`pack_sequences` plan — the
+    numbers a batch-size/seq-len decision reads: per shard, how many
+    documents and tokens were packed, how many ``seq_len`` training
+    sequences they fill, the tail padding that fills the last partial
+    sequence (back-to-back packing wastes ONLY the tail), and how
+    many documents straddle a sequence boundary (the rows a
+    no-cross-attention masking scheme must handle).
+
+    Engine-exact integers end-to-end: n_seqs = ceil(total/seq_len) as
+    ``(total + L − 1) div L`` (non-negative operands — every integer
+    division convention agrees), tail_waste = n_seqs·L − total,
+    boundary crossings per doc = ``(start+n−1) div L − start div L``
+    for n > 0 (zero-token docs cross nothing, guarded).
+
+    Output: one row per non-empty shard — (shard, n_docs, n_tokens,
+    n_seqs, tail_waste, n_boundary_docs).
+
+    Scale shape: reuses pack_sequences' per-shard running-offset
+    window (n_shards-way parallel), then ONE shard-keyed aggregate —
+    n_shards rows out at any corpus size."""
+    plan = pack_sequences(
+        df, seq_len, id_col=id_col, text_col=text_col, n_shards=n_shards
+    )
+    L = int(seq_len)
+    crossings = F.when(
+        F.col("n_tok") > 0,
+        F.expr(f"(tok_start + n_tok - 1) div {L} - tok_start div {L}"),
+    ).otherwise(F.lit(0))
+    return (
+        plan.withColumn("__x", crossings)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__x") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boundary_docs"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.expr(f"CAST((n_tokens + {L - 1}) div {L} AS BIGINT)").alias(
+                "n_seqs"
+            ),
+            F.expr(
+                f"CAST(((n_tokens + {L - 1}) div {L}) * {L} - n_tokens"
+                " AS BIGINT)"
+            ).alias("tail_waste"),
+            "n_boundary_docs",
+        )
+    )

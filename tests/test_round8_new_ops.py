@@ -93,3 +93,25 @@ def test_dedup_threshold_curve_monotone_and_exact(spark):
         assert got[t] == (len(pairs_t), len(dropped)), t
     np_seq = [got[t][0] for t in sorted(got)]
     assert np_seq == sorted(np_seq, reverse=True)
+
+
+def test_packing_stats_hand_counts(spark):
+    """One shard, seq_len 10, docs of 4/5/3/9 tokens: 21 tokens fill
+    ceil(21/10)=3 seqs with 9 tail pad; the 5-token doc straddles the
+    first boundary and the 9-token doc the second."""
+    from hbase_gis_spark.operators.textstats import packing_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # [0,4)
+            (1, "a b c d e"),        # [4,9)  -> no cross (9 < 10)
+            (2, "a b c"),            # [9,12) -> crosses 10
+            (3, "a b c d e f g h i"),  # [12,21) -> crosses 20
+        ],
+        "doc_id bigint, text string",
+    )
+    r = packing_stats(df, 10, n_shards=1).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.shard, row.n_docs, row.n_tokens) == (0, 4, 21)
+    assert (row.n_seqs, row.tail_waste, row.n_boundary_docs) == (3, 9, 2)
