@@ -238,6 +238,125 @@ def _bucket_pairs(
     )
 
 
+def star_components(
+    pairs: DataFrame,
+    max_phases: int = 60,
+    checkpoint_mode: str | None = None,
+) -> DataFrame:
+    """Connected components by ALTERNATING STAR CONTRACTION (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    large-star hooks every bigger neighbor to the neighborhood min,
+    small-star re-hooks the smaller ones, and the EDGE SET itself
+    contracts toward stars rooted at component minima — provably
+    O(log²) phases on ANY graph shape.
+
+    This is the high-diameter fallback for :func:`near_dup_clusters`'
+    hash-to-min loop. The round-8 sf1 scale probe caught the failure
+    mode on dbscan's eps-graph: once the derived-point lattice
+    percolates (3x density), the giant component's diameter is
+    ~1,000+ graph hops, and label-only propagation advances ONE hop
+    per round no matter how aggressively labels are compressed — the
+    wavefront measured a flat ~12k changed/round for an unbounded
+    round count (tools/scale_probe_isolated.py; full path-compression
+    A/B showed jumps converge to a no-op while `changed` stays flat).
+    Label propagation shortcuts only through the LABEL graph; star
+    contraction rewires the EDGE graph, so its frontier doubles
+    regardless of the original topology.
+
+    Input: unique undirected pairs (id_a, id_b). Output: one row per
+    node appearing in the pairs — (id, cluster_id = component min).
+
+    Scale shape per phase: one symmetric-view aggregate for the
+    neighborhood min (map-side combined), one equi-join back, one
+    canonicalize+distinct — all edge-bucketed, nothing keyed by an
+    unbounded group; the edge frame only ever SHRINKS or re-points
+    (never multiplies), and each phase truncates lineage. Convergence
+    is a 4-integer fingerprint (count + component-wise sums + an
+    xxhash64 fold) — one bounded action per phase; a fingerprint
+    collision (~2^-64) could stop one phase early, upon which labels
+    are still a valid partial merge refined by the caller's loop."""
+    from hbase_gis_spark.operators.checkpointing import truncate_lineage
+
+    E = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest(F.col("a"), F.col("b")).alias("a"),
+            F.least(F.col("a"), F.col("b")).alias("b"),
+        )
+        .distinct()
+    )
+    E = truncate_lineage(E, mode=checkpoint_mode, eager=True)
+
+    def _fingerprint(edges: DataFrame) -> tuple:
+        # DECIMAL(38,0) accumulators: summing 64-bit hashes (and ids
+        # at table scale) wraps int64 — ANSI throws on it (caught by
+        # the 3x probe fixture, 590k edges)
+        dec = "decimal(38,0)"
+        r = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.col("a").cast(dec)), F.lit(0)).alias("sa"),
+            F.coalesce(F.sum(F.col("b").cast(dec)), F.lit(0)).alias("sb"),
+            F.coalesce(
+                F.sum(F.xxhash64(F.col("a"), F.col("b")).cast(dec)),
+                F.lit(0),
+            ).alias("sh"),
+        ).collect()[0]
+        return (r["n"], r["sa"], r["sb"], r["sh"])
+
+    def _phase(edges: DataFrame, large: bool) -> DataFrame:
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        gamma = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__mn"))
+            .select(
+                F.col("a").alias("__u"),
+                F.least(F.col("a"), F.col("__mn")).alias("__m"),
+            )
+        )
+        hooked = sym.join(gamma, sym["a"] == gamma["__u"])
+        if large:
+            out = hooked.filter(F.col("b") > F.col("a")).select(
+                F.col("b").alias("a"), F.col("__m").alias("b")
+            )
+        else:
+            out = (
+                hooked.filter(F.col("b") <= F.col("a"))
+                .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+                .union(
+                    gamma.select(
+                        F.col("__u").alias("a"), F.col("__m").alias("b")
+                    )
+                )
+            )
+        # emitted edges always point DOWN to a neighborhood min, so
+        # (a, b) is already canonical with b < a after the self-loop drop
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    fp = _fingerprint(E)
+    for _ in range(max_phases):
+        nxt = truncate_lineage(
+            _phase(_phase(E, large=True), large=False),
+            mode=checkpoint_mode,
+        )
+        nfp = _fingerprint(nxt)
+        E = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    sym = E.union(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("__mn"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("__mn")).alias("cluster_id"),
+        )
+    )
+
+
 def near_dup_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -328,6 +447,7 @@ def near_dup_clusters(
             F.coalesce(F.col("label"), ids["id"]).alias("cluster_id"),
         )
     labels = labels.select("id", "label")
+    history: list[int] = []
     for _ in range(max_iter - 1):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -357,6 +477,56 @@ def near_dup_clusters(
         labels = jumped.select("id", "label")
         if changed == 0:
             break
+        # HIGH-DIAMETER STALL fallback (round-8 sf1 probe finding): on
+        # a percolated lattice/mesh the wavefront advances one graph
+        # hop per round — `changed` plateaus instead of collapsing
+        # (measured flat ~12k/round on the 3x dbscan eps-graph, with
+        # label compression provably exhausted: extra pointer jumps
+        # were no-ops). When `changed` fails to halve across the
+        # stall window, hand the QUOTIENT graph over current labels
+        # (one node per surviving label — far smaller than the input)
+        # to star_components, whose edge-rewiring phases double their
+        # frontier on any topology, then let the loop's own
+        # changed == 0 round certify the fixpoint.
+        history.append(changed)
+        if len(history) >= 3 and history[-1] > history[-3] // 2:
+            q = (
+                sym.join(
+                    labels.select(
+                        F.col("id").alias("__ia"), F.col("label").alias("__la")
+                    ),
+                    sym["a"] == F.col("__ia"),
+                )
+                .join(
+                    labels.select(
+                        F.col("id").alias("__ib"), F.col("label").alias("__lb")
+                    ),
+                    sym["b"] == F.col("__ib"),
+                )
+                .filter(F.col("__la") != F.col("__lb"))
+                .select(
+                    F.col("__la").alias("id_a"), F.col("__lb").alias("id_b")
+                )
+            )
+            roots = star_components(
+                q, checkpoint_mode=checkpoint_mode
+            ).select(
+                F.col("id").alias("__rid"), F.col("cluster_id").alias("__root")
+            )
+            labels = truncate_lineage(
+                labels.join(
+                    roots, labels["label"] == F.col("__rid"), "left"
+                ).select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("__root"), F.col("label")),
+                    ).alias("label"),
+                ),
+                mode=checkpoint_mode,
+                eager=True,
+            )
+            history.clear()
     return ids.join(labels, ids["id"] == labels["id"], "left").select(
         ids["id"].alias(id_col),
         F.coalesce(F.col("label"), ids["id"]).alias("cluster_id"),

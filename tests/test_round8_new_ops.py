@@ -115,3 +115,66 @@ def test_packing_stats_hand_counts(spark):
     row = r[0]
     assert (row.shard, row.n_docs, row.n_tokens) == (0, 4, 21)
     assert (row.n_seqs, row.tail_waste, row.n_boundary_docs) == (3, 9, 2)
+
+
+def test_star_components_matches_label_propagation(spark):
+    """Star contraction and hash-to-min agree on random graphs
+    (labels = component min), including multi-component and
+    singleton-free frames."""
+    import random
+
+    from hbase_gis_spark.operators.dedup import (
+        near_dup_clusters,
+        star_components,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(1, 120))
+    pairs = set()
+    for _ in range(140):
+        a, b = rng.sample(nodes, 2)
+        pairs.add((min(a, b), max(a, b)))
+    pdf = spark.createDataFrame(
+        sorted(pairs), "id_a bigint, id_b bigint"
+    )
+    ids = spark.createDataFrame([(n,) for n in nodes], "doc_id bigint")
+    want = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(ids, pdf, id_col="doc_id").collect()
+    }
+    got = {r.id: r.cluster_id for r in star_components(pdf).collect()}
+    # star_components only labels nodes appearing in pairs
+    touched = {a for a, _ in pairs} | {b for _, b in pairs}
+    assert got == {n: want[n] for n in touched}
+
+
+def test_near_dup_clusters_high_diameter_stall_fallback(spark):
+    """A 60x60 grid-mesh component has diameter ~120: pure label
+    propagation advances one hop per round (the round-8 sf1 probe's
+    dbscan finding), so the stall detector must hand off to star
+    contraction and still converge inside max_iter with the exact
+    component min everywhere."""
+    from pyspark.sql import functions as F
+
+    from hbase_gis_spark.operators.dedup import near_dup_clusters
+
+    n = 60
+    # scramble ids so label-value shortcuts can't accidentally help
+    def nid(r, c):
+        return ((r * 7919 + c * 104729) % 1_000_003) * 10_000 + r * n + c
+
+    edges = []
+    for r in range(n):
+        for c in range(n):
+            if r + 1 < n:
+                edges.append((nid(r, c), nid(r + 1, c)))
+            if c + 1 < n:
+                edges.append((nid(r, c), nid(r, c + 1)))
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    all_ids = sorted({nid(r, c) for r in range(n) for c in range(n)})
+    ids = spark.createDataFrame([(i,) for i in all_ids], "doc_id bigint")
+    out = near_dup_clusters(ids, pairs, id_col="doc_id", max_iter=25)
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert set(labels.values()) == {min(all_ids)}

@@ -75,17 +75,35 @@ def main() -> int:
     mins: dict[str, dict[str, float]] = {
         n: {"small": float("inf"), "big": float("inf")} for n in names
     }
-    for _ in range(rounds):
+    errors: dict[str, str] = {}
+    for rnd in range(rounds):
         for n in names:
+            if n in errors:
+                continue
             for side, d in (("small", small), ("big", big)):
                 t0 = time.perf_counter()
-                qs[n](spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                try:
+                    qs[n](spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as e:  # noqa: BLE001
+                    errors[n] = f"{side}: {type(e).__name__}: {e}"[:300]
+                    print(
+                        f"# ERROR r{rnd} {n} ({side}): {errors[n]}",
+                        file=sys.stderr,
+                    )
+                    break
                 dt = time.perf_counter() - t0
                 mins[n][side] = min(mins[n][side], dt)
+                print(
+                    f"# r{rnd} {n} {side}: {dt:.1f}s", file=sys.stderr,
+                    flush=True,
+                )
     report = {}
     for n in names:
+        if n in errors:
+            report[n] = {"error": errors[n]}
+            continue
         s, b = mins[n]["small"], mins[n]["big"]
         report[n] = {
             "small_sec": round(s, 3),
