@@ -5069,6 +5069,54 @@ def _q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TDECAY_HALF_LIFE_US = 6 * 3600 * 1_000_000
+TDECAY_MAX_STEPS = 4
+
+
+def _q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution over the same view->purchase
+    24h-lookback pairs as linear/position attribution: stepwise
+    half-life weights (6h half-life, integer 2^(4-steps) weights, no
+    libm pow), exact ppm credits, per-day rollup — the recency-weighted
+    member of the attribution family."""
+    from hbase_gis_spark.operators.funnel import time_decay_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    p = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("us").alias("pus")
+    )
+    v = base.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("vid"), F.col("us").alias("vus")
+    )
+    pairs = v.join(
+        p,
+        (v.user_id == p.user_id)
+        & (v.vus <= p.pus)
+        & (p.pus < v.vus + F.lit(ATTR_LOOKBACK_US)),
+    ).select("pid", "vid", "vus", "pus")
+    credits = time_decay_attribution(
+        pairs,
+        half_life_us=TDECAY_HALF_LIFE_US,
+        max_steps=TDECAY_MAX_STEPS,
+    )
+    return (
+        credits.select(
+            F.expr("vus div 86400000000").alias("day"), "credit_ppm"
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_ppm").cast("bigint").alias("credit_ppm_sum"),
+        )
+    )
+
+
 def _q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, event_type) debounce summary at a 5-minute gap:
     raw vs kept event counts after collapsing bursts to their first
@@ -5597,6 +5645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_days": _q_changepoint_days,
         "dedup_threshold_curve": _q_dedup_threshold_curve,
         "packing_stats": _q_packing_stats,
+        "time_decay_attribution": _q_time_decay_attribution,
     }
 
 
@@ -11334,6 +11383,42 @@ def oracle_sql() -> dict[str, str]:
                        WHEN pos = k THEN 400000
                        ELSE 200000 // (k - 2) END AS BIGINT) AS credit_ppm
       FROM j
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum
+    FROM credited GROUP BY day
+    """
+
+    # stepwise half-life weights: steps = whole half-lives elapsed
+    # (truncating //, both operands non-negative), weight =
+    # 1 << (max_steps - steps) — integer shift, mirroring
+    # operators/funnel.py:time_decay_attribution's no-libm contract
+    out["time_decay_attribution"] = f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events
+    ),
+    p AS (SELECT user_id, event_id AS pid, us AS pus
+          FROM base WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id AS vid, us AS vus
+          FROM base WHERE event_type = 'view'),
+    pairs AS (
+      SELECT pid, vid, vus, pus FROM v JOIN p ON v.user_id = p.user_id
+        AND v.vus <= p.pus AND p.pus < v.vus + {ATTR_LOOKBACK_US}
+    ),
+    wtd AS (
+      SELECT pid, vus,
+             (1 << ({TDECAY_MAX_STEPS} - least(
+                 (pus - vus) // {TDECAY_HALF_LIFE_US},
+                 {TDECAY_MAX_STEPS}))) AS w
+      FROM pairs
+    ),
+    credited AS (
+      SELECT vus // 86400000000 AS day,
+             CAST((w * 1000000)
+                  // sum(w) OVER (PARTITION BY pid) AS BIGINT)
+               AS credit_ppm
+      FROM wtd
     )
     SELECT day, CAST(count(*) AS BIGINT) AS n_touches,
            CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum

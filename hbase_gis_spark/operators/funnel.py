@@ -316,3 +316,71 @@ def position_attribution(
         F.col("__k").cast("bigint").alias("n_touches"),
         credit.cast("bigint").alias("credit_ppm"),
     )
+
+
+def time_decay_attribution(
+    pairs: DataFrame,
+    conv_col: str = "pid",
+    touch_col: str = "vid",
+    ts_col: str = "vus",
+    conv_ts_col: str = "pus",
+    half_life_us: int = 6 * 3600 * 1_000_000,
+    max_steps: int = 4,
+) -> DataFrame:
+    """TIME-DECAY multi-touch attribution over (conversion, touch,
+    touch_ts, conversion_ts) pairs: touches closer to the conversion
+    take exponentially more credit — the recency-weighted member of
+    the attribution family (linear_attribution = equal split,
+    position_attribution = U-shaped).
+
+    Engine-exact decay, stated contract: the decay is STEPWISE, not
+    continuous — ``steps = (conv_ts − touch_ts) div half_life_us``
+    (whole half-lives elapsed, truncating integer division), capped
+    at ``max_steps``, and the touch weight is the integer
+    ``2^(max_steps − steps)`` (a ``shiftleft``, never a libm
+    ``pow``/``exp`` whose last-ulp rounding differs between JVM and
+    system libm). Per-conversion credit is
+    ``weight * 1_000_000 div Σweight`` ppm — non-negative truncating
+    division, so floor == truncate in both engines and books
+    under-add by at most (k−1) ppm per conversion (the same stated
+    floor convention as linear/position attribution; the remainder is
+    never silently re-spread). Touches at or past ``max_steps``
+    half-lives all share the floor weight 1 — stated saturation, and
+    with a 24 h lookback and 6 h half-life the cap is never binding.
+
+    Output: one row per (conversion, touch) — (``conv_col``,
+    ``touch_col``, ``ts_col``, steps, weight, credit_ppm).
+
+    Scale shape: ONE shuffle on the conversion key; the Σweight
+    window is PARTITIONED by conversion (journey-bounded, never
+    global); weights and credits are pure integer arithmetic inside
+    whole-stage codegen."""
+    from pyspark.sql import Window
+
+    staged = pairs.select(
+        F.col(conv_col),
+        F.col(touch_col),
+        F.col(ts_col).alias("__ts"),
+        F.least(
+            F.expr(f"({conv_ts_col} - {ts_col}) div {half_life_us}"),
+            F.lit(max_steps),
+        )
+        .cast("int")
+        .alias("__steps"),
+    )
+    # shiftleft's numBits parameter is int-only in the Python API, so
+    # build the shift as a SQL expression (still whole-stage codegen)
+    staged = staged.withColumn(
+        "__w", F.expr(f"shiftleft(1, {max_steps} - __steps)")
+    )
+    w = Window.partitionBy(conv_col)
+    return staged.withColumn(
+        "__tot", F.sum("__w").over(w)
+    ).select(
+        conv_col,
+        touch_col,
+        F.col("__ts").alias(ts_col),
+        F.col("__steps").cast("bigint").alias("steps"),
+        F.col("__w").cast("bigint").alias("weight"),
+        F.expr("(__w * 1000000) div __tot").cast("bigint").alias("credit_ppm"),
+    )

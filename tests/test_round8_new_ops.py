@@ -178,3 +178,45 @@ def test_near_dup_clusters_high_diameter_stall_fallback(spark):
     out = near_dup_clusters(ids, pairs, id_col="doc_id", max_iter=25)
     labels = {r.doc_id: r.cluster_id for r in out.collect()}
     assert set(labels.values()) == {min(all_ids)}
+
+
+def test_time_decay_attribution_hand_journeys(spark):
+    """Three hand-built journeys pin the stepwise-decay contract:
+    a lone touch takes the full pot; a 0-vs-1-half-life pair splits
+    2:1 with floor remainders; a touch past max_steps half-lives
+    saturates at weight 1."""
+    from hbase_gis_spark.operators.funnel import time_decay_attribution
+
+    HL = 1_000_000  # 1s half-life for readable fixtures
+    pairs = spark.createDataFrame(
+        [
+            # journey A: one touch, 0 gap -> full pot
+            (1, 101, 10 * HL, 10 * HL),
+            # journey B: touch at conv (steps 0, w 16) + one half-life
+            # earlier (steps 1, w 8) -> 2:1 split, floors stated
+            (2, 201, 20 * HL, 20 * HL),
+            (2, 202, 19 * HL, 20 * HL),
+            # journey C: gap of 9 half-lives saturates at steps=4, w=1,
+            # against a steps-0 partner (w 16)
+            (3, 301, 30 * HL, 30 * HL),
+            (3, 302, 21 * HL, 30 * HL),
+        ],
+        "pid bigint, vid bigint, vus bigint, pus bigint",
+    )
+    out = {
+        (r.pid, r.vid): r
+        for r in time_decay_attribution(
+            pairs, half_life_us=HL, max_steps=4
+        ).collect()
+    }
+    assert out[(1, 101)].credit_ppm == 1_000_000
+    assert out[(2, 201)].weight == 16 and out[(2, 202)].weight == 8
+    assert out[(2, 201)].credit_ppm == 16 * 1_000_000 // 24  # 666666
+    assert out[(2, 202)].credit_ppm == 8 * 1_000_000 // 24  # 333333
+    assert out[(3, 302)].steps == 4 and out[(3, 302)].weight == 1
+    assert out[(3, 301)].credit_ppm == 16 * 1_000_000 // 17
+    assert out[(3, 302)].credit_ppm == 1_000_000 // 17
+    # books never over-add, and under-add by < k per journey
+    for pid, k in [(1, 1), (2, 2), (3, 2)]:
+        tot = sum(v.credit_ppm for kk, v in out.items() if kk[0] == pid)
+        assert 1_000_000 - k < tot <= 1_000_000
