@@ -4831,6 +4831,50 @@ def _q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekday_profile(ev, ts_us())
 
 
+INCR_CUTOFF_DAY = 19746  # 2024-01-24 — splits the 30-day event span
+
+
+def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained daily rollup: the (day, event_type) count +
+    exact milli value sum aggregate, built by folding the post-cutoff
+    batch into the pre-cutoff stored rollup via
+    operators/merge.py:incremental_rollup — additivity makes the
+    result row-identical to the full recompute the oracle runs. The
+    history scan is rollup-sized, never fact-sized: the 100 TB shape
+    for a continuously maintained materialized aggregate."""
+    from hbase_gis_spark.operators.merge import incremental_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    base = ev.select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+        "event_type",
+        # NaN guard BEFORE the bigint cast (the mrl_report lesson);
+        # milli rounding BEFORE the sum (summation-order discipline)
+        F.round(F.when(~F.isnan(v), v) * 1000, 0)
+        .cast("bigint")
+        .alias("value_milli"),
+    )
+    stored = (
+        base.filter(F.col("day") < INCR_CUTOFF_DAY)
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("value_milli").cast("bigint").alias("value_milli"),
+        )
+    )
+    delta = base.filter(F.col("day") >= INCR_CUTOFF_DAY)
+    return incremental_rollup(
+        stored,
+        delta,
+        ["day", "event_type"],
+        count_col="n_rows",
+        sum_cols=["value_milli"],
+    )
+
+
 def _q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust anomaly screen over daily event volume —
     the outlier-resistant twin of daily_anomalies, fully
@@ -5646,6 +5690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_curve": _q_dedup_threshold_curve,
         "packing_stats": _q_packing_stats,
         "time_decay_attribution": _q_time_decay_attribution,
+        "incremental_rollup": _q_incremental_rollup,
     }
 
 
@@ -10465,6 +10510,19 @@ def oracle_sql() -> dict[str, str]:
     SELECT dow, n_events, sum_value_milli,
            CAST((n_events * 1000000) // tt AS BIGINT) AS share_ppm
     FROM g CROSS JOIN t
+    """
+
+    # full recompute over history ∪ batch — the additivity contract
+    # incremental_rollup's union-of-partials must reproduce exactly
+    out["incremental_rollup"] = """
+    SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(CASE WHEN isnan(CAST(value AS DOUBLE))
+                                    THEN NULL
+                                    ELSE CAST(value AS DOUBLE) END
+                               * 1000, 0) AS BIGINT)) AS BIGINT)
+             AS value_milli
+    FROM events GROUP BY 1, 2
     """
 
     out["mad_anomalies"] = f"""

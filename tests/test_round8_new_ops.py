@@ -220,3 +220,48 @@ def test_time_decay_attribution_hand_journeys(spark):
     for pid, k in [(1, 1), (2, 2), (3, 2)]:
         tot = sum(v.credit_ppm for kk, v in out.items() if kk[0] == pid)
         assert 1_000_000 - k < tot <= 1_000_000
+
+
+def test_incremental_rollup_matches_full_recompute(spark):
+    """Folding a delta batch into a stored rollup reproduces the full
+    recompute exactly — including new keys, NULL keys, and NULL
+    measures."""
+    from hbase_gis_spark.operators.merge import incremental_rollup
+
+    hist = spark.createDataFrame(
+        [
+            ("a", 1, 10),
+            ("a", 1, None),  # NULL measure: counts, adds nothing
+            ("b", 2, 5),
+            (None, 1, 7),  # NULL key group
+        ],
+        "k string, d int, v int",
+    )
+    batch = spark.createDataFrame(
+        [("a", 1, 3), ("c", 9, 4), (None, 1, 1)],
+        "k string, d int, v int",
+    )
+    stored = hist.groupBy("k", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("v").cast("bigint").alias("v"),
+    )
+    got = {
+        (r.k, r.d): (r.n_rows, r.v)
+        for r in incremental_rollup(
+            stored, batch, ["k", "d"], count_col="n_rows", sum_cols=["v"]
+        ).collect()
+    }
+    full = {
+        (r.k, r.d): (r.n_rows, r.v)
+        for r in hist.unionByName(batch)
+        .groupBy("k", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("v").cast("bigint").alias("v"),
+        )
+        .collect()
+    }
+    assert got == full
+    assert got[("c", 9)] == (1, 4)  # delta-only key appears
+    assert got[(None, 1)] == (2, 8)  # NULL keys collide across sides
+    assert got[("a", 1)] == (3, 13)  # NULL measure counted, not summed
