@@ -4831,6 +4831,36 @@ def _q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekday_profile(ev, ts_us())
 
 
+def _q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten blast radius: customers whose
+    md5(custkey) starts with '0' (a deterministic ~1/16 request set)
+    swept through the FK chain — their customer rows, their orders by
+    custkey, those orders' line items by orderkey, and their events
+    by user_id. One broadcast semi-join scan per table, 4-row report."""
+    from hbase_gis_spark.operators.quality import forget_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    forget = cust.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) == "0"
+    ).select("c_custkey")
+    # FK chain: the line-item key frame is the ORDER keys of the
+    # forgotten customers' orders (order-request-sized, broadcastable)
+    forget_orders = orders.join(
+        F.broadcast(forget.toDF("o_custkey")), "o_custkey", "left_semi"
+    ).select("o_orderkey")
+    return forget_audit(
+        [
+            ("customer", cust, "c_custkey", forget),
+            ("orders", orders, "o_custkey", forget),
+            ("lineitem", li, "l_orderkey", forget_orders),
+            ("events", ev, "user_id", forget),
+        ]
+    )
+
+
 INCR_CUTOFF_DAY = 19746  # 2024-01-24 — splits the 30-day event span
 
 
@@ -5691,6 +5721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_stats": _q_packing_stats,
         "time_decay_attribution": _q_time_decay_attribution,
         "incremental_rollup": _q_incremental_rollup,
+        "forget_audit": _q_forget_audit,
     }
 
 
@@ -10510,6 +10541,35 @@ def oracle_sql() -> dict[str, str]:
     SELECT dow, n_events, sum_value_milli,
            CAST((n_events * 1000000) // tt AS BIGINT) AS share_ppm
     FROM g CROSS JOIN t
+    """
+
+    # deletion blast radius: semi joins become IN-subqueries; n_keys
+    # counts distinct forget keys actually present per table
+    out["forget_audit"] = """
+    WITH f AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'
+    ),
+    fo AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE o_custkey IN (SELECT k FROM f)
+    )
+    SELECT 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys
+    FROM customer WHERE c_custkey IN (SELECT k FROM f)
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM orders WHERE o_custkey IN (SELECT k FROM f)
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_orderkey) AS BIGINT)
+    FROM lineitem WHERE l_orderkey IN (SELECT k FROM fo)
+    UNION ALL
+    SELECT 'events', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events WHERE user_id IN (SELECT k FROM f)
     """
 
     # full recompute over history ∪ batch — the additivity contract

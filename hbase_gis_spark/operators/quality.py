@@ -553,3 +553,44 @@ def sequence_gap_audit(df: DataFrame, id_col: str) -> DataFrame:
             .alias("duplicates"),
         )
     )
+
+
+def forget_audit(
+    tables: list[tuple[str, DataFrame, str, DataFrame]],
+) -> DataFrame:
+    """Deletion-propagation sweep (right-to-be-forgotten dry run):
+    for each (table_name, table, key_col, forget_keys) entry, count
+    the rows and distinct keys a deletion of ``forget_keys`` would
+    remove — the blast-radius report a privacy pipeline runs BEFORE
+    issuing deletes, and the completeness check it runs after
+    (non-zero rows post-delete = propagation bug).
+
+    ``forget_keys`` is per-table because propagation follows foreign
+    keys: forgetting customers removes their orders by custkey but
+    their line items by the ORDER keys of those orders — the caller
+    derives each table's key frame along its FK chain and this
+    operator just measures, so the report composes for any schema.
+
+    Output: one row per table — (table_name, n_rows, n_keys), where
+    n_keys counts the distinct forget keys actually present (keys
+    with zero rows are absent from n_keys but still audited via
+    their table row).
+
+    Scale shape: each table is scanned ONCE with a semi join against
+    its (explicitly broadcast) key frame — forget sets are
+    human-request-sized, never fact-sized — then a 1-row aggregate;
+    the union output has |tables| rows. No fact-side shuffle
+    anywhere."""
+    from functools import reduce
+
+    parts = []
+    for name, df, key_col, keys in tables:
+        keyed = keys.toDF(key_col)
+        hit = df.join(F.broadcast(keyed), key_col, "left_semi")
+        parts.append(
+            hit.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(key_col).cast("bigint").alias("n_keys"),
+            ).select(F.lit(name).alias("table_name"), "n_rows", "n_keys")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -265,3 +265,26 @@ def test_incremental_rollup_matches_full_recompute(spark):
     assert got[("c", 9)] == (1, 4)  # delta-only key appears
     assert got[(None, 1)] == (2, 8)  # NULL keys collide across sides
     assert got[("a", 1)] == (3, 13)  # NULL measure counted, not summed
+
+
+def test_forget_audit_counts_and_absent_keys(spark):
+    """Per-table blast radius: rows and distinct present keys; a
+    forget key with no rows contributes to neither, and an empty
+    forget set yields a (0, 0) row, not a missing table."""
+    from hbase_gis_spark.operators.quality import forget_audit
+
+    t1 = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "uid bigint, x string"
+    )
+    t2 = spark.createDataFrame([(7, "z")], "uid bigint, x string")
+    keys = spark.createDataFrame([(1,), (3,), (99,)], "k bigint").select(
+        "k"
+    )
+    empty = spark.createDataFrame([], "k bigint")
+    got = {
+        r.table_name: (r.n_rows, r.n_keys)
+        for r in forget_audit(
+            [("t1", t1, "uid", keys), ("t2", t2, "uid", empty)]
+        ).collect()
+    }
+    assert got == {"t1": (3, 2), "t2": (0, 0)}
