@@ -4905,6 +4905,39 @@ def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLCORR_WINDOW = 7
+
+
+def _q_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation between daily event volume
+    and daily exact milli value sum — the moving co-movement monitor.
+    DECIMAL(38,0)-exact sufficient statistics; the only floats are
+    the final two sqrts + one divide, rounded to 9 (the spearman
+    convention). Full frames only."""
+    from hbase_gis_spark.operators.timeseries import rolling_corr
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    days = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+            F.round(F.when(~F.isnan(v), v) * 1000, 0)
+            .cast("bigint")
+            .alias("value_milli"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_milli").alias("sum_value_milli"),
+        )
+    )
+    return rolling_corr(
+        days, "n_events", "sum_value_milli", window=ROLLCORR_WINDOW
+    )
+
+
 def _q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust anomaly screen over daily event volume —
     the outlier-resistant twin of daily_anomalies, fully
@@ -5722,6 +5755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_decay_attribution": _q_time_decay_attribution,
         "incremental_rollup": _q_incremental_rollup,
         "forget_audit": _q_forget_audit,
+        "rolling_corr_daily": _q_rolling_corr_daily,
     }
 
 
@@ -10583,6 +10617,41 @@ def oracle_sql() -> dict[str, str]:
                                * 1000, 0) AS BIGINT)) AS BIGINT)
              AS value_milli
     FROM events GROUP BY 1, 2
+    """
+
+    # HUGEINT-exact sufficient statistics (product before window sum),
+    # final floats mirror operators/timeseries.py:rolling_corr —
+    # cast, two sqrts, one divide, round 9, nullif zero radicand
+    out["rolling_corr_daily"] = f"""
+    WITH base AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(round(CASE WHEN isnan(CAST(value AS DOUBLE)) THEN NULL
+                             ELSE CAST(value AS DOUBLE) END * 1000, 0)
+               AS BIGINT) AS vm
+      FROM events
+    ),
+    d AS (
+      SELECT day, CAST(count(*) AS HUGEINT) AS x,
+             CAST(sum(vm) AS HUGEINT) AS y
+      FROM base GROUP BY day
+    ),
+    s AS (
+      SELECT day,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+             sum(x * y) OVER w AS sxy
+      FROM d
+      WINDOW w AS (ORDER BY day ASC
+                   ROWS BETWEEN {ROLLCORR_WINDOW - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT day,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)),
+                          0.0), 9) AS corr_r9
+    FROM s WHERE n = {ROLLCORR_WINDOW}
     """
 
     out["mad_anomalies"] = f"""

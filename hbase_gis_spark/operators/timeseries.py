@@ -966,3 +966,71 @@ def changepoint_days(
             - F.expr("CAST((1000 * __b.__prefix) div __b.__kk AS BIGINT)")
         ).alias("shift_milli"),
     )
+
+
+def rolling_corr(
+    days: DataFrame,
+    x_col: str,
+    y_col: str,
+    window: int = 7,
+    day_col: str = "day",
+) -> DataFrame:
+    """Rolling Pearson correlation between two INTEGER daily series
+    over a trailing ``window``-row frame — the "are these two metrics
+    still moving together this week?" monitor (volume vs revenue,
+    traffic vs errors) that a single whole-history correlation
+    number hides.
+
+    Engine-exact discipline: all five sufficient statistics (Σx, Σy,
+    Σx², Σy², Σxy) accumulate in DECIMAL(38,0) with the cast BEFORE
+    every multiply (the repo-wide overflow rule; safe for |x|,|y| up
+    to ~1e15 at window ≤ 28 — stated bound), so the correlation's
+    numerator n·Σxy − Σx·Σy and the two radicands are EXACT integers.
+    The only floats are the final correctly-rounded casts, two IEEE
+    sqrts, one multiply, one divide, rounded to 9 — the spearman_corr
+    convention, bit-identical across engines. A zero radicand (a
+    constant series in the frame) yields NULL by stated convention
+    (the nullif guard), matching SQL corr()'s undefined case.
+
+    Frames are ROW-based over the OBSERVED day sequence in day order
+    (gaps don't widen the frame — densify upstream if calendar frames
+    are wanted; stated contract), and only FULL frames emit (the
+    first window−1 days are warm-up; partial-frame correlations are
+    noise and their n < window denominators would differ from the
+    documented statistic).
+
+    Scale shape: the input is a |days|-sized aggregate, so the
+    partition-less ordered window rides the module's calendar-bounded
+    allowlist (the daily_rolling argument) — the frame this runs over
+    is dim-sized by construction, never the fact table."""
+    base = days.select(
+        F.col(day_col).cast("bigint").alias("day"),
+        F.col(x_col).cast("decimal(38,0)").alias("__x"),
+        F.col(y_col).cast("decimal(38,0)").alias("__y"),
+    )
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        -(window - 1), Window.currentRow
+    )
+    s = base.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum("__x").over(w).alias("__sx"),
+        F.sum("__y").over(w).alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).over(w).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).over(w).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).over(w).alias("__sxy"),
+    ).filter(F.col("__n") == window)
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den1 = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    den2 = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return s.select(
+        "day",
+        F.round(
+            num.cast("double")
+            / F.nullif(
+                F.sqrt(den1.cast("double")) * F.sqrt(den2.cast("double")),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("corr_r9"),
+    )

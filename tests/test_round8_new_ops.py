@@ -288,3 +288,34 @@ def test_forget_audit_counts_and_absent_keys(spark):
         ).collect()
     }
     assert got == {"t1": (3, 2), "t2": (0, 0)}
+
+
+def test_rolling_corr_exact_known_series(spark):
+    """Perfectly linear frames give ±1.0 exactly, constant frames
+    give NULL (zero radicand), and warm-up rows don't emit."""
+    from hbase_gis_spark.operators.timeseries import rolling_corr
+
+    rows = [
+        # days 0-3: y = 2x + 1 -> corr exactly 1.0 once frame fills
+        (0, 1, 3),
+        (1, 2, 5),
+        (2, 3, 7),
+        (3, 5, 11),
+        # days 4-6 make a frame where y falls as x rises
+        (4, 10, 1),
+        (5, 11, 0),
+        (6, 12, -1),
+    ]
+    days = spark.createDataFrame(rows, "day bigint, x bigint, y bigint")
+    out = {
+        r.day: r.corr_r9
+        for r in rolling_corr(days, "x", "y", window=3).collect()
+    }
+    assert set(out) == {2, 3, 4, 5, 6}  # days 0-1 are warm-up
+    assert out[2] == 1.0 and out[3] == 1.0
+    assert out[6] == -1.0  # frame 4-6 is exactly anti-linear
+    const = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 5), (2, 3, 5)], "day bigint, x bigint, y bigint"
+    )
+    got = rolling_corr(const, "x", "y", window=3).collect()
+    assert len(got) == 1 and got[0].corr_r9 is None
