@@ -4831,6 +4831,27 @@ def _q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekday_profile(ev, ts_us())
 
 
+WSAMPLE_K = 100
+WSAMPLE_MAX_W = 8
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus draw: 100 documents sampled without
+    replacement with odds proportional to 1 + n_chars div 1000
+    (capped at 8) via the deterministic ticket race — the
+    quality-weighted assembly step an unweighted shuffle prefix
+    can't express."""
+    from hbase_gis_spark.operators.corpus import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1) + F.expr("n_chars div 1000")).alias("w_raw"),
+    )
+    return weighted_sample_k(
+        docs, WSAMPLE_K, "w_raw", max_weight=WSAMPLE_MAX_W
+    )
+
+
 def _q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten blast radius: customers whose
     md5(custkey) starts with '0' (a deterministic ~1/16 request set)
@@ -5756,6 +5777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": _q_incremental_rollup,
         "forget_audit": _q_forget_audit,
         "rolling_corr_daily": _q_rolling_corr_daily,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -10575,6 +10597,31 @@ def oracle_sql() -> dict[str, str]:
     SELECT dow, n_events, sum_value_milli,
            CAST((n_events * 1000000) // tt AS BIGINT) AS share_ppm
     FROM g CROSS JOIN t
+    """
+
+    # ticket-race weighted sampling: every ticket draws
+    # md5(salt:id:ticket), item key = min ticket, k smallest keys win
+    # (operators/corpus.py:weighted_sample_k)
+    out["weighted_sample"] = f"""
+    WITH w AS (
+      SELECT doc_id,
+             least(greatest(1 + n_chars // 1000, 1), {WSAMPLE_MAX_W})
+               AS weight
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, weight,
+             unnest(generate_series(1, weight)) AS tick
+      FROM w
+    ),
+    k AS (
+      SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+             min(md5('wsample:' || CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(tick AS VARCHAR))) AS sel_key
+      FROM t GROUP BY 1, 2
+    )
+    SELECT doc_id, weight, sel_key FROM k
+    ORDER BY sel_key ASC, doc_id ASC LIMIT {WSAMPLE_K}
     """
 
     # deletion blast radius: semi joins become IN-subqueries; n_keys

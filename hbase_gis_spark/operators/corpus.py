@@ -1091,3 +1091,78 @@ def stage_funnel(
             ).alias("kept_milli"),
         )
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement: take k
+    items with inclusion odds proportional to an integer weight — the
+    quality-weighted corpus draw ("sample 1M docs, prefer the long /
+    high-score ones") that unweighted :func:`global_shuffle` prefixes
+    can't express.
+
+    Mechanism — the TICKET race: item i holds ``w_i`` tickets
+    (weights floored to ≥ 1 and capped at ``max_weight``, stated);
+    every ticket draws the 128-bit key ``md5(salt:id:ticket_idx)``;
+    the item's selection key is its MINIMUM ticket key; the k
+    smallest selection keys win. For continuous keys this is exactly
+    the A-ES/exponential-clocks race — P(i outranks j) =
+    w_i/(w_i + w_j), pairwise and sequentially without replacement —
+    realized here with exact hash keys instead of libm ``ln``/``pow``
+    whose last-ulp rounding differs between JVM and system libm (the
+    cross-engine determinism rule). 128-bit ticket collisions
+    (~2⁻¹²⁸) fall through to the (key, id) tiebreak; stated, not
+    load-bearing.
+
+    Deterministic: a pure function of (ids, weights, salt, k) —
+    reproducible across runs, engines, and cluster layouts.
+
+    Output: (id_col, weight, sel_key), the k winners.
+
+    Scale shape: the explode amplifies a TWO-column projection by at
+    most ``max_weight`` (never the payload — rejoin by id for
+    columns); the min-key aggregate combines map-side; the top-k is
+    ``TakeOrderedAndProject`` (bounded heap per partition + driver
+    merge of k·partitions rows), never a global sort."""
+    w_int = (
+        F.least(
+            F.greatest(F.col(weight_col).cast("bigint"), F.lit(1)),
+            F.lit(max_weight),
+        )
+    ).alias("__w")
+    tickets = df.select(F.col(id_col), w_int).select(
+        id_col,
+        "__w",
+        F.explode(F.sequence(F.lit(1), F.col("__w"))).alias("__t"),
+    )
+    keys = (
+        tickets.select(
+            id_col,
+            "__w",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col(id_col).cast("string"),
+                    F.col("__t").cast("string"),
+                )
+            ).alias("__key"),
+        )
+        .groupBy(id_col, "__w")
+        .agg(F.min("__key").alias("sel_key"))
+    )
+    return (
+        keys.orderBy(F.col("sel_key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.col("__w").cast("bigint").alias("weight"),
+            "sel_key",
+        )
+    )

@@ -319,3 +319,43 @@ def test_rolling_corr_exact_known_series(spark):
     )
     got = rolling_corr(const, "x", "y", window=3).collect()
     assert len(got) == 1 and got[0].corr_r9 is None
+
+
+def test_weighted_sample_k_race_properties(spark):
+    """The ticket race is deterministic, respects weights on average
+    (a weight-8 item outranks a weight-1 item in ~8/9 of salts), and
+    plans as a bounded top-k, not a global sort."""
+    from hbase_gis_spark.operators.corpus import weighted_sample_k
+
+    items = spark.createDataFrame(
+        [(i, 8 if i == 0 else 1) for i in range(20)], "id bigint, w int"
+    )
+    # determinism: same inputs -> same winners
+    a = [r.id for r in weighted_sample_k(items, 5, "w", id_col="id").collect()]
+    b = [r.id for r in weighted_sample_k(items, 5, "w", id_col="id").collect()]
+    assert a == b and len(a) == 5
+    # weight floor/cap: nonpositive weights get 1 ticket, huge get cap
+    wild = spark.createDataFrame(
+        [(1, -5), (2, 0), (3, 10**9)], "id bigint, w bigint"
+    )
+    got = {
+        r.id: r.weight
+        for r in weighted_sample_k(
+            wild, 3, "w", id_col="id", max_weight=8
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 8}
+    # heavy item wins the top slot for most salts (races are odds,
+    # not guarantees; 30 salts at 8:1 odds make a miss astronomically
+    # unlikely to happen >12 times)
+    wins = 0
+    two = spark.createDataFrame([(0, 8), (1, 1)], "id bigint, w int")
+    for s in range(30):
+        top = weighted_sample_k(
+            two, 1, "w", id_col="id", salt=f"s{s}"
+        ).collect()[0]
+        wins += top.id == 0
+    assert wins >= 18
+    plan = weighted_sample_k(items, 5, "w", id_col="id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
