@@ -4831,6 +4831,22 @@ def _q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekday_profile(ev, ts_us())
 
 
+SRM_WEIGHTS = {"train": 98, "val": 1, "test": 1}
+
+
+def _q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch gate over the deterministic 98/1/1
+    content-keyed split: per-arm observed counts, milli expectations,
+    and integer-exact chi-square contributions (micro-units) — the
+    splitter-health check that precedes any experiment readout."""
+    from hbase_gis_spark.operators.dedup import split_assign
+    from hbase_gis_spark.operators.quality import srm_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = split_assign(docs)
+    return srm_check(assigned, "split", SRM_WEIGHTS)
+
+
 WSAMPLE_K = 100
 WSAMPLE_MAX_W = 8
 
@@ -5778,6 +5794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forget_audit": _q_forget_audit,
         "rolling_corr_daily": _q_rolling_corr_daily,
         "weighted_sample": _q_weighted_sample,
+        "srm_check": _q_srm_check,
     }
 
 
@@ -10597,6 +10614,39 @@ def oracle_sql() -> dict[str, str]:
     SELECT dow, n_events, sum_value_milli,
            CAST((n_events * 1000000) // tt AS BIGINT) AS share_ppm
     FROM g CROSS JOIN t
+    """
+
+    # SRM gate: integer-exact chi-square pieces over the split_assign
+    # arms; the weights dim LEFT-joins counts so zero-count arms appear
+    out["srm_check"] = """
+    WITH assigned AS (
+      SELECT CASE WHEN b < 98 THEN 'train'
+                  WHEN b < 99 THEN 'val'
+                  ELSE 'test' END AS arm
+      FROM (
+        SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 100 AS b
+        FROM documents
+      )
+    ),
+    counts AS (SELECT arm, count(*) AS n FROM assigned GROUP BY arm),
+    wdim AS (
+      SELECT * FROM (VALUES ('train', 98), ('val', 1), ('test', 1))
+        AS t(arm, w)
+    ),
+    tot AS (SELECT CAST(sum(n) AS HUGEINT) AS ntot FROM counts),
+    j AS (
+      SELECT wdim.arm, CAST(wdim.w AS HUGEINT) AS w,
+             CAST(COALESCE(counts.n, 0) AS HUGEINT) AS n, tot.ntot
+      FROM wdim LEFT JOIN counts ON wdim.arm = counts.arm
+      CROSS JOIN tot
+    )
+    SELECT arm, CAST(n AS BIGINT) AS n_units,
+           CAST((ntot * w * 1000) // 100 AS BIGINT)
+             AS expected_units_milli,
+           CAST(((n * 100 - ntot * w) * (n * 100 - ntot * w) * 1000000)
+                // (ntot * w * 100) AS BIGINT) AS chi2_contrib_micro
+    FROM j
     """
 
     # ticket-race weighted sampling: every ticket draws

@@ -594,3 +594,75 @@ def forget_audit(
             ).select(F.lit(name).alias("table_name"), "n_rows", "n_keys")
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Sample-ratio mismatch audit: do the observed assignment counts
+    match the configured arm weights? The first gate of every
+    experiment readout — a biased splitter, a logging drop, or a
+    bot-filter asymmetry shows up here before any metric is worth
+    reading (and invalidates ab_test_welch's comparison if ignored).
+
+    Integer-exact Pearson χ² pieces, stated scaling: with T = Σw and
+    N = total units, each arm's contribution is
+    ``((n·T − N·w)² · 1_000_000) div (N·w·T)`` micro-units — the
+    χ² term (n − Nw/T)²/(Nw/T) scaled by 1e6, every product carried
+    in DECIMAL(38,0) (cast before multiply; exact to N ≈ 1e15), the
+    one truncating division stated. Sum the column against a χ²
+    (|arms|−1) critical value (3.84 at two arms / 5.99 at three,
+    α = .05) to read the verdict.
+
+    Arms the data never produced DO appear — (arm, 0, …) with the
+    full N·w/T expectation as their contribution — via the left join
+    FROM the weights dim (a missing arm is the worst SRM, not an
+    absent row; the classic silent failure this audit exists for).
+    Weights must be positive; zero-weight arms would divide by zero
+    and belong in the data as unexpected-arm rows, not the config.
+
+    Output: one row per configured arm —
+    (arm, n_units, expected_units_milli, chi2_contrib_micro).
+
+    Scale shape: one map-side-combined |arms|-key aggregate over the
+    assignment column + a broadcast 1-row total and a broadcast
+    |arms|-row weight dim — nothing downstream of the aggregate
+    scales with the table."""
+    T = sum(weights.values())
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("srm_check: arm weights must be positive")
+    spark = df.sparkSession
+    wdim = spark.createDataFrame(
+        [(a, int(w)) for a, w in weights.items()], "arm string, w bigint"
+    )
+    counts = (
+        df.select(F.col(arm_col).alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__N"))
+    joined = (
+        F.broadcast(wdim)
+        .join(counts, "arm", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    return joined.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n_units"),
+        F.expr(f"(cast(__N as decimal(38,0)) * w * 1000) div {T}")
+        .cast("bigint")
+        .alias("expected_units_milli"),
+        F.expr(
+            f"((cast(n as decimal(38,0)) * {T}"
+            f"  - cast(__N as decimal(38,0)) * w)"
+            f" * (cast(n as decimal(38,0)) * {T}"
+            f"    - cast(__N as decimal(38,0)) * w)"
+            f" * 1000000)"
+            f" div (cast(__N as decimal(38,0)) * w * {T})"
+        )
+        .cast("bigint")
+        .alias("chi2_contrib_micro"),
+    )

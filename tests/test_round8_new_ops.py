@@ -359,3 +359,34 @@ def test_weighted_sample_k_race_properties(spark):
     plan = weighted_sample_k(items, 5, "w", id_col="id")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_srm_check_exact_chi2_and_missing_arm(spark):
+    """Hand-computable chi-square pieces; an arm with zero
+    assignments still appears (the worst SRM is a missing arm); bad
+    weights raise."""
+    import pytest as _pytest
+
+    from hbase_gis_spark.operators.quality import srm_check
+
+    # 90 A + 10 B against a configured 50/50: N=100, T=2
+    rows = [("A",)] * 90 + [("B",)] * 10
+    df = spark.createDataFrame(rows, "arm string")
+    got = {
+        r.arm: (r.n_units, r.expected_units_milli, r.chi2_contrib_micro)
+        for r in srm_check(df, "arm", {"A": 1, "B": 1}).collect()
+    }
+    # exp = 50 each; contrib = (n*2 - 100)^2 * 1e6 / (100*1*2)
+    assert got["A"] == (90, 50000, (80**2) * 1_000_000 // 200)
+    assert got["B"] == (10, 50000, (80**2) * 1_000_000 // 200)
+    # arm C configured but never observed -> row with n=0, full
+    # expectation as its contribution
+    got3 = {
+        r.arm: (r.n_units, r.chi2_contrib_micro)
+        for r in srm_check(df, "arm", {"A": 1, "B": 1, "C": 2}).collect()
+    }
+    assert got3["C"][0] == 0
+    # contrib for C: (0*4 - 100*2)^2 * 1e6 // (100*2*4)
+    assert got3["C"][1] == (200**2) * 1_000_000 // 800
+    with _pytest.raises(ValueError):
+        srm_check(df, "arm", {"A": 1, "B": 0})
