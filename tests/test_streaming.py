@@ -831,3 +831,76 @@ def test_windowed_unique_users_null_users_match_count_distinct(spark):
     }
     assert got == expect
     assert list(got.values()) == [2]
+
+
+def test_streaming_rollup_maintenance_matches_batch(
+    spark, tmp_path_factory
+):
+    """Streaming materialized-view maintenance: events arrive as a
+    file stream and each micro-batch folds into a stored (day,
+    event_type) rollup via incremental_rollup (foreachBatch
+    read-merge-write). Additivity makes the final stored rollup
+    independent of batch boundaries and equal to the one-shot full
+    recompute — the streaming half of the incremental_rollup arc."""
+    from hbase_gis_spark.operators.merge import incremental_rollup
+
+    root = tmp_path_factory.mktemp("rollup")
+    ev = load_table(spark, SF0001, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+        "event_type",
+        F.round(F.col("value").cast("double") * 1000, 0)
+        .cast("bigint")
+        .alias("value_milli"),
+    )
+    keys = ["day", "event_type"]
+
+    def full(df):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("value_milli").cast("bigint").alias("value_milli"),
+        )
+
+    expect = sorted(map(tuple, full(ev).collect()))
+
+    # empty stored seed with the rollup schema
+    full(ev.limit(0)).write.mode("overwrite").parquet(
+        str(root / "rollup_v0")
+    )
+    ev_dir = str(root / "incoming")
+    ev.repartition(4).write.mode("overwrite").parquet(ev_dir)
+
+    state = {"v": 0}
+
+    def apply_batch(batch_df, _bid):
+        cur = spark.read.parquet(str(root / f"rollup_v{state['v']}"))
+        merged = incremental_rollup(
+            cur, batch_df, keys, count_col="n_rows",
+            sum_cols=["value_milli"],
+        )
+        state["v"] += 1
+        merged.write.mode("overwrite").parquet(
+            str(root / f"rollup_v{state['v']}")
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(
+                str(root / f"rollup_v{state['v']}")
+            ).collect(),
+        )
+    )
+    assert state["v"] >= 2  # the rows really arrived over >1 batch
+    assert got == expect
