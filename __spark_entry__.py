@@ -5514,10 +5514,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 9.
 
     ROUND-9 ROTATION PLAN (execute at the start of round 9): move
-    the round-8 additions (appended at the end of this dict -- see
-    the trailing comment block) into the head slots, then fill the
-    remaining slots with the longest-unchecked queries: first the 47
-    remaining r4-era entries (the CORRECTNESS_r04 window minus
+    the 13 round-8 additions (appended at the end of this dict, in
+    registry order: ivf_reassign, ivf_nprobe_curve, curation_funnel,
+    token_entropy_rate, changepoint_days, dedup_threshold_curve,
+    packing_stats, time_decay_attribution, incremental_rollup,
+    forget_audit, rolling_corr_daily, weighted_sample, srm_check)
+    into the head slots, then fill the remaining 37 slots with the
+    longest-unchecked queries: first the 47 remaining r4-era entries
+    (the CORRECTNESS_r04 window minus
     tfidf_topk_terms/unigram_lm_score, in registry order:
     ann_range_search, embedding_norm_stats, returned_items, ...),
     then r5-era.  Update

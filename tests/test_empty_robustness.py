@@ -52,6 +52,8 @@ FIXED_SHAPE = {
     "bootstrap_means": 16,  # one row per replicate, zero sums
     "window_funnel": 4,  # one row per funnel level, zero users
     "id_gap_audit": 2,  # one row per audited key column, null span
+    "forget_audit": 4,  # one row per audited table, zero counts
+    "srm_check": 3,  # one row per configured arm, null expectations
 }
 # point-query operators keyed to a specific row id return empty when
 # that row is absent — nothing to assert beyond "no crash"

@@ -146,12 +146,13 @@ _GLOBAL_WINDOW_ALLOWED = {
         "TakeOrderedAndProject",
     ),
     "timeseries.py": (
-        3,
+        4,
         "cumulative_users running sum, _bounded_rank_select rank "
-        "selection, and seasonal_decompose_daily's centered moving "
-        "average — all over pre-aggregated per-DAY frames (|days| "
-        "rows, calendar-bounded — the daily_rolling argument; "
-        "fact-scale ranking stays in rank.global_percentiles)",
+        "selection, seasonal_decompose_daily's centered moving "
+        "average, and rolling_corr's trailing frame — all over "
+        "pre-aggregated per-DAY frames (|days| rows, "
+        "calendar-bounded — the daily_rolling argument; fact-scale "
+        "ranking stays in rank.global_percentiles)",
     ),
     "__spark_entry__.py": (
         1,

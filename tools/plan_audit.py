@@ -46,6 +46,7 @@ BNLJ_SANCTIONED = {
     "global_sales_opportunity",  # broadcast 1-row positive-balance aggregate
     "tfidf_topk_terms",  # broadcast 1-row corpus-size aggregate
     "skew_report",  # broadcast 1-row table-total aggregate
+    "srm_check",  # broadcast 1-row unit-total onto the |arms|-row dim
     "tfidf_cosine_pairs",  # broadcast 1-row corpus-size aggregate
     "unigram_lm_score",  # broadcast 1-row token-total aggregate
     "pagerank_event_types",  # broadcast 1-row node-count aggregate
