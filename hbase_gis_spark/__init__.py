@@ -202,6 +202,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     group_sample_k,
     quality_resample,
     t_closeness_report,
+    weighted_sample_k,
 )
 from hbase_gis_spark.operators.graph import (  # noqa: F401
     association_rules,
@@ -236,6 +237,7 @@ from hbase_gis_spark.operators.timeseries import (  # noqa: F401
     daily_fano_factor,
     event_debounce,
     churn_hazard,
+    rolling_corr,
 )
 from hbase_gis_spark.operators.quality import (  # noqa: F401
     behavior_entropy,
@@ -248,11 +250,14 @@ from hbase_gis_spark.operators.quality import (  # noqa: F401
     referential_orphans,
     uniqueness_audit,
     sequence_gap_audit,
+    forget_audit,
+    srm_check,
 )
 from hbase_gis_spark.operators.merge import (  # noqa: F401
     merge_upsert,
     scd2_intervals,
     snapshot_diff,
+    incremental_rollup,
 )
 from hbase_gis_spark.operators.drift import (  # noqa: F401
     chi_square_independence,
@@ -285,6 +290,7 @@ from hbase_gis_spark.operators.funnel import (  # noqa: F401
     window_funnel,
     retention_cohorts,
     position_attribution,
+    time_decay_attribution,
 )
 from hbase_gis_spark.operators.retrieval import (  # noqa: F401
     hybrid_rrf_topk,
