@@ -38,13 +38,15 @@ def test_incremental_rollup_equals_recompute_property(spark, n, cut, seed):
             F.sum("v").cast("bigint").alias("v"),
         )
 
+    keyf = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
     got = sorted(
         map(tuple, incremental_rollup(
             agg(hist), batch, ["k", "d"], count_col="n_rows",
             sum_cols=["v"],
-        ).collect())
+        ).collect()),
+        key=keyf,
     )
-    assert got == sorted(map(tuple, agg(df).collect()))
+    assert got == sorted(map(tuple, agg(df).collect()), key=keyf)
 
 
 @settings(max_examples=5, deadline=None)
