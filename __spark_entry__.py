@@ -4831,6 +4831,26 @@ def _q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekday_profile(ev, ts_us())
 
 
+MMR_K = 10
+MMR_FETCH_K = 50
+MMR_LAM_PPM = 700_000
+
+
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 for the standard ANN query vector:
+    distributed exact top-50 cosine candidates, then the bounded
+    greedy λ·rel − (1−λ)·max-sim re-rank in one lazy mapInPandas
+    task — the redundancy-aware retrieval finisher next to
+    hybrid_search_rrf."""
+    from hbase_gis_spark.operators.retrieval import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, ANN_QUERY_ID, MMR_K,
+        fetch_k=MMR_FETCH_K, lam_ppm=MMR_LAM_PPM,
+    )
+
+
 SRM_WEIGHTS = {"train": 98, "val": 1, "test": 1}
 
 
@@ -5514,12 +5534,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 9.
 
     ROUND-9 ROTATION PLAN (execute at the start of round 9): move
-    the 13 round-8 additions (appended at the end of this dict, in
+    the 14 round-8 additions (appended at the end of this dict, in
     registry order: ivf_reassign, ivf_nprobe_curve, curation_funnel,
     token_entropy_rate, changepoint_days, dedup_threshold_curve,
     packing_stats, time_decay_attribution, incremental_rollup,
-    forget_audit, rolling_corr_daily, weighted_sample, srm_check)
-    into the head slots, then fill the remaining 37 slots with the
+    forget_audit, rolling_corr_daily, weighted_sample, srm_check,
+    mmr_rerank) into the head slots, then fill the remaining 36
+    slots with the
     longest-unchecked queries: first the 47 remaining r4-era entries
     (the CORRECTNESS_r04 window minus
     tfidf_topk_terms/unigram_lm_score, in registry order:
@@ -5799,6 +5820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_daily": _q_rolling_corr_daily,
         "weighted_sample": _q_weighted_sample,
         "srm_check": _q_srm_check,
+        "mmr_rerank": _q_mmr_rerank,
     }
 
 
@@ -6392,6 +6414,55 @@ def oracle_sql() -> dict[str, str]:
     WHERE vec_id != {ANN_QUERY_ID}
     ORDER BY cosine DESC, vec_id ASC
     LIMIT {ANN_K}
+    """
+
+    # MMR greedy as a recursive CTE: the selected-prefix list is the
+    # recursion state; each step's argmax mirrors the mapInPandas
+    # greedy exactly (same fold-double sims, λ from the same integers,
+    # score DESC / id ASC tie rule) — operators/retrieval.py:mmr_rerank
+    mmr_sql = f"""
+    WITH RECURSIVE
+    q AS (SELECT embedding AS qv FROM embeddings
+          WHERE vec_id = {ANN_QUERY_ID}),
+    cand AS (
+      SELECT vec_id, embedding, {_cos('embedding', 'qv')} AS rel
+      FROM embeddings CROSS JOIN q WHERE vec_id != {ANN_QUERY_ID}
+      ORDER BY rel DESC, vec_id ASC LIMIT {MMR_FETCH_K}
+    ),
+    pairsim AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {_cos('a.embedding', 'b.embedding')} AS sim
+      FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+    ),
+    sel AS (
+      SELECT 1 AS step,
+             [(SELECT vec_id FROM cand
+               ORDER BY rel DESC, vec_id ASC LIMIT 1)] AS picked
+      UNION ALL
+      SELECT step + 1,
+             list_append(picked, (
+               SELECT c.vec_id FROM cand c
+               WHERE NOT list_contains(sel.picked, c.vec_id)
+               ORDER BY ({MMR_LAM_PPM} / 1000000.0) * c.rel
+                        - (1.0 - {MMR_LAM_PPM} / 1000000.0)
+                          * (SELECT max(p.sim) FROM pairsim p
+                             WHERE p.ia = c.vec_id
+                               AND list_contains(sel.picked, p.ib))
+                        DESC,
+                        c.vec_id ASC
+               LIMIT 1)) AS picked
+      FROM sel
+      WHERE step < {MMR_K}
+        AND step < (SELECT count(*) FROM cand)
+    ),
+    last AS (SELECT picked FROM sel ORDER BY step DESC LIMIT 1),
+    ranks AS (
+      SELECT CAST(generate_subscripts(picked, 1) AS BIGINT) AS rank,
+             unnest(picked) AS vec_id
+      FROM last
+    )
+    SELECT r.rank, r.vec_id, round(c.rel, 9) AS rel_r9
+    FROM ranks r JOIN cand c USING (vec_id)
     """
 
     ann_multi_sql = f"""
@@ -7818,6 +7889,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": simhash_pairs_sql,
         "embedding_dup_lsh": emb_dup_lsh_sql,
         "ann_cosine_topk": ann_sql,
+        "mmr_rerank": mmr_sql,
         "lang_id": lang_sql,
         "text_quality": quality_sql,
         "doc_fingerprint": fingerprint_sql,

@@ -127,3 +127,132 @@ def hybrid_rrf_topk(
         k=k,
         rrf_k=rrf_k,
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_id: int,
+    k: int,
+    fetch_k: int = 50,
+    lam_ppm: int = 700_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998)
+    diversified top-k: greedily pick the candidate maximizing
+    ``λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)`` — the standard
+    cure for a result page of near-duplicates that pure cosine top-k
+    returns on a redundant corpus (the RAG context-window assembly
+    step next to ``hybrid_rrf_topk``).
+
+    Two stages, stated cost split:
+
+    1. DISTRIBUTED candidate fetch: exact top-``fetch_k`` by cosine
+       (broadcast 1-row query, ``TakeOrderedAndProject`` — the
+       ``cosine_topk`` shape), carrying the vectors along.
+    2. BOUNDED greedy re-rank: the ``fetch_k``-row candidate frame
+       coalesces to ONE task that runs the O(k·fetch_k²) greedy in a
+       ``mapInPandas`` stage (Arrow-batched, lazy — no driver
+       collect). MMR's argmax is inherently sequential, and both k
+       and fetch_k are plan-time constants, so a single bounded task
+       is the honest shape — the corpus-sized work all happened in
+       stage 1 (the rrf_fuse allowlist argument).
+
+    Engine-exactness: candidate-pair cosines use the repo's
+    SEQUENTIAL float64 fold (bit-identical to ``cosine_expr`` and the
+    DuckDB ``list_sum`` oracle); λ enters as
+    ``lam_ppm / 1_000_000.0`` and the complement as
+    ``1.0 − λ`` (both engines compute the same IEEE doubles from the
+    same integers); score comparisons break ties by (score DESC, id
+    ASC). The relevance column rounds to 9 only at the OUTPUT edge
+    (the spearman convention) — selection compares unrounded doubles,
+    identically on both engines.
+
+    Output: (rank 1..k, ``id_col``, rel_r9) in selection order.
+
+    λ = 1 reduces to pure cosine top-k order (pinned by test);
+    λ = 0 is pure anti-redundancy. fetch_k bounds the diversity
+    horizon: a duplicate OUTSIDE the top fetch_k can't be demoted
+    (stated approximation, standard for MMR-over-ANN)."""
+    import numpy as np
+    import pandas as pd
+
+    from hbase_gis_spark.functions.arrowkernels import pair_cosine
+
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    cand = (
+        df.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            pair_cosine(F.col(vec_col), F.col("__qv")).alias("__rel"),
+        )
+        .orderBy(F.col("__rel").desc(), F.col("__id").asc())
+        .limit(fetch_k)
+        .coalesce(1)
+    )
+    lam = lam_ppm / 1_000_000.0
+    mu = 1.0 - lam
+    kk = k
+
+    def _greedy(batches):
+        parts = list(batches)
+        rows = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(columns=["__id", "__v", "__rel"])
+        )
+        if rows.empty:
+            yield pd.DataFrame(
+                {"rank": pd.Series([], dtype="int64"),
+                 id_col: pd.Series([], dtype="int64"),
+                 "rel": pd.Series([], dtype="float64")}
+            )
+            return
+        # deterministic candidate order (rel desc, id asc) regardless
+        # of Arrow batch arrival
+        rows = rows.sort_values(
+            ["__rel", "__id"], ascending=[False, True],
+            ignore_index=True,
+        )
+        V = np.array(rows["__v"].tolist(), dtype=np.float64)
+        rel = rows["__rel"].to_numpy()
+        ids = rows["__id"].to_numpy()
+        n = len(rows)
+        # sequential-fold pair cosines (dim-major accumulation — the
+        # arrowkernels fold order, bit-identical to the SQL oracle)
+        acc = np.zeros((n, n))
+        sq = np.zeros(n)
+        for j in range(V.shape[1]):
+            acc += V[:, j : j + 1] * V[:, j][None, :]
+            sq += V[:, j] * V[:, j]
+        norm = np.sqrt(sq)
+        sim = acc / (norm[:, None] * norm[None, :])
+        picked: list[int] = [0]  # rows sorted: first = argmax rel
+        remaining = set(range(1, n))
+        while remaining and len(picked) < kk:
+            best, best_score = None, None
+            for c in sorted(remaining, key=lambda i: ids[i]):
+                ms = max(sim[c, s] for s in picked)
+                score = lam * rel[c] - mu * ms
+                if best_score is None or score > best_score:
+                    best, best_score = c, score
+            picked.append(best)
+            remaining.discard(best)
+        yield pd.DataFrame(
+            {
+                "rank": np.arange(1, len(picked) + 1, dtype="int64"),
+                id_col: ids[picked],
+                "rel": rel[picked],
+            }
+        )
+
+    out = cand.mapInPandas(
+        _greedy, schema=f"rank bigint, {id_col} bigint, rel double"
+    )
+    return out.select(
+        "rank", id_col, F.round(F.col("rel"), 9).alias("rel_r9")
+    )

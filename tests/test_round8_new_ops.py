@@ -390,3 +390,45 @@ def test_srm_check_exact_chi2_and_missing_arm(spark):
     assert got3["C"][1] == (200**2) * 1_000_000 // 800
     with _pytest.raises(ValueError):
         srm_check(df, "arm", {"A": 1, "B": 0})
+
+
+def test_mmr_rerank_diversity_and_lambda_limits(spark):
+    """λ=1 reduces MMR to pure cosine order; at moderate λ a planted
+    near-duplicate of the top hit is demoted below a less-similar but
+    novel candidate; k caps output; ranks are 1..k."""
+    import numpy as np
+
+    from hbase_gis_spark.operators.retrieval import mmr_rerank
+
+    rng = np.random.default_rng(5)
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    vecs = {
+        0: q,  # the query itself (excluded)
+        1: np.array([0.99, 0.14, 0.0, 0.0]),  # best hit
+        2: np.array([0.99, 0.141, 0.001, 0.0]),  # its near-duplicate
+        3: np.array([0.80, -0.6, 0.0, 0.0]),  # novel direction
+        4: np.array([0.75, 0.0, 0.66, 0.0]),  # another novel one
+    }
+    rows = [
+        (i, [float(x) for x in v / np.linalg.norm(v)])
+        for i, v in vecs.items()
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    pure = [
+        r.vec_id
+        for r in mmr_rerank(
+            df, 0, 4, fetch_k=10, lam_ppm=1_000_000
+        ).collect()
+    ]
+    assert pure == [1, 2, 3, 4]  # λ=1: relevance order
+
+    mmr = [
+        r.vec_id
+        for r in mmr_rerank(df, 0, 4, fetch_k=10, lam_ppm=500_000).collect()
+    ]
+    # the near-duplicate (2) must not directly follow its twin (1)
+    assert mmr[0] == 1 and mmr[1] != 2 and set(mmr) == {1, 2, 3, 4}
+
+    capped = mmr_rerank(df, 0, 2, fetch_k=10).collect()
+    assert [r.rank for r in capped] == [1, 2]

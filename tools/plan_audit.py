@@ -38,6 +38,7 @@ BNLJ_SANCTIONED = {
     "ann_hamming_topk",  # broadcast 1-row query signature, top-k scan
     "ann_hamming_rerank",  # same + broadcast k'-candidate rerank stage
     "ann_filtered_topk",  # broadcast 1-row query vector over the filtered scan
+    "mmr_rerank",  # broadcast 1-row query vector; greedy is a bounded 1-task stage
     "knn_multi",  # broadcast N-origin dim fan-out, big side streams once
     "keyword_search",  # 1-row corpus-total joined onto the tiny term dim
     "bm25_search",  # same 1-row (N, avgdl) stats row on the term dim
