@@ -120,3 +120,63 @@ def test_weighted_sample_matches_bruteforce_property(spark, n, k, seed):
         brute.append((i, w, key))
     brute.sort(key=lambda r: (r[2], r[0]))
     assert got == brute[:k]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=12),
+    dim=st.integers(min_value=2, max_value=6),
+    k=st.integers(min_value=1, max_value=6),
+    lam_ppm=st.sampled_from([0, 300_000, 700_000, 1_000_000]),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_mmr_rerank_matches_bruteforce_property(
+    spark, n, dim, k, lam_ppm, seed
+):
+    """mmr_rerank's selection equals an independent brute-force MMR
+    greedy (sequential-fold sims, score-desc/id-asc ties) for random
+    vector sets, any λ, any k."""
+    import numpy as np
+
+    from hbase_gis_spark.operators.retrieval import mmr_rerank
+
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n + 1, dim))
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n + 1)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = [
+        r.vec_id for r in mmr_rerank(
+            df, 0, k, fetch_k=50, lam_ppm=lam_ppm
+        ).collect()
+    ]
+
+    # brute force on the same float32-cast vectors
+    W = V.astype(np.float32).astype(np.float64)
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for j in range(len(a)):
+            acc += a[j] * b[j]
+        return acc
+
+    def cos(a, b):
+        return seq_dot(a, b) / (
+            np.sqrt(seq_dot(a, a)) * np.sqrt(seq_dot(b, b))
+        )
+
+    lam = lam_ppm / 1_000_000.0
+    cands = sorted(
+        range(1, n + 1), key=lambda i: (-cos(W[i], W[0]), i)
+    )
+    picked = [cands[0]]
+    rest = set(cands[1:])
+    while rest and len(picked) < k:
+        best, bs = None, None
+        for c in sorted(rest):
+            ms = max(cos(W[c], W[s]) for s in picked)
+            score = lam * cos(W[c], W[0]) - (1.0 - lam) * ms
+            if bs is None or score > bs:
+                best, bs = c, score
+        picked.append(best)
+        rest.discard(best)
+    assert got == picked, (got, picked)
