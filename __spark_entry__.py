@@ -4831,6 +4831,22 @@ def _q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekday_profile(ev, ts_us())
 
 
+ABLATION_FRACTIONS_PPM = (
+    12_500, 25_000, 50_000, 100_000, 200_000, 400_000, 800_000,
+)
+
+
+def _q_ablation_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested ablation subsets (1.25%..80%, factor-2 ladder) over the
+    document corpus: each doc's smallest containing rung from one
+    deterministic md5 threshold — the scaling-law sampling plan where
+    every smaller run's data is contained in every larger run's."""
+    from hbase_gis_spark.operators.corpus import ablation_ladder
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ablation_ladder(docs, ABLATION_FRACTIONS_PPM)
+
+
 MMR_K = 10
 MMR_FETCH_K = 50
 MMR_LAM_PPM = 700_000
@@ -5534,13 +5550,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 9.
 
     ROUND-9 ROTATION PLAN (execute at the start of round 9): move
-    the 14 round-8 additions (appended at the end of this dict, in
+    the 15 round-8 additions (appended at the end of this dict, in
     registry order: ivf_reassign, ivf_nprobe_curve, curation_funnel,
     token_entropy_rate, changepoint_days, dedup_threshold_curve,
     packing_stats, time_decay_attribution, incremental_rollup,
     forget_audit, rolling_corr_daily, weighted_sample, srm_check,
-    mmr_rerank) into the head slots, then fill the remaining 36
-    slots with the
+    mmr_rerank, ablation_ladder) into the head slots, then fill the
+    remaining 35 slots with the
     longest-unchecked queries: first the 47 remaining r4-era entries
     (the CORRECTNESS_r04 window minus
     tfidf_topk_terms/unigram_lm_score, in registry order:
@@ -5821,6 +5837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "srm_check": _q_srm_check,
         "mmr_rerank": _q_mmr_rerank,
+        "ablation_ladder": _q_ablation_ladder,
     }
 
 
@@ -10690,6 +10707,25 @@ def oracle_sql() -> dict[str, str]:
     SELECT dow, n_events, sum_value_milli,
            CAST((n_events * 1000000) // tt AS BIGINT) AS share_ppm
     FROM g CROSS JOIN t
+    """
+
+    # nested ablation rungs: smallest containing fraction from ONE
+    # md5 threshold (operators/corpus.py:ablation_ladder); CASE walks
+    # the ladder smallest-first so the first hit is the tightest rung
+    _ladder_cases = "\n             ".join(
+        f"WHEN h < {f} THEN {f}" for f in ABLATION_FRACTIONS_PPM
+    )
+    out["ablation_ladder"] = f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('ladder:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 1000000 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE {_ladder_cases} END AS BIGINT) AS rung_ppm
+    FROM hashed
+    WHERE h < {max(ABLATION_FRACTIONS_PPM)}
     """
 
     # SRM gate: integer-exact chi-square pieces over the split_assign

@@ -1166,3 +1166,43 @@ def weighted_sample_k(
             "sel_key",
         )
     )
+
+
+def ablation_ladder(
+    df: DataFrame,
+    fractions_ppm: tuple[int, ...] = (
+        12_500, 25_000, 50_000, 100_000, 200_000, 400_000, 800_000,
+    ),
+    id_col: str = "doc_id",
+    salt: str = "ladder",
+) -> DataFrame:
+    """NESTED data-ablation subsets for scaling-law runs: one
+    deterministic hash per document, thresholded at every rung of the
+    ladder — because every rung thresholds the SAME hash, the 1.25%
+    subset is contained in the 2.5% subset is contained in the 5% …
+    exactly the containment a train-size ablation needs (a smaller
+    run must see a subset of the larger run's data, or the curve
+    confounds data identity with data quantity).
+
+    Output: (``id_col``, rung_ppm) for every document inside the
+    LARGEST rung, where rung_ppm is the smallest configured fraction
+    (parts-per-million) whose subset contains the document. Members
+    of rung f at any sf are recovered with ``rung_ppm <= f`` — one
+    materialization serves the whole ladder.
+
+    Deterministic and append-stable: a document's rung is a pure
+    function of (id, salt) — adding data never reshuffles existing
+    members (the :func:`stratified_sample` md5 discipline; exactly
+    reproducible in DuckDB, stated 2⁶⁰-fold modulo bias ≪ 1e-12).
+
+    Scale shape: ONE map-only projection — no shuffle, no state; the
+    filter pushes into the scan alongside any consumer predicate."""
+    fr = sorted(fractions_ppm)
+    h = content_hash(salt, id_col) % 1_000_000
+    rung = F.lit(None).cast("bigint")
+    for f in reversed(fr):
+        rung = F.when(h < f, F.lit(f)).otherwise(rung)
+    return (
+        df.select(F.col(id_col), rung.alias("rung_ppm"))
+        .filter(F.col("rung_ppm").isNotNull())
+    )

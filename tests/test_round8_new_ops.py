@@ -432,3 +432,34 @@ def test_mmr_rerank_diversity_and_lambda_limits(spark):
 
     capped = mmr_rerank(df, 0, 2, fetch_k=10).collect()
     assert [r.rank for r in capped] == [1, 2]
+
+
+def test_ablation_ladder_nesting_and_stability(spark):
+    """Rung membership is NESTED (every rung-f member set contains
+    all smaller rungs' members), append-stable (adding rows never
+    changes existing rungs), and roughly proportional."""
+    from hbase_gis_spark.operators.corpus import ablation_ladder
+
+    frs = (100_000, 200_000, 400_000)
+    df = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id bigint"
+    )
+    got = {
+        r.doc_id: r.rung_ppm for r in ablation_ladder(df, frs).collect()
+    }
+    members = {
+        f: {d for d, r in got.items() if r <= f} for f in frs
+    }
+    assert members[100_000] <= members[200_000] <= members[400_000]
+    # proportionality within a loose md5-uniformity band
+    for f in frs:
+        share = len(members[f]) / 4000
+        assert abs(share - f / 1_000_000) < 0.03, (f, share)
+    # append stability: the first half's rungs are identical inside
+    # the doubled corpus
+    half = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+    got_half = {
+        r.doc_id: r.rung_ppm
+        for r in ablation_ladder(half, frs).collect()
+    }
+    assert got_half == {d: r for d, r in got.items() if d < 2000}
