@@ -10748,9 +10748,10 @@ def oracle_sql() -> dict[str, str]:
     ),
     tot AS (SELECT CAST(sum(n) AS HUGEINT) AS ntot FROM counts),
     j AS (
-      SELECT wdim.arm, CAST(wdim.w AS HUGEINT) AS w,
+      SELECT COALESCE(wdim.arm, counts.arm) AS arm,
+             CAST(wdim.w AS HUGEINT) AS w,
              CAST(COALESCE(counts.n, 0) AS HUGEINT) AS n, tot.ntot
-      FROM wdim LEFT JOIN counts ON wdim.arm = counts.arm
+      FROM wdim FULL JOIN counts ON wdim.arm = counts.arm
       CROSS JOIN tot
     )
     SELECT arm, CAST(n AS BIGINT) AS n_units,
@@ -11804,8 +11805,8 @@ def oracle_sql() -> dict[str, str]:
     ),
     wtd AS (
       SELECT pid, vus,
-             (1 << ({TDECAY_MAX_STEPS} - least(
-                 (pus - vus) // {TDECAY_HALF_LIFE_US},
+             (1 << ({TDECAY_MAX_STEPS} - least(greatest(
+                 (pus - vus) // {TDECAY_HALF_LIFE_US}, 0),
                  {TDECAY_MAX_STEPS}))) AS w
       FROM pairs
     ),

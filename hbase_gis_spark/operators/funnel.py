@@ -357,12 +357,19 @@ def time_decay_attribution(
     whole-stage codegen."""
     from pyspark.sql import Window
 
+    # clamp at 0 BEFORE the cap: a malformed pair with touch after
+    # conversion would otherwise hit the one spot where Spark's
+    # truncating `div` and DuckDB's flooring `//` disagree (negative
+    # numerators) — clamped, the engines agree on every input
     staged = pairs.select(
         F.col(conv_col),
         F.col(touch_col),
         F.col(ts_col).alias("__ts"),
         F.least(
-            F.expr(f"({conv_ts_col} - {ts_col}) div {half_life_us}"),
+            F.greatest(
+                F.expr(f"({conv_ts_col} - {ts_col}) div {half_life_us}"),
+                F.lit(0),
+            ),
             F.lit(max_steps),
         )
         .cast("int")

@@ -617,14 +617,21 @@ def srm_check(
     α = .05) to read the verdict.
 
     Arms the data never produced DO appear — (arm, 0, …) with the
-    full N·w/T expectation as their contribution — via the left join
-    FROM the weights dim (a missing arm is the worst SRM, not an
-    absent row; the classic silent failure this audit exists for).
-    Weights must be positive; zero-weight arms would divide by zero
-    and belong in the data as unexpected-arm rows, not the config.
+    full N·w/T expectation as their contribution — and arms the
+    CONFIG never named (a typo'd bucket, a NULL assignment) also
+    appear, with their observed count and NULL expectation/
+    contribution, via the FULL join between the weights dim and the
+    counts: a missing arm is the worst SRM and an unexpected arm the
+    second-worst, and neither may vanish from the report. N (the
+    expectation denominator) counts ALL observed units, unexpected
+    arms included — their presence inflates every configured arm's
+    deviation, which is the correct alarm. Weights must be positive;
+    zero-weight arms belong in the data as unexpected-arm rows, not
+    the config.
 
-    Output: one row per configured arm —
-    (arm, n_units, expected_units_milli, chi2_contrib_micro).
+    Output: one row per configured arm plus one per unexpected
+    observed arm — (arm, n_units, expected_units_milli,
+    chi2_contrib_micro; the latter two NULL on unexpected arms).
 
     Scale shape: one map-side-combined |arms|-key aggregate over the
     assignment column + a broadcast 1-row total and a broadcast
@@ -644,8 +651,7 @@ def srm_check(
     )
     total = counts.agg(F.sum("n").alias("__N"))
     joined = (
-        F.broadcast(wdim)
-        .join(counts, "arm", "left")
+        wdim.join(counts, "arm", "full")
         .na.fill({"n": 0})
         .crossJoin(F.broadcast(total))
     )

@@ -1003,11 +1003,14 @@ def rolling_corr(
     partition-less ordered window rides the module's calendar-bounded
     allowlist (the daily_rolling argument) — the frame this runs over
     is dim-sized by construction, never the fact table."""
+    # drop incomplete observations BEFORE framing: a NULL x or y would
+    # otherwise be skipped by the sums but counted by __n, silently
+    # corrupting every statistic its frame touches
     base = days.select(
         F.col(day_col).cast("bigint").alias("day"),
         F.col(x_col).cast("decimal(38,0)").alias("__x"),
         F.col(y_col).cast("decimal(38,0)").alias("__y"),
-    )
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     w = Window.orderBy(F.col("day").asc()).rowsBetween(
         -(window - 1), Window.currentRow
     )

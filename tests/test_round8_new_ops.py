@@ -388,6 +388,19 @@ def test_srm_check_exact_chi2_and_missing_arm(spark):
     assert got3["C"][0] == 0
     # contrib for C: (0*4 - 100*2)^2 * 1e6 // (100*2*4)
     assert got3["C"][1] == (200**2) * 1_000_000 // 800
+    # an arm the CONFIG never named (typo'd bucket) must surface with
+    # its count and NULL expectation, and its units stay in N: 90 A +
+    # 10 X against a 50/50 A/B config expects 50 per configured arm
+    rows_x = [("A",)] * 90 + [("X",)] * 10
+    dfx = spark.createDataFrame(rows_x, "arm string")
+    gotx = {
+        r.arm: (r.n_units, r.expected_units_milli, r.chi2_contrib_micro)
+        for r in srm_check(dfx, "arm", {"A": 1, "B": 1}).collect()
+    }
+    assert set(gotx) == {"A", "B", "X"}
+    assert gotx["X"] == (10, None, None)
+    assert gotx["A"] == (90, 50000, (80**2) * 1_000_000 // 200)
+    assert gotx["B"] == (0, 50000, (100**2) * 1_000_000 // 200)
     with _pytest.raises(ValueError):
         srm_check(df, "arm", {"A": 1, "B": 0})
 
