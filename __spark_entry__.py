@@ -6442,8 +6442,10 @@ def oracle_sql() -> dict[str, str]:
     q AS (SELECT embedding AS qv FROM embeddings
           WHERE vec_id = {ANN_QUERY_ID}),
     cand AS (
-      SELECT vec_id, embedding, {_cos('embedding', 'qv')} AS rel
-      FROM embeddings CROSS JOIN q WHERE vec_id != {ANN_QUERY_ID}
+      SELECT vec_id, embedding, rel FROM (
+        SELECT vec_id, embedding, {_cos('embedding', 'qv')} AS rel
+        FROM embeddings CROSS JOIN q WHERE vec_id != {ANN_QUERY_ID}
+      ) WHERE NOT isnan(rel) AND rel IS NOT NULL
       ORDER BY rel DESC, vec_id ASC LIMIT {MMR_FETCH_K}
     ),
     pairsim AS (

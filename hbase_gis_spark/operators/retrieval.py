@@ -190,6 +190,11 @@ def mmr_rerank(
             F.col(vec_col).alias("__v"),
             pair_cosine(F.col(vec_col), F.col("__qv")).alias("__rel"),
         )
+        # a zero-norm vector (or query) makes the cosine NaN, and the
+        # engines RANK NaN differently once inside the greedy (pandas
+        # sorts it last, SQL greatest-first) — excluded by contract,
+        # identically on both sides
+        .filter(~F.isnan("__rel") & F.col("__rel").isNotNull())
         .orderBy(F.col("__rel").desc(), F.col("__id").asc())
         .limit(fetch_k)
         .coalesce(1)

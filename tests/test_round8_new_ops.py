@@ -476,3 +476,24 @@ def test_ablation_ladder_nesting_and_stability(spark):
         for r in ablation_ladder(half, frs).collect()
     }
     assert got_half == {d: r for d, r in got.items() if d < 2000}
+
+
+def test_mmr_rerank_zero_norm_vectors_excluded(spark):
+    """Zero-norm vectors (NaN cosine) are excluded by contract — they
+    must neither win a slot nor crash the greedy; a zero-norm QUERY
+    yields an empty result."""
+    from hbase_gis_spark.operators.retrieval import mmr_rerank
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # zero norm -> NaN rel
+            (3, [0.5, 0.5]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = [r.vec_id for r in mmr_rerank(df, 0, 4, fetch_k=10).collect()]
+    assert 2 not in got and set(got) == {1, 3}
+    zero_q = [r for r in mmr_rerank(df, 2, 4, fetch_k=10).collect()]
+    assert zero_q == []
