@@ -357,10 +357,14 @@ def time_decay_attribution(
     whole-stage codegen."""
     from pyspark.sql import Window
 
-    # clamp at 0 BEFORE the cap: a malformed pair with touch after
-    # conversion would otherwise hit the one spot where Spark's
-    # truncating `div` and DuckDB's flooring `//` disagree (negative
-    # numerators) — clamped, the engines agree on every input
+    # clamp at 0 BEFORE the cap. Division is NOT the hazard here (both
+    # engines truncate toward zero — the b9190ae pinned measurement);
+    # the SHIFT is: a malformed touch-after-conversion pair makes
+    # steps negative, widening the shift past the weight contract, and
+    # a wide-enough shift SILENTLY WRAPS in Spark (shiftleft is
+    # 32-bit: 1<<40 == 256, measured) while DuckDB raises Out of
+    # Range — the silent-vs-error engine divergence class. Clamped,
+    # the shift stays in [0, max_steps] on every input.
     staged = pairs.select(
         F.col(conv_col),
         F.col(touch_col),

@@ -497,3 +497,27 @@ def test_mmr_rerank_zero_norm_vectors_excluded(spark):
     assert 2 not in got and set(got) == {1, 3}
     zero_q = [r for r in mmr_rerank(df, 2, 4, fetch_k=10).collect()]
     assert zero_q == []
+
+
+def test_time_decay_attribution_malformed_pair_clamps(spark):
+    """A touch AFTER the conversion (malformed upstream join) clamps
+    to steps=0 / full weight instead of widening the shift — Spark's
+    32-bit shiftleft would silently wrap where DuckDB raises, so the
+    clamp is the cross-engine safety (comment in funnel.py)."""
+    from hbase_gis_spark.operators.funnel import time_decay_attribution
+
+    HL = 1_000_000
+    pairs = spark.createDataFrame(
+        # touch 100 half-lives AFTER conversion: steps would be -100
+        [(1, 11, 200 * HL, 100 * HL), (1, 12, 100 * HL, 100 * HL)],
+        "pid bigint, vid bigint, vus bigint, pus bigint",
+    )
+    out = {
+        r.vid: r
+        for r in time_decay_attribution(
+            pairs, half_life_us=HL, max_steps=4
+        ).collect()
+    }
+    assert out[11].steps == 0 and out[11].weight == 16
+    assert out[12].steps == 0 and out[12].weight == 16
+    assert out[11].credit_ppm == out[12].credit_ppm == 500_000
