@@ -167,6 +167,7 @@ from hbase_gis_spark.operators.multimodal import (  # noqa: F401
 )
 from hbase_gis_spark.streaming.events import (  # noqa: F401
     dedup_events,
+    maintain_rollup_stream,
     purchase_view_attribution,
     streaming_daily_anomalies,
     streaming_decontaminate,

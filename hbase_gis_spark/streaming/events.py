@@ -760,3 +760,67 @@ def windowed_unique_users(
             "n_users",
         )
     )
+
+
+def maintain_rollup_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    keys: list[str],
+    store_dir: str,
+    count_col: str = "n_rows",
+    sum_cols: list[str] | None = None,
+    trigger_available_now: bool = False,
+):
+    """Streaming materialized-view maintenance: fold every micro-batch
+    of raw rows into a parquet-stored additive rollup via
+    :func:`operators.merge.incremental_rollup` — the continuous twin
+    of the batch operator, packaged from the foreachBatch
+    read-merge-write pattern its parity test pins
+    (tests/test_streaming.py::test_streaming_rollup_maintenance_matches_batch).
+
+    The store is VERSIONED (``store_dir/rollup_v{N}``): each batch
+    reads the current version and writes the next, so a mid-write
+    crash never corrupts the readable snapshot (parquet overwrite is
+    not atomic; version-swap is the portable exactly-once-ish pattern
+    without a table format). Additivity makes the result independent
+    of batch boundaries — after any prefix of batches the store equals
+    the one-shot recompute over the rows seen so far.
+
+    Caller contract: ``store_dir/rollup_v0`` must exist with the
+    rollup schema (write ``raw.limit(0)`` aggregated, or a real
+    backfill) — the function does not guess a schema from the stream.
+
+    Returns ``(query, state)`` — the StreamingQuery handle and a
+    bookkeeping dict whose ``"version"`` entry is the latest
+    committed store version.
+
+    Scale shape per batch: one partial aggregate over the batch + a
+    rollup-key-space union shuffle — never a history scan; see
+    SCALE.md's measured crossover (benchdata/ab_incremental_rollup.json)
+    for when this beats nightly recomputes."""
+    from hbase_gis_spark.operators.merge import incremental_rollup
+
+    state = {"version": 0}
+
+    def _apply(batch_df, _bid):
+        cur = spark.read.parquet(
+            f"{store_dir}/rollup_v{state['version']}"
+        )
+        merged = incremental_rollup(
+            cur, batch_df, keys, count_col=count_col,
+            sum_cols=list(sum_cols or []),
+        )
+        nxt = state["version"] + 1
+        merged.write.mode("overwrite").parquet(
+            f"{store_dir}/rollup_v{nxt}"
+        )
+        state["version"] = nxt
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=trigger_available_now)
+        .start()
+        if trigger_available_now
+        else stream.writeStream.foreachBatch(_apply).start()
+    )
+    return q, state

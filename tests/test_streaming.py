@@ -842,8 +842,6 @@ def test_streaming_rollup_maintenance_matches_batch(
     read-merge-write). Additivity makes the final stored rollup
     independent of batch boundaries and equal to the one-shot full
     recompute — the streaming half of the incremental_rollup arc."""
-    from hbase_gis_spark.operators.merge import incremental_rollup
-
     root = tmp_path_factory.mktemp("rollup")
     ev = load_table(spark, SF0001, "events").select(
         F.expr(
@@ -871,36 +869,27 @@ def test_streaming_rollup_maintenance_matches_batch(
     ev_dir = str(root / "incoming")
     ev.repartition(4).write.mode("overwrite").parquet(ev_dir)
 
-    state = {"v": 0}
-
-    def apply_batch(batch_df, _bid):
-        cur = spark.read.parquet(str(root / f"rollup_v{state['v']}"))
-        merged = incremental_rollup(
-            cur, batch_df, keys, count_col="n_rows",
-            sum_cols=["value_milli"],
-        )
-        state["v"] += 1
-        merged.write.mode("overwrite").parquet(
-            str(root / f"rollup_v{state['v']}")
-        )
-
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(ev_dir)
     )
-    q = stream.writeStream.foreachBatch(apply_batch).trigger(
-        availableNow=True
-    ).start()
+    from hbase_gis_spark.streaming.events import maintain_rollup_stream
+
+    q, state = maintain_rollup_stream(
+        spark, stream, keys, str(root),
+        count_col="n_rows", sum_cols=["value_milli"],
+        trigger_available_now=True,
+    )
     q.awaitTermination(120)
 
     got = sorted(
         map(
             tuple,
             spark.read.parquet(
-                str(root / f"rollup_v{state['v']}")
+                str(root / f"rollup_v{state['version']}")
             ).collect(),
         )
     )
-    assert state["v"] >= 2  # the rows really arrived over >1 batch
+    assert state["version"] >= 2  # the rows really arrived over >1 batch
     assert got == expect
