@@ -204,6 +204,7 @@ from hbase_gis_spark.operators.corpus import (  # noqa: F401
     quality_resample,
     t_closeness_report,
     weighted_sample_k,
+    weighted_sample_k_per_group,
     ablation_ladder,
 )
 from hbase_gis_spark.operators.graph import (  # noqa: F401

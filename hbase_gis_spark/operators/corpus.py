@@ -1206,3 +1206,74 @@ def ablation_ladder(
         df.select(F.col(id_col), rung.alias("rung_ppm"))
         .filter(F.col("rung_ppm").isNotNull())
     )
+
+
+def weighted_sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Per-group :func:`weighted_sample_k`: k weighted winners WITHIN
+    every group (quality-weighted review sample per language, per
+    source, per day) — the stratified member of the ticket-race
+    family, with identical key semantics (same salt + weights →
+    the same item keys as the global draw, so a group winner is
+    exactly the global race restricted to its group).
+
+    Scale shape: the explode/min-key aggregate is the global
+    operator's; selection swaps the global ``TakeOrderedAndProject``
+    for a row_number window PARTITIONED by group (group-bounded sort,
+    never global). Groups with fewer than k members return all of
+    them. NULL group keys form their own group (SQL GROUP BY
+    semantics).
+
+    Output: (``group_col``, ``id_col``, weight, sel_key, rnk 1..k)."""
+    from pyspark.sql import Window
+
+    w_int = (
+        F.least(
+            F.greatest(F.col(weight_col).cast("bigint"), F.lit(1)),
+            F.lit(max_weight),
+        )
+    ).alias("__w")
+    tickets = df.select(F.col(group_col), F.col(id_col), w_int).select(
+        group_col,
+        id_col,
+        "__w",
+        F.explode(F.sequence(F.lit(1), F.col("__w"))).alias("__t"),
+    )
+    keys = (
+        tickets.select(
+            group_col,
+            id_col,
+            "__w",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col(id_col).cast("string"),
+                    F.col("__t").cast("string"),
+                )
+            ).alias("__key"),
+        )
+        .groupBy(group_col, id_col, "__w")
+        .agg(F.min("__key").alias("sel_key"))
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("sel_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        keys.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(
+            group_col,
+            id_col,
+            F.col("__w").cast("bigint").alias("weight"),
+            "sel_key",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -180,3 +180,50 @@ def test_mmr_rerank_matches_bruteforce_property(
         picked.append(best)
         rest.discard(best)
     assert got == picked, (got, picked)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=25),
+    k=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_weighted_sample_per_group_restricts_global_race(
+    spark, n, k, seed
+):
+    """A group's winners are exactly the global ticket race restricted
+    to that group — same salt, same keys (incl. a NULL group), ranks
+    dense 1..min(k, |group|)."""
+    import random
+
+    from hbase_gis_spark.operators.corpus import (
+        weighted_sample_k,
+        weighted_sample_k_per_group,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.choice(["g1", "g2", None]), i, rng.randint(1, 9))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g string, id bigint, w int")
+    per = weighted_sample_k_per_group(
+        df, k, "w", "g", id_col="id", salt=f"s{seed}"
+    ).collect()
+    # global order restricted per group == per-group output
+    full = weighted_sample_k(
+        df, n, "w", id_col="id", salt=f"s{seed}"
+    ).collect()
+    key_of = {r.id: r.sel_key for r in full}
+    by_group = {}
+    for g, i, w in rows:
+        by_group.setdefault(g, []).append(i)
+    for g, ids in by_group.items():
+        expect = sorted(ids, key=lambda i: (key_of[i], i))[:k]
+        got = sorted(
+            [r for r in per if r.g == g], key=lambda r: r.rnk
+        )
+        assert [r.id for r in got] == expect, (g, seed)
+        assert [r.rnk for r in got] == list(range(1, len(expect) + 1))
+        for r in got:
+            assert r.sel_key == key_of[r.id]
