@@ -298,6 +298,7 @@ from hbase_gis_spark.operators.funnel import (  # noqa: F401
 from hbase_gis_spark.operators.retrieval import (  # noqa: F401
     hybrid_rrf_topk,
     mmr_rerank,
+    mmr_rerank_multi,
     rrf_fuse,
 )
 from hbase_gis_spark.sources.bucketed import (  # noqa: F401

@@ -261,3 +261,102 @@ def mmr_rerank(
     return out.select(
         "rank", id_col, F.round(F.col("rel"), 9).alias("rel_r9")
     )
+
+
+def mmr_rerank_multi(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int,
+    fetch_k: int = 50,
+    lam_ppm: int = 700_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bulk :func:`mmr_rerank`: diversified top-k for a BATCH of query
+    vectors in one pass — the one-scan-amortized shape
+    (``cosine_topk_multi``'s argument) with the greedy running
+    per-query in an ``applyInPandas`` group (each group is exactly
+    one query's ≤ ``fetch_k`` candidates — bounded, lazy, no driver
+    collect). Per-query results are IDENTICAL to the single-query
+    operator (pinned by test): same fold sims, same λ, same
+    (score DESC, id ASC) tie rule, same zero-norm exclusion.
+
+    Scale shape: the big side streams ONCE through a broadcast
+    |queries|-row dim join (n·|queries| scored rows — the bulk
+    retrieval trade); per-query top-fetch_k is a rank window
+    PARTITIONED by query (never global); the greedy stage touches
+    |queries|·fetch_k rows total.
+
+    Output: (query_id, rank 1..k, ``id_col``, rel_r9)."""
+    import numpy as np
+    import pandas as pd
+
+    from hbase_gis_spark.functions.arrowkernels import pair_cosine
+
+    qdim = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        df.crossJoin(F.broadcast(qdim))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            "__qid",
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            pair_cosine(F.col(vec_col), F.col("__qv")).alias("__rel"),
+        )
+        .filter(~F.isnan("__rel") & F.col("__rel").isNotNull())
+    )
+    win = Window.partitionBy("__qid").orderBy(
+        F.col("__rel").desc(), F.col("__id").asc()
+    )
+    cand = scored.withColumn("__r", F.row_number().over(win)).filter(
+        F.col("__r") <= fetch_k
+    )
+    lam = lam_ppm / 1_000_000.0
+    mu = 1.0 - lam
+    kk = k
+
+    def _greedy(key, rows: pd.DataFrame) -> pd.DataFrame:
+        rows = rows.sort_values(
+            ["__rel", "__id"], ascending=[False, True], ignore_index=True
+        )
+        V = np.array(rows["__v"].tolist(), dtype=np.float64)
+        rel = rows["__rel"].to_numpy()
+        ids = rows["__id"].to_numpy()
+        n = len(rows)
+        acc = np.zeros((n, n))
+        sq = np.zeros(n)
+        for j in range(V.shape[1]):
+            acc += V[:, j : j + 1] * V[:, j][None, :]
+            sq += V[:, j] * V[:, j]
+        norm = np.sqrt(sq)
+        sim = acc / (norm[:, None] * norm[None, :])
+        picked = [0]
+        remaining = set(range(1, n))
+        while remaining and len(picked) < kk:
+            best, best_score = None, None
+            for c in sorted(remaining, key=lambda i: ids[i]):
+                ms = max(sim[c, s] for s in picked)
+                score = lam * rel[c] - mu * ms
+                if best_score is None or score > best_score:
+                    best, best_score = c, score
+            picked.append(best)
+            remaining.discard(best)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(picked), key[0], dtype="int64"),
+                "rank": np.arange(1, len(picked) + 1, dtype="int64"),
+                id_col: ids[picked],
+                "rel": rel[picked],
+            }
+        )
+
+    out = cand.groupBy("__qid").applyInPandas(
+        _greedy,
+        schema=f"query_id bigint, rank bigint, {id_col} bigint, rel double",
+    )
+    return out.select(
+        "query_id", "rank", id_col,
+        F.round(F.col("rel"), 9).alias("rel_r9"),
+    )

@@ -521,3 +521,43 @@ def test_time_decay_attribution_malformed_pair_clamps(spark):
     assert out[11].steps == 0 and out[11].weight == 16
     assert out[12].steps == 0 and out[12].weight == 16
     assert out[11].credit_ppm == out[12].credit_ppm == 500_000
+
+
+def test_mmr_rerank_multi_matches_single_query(spark):
+    """The bulk variant's per-query results are identical to the
+    single-query operator for every query in the batch."""
+    import numpy as np
+
+    from hbase_gis_spark.operators.retrieval import (
+        mmr_rerank,
+        mmr_rerank_multi,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(6)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qids = [0, 7, 13]
+    bulk = mmr_rerank_multi(df, qids, 5, fetch_k=12, lam_ppm=600_000)
+    got = {
+        qid: [
+            (r.rank, r.vec_id, r.rel_r9)
+            for r in sorted(
+                bulk.filter(F.col("query_id") == qid).collect(),
+                key=lambda r: r.rank,
+            )
+        ]
+        for qid in qids
+    }
+    for qid in qids:
+        single = [
+            (r.rank, r.vec_id, r.rel_r9)
+            for r in sorted(
+                mmr_rerank(
+                    df, qid, 5, fetch_k=12, lam_ppm=600_000
+                ).collect(),
+                key=lambda r: r.rank,
+            )
+        ]
+        assert got[qid] == single, qid
