@@ -169,6 +169,8 @@ def incremental_rollup(
     keys: list[str],
     count_col: str = "n_rows",
     sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> DataFrame:
     """Delta-maintain a stored additive rollup: fold a new raw batch
     into an existing (keys → count + sums) aggregate WITHOUT
@@ -194,18 +196,30 @@ def incremental_rollup(
     ROLLUP key space (days × types — dim-sized, never fact-sized),
     then a key-space-bounded final aggregate. At 100 TB this is the
     difference between touching one day of data and touching three
-    years of it. Only additive measures qualify (counts, sums —
-    min/max would need the full group to handle retractions); stated
-    precondition, not enforced."""
+    years of it. Counts and sums are additive unconditionally;
+    ``min_cols``/``max_cols`` are MERGEABLE only because the store is
+    APPEND-ONLY (min(stored_min, batch_min) is the group min iff no
+    row is ever retracted — a delete would require the full group;
+    stated precondition, not enforced)."""
     sum_cols = list(sum_cols or [])
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+    # a column may be wanted under several laws (e.g. min AND max of
+    # ts); suffix-free only when unambiguous, else the caller aliases
+    mins = [f"min_{c}" if c in max_cols else c for c in min_cols]
+    maxs = [f"max_{c}" if c in min_cols else c for c in max_cols]
     delta_part = delta.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias(count_col),
         *[F.sum(c).cast("bigint").alias(c) for c in sum_cols],
+        *[F.min(c).alias(a) for c, a in zip(min_cols, mins)],
+        *[F.max(c).alias(a) for c, a in zip(max_cols, maxs)],
     )
     merged = stored.select(
-        *keys, count_col, *sum_cols
+        *keys, count_col, *sum_cols, *mins, *maxs
     ).unionByName(delta_part)
     return merged.groupBy(*keys).agg(
         F.sum(count_col).cast("bigint").alias(count_col),
         *[F.sum(c).cast("bigint").alias(c) for c in sum_cols],
+        *[F.min(a).alias(a) for a in mins],
+        *[F.max(a).alias(a) for a in maxs],
     )

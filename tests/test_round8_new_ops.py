@@ -561,3 +561,37 @@ def test_mmr_rerank_multi_matches_single_query(spark):
             )
         ]
         assert got[qid] == single, qid
+
+
+def test_incremental_rollup_min_max_append_only(spark):
+    """Append-only min/max merge: stored extremes fold with batch
+    extremes to the full-recompute extremes, including a column asked
+    for under BOTH laws (auto min_/max_ aliases) and NULL measures."""
+    from hbase_gis_spark.operators.merge import incremental_rollup
+
+    hist = spark.createDataFrame(
+        [("a", 5, 10), ("a", 1, None), ("b", 7, 2)],
+        "k string, ts int, v int",
+    )
+    batch = spark.createDataFrame(
+        [("a", 3, -4), ("b", 9, None), ("c", 2, 0)],
+        "k string, ts int, v int",
+    )
+    stored = hist.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("v").cast("bigint").alias("v"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    got = {
+        r.k: (r.n_rows, r.v, r.min_ts, r.max_ts)
+        for r in incremental_rollup(
+            stored, batch, ["k"], count_col="n_rows", sum_cols=["v"],
+            min_cols=["ts"], max_cols=["ts"],
+        ).collect()
+    }
+    assert got == {
+        "a": (3, 6, 1, 5),
+        "b": (2, 2, 7, 9),
+        "c": (1, 0, 2, 2),
+    }
