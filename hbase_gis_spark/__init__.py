@@ -254,6 +254,7 @@ from hbase_gis_spark.operators.quality import (  # noqa: F401
     uniqueness_audit,
     sequence_gap_audit,
     forget_audit,
+    apply_forget,
     srm_check,
 )
 from hbase_gis_spark.operators.merge import (  # noqa: F401

@@ -672,3 +672,24 @@ def srm_check(
         .cast("bigint")
         .alias("chi2_contrib_micro"),
     )
+
+
+def apply_forget(
+    df: DataFrame,
+    key_col: str,
+    forget_keys: DataFrame,
+) -> DataFrame:
+    """Execute the deletion :func:`forget_audit` measures: drop every
+    row whose ``key_col`` is in the forget set — one broadcast
+    anti-join per table, the same request-sized key-frame contract as
+    the audit (derive per-table frames along FK chains the same way).
+    The closing invariant of the privacy arc: after writing this
+    frame back, ``forget_audit`` on the same keys reports (0, 0) for
+    the table — audit → apply → re-audit-zero.
+
+    NULL keys are NEVER dropped (anti-join null semantics: a NULL key
+    matches nothing) — deleting unattributed rows under a keyed
+    forget request would over-delete; scrub NULL-keyed rows under a
+    separate, explicit policy."""
+    keyed = forget_keys.toDF(key_col)
+    return df.join(F.broadcast(keyed), key_col, "left_anti")

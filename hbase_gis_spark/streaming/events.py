@@ -769,6 +769,8 @@ def maintain_rollup_stream(
     store_dir: str,
     count_col: str = "n_rows",
     sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
     trigger_available_now: bool = False,
 ):
     """Streaming materialized-view maintenance: fold every micro-batch
@@ -809,6 +811,8 @@ def maintain_rollup_stream(
         merged = incremental_rollup(
             cur, batch_df, keys, count_col=count_col,
             sum_cols=list(sum_cols or []),
+            min_cols=list(min_cols or []),
+            max_cols=list(max_cols or []),
         )
         nxt = state["version"] + 1
         merged.write.mode("overwrite").parquet(

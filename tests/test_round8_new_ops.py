@@ -595,3 +595,24 @@ def test_incremental_rollup_min_max_append_only(spark):
         "b": (2, 2, 7, 9),
         "c": (1, 0, 2, 2),
     }
+
+
+def test_apply_forget_closes_the_audit_loop(spark):
+    """audit(n>0) -> apply_forget -> audit(0, 0); NULL keys are never
+    dropped under a keyed forget request."""
+    from hbase_gis_spark.operators.quality import apply_forget, forget_audit
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (3, "d")],
+        "uid bigint, x string",
+    )
+    keys = spark.createDataFrame([(1,), (3,)], "k bigint")
+    before = forget_audit([("t", t, "uid", keys)]).collect()[0]
+    assert (before.n_rows, before.n_keys) == (2, 2)
+    cleaned = apply_forget(t, "uid", keys)
+    keyf = lambda p: (p[0] is None, p[0] or 0, p[1])  # noqa: E731
+    assert sorted(
+        ((r.uid, r.x) for r in cleaned.collect()), key=keyf
+    ) == sorted([(2, "b"), (None, "c")], key=keyf)
+    after = forget_audit([("t", cleaned, "uid", keys)]).collect()[0]
+    assert (after.n_rows, after.n_keys) == (0, 0)
