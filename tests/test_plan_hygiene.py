@@ -96,39 +96,40 @@ def test_round3_tpch_predicates_reach_scans(spark):
 
 def test_registry_window_contract():
     """The driver checks exactly the FIRST 50 queries() entries; round
-    8's window must hold the 15 round-7 additions (entering on the
-    FIXED theil_sen pair-shard plan, the VERDICT r7 sequencing) + the
-    33 r3-era longest-unchecked canaries + the first two r4-era
-    backlog entries, every window query must have an oracle, and new
-    round-8 additions must stay appended BEHIND the window."""
+    9's window must hold the 15 round-8 additions (the VERDICT r8
+    next-round #1 rotation, enumerated in the round-8 docstring) +
+    the first 35 of the 47-entry r4-era backlog, every window query
+    must have an oracle, and new round-9 additions must stay
+    appended BEHIND the window."""
     import __spark_entry__ as entrymod
 
     qs = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
-    r7_additions = [
-        "theil_sen_trend", "mann_kendall", "lorenz_revenue",
-        "position_attribution", "event_debounce", "t_closeness",
-        "source_vocab_overlap", "churn_hazard", "id_gap_audit",
-        "pareto_customers", "time_to_purchase", "heaps_law",
-        "daily_fano", "quality_dup_calibration", "hourly_unique_users",
+    r8_additions = [
+        "ivf_reassign", "ivf_nprobe_curve", "curation_funnel",
+        "token_entropy_rate", "changepoint_days",
+        "dedup_threshold_curve", "packing_stats",
+        "time_decay_attribution", "incremental_rollup",
+        "forget_audit", "rolling_corr_daily", "weighted_sample",
+        "srm_check", "mmr_rerank", "ablation_ladder",
     ]
-    r3_canaries = [
-        "balance_deciles", "repeat_customers", "churned_customers",
-        "sliding_event_counts", "daily_active_users",
-        "exact_event_stats", "top_rare_terms", "ann_multi_topk",
-        "funnel_counts", "retention_cohorts", "merge_upsert",
-        "scd2_intervals", "event_pivot", "json_props",
-        "edit_distance_pairs", "daily_rolling", "split_assign",
-        "stratified_sample", "decontaminate", "pack_sequences",
-        "global_shuffle", "domain_cap", "mixture_rates",
-        "mixture_sample", "pii_scrub", "dup_ngram_spans",
-        "winnow_matches", "chunk_documents", "corpus_stats",
-        "ivf_cells", "label_purity", "quantize_int8", "within_polygon",
+    r4_canaries = [
+        "ann_range_search", "embedding_norm_stats", "returned_items",
+        "top_supplier", "discounted_revenue_or", "market_share",
+        "product_profit", "min_cost_supplier", "semdedup",
+        "pq_adc_topk", "bpe_pair_counts", "revenue_rollup",
+        "ann_ivfpq_topk", "tfidf_cosine_pairs", "dbscan",
+        "table_profile", "daily_anomalies", "daily_recon",
+        "ewma_daily", "forecast_revenue_change",
+        "global_sales_opportunity", "interval_join",
+        "grouped_quantiles", "ann_recall_report", "bpe_learned_counts",
+        "audio_features", "video_features", "quality_classifier",
+        "ann_hamming_topk", "volume_shipping", "ann_hamming_rerank",
+        "skew_report", "pca_project", "bigram_lm_score",
+        "dataset_card",
     ]
-    r4_fill = ["tfidf_topk_terms", "unigram_lm_score"]
-    assert qs[:15] == r7_additions
-    assert qs[15:48] == r3_canaries
-    assert qs[48:50] == r4_fill
+    assert qs[:15] == r8_additions
+    assert qs[15:50] == r4_canaries
     missing = [q for q in qs[:50] if q not in oracles]
     assert missing == [], f"window queries without oracles: {missing}"
     # registry entries stay unique (dict literal would silently drop dups
