@@ -171,6 +171,7 @@ def incremental_rollup(
     sum_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
+    tombstone_col: str | None = "__deleted",
 ) -> DataFrame:
     """Delta-maintain a stored additive rollup: fold a new raw batch
     into an existing (keys → count + sums) aggregate WITHOUT
@@ -197,23 +198,66 @@ def incremental_rollup(
     then a key-space-bounded final aggregate. At 100 TB this is the
     difference between touching one day of data and touching three
     years of it. Counts and sums are additive unconditionally;
-    ``min_cols``/``max_cols`` are MERGEABLE only because the store is
+    ``min_cols``/``max_cols`` are MERGEABLE only when the store is
     APPEND-ONLY (min(stored_min, batch_min) is the group min iff no
-    row is ever retracted — a delete would require the full group;
-    stated precondition, not enforced)."""
+    row is ever retracted — a delete would require re-scanning the
+    full group). The contract is ENFORCED, not just stated: a delta
+    carrying ``tombstone_col`` is accepted as a retraction stream
+    for the ADDITIVE measures (tombstoned rows fold in with sign −1,
+    the classic signed-delta view-maintenance trick) but REJECTED
+    with ``ValueError`` when min/max measures are requested, because
+    no bounded-state merge can un-take a min.
+
+    Column-name contract (the stored side MUST carry exactly these):
+    ``keys``, ``count_col``, each sum column under its own name, each
+    min/max column under its own name — except a column requested
+    under BOTH laws, which is stored as ``min_<c>``/``max_<c>``. A
+    column may not appear in both ``sum_cols`` and
+    ``min_cols``/``max_cols`` (one physical stored column cannot hold
+    two different partials); that overlap raises ``ValueError`` up
+    front instead of failing inside unionByName with a
+    duplicate-alias error."""
     sum_cols = list(sum_cols or [])
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
+    overlap = sorted(set(sum_cols) & (set(min_cols) | set(max_cols)))
+    if overlap:
+        raise ValueError(
+            "incremental_rollup: column(s) requested as both sum and "
+            f"min/max measures: {overlap}; store them under distinct "
+            "names (one physical stored column holds one partial)"
+        )
+    tombstoned = tombstone_col is not None and tombstone_col in delta.columns
+    if tombstoned and (min_cols or max_cols):
+        raise ValueError(
+            "incremental_rollup: delta carries retraction marker "
+            f"{tombstone_col!r} but min/max measures were requested -- "
+            "min/max partials are append-only-mergeable; retractions "
+            "require a full recompute of the affected groups"
+        )
     # a column may be wanted under several laws (e.g. min AND max of
     # ts); suffix-free only when unambiguous, else the caller aliases
     mins = [f"min_{c}" if c in max_cols else c for c in min_cols]
     maxs = [f"max_{c}" if c in min_cols else c for c in max_cols]
-    delta_part = delta.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("bigint").alias(count_col),
-        *[F.sum(c).cast("bigint").alias(c) for c in sum_cols],
-        *[F.min(c).alias(a) for c, a in zip(min_cols, mins)],
-        *[F.max(c).alias(a) for c, a in zip(max_cols, maxs)],
-    )
+    if tombstoned:
+        sign = F.when(
+            F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False)),
+            F.lit(-1).cast("bigint"),
+        ).otherwise(F.lit(1).cast("bigint"))
+        delta_part = delta.groupBy(*keys).agg(
+            F.sum(sign).cast("bigint").alias(count_col),
+            *[
+                F.sum(sign * F.col(c)).cast("bigint").alias(c)
+                for c in sum_cols
+            ],
+        )
+    else:
+        delta_part = delta.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias(count_col),
+            *[F.sum(c).cast("bigint").alias(c) for c in sum_cols],
+            *[F.min(c).alias(a) for c, a in zip(min_cols, mins)],
+            *[F.max(c).alias(a) for c, a in zip(max_cols, maxs)],
+        )
     merged = stored.select(
         *keys, count_col, *sum_cols, *mins, *maxs
     ).unionByName(delta_part)

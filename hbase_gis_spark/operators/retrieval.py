@@ -317,7 +317,7 @@ def mmr_rerank_multi(
     mu = 1.0 - lam
     kk = k
 
-    def _greedy(key, rows: pd.DataFrame) -> pd.DataFrame:
+    def _greedy(key: tuple, rows: pd.DataFrame) -> pd.DataFrame:
         rows = rows.sort_values(
             ["__rel", "__id"], ascending=[False, True], ignore_index=True
         )

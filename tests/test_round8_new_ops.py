@@ -597,6 +597,60 @@ def test_incremental_rollup_min_max_append_only(spark):
     }
 
 
+def test_incremental_rollup_rejects_retraction_with_min_max(spark):
+    """The append-only contract is enforced at plan time: a delta
+    carrying the tombstone marker raises when min/max measures are
+    requested (a retraction cannot un-take a stored min)."""
+    import pytest
+
+    from hbase_gis_spark.operators.merge import incremental_rollup
+
+    stored = spark.createDataFrame(
+        [("a", 2, 7, 1)], "k string, n_rows bigint, v bigint, ts int"
+    )
+    delta = spark.createDataFrame(
+        [("a", 3, 5, True)], "k string, v int, ts int, __deleted boolean"
+    )
+    with pytest.raises(ValueError, match="retraction marker"):
+        incremental_rollup(
+            stored, delta, ["k"], sum_cols=["v"], min_cols=["ts"]
+        )
+    # and a sum/min-max column collision is rejected up front, not at
+    # unionByName time with a duplicate-alias error
+    with pytest.raises(ValueError, match="both sum and"):
+        incremental_rollup(
+            stored, delta.drop("__deleted"), ["k"],
+            sum_cols=["v"], max_cols=["v"],
+        )
+
+
+def test_incremental_rollup_signed_retraction_additive(spark):
+    """Tombstoned delta rows fold into count/sum partials with sign -1
+    (signed-delta view maintenance) and match a full recompute over
+    history minus the retracted rows."""
+    from hbase_gis_spark.operators.merge import incremental_rollup
+
+    hist = spark.createDataFrame(
+        [("a", 10), ("a", 4), ("b", 7)], "k string, v int"
+    )
+    stored = hist.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("v").cast("bigint").alias("v"),
+    )
+    # retract ("a", 4), insert ("b", 1) and ("c", 5); NULL marker = insert
+    delta = spark.createDataFrame(
+        [("a", 4, True), ("b", 1, False), ("c", 5, None)],
+        "k string, v int, __deleted boolean",
+    )
+    got = {
+        r.k: (r.n_rows, r.v)
+        for r in incremental_rollup(
+            stored, delta, ["k"], sum_cols=["v"]
+        ).collect()
+    }
+    assert got == {"a": (1, 10), "b": (2, 8), "c": (1, 5)}
+
+
 def test_apply_forget_closes_the_audit_loop(spark):
     """audit(n>0) -> apply_forget -> audit(0, 0); NULL keys are never
     dropped under a keyed forget request."""
