@@ -167,6 +167,7 @@ from hbase_gis_spark.operators.multimodal import (  # noqa: F401
 )
 from hbase_gis_spark.streaming.events import (  # noqa: F401
     dedup_events,
+    latest_rollup_version,
     maintain_rollup_stream,
     purchase_view_attribution,
     streaming_daily_anomalies,

@@ -762,6 +762,49 @@ def windowed_unique_users(
     )
 
 
+def latest_rollup_version(
+    spark: SparkSession, store_dir: str
+) -> tuple[int, int | None]:
+    """Scan ``store_dir`` for the highest committed ``rollup_v{N}``
+    and return ``(version, batch_id)`` where ``batch_id`` is the
+    micro-batch that produced it (from the ``_FOLDED_B{bid}`` marker
+    the writer touches after the parquet commit; ``None`` for a seed
+    version written outside the stream). Uses the Hadoop FileSystem
+    API via the session's JVM so the scan works on any store Spark
+    can write to (local, HDFS, object stores), not just local paths.
+
+    Raises ``FileNotFoundError`` if no ``rollup_v{N}`` exists — the
+    caller contract (seed ``rollup_v0`` first) is unchanged."""
+    import re as _re
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    best, best_bid = -1, None
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            m = _re.fullmatch(r"rollup_v(\d+)", name)
+            if not m:
+                continue
+            ver = int(m.group(1))
+            if ver <= best:
+                continue
+            bid = None
+            for f in fs.listStatus(st.getPath()):
+                fm = _re.fullmatch(
+                    r"_FOLDED_B(\d+)", f.getPath().getName()
+                )
+                if fm:
+                    bid = int(fm.group(1))
+            best, best_bid = ver, bid
+    if best < 0:
+        raise FileNotFoundError(
+            f"no rollup_v*/ under {store_dir}; seed rollup_v0 first"
+        )
+    return best, best_bid
+
+
 def maintain_rollup_stream(
     spark: SparkSession,
     stream: DataFrame,
@@ -772,6 +815,8 @@ def maintain_rollup_stream(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     trigger_available_now: bool = False,
+    checkpoint_dir: str | None = None,
+    start_version: int | None = None,
 ):
     """Streaming materialized-view maintenance: fold every micro-batch
     of raw rows into a parquet-stored additive rollup via
@@ -788,13 +833,33 @@ def maintain_rollup_stream(
     of batch boundaries — after any prefix of batches the store equals
     the one-shot recompute over the rows seen so far.
 
+    RECOVERY (the part "exactly-once-ish" has to earn): on start the
+    current version is DISCOVERED by scanning ``store_dir`` for the
+    highest ``rollup_v{N}`` (:func:`latest_rollup_version`), never
+    assumed to be 0 — re-invoking on a store that already advanced
+    resumes from the real head instead of silently re-folding onto
+    the empty seed. Pass ``checkpoint_dir`` so the restarted stream
+    resumes from the source offsets it already committed; because
+    foreachBatch is at-least-once (the last epoch replays when a
+    crash lands between the store write and the checkpoint commit),
+    every committed version carries a ``_FOLDED_B{bid}`` marker
+    (written AFTER the parquet commit, so a half-written version has
+    no marker and is invisible to the scan) and a replayed batch
+    whose id is ≤ the head version's marker is SKIPPED — folding is
+    idempotent under replay, which upgrades at-least-once to
+    effectively-once for the store. ``start_version`` overrides the
+    scan for deliberate point-in-time restarts; superseded
+    ``rollup_v{N}`` dirs are retained for that purpose (prune old
+    versions out-of-band like any snapshot store).
+
     Caller contract: ``store_dir/rollup_v0`` must exist with the
     rollup schema (write ``raw.limit(0)`` aggregated, or a real
     backfill) — the function does not guess a schema from the stream.
 
     Returns ``(query, state)`` — the StreamingQuery handle and a
     bookkeeping dict whose ``"version"`` entry is the latest
-    committed store version.
+    committed store version and ``"batch_id"`` the micro-batch that
+    produced it.
 
     Scale shape per batch: one partial aggregate over the batch + a
     rollup-key-space union shuffle — never a history scan; see
@@ -802,9 +867,18 @@ def maintain_rollup_stream(
     for when this beats nightly recomputes."""
     from hbase_gis_spark.operators.merge import incremental_rollup
 
-    state = {"version": 0}
+    if start_version is not None:
+        state = {"version": start_version, "batch_id": None}
+    else:
+        ver, bid = latest_rollup_version(spark, store_dir)
+        state = {"version": ver, "batch_id": bid}
 
-    def _apply(batch_df, _bid):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _apply(batch_df, bid):
+        if state["batch_id"] is not None and bid <= state["batch_id"]:
+            return  # replayed epoch already folded into the head version
         cur = spark.read.parquet(
             f"{store_dir}/rollup_v{state['version']}"
         )
@@ -818,13 +892,17 @@ def maintain_rollup_stream(
         merged.write.mode("overwrite").parquet(
             f"{store_dir}/rollup_v{nxt}"
         )
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{store_dir}/rollup_v{nxt}/_FOLDED_B{bid}"
+        )
+        marker.getFileSystem(hconf).create(marker, True).close()
         state["version"] = nxt
+        state["batch_id"] = bid
 
-    q = (
-        stream.writeStream.foreachBatch(_apply)
-        .trigger(availableNow=trigger_available_now)
-        .start()
-        if trigger_available_now
-        else stream.writeStream.foreachBatch(_apply).start()
-    )
+    writer = stream.writeStream.foreachBatch(_apply)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
     return q, state

@@ -893,3 +893,92 @@ def test_streaming_rollup_maintenance_matches_batch(
     )
     assert state["version"] >= 2  # the rows really arrived over >1 batch
     assert got == expect
+
+
+def test_streaming_rollup_crash_resume_converges(
+    spark, tmp_path_factory
+):
+    """Stop/restart recovery for maintain_rollup_stream: phase 1
+    folds an initial file set under a real checkpoint; a crash is
+    then simulated in the worst window (store write committed, the
+    checkpoint's last epoch commit deleted, so the restart REPLAYS
+    that epoch); phase 2 restarts from the checkpoint, discovers the
+    advanced store version by scanning (never re-reads the empty v0
+    seed), skips the replayed epoch via its _FOLDED_B marker instead
+    of double-folding, folds newly arrived files, and converges to
+    the one-shot recompute over everything seen."""
+    import os
+
+    from hbase_gis_spark.streaming.events import (
+        latest_rollup_version,
+        maintain_rollup_stream,
+    )
+
+    root = tmp_path_factory.mktemp("rollup_resume")
+    ev = load_table(spark, SF0001, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+        "event_type",
+    )
+    keys = ["day", "event_type"]
+
+    def full(df):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        )
+
+    full(ev.limit(0)).write.mode("overwrite").parquet(
+        str(root / "rollup_v0")
+    )
+    ev_dir, ckpt = str(root / "incoming"), str(root / "ckpt")
+    first = ev.filter(F.col("day") % 2 == 0)
+    second = ev.filter(F.col("day") % 2 == 1)
+    first.repartition(2).write.mode("overwrite").parquet(ev_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+        q, state = maintain_rollup_stream(
+            spark, stream, keys, str(root), count_col="n_rows",
+            trigger_available_now=True, checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+        return state
+
+    s1 = run()
+    assert s1["version"] >= 2 and s1["batch_id"] is not None
+    got1 = sorted(map(tuple, spark.read.parquet(
+        str(root / f"rollup_v{s1['version']}")
+    ).collect()))
+    assert got1 == sorted(map(tuple, full(first).collect()))
+
+    # crash in the at-least-once window: the store committed epoch B
+    # but the checkpoint did not -- Spark will replay B on restart
+    commits = sorted(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if f.isdigit()
+    )
+    os.remove(os.path.join(ckpt, "commits", str(commits[-1])))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # Hadoop ChecksumFileSystem sidecar
+        os.remove(crc)
+
+    # new files arrive while "down"
+    second.repartition(2).write.mode("append").parquet(ev_dir)
+
+    # the restart's scan must find the advanced head, not v0
+    assert latest_rollup_version(spark, str(root)) == (
+        s1["version"], s1["batch_id"]
+    )
+    s2 = run()
+    got2 = sorted(map(tuple, spark.read.parquet(
+        str(root / f"rollup_v{s2['version']}")
+    ).collect()))
+    assert got2 == sorted(map(tuple, full(ev).collect()))
+    # replayed epoch was skipped: the version advanced only by the
+    # number of NEW files (2), not new + replayed
+    assert s2["version"] == s1["version"] + 2
