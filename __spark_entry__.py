@@ -10838,9 +10838,14 @@ def oracle_sql() -> dict[str, str]:
       FROM events
     ),
     d AS (
-      SELECT day, CAST(count(*) AS HUGEINT) AS x,
-             CAST(sum(vm) AS HUGEINT) AS y
-      FROM base GROUP BY day
+      -- mirror rolling_corr's pre-frame filter: a day whose measure
+      -- sum is NULL is dropped BEFORE framing on both engines, so n
+      -- and the frame contents agree (ADVICE r8)
+      SELECT * FROM (
+        SELECT day, CAST(count(*) AS HUGEINT) AS x,
+               CAST(sum(vm) AS HUGEINT) AS y
+        FROM base GROUP BY day
+      ) WHERE y IS NOT NULL
     ),
     s AS (
       SELECT day,

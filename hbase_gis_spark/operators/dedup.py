@@ -1184,11 +1184,12 @@ def embedding_dup_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 64,
-    band_bits: int = 4,
+    band_bits: int | None = 4,
     max_bucket: int | None = None,
     dim: int = 64,
     seed: int = 13,
     use_arrow: bool = True,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH banding — the scale
     path (:func:`embedding_dup_pairs` is the all-pairs ground truth,
@@ -1210,6 +1211,11 @@ def embedding_dup_lsh(
     and prune harder as thresholds rise toward realistic 0.9+.
     Deterministic given ``seed`` — exactly reproducible in oracle SQL.
 
+    ``band_bits=None`` derives the band width from the corpus size by
+    the measured density rule (``2^bits ≈ n / target_bucket`` —
+    :func:`similarity.derive_band_bits`, one extra count() scan); the
+    explicit knob stays for pinned/oracled configurations.
+
     Physical shape chosen by interleaved one-JVM A/B at sf0.1 (2 000
     vectors; the synthetic corpus is worst-case: every true pair sits
     at cos 0.40-0.60, so ~2.1 M band-pair rows ≈ the 2.0 M all-pairs):
@@ -1229,12 +1235,21 @@ def embedding_dup_lsh(
     """
     from hbase_gis_spark.operators.similarity import (
         cosine_expr,
+        derive_band_bits,
         dot_expr,
         fold_dots,
         hyperplane_planes,
         pair_cosine,
     )
 
+    if band_bits is None:
+        # bounded planning edge: ONE count() of the input sizes the
+        # band width by the measured density rule (2^bits ~ n /
+        # target_bucket — benchdata/lsh_density_tuning.json); the
+        # explicit band_bits knob skips the extra scan entirely
+        band_bits = derive_band_bits(
+            df.count(), n_planes=n_planes, target_bucket=target_bucket
+        )
     if n_planes % band_bits:
         raise ValueError("band_bits must divide n_planes")
     planes = hyperplane_planes(dim, n_planes, seed)

@@ -266,6 +266,31 @@ def lsh_signature(
     return out
 
 
+def derive_band_bits(
+    n: int, n_planes: int = 64, target_bucket: int = 64
+) -> int:
+    """Derive the banded-LSH band width from corpus size: pick
+    ``band_bits`` so the CHANCE bucket holds ~``target_bucket``
+    vectors, i.e. ``2^band_bits ≈ n / target_bucket`` — the measured
+    deployment rule from benchdata/lsh_density_tuning.json (band_bits
+    must grow with n; ``max_bucket`` is the degenerate-hot-key guard,
+    NOT the density knob — a sub-chance cap zeroes the output).
+
+    The ideal width ``log2(n / target_bucket)`` is rounded to the
+    nearest DIVISOR of ``n_planes`` (bands must tile the signature
+    exactly), clamped to [1, n_planes]. Ties resolve to the wider
+    band: over-pruning degrades recall gracefully (more bands still
+    fire) while under-pruning degrades memory quadratically
+    (Σ bucket² per band)."""
+    import math
+
+    if n_planes < 1:
+        raise ValueError("n_planes must be >= 1")
+    ideal = math.log2(max(float(n) / float(target_bucket), 2.0))
+    divisors = [d for d in range(1, n_planes + 1) if n_planes % d == 0]
+    return min(divisors, key=lambda d: (abs(d - ideal), -d))
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_id: int,

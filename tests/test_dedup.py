@@ -161,6 +161,61 @@ def test_embedding_dup_lsh_max_bucket_bounds_work(spark):
     assert len(full) == n * (n - 1) // 2
 
 
+def test_derive_band_bits_density_rule():
+    """band_bits=None sizing lands inside the measured density
+    envelope (benchdata/lsh_density_tuning.json): the chance bucket
+    n / 2^bits stays within ~2x of target_bucket in log space at two
+    corpus sizes an order of magnitude apart, the width always tiles
+    n_planes, and it GROWS with n (the tuning lesson: band_bits is
+    the density knob, max_bucket is not)."""
+    import math
+
+    from hbase_gis_spark.operators.similarity import derive_band_bits
+
+    small = derive_band_bits(500, n_planes=64, target_bucket=64)
+    large = derive_band_bits(20_000, n_planes=64, target_bucket=64)
+    assert 64 % small == 0 and 64 % large == 0
+    assert large > small
+    for n, bits in ((500, small), (20_000, large)):
+        chance_bucket = n / 2.0**bits
+        # within one octave of target on either side, except when the
+        # corpus is so small that even 1-bit bands are under target
+        assert (
+            abs(math.log2(max(chance_bucket, 1.0) / 64.0)) <= 1.0
+            or bits == 1
+        ), (n, bits, chance_bucket)
+    # the 20k tuning fixture measured bb8 as the well-conditioned
+    # setting at realistic thresholds -- the rule must reproduce it
+    assert large == 8
+    # degenerate floors/ceilings stay legal divisors
+    assert derive_band_bits(10, n_planes=64) == 1
+    assert derive_band_bits(10**9, n_planes=64) >= 16
+
+
+def test_embedding_dup_lsh_auto_band_bits_matches_explicit(spark):
+    """band_bits=None routes through derive_band_bits and returns
+    exactly the explicit-width result (seeded planes unchanged), so
+    the auto mode inherits the verified-exact-cosine property."""
+    from hbase_gis_spark.operators.similarity import derive_band_bits
+
+    emb = load_table(spark, SF0001, "embeddings")
+    n = emb.count()
+    bits = derive_band_bits(n, n_planes=64, target_bucket=64)
+    auto = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_dup_lsh(
+            emb, threshold=0.4, band_bits=None
+        ).collect()
+    )
+    explicit = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_dup_lsh(
+            emb, threshold=0.4, band_bits=bits
+        ).collect()
+    )
+    assert auto == explicit and len(auto) > 0
+
+
 def test_jaccard_max_df_drops_stop_shingles(spark):
     """max_df prunes hot posting lists: a stop shingle shared by every
     doc stops generating pairs, while pairs with enough rare-shingle
