@@ -88,6 +88,8 @@ BNLJ_SANCTIONED = {
     "curation_funnel",  # broadcast 1-row raw count onto the |stages| dim
     "changepoint_days",  # inherits dense_daily_counts' spine x keys dim product
     "dedup_threshold_curve",  # broadcast threshold grid over the pair frame
+    # --- round-9 additions
+    "mmr_rerank_multi",  # broadcast |queries|-row dim; big side streams once
 }
 
 
