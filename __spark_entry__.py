@@ -5621,6 +5621,83 @@ def _q_apply_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact two-sample KS between even-day and
+    odd-day cohorts of the deci-unit value distribution — the
+    unbinned twin of value_psi (no bin choices, integer-exact
+    statistic + the location of the sup). The deci quantization
+    demonstrates the stated 100-TB contract: bound the per-key
+    distinct-value grid BEFORE the cumulative window."""
+    from hbase_gis_spark.operators.drift import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    base = ev.select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+        "event_type",
+        F.expr(
+            "CAST(round(CASE WHEN isnan(CAST(value AS DOUBLE)) THEN NULL"
+            " ELSE CAST(value AS DOUBLE) END * 1000, 0) AS BIGINT)"
+            " div 100"
+        ).alias("value_deci"),
+    )
+    return ks_two_sample(
+        base.filter(F.col("day") % 2 == 0),
+        base.filter(F.col("day") % 2 == 1),
+        "event_type",
+        "value_deci",
+    )
+
+
+def _q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between daily event volume and daily exact milli
+    value sum — the tie-corrected rank-association member of the
+    correlation family (spearman_value_time is rank-linear;
+    rolling_corr_daily is windowed-linear; τ-b is pair-concordance).
+    Integer C/D/tie counts over the calendar²-bounded day-pair join;
+    only the final τ-b is a rounded double."""
+    from hbase_gis_spark.operators.timeseries import kendall_tau_xy
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    days = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+            F.round(F.when(~F.isnan(v), v) * 1000, 0)
+            .cast("bigint")
+            .alias("value_milli"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_milli").alias("sum_value_milli"),
+        )
+    )
+    return kendall_tau_xy(days, "day", "n_events", "sum_value_milli")
+
+
+NEG_K = 4
+NEG_POOL = 64
+
+
+def _q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: 4 cross-source negatives
+    per document from a 64-doc shared md5-ticket pool — the
+    reproducible in-batch-negatives step of an embedding-training
+    pipeline. O(n·pool) total work, anchor-partitioned rank window,
+    no n² pairing anywhere."""
+    from hbase_gis_spark.operators.corpus import negative_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_sample_k(
+        docs, NEG_K, id_col="doc_id", group_col="source", pool=NEG_POOL
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -5954,6 +6031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank_multi": _q_mmr_rerank_multi,
         "weighted_sample_per_group": _q_weighted_sample_per_group,
         "apply_forget": _q_apply_forget,
+        # plus three new operators: unbinned drift, tie-corrected
+        # rank association, contrastive negative mining
+        "ks_drift": _q_ks_drift,
+        "kendall_tau": _q_kendall_tau,
+        "negative_sample": _q_negative_sample,
     }
 
 
@@ -12330,6 +12412,126 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IS NULL
                OR user_id NOT IN (SELECT k FROM f)),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+    # exact two-sample KS: HUGEINT D_scaled = |cum_ref*n_cur -
+    # cum_cur*n_ref| maximized over the per-key value grid; // and
+    # Spark's div both truncate (the mann_kendall measurement)
+    out["ks_drift"] = """
+    WITH base AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(round(CASE WHEN isnan(CAST(value AS DOUBLE)) THEN NULL
+                             ELSE CAST(value AS DOUBLE) END * 1000, 0)
+               AS BIGINT) // 100 AS v
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, v,
+             CAST(sum(CASE WHEN day % 2 = 0 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS cr,
+             CAST(sum(CASE WHEN day % 2 = 1 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS cc
+      FROM base WHERE v IS NOT NULL
+      GROUP BY event_type, v
+    ),
+    stepped AS (
+      SELECT event_type, v,
+             sum(cr) OVER w AS cumr, sum(cc) OVER w AS cumc,
+             sum(cr) OVER t AS ntr, sum(cc) OVER t AS ntc
+      FROM cells
+      WINDOW w AS (PARTITION BY event_type ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             t AS (PARTITION BY event_type)
+    ),
+    d AS (
+      SELECT event_type, v, ntr, ntc,
+             abs(cumr * ntc - cumc * ntr) AS dd,
+             max(abs(cumr * ntc - cumc * ntr))
+               OVER (PARTITION BY event_type) AS dmax
+      FROM stepped
+    )
+    SELECT event_type,
+           CAST(max(ntr) AS BIGINT) AS n_ref,
+           CAST(max(ntc) AS BIGINT) AS n_cur,
+           CASE WHEN max(ntr) = 0 OR max(ntc) = 0
+                THEN CAST(1000000 AS BIGINT)
+                ELSE CAST((1000000 * max(dmax)) // (max(ntr) * max(ntc))
+                          AS BIGINT) END AS ks_micro,
+           min(CASE WHEN dd = dmax THEN v END) AS ks_at_value
+    FROM d GROUP BY event_type
+    """
+
+    # tie-corrected Kendall tau-b over the day-pair join; sqrt legs
+    # in the SAME operand order as kendall_tau_xy (product identical
+    # either way, but the final double must be bit-equal)
+    out["kendall_tau"] = """
+    WITH days AS (
+      SELECT * FROM (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(round(CASE WHEN isnan(CAST(value AS DOUBLE))
+                                        THEN NULL
+                                        ELSE CAST(value AS DOUBLE) END
+                                   * 1000, 0) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1
+      ) WHERE y IS NOT NULL AND day IS NOT NULL
+    ),
+    p AS (
+      SELECT sign(b.x - a.x) AS sx, sign(b.y - a.y) AS sy
+      FROM days a JOIN days b ON b.day > a.day
+    ),
+    agg AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN sx * sy = 1 THEN 1 END), 0)
+          AS BIGINT) AS n_concordant,
+        CAST(coalesce(sum(CASE WHEN sx * sy = -1 THEN 1 END), 0)
+          AS BIGINT) AS n_discordant,
+        CAST(coalesce(sum(CASE WHEN sx = 0 AND sy != 0 THEN 1 END), 0)
+          AS BIGINT) AS n_tie_x,
+        CAST(coalesce(sum(CASE WHEN sy = 0 AND sx != 0 THEN 1 END), 0)
+          AS BIGINT) AS n_tie_y
+      FROM p
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days)
+    SELECT n_days,
+           CAST(n_days * (n_days - 1) // 2 AS BIGINT) AS n_pairs,
+           n_concordant, n_discordant, n_tie_x, n_tie_y,
+           round(CAST(n_concordant - n_discordant AS DOUBLE)
+                 / nullif(
+                     sqrt(CAST(n_concordant + n_discordant + n_tie_x
+                               AS DOUBLE))
+                     * sqrt(CAST(n_concordant + n_discordant + n_tie_y
+                                 AS DOUBLE)),
+                     0.0), 9) AS tau_b_r9
+    FROM n CROSS JOIN agg
+    """
+
+    # the md5 ticket race replayed: shared 64-doc pool, pairwise
+    # tickets, per-anchor rank (operators/corpus.py:negative_sample_k)
+    out["negative_sample"] = f"""
+    WITH pool AS (
+      SELECT doc_id AS nid, source AS ng
+      FROM documents
+      ORDER BY md5('negpool:' || CAST(doc_id AS VARCHAR)) ASC,
+               doc_id ASC
+      LIMIT {NEG_POOL}
+    ),
+    pairs AS (
+      SELECT d.doc_id, p.nid,
+             md5('neg:' || CAST(d.doc_id AS VARCHAR) || ':'
+                 || CAST(p.nid AS VARCHAR)) AS tick
+      FROM documents d CROSS JOIN pool p
+      WHERE p.nid != d.doc_id AND p.ng != d.source
+    ),
+    r AS (
+      SELECT doc_id, nid,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tick ASC, nid ASC
+             ) AS BIGINT) AS neg_rank
+      FROM pairs
+    )
+    SELECT doc_id, nid AS neg_id, neg_rank FROM r
+    WHERE neg_rank <= {NEG_K}
     """
 
     return out

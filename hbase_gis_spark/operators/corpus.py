@@ -1277,3 +1277,81 @@ def weighted_sample_k_per_group(
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def negative_sample_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    pool: int = 64,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic contrastive negative mining: for every anchor
+    row, draw ``k`` pseudo-random negatives from OTHER groups (the
+    in-batch-negatives step of a contrastive/embedding training
+    pipeline, made reproducible). Randomness is the md5 ticket
+    discipline of :func:`weighted_sample_k` — no RNG state, no libm,
+    bit-identical in SQL.
+
+    Two-stage shape so no anchor ever scores the whole corpus:
+    (1) a GLOBAL shared candidate pool = the ``pool`` corpus rows with
+    the smallest ``md5(salt+'pool:'+id)`` tickets (one
+    TakeOrderedAndProject — the global-shuffle trick, uniform over the
+    corpus and independent of the anchor); (2) each anchor ranks ONLY
+    the broadcast pool by a pairwise ticket ``md5(salt+':'+anchor+':'
+    +candidate)`` and keeps its ``k`` smallest, excluding itself and
+    its own group. Per-anchor work is O(pool), total work
+    O(n·pool) — never O(n²); the rank window is partitioned by anchor
+    (pool-bounded groups).
+
+    Anchors whose ``group_col`` is NULL get no negatives (NULL != x
+    is never true — the keyed-exclusion convention of apply_forget);
+    exclude-by-group therefore requires attributed anchors.
+
+    Output: (``id_col``, neg_id, neg_rank 1..k). Anchors can emit
+    fewer than k rows when the pool holds fewer than k other-group
+    members — raise ``pool`` if that bites."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(group_col).alias("__g"))
+    pool_df = (
+        base.select(
+            F.col("__id").alias("__nid"),
+            F.col("__g").alias("__ng"),
+            F.md5(
+                F.concat_ws(":", F.lit(salt + "pool"), F.col("__id").cast("string"))
+            ).alias("__pt"),
+        )
+        .orderBy(F.col("__pt").asc(), F.col("__nid").asc())
+        .limit(pool)
+        .drop("__pt")
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(pool_df))
+        .filter(
+            (F.col("__nid") != F.col("__id")) & (F.col("__ng") != F.col("__g"))
+        )
+        .select(
+            "__id",
+            "__nid",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("__id").cast("string"),
+                    F.col("__nid").cast("string"),
+                )
+            ).alias("__tick"),
+        )
+    )
+    win = Window.partitionBy("__id").orderBy(
+        F.col("__tick").asc(), F.col("__nid").asc()
+    )
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(win))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__nid").alias("neg_id"),
+            F.col("neg_rank").cast("bigint").alias("neg_rank"),
+        )
+    )

@@ -24,6 +24,115 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ks_two_sample(
+    ref: DataFrame,
+    cur: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key two-sample Kolmogorov–Smirnov statistic between a
+    reference cohort and a current cohort — the UNBINNED exact twin
+    of :func:`value_psi` (PSI needs bin choices; KS is the sup-norm
+    distance between the raw empirical CDFs, the standard
+    distribution-shift test when you don't want binning artifacts).
+
+    Exact integer arithmetic throughout: at each observed value v,
+    ``D_scaled(v) = |cum_ref(v)·n_cur − cum_cur(v)·n_ref|`` (the KS
+    distance times ``n_ref·n_cur``, DECIMAL(38,0) so 1e12-row cohorts
+    cannot overflow); the statistic is ``max_v D_scaled`` reported as
+    ``ks_micro = 10^6 · max_D // (n_ref·n_cur)`` plus the LOCATION of
+    the sup (smallest value achieving it) — the actionable part:
+    WHERE the distributions diverge. NULL values are incomplete
+    observations and are dropped from both cohorts (stated contract,
+    as in rolling_corr).
+
+    Output: (``key_col``, n_ref, n_cur, ks_micro, ks_at_value), all
+    integers; keys present in only one cohort report ks_micro
+    1_000_000 (every mass point disagrees) with the degenerate-side
+    total 0 — keys absent from BOTH sides cannot appear.
+
+    Scale shape: one union + one (key, value) hash aggregate collapse
+    the fact table to per-key distinct-value cells BEFORE any sort;
+    the cumulative window is PARTITIONED BY KEY over those cells, so
+    the per-key sort is bounded by the key's distinct-VALUE
+    cardinality, not its row count. For continuous measures at
+    100 TB, quantize upstream (the registered query feeds deci-units)
+    — a ~1e4-cell grid bounds every sort at a fixed size and changes
+    the statistic by at most one grid step."""
+    r = ref.select(
+        F.col(key_col).alias("__k"), F.col(value_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    c = cur.select(
+        F.col(key_col).alias("__k"), F.col(value_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    tagged = r.select(
+        "__k", "__v", F.lit(1).alias("__r"), F.lit(0).alias("__c")
+    ).unionByName(
+        c.select("__k", "__v", F.lit(0).alias("__r"), F.lit(1).alias("__c"))
+    )
+    cells = tagged.groupBy("__k", "__v").agg(
+        F.sum("__r").cast("decimal(38,0)").alias("cr"),
+        F.sum("__c").cast("decimal(38,0)").alias("cc"),
+    )
+    cumw = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totw = Window.partitionBy("__k")
+    stepped = cells.select(
+        "__k",
+        "__v",
+        F.sum("cr").over(cumw).alias("cumr"),
+        F.sum("cc").over(cumw).alias("cumc"),
+        F.sum("cr").over(totw).alias("ntr"),
+        F.sum("cc").over(totw).alias("ntc"),
+    ).withColumn(
+        "__d",
+        F.abs(
+            F.col("cumr") * F.col("ntc") - F.col("cumc") * F.col("ntr")
+        ),
+    )
+    flagged = stepped.withColumn(
+        "__dmax", F.max("__d").over(Window.partitionBy("__k"))
+    )
+    best = flagged.groupBy("__k").agg(
+        F.max("ntr").cast("bigint").alias("n_ref"),
+        F.max("ntc").cast("bigint").alias("n_cur"),
+        F.max("__dmax").alias("__dm"),
+        F.min(
+            F.when(F.col("__d") == F.col("__dmax"), F.col("__v"))
+        ).alias("ks_at_value"),
+    )
+    # a one-sided key has n=0 on the other side: its CDF distance is
+    # 1 everywhere by convention (every observation is evidence).
+    # `div` (IntegralDivide) keeps the quotient exact — a decimal `/`
+    # would round at its result scale and could cross the floor
+    # boundary the oracle's `//` never crosses
+    return (
+        best.withColumn(
+            "__num", F.lit(1_000_000).cast("decimal(38,0)") * F.col("__dm")
+        )
+        .withColumn(
+            "__den",
+            F.col("n_ref").cast("decimal(38,0)")
+            * F.col("n_cur").cast("decimal(38,0)"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "n_ref",
+            "n_cur",
+            F.when(
+                (F.col("n_ref") == 0) | (F.col("n_cur") == 0),
+                F.lit(1_000_000).cast("bigint"),
+            )
+            .otherwise(F.expr("CAST(__num div __den AS BIGINT)"))
+            .alias("ks_micro"),
+            "ks_at_value",
+        )
+    )
+
+
 def profile_diff(
     old: DataFrame,
     new: DataFrame,

@@ -734,6 +734,105 @@ def mann_kendall_trend(
     )
 
 
+def kendall_tau_xy(
+    days: DataFrame,
+    day_col: str = "day",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Bivariate Kendall τ-b between two daily measures — the
+    rank-association member the correlation family was missing:
+    ``rolling_corr``/``spearman`` measure linear/rank-linear
+    co-movement, τ-b counts CONCORDANT vs DISCORDANT pairs, with the
+    standard tie correction (τ-b, the one every stats package
+    reports) — robust to any monotone transform of either measure
+    and exact on ties. :func:`mann_kendall_trend` is the univariate
+    special case (y against time, no tie term needed on the
+    strictly-increasing day axis).
+
+    Engine-exact integer pieces: C, D, and the tie counts are BIGINT
+    pair counts over the day-pair join; only the final τ-b is a
+    double — two sqrts and one divide over exact integers, rounded
+    to 9 (the spearman convention). NULL-measure days are dropped
+    before pairing (the rolling_corr contract). τ-b is NULL when
+    either tie-corrected denominator leg is zero (a constant series
+    has no rank signal — the nullif convention).
+
+    Output: 1 row (n_days, n_pairs, n_concordant, n_discordant,
+    n_tie_x, n_tie_y, tau_b_r9).
+
+    Scale shape: per-DAY input by contract → the pair self-join is
+    calendar²-bounded (the theil_sen/mann_kendall argument, broadcast
+    both sides); ONE aggregate over the pairs, no window anywhere."""
+    d = days.select(
+        F.col(day_col).cast("bigint").alias("__d"),
+        F.col(x_col).cast("bigint").alias("__x"),
+        F.col(y_col).cast("bigint").alias("__y"),
+    ).filter(
+        F.col("__d").isNotNull()
+        & F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+    )
+    a = d.select(
+        F.col("__d").alias("__d1"),
+        F.col("__x").alias("__x1"),
+        F.col("__y").alias("__y1"),
+    )
+    b = d.select(
+        F.col("__d").alias("__d2"),
+        F.col("__x").alias("__x2"),
+        F.col("__y").alias("__y2"),
+    )
+    sx = F.signum(F.col("__x2") - F.col("__x1"))
+    sy = F.signum(F.col("__y2") - F.col("__y1"))
+    pairs = a.join(F.broadcast(b), F.col("__d2") > F.col("__d1")).agg(
+        F.coalesce(
+            F.sum((sx * sy == 1).cast("bigint")), F.lit(0)
+        ).alias("n_concordant"),
+        F.coalesce(
+            F.sum((sx * sy == -1).cast("bigint")), F.lit(0)
+        ).alias("n_discordant"),
+        F.coalesce(
+            F.sum(((sx == 0) & (sy != 0)).cast("bigint")), F.lit(0)
+        ).alias("n_tie_x"),
+        F.coalesce(
+            F.sum(((sy == 0) & (sx != 0)).cast("bigint")), F.lit(0)
+        ).alias("n_tie_y"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_days"))
+    return n.crossJoin(F.broadcast(pairs)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.expr("CAST(n_days * (n_days - 1) div 2 AS BIGINT)").alias(
+            "n_pairs"
+        ),
+        F.col("n_concordant").cast("bigint").alias("n_concordant"),
+        F.col("n_discordant").cast("bigint").alias("n_discordant"),
+        F.col("n_tie_x").cast("bigint").alias("n_tie_x"),
+        F.col("n_tie_y").cast("bigint").alias("n_tie_y"),
+        F.round(
+            (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+            / F.nullif(
+                F.sqrt(
+                    (
+                        F.col("n_concordant")
+                        + F.col("n_discordant")
+                        + F.col("n_tie_x")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n_concordant")
+                        + F.col("n_discordant")
+                        + F.col("n_tie_y")
+                    ).cast("double")
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("tau_b_r9"),
+    )
+
+
 def event_debounce(
     events: DataFrame,
     gap_us: int,

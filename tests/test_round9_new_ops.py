@@ -1,0 +1,126 @@
+"""Round-9 operator tests: exact two-sample KS drift, Kendall τ-b,
+and deterministic contrastive negative sampling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hbase_gis_spark.operators.corpus import negative_sample_k
+from hbase_gis_spark.operators.drift import ks_two_sample
+from hbase_gis_spark.operators.timeseries import kendall_tau_xy
+
+
+def _ks(spark, ref_rows, cur_rows):
+    ref = spark.createDataFrame(
+        [("k", v) for v in ref_rows], "k string, v int"
+    )
+    cur = spark.createDataFrame(
+        [("k", v) for v in cur_rows], "k string, v int"
+    )
+    return {
+        r.k: (r.n_ref, r.n_cur, r.ks_micro, r.ks_at_value)
+        for r in ks_two_sample(ref, cur, "k", "v").collect()
+    }
+
+
+def test_ks_identical_cohorts_zero(spark):
+    got = _ks(spark, [1, 2, 3, 3], [1, 2, 3, 3])
+    assert got == {"k": (4, 4, 0, None)} or got["k"][:3] == (4, 4, 0)
+
+
+def test_ks_disjoint_supports_full(spark):
+    got = _ks(spark, [1, 2], [10, 11])
+    # ref CDF reaches 1 at v=2 while cur is still 0 -> sup = 1 at 2
+    assert got["k"] == (2, 2, 1_000_000, 2)
+
+
+def test_ks_hand_case_and_sup_location(spark):
+    # ref {1,2}, cur {2,3}: D(1)=|1*2-0*2|=2, D(2)=|2*2-1*2|=2,
+    # D(3)=0 -> max 2 of 4 = 500000, first achieved at v=1
+    got = _ks(spark, [1, 2], [2, 3])
+    assert got["k"] == (2, 2, 500_000, 1)
+
+
+def test_ks_one_sided_key_and_nulls(spark):
+    ref = spark.createDataFrame(
+        [("only_ref", 1), ("both", 5), ("both", None)],
+        "k string, v int",
+    )
+    cur = spark.createDataFrame(
+        [("both", 5), ("only_cur", 9)], "k string, v int"
+    )
+    got = {
+        r.k: (r.n_ref, r.n_cur, r.ks_micro)
+        for r in ks_two_sample(ref, cur, "k", "v").collect()
+    }
+    # NULL measure dropped: 'both' has ONE ref row, identical to cur
+    assert got["both"] == (1, 1, 0)
+    assert got["only_ref"] == (1, 0, 1_000_000)
+    assert got["only_cur"] == (0, 1, 1_000_000)
+
+
+def _tau(spark, rows):
+    df = spark.createDataFrame(rows, "day int, x int, y int")
+    return kendall_tau_xy(df, "day", "x", "y").collect()[0]
+
+
+def test_kendall_perfect_and_reversed(spark):
+    up = _tau(spark, [(1, 1, 10), (2, 2, 20), (3, 3, 30)])
+    assert (up.n_days, up.n_pairs, up.n_concordant, up.n_discordant) == (
+        3, 3, 3, 0,
+    )
+    assert up.tau_b_r9 == 1.0
+    down = _tau(spark, [(1, 1, 30), (2, 2, 20), (3, 3, 10)])
+    assert down.tau_b_r9 == -1.0
+
+
+def test_kendall_tie_correction_matches_closed_form(spark):
+    # x: 1,1,2,3 ; y: 1,2,2,3 -> pairs: (12):tx (sx=0,sy>0), (13):C,
+    # (14):C, (23):ty, (24):C, (34):C -> C=4 D=0 Tx=1 Ty=1
+    r = _tau(spark, [(1, 1, 1), (2, 1, 2), (3, 2, 2), (4, 3, 3)])
+    assert (r.n_concordant, r.n_discordant, r.n_tie_x, r.n_tie_y) == (
+        4, 0, 1, 1,
+    )
+    expect = round(4.0 / (math.sqrt(5.0) * math.sqrt(5.0)), 9)
+    assert r.tau_b_r9 == expect
+
+
+def test_kendall_constant_series_null(spark):
+    r = _tau(spark, [(1, 5, 1), (2, 5, 2), (3, 5, 3)])
+    assert r.n_tie_x == 3 and r.tau_b_r9 is None
+
+
+def test_negative_sample_contract(spark):
+    rows = [(i, f"s{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = negative_sample_k(df, 3, pool=32).collect()
+    src = dict(rows)
+    pool_ids = {
+        r.neg_id for r in out
+    }
+    assert len(pool_ids) <= 32  # negatives only ever come from the pool
+    by_anchor: dict[int, list] = {}
+    for r in out:
+        assert r.neg_id != r.doc_id
+        assert src[r.neg_id] != src[r.doc_id]  # cross-group only
+        by_anchor.setdefault(r.doc_id, []).append(r.neg_rank)
+    for ranks in by_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # deterministic: a second run is row-identical
+    again = negative_sample_k(df, 3, pool=32).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_sample_null_group_gets_none(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "b")],
+        "doc_id bigint, source string",
+    )
+    out = negative_sample_k(df, 2, pool=4).collect()
+    anchors = {r.doc_id for r in out}
+    assert 3 not in anchors  # NULL-group anchor: NULL != x never true
+    # and NULL-group pool members never serve as negatives either
+    assert all(r.neg_id != 3 for r in out)

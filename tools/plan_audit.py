@@ -90,6 +90,8 @@ BNLJ_SANCTIONED = {
     "dedup_threshold_curve",  # broadcast threshold grid over the pair frame
     # --- round-9 additions
     "mmr_rerank_multi",  # broadcast |queries|-row dim; big side streams once
+    "kendall_tau",  # day-frame pair join, calendar²-bounded (mann_kendall)
+    "negative_sample",  # broadcast pool-row dim; anchors stream once
 }
 
 
