@@ -5631,7 +5631,6 @@ def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_gis_spark.operators.drift import ks_two_sample
 
     ev = load_table(spark, sf_dir, "events")
-    v = F.col("value").cast("double")
     base = ev.select(
         F.expr(
             "unix_micros(cast(ts as timestamp)) div 86400000000"
