@@ -204,7 +204,9 @@ def incremental_rollup(
     full group). The contract is ENFORCED, not just stated: a delta
     carrying ``tombstone_col`` is accepted as a retraction stream
     for the ADDITIVE measures (tombstoned rows fold in with sign −1,
-    the classic signed-delta view-maintenance trick) but REJECTED
+    the classic signed-delta view-maintenance trick; the signed fold
+    cannot overflow int64 any sooner than the unsigned one —
+    |Σ ±c| ≤ Σ|c|, the same bound as the plain sum) but REJECTED
     with ``ValueError`` when min/max measures are requested, because
     no bounded-state merge can un-take a min.
 

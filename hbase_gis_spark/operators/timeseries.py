@@ -751,9 +751,12 @@ def kendall_tau_xy(
     strictly-increasing day axis).
 
     Engine-exact integer pieces: C, D, and the tie counts are BIGINT
-    pair counts over the day-pair join; only the final τ-b is a
-    double — two sqrts and one divide over exact integers, rounded
-    to 9 (the spearman convention). NULL-measure days are dropped
+    pair counts over the day-pair join (each summand is a {0,1}
+    indicator built from a sign product, so every count is ≤
+    n(n−1)/2 of a per-DAY frame — int64 overflow is impossible
+    below ~4·10^9 days); only the final τ-b is a double — two sqrts
+    and one divide over exact integers, rounded to 9 (the spearman
+    convention). NULL-measure days are dropped
     before pairing (the rolling_corr contract). τ-b is NULL when
     either tie-corrected denominator leg is zero (a constant series
     has no rank signal — the nullif convention).

@@ -54,6 +54,7 @@ FIXED_SHAPE = {
     "id_gap_audit": 2,  # one row per audited key column, null span
     "forget_audit": 4,  # one row per audited table, zero counts
     "srm_check": 3,  # one row per configured arm, null expectations
+    "apply_forget": 2,  # one report row per audited table, zero counts
 }
 # point-query operators keyed to a specific row id return empty when
 # that row is absent — nothing to assert beyond "no crash"
