@@ -5681,6 +5681,23 @@ def _q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEG_K = 4
 NEG_POOL = 64
+SNM_WINDOW = 8
+
+
+def _q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pass: total order by n_chars
+    (sharded global rank — no single-task sort), pair each doc with
+    its 7 successors, verify with exact 3-gram Jaccard at 0.5 — the
+    skew-proof third blocking strategy next to the inverted index
+    and banded LSH (candidate count is exactly linear in n, no
+    hot-bucket caps needed)."""
+    from hbase_gis_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, sort_col="n_chars", window=SNM_WINDOW,
+        n=JACCARD_N, threshold=JACCARD_T,
+    )
 
 
 def _q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6035,6 +6052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "kendall_tau": _q_kendall_tau,
         "negative_sample": _q_negative_sample,
+        "dedup_snm": _q_dedup_snm,
     }
 
 
@@ -12531,6 +12549,36 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT doc_id, nid AS neg_id, neg_rank FROM r
     WHERE neg_rank <= {NEG_K}
+    """
+
+    # sorted-neighborhood blocking: the same total order (n_chars,
+    # doc_id), successor pairs within the window, exact-Jaccard verify
+    # (operators/dedup.py:sorted_neighborhood_pairs)
+    out["dedup_snm"] = f"""
+    {shingles_cte.rstrip()},
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS gr
+      FROM documents
+    ),
+    cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+      FROM ranked a JOIN ranked b
+        ON b.gr > a.gr AND b.gr - a.gr <= {SNM_WINDOW - 1}
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN len(sa.s) + len(sb.s)
+                       - len(list_intersect(sa.s, sb.s)) > 0
+                  THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                       / CAST(len(sa.s) + len(sb.s)
+                              - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  ELSE 0.0 END AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    ) WHERE jaccard >= {JACCARD_T}
     """
 
     return out

@@ -114,6 +114,81 @@ def test_negative_sample_contract(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_snm_matches_brute_force_replay(spark):
+    """sorted_neighborhood_pairs == a Python replay: rank by
+    (sort_key, id), pair each row with its window-1 successors,
+    exact-jaccard verify — and every emitted pair also appears in
+    the all-pairs exact result with the identical jaccard."""
+    from hbase_gis_spark.operators.dedup import (
+        jaccard_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", 30),
+        (2, "alpha beta gamma delta zeta", 28),      # near-dup of 1
+        (3, "one two three four five six", 27),
+        (4, "alpha beta gamma delta epsilon", 30),   # exact dup of 1
+        (5, "totally different words here now", 31),
+        (6, "one two three four five seven", 29),    # near-dup of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars int")
+    W = 4
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in sorted_neighborhood_pairs(
+            df, sort_col="n_chars", window=W, threshold=0.5
+        ).collect()
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.5).collect()
+    }
+
+    def shingles(t, n=3):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    order = sorted(rows, key=lambda r: (r[2], r[0]))
+    expect = []
+    for i, a in enumerate(order):
+        for b in order[i + 1 : i + W]:
+            sa, sb = shingles(a[1]), shingles(b[1])
+            u = len(sa | sb)
+            j = len(sa & sb) / u if u else 0.0
+            if j >= 0.5:
+                lo, hi = sorted((a[0], b[0]))
+                expect.append((lo, hi, j))
+    assert got == sorted(expect) and len(got) > 0
+    for ia, ib, j in got:
+        assert exact[(ia, ib)] == j  # verify stage IS the exact one
+
+
+def test_snm_candidate_bound_is_skew_proof(spark):
+    """Identical sort keys (the degenerate hot key that forces caps in
+    bucket-based blocking) still produce exactly N(w-1) - (w-1)w/2
+    candidate pairs — all verified at jaccard 1.0 on identical text."""
+    from hbase_gis_spark.operators.dedup import sorted_neighborhood_pairs
+
+    import pytest
+
+    n, w = 20, 5
+    df = spark.createDataFrame(
+        [(i, "same tokens every single time", 29) for i in range(n)],
+        "doc_id bigint, text string, n_chars int",
+    )
+    # the rank module's tie-mass guard must FIRE here (all keys equal
+    # — the degenerate case it exists for) without breaking the result
+    with pytest.warns(RuntimeWarning, match="tie-mass skew"):
+        out = sorted_neighborhood_pairs(
+            df, sort_col="n_chars", window=w, threshold=0.9
+        ).collect()
+    assert len(out) == n * (w - 1) - (w - 1) * w // 2
+    assert all(r.jaccard == 1.0 and r.id_a < r.id_b for r in out)
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, window=1)
+
+
 def test_negative_sample_null_group_gets_none(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, None), (4, "b")],
