@@ -5714,6 +5714,62 @@ def _q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout over a deterministic
+    md5-keyed user split: pre-period activity (first 15 observed
+    days) is the covariate, post-period activity the metric —
+    exact per-arm integer moments, pooled θ, and the per-arm
+    raw-vs-adjusted variance ratio that is the whole point of the
+    technique. Extends ab_test_welch with the pre-experiment-data
+    lever (Deng/Xu/Kohavi/Walker 2013)."""
+    from hbase_gis_spark.operators.drift import cuped_adjusted_ab
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+    )
+    cut = d.agg((F.min("day") + F.lit(15)).alias("__cut"))
+    units = (
+        d.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < F.col("__cut"), 1).otherwise(0)
+            ).cast("bigint").alias("x_pre"),
+            F.sum(
+                F.when(F.col("day") >= F.col("__cut"), 1).otherwise(0)
+            ).cast("bigint").alias("y_post"),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit("cuped"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                F.lit("a"),
+            ).otherwise(F.lit("b")),
+        )
+    )
+    return cuped_adjusted_ab(units, "arm", "y_post", "x_pre")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -6053,6 +6109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": _q_kendall_tau,
         "negative_sample": _q_negative_sample,
         "dedup_snm": _q_dedup_snm,
+        "cuped_ab": _q_cuped_ab,
     }
 
 
@@ -12579,6 +12636,78 @@ def oracle_sql() -> dict[str, str]:
       JOIN sh sa ON sa.doc_id = c.id_a
       JOIN sh sb ON sb.doc_id = c.id_b
     ) WHERE jaccard >= {JACCARD_T}
+    """
+
+    # CUPED: exact HUGEINT per-arm moments, pooled theta, identical
+    # double expression tree both engines (drift.py:cuped_adjusted_ab)
+    out["cuped_ab"] = """
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    c AS (SELECT min(day) + 15 AS cut FROM d),
+    u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN day < cut THEN 1 ELSE 0 END)
+               AS HUGEINT) AS x,
+             CAST(sum(CASE WHEN day >= cut THEN 1 ELSE 0 END)
+               AS HUGEINT) AS y
+      FROM d CROSS JOIN c GROUP BY user_id
+    ),
+    a AS (
+      SELECT CASE WHEN ('0x' || substr(md5('cuped:'
+                          || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 2 = 0
+                  THEN 'a' ELSE 'b' END AS arm,
+             x, y
+      FROM u
+    ),
+    m AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+             sum(y) AS sy, sum(x) AS sx,
+             sum(y * y) AS syy, sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM a GROUP BY arm
+    ),
+    p AS (
+      SELECT CAST(sum(n_units) AS DOUBLE) AS pn,
+             CAST(sum(sx) AS DOUBLE) AS px,
+             CAST(sum(sy) AS DOUBLE) AS py,
+             CAST(sum(sxx) AS DOUBLE) AS pxx,
+             CAST(sum(sxy) AS DOUBLE) AS pxy
+      FROM m
+    ),
+    e AS (
+      SELECT arm, n_units,
+             (pn * pxy - px * py) / nullif(pn * pxx - px * px, 0.0)
+               AS theta,
+             coalesce((pn * pxy - px * py)
+                      / nullif(pn * pxx - px * px, 0.0), 0.0) AS th,
+             px / pn AS mu,
+             CAST(n_units AS DOUBLE) AS nd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(syy AS DOUBLE) AS syyd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(sxy AS DOUBLE) AS sxyd
+      FROM m CROSS JOIN p
+    )
+    SELECT arm, n_units,
+           round(theta, 9) AS theta_r9,
+           round(syd / nd, 9) AS mean_y_r9,
+           round((syd - th * (sxd - nd * mu)) / nd, 9) AS mean_cuped_r9,
+           round(syyd / nd - (syd / nd) * (syd / nd), 9) AS var_y_r9,
+           round((syyd - 2.0 * th * (sxyd - mu * syd)
+                  + th * th * (sxxd - 2.0 * mu * sxd + nd * mu * mu))
+                 / nd
+                 - ((syd - th * (sxd - nd * mu)) / nd)
+                   * ((syd - th * (sxd - nd * mu)) / nd), 9)
+             AS var_cuped_r9,
+           round(((syyd - 2.0 * th * (sxyd - mu * syd)
+                   + th * th * (sxxd - 2.0 * mu * sxd + nd * mu * mu))
+                  / nd
+                  - ((syd - th * (sxd - nd * mu)) / nd)
+                    * ((syd - th * (sxd - nd * mu)) / nd))
+                 / nullif(syyd / nd - (syd / nd) * (syd / nd), 0.0), 9)
+             AS var_ratio_r9
+    FROM e
     """
 
     return out

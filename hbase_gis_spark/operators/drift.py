@@ -769,6 +769,100 @@ def welch_t_test(
     )
 
 
+def cuped_adjusted_ab(
+    units: DataFrame,
+    arm_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013 — the public "Controlled experiments Using Pre-Experiment
+    Data" formulation): adjust each unit's experiment-period metric Y
+    by its pre-period covariate X, ``Y' = Y − θ·(X − μ_X)`` with
+    ``θ = cov(X,Y)/var(X)`` POOLED across arms (pooling keeps θ
+    assignment-independent, so the adjustment is unbiased under
+    randomization), then report per-arm means and variances of both
+    the raw and the adjusted metric — the standard lever for shipping
+    experiments faster when the metric is sticky per unit.
+
+    Engine-exactness (the welch_t_test discipline): one hash
+    aggregate collects per-arm EXACT moments — n BIGINT; ΣY, ΣX, ΣY²,
+    ΣX², ΣXY DECIMAL(38,0) (HUGEINT oracle-side) — pooled moments are
+    the 2-row sums of those, and every reported statistic is ONE
+    double expression over the identical integers with the identical
+    operand order in both engines, rounded to 9. Nothing float is
+    ever summed across rows, so partition order cannot move a bit.
+    θ is NULL when pooled var(X) is zero (a constant covariate has
+    nothing to explain — the nullif convention), in which case the
+    adjusted columns equal the raw ones by convention (θ treated
+    as 0). Units with NULL Y or X are dropped (incomplete
+    observations, the rolling_corr contract). Variances are
+    population (÷n) — the descriptive readout; plug the adjusted
+    moments into welch_t_test's formula for inference.
+
+    Output: one row per arm — (arm, n_units, theta_r9, mean_y_r9,
+    mean_cuped_r9, var_y_r9, var_cuped_r9, var_ratio_r9) where
+    var_ratio_r9 = var_cuped/var_y (< 1 is the win CUPED exists for).
+
+    Scale shape: ONE map-side-combined aggregate over the unit frame
+    → |arms| rows; the pooled 1-row re-aggregate and its broadcast
+    back onto the arm rows never touch fact scale."""
+    base = units.select(
+        F.col(arm_col).alias("__arm"),
+        F.col(y_col).cast("decimal(38,0)").alias("__y"),
+        F.col(x_col).cast("decimal(38,0)").alias("__x"),
+    ).filter(F.col("__y").isNotNull() & F.col("__x").isNotNull())
+    per_arm = base.groupBy("__arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("__y").alias("__sy"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    pooled = per_arm.agg(
+        F.sum("n_units").cast("double").alias("__pn"),
+        F.sum("__sx").cast("double").alias("__px"),
+        F.sum("__sy").cast("double").alias("__py"),
+        F.sum("__sxx").cast("double").alias("__pxx"),
+        F.sum("__sxy").cast("double").alias("__pxy"),
+    )
+    j = per_arm.crossJoin(F.broadcast(pooled))
+    pn, px, py = F.col("__pn"), F.col("__px"), F.col("__py")
+    pxx, pxy = F.col("__pxx"), F.col("__pxy")
+    theta = (pn * pxy - px * py) / F.nullif(
+        pn * pxx - px * px, F.lit(0.0)
+    )
+    th = F.coalesce(theta, F.lit(0.0))
+    mu = px / pn
+    nd = F.col("n_units").cast("double")
+    syd, sxd = F.col("__sy").cast("double"), F.col("__sx").cast("double")
+    syyd = F.col("__syy").cast("double")
+    sxxd = F.col("__sxx").cast("double")
+    sxyd = F.col("__sxy").cast("double")
+    mean_y = syd / nd
+    mean_c = (syd - th * (sxd - nd * mu)) / nd
+    var_y = syyd / nd - (syd / nd) * (syd / nd)
+    ey2c = (
+        syyd
+        - F.lit(2.0) * th * (sxyd - mu * syd)
+        + th * th * (sxxd - F.lit(2.0) * mu * sxd + nd * mu * mu)
+    ) / nd
+    var_c = ey2c - mean_c * mean_c
+    return j.select(
+        F.col("__arm").alias(arm_col),
+        "n_units",
+        F.round(theta, 9).alias("theta_r9"),
+        F.round(mean_y, 9).alias("mean_y_r9"),
+        F.round(mean_c, 9).alias("mean_cuped_r9"),
+        F.round(var_y, 9).alias("var_y_r9"),
+        F.round(var_c, 9).alias("var_cuped_r9"),
+        F.round(var_c / F.nullif(var_y, F.lit(0.0)), 9).alias(
+            "var_ratio_r9"
+        ),
+    )
+
+
 def moments_report(
     df: DataFrame,
     value_cents_col,

@@ -189,6 +189,82 @@ def test_snm_candidate_bound_is_skew_proof(spark):
         sorted_neighborhood_pairs(df, window=1)
 
 
+def test_cuped_matches_closed_form_and_reduces_variance(spark):
+    """cuped_adjusted_ab equals the numpy closed form (pooled theta
+    from exact sums, population variances) and actually reduces
+    variance on a covariate-correlated metric."""
+    import random
+
+    from hbase_gis_spark.operators.drift import cuped_adjusted_ab
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        x = rng.randint(0, 50)
+        lift = 3 if i % 2 == 0 else 0
+        y = 2 * x + rng.randint(-4, 4) + lift  # sticky unit metric
+        rows.append(("a" if i % 2 == 0 else "b", y, x))
+    df = spark.createDataFrame(rows, "arm string, y int, x int")
+    got = {
+        r.arm: r for r in cuped_adjusted_ab(df, "arm", "y", "x").collect()
+    }
+
+    n = float(len(rows))
+    sx = float(sum(r[2] for r in rows))
+    sy = float(sum(r[1] for r in rows))
+    sxx = float(sum(r[2] * r[2] for r in rows))
+    sxy = float(sum(r[2] * r[1] for r in rows))
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    mu = sx / n
+    for arm in ("a", "b"):
+        sub = [r for r in rows if r[0] == arm]
+        na = float(len(sub))
+        say = float(sum(r[1] for r in sub))
+        sax = float(sum(r[2] for r in sub))
+        sayy = float(sum(r[1] * r[1] for r in sub))
+        saxx = float(sum(r[2] * r[2] for r in sub))
+        saxy = float(sum(r[2] * r[1] for r in sub))
+        mean_y = say / na
+        mean_c = (say - theta * (sax - na * mu)) / na
+        var_y = sayy / na - (say / na) * (say / na)
+        ey2c = (
+            sayy
+            - 2.0 * theta * (saxy - mu * say)
+            + theta * theta * (saxx - 2.0 * mu * sax + na * mu * mu)
+        ) / na
+        var_c = ey2c - mean_c * mean_c
+        r = got[arm]
+        assert r.n_units == len(sub)
+        assert r.theta_r9 == round(theta, 9)
+        assert r.mean_y_r9 == round(mean_y, 9)
+        assert r.mean_cuped_r9 == round(mean_c, 9)
+        assert r.var_y_r9 == round(var_y, 9)
+        assert r.var_cuped_r9 == round(var_c, 9)
+        assert r.var_cuped_r9 < r.var_y_r9  # the point of CUPED
+        assert r.var_ratio_r9 < 0.2  # strong covariate -> big win
+    # the true lift (3) survives adjustment
+    assert abs((got["a"].mean_cuped_r9 - got["b"].mean_cuped_r9) - 3) < 1.0
+
+
+def test_cuped_constant_covariate_degrades_to_raw(spark):
+    """var(X) = 0: theta is NULL and the adjusted columns equal the
+    raw ones (theta treated as 0); NULL-measure units are dropped."""
+    from hbase_gis_spark.operators.drift import cuped_adjusted_ab
+
+    df = spark.createDataFrame(
+        [("a", 10, 5), ("a", 12, 5), ("b", 20, 5), ("b", None, 5)],
+        "arm string, y int, x int",
+    )
+    got = {
+        r.arm: r for r in cuped_adjusted_ab(df, "arm", "y", "x").collect()
+    }
+    assert got["b"].n_units == 1  # NULL y dropped
+    for r in got.values():
+        assert r.theta_r9 is None
+        assert r.mean_cuped_r9 == r.mean_y_r9
+        assert r.var_cuped_r9 == r.var_y_r9
+
+
 def test_negative_sample_null_group_gets_none(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, None), (4, "b")],

@@ -92,6 +92,7 @@ BNLJ_SANCTIONED = {
     "mmr_rerank_multi",  # broadcast |queries|-row dim; big side streams once
     "kendall_tau",  # day-frame pair join, calendar²-bounded (mann_kendall)
     "negative_sample",  # broadcast pool-row dim; anchors stream once
+    "cuped_ab",  # broadcast 1-row cutoff + 1-row pooled-moments dims
 }
 
 
