@@ -5714,6 +5714,20 @@ def _q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment hashed on the near-dup CLUSTER id, so a test
+    document's near-twin can never land in train — the constructive
+    complement of the split_leakage audit. Pair graph from the
+    MinHash-LSH scale path (banded candidates + exact verify — equal
+    to the exact pairs on this corpus, pinned by its own oracle
+    row)."""
+    from hbase_gis_spark.operators.dedup import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+    return leakage_safe_split(docs, pairs)
+
+
 def _q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout over a deterministic
     md5-keyed user split: pre-period activity (first 15 observed
@@ -6110,6 +6124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample": _q_negative_sample,
         "dedup_snm": _q_dedup_snm,
         "cuped_ab": _q_cuped_ab,
+        "leakage_safe_split": _q_leakage_safe_split,
     }
 
 
@@ -12708,6 +12723,40 @@ def oracle_sql() -> dict[str, str]:
                  / nullif(syyd / nd - (syd / nd) * (syd / nd), 0.0), 9)
              AS var_ratio_r9
     FROM e
+    """
+
+    # cluster-keyed split: the dedup_clusters recursive CTE feeding
+    # split_assign's md5 bucketing on cluster_id
+    # (operators/dedup.py:leakage_safe_split)
+    out["leakage_safe_split"] = f"""
+    WITH RECURSIVE pairs AS ({jaccard_sql}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    cl AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 98 THEN 'train'
+                WHEN b < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_id,
+             ('0x' || substr(md5('split:'
+                || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS b
+      FROM cl
+    )
     """
 
     return out

@@ -716,6 +716,48 @@ def jaccard_pairs(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+    max_iter: int = 25,
+    checkpoint_mode: str | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates
+    across splits: connected components over the near-dup pair graph
+    (:func:`near_dup_clusters`) first, then the deterministic
+    content-keyed bucketing of :func:`split_assign` applied to the
+    CLUSTER id instead of the document id — every member of a dup
+    cluster inherits its component's split, so a test document's
+    near-twin can never sit in train. This closes the
+    dedup→split arc the same way apply_forget closed the audit arc:
+    `split_assign` + `cross_split_leakage` DETECT the leak; this
+    prevents it by construction (the post-condition is
+    cross_split_leakage ≈ 0 on the pair graph used, pinned by test).
+
+    Same determinism contract as split_assign (md5 bucketing, no RNG,
+    a row's split never changes as unrelated rows arrive — PROVIDED
+    its cluster membership doesn't change; a new duplicate bridging
+    two clusters re-labels the merged component, which is the
+    semantically correct behavior for leakage safety and the stated
+    difference from the doc-keyed split).
+
+    Scale shape: the pair graph is whatever blocking strategy
+    produced ``pairs`` (banded LSH at scale); the CC is the
+    pointer-jumped min-label propagation over pair-graph nodes only;
+    the split hash is map-only. Output: (``id_col``, cluster_id,
+    split)."""
+    clusters = near_dup_clusters(
+        df, pairs, id_col=id_col,
+        max_iter=max_iter, checkpoint_mode=checkpoint_mode,
+    )
+    return split_assign(
+        clusters, id_col="cluster_id", weights=weights, salt=salt
+    ).select(id_col, "cluster_id", "split")
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

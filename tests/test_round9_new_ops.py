@@ -189,6 +189,54 @@ def test_snm_candidate_bound_is_skew_proof(spark):
         sorted_neighborhood_pairs(df, window=1)
 
 
+def test_leakage_safe_split_closes_the_leak(spark):
+    """A dup pair whose doc-keyed hashes land in DIFFERENT splits
+    (found deterministically via the same md5 race) lands in ONE
+    split under cluster-keyed assignment; every cluster maps to
+    exactly one split; singletons keep split_assign's exact label."""
+    from hbase_gis_spark.operators.dedup import (
+        jaccard_pairs,
+        leakage_safe_split,
+        split_assign,
+    )
+
+    import hashlib
+
+    def bucket(i, mod):
+        h = hashlib.md5(f"split:{i}".encode()).hexdigest()
+        return int(h[:15], 16) % mod
+
+    # two ids that the 50/50 doc-keyed split separates
+    a = 1
+    b = next(i for i in range(2, 200) if bucket(i, 2) != bucket(a, 2))
+    dup_text = "the exact same duplicated document text body here"
+    rows = [
+        (a, dup_text),
+        (b, dup_text),
+        (50_000, "a singleton document about something else entirely"),
+        (50_001, "another unrelated singleton with its own words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = jaccard_pairs(df, threshold=0.5)
+    w = {"x": 1, "y": 1}
+
+    naive = {
+        r.doc_id: r.split
+        for r in split_assign(df, weights=w).collect()
+    }
+    assert naive[a] != naive[b]  # the leak exists under doc-keyed hashing
+
+    safe = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in leakage_safe_split(df, pairs, weights=w).collect()
+    }
+    assert safe[a] == safe[b] == (min(a, b), safe[a][1])  # leak closed
+    # one split per cluster, and singleton labels match split_assign
+    # applied to their own (cluster = self) id
+    for i in (50_000, 50_001):
+        assert safe[i][0] == i and safe[i][1] == naive[i]
+
+
 def test_cuped_matches_closed_form_and_reduces_variance(spark):
     """cuped_adjusted_ab equals the numpy closed form (pooled theta
     from exact sums, population variances) and actually reduces
