@@ -5820,13 +5820,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     APPENDED at the end and enter the window in round 10.
 
     ROUND-10 ROTATION PLAN (execute at the start of round 10): move
-    the round-9 additions (appended at the end of this dict) into
-    the head slots, then fill the remaining slots with the
-    longest-unchecked queries: first the 12 remaining r4-era entries
-    (mm_phash, token_budget_sample, k_anonymity, event_paths,
-    lang_mismatch, embedding_drift, rfm_segments, dup_cluster_sizes,
-    markov_transitions, source_quality, within_polygon_pruned,
-    knn_top10), then sketch_stats and the r5 era.  Update
+    the 9 round-9 additions (appended at the end of this dict, in
+    registry order: mmr_rerank_multi, weighted_sample_per_group,
+    apply_forget, ks_drift, kendall_tau, negative_sample, dedup_snm,
+    cuped_ab, leakage_safe_split) into slots 1-9, then fill slots
+    10-50 with the 41 longest-unchecked queries: first the 12
+    remaining r4-era entries (mm_phash, token_budget_sample,
+    k_anonymity, event_paths, lang_mismatch, embedding_drift,
+    rfm_segments, dup_cluster_sizes, markov_transitions,
+    source_quality, within_polygon_pruned, knn_top10 — last driver
+    row: round 4), then sketch_stats (last driver row: round 5) and
+    the first 28 r5-era entries in registry order.  Update
     tests/test_plan_hygiene.py::test_registry_window_contract in the
     same commit.
 
