@@ -5757,30 +5757,15 @@ def _q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("day") >= F.col("__cut"), 1).otherwise(0)
             ).cast("bigint").alias("y_post"),
         )
-        .withColumn(
-            "arm",
-            F.when(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                ":",
-                                F.lit("cuped"),
-                                F.col("user_id").cast("string"),
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
-                == 0,
-                F.lit("a"),
-            ).otherwise(F.lit("b")),
-        )
     )
+    # the repo's canonical content-keyed bucketing (same md5 bucket
+    # the oracle replays) instead of a second inline copy of the
+    # hash discipline (review r9)
+    from hbase_gis_spark.operators.dedup import split_assign
+
+    units = split_assign(
+        units, id_col="user_id", weights={"a": 1, "b": 1}, salt="cuped"
+    ).withColumnRenamed("split", "arm")
     return cuped_adjusted_ab(units, "arm", "y_post", "x_pre")
 
 
@@ -12524,7 +12509,11 @@ def oracle_sql() -> dict[str, str]:
                AS HUGEINT) AS cr,
              CAST(sum(CASE WHEN day % 2 = 1 THEN 1 ELSE 0 END)
                AS HUGEINT) AS cc
-      FROM base WHERE v IS NOT NULL
+      -- day IS NOT NULL mirrors the Spark side's parity filters,
+      -- which drop NULL-day rows BEFORE ks_two_sample ever sees
+      -- them; without it a NULL-day row would contribute a
+      -- zero-mass grid cell the engine lacks (review r9)
+      FROM base WHERE v IS NOT NULL AND day IS NOT NULL
       GROUP BY event_type, v
     ),
     stepped AS (
@@ -12633,8 +12622,13 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_snm"] = f"""
     {shingles_cte.rstrip()},
     ranked AS (
+      -- NULLS FIRST pins DuckDB's default (NULLS LAST) to Spark's
+      -- asc ordering, which sorts NULL sort keys first (review r9;
+      -- latent on this data — documents.n_chars is never NULL)
       SELECT doc_id,
-             row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS gr
+             row_number() OVER (
+               ORDER BY n_chars ASC NULLS FIRST, doc_id ASC
+             ) AS gr
       FROM documents
     ),
     cand AS (

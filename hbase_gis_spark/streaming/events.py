@@ -764,23 +764,37 @@ def windowed_unique_users(
 
 def latest_rollup_version(
     spark: SparkSession, store_dir: str
-) -> tuple[int, int | None]:
-    """Scan ``store_dir`` for the highest committed ``rollup_v{N}``
-    and return ``(version, batch_id)`` where ``batch_id`` is the
-    micro-batch that produced it (from the ``_FOLDED_B{bid}`` marker
-    the writer touches after the parquet commit; ``None`` for a seed
-    version written outside the stream). Uses the Hadoop FileSystem
-    API via the session's JVM so the scan works on any store Spark
-    can write to (local, HDFS, object stores), not just local paths.
+) -> tuple[int, int | None, str | None]:
+    """Scan ``store_dir`` for the highest COMMITTED ``rollup_v{N}``
+    and return ``(version, batch_id, lineage)`` where ``batch_id`` is
+    the micro-batch that produced it and ``lineage`` identifies the
+    checkpoint lineage that folded it (both from the
+    ``_FOLDED_B{bid}_L{lineage}`` marker the writer touches AFTER the
+    parquet commit; both ``None`` for a seed/backfill version written
+    outside the stream). Uses the Hadoop FileSystem API via the
+    session's JVM so the scan works on any store Spark can write to
+    (local, HDFS, object stores), not just local paths.
 
-    Raises ``FileNotFoundError`` if no ``rollup_v{N}`` exists — the
-    caller contract (seed ``rollup_v0`` first) is unchanged."""
+    Committed means: carries a fold marker, or — when NO marked
+    version exists anywhere (a caller-managed seed/backfill store) —
+    carries parquet's ``_SUCCESS``. The ordering matters for both
+    crash windows: a version whose parquet commit landed but whose
+    marker didn't (the at-least-once window) is INVISIBLE whenever a
+    marked version exists below it, so the replayed epoch re-folds
+    from the marked head and overwrites the unmarked dir with the
+    identical content; a version torn mid-parquet-write has neither
+    marker nor ``_SUCCESS`` and is invisible unconditionally.
+
+    Raises ``FileNotFoundError`` if no committed ``rollup_v{N}``
+    exists — the caller contract (seed ``rollup_v0`` first) is
+    unchanged."""
     import re as _re
 
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(store_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    best, best_bid = -1, None
+    best_marked: tuple[int, int | None, str | None] | None = None
+    best_success = -1
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
@@ -788,21 +802,32 @@ def latest_rollup_version(
             if not m:
                 continue
             ver = int(m.group(1))
-            if ver <= best:
-                continue
-            bid = None
+            bid, lineage, success = None, None, False
             for f in fs.listStatus(st.getPath()):
+                fname = f.getPath().getName()
                 fm = _re.fullmatch(
-                    r"_FOLDED_B(\d+)", f.getPath().getName()
+                    r"_FOLDED_B(\d+)(?:_L([0-9a-f]+))?", fname
                 )
                 if fm:
                     bid = int(fm.group(1))
-            best, best_bid = ver, bid
-    if best < 0:
-        raise FileNotFoundError(
-            f"no rollup_v*/ under {store_dir}; seed rollup_v0 first"
-        )
-    return best, best_bid
+                    lineage = fm.group(2)
+                elif fname == "_SUCCESS":
+                    success = True
+            if bid is not None and (
+                best_marked is None or ver > best_marked[0]
+            ):
+                best_marked = (ver, bid, lineage)
+            if success and ver > best_success:
+                best_success = ver
+    if best_marked is not None:
+        return best_marked
+    if best_success >= 0:
+        return best_success, None, None
+    raise FileNotFoundError(
+        f"no committed rollup_v*/ under {store_dir}; seed rollup_v0 "
+        "first (a version dir without _SUCCESS is a torn write and "
+        "is deliberately invisible)"
+    )
 
 
 def maintain_rollup_stream(
@@ -835,22 +860,38 @@ def maintain_rollup_stream(
 
     RECOVERY (the part "exactly-once-ish" has to earn): on start the
     current version is DISCOVERED by scanning ``store_dir`` for the
-    highest ``rollup_v{N}`` (:func:`latest_rollup_version`), never
-    assumed to be 0 — re-invoking on a store that already advanced
-    resumes from the real head instead of silently re-folding onto
-    the empty seed. Pass ``checkpoint_dir`` so the restarted stream
-    resumes from the source offsets it already committed; because
-    foreachBatch is at-least-once (the last epoch replays when a
-    crash lands between the store write and the checkpoint commit),
-    every committed version carries a ``_FOLDED_B{bid}`` marker
-    (written AFTER the parquet commit, so a half-written version has
-    no marker and is invisible to the scan) and a replayed batch
-    whose id is ≤ the head version's marker is SKIPPED — folding is
-    idempotent under replay, which upgrades at-least-once to
-    effectively-once for the store. ``start_version`` overrides the
-    scan for deliberate point-in-time restarts; superseded
-    ``rollup_v{N}`` dirs are retained for that purpose (prune old
-    versions out-of-band like any snapshot store).
+    highest COMMITTED ``rollup_v{N}`` (:func:`latest_rollup_version`
+    — marker-bearing, or ``_SUCCESS``-bearing when nothing is marked
+    yet), never assumed to be 0 — re-invoking on a store that already
+    advanced resumes from the real head instead of silently
+    re-folding onto the empty seed. Pass ``checkpoint_dir`` so the
+    restarted stream resumes from the source offsets it already
+    committed; because foreachBatch is at-least-once (the last epoch
+    replays when a crash lands between the store write and the
+    checkpoint commit), every committed version carries a
+    ``_FOLDED_B{bid}_L{lineage}`` marker (written AFTER the parquet
+    commit; ``lineage`` = md5 of the checkpoint path) and a replayed
+    batch whose id is ≤ the head marker's FROM THE SAME LINEAGE is
+    SKIPPED — folding is idempotent under replay, which upgrades
+    at-least-once to effectively-once for the store. The marker
+    ordering also covers its own crash window: a version whose
+    parquet landed but whose marker didn't is invisible to the scan,
+    so the replayed epoch re-folds from the marked head and
+    OVERWRITES the unmarked dir with identical content.
+
+    Batch ids are only comparable within one checkpoint lineage, so
+    a store whose head was folded by a DIFFERENT lineage (or by a
+    temporary checkpoint) REFUSES to start unless ``start_version``
+    rebases it explicitly — a fresh lineage re-reads the source from
+    offset zero and would silently re-fold (or, with a naive id
+    comparison, silently DROP) everything; neither is acceptable to
+    guess at. ``start_version`` overrides the scan for deliberate
+    point-in-time restarts; superseded ``rollup_v{N}`` dirs are
+    retained for that purpose (prune old versions out-of-band like
+    any snapshot store). Without ``checkpoint_dir`` the lineage is
+    this run's query id, so replay-skip still works within the run
+    but every re-invocation must rebase — the docstring's loud hint
+    to pass a real checkpoint in production.
 
     Caller contract: ``store_dir/rollup_v0`` must exist with the
     rollup schema (write ``raw.limit(0)`` aggregated, or a real
@@ -865,13 +906,34 @@ def maintain_rollup_stream(
     rollup-key-space union shuffle — never a history scan; see
     SCALE.md's measured crossover (benchdata/ab_incremental_rollup.json)
     for when this beats nightly recomputes."""
+    import hashlib
+    import uuid
+
     from hbase_gis_spark.operators.merge import incremental_rollup
 
+    lineage = (
+        hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+        if checkpoint_dir is not None
+        else uuid.uuid4().hex[:12]  # no checkpoint: lineage = this run
+    )
     if start_version is not None:
         state = {"version": start_version, "batch_id": None}
     else:
-        ver, bid = latest_rollup_version(spark, store_dir)
-        state = {"version": ver, "batch_id": bid}
+        ver, bid, stored_lineage = latest_rollup_version(spark, store_dir)
+        if bid is not None and stored_lineage != lineage:
+            raise ValueError(
+                f"{store_dir} head rollup_v{ver} was folded by a "
+                f"different checkpoint lineage ({stored_lineage} vs "
+                f"{lineage}); batch ids are not comparable across "
+                "lineages, and a fresh lineage re-reads the source "
+                "from offset zero. Resume with the ORIGINAL "
+                "checkpoint_dir, or pass start_version to rebase the "
+                "store explicitly."
+            )
+        state = {
+            "version": ver,
+            "batch_id": bid if stored_lineage == lineage else None,
+        }
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -893,7 +955,7 @@ def maintain_rollup_stream(
             f"{store_dir}/rollup_v{nxt}"
         )
         marker = jvm.org.apache.hadoop.fs.Path(
-            f"{store_dir}/rollup_v{nxt}/_FOLDED_B{bid}"
+            f"{store_dir}/rollup_v{nxt}/_FOLDED_B{bid}_L{lineage}"
         )
         marker.getFileSystem(hconf).create(marker, True).close()
         state["version"] = nxt

@@ -970,9 +970,13 @@ def test_streaming_rollup_crash_resume_converges(
     # new files arrive while "down"
     second.repartition(2).write.mode("append").parquet(ev_dir)
 
-    # the restart's scan must find the advanced head, not v0
+    # the restart's scan must find the advanced head, not v0, and
+    # attribute it to this checkpoint's lineage
+    import hashlib
+
+    lin = hashlib.md5(ckpt.encode()).hexdigest()[:12]
     assert latest_rollup_version(spark, str(root)) == (
-        s1["version"], s1["batch_id"]
+        s1["version"], s1["batch_id"], lin
     )
     s2 = run()
     got2 = sorted(map(tuple, spark.read.parquet(
@@ -982,3 +986,102 @@ def test_streaming_rollup_crash_resume_converges(
     # replayed epoch was skipped: the version advanced only by the
     # number of NEW files (2), not new + replayed
     assert s2["version"] == s1["version"] + 2
+
+
+def test_streaming_rollup_marker_crash_and_lineage_guard(
+    spark, tmp_path_factory
+):
+    """The two recovery windows the review surfaced: (1) a version
+    whose parquet commit landed but whose fold marker didn't (crash
+    between the two writes) is INVISIBLE to the scan, so the
+    replayed epoch re-folds from the marked head and overwrites it
+    with identical content — no double-fold; (2) a store head folded
+    by a DIFFERENT checkpoint lineage refuses to start (batch ids
+    are not comparable across lineages) unless start_version rebases
+    explicitly."""
+    import glob
+    import hashlib
+    import os
+
+    from hbase_gis_spark.streaming.events import (
+        latest_rollup_version,
+        maintain_rollup_stream,
+    )
+
+    root = tmp_path_factory.mktemp("rollup_marker")
+    ev = load_table(spark, SF0001, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+        "event_type",
+    )
+    keys = ["day", "event_type"]
+
+    def full(df):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        )
+
+    full(ev.limit(0)).write.mode("overwrite").parquet(
+        str(root / "rollup_v0")
+    )
+    ev_dir, ckpt = str(root / "incoming"), str(root / "ckpt")
+    ev.repartition(3).write.mode("overwrite").parquet(ev_dir)
+
+    def run(checkpoint=None, **kw):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+        q, state = maintain_rollup_stream(
+            spark, stream, keys, str(root), count_col="n_rows",
+            trigger_available_now=True,
+            checkpoint_dir=checkpoint or ckpt, **kw,
+        )
+        q.awaitTermination(120)
+        return state
+
+    s1 = run()
+    head = s1["version"]
+    assert head >= 3
+
+    # window (1): crash between head's parquet commit and its marker
+    # write — the checkpoint commit is missing too (it comes later)
+    for f in glob.glob(str(root / f"rollup_v{head}" / "_FOLDED_B*")):
+        os.remove(f)
+    commits = sorted(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if f.isdigit()
+    )
+    os.remove(os.path.join(ckpt, "commits", str(commits[-1])))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # the unmarked head is invisible; the scan falls back to head-1
+    ver, bid, lin = latest_rollup_version(spark, str(root))
+    assert ver == head - 1
+    assert lin == hashlib.md5(ckpt.encode()).hexdigest()[:12]
+
+    s2 = run()
+    # the replayed epoch re-folded from head-1 and OVERWROTE the
+    # unmarked head with identical content — version ends at head,
+    # not head+1, and the store equals the one-shot recompute
+    assert s2["version"] == head
+    got = sorted(map(tuple, spark.read.parquet(
+        str(root / f"rollup_v{head}")
+    ).collect()))
+    assert got == sorted(map(tuple, full(ev).collect()))
+
+    # window (2): a different checkpoint lineage must refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="different checkpoint lineage"):
+        run(checkpoint=str(root / "ckpt_other"))
+    # ...unless start_version rebases explicitly (setup succeeds; the
+    # fresh lineage then re-reads the source from scratch by design)
+    s3 = run(checkpoint=str(root / "ckpt_other"), start_version=0)
+    got3 = sorted(map(tuple, spark.read.parquet(
+        str(root / f"rollup_v{s3['version']}")
+    ).collect()))
+    assert got3 == sorted(map(tuple, full(ev).collect()))
