@@ -5804,20 +5804,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stricter than the driver hash).  New round-9 queries are
     APPENDED at the end and enter the window in round 10.
 
-    ROUND-10 ROTATION PLAN (execute at the start of round 10): move
-    the 9 round-9 additions (appended at the end of this dict, in
-    registry order: mmr_rerank_multi, weighted_sample_per_group,
+    ROUND 10 (this ordering -- VERDICT r9 next-round #1, executed
+    exactly as pinned in the round-9 docstring): slots 1-9 are the 9
+    round-9 additions (mmr_rerank_multi, weighted_sample_per_group,
     apply_forget, ks_drift, kendall_tau, negative_sample, dedup_snm,
-    cuped_ab, leakage_safe_split) into slots 1-9, then fill slots
-    10-50 with the 41 longest-unchecked queries: first the 12
-    remaining r4-era entries (mm_phash, token_budget_sample,
-    k_anonymity, event_paths, lang_mismatch, embedding_drift,
-    rfm_segments, dup_cluster_sizes, markov_transitions,
-    source_quality, within_polygon_pruned, knn_top10 — last driver
-    row: round 4), then sketch_stats (last driver row: round 5) and
-    the first 28 r5-era entries in registry order.  Update
-    tests/test_plan_hygiene.py::test_registry_window_contract in the
-    same commit.
+    cuped_ab, leakage_safe_split -- never driver-checked, all 9
+    verified exact by the round-9 judge's independent
+    tools/check_oracles.py run); slots 10-50 are the 41
+    longest-unchecked queries: the 12 remaining r4-era entries
+    (mm_phash..knn_top10, last driver row round 4), sketch_stats
+    (last driver row round 5), and the first 28 r5-era entries in
+    registry order (ngram_diversity..value_psi, last driver row
+    round 5).  MILESTONE: once CORRECTNESS_r10 lands green, EVERY
+    query ever registered has a driver-green row -- the backlog is
+    cleared and the window becomes pure re-certification.
+
+    STEADY-STATE POLICY (round 11+): each round, put any new
+    additions (<= 15 per round, with BASELINE_perquery minima frozen
+    at add time) in slots 1-N, then fill the remaining slots with
+    the queries whose last driver-green row is OLDEST, ties broken
+    by registry order (the objective staleness ledger:
+    min round r such that the key appears in CORRECTNESS_r{r}).
+    Update tests/test_plan_hygiene.py::test_registry_window_contract
+    in the same commit as any rotation.
 
     Deliberately NOT registered: ``maintain_rollup_stream`` — it is a
     Structured Streaming writer with no DuckDB twin (a batch oracle
@@ -5830,9 +5839,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its batch core IS registered as ``incremental_rollup``.
     """
     return {
-        # --- slots 1-15: round-8 additions, first time in the driver
-        # window (all verified exact by tools/check_oracles.py at
-        # sf0.01 when added and re-verified at round-8 review time)
+        # --- slots 1-9: round-9 additions, first time in the driver
+        # window (all 9 verified exact by the round-9 judge's
+        # independent tools/check_oracles.py run at sf0.01)
+        "mmr_rerank_multi": _q_mmr_rerank_multi,
+        "weighted_sample_per_group": _q_weighted_sample_per_group,
+        "apply_forget": _q_apply_forget,
+        "ks_drift": _q_ks_drift,
+        "kendall_tau": _q_kendall_tau,
+        "negative_sample": _q_negative_sample,
+        "dedup_snm": _q_dedup_snm,
+        "cuped_ab": _q_cuped_ab,
+        "leakage_safe_split": _q_leakage_safe_split,
+        # --- slots 10-21: the 12 remaining r4-era entries (last
+        # driver row: round 4)
+        "mm_phash": _q_mm_phash,
+        "token_budget_sample": _q_token_budget_sample,
+        "k_anonymity": _q_k_anonymity,
+        "event_paths": _q_event_paths,
+        "lang_mismatch": _q_lang_mismatch,
+        "embedding_drift": _q_embedding_drift,
+        "rfm_segments": _q_rfm_segments,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "markov_transitions": _q_markov_transitions,
+        "source_quality": _q_source_quality,
+        "within_polygon_pruned": _q_within_pruned,
+        "knn_top10": _q_knn,
+        # --- slot 22: sketch_stats (last driver row: round 5)
+        "sketch_stats": _q_sketch_stats,
+        # --- slots 23-50: the first 28 r5-era entries in registry
+        # order (last driver row: round 5)
+        "ngram_diversity": _q_ngram_diversity,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "quality_resample": _q_quality_resample,
+        "contamination_report": _q_contamination_report,
+        "pagerank_event_types": _q_pagerank_event_types,
+        "zorder_layout": _q_zorder_layout,
+        "boilerplate_coverage": _q_boilerplate_coverage,
+        "dense_daily_counts": _q_dense_daily_counts,
+        "fuzzy_join_suppliers": _q_fuzzy_join_suppliers,
+        "winsorize_balances": _q_winsorize_balances,
+        "dedup_recall_report": _q_dedup_recall_report,
+        "conversion_lag": _q_conversion_lag,
+        "containment_pairs": _q_containment_pairs,
+        "token_fertility": _q_token_fertility,
+        "dedup_impact": _q_dedup_impact,
+        "ann_filtered_topk": _q_ann_filtered_topk,
+        "triangle_count": _q_triangle_count,
+        "cusum_days": _q_cusum_days,
+        "segment_dedup": _q_segment_dedup,
+        "ivf_prototypes": _q_ivf_prototypes,
+        "hilbert_layout": _q_hilbert_layout,
+        "bm25_search": _q_bm25_search,
+        "group_sample": _q_group_sample,
+        "snapshot_diff": _q_snapshot_diff,
+        "lpa_communities": _q_lpa_communities,
+        "profile_diff": _q_profile_diff,
+        "value_psi": _q_value_psi,
+        # --- behind the window: previous relative order preserved
         "ivf_reassign": _q_ivf_reassign,
         "ivf_nprobe_curve": _q_ivf_nprobe_curve,
         "curation_funnel": _q_curation_funnel,
@@ -5848,9 +5913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_check": _q_srm_check,
         "mmr_rerank": _q_mmr_rerank,
         "ablation_ladder": _q_ablation_ladder,
-        # --- slots 16-50: the 35 longest-unchecked queries (last
-        # driver row: round 4 -- the first 35 of the 47-entry r4-era
-        # backlog, in registry order) as regression canaries
         "ann_range_search": _q_ann_range_search,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "returned_items": _q_returned_items,
@@ -5886,9 +5948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": _q_pca_project,
         "bigram_lm_score": _q_bigram_lm_score,
         "dataset_card": _q_dataset_card,
-        # --- behind the window: previous relative order preserved
-        # (the 12 remaining r4-era entries -- mm_phash .. knn_top10 --
-        # lead the round-10 fill, then sketch_stats + the r5 era)
         "theil_sen_trend": _q_theil_sen,
         "mann_kendall": _q_mann_kendall,
         "lorenz_revenue": _q_lorenz_revenue,
@@ -6039,34 +6098,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "mm_decode": _q_mm_decode,
         "term_stats": _q_term_stats,
-        "ngram_diversity": _q_ngram_diversity,
-        "boilerplate_ngrams": _q_boilerplate_ngrams,
-        "doc_length_histogram": _q_doc_length_histogram,
-        "quality_resample": _q_quality_resample,
-        "contamination_report": _q_contamination_report,
-        "pagerank_event_types": _q_pagerank_event_types,
-        "zorder_layout": _q_zorder_layout,
-        "boilerplate_coverage": _q_boilerplate_coverage,
-        "dense_daily_counts": _q_dense_daily_counts,
-        "fuzzy_join_suppliers": _q_fuzzy_join_suppliers,
-        "winsorize_balances": _q_winsorize_balances,
-        "dedup_recall_report": _q_dedup_recall_report,
-        "conversion_lag": _q_conversion_lag,
-        "containment_pairs": _q_containment_pairs,
-        "token_fertility": _q_token_fertility,
-        "dedup_impact": _q_dedup_impact,
-        "ann_filtered_topk": _q_ann_filtered_topk,
-        "triangle_count": _q_triangle_count,
-        "cusum_days": _q_cusum_days,
-        "segment_dedup": _q_segment_dedup,
-        "ivf_prototypes": _q_ivf_prototypes,
-        "hilbert_layout": _q_hilbert_layout,
-        "bm25_search": _q_bm25_search,
-        "group_sample": _q_group_sample,
-        "snapshot_diff": _q_snapshot_diff,
-        "lpa_communities": _q_lpa_communities,
-        "profile_diff": _q_profile_diff,
-        "value_psi": _q_value_psi,
         "association_rules": _q_association_rules,
         "value_histogram": _q_value_histogram,
         "global_value_cuts": _q_global_value_cuts,
@@ -6074,7 +6105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_lang_source": _q_chi2_lang_source,
         "mrl_report": _q_mrl_report,
         "ngram_novelty_first": _q_ngram_novelty,
-        "sketch_stats": _q_sketch_stats,
         "within_concave": _q_within_concave,
         "within_multipolygon": _q_within_multi,
         "distance_join": _q_distance_join,
@@ -6089,31 +6119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "lang_id": _q_lang_id,
-        "mm_phash": _q_mm_phash,
-        "token_budget_sample": _q_token_budget_sample,
-        "k_anonymity": _q_k_anonymity,
-        "event_paths": _q_event_paths,
-        "lang_mismatch": _q_lang_mismatch,
-        "embedding_drift": _q_embedding_drift,
-        "rfm_segments": _q_rfm_segments,
-        "dup_cluster_sizes": _q_dup_cluster_sizes,
-        "markov_transitions": _q_markov_transitions,
-        "source_quality": _q_source_quality,
-        "within_polygon_pruned": _q_within_pruned,
-        "knn_top10": _q_knn,
-        # --- round-9 additions (behind the window; enter round 10):
-        # the three formerly API-only operators (VERDICT r8 #2)
-        "mmr_rerank_multi": _q_mmr_rerank_multi,
-        "weighted_sample_per_group": _q_weighted_sample_per_group,
-        "apply_forget": _q_apply_forget,
-        # plus three new operators: unbinned drift, tie-corrected
-        # rank association, contrastive negative mining
-        "ks_drift": _q_ks_drift,
-        "kendall_tau": _q_kendall_tau,
-        "negative_sample": _q_negative_sample,
-        "dedup_snm": _q_dedup_snm,
-        "cuped_ab": _q_cuped_ab,
-        "leakage_safe_split": _q_leakage_safe_split,
     }
 
 

@@ -785,6 +785,20 @@ def latest_rollup_version(
     identical content; a version torn mid-parquet-write has neither
     marker nor ``_SUCCESS`` and is invisible unconditionally.
 
+    When the ``_SUCCESS``-only fallback applies and MORE THAN ONE
+    unmarked version exists, the LOWEST wins (ADVICE r9 #1): on a
+    fresh seed store, a crash between the first fold's parquet
+    commit (which writes ``_SUCCESS``) and its ``_FOLDED`` marker
+    leaves two unmarked versions — electing the highest would treat
+    the torn fold as a seed with ``batch_id=None`` and the replayed
+    epoch would double-fold onto it; electing the lowest (the real
+    seed) makes the replay overwrite the torn head with identical
+    content, the same self-healing the marked path gets. A
+    deliberate multi-version manual backfill (several unmarked
+    versions, highest intended) therefore must pass
+    ``start_version`` to :func:`maintain_rollup_stream` — the scan
+    cannot distinguish it from a torn first fold.
+
     Raises ``FileNotFoundError`` if no committed ``rollup_v{N}``
     exists — the caller contract (seed ``rollup_v0`` first) is
     unchanged."""
@@ -794,7 +808,7 @@ def latest_rollup_version(
     root = jvm.org.apache.hadoop.fs.Path(store_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     best_marked: tuple[int, int | None, str | None] | None = None
-    best_success = -1
+    lowest_success = -1
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
@@ -817,12 +831,15 @@ def latest_rollup_version(
                 best_marked is None or ver > best_marked[0]
             ):
                 best_marked = (ver, bid, lineage)
-            if success and ver > best_success:
-                best_success = ver
+            if success and (lowest_success < 0 or ver < lowest_success):
+                lowest_success = ver
     if best_marked is not None:
         return best_marked
-    if best_success >= 0:
-        return best_success, None, None
+    if lowest_success >= 0:
+        # LOWEST unmarked version: above it can only be a torn first
+        # fold (marker never landed), which the replayed epoch must
+        # overwrite, not fold onto (ADVICE r9 #1)
+        return lowest_success, None, None
     raise FileNotFoundError(
         f"no committed rollup_v*/ under {store_dir}; seed rollup_v0 "
         "first (a version dir without _SUCCESS is a torn write and "

@@ -96,40 +96,43 @@ def test_round3_tpch_predicates_reach_scans(spark):
 
 def test_registry_window_contract():
     """The driver checks exactly the FIRST 50 queries() entries; round
-    9's window must hold the 15 round-8 additions (the VERDICT r8
-    next-round #1 rotation, enumerated in the round-8 docstring) +
-    the first 35 of the 47-entry r4-era backlog, every window query
-    must have an oracle, and new round-9 additions must stay
-    appended BEHIND the window."""
+    10's window must hold the 9 round-9 additions (the VERDICT r9
+    next-round #1 rotation, pinned verbatim in the round-9 docstring)
+    + the 41 longest-unchecked queries (12 r4-era + sketch_stats +
+    first 28 r5-era in registry order), every window query must have
+    an oracle, and new round-10 additions must stay appended BEHIND
+    the window."""
     import __spark_entry__ as entrymod
 
     qs = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
-    r8_additions = [
-        "ivf_reassign", "ivf_nprobe_curve", "curation_funnel",
-        "token_entropy_rate", "changepoint_days",
-        "dedup_threshold_curve", "packing_stats",
-        "time_decay_attribution", "incremental_rollup",
-        "forget_audit", "rolling_corr_daily", "weighted_sample",
-        "srm_check", "mmr_rerank", "ablation_ladder",
+    r9_additions = [
+        "mmr_rerank_multi", "weighted_sample_per_group",
+        "apply_forget", "ks_drift", "kendall_tau", "negative_sample",
+        "dedup_snm", "cuped_ab", "leakage_safe_split",
     ]
-    r4_canaries = [
-        "ann_range_search", "embedding_norm_stats", "returned_items",
-        "top_supplier", "discounted_revenue_or", "market_share",
-        "product_profit", "min_cost_supplier", "semdedup",
-        "pq_adc_topk", "bpe_pair_counts", "revenue_rollup",
-        "ann_ivfpq_topk", "tfidf_cosine_pairs", "dbscan",
-        "table_profile", "daily_anomalies", "daily_recon",
-        "ewma_daily", "forecast_revenue_change",
-        "global_sales_opportunity", "interval_join",
-        "grouped_quantiles", "ann_recall_report", "bpe_learned_counts",
-        "audio_features", "video_features", "quality_classifier",
-        "ann_hamming_topk", "volume_shipping", "ann_hamming_rerank",
-        "skew_report", "pca_project", "bigram_lm_score",
-        "dataset_card",
+    stale_canaries = [
+        # 12 remaining r4-era (last driver row: round 4)
+        "mm_phash", "token_budget_sample", "k_anonymity",
+        "event_paths", "lang_mismatch", "embedding_drift",
+        "rfm_segments", "dup_cluster_sizes", "markov_transitions",
+        "source_quality", "within_polygon_pruned", "knn_top10",
+        # sketch_stats + first 28 r5-era (last driver row: round 5)
+        "sketch_stats",
+        "ngram_diversity", "boilerplate_ngrams",
+        "doc_length_histogram", "quality_resample",
+        "contamination_report", "pagerank_event_types",
+        "zorder_layout", "boilerplate_coverage", "dense_daily_counts",
+        "fuzzy_join_suppliers", "winsorize_balances",
+        "dedup_recall_report", "conversion_lag", "containment_pairs",
+        "token_fertility", "dedup_impact", "ann_filtered_topk",
+        "triangle_count", "cusum_days", "segment_dedup",
+        "ivf_prototypes", "hilbert_layout", "bm25_search",
+        "group_sample", "snapshot_diff", "lpa_communities",
+        "profile_diff", "value_psi",
     ]
-    assert qs[:15] == r8_additions
-    assert qs[15:50] == r4_canaries
+    assert qs[:9] == r9_additions
+    assert qs[9:50] == stale_canaries
     missing = [q for q in qs[:50] if q not in oracles]
     assert missing == [], f"window queries without oracles: {missing}"
     # registry entries stay unique (dict literal would silently drop dups

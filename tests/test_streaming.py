@@ -1085,3 +1085,79 @@ def test_streaming_rollup_marker_crash_and_lineage_guard(
         str(root / f"rollup_v{s3['version']}")
     ).collect()))
     assert got3 == sorted(map(tuple, full(ev).collect()))
+
+
+def test_streaming_rollup_torn_first_fold_on_fresh_seed(
+    spark, tmp_path_factory
+):
+    """ADVICE r9 #1: on a FRESH seed store (no marked version exists
+    anywhere), a crash between the first fold's parquet commit (which
+    writes _SUCCESS) and its _FOLDED marker leaves TWO unmarked
+    versions (v0 seed, v1 torn). The _SUCCESS fallback must elect the
+    LOWEST (v0) so the replayed epoch overwrites the torn v1 with
+    identical content — electing the highest would treat torn v1 as a
+    seed with batch_id=None and double-fold the replayed batch onto
+    it."""
+    import glob
+    import os
+
+    from hbase_gis_spark.streaming.events import (
+        latest_rollup_version,
+        maintain_rollup_stream,
+    )
+
+    root = tmp_path_factory.mktemp("rollup_torn_seed")
+    ev = load_table(spark, SF0001, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+        "event_type",
+    )
+    keys = ["day", "event_type"]
+
+    def full(df):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        )
+
+    full(ev.limit(0)).write.mode("overwrite").parquet(
+        str(root / "rollup_v0")
+    )
+    ev_dir, ckpt = str(root / "incoming"), str(root / "ckpt")
+    # ONE source file => the whole stream is exactly ONE micro-batch,
+    # so the crash below is precisely "first fold torn on fresh seed"
+    ev.coalesce(1).write.mode("overwrite").parquet(ev_dir)
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).parquet(ev_dir)
+        q, state = maintain_rollup_stream(
+            spark, stream, keys, str(root), count_col="n_rows",
+            trigger_available_now=True, checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+        return state
+
+    s1 = run()
+    assert s1["version"] == 1  # seed v0 + the single fold v1
+
+    # crash between v1's parquet commit (_SUCCESS written) and its
+    # marker: remove the marker AND the epoch's checkpoint commit, so
+    # the restart replays batch 0 onto a store of exactly
+    # {v0 seed (_SUCCESS), v1 torn (_SUCCESS)} — the ADVICE scenario
+    for f in glob.glob(str(root / "rollup_v1" / "_FOLDED_B*")):
+        os.remove(f)
+    for f in os.listdir(os.path.join(ckpt, "commits")):
+        os.remove(os.path.join(ckpt, "commits", f))
+
+    # the scan must elect the SEED, not the torn fold
+    assert latest_rollup_version(spark, str(root)) == (0, None, None)
+
+    s2 = run()
+    # the replayed epoch re-folded FROM v0 and OVERWROTE torn v1 —
+    # version ends at 1 (not 2), content equals the one-shot
+    # recompute with every count exactly once
+    assert s2["version"] == 1
+    got = sorted(map(tuple, spark.read.parquet(
+        str(root / "rollup_v1")
+    ).collect()))
+    assert got == sorted(map(tuple, full(ev).collect()))
