@@ -758,6 +758,58 @@ def leakage_safe_split(
     ).select(id_col, "cluster_id", "split")
 
 
+_SNM_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def _snm_sort_exprs(df: DataFrame, col: str) -> list:
+    """Order-expression list for one SNM proxy key, in the column's
+    NATIVE order (ADVICE r9 #2 — the old unconditional
+    ``cast("bigint")`` turned every string key into NULL, silently
+    collapsing the total order to id-order and gutting recall with no
+    error). The sharded-rank machinery needs a NUMERIC first column
+    (range boundaries come from ``approxQuantile``), so:
+
+    - numeric / decimal keys order on the column itself;
+    - STRING keys order on an order-preserving numeric surrogate —
+      the first 8 UTF-8 bytes read as a big-endian unsigned integer
+      (``conv(rpad(hex(substr(bytes,1,8)),16,'0'),16,10)``; zero
+      right-padding keeps shorter strings below longer extensions,
+      matching Spark's byte-wise string comparison) — with the FULL
+      native string as tiebreak, so rows sharing an 8-byte prefix
+      still sort in exact string order. The surrogate is monotone in
+      the string order, so (surrogate, string) ≡ (string): sharding
+      on the surrogate and ordering within shards by the pair yields
+      the exact native total order;
+    - date / timestamp keys order on their exact epoch integer;
+    - anything else raises ``TypeError`` up front instead of
+      producing a silently wrong order.
+    """
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype in _SNM_NUMERIC_TYPES or dtype.startswith("decimal"):
+        return [c]
+    if dtype == "string":
+        surrogate = F.conv(
+            F.rpad(F.hex(F.substring(F.encode(c, "UTF-8"), 1, 8)), 16, "0"),
+            16,
+            10,
+        ).cast("decimal(20,0)")
+        return [surrogate, c]
+    if dtype == "date":
+        return [F.datediff(c, F.lit("1970-01-01"))]
+    if dtype.startswith("timestamp"):
+        return [F.unix_micros(c.cast("timestamp"))]
+    raise TypeError(
+        f"sorted_neighborhood_pairs: sort key {col!r} has type "
+        f"{dtype!r}; supported proxy-key types are numeric, decimal, "
+        "string, date, and timestamp (ADVICE r9 #2 — a key this "
+        "function cannot order exactly must fail loudly, not sort "
+        "NULLs)"
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -767,6 +819,7 @@ def sorted_neighborhood_pairs(
     n: int = 3,
     threshold: float = 0.5,
     n_shards: int = 64,
+    sort_cols: list[str] | None = None,
 ) -> DataFrame:
     """Near-dup pairs via SORTED-NEIGHBORHOOD blocking (Hernández &
     Stolfo's SNM, the third classic blocking strategy next to the
@@ -782,11 +835,24 @@ def sorted_neighborhood_pairs(
     the property the bucket-based strategies buy with caps
     (``max_df``/``max_bucket``) and SNM gets by construction.
 
+    Proxy keys may be numeric, decimal, STRING, date, or timestamp —
+    each ordered in its exact native order (strings via an
+    order-preserving byte-prefix surrogate; see
+    :func:`_snm_sort_exprs`); an unsupported type raises ``TypeError``
+    up front (ADVICE r9 #2 — the previous ``cast("bigint")`` NULLed
+    string keys silently).
+
     Recall contract (stated, as for every blocking strategy): a true
     pair whose proxy keys are more than ``window`` sort positions
     apart is missed — SNM trades the inverted index's content recall
-    for skew-proof candidate bounds; run both and union for the
-    belt-and-suspenders pass.
+    for skew-proof candidate bounds. The classic mitigation
+    (Hernández & Stolfo's multi-pass SNM) is ``sort_cols``: a LIST of
+    independent proxy keys, one sorted-neighborhood pass per key, the
+    UNION of the per-key candidate windows verified once — a pair
+    far apart under one key (e.g. a title edit that barely moves
+    length) is caught by another (e.g. the normalized title itself).
+    Candidates stay linear: ≤ ``len(sort_cols)·n·(window−1)`` before
+    the distinct. ``sort_cols`` overrides ``sort_col`` when given.
 
     Scale shape: the total order comes from the sharded-rank
     machinery (:func:`rank.range_sharded` — approx-quantile range
@@ -801,39 +867,55 @@ def sorted_neighborhood_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b — interchangeable
     with :func:`jaccard_pairs`."""
+    from functools import reduce
+
     from hbase_gis_spark.operators.rank import range_sharded
 
     if window < 2:
         raise ValueError("window must be >= 2 (a 1-window has no pairs)")
+    keys = list(sort_cols) if sort_cols is not None else [sort_col]
+    if not keys:
+        raise ValueError("sort_cols must name at least one proxy key")
     base = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("t"),
-        F.col(sort_col).cast("bigint").alias("__sk"),
+        F.col(id_col).alias("id"), F.col(text_col).alias("t"), *keys
     )
-    sharded, odf, _total = range_sharded(
-        base.select("id", "__sk"), ["__sk", "id"], n_shards
-    )
-    w = Window.partitionBy("__shard").orderBy(
-        F.col("__sk").asc(), F.col("id").asc()
-    )
-    ranked = (
-        sharded.join(F.broadcast(odf), "__shard")
-        .withColumn("__gr", F.row_number().over(w) + F.col("__off"))
-        .select("id", "__gr")
-    )
-    lead = ranked.select(
-        F.col("id").alias("__ia"),
-        F.explode(
-            F.sequence(F.col("__gr") + 1, F.col("__gr") + (window - 1))
-        ).alias("__gr2"),
-    )
-    cand = lead.join(
-        ranked.select(F.col("id").alias("__ib"), F.col("__gr").alias("__gr2")),
-        "__gr2",
-    ).select(
-        F.least("__ia", "__ib").alias("id_a"),
-        F.greatest("__ia", "__ib").alias("id_b"),
-    )
+
+    def _candidates(key: str) -> DataFrame:
+        exprs = _snm_sort_exprs(base, key)
+        order = [f"__sk{i}" for i in range(len(exprs))] + ["id"]
+        keyed = base.select(
+            "id", *[e.alias(f"__sk{i}") for i, e in enumerate(exprs)]
+        )
+        sharded, odf, _total = range_sharded(keyed, order, n_shards)
+        w = Window.partitionBy("__shard").orderBy(
+            *[F.col(c).asc() for c in order]
+        )
+        ranked = (
+            sharded.join(F.broadcast(odf), "__shard")
+            .withColumn("__gr", F.row_number().over(w) + F.col("__off"))
+            .select("id", "__gr")
+        )
+        lead = ranked.select(
+            F.col("id").alias("__ia"),
+            F.explode(
+                F.sequence(F.col("__gr") + 1, F.col("__gr") + (window - 1))
+            ).alias("__gr2"),
+        )
+        return lead.join(
+            ranked.select(
+                F.col("id").alias("__ib"), F.col("__gr").alias("__gr2")
+            ),
+            "__gr2",
+        ).select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+        )
+
+    cand = _candidates(keys[0])
+    if len(keys) > 1:
+        cand = reduce(
+            DataFrame.unionByName, [_candidates(k) for k in keys[1:]], cand
+        ).distinct()
     sh = base.select("id", word_shingles(F.col("t"), n).alias("s"))
     return (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
