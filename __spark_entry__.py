@@ -12597,8 +12597,13 @@ def oracle_sql() -> dict[str, str]:
     # tickets, per-anchor rank (operators/corpus.py:negative_sample_k)
     out["negative_sample"] = f"""
     WITH pool AS (
+      -- NULL-group rows are excluded up front (ADVICE r9 #4): they
+      -- could never serve as negatives (ng != source is NULL-falsy)
+      -- and would consume pool slots as dead weight; latent on this
+      -- data (documents.source is never NULL) but pinned for parity
       SELECT doc_id AS nid, source AS ng
       FROM documents
+      WHERE source IS NOT NULL
       ORDER BY md5('negpool:' || CAST(doc_id AS VARCHAR)) ASC,
                doc_id ASC
       LIMIT {NEG_POOL}

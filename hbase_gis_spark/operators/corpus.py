@@ -1286,6 +1286,7 @@ def negative_sample_k(
     group_col: str = "source",
     pool: int = 64,
     salt: str = "neg",
+    pool_per_group: bool = False,
 ) -> DataFrame:
     """Deterministic contrastive negative mining: for every anchor
     row, draw ``k`` pseudo-random negatives from OTHER groups (the
@@ -1295,36 +1296,66 @@ def negative_sample_k(
     bit-identical in SQL.
 
     Two-stage shape so no anchor ever scores the whole corpus:
-    (1) a GLOBAL shared candidate pool = the ``pool`` corpus rows with
-    the smallest ``md5(salt+'pool:'+id)`` tickets (one
-    TakeOrderedAndProject — the global-shuffle trick, uniform over the
-    corpus and independent of the anchor); (2) each anchor ranks ONLY
-    the broadcast pool by a pairwise ticket ``md5(salt+':'+anchor+':'
-    +candidate)`` and keeps its ``k`` smallest, excluding itself and
-    its own group. Per-anchor work is O(pool), total work
-    O(n·pool) — never O(n²); the rank window is partitioned by anchor
-    (pool-bounded groups).
+    (1) a SHARED candidate pool = the ``pool`` rows with the smallest
+    ``md5(salt+'pool:'+id)`` tickets (one TakeOrderedAndProject — the
+    global-shuffle trick, uniform over the corpus and independent of
+    the anchor); (2) each anchor ranks ONLY the broadcast pool by a
+    pairwise ticket ``md5(salt+':'+anchor+':'+candidate)`` and keeps
+    its ``k`` smallest, excluding itself and its own group.
+    Per-anchor work is O(|pool|), total work O(n·|pool|) — never
+    O(n²); the rank window is partitioned by anchor (pool-bounded
+    groups).
 
-    Anchors whose ``group_col`` is NULL get no negatives (NULL != x
-    is never true — the keyed-exclusion convention of apply_forget);
-    exclude-by-group therefore requires attributed anchors.
+    SHARED-POOL CORRELATION (documented per VERDICT r9): every anchor
+    ranks the SAME pool candidates, so negatives repeat heavily
+    across anchors — fine for reproducible eval negatives, a real
+    correlation for contrastive training (the model sees the same few
+    negatives against every anchor). Mitigations: raise ``pool``, or
+    set ``pool_per_group=True`` to draw the ticket race WITHIN each
+    stratum — the pool then holds the ``pool`` smallest tickets PER
+    GROUP (a row_number window partitioned by group: group-bounded
+    sort, never a global one), so every anchor's negatives cover the
+    group mix instead of whichever groups dominate the global race.
+    The broadcast pool grows to |groups|·pool rows and per-anchor
+    work to O(|groups|·pool) — still linear in n; keep the global
+    pool for high-cardinality group columns.
+
+    Rows whose ``group_col`` is NULL are excluded from the pool UP
+    FRONT (ADVICE r9 #4): ``__ng != __g`` is NULL-falsy, so a
+    NULL-group pool member could never serve as a negative for any
+    anchor — before this filter it consumed a pool slot as dead
+    weight, silently shrinking the effective pool below ``pool``.
+    Anchors whose ``group_col`` is NULL likewise get no negatives
+    (the keyed-exclusion convention of apply_forget);
+    exclude-by-group requires attributed rows on both sides.
 
     Output: (``id_col``, neg_id, neg_rank 1..k). Anchors can emit
     fewer than k rows when the pool holds fewer than k other-group
-    members — raise ``pool`` if that bites."""
+    members — raise ``pool`` (or set ``pool_per_group``) if that
+    bites."""
     base = df.select(F.col(id_col).alias("__id"), F.col(group_col).alias("__g"))
-    pool_df = (
-        base.select(
-            F.col("__id").alias("__nid"),
-            F.col("__g").alias("__ng"),
-            F.md5(
-                F.concat_ws(":", F.lit(salt + "pool"), F.col("__id").cast("string"))
-            ).alias("__pt"),
-        )
-        .orderBy(F.col("__pt").asc(), F.col("__nid").asc())
-        .limit(pool)
-        .drop("__pt")
+    ticketed = base.filter(F.col("__g").isNotNull()).select(
+        F.col("__id").alias("__nid"),
+        F.col("__g").alias("__ng"),
+        F.md5(
+            F.concat_ws(":", F.lit(salt + "pool"), F.col("__id").cast("string"))
+        ).alias("__pt"),
     )
+    if pool_per_group:
+        gw = Window.partitionBy("__ng").orderBy(
+            F.col("__pt").asc(), F.col("__nid").asc()
+        )
+        pool_df = (
+            ticketed.withColumn("__pr", F.row_number().over(gw))
+            .filter(F.col("__pr") <= pool)
+            .select("__nid", "__ng")
+        )
+    else:
+        pool_df = (
+            ticketed.orderBy(F.col("__pt").asc(), F.col("__nid").asc())
+            .limit(pool)
+            .drop("__pt")
+        )
     pairs = (
         base.crossJoin(F.broadcast(pool_df))
         .filter(

@@ -800,6 +800,15 @@ def cuped_adjusted_ab(
     population (÷n) — the descriptive readout; plug the adjusted
     moments into welch_t_test's formula for inference.
 
+    INPUT CONTRACT (ADVICE r9 #3): ``y_col``/``x_col`` must be
+    INTEGER-VALUED (counts, cents, micros — the welch_t_test *_cents
+    discipline; exactness comes from summing integers). A float or
+    double metric column raises ``TypeError`` up front — the
+    DECIMAL(38,0) cast would silently ROUND each value to a whole
+    unit, quantizing the metric with no warning. Quantize explicitly
+    first (``F.round(col*100).cast("long")`` for cents) so the unit
+    choice is the caller's, visible in their code.
+
     Output: one row per arm — (arm, n_units, theta_r9, mean_y_r9,
     mean_cuped_r9, var_y_r9, var_cuped_r9, var_ratio_r9) where
     var_ratio_r9 = var_cuped/var_y (< 1 is the win CUPED exists for).
@@ -807,6 +816,17 @@ def cuped_adjusted_ab(
     Scale shape: ONE map-side-combined aggregate over the unit frame
     → |arms| rows; the pooled 1-row re-aggregate and its broadcast
     back onto the arm rows never touch fact scale."""
+    dtypes = dict(units.dtypes)
+    for c in (y_col, x_col):
+        if dtypes.get(c) in ("float", "double"):
+            raise TypeError(
+                f"cuped_adjusted_ab: {c!r} is {dtypes[c]}; the exact-"
+                "moment path sums DECIMAL(38,0) integers, and casting "
+                "a floating metric would silently round each value to "
+                "a whole unit. Quantize explicitly first (e.g. "
+                'F.round(col("' + c + '")*100).cast("long") for cents) '
+                "so the unit is the caller's visible choice."
+            )
     base = units.select(
         F.col(arm_col).alias("__arm"),
         F.col(y_col).cast("decimal(38,0)").alias("__y"),

@@ -107,3 +107,115 @@ def test_snm_multi_key_union_recall(spark):
     assert (1, 2) in union
     assert by_len <= union and by_title <= union
     assert union == by_len | by_title  # union of windows, nothing more
+
+
+def test_cuped_rejects_floating_metric(spark):
+    """ADVICE r9 #3: a float/double metric column raises up front
+    instead of being silently rounded to whole units by the
+    DECIMAL(38,0) exact-moment cast."""
+    from hbase_gis_spark.operators.drift import cuped_adjusted_ab
+
+    df = spark.createDataFrame(
+        [("a", 1.5, 2), ("b", 2.5, 3)],
+        "arm string, y double, x int",
+    )
+    with pytest.raises(TypeError, match="Quantize explicitly"):
+        cuped_adjusted_ab(df, "arm", "y", "x")
+    with pytest.raises(TypeError, match="Quantize explicitly"):
+        cuped_adjusted_ab(df, "arm", "x", "y")
+    # integer-valued columns still work
+    ok = cuped_adjusted_ab(
+        df.select("arm", F.col("x").alias("y"), F.col("x").alias("x")),
+        "arm", "y", "x",
+    ).collect()
+    assert len(ok) == 2
+
+
+def test_negative_sample_null_group_pool_exclusion(spark):
+    """ADVICE r9 #4: NULL-group rows can never serve as negatives
+    (__ng != __g is NULL-falsy), so they must not consume pool slots.
+    With 60 NULL-group rows and only 6 attributed ones, a pool of 6
+    must still hold the 6 attributed candidates — every anchor gets
+    its full other-group negative set."""
+    from hbase_gis_spark.operators.corpus import negative_sample_k
+
+    rows = [(i, None) for i in range(100, 160)] + [
+        (1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c"), (6, "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = negative_sample_k(df, k=10, pool=6).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.doc_id, set()).add(r.neg_id)
+    # NULL-group ids never appear on either side
+    assert all(a < 100 for a in by_anchor)
+    assert all(n < 100 for negs in by_anchor.values() for n in negs)
+    # the pool was NOT diluted: each attributed anchor sees ALL 4
+    # other-group members as negatives
+    src = dict(rows)
+    for a, negs in by_anchor.items():
+        expect = {i for i, s in rows if s is not None and s != src[a]}
+        assert negs == expect
+
+
+def test_negative_sample_pool_per_group(spark):
+    """VERDICT r9 #6: pool_per_group=True draws the ticket race within
+    each stratum, so anchors see candidates from EVERY other group
+    even when the global race would be dominated by one huge group.
+    Pinned against an exact Python md5 replay (same tickets), plus
+    determinism across runs."""
+    import hashlib
+
+    from hbase_gis_spark.operators.corpus import negative_sample_k
+
+    # group "big" dominates any global pool; "s1"/"s2" are tiny
+    rows = (
+        [(i, "big") for i in range(1000, 1100)]
+        + [(1, "s1"), (2, "s1"), (3, "s2"), (4, "s2")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    K, POOL = 6, 3
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # python replay: per-group pool = POOL smallest pool-tickets
+    by_group = {}
+    for i, g in rows:
+        by_group.setdefault(g, []).append(i)
+    pool = []
+    for g, ids in by_group.items():
+        ids.sort(key=lambda i: (md5(f"negpool:{i}"), i))
+        pool += [(i, g) for i in ids[:POOL]]
+    expect = []
+    src = dict(rows)
+    for a, ga in rows:
+        cands = [
+            (md5(f"neg:{a}:{n}"), n) for n, gn in pool
+            if n != a and gn != ga
+        ]
+        cands.sort()
+        expect += [(a, n, r + 1) for r, (_, n) in enumerate(cands[:K])]
+    got = sorted(
+        map(tuple, negative_sample_k(
+            df, K, pool=POOL, pool_per_group=True
+        ).collect())
+    )
+    assert got == sorted(expect)
+    # the small groups ARE represented in every big-group anchor's
+    # negatives (the property the option exists for): with the global
+    # pool of 3 the race is won by "big" members almost surely and
+    # s1/s2 anchors would all share them — here each big anchor draws
+    # from s1 and s2 members among its 6 negatives
+    negs_of_big = {
+        a: {n for aa, n, _ in got if aa == a} for a, g in rows if g == "big"
+    }
+    for negs in negs_of_big.values():
+        assert {src[n] for n in negs} == {"s1", "s2"}
+    # deterministic: a second run is row-identical
+    again = sorted(
+        map(tuple, negative_sample_k(
+            df, K, pool=POOL, pool_per_group=True
+        ).collect())
+    )
+    assert got == again
