@@ -61,18 +61,10 @@ def main() -> int:
             / "BASELINE_perquery.json"
         )
         args.insert(0, str(default_old))
+    import statistics
+
     old, new = load(args[0]), load(args[1])
     shared = sorted(set(old) & set(new))
-    regs = [
-        (k, old[k], new[k])
-        for k in shared
-        if old[k] > 0.05 and new[k] > ratio * old[k]
-    ]
-    wins = [
-        (k, old[k], new[k])
-        for k in shared
-        if new[k] > 0.05 and old[k] > ratio * new[k]
-    ]
     print(f"shared queries: {len(shared)}  "
           f"(only-old: {len(set(old) - set(new))}, "
           f"only-new: {len(set(new) - set(old))})")
@@ -80,12 +72,37 @@ def main() -> int:
     t_new = sum(new[k] for k in shared)
     print(f"shared-set total: {t_old:.2f}s -> {t_new:.2f}s "
           f"({t_new / t_old:.2f}x)" if t_old else "no shared set")
-    print(f"\nregressions > {ratio}x: {len(regs)}")
+
+    # Median per-query ratio = the uniform machine-load factor between
+    # the two runs (VERDICT r9 #4: this machine's background load
+    # inflates EVERY query by the same ~1.3-3x; a real regression is a
+    # query whose ratio stands out FROM THE MEDIAN, not from 1.0 —
+    # round 9 lost a manual quiet-window reconstruction to four
+    # false >2x "regressions" that were exactly the uniform factor).
+    ratios = [new[k] / old[k] for k in shared if old[k] > 0.05]
+    med = statistics.median(ratios) if ratios else 1.0
+    print(f"median per-query ratio: {med:.2f}x "
+          f"(uniform machine-load factor between the two runs)")
+
+    regs = [
+        (k, old[k], new[k])
+        for k in shared
+        if old[k] > 0.05 and new[k] > ratio * med * old[k]
+    ]
+    wins = [
+        (k, old[k], new[k])
+        for k in shared
+        if new[k] > 0.05 and old[k] * med > ratio * new[k]
+    ]
+    print(f"\nregressions > {ratio}x the median ratio "
+          f"(i.e. > {ratio * med:.2f}x raw): {len(regs)}")
     for k, a, b in sorted(regs, key=lambda x: -x[2] / x[1]):
-        print(f"  {k:32} {a:7.3f} -> {b:7.3f}  ({b / a:.2f}x)")
-    print(f"improvements > {ratio}x: {len(wins)}")
+        print(f"  {k:32} {a:7.3f} -> {b:7.3f}  ({b / a:.2f}x raw, "
+              f"{b / a / med:.2f}x load-normalized)")
+    print(f"improvements > {ratio}x the median ratio: {len(wins)}")
     for k, a, b in sorted(wins, key=lambda x: -x[1] / x[2]):
-        print(f"  {k:32} {a:7.3f} -> {b:7.3f}  ({b / a:.2f}x)")
+        print(f"  {k:32} {a:7.3f} -> {b:7.3f}  ({b / a:.2f}x raw, "
+              f"{b / a / med:.2f}x load-normalized)")
     return 0
 
 
