@@ -5728,6 +5728,45 @@ def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, pairs)
 
 
+SPLIT_DRIFT_MOD = 5  # the "old snapshot" drops doc_id % 5 == 0
+SPLIT_DRIFT_W = {"train": 1, "val": 1, "test": 1}
+
+
+def _q_split_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-stability audit between two corpus snapshots (VERDICT r9
+    #5): leakage_safe_split's re-labeling semantics — a bridging
+    duplicate re-labels the merged component — is correct for leakage
+    but silently moves documents across train/test as the corpus
+    grows. This diffs the assignment over yesterday's corpus (doc_id
+    % 5 != 0) against today's full corpus and reports moved docs by
+    (from_split, to_split) with the bridging cluster ids. Even split
+    weights (the eval-set regime where moves matter most). The old
+    snapshot's pair graph is exactly the full pair graph restricted
+    to surviving endpoints (pair Jaccard is independent of other
+    docs), which the oracle exploits."""
+    from hbase_gis_spark.operators.dedup import (
+        leakage_safe_split,
+        split_drift_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") % SPLIT_DRIFT_MOD != 0)
+    # ONE pair-discovery pass: with no max_df/max_bucket caps, the
+    # subset corpus's banded-LSH pair graph is EXACTLY the full graph
+    # restricted to surviving endpoints (signatures and pair Jaccard
+    # are per-doc/per-pair quantities) — so the old graph is a filter,
+    # not a second LSH run. Same shape the 100 TB path wants: discover
+    # pairs once per corpus version delta, reuse across audits.
+    pairs = minhash_lsh_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+    pairs_old = pairs.filter(
+        (F.col("id_a") % SPLIT_DRIFT_MOD != 0)
+        & (F.col("id_b") % SPLIT_DRIFT_MOD != 0)
+    )
+    old = leakage_safe_split(old_docs, pairs_old, weights=SPLIT_DRIFT_W)
+    new = leakage_safe_split(docs, pairs, weights=SPLIT_DRIFT_W)
+    return split_drift_audit(old, new)
+
+
 def _q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout over a deterministic
     md5-keyed user split: pre-period activity (first 15 observed
@@ -6119,6 +6158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "lang_id": _q_lang_id,
+        # --- round-10 additions (behind the window; enter the round-11
+        # window per the steady-state policy above)
+        "split_drift_audit": _q_split_drift_audit,
     }
 
 
@@ -12765,6 +12807,88 @@ def oracle_sql() -> dict[str, str]:
                % 100 AS b
       FROM cl
     )
+    """
+
+    # split-stability audit between two snapshots: the leakage-safe
+    # assignment replayed over the full corpus AND over the old
+    # snapshot (doc_id % MOD != 0); the old snapshot's pair graph is
+    # the full pair graph restricted to surviving endpoints (pair
+    # Jaccard is independent of other docs), so ONE pairs CTE feeds
+    # both CC replays (operators/dedup.py:split_drift_audit). Even
+    # 1/1/1 weights -> bucket mod 3.
+    _sd_mod = SPLIT_DRIFT_MOD
+    out["split_drift_audit"] = f"""
+    WITH RECURSIVE pairs AS ({jaccard_sql}),
+    sym_n AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach_n AS (
+      SELECT a, b FROM sym_n
+      UNION
+      SELECT r.a, s.b FROM reach_n r JOIN sym_n s ON r.b = s.a
+    ),
+    cl_n AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach_n r ON d.doc_id = r.a
+      GROUP BY d.doc_id
+    ),
+    p_o AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE id_a % {_sd_mod} != 0 AND id_b % {_sd_mod} != 0
+    ),
+    sym_o AS (
+      SELECT id_a AS a, id_b AS b FROM p_o
+      UNION
+      SELECT id_b AS a, id_a AS b FROM p_o
+    ),
+    reach_o AS (
+      SELECT a, b FROM sym_o
+      UNION
+      SELECT r.a, s.b FROM reach_o r JOIN sym_o s ON r.b = s.a
+    ),
+    cl_o AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach_o r ON d.doc_id = r.a
+      WHERE d.doc_id % {_sd_mod} != 0
+      GROUP BY d.doc_id
+    ),
+    s_n AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN b < 1 THEN 'train'
+                  WHEN b < 2 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, cluster_id,
+               ('0x' || substr(md5('split:'
+                  || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 3 AS b
+        FROM cl_n
+      )
+    ),
+    s_o AS (
+      SELECT doc_id,
+             CASE WHEN b < 1 THEN 'train'
+                  WHEN b < 2 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5('split:'
+                  || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 3 AS b
+        FROM cl_o
+      )
+    )
+    SELECT o.split AS from_split, n.split AS to_split, n.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(n.doc_id) AS min_doc_id,
+           max(n.doc_id) AS max_doc_id
+    FROM s_o o JOIN s_n n ON o.doc_id = n.doc_id
+    WHERE o.split != n.split
+    GROUP BY 1, 2, 3
     """
 
     return out

@@ -758,6 +758,62 @@ def leakage_safe_split(
     ).select(id_col, "cluster_id", "split")
 
 
+def split_drift_audit(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Diff two split assignments and report every document that MOVED
+    between splits, grouped by (from_split, to_split, bridging
+    cluster) — the audit for :func:`leakage_safe_split`'s stated
+    re-labeling semantics (VERDICT r9 #5): a new duplicate bridging
+    two clusters re-labels the merged component, which is CORRECT for
+    leakage but silently moves documents across train/test between
+    corpus snapshots — itself a training-pipeline hazard (a document
+    evaluated on yesterday may be trained on today). Run this between
+    consecutive snapshot assignments; a non-empty result is the list
+    of moves to either accept (re-baseline evals) or pin (freeze the
+    old assignment for already-evaluated docs).
+
+    ``old``/``new`` are split-assignment frames (``id_col``,
+    ``split_col``; ``new`` must also carry ``cluster_col`` — the
+    merged component the move is attributed to). Documents present in
+    only one snapshot are additions/removals, not moves, and are
+    excluded by the inner join (diff those with ``snapshot_diff``).
+    NULL splits never count as moves (NULL-falsy inequality, the
+    keyed-exclusion convention).
+
+    Output: (from_split, to_split, cluster_id, n_docs, min_doc_id,
+    max_doc_id) — one row per bridging cluster and direction, with
+    the id range as a concrete handle into the moved set.
+
+    Scale shape: one equi-join on the document id (both sides
+    bucketable on it; broadcast when one snapshot's assignment is a
+    small head table), a NULL-safe inequality filter, then a hash
+    aggregate whose key space is |splits|² × |bridging clusters| —
+    the output is bounded by the drift, not the corpus."""
+    o = old.select(
+        F.col(id_col).alias("__id"), F.col(split_col).alias("from_split")
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        F.col(split_col).alias("to_split"),
+        F.col(cluster_col).alias("cluster_id"),
+    )
+    return (
+        o.join(n, "__id")
+        .filter(F.col("from_split") != F.col("to_split"))
+        .groupBy("from_split", "to_split", "cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("__id").alias("min_doc_id"),
+            F.max("__id").alias("max_doc_id"),
+        )
+    )
+
+
 _SNM_NUMERIC_TYPES = {
     "tinyint", "smallint", "int", "bigint", "float", "double",
 }

@@ -219,3 +219,46 @@ def test_negative_sample_pool_per_group(spark):
         ).collect())
     )
     assert got == again
+
+
+def test_split_drift_audit_one_bridge_flips_one_cluster(spark):
+    """VERDICT r9 #5 property: adding ONE bridging duplicate pair
+    merges two clusters and flips EXACTLY the absorbed cluster's
+    documents to the surviving cluster's split — nothing else moves.
+    Cluster ids 1 ('test' under even md5 weights) and 10 ('val') are
+    chosen so the merged label provably changes the split."""
+    from hbase_gis_spark.operators.dedup import (
+        leakage_safe_split,
+        split_drift_audit,
+    )
+
+    W = {"train": 1, "val": 1, "test": 1}
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 10, 11, 20, 30)], "doc_id bigint"
+    )
+    pairs_old = spark.createDataFrame(
+        [(1, 2), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    # the new snapshot discovers ONE bridging near-dup pair (2, 10)
+    pairs_new = pairs_old.union(
+        spark.createDataFrame([(2, 10)], "id_a bigint, id_b bigint")
+    )
+    old = leakage_safe_split(docs, pairs_old, weights=W)
+    new = leakage_safe_split(docs, pairs_new, weights=W)
+    # sanity on the deterministic md5 buckets the scenario relies on
+    old_map = {r.doc_id: (r.cluster_id, r.split) for r in old.collect()}
+    assert old_map[1] == (1, "test") and old_map[10] == (10, "val")
+    new_map = {r.doc_id: (r.cluster_id, r.split) for r in new.collect()}
+    assert new_map[10] == (1, "test") and new_map[11] == (1, "test")
+
+    out = split_drift_audit(old, new).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r.from_split, r.to_split, r.cluster_id,
+        r.n_docs, r.min_doc_id, r.max_doc_id,
+    ) == ("val", "test", 1, 2, 10, 11)
+    # and with NO new pair, the audit is empty (stability base case)
+    assert split_drift_audit(old, old.select(
+        "doc_id", "cluster_id", "split"
+    )).count() == 0
