@@ -5767,6 +5767,90 @@ def _q_split_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_drift_audit(old, new)
 
 
+SNM_TITLE_LEN = 40
+
+
+def _q_dedup_snm_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass SNM (Hernández & Stolfo's classic recall
+    mitigation): the union of a length-keyed and a text-prefix-keyed
+    sorted-neighborhood window, verified once with exact 3-gram
+    Jaccard — a pair far apart under one proxy key is caught by the
+    other. Candidates stay linear (2·n·(window−1) before the
+    distinct); the string key shards on an order-preserving byte-
+    prefix surrogate (no single-task sort)."""
+    from hbase_gis_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "title40", F.substring("text", 1, SNM_TITLE_LEN)
+    )
+    return sorted_neighborhood_pairs(
+        docs, sort_cols=["n_chars", "title40"], window=SNM_WINDOW,
+        n=JACCARD_N, threshold=JACCARD_T,
+    )
+
+
+NEG_POOL_PG = 16
+
+
+def _q_negative_sample_stratified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified contrastive negatives: the md5 ticket race drawn
+    WITHIN each source (16 pool slots per stratum), so every anchor's
+    negatives cover the source mix instead of whichever sources
+    dominate the global race — the pool_per_group complement of
+    negative_sample. Work stays linear: |sources|·16 broadcast pool
+    rows, anchor-partitioned rank windows."""
+    from hbase_gis_spark.operators.corpus import negative_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_sample_k(
+        docs, NEG_K, id_col="doc_id", group_col="source",
+        pool=NEG_POOL_PG, pool_per_group=True,
+    )
+
+
+EPOCH_W = {
+    "src0": 400, "src1": 200, "src2": 150, "src3": 100,
+    "src4": 75, "src5": 50, "src6": 15, "src7": 10,
+}  # milli weights over 8 of the 20 sources; the rest get 0
+EPOCH_BUDGET_MILLI = 2000  # train on 2x the corpus token total
+EPOCH_CAP_MILLI = 4000  # ~4-epoch repeat ceiling (data-constrained LMs)
+
+
+def _q_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch plan: per source, how many effective epochs
+    the target mixture implies at a 2x-corpus training budget, and
+    which sources blow through the ~4-epoch repeat ceiling of
+    data-constrained scaling (Muennighoff et al. 2023) — all integer
+    milli arithmetic, engine-exact."""
+    from hbase_gis_spark.operators.corpus import epoch_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_allocation(
+        docs.select("source", token_count("text").alias("n_tokens")),
+        weights_milli=EPOCH_W,
+        budget_milli_of_corpus=EPOCH_BUDGET_MILLI,
+        cap_milli=EPOCH_CAP_MILLI,
+    )
+
+
+def _q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-position retrieval eval: at what rank does the batched IVF
+    arm surface each query's TRUE nearest neighbor — reciprocal ranks
+    as exact integers (rr·2520, lcm(1..10)) so the fleet MRR is
+    avg/2520 over exact values. The how-high complement of
+    ann_recall_report's is-it-there."""
+    from hbase_gis_spark.operators.similarity import retrieval_mrr_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval_mrr_report(
+        emb, ANN_MULTI_IDS, ANN_K,
+        nlist=IVF_NLIST, nprobe=IVF_NPROBE,
+        train_rows=IVF_TRAIN_ROWS, seed=ANN_SEED,
+    )
+
+
 def _q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout over a deterministic
     md5-keyed user split: pre-period activity (first 15 observed
@@ -6161,6 +6245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-10 additions (behind the window; enter the round-11
         # window per the steady-state policy above)
         "split_drift_audit": _q_split_drift_audit,
+        "dedup_snm_multikey": _q_dedup_snm_multikey,
+        "negative_sample_stratified": _q_negative_sample_stratified,
+        "epoch_allocation": _q_epoch_allocation,
+        "retrieval_mrr": _q_retrieval_mrr,
     }
 
 
@@ -7443,6 +7531,66 @@ def oracle_sql() -> dict[str, str]:
            COALESCE(ov.n_overlap, 0) AS n_overlap
     FROM ne JOIN ni USING (query_id) LEFT JOIN ov USING (query_id)
     """
+        # retrieval_mrr: same probe/cell replay; the exact top-1 per
+        # query left-joined against the IVF rank, reciprocal rank as
+        # the exact integer 2520 div rank (lcm(1..10) — exact for
+        # k <= 10) — operators/similarity.py:retrieval_mrr_report
+        retrieval_mrr_sql = f"""
+    WITH cents(ci, cv) AS (VALUES
+      {cent_rows}),
+    dots AS (
+      SELECT e.vec_id, c.ci,
+             {_dot_lit('e.embedding', 'c.cv')} AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, ci AS cell FROM (
+        SELECT vec_id, ci,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, ci ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    probes(qid, pcell) AS (VALUES
+      {", ".join(probe_rows)}),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in ANN_MULTI_IDS)})
+    ),
+    truth AS (
+      SELECT query_id, vec_id AS true_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_cos('e.embedding', 'q.qv')} DESC,
+                          e.vec_id ASC) AS rnk
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+      ) WHERE rnk = 1
+    ),
+    ivf_scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos('e.embedding', 'q.qv')} AS cosine
+      FROM embeddings e
+      JOIN cells cl ON cl.vec_id = e.vec_id
+      JOIN q ON e.vec_id != q.query_id
+      JOIN probes p ON p.qid = q.query_id AND p.pcell = cl.cell
+    ),
+    ivf AS (
+      SELECT query_id, vec_id, rnk FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rnk
+        FROM ivf_scored
+      ) WHERE rnk <= {ANN_K}
+    )
+    SELECT t.query_id, t.true_id,
+           CAST(COALESCE(i.rnk, 0) AS BIGINT) AS rank_in_approx,
+           CAST(COALESCE(2520 // i.rnk, 0) AS BIGINT) AS rr_x2520
+    FROM truth t LEFT JOIN ivf i
+      ON i.query_id = t.query_id AND i.vec_id = t.true_id
+    """
     except Exception:
         # oracle table unavailable in this environment → leave the IVF
         # entry out (driver falls back to the rows-only check)
@@ -7457,6 +7605,7 @@ def oracle_sql() -> dict[str, str]:
         pq_adc_sql = None
         ann_ivfpq_sql = None
         ann_recall_sql = None
+        retrieval_mrr_sql = None
 
     # language-ID: marker-word argmax, ties break en > fr > de > es
     def _mc(words: tuple[str, ...]) -> str:
@@ -9796,6 +9945,8 @@ def oracle_sql() -> dict[str, str]:
         out["ann_ivfpq_topk"] = ann_ivfpq_sql
     if ann_recall_sql is not None:
         out["ann_recall_report"] = ann_recall_sql
+    if retrieval_mrr_sql is not None:
+        out["retrieval_mrr"] = retrieval_mrr_sql
     if bpe_learned_sql is not None:
         out["bpe_learned_counts"] = bpe_learned_sql
     if audio_features_sql is not None:
@@ -12889,6 +13040,117 @@ def oracle_sql() -> dict[str, str]:
     FROM s_o o JOIN s_n n ON o.doc_id = n.doc_id
     WHERE o.split != n.split
     GROUP BY 1, 2, 3
+    """
+
+    # multi-pass SNM: union of the length-keyed and text-prefix-keyed
+    # neighborhood windows, verified once
+    # (operators/dedup.py:sorted_neighborhood_pairs with sort_cols)
+    out["dedup_snm_multikey"] = f"""
+    {shingles_cte.rstrip()},
+    r1 AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY n_chars ASC NULLS FIRST, doc_id ASC
+             ) AS gr
+      FROM documents
+    ),
+    r2 AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY substr(text, 1, {SNM_TITLE_LEN}) ASC NULLS FIRST,
+                        doc_id ASC
+             ) AS gr
+      FROM documents
+    ),
+    cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+      FROM r1 a JOIN r1 b
+        ON b.gr > a.gr AND b.gr - a.gr <= {SNM_WINDOW - 1}
+      UNION
+      SELECT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+      FROM r2 a JOIN r2 b
+        ON b.gr > a.gr AND b.gr - a.gr <= {SNM_WINDOW - 1}
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN len(sa.s) + len(sb.s)
+                       - len(list_intersect(sa.s, sb.s)) > 0
+                  THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                       / CAST(len(sa.s) + len(sb.s)
+                              - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  ELSE 0.0 END AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    ) WHERE jaccard >= {JACCARD_T}
+    """
+
+    # stratified negative pool: the md5 ticket race run WITHIN each
+    # source (row_number partitioned by group), same pairwise rank
+    # (operators/corpus.py:negative_sample_k pool_per_group=True)
+    out["negative_sample_stratified"] = f"""
+    WITH pool AS (
+      SELECT nid, ng FROM (
+        SELECT doc_id AS nid, source AS ng,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5('negpool:' || CAST(doc_id AS VARCHAR)) ASC,
+                          doc_id ASC
+               ) AS pr
+        FROM documents
+        WHERE source IS NOT NULL
+      ) WHERE pr <= {NEG_POOL_PG}
+    ),
+    pairs AS (
+      SELECT d.doc_id, p.nid,
+             md5('neg:' || CAST(d.doc_id AS VARCHAR) || ':'
+                 || CAST(p.nid AS VARCHAR)) AS tick
+      FROM documents d CROSS JOIN pool p
+      WHERE p.nid != d.doc_id AND p.ng != d.source
+    ),
+    r AS (
+      SELECT doc_id, nid,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tick ASC, nid ASC
+             ) AS BIGINT) AS neg_rank
+      FROM pairs
+    )
+    SELECT doc_id, nid AS neg_id, neg_rank FROM r
+    WHERE neg_rank <= {NEG_K}
+    """
+
+    # epoch plan: integer milli arithmetic over per-source token sums
+    # (operators/corpus.py:epoch_allocation)
+    _ew_rows = ", ".join(
+        f"('{s}', {w})" for s, w in EPOCH_W.items()
+    )
+    out["epoch_allocation"] = f"""
+    WITH t AS (SELECT source, len({toks}) AS n FROM documents),
+    per AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS corpus_tokens
+      FROM t GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(corpus_tokens) AS BIGINT) AS tt FROM per),
+    w(source, wm) AS (VALUES {_ew_rows}),
+    j AS (
+      SELECT per.source, per.corpus_tokens,
+             CAST(COALESCE(w.wm, 0) AS BIGINT) AS weight_milli,
+             CAST(tt * {EPOCH_BUDGET_MILLI} // 1000 AS BIGINT) AS budget
+      FROM per CROSS JOIN tot LEFT JOIN w ON per.source = w.source
+    )
+    SELECT source, corpus_tokens, weight_milli,
+           CAST(budget * weight_milli // 1000 AS BIGINT) AS alloc_tokens,
+           CASE WHEN corpus_tokens > 0
+                THEN CAST(1000 * (budget * weight_milli // 1000)
+                          // corpus_tokens AS BIGINT)
+           END AS epochs_milli,
+           CAST(CASE WHEN corpus_tokens > 0
+                      AND 1000 * (budget * weight_milli // 1000)
+                          // corpus_tokens > {EPOCH_CAP_MILLI}
+                     THEN 1 ELSE 0 END AS BIGINT) AS over_cap
+    FROM j
     """
 
     return out

@@ -139,6 +139,114 @@ def mixture_rates(
     )
 
 
+def epoch_allocation(
+    df: DataFrame,
+    weights_milli: dict[str, int],
+    budget_tokens: int | None = None,
+    budget_milli_of_corpus: int | None = None,
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+    cap_milli: int = 4000,
+) -> DataFrame:
+    """Token-budget EPOCH PLAN for a multi-source training mixture:
+    given per-source target weights and a total token budget, how many
+    effective epochs does each source run, and which sources exceed
+    the repeat cap where additional epochs stop paying (the ~4-epoch
+    rule of data-constrained scaling — Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"). The audit that turns
+    ``mixture_rates``' sampling weights into the thing the training
+    run actually consumes: repeats per source.
+
+    All integer arithmetic (milli-scaled weights, ``div`` truncation
+    — identical to DuckDB's ``//`` for the non-negative operands
+    enforced here), so the plan is engine-exact:
+    ``alloc_tokens = budget · weight_milli div 1000``,
+    ``epochs_milli = 1000 · alloc_tokens div corpus_tokens`` (NULL
+    for a zero-token source — nothing to repeat),
+    ``over_cap = epochs_milli > cap_milli`` as 0/1. Sources absent
+    from ``weights_milli`` get weight 0 (allocated nothing, flagged
+    never). Overflow bound: budget < ~9e15 tokens keeps every
+    intermediate in int64 (stated; 100 TB of text is ~2.5e13).
+
+    The budget is either an explicit ``budget_tokens`` or
+    ``budget_milli_of_corpus`` (e.g. 2000 = train on 2× the corpus
+    total) — exactly one must be given; the corpus-relative form
+    computes the total IN-PLAN (one tiny aggregate + broadcast), no
+    driver-side collect.
+
+    Output: (``group_col``, corpus_tokens, weight_milli,
+    alloc_tokens, epochs_milli, over_cap).
+
+    Scale shape: one map-side-combined aggregate over the corpus →
+    |sources| rows; everything after is dimension-sized."""
+    if (budget_tokens is None) == (budget_milli_of_corpus is None):
+        raise ValueError(
+            "give exactly one of budget_tokens / budget_milli_of_corpus"
+        )
+    if any(w < 0 for w in weights_milli.values()):
+        raise ValueError("weights_milli must be non-negative")
+    per = df.groupBy(group_col).agg(
+        F.sum(F.col(token_col)).cast("bigint").alias("corpus_tokens")
+    )
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for kv in weights_milli.items()
+            for x in (kv[0], int(kv[1]))
+        ]
+    )
+    per = per.withColumn(
+        "weight_milli",
+        F.coalesce(
+            wmap.getItem(F.col(group_col)).cast("bigint"), F.lit(0)
+        ),
+    )
+    if budget_tokens is not None:
+        per = per.withColumn(
+            "__budget", F.lit(int(budget_tokens)).cast("bigint")
+        )
+    else:
+        totals = per.agg(
+            F.sum("corpus_tokens").cast("bigint").alias("__tt")
+        )
+        per = per.crossJoin(F.broadcast(totals)).withColumn(
+            "__budget",
+            F.expr(
+                f"CAST(__tt * {int(budget_milli_of_corpus)} div 1000"
+                " AS BIGINT)"
+            ),
+        )
+    return (
+        per.withColumn(
+            "alloc_tokens",
+            F.expr("CAST(__budget * weight_milli div 1000 AS BIGINT)"),
+        )
+        .withColumn(
+            "epochs_milli",
+            F.expr(
+                "CASE WHEN corpus_tokens > 0 THEN "
+                "CAST(1000 * alloc_tokens div corpus_tokens AS BIGINT) "
+                "END"
+            ),
+        )
+        .withColumn(
+            "over_cap",
+            F.expr(
+                f"CAST(CASE WHEN epochs_milli > {int(cap_milli)} "
+                "THEN 1 ELSE 0 END AS BIGINT)"
+            ),
+        )
+        .select(
+            group_col,
+            "corpus_tokens",
+            "weight_milli",
+            "alloc_tokens",
+            "epochs_milli",
+            "over_cap",
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str = "source",

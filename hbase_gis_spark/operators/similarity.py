@@ -1253,6 +1253,80 @@ def ann_recall_report(
     )
 
 
+def retrieval_mrr_report(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 6,
+    train_rows: int = 4096,
+    seed: int = 13,
+) -> DataFrame:
+    """Rank-POSITION complement of :func:`ann_recall_report`: where
+    recall@k asks "is the right answer anywhere in the top k", MRR
+    asks "how high" — per query, the exact rank at which the IVF arm
+    surfaces the TRUE nearest neighbor (exact cosine top-1), the
+    reciprocal-rank eval every retrieval deployment tracks next to
+    recall.
+
+    Engine-exactness: reciprocal ranks are IRRATIONAL-FREE here —
+    ``rr_x2520 = 2520 div rank`` with 2520 = lcm(1..10), so for
+    ``k <= 10`` every reciprocal rank is an exact integer (1/3 →
+    840, 1/7 → 360); the fleet MRR is ``avg(rr_x2520)/2520``,
+    computed by the caller from exact integers. For ``k > 10`` the
+    integer division truncates ranks that do not divide 2520 —
+    stated, and the registered configuration keeps k = 10. A miss
+    (true neighbor absent from the approximate top-k) reports rank 0
+    / rr 0.
+
+    Output: one row per query — (query_id, true_id, rank_in_approx,
+    rr_x2520), all integers.
+
+    Scale shape: both arms are the one-scan batched retrievals
+    (broadcast query dims, per-query bounded rank windows); the
+    report join is |queries| × k rows."""
+    truth = cosine_topk_multi(df, query_ids, 1, id_col, vec_col).select(
+        "query_id", F.col(id_col).alias("true_id")
+    )
+    approx = ann_ivf_topk_multi(
+        df,
+        query_ids,
+        k,
+        id_col,
+        vec_col,
+        nlist=nlist,
+        nprobe=nprobe,
+        train_rows=train_rows,
+        seed=seed,
+    ).select(
+        F.col("query_id").alias("a_qid"),
+        F.col(id_col).alias("a_id"),
+        F.col("rnk"),
+    )
+    return (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("true_id") == F.col("a_id")),
+            "left",
+        )
+        .select(
+            "query_id",
+            "true_id",
+            F.coalesce(F.col("rnk"), F.lit(0))
+            .cast("bigint")
+            .alias("rank_in_approx"),
+            F.coalesce(
+                F.expr("CAST(2520 div rnk AS BIGINT)"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("rr_x2520"),
+        )
+    )
+
+
 def append_ivf_table(
     df: DataFrame,
     path: str,

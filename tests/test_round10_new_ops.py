@@ -262,3 +262,92 @@ def test_split_drift_audit_one_bridge_flips_one_cluster(spark):
     assert split_drift_audit(old, old.select(
         "doc_id", "cluster_id", "split"
     )).count() == 0
+
+
+def test_epoch_allocation_arithmetic_and_contracts(spark):
+    """epoch_allocation: exact integer milli arithmetic, zero-weight
+    and zero-token edge behavior, and the argument contracts."""
+    from hbase_gis_spark.operators.corpus import epoch_allocation
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 50), ("c", 0), ("d", 10)],
+        "source string, n_tokens bigint",
+    )
+    # explicit budget: 1000 tokens; weights: a=500, b=250, c=250
+    out = {
+        r.source: r
+        for r in epoch_allocation(
+            df, {"a": 500, "b": 250, "c": 250},
+            budget_tokens=1000, cap_milli=2000,
+        ).collect()
+    }
+    a = out["a"]  # corpus 200, alloc 1000*500 div 1000 = 500
+    assert (a.corpus_tokens, a.alloc_tokens, a.epochs_milli) == (
+        200, 500, 2500,  # 2.5 epochs
+    )
+    assert a.over_cap == 1  # 2500 > 2000
+    b = out["b"]  # corpus 50, alloc 250 -> 5 epochs
+    assert (b.alloc_tokens, b.epochs_milli, b.over_cap) == (250, 5000, 1)
+    c = out["c"]  # zero-token source: nothing to repeat
+    assert c.alloc_tokens == 250 and c.epochs_milli is None
+    assert c.over_cap == 0
+    d = out["d"]  # absent from weights: weight 0, never flagged
+    assert (d.weight_milli, d.alloc_tokens, d.epochs_milli, d.over_cap) \
+        == (0, 0, 0, 0)
+    # corpus-relative budget: 2x of total (260) = 520
+    rel = {
+        r.source: r
+        for r in epoch_allocation(
+            df, {"a": 1000}, budget_milli_of_corpus=2000
+        ).collect()
+    }
+    assert rel["a"].alloc_tokens == 520
+    with pytest.raises(ValueError, match="exactly one"):
+        epoch_allocation(df, {"a": 1000})
+    with pytest.raises(ValueError, match="exactly one"):
+        epoch_allocation(
+            df, {"a": 1000}, budget_tokens=1, budget_milli_of_corpus=1
+        )
+    with pytest.raises(ValueError, match="non-negative"):
+        epoch_allocation(df, {"a": -1}, budget_tokens=1)
+
+
+def test_retrieval_mrr_exact_reciprocals(spark):
+    """retrieval_mrr_report: rr_x2520 is the exact integer 2520/rank
+    for hits and 0 for misses; the true top-1 matches a numpy replay."""
+    import numpy as np
+
+    from hbase_gis_spark.operators.similarity import retrieval_mrr_report
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    qids = [3, 17]
+    out = {
+        r.query_id: r
+        for r in retrieval_mrr_report(
+            df, qids, 10, nlist=4, nprobe=4, train_rows=60, seed=13
+        ).collect()
+    }
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for q in qids:
+        cos = Vn @ Vn[q]
+        cos[q] = -2
+        true_id = int(np.argmax(cos))
+        r = out[q]
+        assert r.true_id == true_id
+        # nprobe == nlist probes EVERY cell -> the approximate arm is
+        # exhaustive, so the true top-1 must surface at rank 1
+        assert r.rank_in_approx == 1 and r.rr_x2520 == 2520
+    # a miss reports 0/0: nprobe=1 may drop the true neighbor's cell;
+    # force a miss by checking the rr convention directly on rank 0
+    from pyspark.sql import functions as F2
+
+    miss = retrieval_mrr_report(
+        df, qids, 1, nlist=16, nprobe=1, train_rows=60, seed=13
+    ).filter(F2.col("rank_in_approx") == 0).collect()
+    for r in miss:
+        assert r.rr_x2520 == 0
