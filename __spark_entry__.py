@@ -5501,6 +5501,36 @@ def _q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact ROC-AUC (Mann-Whitney U) of the quality score
+    against the exact-dup label — the threshold-free scalar next to
+    quality_dup_calibration's decile table: does "low quality" rank
+    "copied" at all, per source. Scores quantized to milli (floor —
+    identical in both engines) so per-source windows stay bounded by
+    distinct-score cardinality; ties earn exact half credit via the
+    integer ×2 trick."""
+    from hbase_gis_spark.operators.drift import mann_whitney_auc
+    from hbase_gis_spark.operators.textstats import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(docs).select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("__key"),
+        F.when(F.isnan(F.col("quality_score")), None)
+        .otherwise(F.floor(F.col("quality_score") * 1000))
+        .cast("bigint")
+        .alias("score_milli"),
+    )
+    keepers = q.groupBy("__key").agg(F.min("doc_id").alias("__kid"))
+    flagged = q.join(keepers, "__key").select(
+        "source",
+        "score_milli",
+        (F.col("doc_id") != F.col("__kid")).cast("int").alias("is_dup"),
+    )
+    return mann_whitney_auc(flagged, "source", "score_milli", "is_dup")
+
+
 def _q_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hourly distinct users via the batch/stream-parity
     dedup-then-count pipeline (windowed_unique_users) — the reach
@@ -6249,6 +6279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample_stratified": _q_negative_sample_stratified,
         "epoch_allocation": _q_epoch_allocation,
         "retrieval_mrr": _q_retrieval_mrr,
+        "classifier_auc": _q_classifier_auc,
     }
 
 
@@ -12607,6 +12638,58 @@ def oracle_sql() -> dict[str, str]:
            CAST((1000 * sum(is_dup)) // count(*) AS BIGINT)
              AS dup_rate_milli
     FROM r GROUP BY decile
+    """
+
+    # per-source exact Mann-Whitney AUC of quality score vs exact-dup
+    # label (operators/drift.py:mann_whitney_auc) — HUGEINT cells,
+    # per-source cumulative window over distinct milli scores
+    out["classifier_auc"] = f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             CASE WHEN isnan({score_expr})
+                  THEN NULL
+                  ELSE CAST(floor(({score_expr}) * 1000) AS BIGINT)
+             END AS sm
+      FROM (SELECT doc_id, source, text, {toks} AS w FROM documents)
+    ),
+    k AS (SELECT doc_id, md5(text) AS key FROM documents),
+    keep AS (SELECT key, min(doc_id) AS kid FROM k GROUP BY key),
+    f AS (
+      SELECT q.source, q.sm,
+             CASE WHEN k.doc_id != keep.kid THEN 1 ELSE 0 END AS y
+      FROM q JOIN k USING (doc_id) JOIN keep ON k.key = keep.key
+      WHERE q.sm IS NOT NULL
+    ),
+    cells AS (
+      SELECT source, sm,
+             CAST(sum(CASE WHEN y != 0 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS cp,
+             CAST(sum(CASE WHEN y != 0 THEN 0 ELSE 1 END) AS HUGEINT)
+               AS cn
+      FROM f GROUP BY source, sm
+    ),
+    st AS (
+      SELECT source, cp, cn,
+             sum(cn) OVER (PARTITION BY source ORDER BY sm ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - cn AS below,
+             sum(cp) OVER (PARTITION BY source) AS np,
+             sum(cn) OVER (PARTITION BY source) AS nn
+      FROM cells
+    ),
+    per AS (
+      SELECT source, min(np) AS np, min(nn) AS nn,
+             sum(cp * (2 * below + cn)) AS u2
+      FROM st GROUP BY source
+    )
+    SELECT source,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           CAST(u2 AS BIGINT) AS u_x2,
+           CASE WHEN np > 0 AND nn > 0
+                THEN CAST((1000000 * u2) // (2 * np * nn) AS BIGINT)
+           END AS auc_micro
+    FROM per
     """
 
     out["hourly_unique_users"] = """

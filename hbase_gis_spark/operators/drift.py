@@ -133,6 +133,86 @@ def ks_two_sample(
     )
 
 
+def mann_whitney_auc(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """EXACT ROC-AUC per key via the Mann-Whitney U statistic — the
+    threshold-free summary of "does this score separate the classes"
+    (AUC = P(score_pos > score_neg) + ½·P(tie), Mann & Whitney 1947;
+    the binned complement is quality_dup_calibration's decile table).
+    The classifier-eval primitive a curation pipeline runs on every
+    filter model: quality-vs-dup, quality-vs-contamination,
+    langid-vs-source.
+
+    Engine-exactness (the ks_two_sample discipline): rows collapse to
+    per-(key, score) cells with positive/negative counts as
+    DECIMAL(38,0); the cumulative-negatives window is PARTITIONED BY
+    KEY over those cells (per-key sort bounded by the key's distinct-
+    SCORE cardinality, not its row count — quantize continuous scores
+    upstream, e.g. to milli); ties earn half credit exactly via the
+    ×2 trick — ``u_x2 = Σ_s n_pos(s)·(2·cum_neg_below(s) + n_neg(s))``
+    — so everything through the final division is integer.
+    ``auc_micro = 10⁶·u_x2 div (2·n_pos·n_neg)`` (truncating div,
+    identical in both engines for the non-negative operands); NULL
+    when either class is empty. NULL scores/labels are dropped;
+    label semantics: non-zero = positive, zero = negative.
+
+    Output: one row per key — (key, n_pos, n_neg, u_x2, auc_micro).
+    ``u_x2`` is exact below ~2e9 positives × 2e9 negatives per key
+    (the bigint output cast; internal arithmetic is DECIMAL(38,0)).
+
+    Scale shape: one hash aggregate to cells, per-key bounded
+    windows, one per-key aggregate — the KS plan with a different
+    final expression."""
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(score_col).alias("__s"),
+        F.col(label_col).alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    cells = base.groupBy("__k", "__s").agg(
+        F.sum(F.when(F.col("__y") != 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("cp"),
+        F.sum(F.when(F.col("__y") != 0, 0).otherwise(1))
+        .cast("decimal(38,0)")
+        .alias("cn"),
+    )
+    cumw = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__s").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totw = Window.partitionBy("__k")
+    stepped = cells.select(
+        "__k",
+        "cp",
+        "cn",
+        (F.sum("cn").over(cumw) - F.col("cn")).alias("below"),
+        F.sum("cp").over(totw).alias("np"),
+        F.sum("cn").over(totw).alias("nn"),
+    )
+    per = stepped.groupBy("__k").agg(
+        F.min("np").alias("np"),
+        F.min("nn").alias("nn"),
+        F.sum(
+            F.col("cp") * (F.lit(2).cast("decimal(38,0)") * F.col("below") + F.col("cn"))
+        ).alias("u2"),
+    )
+    return per.select(
+        F.col("__k").alias(key_col),
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.col("u2").cast("bigint").alias("u_x2"),
+        F.when(
+            (F.col("np") > 0) & (F.col("nn") > 0),
+            F.expr("CAST((1000000 * u2) div (2 * np * nn) AS BIGINT)"),
+        ).alias("auc_micro"),
+    )
+
+
 def profile_diff(
     old: DataFrame,
     new: DataFrame,

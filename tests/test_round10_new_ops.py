@@ -351,3 +351,33 @@ def test_retrieval_mrr_exact_reciprocals(spark):
     ).filter(F2.col("rank_in_approx") == 0).collect()
     for r in miss:
         assert r.rr_x2520 == 0
+
+
+def test_mann_whitney_auc_hand_computed(spark):
+    """Exact AUC vs a hand count: scores pos={3,5,5,8}, neg={2,5,7}.
+    Pos>neg wins: (3>2), (5>2)x2, (8>2), (8>5), (8>7) = 6; ties
+    (5,5)x2 earn half credit; total pairs 12 -> u_x2 = 2*6 + 2 = 14,
+    AUC = 7/12 = 0.583333. Plus a perfect key, a reversed key, a
+    one-class key (NULL auc), and NULL hygiene."""
+    from hbase_gis_spark.operators.drift import mann_whitney_auc
+
+    rows = (
+        [("mix", s, 1) for s in (3, 5, 5, 8)]
+        + [("mix", s, 0) for s in (2, 5, 7)]
+        + [("perfect", 10, 1), ("perfect", 11, 1), ("perfect", 1, 0)]
+        + [("reversed", 1, 1), ("reversed", 9, 0)]
+        + [("oneclass", 4, 1), ("oneclass", 6, 1)]
+        + [("mix", None, 1), ("mix", 99, None)]  # dropped
+    )
+    df = spark.createDataFrame(
+        rows, "k string, score int, label int"
+    )
+    out = {r.k: r for r in mann_whitney_auc(df, "k", "score", "label").collect()}
+    m = out["mix"]
+    assert (m.n_pos, m.n_neg, m.u_x2, m.auc_micro) == (4, 3, 14, 583333)
+    p = out["perfect"]
+    assert (p.n_pos, p.n_neg, p.u_x2, p.auc_micro) == (2, 1, 4, 1000000)
+    r = out["reversed"]
+    assert (r.u_x2, r.auc_micro) == (0, 0)
+    o = out["oneclass"]
+    assert o.n_neg == 0 and o.auc_micro is None

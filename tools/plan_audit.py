@@ -93,6 +93,10 @@ BNLJ_SANCTIONED = {
     "kendall_tau",  # day-frame pair join, calendar²-bounded (mann_kendall)
     "negative_sample",  # broadcast pool-row dim; anchors stream once
     "cuped_ab",  # broadcast 1-row cutoff + 1-row pooled-moments dims
+    # --- round-10 additions
+    "negative_sample_stratified",  # broadcast |sources|*16-row pool dim
+    "retrieval_mrr",  # broadcast |queries|-row dim (ann_recall_report shape)
+    "epoch_allocation",  # broadcast 1-row corpus-total (mixture_rates shape)
 }
 
 
