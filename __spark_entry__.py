@@ -5501,6 +5501,26 @@ def _q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_TOP, CMS_DEPTH, CMS_WIDTH = 20, 3, 256
+
+
+def _q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch sizing audit over the term frequencies: for
+    the 20 exact heaviest terms, the deterministic 3×256 CMS estimate
+    next to the exact count and the collision overestimate — the
+    audit a fixed-memory heavy-hitter path runs before trusting the
+    sketch width (Cormode & Muthukrishnan 2005). md5-ticket row
+    hashes, integer bucket sums, estimate >= exact by construction."""
+    from hbase_gis_spark.operators.dedup import tokens
+    from hbase_gis_spark.operators.drift import count_min_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens("text")).alias("term"))
+    return count_min_audit(
+        terms, "term", top_n=CMS_TOP, depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+
+
 def _q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact ROC-AUC (Mann-Whitney U) of the quality score
     against the exact-dup label — the threshold-free scalar next to
@@ -6280,6 +6300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_allocation": _q_epoch_allocation,
         "retrieval_mrr": _q_retrieval_mrr,
         "classifier_auc": _q_classifier_auc,
+        "heavy_hitters_cms": _q_heavy_hitters_cms,
     }
 
 
@@ -12638,6 +12659,41 @@ def oracle_sql() -> dict[str, str]:
            CAST((1000 * sum(is_dup)) // count(*) AS BIGINT)
              AS dup_rate_milli
     FROM r GROUP BY decile
+    """
+
+    # count-min sizing audit: md5 row hashes, integer bucket sums,
+    # min across depth rows (operators/drift.py:count_min_audit)
+    _cms_bucket = (
+        "(('0x' || substr(md5('cms:{i}:' || term), 1, 15))::BIGINT"
+        f" % {CMS_WIDTH})"
+    )
+    _cms_b = [_cms_bucket.format(i=i) for i in range(CMS_DEPTH)]
+    _cms_bucket_ctes = ",\n    ".join(
+        f"b{i} AS (SELECT {_cms_b[i]} AS bb{i}, sum(exact) AS s{i} "
+        "FROM c GROUP BY 1)"
+        for i in range(CMS_DEPTH)
+    )
+    _cms_joins = "\n    ".join(
+        f"JOIN b{i} ON {_cms_b[i].replace('term', 'c.term')} = b{i}.bb{i}"
+        for i in range(CMS_DEPTH)
+    )
+    _cms_least = "least(" + ", ".join(
+        f"s{i}" for i in range(CMS_DEPTH)
+    ) + ")"
+    out["heavy_hitters_cms"] = f"""
+    WITH t AS (SELECT unnest({toks}) AS term FROM documents),
+    c AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact
+      FROM t GROUP BY term
+    ),
+    {_cms_bucket_ctes}
+    SELECT c.term, c.exact,
+           CAST({_cms_least} AS BIGINT) AS cms_estimate,
+           CAST({_cms_least} - c.exact AS BIGINT) AS overestimate
+    FROM c
+    {_cms_joins}
+    ORDER BY c.exact DESC, c.term ASC
+    LIMIT {CMS_TOP}
     """
 
     # per-source exact Mann-Whitney AUC of quality score vs exact-dup

@@ -213,6 +213,92 @@ def mann_whitney_auc(
     )
 
 
+def count_min_audit(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+    depth: int = 3,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min-sketch ERROR AUDIT for heavy-hitter tracking (Cormode
+    & Muthukrishnan 2005): build a deterministic d×w count-min sketch
+    over the key frequencies and report, for the ``top_n`` exact heavy
+    hitters, the sketch estimate next to the exact count and the
+    collision overestimate. The sizing tool for the fixed-memory
+    heavy-hitter path (a d×w integer grid replaces an unbounded
+    per-key state at stream/100-TB scale): run this at the candidate
+    width on a sample and read the overestimate column before
+    trusting the sketch.
+
+    Deterministic and engine-exact: row hashes are the md5 ticket
+    discipline (``md5('{salt}:i:' || key)`` → first 15 hex digits →
+    mod ``width``), bucket sums are exact BIGINTs, and
+    ``cms_estimate = min_i bucket_i(key)`` — the classic CMS
+    guarantee ``estimate >= exact`` holds by construction and is
+    pinned in tests. The sketch is built FROM the exact key histogram
+    (identical sums to a raw-stream build, one aggregate instead of d
+    fact passes); the returned heavy hitters are the deterministic
+    top (count desc, key asc).
+
+    Output: ``top_n`` rows — (``key_col``, exact, cms_estimate,
+    overestimate).
+
+    Scale shape: one hash aggregate to the key histogram; d
+    histogram-sized re-aggregates to w-row bucket tables, broadcast
+    back; one TakeOrderedAndProject for the top-n. Nothing after the
+    first aggregate touches fact scale."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact")
+    )
+
+    def bucket(i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(salt), F.lit(str(i)), F.col("__k")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+
+    per = counts
+    for i in range(depth):
+        buckets = counts.groupBy(bucket(i).alias(f"__b{i}")).agg(
+            F.sum("exact").alias(f"__s{i}")
+        )
+        per = per.withColumn(f"__b{i}", bucket(i)).join(
+            F.broadcast(buckets), f"__b{i}"
+        )
+    ests = [F.col(f"__s{i}") for i in range(depth)]
+    per = per.withColumn(
+        "cms_estimate",
+        (ests[0] if depth == 1 else F.least(*ests)).cast("bigint"),
+    )
+    return (
+        per.select(
+            F.col("__k").alias(key_col),
+            "exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("exact").desc(), F.col(key_col).asc())
+        .limit(top_n)
+    )
+
+
 def profile_diff(
     old: DataFrame,
     new: DataFrame,

@@ -381,3 +381,46 @@ def test_mann_whitney_auc_hand_computed(spark):
     assert (r.u_x2, r.auc_micro) == (0, 0)
     o = out["oneclass"]
     assert o.n_neg == 0 and o.auc_micro is None
+
+
+def test_count_min_audit_guarantee_and_collisions(spark):
+    """CMS invariants: estimate >= exact for every key (the one-sided
+    error guarantee), exact equality when the width is collision-free,
+    forced overestimates at width 1 (every key shares one bucket:
+    estimate == total rows), and deeper sketches never estimate
+    higher."""
+    from pyspark.sql import functions as F2
+
+    from hbase_gis_spark.operators.drift import count_min_audit
+
+    rows = [(f"k{i % 7}",) for i in range(100)]  # 7 keys, skewed 15/14
+    df = spark.createDataFrame(rows, "term string")
+    exact = {r.term: r.exact for r in df.groupBy(
+        F2.col("term")).agg(F2.count(F2.lit(1)).alias("exact")).collect()}
+
+    wide = count_min_audit(df, "term", top_n=7, depth=3, width=4096).collect()
+    assert len(wide) == 7
+    for r in wide:
+        assert r.cms_estimate >= r.exact and r.exact == exact[r.term]
+        assert r.overestimate == r.cms_estimate - r.exact
+    # 7 keys into 4096 buckets x 3 rows: min over rows is collision-
+    # free with near-certainty for this fixed hash draw — pin it
+    assert all(r.overestimate == 0 for r in wide)
+
+    narrow = count_min_audit(df, "term", top_n=7, depth=2, width=1
+                             ).collect()
+    for r in narrow:  # one bucket: every estimate is the grand total
+        assert r.cms_estimate == 100 and r.overestimate == 100 - r.exact
+
+    # monotone in depth: extra hash rows can only LOWER the min
+    d1 = {r.term: r.cms_estimate for r in count_min_audit(
+        df, "term", top_n=7, depth=1, width=4).collect()}
+    d3 = {r.term: r.cms_estimate for r in count_min_audit(
+        df, "term", top_n=7, depth=3, width=4).collect()}
+    assert all(d3[k] <= d1[k] for k in d1)
+    assert any(v > exact[k] for k, v in d3.items())  # width 4 collides
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="depth and width"):
+        count_min_audit(df, "term", depth=0)
