@@ -5997,9 +5997,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at add time) in slots 1-N, then fill the remaining slots with
     the queries whose last driver-green row is OLDEST, ties broken
     by registry order (the objective staleness ledger:
-    min round r such that the key appears in CORRECTNESS_r{r}).
+    max round r such that the key appears in CORRECTNESS_r{r}).
     Update tests/test_plan_hygiene.py::test_registry_window_contract
     in the same commit as any rotation.
+
+    ROUND-11 ROTATION INPUTS: the 7 round-10 additions (appended at
+    the end of this dict, in registry order: split_drift_audit,
+    dedup_snm_multikey, negative_sample_stratified, epoch_allocation,
+    retrieval_mrr, classifier_auc, heavy_hitters_cms — all verified
+    exact by tools/check_oracles.py at add time) go into slots 1-7;
+    slots 8-50 come from the staleness ledger (the 43
+    longest-unchecked — r5-era entries whose last driver row is
+    round 5, continuing where round 10's window stopped:
+    association_rules onward in registry order).
 
     Deliberately NOT registered: ``maintain_rollup_stream`` — it is a
     Structured Streaming writer with no DuckDB twin (a batch oracle
