@@ -32,6 +32,9 @@ NEEDS_DATA = {
     # round-8: both IVF maintenance queries train quantizers
     "ivf_reassign",
     "ivf_nprobe_curve",
+    # round-10: trains the IVF quantizer AND needs the query vectors
+    # present (ann_recall_report's contract)
+    "retrieval_mrr",
 }
 # report-shaped queries emit one row per configured step/level even on
 # empty input (a funnel report always has k rows, with zero counts;
