@@ -932,6 +932,13 @@ def sorted_neighborhood_pairs(
     keys = list(sort_cols) if sort_cols is not None else [sort_col]
     if not keys:
         raise ValueError("sort_cols must name at least one proxy key")
+    if len(set(keys)) != len(keys):
+        raise ValueError("sort_cols must not repeat a proxy key")
+    if {id_col, text_col} & set(keys):
+        raise ValueError(
+            "a proxy key may not be the id or text column (it is "
+            "carried separately; sort on a derived copy instead)"
+        )
     base = _spread(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("t"), *keys
     )

@@ -250,8 +250,13 @@ def count_min_audit(
     first aggregate touches fact scale."""
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
-    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact")
+    # NULL keys are excluded up front: a sketch tracks named keys, and
+    # the SQL twin's string concat would NULL the hash anyway (pinned
+    # here so both engines agree by construction)
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
     )
 
     def bucket(i: int):

@@ -424,3 +424,26 @@ def test_count_min_audit_guarantee_and_collisions(spark):
 
     with _pytest.raises(ValueError, match="depth and width"):
         count_min_audit(df, "term", depth=0)
+
+    # NULL keys are excluded up front (SQL-twin parity by construction)
+    withnull = df.union(
+        spark.createDataFrame([(None,), (None,)], "term string")
+    )
+    again = count_min_audit(withnull, "term", top_n=10, depth=2,
+                            width=4096).collect()
+    assert {r.term for r in again} == set(exact)
+
+
+def test_snm_sort_cols_contracts(spark):
+    """sort_cols rejects duplicates and id/text collisions loudly."""
+    from hbase_gis_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 5)], "doc_id bigint, text string, n_chars int"
+    )
+    with pytest.raises(ValueError, match="repeat"):
+        sorted_neighborhood_pairs(df, sort_cols=["n_chars", "n_chars"])
+    with pytest.raises(ValueError, match="id or text"):
+        sorted_neighborhood_pairs(df, sort_cols=["doc_id"])
+    with pytest.raises(ValueError, match="at least one"):
+        sorted_neighborhood_pairs(df, sort_cols=[])
