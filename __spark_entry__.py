@@ -362,6 +362,20 @@ def _q_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PYRAMID_PRECISIONS = (2, 3, 4, 5)
+
+
+def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-tile zoom pyramid: point counts per geohash cell at
+    precisions 2-5 in ONE scan + ONE shuffle (explode of a literal
+    per-level struct array, then a single hash aggregate) — the
+    multi-resolution extension of cell_density, keyed by the same
+    numeric bit-interleave bins so the oracle needs no base32."""
+    from hbase_gis_spark.operators.spatial_join import cell_pyramid
+
+    return cell_pyramid(derived_points(spark, sf_dir), PYRAMID_PRECISIONS)
+
+
 def _q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNN under great-circle meters (opt-in metric; the reference's
     default stays planar degree space)."""
@@ -6010,15 +6024,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Update tests/test_plan_hygiene.py::test_registry_window_contract
     in the same commit as any rotation.
 
-    ROUND-11 ROTATION INPUTS: the 7 round-10 additions (appended at
+    ROUND-11 ROTATION INPUTS: the 8 round-10 additions (appended at
     the end of this dict, in registry order: split_drift_audit,
     dedup_snm_multikey, negative_sample_stratified, epoch_allocation,
-    retrieval_mrr, classifier_auc, heavy_hitters_cms — all verified
-    exact by tools/check_oracles.py at add time) go into slots 1-7;
-    slots 8-50 come from the staleness ledger (the 43
+    retrieval_mrr, classifier_auc, heavy_hitters_cms, cell_pyramid —
+    all verified exact by tools/check_oracles.py at add time) go into
+    slots 1-8; slots 9-50 come from the staleness ledger (the 42
     longest-unchecked — r5-era entries whose last driver row is
     round 5, continuing where round 10's window stopped:
     association_rules onward in registry order).
+    tools/rotation_plan.py computes exactly this once
+    CORRECTNESS_r10 lands; --verify diffs the executed window.
 
     Deliberately NOT registered: ``maintain_rollup_stream`` — it is a
     Structured Streaming writer with no DuckDB twin (a batch oracle
@@ -6320,6 +6336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_mrr": _q_retrieval_mrr,
         "classifier_auc": _q_classifier_auc,
         "heavy_hitters_cms": _q_heavy_hitters_cms,
+        "cell_pyramid": _q_cell_pyramid,
     }
 
 
@@ -12118,6 +12135,25 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2
     ORDER BY n DESC, lon_bin ASC, lat_bin ASC
     LIMIT {DENSITY_TOPK}
+    """
+
+    # zoom pyramid: one UNION ALL level per precision (the Spark side
+    # is one Expand pass; per-level group-bys are the SQL equivalent)
+    # — operators/spatial_join.py:cell_pyramid
+    _pyr_levels = []
+    for _p in PYRAMID_PRECISIONS:
+        _nlon, _nlat = (5 * _p + 1) // 2, (5 * _p) // 2
+        _pyr_levels.append(f"""
+      SELECT CAST({_p} AS BIGINT) AS precision,
+             CAST(least(floor((lon + 180.0) / 360.0 * {float(1 << _nlon)}),
+                        {(1 << _nlon) - 1}) AS BIGINT) AS lon_bin,
+             CAST(least(floor((lat + 90.0) / 180.0 * {float(1 << _nlat)}),
+                        {(1 << _nlat) - 1}) AS BIGINT) AS lat_bin,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM pts GROUP BY 1, 2, 3""")
+    out["cell_pyramid"] = f"""
+    WITH pts AS ({POINTS_SQL})
+    {" UNION ALL ".join(_pyr_levels)}
     """
 
     out["weekday_anomalies"] = f"""

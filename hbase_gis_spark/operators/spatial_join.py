@@ -38,6 +38,66 @@ from hbase_gis_spark.operators.within import (
 )
 
 
+def cell_pyramid(
+    pts: DataFrame,
+    precisions: tuple[int, ...] = (2, 3, 4, 5),
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Multi-resolution geohash-cell point counts in ONE pass — the
+    map-tile ZOOM PYRAMID over the reference's geohash data model
+    (every density viewer, the reference's figures included, renders
+    one zoom level of exactly this; Ingest.java:77's rowkey makes the
+    prefix hierarchy the native aggregation tree).
+
+    Cells are keyed NUMERICALLY by the dedup_geocell bit-interleave
+    identity: precision-p geohash prefix equality == equality of the
+    (ceil(5p/2)-bit lon bin, floor(5p/2)-bit lat bin) pair — geohash
+    interleaves bits lon-first, so p base-32 chars carry 5p bits
+    split that way. Numeric bins keep the DuckDB oracle free of a
+    base32 encoder (the cell_density convention). Bins clamp the
+    +180/+90 boundary into the last cell (the standard closed-top
+    edge case), identically in both engines.
+
+    Plan: the per-precision (precision, lon_bin, lat_bin) triple is
+    EXPLODED from a literal struct array (Catalyst Generate —
+    |precisions| rows per point, map-side) and aggregated once —
+    ONE scan and ONE shuffle for the whole pyramid, vs |precisions|
+    scans for the naive per-level union. At 100 TB the Generate fans
+    out inside the scan task and the partial aggregate collapses it
+    to |cells| rows per task before the exchange.
+
+    Output: (precision, lon_bin, lat_bin, n_points), all levels."""
+    pcs = sorted({int(p) for p in precisions})
+    if not pcs or pcs[0] < 1 or pcs[-1] > 12:
+        raise ValueError("precisions must be within 1..12")
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    levels = []
+    for p in pcs:
+        nlon, nlat = (5 * p + 1) // 2, (5 * p) // 2
+        lb = F.least(
+            F.floor((lon + 180.0) / 360.0 * float(1 << nlon)),
+            F.lit((1 << nlon) - 1),
+        ).cast("bigint")
+        tb = F.least(
+            F.floor((lat + 90.0) / 180.0 * float(1 << nlat)),
+            F.lit((1 << nlat) - 1),
+        ).cast("bigint")
+        levels.append(
+            F.struct(
+                F.lit(p).cast("bigint").alias("precision"),
+                lb.alias("lon_bin"),
+                tb.alias("lat_bin"),
+            )
+        )
+    return (
+        pts.select(F.explode(F.array(*levels)).alias("c"))
+        .select("c.precision", "c.lon_bin", "c.lat_bin")
+        .groupBy("precision", "lon_bin", "lat_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    )
+
+
 def _exact_predicate(wkt: str, lon: Column, lat: Column) -> Column:
     """covers() with bbox pre-filter: convex → pure codegen; general →
     ray-cast pandas UDF guarded by the bbox (only bbox survivors reach

@@ -434,6 +434,46 @@ def test_count_min_audit_guarantee_and_collisions(spark):
     assert {r.term for r in again} == set(exact)
 
 
+def test_cell_pyramid_hierarchy_and_single_shuffle(spark):
+    """Pyramid invariants: every level's counts sum to the point
+    total; each child cell's count folds into exactly the parent bin
+    given by the bit-shift (floor(x·2^a) >> (a−b) == floor(x·2^b),
+    clamp included); and the whole pyramid runs in ONE exchange."""
+    import random
+
+    from hbase_gis_spark.operators.spatial_join import cell_pyramid
+
+    rng = random.Random(11)
+    pts = [
+        (rng.uniform(-180, 180), rng.uniform(-90, 90)) for _ in range(400)
+    ] + [(180.0, 90.0), (-180.0, -90.0)]  # closed-top edges
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    out = cell_pyramid(df, precisions=(2, 3, 4))
+    rows = out.collect()
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.precision, {})[(r.lon_bin, r.lat_bin)] = r.n_points
+    for p, cells in by_p.items():
+        assert sum(cells.values()) == len(pts), p
+    for child, parent in ((3, 2), (4, 3)):
+        dl = (5 * child + 1) // 2 - (5 * parent + 1) // 2
+        dt = (5 * child) // 2 - (5 * parent) // 2
+        folded = {}
+        for (lb, tb), n in by_p[child].items():
+            key = (lb >> dl, tb >> dt)
+            folded[key] = folded.get(key, 0) + n
+        assert folded == by_p[parent], (child, parent)
+    # one scan, one shuffle: exactly one Exchange in the (final) plan
+    # (AdaptiveSparkPlan.toString appends the pre-AQE initial plan —
+    # count only the final section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, plan
+
+    with pytest.raises(ValueError, match="1..12"):
+        cell_pyramid(df, precisions=(0,))
+
+
 def test_snm_sort_cols_contracts(spark):
     """sort_cols rejects duplicates and id/text collisions loudly."""
     from hbase_gis_spark.operators.dedup import sorted_neighborhood_pairs
