@@ -90,6 +90,44 @@ def test_count_min_matches_md5_replay(spark, keys, width, depth):
         assert r.overestimate == est - r.exact
 
 
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    klon=st.integers(min_value=0, max_value=1 << 20),
+    klat=st.integers(min_value=0, max_value=1 << 20),
+    p=st.integers(min_value=1, max_value=8),
+)
+def test_cell_pyramid_bins_match_geohash_prefix(klon, klat, p):
+    """The bit-interleave identity cell_pyramid rests on, pinned
+    against the repo's ACTUAL base32 encoder: the formula bins equal
+    the lon/lat bit groups deinterleaved from the point's precision-p
+    geohash — including the clamped +90/+180 closed-top edges.
+    Coordinates come from a 2^20 grid whose values are EXACT through
+    both code paths (the subdivision encoder and the multiply-floor
+    formula), so the identity is tested, not float noise."""
+    import math
+
+    from hbase_gis_spark.geo.geohash import encode
+
+    lon = klon * 360.0 / (1 << 20) - 180.0
+    lat = klat * 180.0 / (1 << 20) - 90.0
+    nlon, nlat = (5 * p + 1) // 2, (5 * p) // 2
+    lb = min(
+        math.floor((lon + 180.0) / 360.0 * float(1 << nlon)),
+        (1 << nlon) - 1,
+    )
+    tb = min(
+        math.floor((lat + 90.0) / 180.0 * float(1 << nlat)),
+        (1 << nlat) - 1,
+    )
+    bits = "".join(f"{_B32.index(c):05b}" for c in encode(lat, lon, p))
+    lon_bits = int(bits[0::2], 2)  # geohash starts with a lon bit
+    lat_bits = int(bits[1::2], 2) if p > 0 and bits[1::2] else 0
+    assert (lb, tb) == (lon_bits, lat_bits)
+
+
 @settings(max_examples=5, deadline=None)
 @given(
     texts=st.lists(
