@@ -6036,6 +6036,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/rotation_plan.py computes exactly this once
     CORRECTNESS_r10 lands; --verify diffs the executed window.
 
+    ROUND 11 (this ordering -- VERDICT r10 next-round #1, executed
+    exactly as computed by tools/rotation_plan.py against the landed
+    CORRECTNESS_r10): slots 1-8 are the 8 round-10 additions
+    (split_drift_audit, dedup_snm_multikey,
+    negative_sample_stratified, epoch_allocation, retrieval_mrr,
+    classifier_auc, heavy_hitters_cms, cell_pyramid -- never
+    driver-checked, all 8 verified exact by tools/check_oracles.py
+    at add time); slots 9-50 are the 42 longest-unchecked queries
+    from the staleness ledger: 21 r5-era entries (association_rules
+    .. lang_id, last driver row round 5) then 21 r6-era entries
+    (orphan_check .. hybrid_search_rrf, last driver row round 6),
+    registry-order ties.  New round-11 additions are APPENDED at the
+    end and enter the window in round 12.
+
     Deliberately NOT registered: ``maintain_rollup_stream`` — it is a
     Structured Streaming writer with no DuckDB twin (a batch oracle
     cannot replay micro-batch folding + checkpoint recovery); its
@@ -6047,9 +6061,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its batch core IS registered as ``incremental_rollup``.
     """
     return {
-        # --- slots 1-9: round-9 additions, first time in the driver
-        # window (all 9 verified exact by the round-9 judge's
-        # independent tools/check_oracles.py run at sf0.01)
+        # --- slots 1-8: round-10 additions, first time in the
+        # driver window (all 8 verified exact by
+        # tools/check_oracles.py at add time; VERDICT r10
+        # next-round #1, executed as pinned in tools/rotation_plan.py)
+        "split_drift_audit": _q_split_drift_audit,
+        "dedup_snm_multikey": _q_dedup_snm_multikey,
+        "negative_sample_stratified": _q_negative_sample_stratified,
+        "epoch_allocation": _q_epoch_allocation,
+        "retrieval_mrr": _q_retrieval_mrr,
+        "classifier_auc": _q_classifier_auc,
+        "heavy_hitters_cms": _q_heavy_hitters_cms,
+        "cell_pyramid": _q_cell_pyramid,
+        # --- slots 9-50: the 42 longest-unchecked queries from
+        # the staleness ledger (r5-era last-row-round-5 entries
+        # continuing where round 10's window stopped, then the
+        # oldest r6-era rows; registry-order ties)
+        "association_rules": _q_association_rules,
+        "value_histogram": _q_value_histogram,
+        "global_value_cuts": _q_global_value_cuts,
+        "spearman_value_time": _q_spearman_value_time,
+        "chi2_lang_source": _q_chi2_lang_source,
+        "mrl_report": _q_mrl_report,
+        "ngram_novelty_first": _q_ngram_novelty,
+        "within_concave": _q_within_concave,
+        "within_multipolygon": _q_within_multi,
+        "distance_join": _q_distance_join,
+        "spatial_join": _q_spatial_join,
+        "knn_pruned": _q_knn_pruned,
+        "knn_per_region": _q_knn_per_region,
+        "topx_per_group": _q_topx,
+        "asof_join": _q_asof_join,
+        "sessionize_events": _q_sessionize,
+        "binned_limit": _q_binned_limit,
+        "dedup_geocell": _q_dedup_geocell,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "lang_id": _q_lang_id,
+        "orphan_check": _q_orphan_check,
+        "uniqueness_audit": _q_uniqueness_audit,
+        "benford_revenue": _q_benford_revenue,
+        "split_leakage": _q_split_leakage,
+        "supplier_part_variety": _q_supplier_part_variety,
+        "potential_promotion": _q_potential_promotion,
+        "lone_returned_supplier": _q_lone_returned_supplier,
+        "autocorr_daily": _q_autocorr_daily,
+        "weekday_seasonality": _q_weekday_seasonality,
+        "mad_anomalies": _q_mad_anomalies,
+        "collocations_pmi": _q_collocations_pmi,
+        "zipf_fit": _q_zipf_fit,
+        "embedding_outliers": _q_embedding_outliers,
+        "node_jaccard": _q_node_jaccard,
+        "bounce_rate": _q_bounce_rate,
+        "vocab_drift": _q_vocab_drift,
+        "join_cardinality": _q_join_cardinality,
+        "late_shipments": _q_late_shipments,
+        "important_parts": _q_important_parts,
+        "fd_audit": _q_fd_audit,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
+        # --- behind the window: previous relative order preserved
         "mmr_rerank_multi": _q_mmr_rerank_multi,
         "weighted_sample_per_group": _q_weighted_sample_per_group,
         "apply_forget": _q_apply_forget,
@@ -6059,8 +6129,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_snm": _q_dedup_snm,
         "cuped_ab": _q_cuped_ab,
         "leakage_safe_split": _q_leakage_safe_split,
-        # --- slots 10-21: the 12 remaining r4-era entries (last
-        # driver row: round 4)
         "mm_phash": _q_mm_phash,
         "token_budget_sample": _q_token_budget_sample,
         "k_anonymity": _q_k_anonymity,
@@ -6073,10 +6141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": _q_source_quality,
         "within_polygon_pruned": _q_within_pruned,
         "knn_top10": _q_knn,
-        # --- slot 22: sketch_stats (last driver row: round 5)
         "sketch_stats": _q_sketch_stats,
-        # --- slots 23-50: the first 28 r5-era entries in registry
-        # order (last driver row: round 5)
         "ngram_diversity": _q_ngram_diversity,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "doc_length_histogram": _q_doc_length_histogram,
@@ -6105,7 +6170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": _q_lpa_communities,
         "profile_diff": _q_profile_diff,
         "value_psi": _q_value_psi,
-        # --- behind the window: previous relative order preserved
         "ivf_reassign": _q_ivf_reassign,
         "ivf_nprobe_curve": _q_ivf_nprobe_curve,
         "curation_funnel": _q_curation_funnel,
@@ -6256,27 +6320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_source_matrix": _q_dup_source_matrix,
         "user_concentration": _q_user_concentration,
         "event_cooccurrence": _q_event_cooccurrence,
-        "orphan_check": _q_orphan_check,
-        "uniqueness_audit": _q_uniqueness_audit,
-        "benford_revenue": _q_benford_revenue,
-        "split_leakage": _q_split_leakage,
-        "supplier_part_variety": _q_supplier_part_variety,
-        "potential_promotion": _q_potential_promotion,
-        "lone_returned_supplier": _q_lone_returned_supplier,
-        "autocorr_daily": _q_autocorr_daily,
-        "weekday_seasonality": _q_weekday_seasonality,
-        "mad_anomalies": _q_mad_anomalies,
-        "collocations_pmi": _q_collocations_pmi,
-        "zipf_fit": _q_zipf_fit,
-        "embedding_outliers": _q_embedding_outliers,
-        "node_jaccard": _q_node_jaccard,
-        "bounce_rate": _q_bounce_rate,
-        "vocab_drift": _q_vocab_drift,
-        "join_cardinality": _q_join_cardinality,
-        "late_shipments": _q_late_shipments,
-        "important_parts": _q_important_parts,
-        "fd_audit": _q_fd_audit,
-        "hybrid_search_rrf": _q_hybrid_search_rrf,
         "ab_test_welch": _q_ab_test_welch,
         "cumulative_users": _q_cumulative_users,
         "vocab_coverage": _q_vocab_coverage,
@@ -6306,37 +6349,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "mm_decode": _q_mm_decode,
         "term_stats": _q_term_stats,
-        "association_rules": _q_association_rules,
-        "value_histogram": _q_value_histogram,
-        "global_value_cuts": _q_global_value_cuts,
-        "spearman_value_time": _q_spearman_value_time,
-        "chi2_lang_source": _q_chi2_lang_source,
-        "mrl_report": _q_mrl_report,
-        "ngram_novelty_first": _q_ngram_novelty,
-        "within_concave": _q_within_concave,
-        "within_multipolygon": _q_within_multi,
-        "distance_join": _q_distance_join,
-        "spatial_join": _q_spatial_join,
-        "knn_pruned": _q_knn_pruned,
-        "knn_per_region": _q_knn_per_region,
-        "topx_per_group": _q_topx,
-        "asof_join": _q_asof_join,
-        "sessionize_events": _q_sessionize,
-        "binned_limit": _q_binned_limit,
-        "dedup_geocell": _q_dedup_geocell,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_minhash_lsh,
-        "lang_id": _q_lang_id,
-        # --- round-10 additions (behind the window; enter the round-11
-        # window per the steady-state policy above)
-        "split_drift_audit": _q_split_drift_audit,
-        "dedup_snm_multikey": _q_dedup_snm_multikey,
-        "negative_sample_stratified": _q_negative_sample_stratified,
-        "epoch_allocation": _q_epoch_allocation,
-        "retrieval_mrr": _q_retrieval_mrr,
-        "classifier_auc": _q_classifier_auc,
-        "heavy_hitters_cms": _q_heavy_hitters_cms,
-        "cell_pyramid": _q_cell_pyramid,
     }
 
 

@@ -96,43 +96,44 @@ def test_round3_tpch_predicates_reach_scans(spark):
 
 def test_registry_window_contract():
     """The driver checks exactly the FIRST 50 queries() entries; round
-    10's window must hold the 9 round-9 additions (the VERDICT r9
-    next-round #1 rotation, pinned verbatim in the round-9 docstring)
-    + the 41 longest-unchecked queries (12 r4-era + sketch_stats +
-    first 28 r5-era in registry order), every window query must have
-    an oracle, and new round-10 additions must stay appended BEHIND
-    the window."""
+    11's window must hold the 8 round-10 additions (the VERDICT r10
+    next-round #1 rotation, computed by tools/rotation_plan.py against
+    the landed CORRECTNESS_r10) + the 42 longest-unchecked queries
+    (21 r5-era + 21 r6-era in registry order), every window query must
+    have an oracle, and new round-11 additions must stay appended
+    BEHIND the window."""
     import __spark_entry__ as entrymod
 
     qs = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
-    r9_additions = [
-        "mmr_rerank_multi", "weighted_sample_per_group",
-        "apply_forget", "ks_drift", "kendall_tau", "negative_sample",
-        "dedup_snm", "cuped_ab", "leakage_safe_split",
+    r10_additions = [
+        "split_drift_audit", "dedup_snm_multikey",
+        "negative_sample_stratified", "epoch_allocation",
+        "retrieval_mrr", "classifier_auc", "heavy_hitters_cms",
+        "cell_pyramid",
     ]
     stale_canaries = [
-        # 12 remaining r4-era (last driver row: round 4)
-        "mm_phash", "token_budget_sample", "k_anonymity",
-        "event_paths", "lang_mismatch", "embedding_drift",
-        "rfm_segments", "dup_cluster_sizes", "markov_transitions",
-        "source_quality", "within_polygon_pruned", "knn_top10",
-        # sketch_stats + first 28 r5-era (last driver row: round 5)
-        "sketch_stats",
-        "ngram_diversity", "boilerplate_ngrams",
-        "doc_length_histogram", "quality_resample",
-        "contamination_report", "pagerank_event_types",
-        "zorder_layout", "boilerplate_coverage", "dense_daily_counts",
-        "fuzzy_join_suppliers", "winsorize_balances",
-        "dedup_recall_report", "conversion_lag", "containment_pairs",
-        "token_fertility", "dedup_impact", "ann_filtered_topk",
-        "triangle_count", "cusum_days", "segment_dedup",
-        "ivf_prototypes", "hilbert_layout", "bm25_search",
-        "group_sample", "snapshot_diff", "lpa_communities",
-        "profile_diff", "value_psi",
+        # 21 r5-era (last driver row: round 5)
+        "association_rules", "value_histogram", "global_value_cuts",
+        "spearman_value_time", "chi2_lang_source", "mrl_report",
+        "ngram_novelty_first", "within_concave",
+        "within_multipolygon", "distance_join", "spatial_join",
+        "knn_pruned", "knn_per_region", "topx_per_group",
+        "asof_join", "sessionize_events", "binned_limit",
+        "dedup_geocell", "dedup_exact", "dedup_minhash_lsh",
+        "lang_id",
+        # 21 r6-era (last driver row: round 6)
+        "orphan_check", "uniqueness_audit", "benford_revenue",
+        "split_leakage", "supplier_part_variety",
+        "potential_promotion", "lone_returned_supplier",
+        "autocorr_daily", "weekday_seasonality", "mad_anomalies",
+        "collocations_pmi", "zipf_fit", "embedding_outliers",
+        "node_jaccard", "bounce_rate", "vocab_drift",
+        "join_cardinality", "late_shipments", "important_parts",
+        "fd_audit", "hybrid_search_rrf",
     ]
-    assert qs[:9] == r9_additions
-    assert qs[9:50] == stale_canaries
+    assert qs[:8] == r10_additions
+    assert qs[8:50] == stale_canaries
     missing = [q for q in qs[:50] if q not in oracles]
     assert missing == [], f"window queries without oracles: {missing}"
     # registry entries stay unique (dict literal would silently drop dups
