@@ -17,6 +17,8 @@ same determinism contract as its ingest dedup (Ingest.java:78-83).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -165,7 +167,10 @@ def epoch_allocation(
     for a zero-token source — nothing to repeat),
     ``over_cap = epochs_milli > cap_milli`` as 0/1. Sources absent
     from ``weights_milli`` get weight 0 (allocated nothing, flagged
-    never). Overflow bound: budget < ~9e15 tokens keeps every
+    never). Weights are INDEPENDENT per-source fractions of the
+    budget — a sum over 1000 over-allocates beyond the stated budget
+    and is warned at plan time; negative budgets are rejected.
+    Overflow bound: budget < ~9e15 tokens keeps every
     intermediate in int64 (stated; 100 TB of text is ~2.5e13).
 
     The budget is either an explicit ``budget_tokens`` or
@@ -183,8 +188,21 @@ def epoch_allocation(
         raise ValueError(
             "give exactly one of budget_tokens / budget_milli_of_corpus"
         )
+    if budget_tokens is not None and budget_tokens < 0:
+        raise ValueError("budget_tokens must be non-negative")
+    if budget_milli_of_corpus is not None and budget_milli_of_corpus < 0:
+        raise ValueError("budget_milli_of_corpus must be non-negative")
     if any(w < 0 for w in weights_milli.values()):
         raise ValueError("weights_milli must be non-negative")
+    if sum(weights_milli.values()) > 1000:
+        warnings.warn(
+            "sum(weights_milli) > 1000: per-source fractions are "
+            "independent shares of the budget, so the plan allocates "
+            f"{sum(weights_milli.values())/1000:.3f}x the stated "
+            "budget in total",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     per = df.groupBy(group_col).agg(
         F.sum(F.col(token_col)).cast("bigint").alias("corpus_tokens")
     )
@@ -198,7 +216,7 @@ def epoch_allocation(
     per = per.withColumn(
         "weight_milli",
         F.coalesce(
-            wmap.getItem(F.col(group_col)).cast("bigint"), F.lit(0)
+            wmap[F.col(group_col)].cast("bigint"), F.lit(0)
         ),
     )
     if budget_tokens is not None:

@@ -898,6 +898,18 @@ def sorted_neighborhood_pairs(
     up front (ADVICE r9 #2 — the previous ``cast("bigint")`` NULLed
     string keys silently).
 
+    PREFIX-LENGTH CONTRACT (VERDICT r10 #7): the string surrogate
+    reads only the first 8 UTF-8 bytes, so keys identical through
+    byte 8 collapse to ONE surrogate value. This limits SHARD
+    GRANULARITY, never ORDER: range boundaries cannot split the tied
+    mass (all equal surrogates land in the same shard, which the
+    tie-mass skew warning surfaces), but within every shard rows
+    order by the (surrogate, FULL string, id) pair — the exact
+    native string order — so the neighborhood windows, and hence
+    recall, are byte-for-byte identical to a single-shard run
+    (property-pinned by
+    tests/test_round10_new_ops.py::test_snm_shared_prefix_order_exact).
+
     Recall contract (stated, as for every blocking strategy): a true
     pair whose proxy keys are more than ``window`` sort positions
     apart is missed — SNM trades the inverted index's content recall

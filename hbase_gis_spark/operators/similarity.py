@@ -1275,11 +1275,12 @@ def retrieval_mrr_report(
     ``rr_x2520 = 2520 div rank`` with 2520 = lcm(1..10), so for
     ``k <= 10`` every reciprocal rank is an exact integer (1/3 →
     840, 1/7 → 360); the fleet MRR is ``avg(rr_x2520)/2520``,
-    computed by the caller from exact integers. For ``k > 10`` the
-    integer division truncates ranks that do not divide 2520 —
-    stated, and the registered configuration keeps k = 10. A miss
-    (true neighbor absent from the approximate top-k) reports rank 0
-    / rr 0.
+    computed by the caller from exact integers. ``k > 10`` is
+    REJECTED with ``ValueError`` (ADVICE r10): ranks 11..k do not
+    all divide 2520, so ``2520 div rank`` would silently truncate —
+    the column name bakes the lcm(1..10) scale into the schema, so
+    enforcing the envelope beats rescaling. A miss (true neighbor
+    absent from the approximate top-k) reports rank 0 / rr 0.
 
     Output: one row per query — (query_id, true_id, rank_in_approx,
     rr_x2520), all integers.
@@ -1287,6 +1288,12 @@ def retrieval_mrr_report(
     Scale shape: both arms are the one-scan batched retrievals
     (broadcast query dims, per-query bounded rank windows); the
     report join is |queries| × k rows."""
+    if k > 10:
+        raise ValueError(
+            f"k={k} breaks the rr_x2520 exactness contract: 2520 = "
+            "lcm(1..10), so 2520 div rank is exact only for rank <= "
+            "10 — use k <= 10 (the schema bakes in the scale)"
+        )
     truth = cosine_topk_multi(df, query_ids, 1, id_col, vec_col).select(
         "query_id", F.col(id_col).alias("true_id")
     )

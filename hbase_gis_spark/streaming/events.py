@@ -16,6 +16,7 @@ the instant).
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterator
 
 import pandas as pd
@@ -797,7 +798,9 @@ def latest_rollup_version(
     deliberate multi-version manual backfill (several unmarked
     versions, highest intended) therefore must pass
     ``start_version`` to :func:`maintain_rollup_stream` — the scan
-    cannot distinguish it from a torn first fold.
+    cannot distinguish it from a torn first fold, and emits a
+    ``RuntimeWarning`` whenever the ambiguous >1-unmarked case is
+    actually hit (ADVICE r10).
 
     Raises ``FileNotFoundError`` if no committed ``rollup_v{N}``
     exists — the caller contract (seed ``rollup_v0`` first) is
@@ -808,7 +811,7 @@ def latest_rollup_version(
     root = jvm.org.apache.hadoop.fs.Path(store_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     best_marked: tuple[int, int | None, str | None] | None = None
-    lowest_success = -1
+    unmarked_success: list[int] = []
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
@@ -831,11 +834,28 @@ def latest_rollup_version(
                 best_marked is None or ver > best_marked[0]
             ):
                 best_marked = (ver, bid, lineage)
-            if success and (lowest_success < 0 or ver < lowest_success):
-                lowest_success = ver
+            if success and bid is None:
+                unmarked_success.append(ver)
     if best_marked is not None:
         return best_marked
-    if lowest_success >= 0:
+    if unmarked_success:
+        lowest_success = min(unmarked_success)
+        if len(unmarked_success) > 1:
+            # ADVICE r10 (low): the lowest-wins election is correct
+            # for a torn first fold but WRONG for a deliberate
+            # multi-version manual backfill (highest intended) — the
+            # scan cannot tell them apart, so make the ambiguity loud
+            # instead of choosing silently.
+            warnings.warn(
+                f"{len(unmarked_success)} unmarked _SUCCESS versions "
+                f"under {store_dir} (v{sorted(unmarked_success)}); "
+                f"electing the LOWEST (v{lowest_success}) on the "
+                "torn-first-fold assumption. If this is a manual "
+                "multi-version backfill, pass start_version "
+                "explicitly to maintain_rollup_stream.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         # LOWEST unmarked version: above it can only be a torn first
         # fold (marker never landed), which the replayed epoch must
         # overwrite, not fold onto (ADVICE r9 #1)

@@ -100,8 +100,14 @@ def test_snm_multi_key_union_recall(spark):
         }
 
     by_len = pairs(sort_col="n_chars")
-    by_title = pairs(sort_col="title")
-    union = pairs(sort_cols=["n_chars", "title"])
+    # the 18 zz-title-NN fillers share an 8-byte surrogate prefix, so
+    # the title pass legitimately fires the tie-mass skew warning on
+    # this degenerate 20-row fixture — capture it (VERDICT r10 #6:
+    # working as designed; keep the suite warning-clean)
+    with pytest.warns(RuntimeWarning, match="tie-mass skew"):
+        by_title = pairs(sort_col="title")
+    with pytest.warns(RuntimeWarning, match="tie-mass skew"):
+        union = pairs(sort_cols=["n_chars", "title"])
     assert (1, 2) not in by_len  # the length key alone misses it
     assert (1, 2) in by_title  # the title key catches it
     assert (1, 2) in union
@@ -487,3 +493,57 @@ def test_snm_sort_cols_contracts(spark):
         sorted_neighborhood_pairs(df, sort_cols=["doc_id"])
     with pytest.raises(ValueError, match="at least one"):
         sorted_neighborhood_pairs(df, sort_cols=[])
+
+
+def test_snm_shared_prefix_order_exact(spark):
+    """VERDICT r10 #7 — the prefix-length contract: when EVERY key is
+    identical through the surrogate's 8-byte prefix, range boundaries
+    cannot split the tied mass (the documented shard-granularity
+    limit), but order — and hence neighborhood recall — must be
+    byte-for-byte identical to both a single-shard run and a Python
+    replay of the full native string order. A silent collapse to
+    id-order (the failure this pins against) would pair different
+    rows and flunk the replay."""
+    from hbase_gis_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # 30 docs; every title shares the 12-byte prefix "sharedprefix"
+    # (> 8 surrogate bytes), ordering information lives ONLY beyond
+    # the prefix. Texts are built so each doc is a near-dup of its
+    # successor under the full-string title order, and that order is
+    # a permutation of id order (suffix reverses the id sequence).
+    rows = []
+    for i in range(30):
+        words = " ".join(f"w{i // 2}x{j}" for j in range(6))
+        rows.append((i, words, f"sharedprefix-{29 - i:02d}"))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, title string"
+    )
+    W, TH = 3, 0.5
+
+    order = sorted(rows, key=lambda r: (r[2], r[0]))
+    expect = set()
+    for i, a in enumerate(order):
+        for b in order[i + 1 : i + W]:
+            sa, sb = _shingles(a[1]), _shingles(b[1])
+            u = len(sa | sb)
+            if u and len(sa & sb) / u >= TH:
+                expect.add(tuple(sorted((a[0], b[0]))))
+    assert expect, "fixture must produce true pairs"
+
+    def run(n_shards):
+        return {
+            (r.id_a, r.id_b)
+            for r in sorted_neighborhood_pairs(
+                df,
+                sort_col="title",
+                window=W,
+                threshold=TH,
+                n_shards=n_shards,
+            ).collect()
+        }
+
+    single = run(1)
+    with pytest.warns(RuntimeWarning, match="tie-mass skew"):
+        sharded = run(8)
+    assert single == expect
+    assert sharded == expect  # sharding never changes the order

@@ -1149,10 +1149,15 @@ def test_streaming_rollup_torn_first_fold_on_fresh_seed(
     for f in os.listdir(os.path.join(ckpt, "commits")):
         os.remove(os.path.join(ckpt, "commits", f))
 
-    # the scan must elect the SEED, not the torn fold
-    assert latest_rollup_version(spark, str(root)) == (0, None, None)
+    # the scan must elect the SEED, not the torn fold — and, with 2
+    # unmarked _SUCCESS versions on disk, this is exactly the
+    # ambiguous case the r10 ADVICE made loud: expect the warning
+    # here and on the resume below
+    with pytest.warns(RuntimeWarning, match="unmarked _SUCCESS"):
+        assert latest_rollup_version(spark, str(root)) == (0, None, None)
 
-    s2 = run()
+    with pytest.warns(RuntimeWarning, match="unmarked _SUCCESS"):
+        s2 = run()
     # the replayed epoch re-folded FROM v0 and OVERWROTE torn v1 —
     # version ends at 1 (not 2), content equals the one-shot
     # recompute with every count exactly once

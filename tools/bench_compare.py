@@ -83,6 +83,23 @@ def main() -> int:
     med = statistics.median(ratios) if ratios else 1.0
     print(f"median per-query ratio: {med:.2f}x "
           f"(uniform machine-load factor between the two runs)")
+    if med > ratio:
+        # ADVICE r10 (medium): normalizing by the median makes a
+        # UNIFORM real regression invisible — a change that slows
+        # every query ~2x is absorbed into the "load factor". The
+        # median exceeding the threshold is itself the signal: it is
+        # EITHER machine load OR a uniform code regression, and only
+        # a quiet-window re-measure can tell them apart.
+        print(
+            f"\n*** WARNING: the median ratio itself exceeds the "
+            f"{ratio}x threshold. This is either background machine "
+            f"load or a UNIFORM code regression hitting every query "
+            f"— the normalization below CANNOT distinguish them. "
+            f"Re-measure in a quiet window (interleaved, one warm "
+            f"JVM) before trusting the load-normalized list. "
+            f"Raw >={ratio}x regressions (un-normalized): "
+            f"{sum(1 for r in ratios if r > ratio)}/{len(ratios)}"
+        )
 
     regs = [
         (k, old[k], new[k])

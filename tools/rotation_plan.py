@@ -37,12 +37,13 @@ WINDOW = 50
 
 
 def registry_order() -> list[str]:
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    src = open(os.path.join(root, "__spark_entry__.py")).read()
-    m = re.search(
-        r"def queries\(\).*?return \{(.*?)\n    \}\n", src, re.S
-    )
-    keys = re.findall(r'"([a-z0-9_]+)": _q', m.group(1))
+    """The registry keys in dict order, from the imported module —
+    not a source scrape, so formatting drift can't break the tool
+    (ADVICE r10: the old regex died with AttributeError on any
+    reflow of the return-dict literal)."""
+    import __spark_entry__ as entrymod
+
+    keys = list(entrymod.queries())
     assert len(keys) == len(set(keys)), "registry keys must be unique"
     return keys
 
