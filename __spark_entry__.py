@@ -5965,6 +5965,42 @@ def _q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjusted_ab(units, "arm", "y_post", "x_pre")
 
 
+CURR_SHARDS = 8  # range shards for the within-source curriculum rank
+SHARD_BAL_N = 16  # planned layout width the balance audit scores
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy-first curriculum dataloader order over the corpus: rank by
+    n_chars within each source, interleave sources round-robin. No
+    global window — range-sharded rank + arithmetic interleave."""
+    from hbase_gis_spark.operators.corpus import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curriculum_order(
+        docs, "n_chars", "source", "doc_id", n_shards=CURR_SHARDS
+    )
+
+
+def _q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straggler audit for a planned 16-way hash-shard layout: per-shard
+    row and token mass as exact milli-of-even ratios."""
+    from hbase_gis_spark.operators.corpus import shard_balance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_balance(
+        docs, SHARD_BAL_N, id_col="doc_id", weight_col="n_chars"
+    )
+
+
+def _q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching efficiency: pad-to-bucket-cap waste per
+    power-of-two length bucket — the report that picks the bucket grid."""
+    from hbase_gis_spark.operators.textstats import padding_waste
+
+    docs = load_table(spark, sf_dir, "documents")
+    return padding_waste(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -6349,6 +6385,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "mm_decode": _q_mm_decode,
         "term_stats": _q_term_stats,
+        # --- round-11 additions: appended BEHIND the 50-slot driver
+        # window (test_registry_window_contract); they enter the
+        # window in round 12 per the rotation policy ---
+        "curriculum_order": _q_curriculum_order,
+        "shard_balance": _q_shard_balance,
+        "padding_waste": _q_padding_waste,
     }
 
 
@@ -10025,6 +10067,67 @@ def oracle_sql() -> dict[str, str]:
              / CAST(count(*) AS DOUBLE) AS dup_rate,
            round(avg(q), 9) AS mean_quality_logit
     FROM doc GROUP BY source
+    """,
+        # curriculum interleave: (within_rank, source) IS the total
+        # order, so the oracle's global row_number over it reproduces
+        # the engine's closed-form global_pos arithmetic exactly
+        "curriculum_order": """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars ASC, doc_id ASC
+             )::BIGINT AS within_rank
+      FROM documents
+    )
+    SELECT doc_id, source, within_rank,
+           row_number() OVER (
+             ORDER BY within_rank ASC, source ASC
+           )::BIGINT AS global_pos
+    FROM r
+    """,
+        "shard_balance": f"""
+    WITH h AS (
+      SELECT (('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT
+              % {SHARD_BAL_N})::INTEGER AS shard,
+             n_chars::BIGINT AS w
+      FROM documents
+    ), per AS (
+      SELECT shard, count(*)::BIGINT AS n_rows, sum(w)::BIGINT AS weight
+      FROM h GROUP BY shard
+    ), tot AS (SELECT sum(n_rows) AS rt, sum(weight) AS wt FROM per)
+    SELECT shard, n_rows, weight,
+           ((1000 * n_rows * {SHARD_BAL_N}) // rt)::BIGINT
+             AS rows_milli_of_even,
+           ((1000 * weight * {SHARD_BAL_N}) // wt)::BIGINT
+             AS weight_milli_of_even
+    FROM per, tot
+    """,
+        "padding_waste": """
+    WITH t AS (
+      SELECT len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n
+      FROM documents
+    ), b AS (
+      SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                  WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                  WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+             END::BIGINT AS bucket_cap, n
+      FROM t
+    ), per AS (
+      SELECT bucket_cap, count(*)::BIGINT AS n_docs,
+             sum(n)::BIGINT AS actual_tokens
+      FROM b GROUP BY bucket_cap
+    )
+    SELECT bucket_cap, n_docs, actual_tokens,
+           (CASE WHEN bucket_cap IS NOT NULL THEN bucket_cap * n_docs
+                 ELSE actual_tokens END)::BIGINT AS padded_tokens,
+           (CASE WHEN bucket_cap IS NOT NULL
+                 THEN bucket_cap * n_docs - actual_tokens
+                 ELSE 0 END)::BIGINT AS pad_waste,
+           (CASE WHEN bucket_cap IS NOT NULL AND bucket_cap * n_docs > 0
+                 THEN (1000 * (bucket_cap * n_docs - actual_tokens))
+                      // (bucket_cap * n_docs)
+                 ELSE 0 END)::BIGINT AS waste_milli
+    FROM per
     """,
     }
     if ann_ivf_sql is not None:

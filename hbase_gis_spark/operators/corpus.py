@@ -1512,3 +1512,166 @@ def negative_sample_k(
             F.col("neg_rank").cast("bigint").alias("neg_rank"),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    difficulty_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic curriculum dataloader order: rank every document
+    by ``difficulty_col`` WITHIN its source, then interleave sources
+    round-robin — round r is every source's r-th easiest document,
+    rounds ordered by difficulty rank, sources within a round by name.
+    The standard easy-first curriculum that still walks the source mix
+    uniformly from the first batch (a difficulty-sorted global order
+    would front-load whichever source is easiest).
+
+    Scale shape — NO per-source single-task sort: the within-source
+    rank reuses the rank.py range-shard machinery (shard boundaries on
+    the difficulty key are GLOBAL cuts, so they are valid per source
+    too: rows of one source below a cut precede its rows above it, and
+    first-key ties never split). Local row_number runs per
+    (source, shard) — n_shards-way parallel inside even ONE giant
+    source — plus a bounded |sources|·n_shards offset map collected
+    driver-side (never O(rows)). The global position is then pure
+    arithmetic over the broadcast per-source sizes: for rank r in
+    source g,
+
+        global_pos = sum_g' min(size_g', r-1)         (earlier rounds)
+                   + |{g' < g : size_g' >= r}| + 1     (this round)
+
+    computed with a |sources|-row broadcast fan-out and re-aggregate —
+    no global window anywhere.
+
+    Output: (id, group, within_rank, global_pos), all exact integers;
+    (within_rank, group) and global_pos induce the same total order.
+    """
+    from hbase_gis_spark.operators.rank import (
+        apply_range_shards,
+        shard_boundaries,
+    )
+
+    bounds = shard_boundaries(df, difficulty_col, n_shards)
+    sharded = apply_range_shards(df, difficulty_col, bounds)
+    pair_rows = (
+        sharded.groupBy(group_col, "__shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )  # bounded: |sources| * n_shards integers
+    by_group: dict = {}
+    for r in pair_rows:
+        by_group.setdefault(r[group_col], {})[r["__shard"]] = r["cnt"]
+    off_rows, size_rows = [], []
+    for g, m in by_group.items():
+        acc = 0
+        for sid in sorted(m):
+            off_rows.append((g, int(sid), acc))
+            acc += int(m[sid])
+        size_rows.append((g, acc))
+    spark = df.sparkSession
+    gtype = dict(df.dtypes)[group_col]
+    odf = spark.createDataFrame(
+        off_rows or [(None, 0, 0)],
+        f"{group_col} {gtype}, __shard int, __off bigint",
+    )
+    sizes = spark.createDataFrame(
+        size_rows or [(None, 0)], f"__g2 {gtype}, __gsize bigint"
+    )
+    w = Window.partitionBy(group_col, "__shard").orderBy(
+        F.col(difficulty_col).asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        sharded.join(F.broadcast(odf), [group_col, "__shard"])
+        .withColumn(
+            "within_rank",
+            (F.row_number().over(w) + F.col("__off")).cast("bigint"),
+        )
+        .select(id_col, group_col, "within_rank")
+    )
+    r = F.col("within_rank")
+    return (
+        ranked.crossJoin(F.broadcast(sizes))
+        .groupBy(id_col, group_col, "within_rank")
+        .agg(
+            (
+                F.sum(F.least(F.col("__gsize"), r - 1))
+                + F.sum(
+                    F.when(
+                        (F.col("__gsize") >= r)
+                        & (F.col("__g2") < F.col(group_col)),
+                        1,
+                    ).otherwise(0)
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("global_pos")
+        )
+    )
+
+
+def shard_balance(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+    salt: str = "shard",
+) -> DataFrame:
+    """Hash-shard balance audit for a planned ``n_shards``-way layout:
+    assign every row to ``md5(salt:id) % n_shards`` (the repo-standard
+    deterministic hash — the same shard function a writer would use)
+    and report each shard's row count, weight mass (token budget if
+    ``weight_col`` is a token count), and both as exact milli-of-even
+    ratios: ``1000 * shard_total * n_shards div grand_total``, so 1000
+    = perfectly even and the max row is the straggler factor a static
+    shard layout bakes in.
+
+    Scale shape: one map-side-combined aggregate to ``n_shards`` rows;
+    the grand totals come from an unpartitioned window over those
+    n_shards rows only (bounded, never the fact table). Weight columns
+    must be non-negative for the milli ratios to mean anything —
+    negative mass is rejected at plan time via a guarded sum.
+
+    Output: (shard, n_rows, weight, rows_milli_of_even,
+    weight_milli_of_even), one row per non-empty shard."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    wcol = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    per = (
+        df.select(
+            content_hash(salt, id_col, n_shards).cast("int").alias("shard"),
+            wcol.alias("__w"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("__w").cast("bigint").alias("weight"),
+        )
+    )
+    tot = Window.partitionBy()  # n_shards rows — bounded by design
+    return per.select(
+        "shard",
+        "n_rows",
+        "weight",
+        F.expr(f"1000 * n_rows * {int(n_shards)}")
+        .cast("bigint")
+        .alias("__rn"),
+        F.sum("n_rows").over(tot).alias("__rt"),
+        F.expr(f"1000 * weight * {int(n_shards)}")
+        .cast("bigint")
+        .alias("__wn"),
+        F.sum("weight").over(tot).alias("__wt"),
+    ).select(
+        "shard",
+        "n_rows",
+        "weight",
+        F.expr("__rn div __rt").cast("bigint").alias("rows_milli_of_even"),
+        F.expr("__wn div __wt").cast("bigint").alias("weight_milli_of_even"),
+    )

@@ -1792,3 +1792,62 @@ def packing_stats(
             "n_boundary_docs",
         )
     )
+
+
+def padding_waste(
+    df: DataFrame,
+    bucket_caps: tuple[int, ...] = (16, 32, 64, 128, 256, 512),
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batching efficiency: assign every document to
+    the smallest ``bucket_caps`` entry that holds its whitespace token
+    count, and report per bucket how many pad tokens a
+    pad-to-bucket-cap batcher burns — the number that decides the
+    bucket grid before anyone trains. Documents longer than the
+    largest cap land in the NULL overflow bucket, where each sequence
+    batches alone at its own length and pads nothing (stated
+    convention; both engines group the NULL key identically).
+
+    Engine-exact integers end-to-end: padded = cap * n_docs, waste =
+    padded - actual, waste_milli = 1000 * waste div padded (div, both
+    engines truncate; overflow reports 0 — nothing padded).
+
+    Scale shape: the bucket id is a literal CASE chain inside the scan
+    projection (codegen, no shuffle), then ONE map-side-combined
+    aggregate to |buckets| rows. No window, no second scan.
+
+    Output: (bucket_cap, n_docs, actual_tokens, padded_tokens,
+    pad_waste, waste_milli), one row per non-empty bucket."""
+    caps = sorted({int(c) for c in bucket_caps})
+    if not caps or caps[0] < 1:
+        raise ValueError("bucket_caps must be positive")
+    n = token_count(text_col)
+    bucket = F.lit(None).cast("bigint")
+    for c in reversed(caps):
+        bucket = F.when(n <= c, F.lit(c).cast("bigint")).otherwise(bucket)
+    per = (
+        df.select(bucket.alias("bucket_cap"), n.cast("bigint").alias("__n"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("actual_tokens"),
+        )
+    )
+    padded = F.when(
+        F.col("bucket_cap").isNotNull(), F.col("bucket_cap") * F.col("n_docs")
+    ).otherwise(F.col("actual_tokens"))
+    return per.select(
+        "bucket_cap",
+        "n_docs",
+        "actual_tokens",
+        padded.cast("bigint").alias("padded_tokens"),
+        (padded - F.col("actual_tokens")).cast("bigint").alias("pad_waste"),
+    ).withColumn(
+        "waste_milli",
+        F.when(
+            F.col("padded_tokens") > 0,
+            F.expr("(1000 * pad_waste) div padded_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )

@@ -97,6 +97,9 @@ BNLJ_SANCTIONED = {
     "negative_sample_stratified",  # broadcast |sources|*16-row pool dim
     "retrieval_mrr",  # broadcast |queries|-row dim (ann_recall_report shape)
     "epoch_allocation",  # broadcast 1-row corpus-total (mixture_rates shape)
+    # --- round-11 additions
+    "curriculum_order",  # broadcast |sources|-row sizes dim fan-out for the
+    # closed-form interleave position; ranked side streams once
 }
 
 
