@@ -5967,6 +5967,75 @@ def _q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CURR_SHARDS = 8  # range shards for the within-source curriculum rank
 SHARD_BAL_N = 16  # planned layout width the balance audit scores
+BLOOM_M, BLOOM_K, BLOOM_PROBES = 4096, 3, 500  # filter-sizing audit
+CONF_ALPHA_MILLI = 100  # conformal miscoverage level (10%)
+CALIB_BINS = 10  # reliability-diagram bins
+CALIB_LONG = 300  # n_chars >= this is the "long document" label
+
+
+def _q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing audit over the corpus doc_id set: fill
+    factor + measured false-positive rate of a 4096-bit / 3-hash
+    filter — the membership structure that guards a 100 TB anti-join."""
+    from hbase_gis_spark.operators.drift import bloom_filter_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_filter_audit(
+        docs, "doc_id", m_bits=BLOOM_M, k_hashes=BLOOM_K,
+        n_probes=BLOOM_PROBES,
+    )
+
+
+def _q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit at alpha = 10% with the
+    whitespace token count as the nonconformity score: hash-split
+    cal/test, exact order-statistic threshold, held-out coverage."""
+    from hbase_gis_spark.operators.drift import conformal_coverage
+    from hbase_gis_spark.operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", token_count("text").alias("score")
+    )
+    return conformal_coverage(
+        scored, "score", "doc_id", alpha_milli=CONF_ALPHA_MILLI
+    )
+
+
+def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the hashed-linear quality score (mapped
+    to exact milli via 500 + 500·wsum div (QC_DIM·n)) against the
+    long-document label (n_chars >= 300, ~the corpus median) — the
+    binned calibration table behind ECE."""
+    from hbase_gis_spark.operators.drift import calibration_bins
+    from hbase_gis_spark.operators.textstats import (
+        quality_wsum_expr,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        F.col("n_chars"),
+        quality_wsum_expr("text").alias("__wsum"),
+        token_count("text").cast("bigint").alias("__nt"),
+    )
+    flagged = staged.select(
+        F.when(
+            F.col("__nt") > 0,
+            F.lit(500)
+            + F.expr(
+                f"CAST(500 * __wsum AS BIGINT)"
+                f" div CAST({QC_DIM} * __nt AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(500))
+        .cast("bigint")
+        .alias("pred_milli"),
+        (F.col("n_chars") >= CALIB_LONG).cast("int").alias("is_long"),
+    )
+    return calibration_bins(
+        flagged, "pred_milli", "is_long", n_bins=CALIB_BINS
+    )
 
 
 def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6391,6 +6460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": _q_curriculum_order,
         "shard_balance": _q_shard_balance,
         "padding_waste": _q_padding_waste,
+        "bloom_filter_audit": _q_bloom_filter_audit,
+        "conformal_coverage": _q_conformal_coverage,
+        "calibration_bins": _q_calibration_bins,
     }
 
 
@@ -10127,6 +10199,118 @@ def oracle_sql() -> dict[str, str]:
                  THEN (1000 * (bucket_cap * n_docs - actual_tokens))
                       // (bucket_cap * n_docs)
                  ELSE 0 END)::BIGINT AS waste_milli
+    FROM per
+    """,
+        # bloom filter audit: md5-ticket bit positions over distinct
+        # keys; synthetic '__probe__n' non-member probes; exact counts
+        "bloom_filter_audit": f"""
+    WITH ks AS (
+      SELECT DISTINCT doc_id::VARCHAR AS k FROM documents
+      WHERE doc_id IS NOT NULL
+    ),
+    bits AS (SELECT DISTINCT bit FROM (
+      {" UNION ALL ".join(
+          f"SELECT (('0x' || substr(md5('bloom:{i}:' || k), 1, 15))::BIGINT"
+          f" % {BLOOM_M}) AS bit FROM ks"
+          for i in range(BLOOM_K)
+      )}
+    )),
+    pr AS (SELECT range AS n FROM range({BLOOM_PROBES})),
+    pb AS (
+      {" UNION ALL ".join(
+          f"SELECT n AS probe, (('0x' || substr(md5('bloom:{i}:__probe__'"
+          f" || n), 1, 15))::BIGINT % {BLOOM_M}) AS bit FROM pr"
+          for i in range(BLOOM_K)
+      )}
+    ),
+    hits AS (
+      SELECT pb.probe,
+             sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nh
+      FROM pb LEFT JOIN bits b ON b.bit = pb.bit GROUP BY pb.probe
+    )
+    SELECT {BLOOM_M}::BIGINT AS m_bits, {BLOOM_K}::BIGINT AS k_hashes,
+           (SELECT count(*) FROM ks)::BIGINT AS n_keys,
+           (SELECT count(*) FROM bits)::BIGINT AS n_bits_set,
+           ((1000 * (SELECT count(*) FROM bits)) // {BLOOM_M})::BIGINT
+             AS fill_milli,
+           {BLOOM_PROBES}::BIGINT AS n_probes,
+           (SELECT sum(CASE WHEN nh >= {BLOOM_K} THEN 1 ELSE 0 END)
+            FROM hits)::BIGINT AS n_false_pos,
+           ((1000 * (SELECT sum(CASE WHEN nh >= {BLOOM_K} THEN 1 ELSE 0
+                                END) FROM hits))
+            // {BLOOM_PROBES})::BIGINT AS fpr_milli
+    """,
+        # split-conformal: md5 cal/test split, exact ceiling q_index,
+        # threshold = min score whose cumulative cal count reaches it
+        "conformal_coverage": f"""
+    WITH s AS (
+      SELECT len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS sv,
+             (('0x' || substr(md5('conf:' || doc_id), 1, 15))::BIGINT
+              % 2 = 0) AS is_cal
+      FROM documents
+    ),
+    cal AS (SELECT sv FROM s WHERE is_cal),
+    n AS (
+      SELECT count(*)::BIGINT AS n_cal,
+             (((count(*) + 1) * {1000 - CONF_ALPHA_MILLI} + 999)
+              // 1000)::BIGINT AS q_index
+      FROM cal
+    ),
+    thr AS (
+      SELECT min(sv)::BIGINT AS threshold FROM (
+        SELECT sv, count(*) OVER (ORDER BY sv ASC
+                                  RANGE UNBOUNDED PRECEDING) AS cum
+        FROM cal
+      ), n WHERE cum >= n.q_index
+    ),
+    t AS (
+      SELECT count(*)::BIGINT AS n_test,
+             sum(CASE WHEN sv <= (SELECT threshold FROM thr)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_covered
+      FROM s WHERE NOT is_cal
+    )
+    SELECT n.n_cal, n.q_index, thr.threshold, t.n_test, t.n_covered,
+           CASE WHEN t.n_test > 0
+                THEN ((1000 * t.n_covered) // t.n_test)::BIGINT
+           END AS coverage_milli
+    FROM n, thr, t
+    """,
+        # reliability diagram: integer milli pred from the quality
+        # wsum, long-doc label, div-truncated per-bin milli stats
+        "calibration_bins": f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    ),
+    ws AS (
+      SELECT doc_id,
+             CAST(sum(((('0x' || substr(md5(t), 1, 15))::BIGINT
+                        % {QC_DIM}) * {KNUTH_MULT})
+                      % {2 * QC_DIM} - {QC_DIM}) AS BIGINT) AS wsum,
+             count(*)::BIGINT AS nt
+      FROM tok GROUP BY doc_id
+    ),
+    f AS (
+      SELECT CASE WHEN ws.nt > 0
+                  THEN 500 + (500 * ws.wsum) // ({QC_DIM} * ws.nt)
+                  ELSE 500 END::BIGINT AS p,
+             CASE WHEN d.n_chars >= {CALIB_LONG} THEN 1 ELSE 0 END AS y
+      FROM documents d JOIN ws USING (doc_id)
+    ),
+    per AS (
+      SELECT least(p // 100, {CALIB_BINS - 1})::BIGINT AS bin,
+             count(*)::BIGINT AS n_docs, sum(y)::BIGINT AS n_pos,
+             sum(p)::BIGINT AS sp
+      FROM f GROUP BY 1
+    )
+    SELECT bin, (bin * 100)::BIGINT AS bin_lo_milli,
+           ((bin + 1) * 100)::BIGINT AS bin_hi_milli,
+           n_docs, n_pos,
+           (sp // n_docs)::BIGINT AS mean_pred_milli,
+           ((1000 * n_pos) // n_docs)::BIGINT AS pos_rate_milli,
+           abs(sp // n_docs - (1000 * n_pos) // n_docs)::BIGINT
+             AS gap_milli
     FROM per
     """,
     }

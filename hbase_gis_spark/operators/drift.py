@@ -1345,3 +1345,283 @@ def pareto_threshold(
             " CAST((1000 * k_rows) div n_rows AS BIGINT) END"
         ).alias("k_frac_milli"),
     )
+
+
+def bloom_filter_audit(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    n_probes: int = 500,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom-filter SIZING audit (Bloom 1970): build the deterministic
+    bit set a ``m_bits``/``k_hashes`` filter would hold over the
+    distinct keys of ``key_col``, then fire ``n_probes`` synthetic
+    NON-member probes through it and report the measured
+    false-positive rate next to the fill factor — the numbers that
+    size the membership filter guarding a 100 TB anti-join (ship the
+    m-bit filter to every scan task instead of shuffling the fact
+    table against the key set).
+
+    Deterministic and engine-exact: bit positions are the md5 ticket
+    discipline (``md5('{salt}:i:' || key)`` → first 15 hex digits →
+    mod ``m_bits``), probe keys are the synthetic family
+    ``'__probe__' || n`` (disjoint from any real key column by
+    convention — a member key equal to a probe key would count its
+    TRUE positive as false), and every reported number is an exact
+    integer count or a ``div``-truncated milli ratio.
+
+    Output: ONE row — (m_bits, k_hashes, n_keys, n_bits_set,
+    fill_milli, n_probes, n_false_pos, fpr_milli).
+
+    Scale shape: the only fact-scale work is a distinct-key aggregate
+    (map-side partial) fanned out ×k_hashes into a distinct-bit
+    aggregate bounded by m_bits; the probe side is a bounded
+    ``n_probes × k_hashes`` literal dim joined against the ≤ m_bits
+    bit table (broadcast). Nothing after the first aggregate touches
+    fact scale."""
+    if m_bits < 1 or k_hashes < 1 or n_probes < 1:
+        raise ValueError("m_bits, k_hashes, n_probes must be >= 1")
+    spark = df.sparkSession
+
+    def bit_of(col, i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.lit(salt), F.lit(str(i)), col)
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+        )
+
+    keys = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("__k"))
+        .distinct()
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    bits = (
+        keys.select(
+            F.explode(
+                F.array(*[bit_of(F.col("__k"), i) for i in range(k_hashes)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    n_bits = bits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bits_set")
+    )
+    probes = spark.range(n_probes).select(
+        F.col("id").alias("probe"),
+        F.explode(
+            F.array(
+                *[
+                    bit_of(F.concat(F.lit("__probe__"), F.col("id")), i)
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    fp = (
+        probes.join(F.broadcast(bits.withColumn("__hit", F.lit(1))), "bit", "left")
+        .groupBy("probe")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__nhit"))
+        .agg(
+            F.sum(
+                F.when(F.col("__nhit") >= k_hashes, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos")
+        )
+    )
+    return (
+        n_keys.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            F.lit(m_bits).cast("bigint").alias("m_bits"),
+            F.lit(k_hashes).cast("bigint").alias("k_hashes"),
+            "n_keys",
+            "n_bits_set",
+            F.expr(f"(1000 * n_bits_set) div {int(m_bits)}")
+            .cast("bigint")
+            .alias("fill_milli"),
+            F.lit(n_probes).cast("bigint").alias("n_probes"),
+            "n_false_pos",
+            F.expr(f"(1000 * n_false_pos) div {int(n_probes)}")
+            .cast("bigint")
+            .alias("fpr_milli"),
+        )
+    )
+
+
+def conformal_coverage(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    alpha_milli: int = 100,
+    salt: str = "conf",
+) -> DataFrame:
+    """Split-conformal coverage audit (Vovk et al.; Angelopoulos &
+    Bates 2021 tutorial): hash-split the rows into a calibration and a
+    test half, take the conformal threshold — the
+    ``ceil((1 - alpha)(n_cal + 1))``-th smallest calibration
+    nonconformity score — and report the coverage the threshold
+    actually achieves on the held-out half. The finite-sample
+    guarantee says test coverage ≥ 1 − alpha in expectation; this is
+    the audit that checks it on real data before anyone ships the
+    prediction sets.
+
+    Engine-exact: the split is the md5 ticket discipline
+    (``md5('{salt}:id') % 2``), scores are used as exact BIGINTs
+    (quantize first if fractional), ``q_index = ((n_cal + 1) *
+    (1000 - alpha_milli) + 999) div 1000`` (exact ceiling), and the
+    threshold is the min score whose cumulative calibration count
+    reaches q_index. NULL scores are dropped on both halves (stated
+    convention).
+
+    Output: ONE row — (n_cal, q_index, threshold, n_test, n_covered,
+    coverage_milli).
+
+    Scale shape: the fact table is touched by exactly two aggregates
+    (per-score-VALUE calibration histogram; filtered test count). The
+    order statistic runs on the score-value dim — bounded by the
+    distinct-score cardinality, which for quantized scores is the
+    quantization grid, not the row count — via a |V|²-bounded
+    cumulative triangle join (the lorenz/churn suffix-sum shape), so
+    no global sort anywhere."""
+    if not 0 < alpha_milli < 1000:
+        raise ValueError("alpha_milli must be in (0, 1000)")
+    from hbase_gis_spark.operators.corpus import content_hash
+
+    scored = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).cast("bigint").alias("__s"),
+        (content_hash(salt, id_col, 2) == 0).alias("__is_cal"),
+    )
+    cal_hist = (
+        scored.filter("__is_cal")
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    )
+    n_cal = cal_hist.agg(
+        F.sum("__cnt").cast("bigint").alias("n_cal")
+    ).select(
+        "n_cal",
+        F.expr(
+            f"((n_cal + 1) * {1000 - int(alpha_milli)} + 999) div 1000"
+        )
+        .cast("bigint")
+        .alias("q_index"),
+    )
+    # cumulative count per distinct score via the value-dim triangle
+    cum = (
+        cal_hist.alias("a")
+        .join(
+            F.broadcast(cal_hist.alias("b")),
+            F.col("b.__s") <= F.col("a.__s"),
+        )
+        .groupBy(F.col("a.__s").alias("__s"))
+        .agg(F.sum("b.__cnt").alias("__cum"))
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(n_cal))
+        .filter(F.col("__cum") >= F.col("q_index"))
+        .agg(F.min("__s").cast("bigint").alias("threshold"))
+    )
+    test = scored.filter(~F.col("__is_cal")).crossJoin(F.broadcast(thr))
+    cov = test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("__s") <= F.col("threshold"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_covered"),
+    )
+    return (
+        n_cal.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_cal",
+            "q_index",
+            "threshold",
+            "n_test",
+            "n_covered",
+            F.expr(
+                "CASE WHEN n_test > 0 THEN"
+                " CAST((1000 * n_covered) div n_test AS BIGINT) END"
+            ).alias("coverage_milli"),
+        )
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    pred_milli_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table (the binned view behind expected
+    calibration error, Naeini et al. 2015): bucket integer milli
+    predictions (0..1000) into ``n_bins`` equal-width bins and report
+    per bin the count, the mean predicted probability, the empirical
+    positive rate, and their absolute gap — all in exact milli
+    integers. The fleet ECE is ``sum(n_docs * gap_milli) / (1000 *
+    sum(n_docs))``, computable by the caller from exact integers.
+
+    Contract: ``pred_milli_col`` holds integers in [0, 1000] (quantize
+    upstream — the repo's milli discipline), ``label_col`` is 0/1, and
+    ``n_bins`` must divide 1000 so bin edges are exact milli values.
+    NULL predictions or labels are dropped (stated convention). The
+    top edge folds into the last bin (pred 1000 → bin n_bins-1), so
+    bins are [0,100), …, [900,1000].
+
+    Output: one row per non-empty bin — (bin, bin_lo_milli,
+    bin_hi_milli, n_docs, n_pos, mean_pred_milli, pos_rate_milli,
+    gap_milli).
+
+    Scale shape: one map-side-combined aggregate to ≤ n_bins rows;
+    every division is a ``div`` on the bounded aggregate."""
+    if n_bins < 1 or 1000 % n_bins != 0:
+        raise ValueError("n_bins must be >= 1 and divide 1000")
+    width = 1000 // n_bins
+    p = F.col(pred_milli_col).cast("bigint")
+    y = F.col(label_col).cast("bigint")
+    binned = (
+        df.filter(p.isNotNull() & y.isNotNull())
+        .select(
+            F.least(
+                F.expr(f"CAST({pred_milli_col} AS BIGINT) div {width}"),
+                F.lit(n_bins - 1),
+            )
+            .cast("bigint")
+            .alias("bin"),
+            p.alias("__p"),
+            y.alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__y").cast("bigint").alias("n_pos"),
+            F.sum("__p").cast("bigint").alias("__sp"),
+        )
+    )
+    return binned.select(
+        "bin",
+        (F.col("bin") * width).cast("bigint").alias("bin_lo_milli"),
+        ((F.col("bin") + 1) * width).cast("bigint").alias("bin_hi_milli"),
+        "n_docs",
+        "n_pos",
+        F.expr("__sp div n_docs").cast("bigint").alias("mean_pred_milli"),
+        F.expr("(1000 * n_pos) div n_docs")
+        .cast("bigint")
+        .alias("pos_rate_milli"),
+        F.abs(
+            F.expr("__sp div n_docs") - F.expr("(1000 * n_pos) div n_docs")
+        )
+        .cast("bigint")
+        .alias("gap_milli"),
+    )

@@ -709,10 +709,12 @@ def bm25_topk(
     )
 
 
-def quality_logit_expr(text_col) -> Column:
-    """The hashed-linear quality logit as a reusable Column expression
-    (see :func:`quality_classifier` for the model): tokenize → md5
-    bucket → integer weight → fold sum → one division. Pure JVM."""
+def quality_wsum_expr(text_col) -> Column:
+    """The INTEGER weight sum of the hashed-linear quality model
+    (see :func:`quality_classifier`): tokenize → md5 bucket → integer
+    weight → fold sum. Exposed separately from the logit so callers
+    needing exact-integer scores (e.g. milli-quantized calibration)
+    can divide on their own terms. Pure JVM."""
     w = tokens(text_col)
     # 60-bit md5 prefix → bucket in [0, QC_DIM)
     buckets = F.transform(
@@ -722,7 +724,7 @@ def quality_logit_expr(text_col) -> Column:
             F.lit(QC_DIM),
         ),
     )
-    wsum = F.aggregate(
+    return F.aggregate(
         F.transform(
             buckets,
             lambda b: F.pmod(b * F.lit(KNUTH_MULT), F.lit(2 * QC_DIM))
@@ -731,7 +733,14 @@ def quality_logit_expr(text_col) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    n = F.size(w)
+
+
+def quality_logit_expr(text_col) -> Column:
+    """The hashed-linear quality logit as a reusable Column expression
+    (see :func:`quality_classifier` for the model): the integer
+    :func:`quality_wsum_expr` over one division. Pure JVM."""
+    wsum = quality_wsum_expr(text_col)
+    n = F.size(tokens(text_col))
     return F.when(n > 0, wsum / (F.lit(float(QC_DIM)) * n)).otherwise(
         F.lit(0.0)
     )

@@ -148,3 +148,113 @@ def test_padding_waste_rejects_bad_caps(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="bucket_caps"):
         padding_waste(df, bucket_caps=(0, 16))
+
+
+def test_bloom_filter_audit_exact_replay(spark):
+    """Exact Python replay of the md5-ticket bit set and probe FPR on
+    a small key set / small m (forcing real collisions)."""
+    import hashlib
+
+    from hbase_gis_spark.operators.drift import bloom_filter_audit
+
+    M, K, NP = 64, 2, 50
+    rows = [(i,) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint")
+
+    def bit(prefix, i):
+        h = hashlib.md5(f"bloom:{i}:{prefix}".encode()).hexdigest()[:15]
+        return int(h, 16) % M
+
+    bits = {bit(str(i), h) for (i,) in rows for h in range(K)}
+    fps = sum(
+        1
+        for p in range(NP)
+        if all(bit(f"__probe__{p}", h) in bits for h in range(K))
+    )
+    got = bloom_filter_audit(
+        df, "doc_id", m_bits=M, k_hashes=K, n_probes=NP
+    ).collect()[0]
+    assert (
+        got.m_bits, got.k_hashes, got.n_keys, got.n_bits_set,
+        got.fill_milli, got.n_probes, got.n_false_pos, got.fpr_milli,
+    ) == (M, K, 30, len(bits), 1000 * len(bits) // M, NP, fps,
+          1000 * fps // NP)
+    assert got.n_false_pos > 0  # small m forces real collisions
+
+
+def test_bloom_filter_audit_rejects_bad_shapes(spark):
+    from hbase_gis_spark.operators.drift import bloom_filter_audit
+
+    df = spark.createDataFrame([(1,)], "doc_id bigint")
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_filter_audit(df, "doc_id", m_bits=0)
+
+
+def test_conformal_coverage_exact_replay(spark):
+    """Known scores: the threshold is the exact
+    ceil((1-alpha)(n+1))-th smallest calibration score and the
+    coverage count replays, including tied score values."""
+    import hashlib
+
+    from hbase_gis_spark.operators.drift import conformal_coverage
+
+    rows = [(i, (i * 13) % 40) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score bigint")
+
+    def is_cal(i):
+        h = hashlib.md5(f"conf:{i}".encode()).hexdigest()[:15]
+        return int(h, 16) % 2 == 0
+
+    cal = sorted(s for i, s in rows if is_cal(i))
+    test = [s for i, s in rows if not is_cal(i)]
+    n = len(cal)
+    q_index = ((n + 1) * 900 + 999) // 1000
+    thr = cal[q_index - 1]
+    covered = sum(1 for s in test if s <= thr)
+    got = conformal_coverage(df, "score", "doc_id", alpha_milli=100
+                             ).collect()[0]
+    assert (got.n_cal, got.q_index, got.threshold, got.n_test,
+            got.n_covered, got.coverage_milli) == (
+        n, q_index, thr, len(test), covered,
+        1000 * covered // len(test))
+
+
+def test_conformal_coverage_rejects_bad_alpha(spark):
+    from hbase_gis_spark.operators.drift import conformal_coverage
+
+    df = spark.createDataFrame([(1, 1)], "doc_id bigint, score bigint")
+    with pytest.raises(ValueError, match="alpha_milli"):
+        conformal_coverage(df, "score", alpha_milli=0)
+
+
+def test_calibration_bins_exact_replay(spark):
+    """Hand-built predictions: per-bin integers replay, the top edge
+    (pred exactly 1000) folds into the last bin, and NULLs drop."""
+    from hbase_gis_spark.operators.drift import calibration_bins
+
+    rows = [
+        (0, 0), (50, 0), (99, 1),          # bin 0
+        (100, 1), (199, 1),                # bin 1
+        (950, 1), (1000, 1), (999, 0),     # bin 9 (incl. folded 1000)
+        (None, 1), (500, None),            # dropped
+    ]
+    df = spark.createDataFrame(rows, "pred_milli bigint, y bigint")
+    got = {
+        r.bin: (r.bin_lo_milli, r.bin_hi_milli, r.n_docs, r.n_pos,
+                r.mean_pred_milli, r.pos_rate_milli, r.gap_milli)
+        for r in calibration_bins(df, "pred_milli", "y").collect()
+    }
+    assert got[0] == (0, 100, 3, 1, 149 // 3, 1000 // 3,
+                      abs(149 // 3 - 1000 // 3))
+    assert got[1] == (100, 200, 2, 2, 299 // 2, 1000, 1000 - 299 // 2)
+    assert got[9] == (900, 1000, 3, 2, 2949 // 3, 2000 // 3,
+                      abs(2949 // 3 - 2000 // 3))
+    assert set(got) == {0, 1, 9}
+
+
+def test_calibration_bins_rejects_bad_nbins(spark):
+    from hbase_gis_spark.operators.drift import calibration_bins
+
+    df = spark.createDataFrame([(1, 1)], "pred_milli bigint, y bigint")
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "pred_milli", "y", n_bins=7)
