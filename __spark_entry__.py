@@ -6070,6 +6070,34 @@ def _q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     return padding_waste(docs)
 
 
+def _q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label diversity moments over int8-quantized vectors via the
+    sum-of-vectors identity — mean pairwise dot with NO pair join."""
+    from hbase_gis_spark.operators.similarity import embedding_diversity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_diversity(emb)
+
+
+def _q_label_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-consistency probe for the four standard ANN query
+    vectors: fraction of exact top-10 neighbors sharing the query's
+    label, per label."""
+    from hbase_gis_spark.operators.similarity import label_knn_agreement
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_knn_agreement(emb, ANN_MULTI_IDS, ANN_K)
+
+
+def _q_retrieval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision per probe query (same-label relevance over
+    the exact cosine top-10) — the MAP complement of retrieval_mrr."""
+    from hbase_gis_spark.operators.similarity import retrieval_map_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval_map_report(emb, ANN_MULTI_IDS, ANN_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -6463,6 +6491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter_audit": _q_bloom_filter_audit,
         "conformal_coverage": _q_conformal_coverage,
         "calibration_bins": _q_calibration_bins,
+        "embedding_diversity": _q_embedding_diversity,
+        "label_knn_agreement": _q_label_knn_agreement,
+        "retrieval_map": _q_retrieval_map,
     }
 
 
@@ -10312,6 +10343,115 @@ def oracle_sql() -> dict[str, str]:
            abs(sp // n_docs - (1000 * n_pos) // n_docs)::BIGINT
              AS gap_milli
     FROM per
+    """,
+        # per-label diversity via the sum-of-vectors identity over the
+        # SAME int8 quantization as quantize_int8 — exact BIGINT
+        # moments in any fold order (similarity.py:embedding_diversity)
+        "embedding_diversity": """
+    WITH v AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT label, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ), q AS (
+      SELECT label, list_transform(e, x -> CAST(CASE WHEN scale > 0
+               THEN round(x / scale) ELSE 0.0 END AS BIGINT)) AS qq
+      FROM s
+    ), per AS (
+      SELECT label, count(*)::BIGINT AS n_vecs,
+             CAST(sum(list_sum(list_transform(qq, x -> x * x)))
+                  AS BIGINT) AS self_dot_sum
+      FROM q GROUP BY label
+    ), coord AS (
+      SELECT label, i AS pos, sum(qq[i])::BIGINT AS s
+      FROM q, unnest(range(1, len(qq) + 1)) AS t(i)
+      GROUP BY label, i
+    ), ns AS (
+      SELECT label, CAST(sum(s * s) AS BIGINT) AS normsq
+      FROM coord GROUP BY label
+    )
+    SELECT per.label, per.n_vecs, per.self_dot_sum,
+           (ns.normsq - per.self_dot_sum)::BIGINT AS cross_dot_sum,
+           CASE WHEN per.n_vecs > 1 THEN
+             ((1000 * (ns.normsq - per.self_dot_sum))
+              // (per.n_vecs * (per.n_vecs - 1)))::BIGINT
+           END AS mean_pair_dot_milli
+    FROM per JOIN ns USING (label)
+    """,
+        # kNN label consistency: exact per-query top-k (the ann_recall
+        # rank-window replay) + label joins, |labels|-row aggregate
+        "label_knn_agreement": f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlbl
+      FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in ANN_MULTI_IDS)})
+    ),
+    nb AS (
+      SELECT query_id, qlbl, vec_id, nlbl FROM (
+        SELECT q.query_id, q.qlbl, e.vec_id, e.label AS nlbl,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_cos('e.embedding', 'q.qv')} DESC,
+                          e.vec_id ASC) AS rnk
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+      ) WHERE rnk <= {ANN_K}
+    )
+    SELECT qlbl AS label,
+           count(DISTINCT query_id)::BIGINT AS n_queries,
+           count(*)::BIGINT AS n_neighbors,
+           sum(CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END)::BIGINT
+             AS n_same_label,
+           ((1000 * sum(CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END))
+            // count(*))::BIGINT AS agree_milli
+    FROM nb GROUP BY qlbl
+    """,
+        # average precision with same-label relevance: the x2520
+        # integer-precision discipline of retrieval_mrr
+        # (similarity.py:retrieval_map_report)
+        "retrieval_map": f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlbl
+      FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in ANN_MULTI_IDS)})
+    ),
+    nb AS (
+      SELECT query_id, qlbl, vec_id, nlbl, rnk FROM (
+        SELECT q.query_id, q.qlbl, e.vec_id, e.label AS nlbl,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_cos('e.embedding', 'q.qv')} DESC,
+                          e.vec_id ASC) AS rnk
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+      ) WHERE rnk <= {ANN_K}
+    ),
+    sc AS (
+      SELECT query_id, qlbl, rnk,
+             CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END AS rel,
+             sum(CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END) OVER (
+               PARTITION BY query_id ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hits
+      FROM nb
+    ),
+    per AS (
+      SELECT query_id, qlbl AS label,
+             sum(rel)::BIGINT AS n_rel_topk,
+             CAST(sum(CASE WHEN rel = 1 THEN (2520 * hits) // rnk
+                      ELSE 0 END) AS BIGINT) AS sum_prec_x2520
+      FROM sc GROUP BY query_id, qlbl
+    ),
+    lh AS (
+      SELECT label, count(*)::BIGINT AS lcnt
+      FROM embeddings GROUP BY label
+    )
+    SELECT per.query_id, per.label, per.n_rel_topk,
+           (lh.lcnt - 1)::BIGINT AS n_rel_total, per.sum_prec_x2520,
+           CASE WHEN lh.lcnt > 1 THEN
+             ((1000000 * per.sum_prec_x2520)
+              // (2520 * least(lh.lcnt - 1, {ANN_K})))::BIGINT
+           END AS ap_micro
+    FROM per JOIN lh ON lh.label = per.label
     """,
     }
     if ann_ivf_sql is not None:

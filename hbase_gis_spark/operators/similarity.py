@@ -1956,3 +1956,241 @@ def label_centroid_separation(
             ).alias("cosine"),
         )
     )
+
+
+def embedding_diversity(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding DIVERSITY audit without a pair join: the
+    mean pairwise dot product of a label's vectors via the moment
+    identity ``sum_{i != j} q_i . q_j = ||sum_i q_i||^2 - sum_i
+    ||q_i||^2`` — the collapsed-cluster detector (mean pair similarity
+    near the self-similarity ceiling means the label's vectors have
+    degenerated to one point; near 0 means isotropic spread).
+
+    Engine-exactness: pairwise FLOAT sums are order-sensitive, so the
+    identity runs over the int8-quantized vectors of
+    :func:`quantize_int8_stats` (same per-vector scale = max|x|/127,
+    q = round(x/scale) — deterministic per row, no cross-row float
+    arithmetic); every reported moment is then an exact BIGINT in any
+    fold order. The milli mean divides with ``div`` (truncation
+    matches DuckDB ``//`` — measured, negatives included).
+
+    Output: one row per label — (label, n_vecs, self_dot_sum,
+    cross_dot_sum, mean_pair_dot_milli [NULL when n < 2]), where
+    cross_dot_sum counts ORDERED pairs (n·(n-1) of them).
+
+    Scale shape: one scan; a posexplode to (label, coord) partial-
+    aggregated map-side into |labels|·dim coordinate sums; a second
+    |labels|-row aggregate; one broadcast join of two |labels|-row
+    frames. No pair join anywhere — the whole point."""
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(label_col).alias("label"),
+        e.alias("__e"),
+        (F.array_max(F.transform(e, F.abs)) / F.lit(127.0)).alias(
+            "__scale"
+        ),
+    )
+    q = F.transform(
+        "__e",
+        lambda x: F.when(
+            F.col("__scale") > 0, F.round(x / F.col("__scale"))
+        )
+        .otherwise(F.lit(0.0))
+        .cast("bigint"),
+    )
+    staged = base.select("label", q.alias("__q"))
+    selfd = F.aggregate(
+        F.transform("__q", lambda v: v * v),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    per_self = (
+        staged.select("label", selfd.alias("__sd"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("__sd").cast("bigint").alias("self_dot_sum"),
+        )
+    )
+    coord = (
+        staged.select("label", F.posexplode("__q").alias("pos", "qv"))
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").alias("__s"))
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("__s") * F.col("__s"))
+            .cast("bigint")
+            .alias("__normsq")
+        )
+    )
+    return per_self.join(F.broadcast(coord), "label").select(
+        "label",
+        "n_vecs",
+        "self_dot_sum",
+        (F.col("__normsq") - F.col("self_dot_sum"))
+        .cast("bigint")
+        .alias("cross_dot_sum"),
+        F.expr(
+            "CASE WHEN n_vecs > 1 THEN CAST((1000 * (__normsq -"
+            " self_dot_sum)) div (n_vecs * (n_vecs - 1)) AS BIGINT)"
+            " END"
+        ).alias("mean_pair_dot_milli"),
+    )
+
+
+def label_knn_agreement(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN LABEL-CONSISTENCY probe (the classic embedding-quality
+    check): for each probe query, its exact cosine top-k neighbors,
+    aggregated per QUERY LABEL into the fraction of neighbors that
+    share the label — near 1000 milli means the embedding separates
+    that class, near the label's base rate means it carries no class
+    signal.
+
+    Exactness: the ranking is :func:`cosine_topk_multi` (fold-exact
+    Arrow pair cosines, pinned bit-identical to the DuckDB oracle);
+    everything after is integer counts and one div-milli.
+
+    Output: one row per label present among the probes — (label,
+    n_queries, n_neighbors, n_same_label, agree_milli).
+
+    Scale shape: the one-scan batched top-k (broadcast |queries| dim,
+    per-query bounded rank windows), then label joins against the
+    |queries|·k result and a |labels|-row aggregate. The probe list is
+    a bounded design parameter — fact scale is touched once."""
+    nb = cosine_topk_multi(df, query_ids, k, id_col, vec_col).select(
+        "query_id", F.col(id_col).alias("__nid")
+    )
+    labels = df.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lbl")
+    )
+    qlab = labels.filter(
+        F.col("__lid").isin([int(i) for i in query_ids])
+    ).select(
+        F.col("__lid").alias("query_id"), F.col("__lbl").alias("label")
+    )
+    return (
+        nb.join(labels, nb["__nid"] == labels["__lid"])
+        .withColumnRenamed("__lbl", "__nlbl")
+        .join(F.broadcast(qlab), "query_id")
+        .groupBy("label")
+        .agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("__nlbl") == F.col("label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_same_label"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_neighbors",
+            "n_same_label",
+            F.expr("CAST((1000 * n_same_label) div n_neighbors AS BIGINT)")
+            .alias("agree_milli"),
+        )
+    )
+
+
+def retrieval_map_report(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Mean-average-precision complement of :func:`retrieval_mrr_report`
+    (MRR scores the FIRST hit's rank; AP scores the whole ranked
+    list): per probe query, exact cosine top-k retrieval with
+    same-label as the relevance judgment, and the average precision
+    over that list — the ranked-retrieval eval every search deployment
+    tracks next to recall and MRR.
+
+    Engine-exactness: the same lcm(1..10) discipline as MRR — each
+    hit at rank i contributes the exact integer ``(2520 * hits_at_i)
+    div i`` (exact for i <= 10, so ``k > 10`` is REJECTED), summed
+    into ``sum_prec_x2520``; the final ``ap_micro = (1000000 *
+    sum_prec_x2520) div (2520 * min(n_rel_total, k))`` divides once
+    at the end. Relevance base counts come from the exact per-label
+    corpus histogram (minus the query itself).
+
+    Output: one row per query — (query_id, label, n_rel_topk,
+    n_rel_total, sum_prec_x2520, ap_micro [NULL when the label has no
+    other members]).
+
+    Scale shape: the one-scan batched top-k, per-query bounded
+    (<= k rows) running-hit windows, and a broadcast |labels|-row
+    histogram join. Nothing after the top-k touches fact scale."""
+    if k > 10:
+        raise ValueError(
+            f"k={k} breaks the x2520 exactness contract: 2520 = "
+            "lcm(1..10), so (2520 * hits) div i is exact only for "
+            "i <= 10 — use k <= 10 (the schema bakes in the scale)"
+        )
+    nb = cosine_topk_multi(df, query_ids, k, id_col, vec_col).select(
+        "query_id", F.col(id_col).alias("__nid"), "rnk"
+    )
+    labels = df.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lbl")
+    )
+    qlab = labels.filter(
+        F.col("__lid").isin([int(i) for i in query_ids])
+    ).select(
+        F.col("__lid").alias("query_id"), F.col("__lbl").alias("label")
+    )
+    lhist = labels.groupBy(F.col("__lbl").alias("__hlbl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__lcnt")
+    )
+    w = Window.partitionBy("query_id").orderBy("rnk")
+    scored = (
+        nb.join(labels, nb["__nid"] == labels["__lid"])
+        .withColumnRenamed("__lbl", "__nlbl")
+        .join(F.broadcast(qlab), "query_id")
+        .withColumn(
+            "__rel",
+            F.when(F.col("__nlbl") == F.col("label"), 1).otherwise(0),
+        )
+        .withColumn("__hits", F.sum("__rel").over(w))
+        .withColumn(
+            "__prec",
+            F.when(
+                F.col("__rel") == 1,
+                F.expr("CAST((2520 * __hits) div rnk AS BIGINT)"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    per = scored.groupBy("query_id", "label").agg(
+        F.sum("__rel").cast("bigint").alias("n_rel_topk"),
+        F.sum("__prec").cast("bigint").alias("sum_prec_x2520"),
+    )
+    return (
+        per.join(
+            F.broadcast(lhist), per["label"] == lhist["__hlbl"]
+        )
+        .select(
+            "query_id",
+            "label",
+            "n_rel_topk",
+            (F.col("__lcnt") - 1).cast("bigint").alias("n_rel_total"),
+            "sum_prec_x2520",
+            F.expr(
+                f"CASE WHEN __lcnt > 1 THEN CAST((1000000 *"
+                f" sum_prec_x2520) div (2520 * least(__lcnt - 1,"
+                f" CAST({int(k)} AS BIGINT))) AS BIGINT) END"
+            ).alias("ap_micro"),
+        )
+    )

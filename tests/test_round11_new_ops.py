@@ -258,3 +258,134 @@ def test_calibration_bins_rejects_bad_nbins(spark):
     df = spark.createDataFrame([(1, 1)], "pred_milli bigint, y bigint")
     with pytest.raises(ValueError, match="n_bins"):
         calibration_bins(df, "pred_milli", "y", n_bins=7)
+
+
+def _norm_knn(vecs, qid, k):
+    """Exact cosine top-k neighbor ids for query qid (ties by id)."""
+    import math
+
+    q = vecs[qid]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos(v):
+        return sum(a * b for a, b in zip(q, v)) / (
+            qn * math.sqrt(sum(x * x for x in v))
+        )
+
+    order = sorted(
+        ((i, cos(v)) for i, v in vecs.items() if i != qid),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return [i for i, _ in order[:k]]
+
+
+def test_embedding_diversity_moment_identity(spark):
+    """Hand vectors: the reported moments equal the brute-force
+    ordered-pair dot sum over the int8-quantized vectors, and a
+    collapsed label (identical vectors) hits the self-dot ceiling."""
+    from hbase_gis_spark.operators.similarity import embedding_diversity
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0), (3, [-1.0, 0.0], 0),
+        (4, [0.5, 0.5], 1), (5, [0.5, 0.5], 1),   # collapsed pair
+        (6, [2.0, -1.0], 2),                       # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {
+        r.label: (r.n_vecs, r.self_dot_sum, r.cross_dot_sum,
+                  r.mean_pair_dot_milli)
+        for r in embedding_diversity(df).collect()
+    }
+
+    def quant(v):
+        s = max(abs(x) for x in v) / 127.0
+        return [round(x / s) if s > 0 else 0 for x in v]
+
+    by_label = {}
+    for _, v, l in rows:
+        by_label.setdefault(l, []).append(quant(v))
+    for l, qs in by_label.items():
+        self_d = sum(sum(x * x for x in q) for q in qs)
+        cross = sum(
+            sum(a * b for a, b in zip(qa, qb))
+            for i, qa in enumerate(qs)
+            for j, qb in enumerate(qs)
+            if i != j
+        )
+        n = len(qs)
+        # engine div TRUNCATES toward zero (Spark div == DuckDB //),
+        # unlike Python's floor //
+        mean = (
+            int(1000 * cross / (n * (n - 1))) if n > 1 else None
+        )
+        assert got[l] == (n, self_d, cross, mean), l
+    # collapsed label 1: mean pair dot == per-vector self dot (127^2*2)
+    assert got[1][3] == 1000 * (127 * 127 * 2) * 2 // 2
+    assert got[2][3] is None  # singleton has no pairs
+
+
+def test_label_knn_agreement_exact_replay(spark):
+    """Deterministic 2-D vectors: agreement counts equal the
+    brute-force top-k label match replay."""
+    from hbase_gis_spark.operators.similarity import label_knn_agreement
+
+    vecs = {
+        i: [float((i * 7) % 13 - 6), float((i * 11) % 17 - 8) or 1.0]
+        for i in range(20)
+    }
+    labels = {i: i % 3 for i in range(20)}
+    rows = [(i, vecs[i], labels[i]) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    qids, k = [0, 1, 2], 5
+    got = {
+        r.label: (r.n_queries, r.n_neighbors, r.n_same_label,
+                  r.agree_milli)
+        for r in label_knn_agreement(df, qids, k).collect()
+    }
+    expect = {}
+    for qid in qids:
+        nb = _norm_knn(vecs, qid, k)
+        l = labels[qid]
+        nq, nn, ns = expect.get(l, (0, 0, 0))
+        expect[l] = (nq + 1, nn + len(nb),
+                     ns + sum(1 for i in nb if labels[i] == l))
+    expect = {
+        l: (nq, nn, ns, 1000 * ns // nn)
+        for l, (nq, nn, ns) in expect.items()
+    }
+    assert got == expect
+
+
+def test_retrieval_map_exact_ap(spark):
+    """Hand-built geometry with a KNOWN ranking: AP integers replay
+    the textbook average-precision formula, and k > 10 is rejected."""
+    import pytest as _pytest
+
+    from hbase_gis_spark.operators.similarity import retrieval_map_report
+
+    # query 0 at [1, 0]; neighbors ranked by cosine: ids 1..6 in order
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.1], 0),    # rank 1, relevant
+        (2, [1.0, 0.2], 1),    # rank 2
+        (3, [1.0, 0.3], 0),    # rank 3, relevant
+        (4, [1.0, 0.4], 1),    # rank 4
+        (5, [1.0, 0.5], 0),    # rank 5, relevant
+        (6, [1.0, 0.6], 1),    # rank 6
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = retrieval_map_report(df, [0], 4).collect()[0]
+    # top-4 = ids 1,2,3,4; hits at ranks 1 and 3
+    sum_prec = (2520 * 1) // 1 + (2520 * 2) // 3
+    n_rel_total = 3  # ids 1,3,5 share label 0
+    assert (got.query_id, got.label, got.n_rel_topk, got.n_rel_total,
+            got.sum_prec_x2520) == (0, 0, 2, 3, sum_prec)
+    assert got.ap_micro == (1000000 * sum_prec) // (2520 * 3)
+    with _pytest.raises(ValueError, match="x2520"):
+        retrieval_map_report(df, [0], 11)

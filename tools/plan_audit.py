@@ -100,6 +100,11 @@ BNLJ_SANCTIONED = {
     # --- round-11 additions
     "curriculum_order",  # broadcast |sources|-row sizes dim fan-out for the
     # closed-form interleave position; ranked side streams once
+    "bloom_filter_audit",  # three 1-row count aggregates assembled crossJoin
+    "conformal_coverage",  # score-VALUE dim cumulative triangle (bounded by
+    # distinct-score cardinality) + 1-row n_cal/threshold broadcasts
+    "label_knn_agreement",  # broadcast |queries|-row dim (ann_cosine shape)
+    "retrieval_map",  # same broadcast query dim; post-top-k is bounded
 }
 
 
