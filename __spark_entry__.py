@@ -6171,17 +6171,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROUND 11 (this ordering -- VERDICT r10 next-round #1, executed
     exactly as computed by tools/rotation_plan.py against the landed
-    CORRECTNESS_r10): slots 1-8 are the 8 round-10 additions
-    (split_drift_audit, dedup_snm_multikey,
-    negative_sample_stratified, epoch_allocation, retrieval_mrr,
-    classifier_auc, heavy_hitters_cms, cell_pyramid -- never
-    driver-checked, all 8 verified exact by tools/check_oracles.py
-    at add time); slots 9-50 are the 42 longest-unchecked queries
-    from the staleness ledger: 21 r5-era entries (association_rules
-    .. lang_id, last driver row round 5) then 21 r6-era entries
-    (orphan_check .. hybrid_search_rrf, last driver row round 6),
-    registry-order ties.  New round-11 additions are APPENDED at the
-    end and enter the window in round 12.
+    CORRECTNESS_r10 PLUS the round-11 additions, which landed before
+    this round's driver check and therefore rank first under the
+    never-driver-checked rule rather than waiting a round): slots
+    1-8 are the 8 round-10 additions (split_drift_audit,
+    dedup_snm_multikey, negative_sample_stratified,
+    epoch_allocation, retrieval_mrr, classifier_auc,
+    heavy_hitters_cms, cell_pyramid); slots 9-17 are the 9 round-11
+    additions (curriculum_order, shard_balance, padding_waste,
+    bloom_filter_audit, conformal_coverage, calibration_bins,
+    embedding_diversity, label_knn_agreement, retrieval_map) -- all
+    17 verified exact by tools/check_oracles.py at add time; slots
+    18-50 are the 33 longest-unchecked queries from the staleness
+    ledger: 21 r5-era entries (association_rules .. lang_id, last
+    driver row round 5) then the 12 oldest r6-era entries
+    (orphan_check .. zipf_fit, last driver row round 6),
+    registry-order ties.  The 9 youngest r6-era canaries
+    (embedding_outliers .. hybrid_search_rrf) sit just behind the
+    window and re-enter in round 12.
 
     Deliberately NOT registered: ``maintain_rollup_stream`` — it is a
     Structured Streaming writer with no DuckDB twin (a batch oracle
@@ -6206,7 +6213,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": _q_classifier_auc,
         "heavy_hitters_cms": _q_heavy_hitters_cms,
         "cell_pyramid": _q_cell_pyramid,
-        # --- slots 9-50: the 42 longest-unchecked queries from
+        # --- slots 9-17: round-11 additions — landed BEFORE this
+        # round's driver check, so the staleness-ledger policy
+        # (never-driver-checked first) puts them straight into the
+        # window rather than waiting a round (all 9 verified exact
+        # by tools/check_oracles.py at add time)
+        "curriculum_order": _q_curriculum_order,
+        "shard_balance": _q_shard_balance,
+        "padding_waste": _q_padding_waste,
+        "bloom_filter_audit": _q_bloom_filter_audit,
+        "conformal_coverage": _q_conformal_coverage,
+        "calibration_bins": _q_calibration_bins,
+        "embedding_diversity": _q_embedding_diversity,
+        "label_knn_agreement": _q_label_knn_agreement,
+        "retrieval_map": _q_retrieval_map,
+        # --- slots 18-50: the 33 longest-unchecked queries from
         # the staleness ledger (r5-era last-row-round-5 entries
         # continuing where round 10's window stopped, then the
         # oldest r6-era rows; registry-order ties)
@@ -6243,6 +6264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_anomalies": _q_mad_anomalies,
         "collocations_pmi": _q_collocations_pmi,
         "zipf_fit": _q_zipf_fit,
+        # --- behind the window (slots 51+): the 9 r6-era canaries
+        # displaced by the round-11 additions re-enter in round 12
         "embedding_outliers": _q_embedding_outliers,
         "node_jaccard": _q_node_jaccard,
         "bounce_rate": _q_bounce_rate,
@@ -6482,18 +6505,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "mm_decode": _q_mm_decode,
         "term_stats": _q_term_stats,
-        # --- round-11 additions: appended BEHIND the 50-slot driver
-        # window (test_registry_window_contract); they enter the
-        # window in round 12 per the rotation policy ---
-        "curriculum_order": _q_curriculum_order,
-        "shard_balance": _q_shard_balance,
-        "padding_waste": _q_padding_waste,
-        "bloom_filter_audit": _q_bloom_filter_audit,
-        "conformal_coverage": _q_conformal_coverage,
-        "calibration_bins": _q_calibration_bins,
-        "embedding_diversity": _q_embedding_diversity,
-        "label_knn_agreement": _q_label_knn_agreement,
-        "retrieval_map": _q_retrieval_map,
     }
 
 

@@ -96,12 +96,13 @@ def test_round3_tpch_predicates_reach_scans(spark):
 
 def test_registry_window_contract():
     """The driver checks exactly the FIRST 50 queries() entries; round
-    11's window must hold the 8 round-10 additions (the VERDICT r10
-    next-round #1 rotation, computed by tools/rotation_plan.py against
-    the landed CORRECTNESS_r10) + the 42 longest-unchecked queries
-    (21 r5-era + 21 r6-era in registry order), every window query must
-    have an oracle, and new round-11 additions must stay appended
-    BEHIND the window."""
+    11's window must hold the 8 round-10 additions + the 9 round-11
+    additions (never-driver-checked queries rank first under the
+    tools/rotation_plan.py staleness-ledger policy — the round-11
+    additions landed BEFORE this round's driver check, so they enter
+    now instead of waiting a round) + the 33 longest-unchecked
+    queries (21 r5-era + 12 oldest r6-era in registry order), and
+    every window query must have an oracle."""
     import __spark_entry__ as entrymod
 
     qs = list(entrymod.queries())
@@ -111,6 +112,12 @@ def test_registry_window_contract():
         "negative_sample_stratified", "epoch_allocation",
         "retrieval_mrr", "classifier_auc", "heavy_hitters_cms",
         "cell_pyramid",
+    ]
+    r11_additions = [
+        "curriculum_order", "shard_balance", "padding_waste",
+        "bloom_filter_audit", "conformal_coverage",
+        "calibration_bins", "embedding_diversity",
+        "label_knn_agreement", "retrieval_map",
     ]
     stale_canaries = [
         # 21 r5-era (last driver row: round 5)
@@ -122,18 +129,17 @@ def test_registry_window_contract():
         "asof_join", "sessionize_events", "binned_limit",
         "dedup_geocell", "dedup_exact", "dedup_minhash_lsh",
         "lang_id",
-        # 21 r6-era (last driver row: round 6)
+        # 12 oldest r6-era (last driver row: round 6); the 9
+        # youngest r6-era canaries re-enter in round 12
         "orphan_check", "uniqueness_audit", "benford_revenue",
         "split_leakage", "supplier_part_variety",
         "potential_promotion", "lone_returned_supplier",
         "autocorr_daily", "weekday_seasonality", "mad_anomalies",
-        "collocations_pmi", "zipf_fit", "embedding_outliers",
-        "node_jaccard", "bounce_rate", "vocab_drift",
-        "join_cardinality", "late_shipments", "important_parts",
-        "fd_audit", "hybrid_search_rrf",
+        "collocations_pmi", "zipf_fit",
     ]
     assert qs[:8] == r10_additions
-    assert qs[8:50] == stale_canaries
+    assert qs[8:17] == r11_additions
+    assert qs[17:50] == stale_canaries
     missing = [q for q in qs[:50] if q not in oracles]
     assert missing == [], f"window queries without oracles: {missing}"
     # registry entries stay unique (dict literal would silently drop dups
