@@ -1975,9 +1975,17 @@ def embedding_diversity(
     identity runs over the int8-quantized vectors of
     :func:`quantize_int8_stats` (same per-vector scale = max|x|/127,
     q = round(x/scale) — deterministic per row, no cross-row float
-    arithmetic); every reported moment is then an exact BIGINT in any
+    arithmetic); every reported moment is then an exact integer in any
     fold order. The milli mean divides with ``div`` (truncation
     matches DuckDB ``//`` — measured, negatives included).
+
+    Overflow bound: |S_j| <= 127·n, so S_j² can pass int64 once a
+    label holds ~3M vectors at dim 64 (64·127²·n² > 2^63) — the S²
+    accumulator therefore runs in decimal(38,0) (exact to 10^38,
+    i.e. ~10^15 vectors per label), and the reported columns cast
+    back to BIGINT, exact within that same ~3M-per-label envelope
+    the decimal math makes checkable rather than silently wrapped.
+    The DuckDB twin accumulates in HUGEINT (int128) identically.
 
     Output: one row per label — (label, n_vecs, self_dot_sum,
     cross_dot_sum, mean_pair_dot_milli [NULL when n < 2]), where
@@ -2023,9 +2031,14 @@ def embedding_diversity(
         .agg(F.sum("qv").alias("__s"))
         .groupBy("label")
         .agg(
-            F.sum(F.col("__s") * F.col("__s"))
-            .cast("bigint")
-            .alias("__normsq")
+            F.sum(
+                F.col("__s").cast("decimal(19,0)")
+                * F.col("__s").cast("decimal(19,0)")
+            ).alias("__normsq_dec")
+        )
+        .select(
+            "label",
+            F.col("__normsq_dec").cast("bigint").alias("__normsq"),
         )
     )
     return per_self.join(F.broadcast(coord), "label").select(
