@@ -1632,9 +1632,9 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition): where does the corpus shrink — raw → lang gate → exact
     dedup → near-dup drop → per-source cap — the funnel chart a
     curation run is steered by. Same stage compositions as
-    _q_corpus_pipeline (each already oracled on its own); counts via
-    operators.corpus.stage_funnel."""
-    from hbase_gis_spark.operators.corpus import stage_funnel
+    _q_corpus_pipeline (each already oracled on its own); report via
+    operators.corpus.funnel_report."""
+    from hbase_gis_spark.operators.corpus import funnel_report
     from hbase_gis_spark.operators.textstats import lang_id as _lang_id
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1644,17 +1644,66 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = dedup_exact(gated)
     pairs = minhash_lsh_pairs(ex, n=JACCARD_N, threshold=JACCARD_T)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    nd = ex.join(drop, "doc_id", "left_anti")
-    capped = domain_cap(nd, cap=PIPE_CAP)
-    return stage_funnel(
-        [
-            ("raw", docs),
-            ("lang_gate", gated),
-            ("exact_dedup", ex),
-            ("near_dedup", nd),
-            ("domain_cap", capped),
-        ]
+    # the three tail counts come from ONE evaluation of the flagged
+    # lineage: left-join the drop set as a flag (drop ids are distinct
+    # — no fan-out), then one per-source aggregate yields the exact-
+    # dedup count (all rows), the near-dedup survivor count (unflagged
+    # rows), and the capped count — count(domain_cap(X, cap)) ==
+    # sum(min(n_key, cap)) exactly, since the cap keeps min(n, cap)
+    # rows per key whichever rows win. This replaced per-stage
+    # stage_funnel replays that evaluated the LSH pair discovery ~4x
+    # and the exact-dedup stage ~5x (output identical, A/B ~1.4x)
+    flagged = ex.join(
+        drop.withColumn("__dup", F.lit(1)), "doc_id", "left"
     )
+    nd_flag = F.when(F.col("__dup").isNull(), 1).otherwise(0)
+    tail = (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("__n_ex"),
+            F.sum(nd_flag).alias("__n_nd"),
+        )
+        .agg(
+            F.sum("__n_ex").cast("bigint").alias("__ex_n"),
+            F.sum("__n_nd").cast("bigint").alias("__nd_n"),
+            F.sum(F.least(F.col("__n_nd"), F.lit(PIPE_CAP)))
+            .cast("bigint")
+            .alias("__cap_n"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(2).cast("int").alias("stage_idx"),
+                        F.lit("exact_dedup").alias("stage"),
+                        F.col("__ex_n").alias("n_docs"),
+                    ),
+                    F.struct(
+                        F.lit(3).cast("int").alias("stage_idx"),
+                        F.lit("near_dedup").alias("stage"),
+                        F.col("__nd_n").alias("n_docs"),
+                    ),
+                    F.struct(
+                        F.lit(4).cast("int").alias("stage_idx"),
+                        F.lit("domain_cap").alias("stage"),
+                        F.col("__cap_n").alias("n_docs"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    counts = None
+    for i, (name, df) in enumerate(
+        [("raw", docs), ("lang_gate", gated)]
+    ):
+        c = df.agg(F.count(F.lit(1)).alias("__c")).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("__c").cast("bigint").alias("n_docs"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return funnel_report(counts.unionByName(tail))
 
 
 ATTR_LOOKBACK = "24 hours"

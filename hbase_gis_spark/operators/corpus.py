@@ -1195,6 +1195,16 @@ def stage_funnel(
             F.col("__n").cast("bigint").alias("n_docs"),
         )
         counts = c if counts is None else counts.unionByName(c)
+    return funnel_report(counts)
+
+
+def funnel_report(counts: DataFrame) -> DataFrame:
+    """The attrition report over an already-built (stage_idx, stage,
+    n_docs) counts dim — the assembly half of :func:`stage_funnel`,
+    exposed so a caller that can derive several stage COUNTS from one
+    lineage evaluation (e.g. a survivor count and its capped count
+    from a single per-key aggregate) skips the per-stage pipeline
+    replays entirely. All joins run on the |stages|-row dim."""
     prev = counts.select(
         (F.col("stage_idx") + 1).alias("stage_idx"),
         F.col("n_docs").alias("__prev_n"),
