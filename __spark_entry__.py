@@ -10261,7 +10261,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT shard, n_rows, weight,
            ((1000 * n_rows * {SHARD_BAL_N}) // rt)::BIGINT
              AS rows_milli_of_even,
-           ((1000 * weight * {SHARD_BAL_N}) // wt)::BIGINT
+           ((1000 * weight * {SHARD_BAL_N}) // nullif(wt, 0))::BIGINT
              AS weight_milli_of_even
     FROM per, tot
     """,

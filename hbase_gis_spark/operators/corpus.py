@@ -1683,5 +1683,10 @@ def shard_balance(
         "n_rows",
         "weight",
         F.expr("__rn div __rt").cast("bigint").alias("rows_milli_of_even"),
-        F.expr("__wn div __wt").cast("bigint").alias("weight_milli_of_even"),
+        # an all-zero weight column has no mass to balance: NULL, not
+        # a divide-by-zero (the nullif discipline; rows total is > 0
+        # whenever the frame is non-empty, so only weight needs it)
+        F.expr("__wn div nullif(__wt, 0)")
+        .cast("bigint")
+        .alias("weight_milli_of_even"),
     )
