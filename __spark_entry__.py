@@ -58,6 +58,8 @@ from hbase_gis_spark.operators.corpus import (
 )
 from hbase_gis_spark.operators.knn import knn
 from hbase_gis_spark.operators.similarity import (
+    NDCG_GAIN_NANO,
+    NDCG_IDEAL_NANO,
     ann_ivf_topk,
     ann_lsh_topk,
     ann_range_search,
@@ -6147,6 +6149,45 @@ def _q_retrieval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_map_report(emb, ANN_MULTI_IDS, ANN_K)
 
 
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion table: the marker-argmax lang_id
+    prediction against the corpus truth column, with per-class
+    precision/recall/F1 in exact milli — the first table read off any
+    classifier, here diagnosing the n-gram heuristic itself."""
+    from hbase_gis_spark.operators.drift import confusion_report
+    from hbase_gis_spark.operators.textstats import lang_id as _lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        _lang_id("text").alias("pred"), F.col("lang").alias("truth")
+    )
+    return confusion_report(flagged, "pred", "truth")
+
+
+def _q_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the lang_id prediction vs the truth column —
+    the chance-corrected scalar next to the confusion table, exact
+    rational in micro units."""
+    from hbase_gis_spark.operators.drift import cohens_kappa
+    from hbase_gis_spark.operators.textstats import lang_id as _lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        _lang_id("text").alias("pred"), F.col("lang").alias("truth")
+    )
+    return cohens_kappa(flagged, "pred", "truth")
+
+
+def _q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per probe query (same-label relevance over the exact
+    cosine top-10) — the position-discounted complement of
+    retrieval_map, on the integer nano-gain spec."""
+    from hbase_gis_spark.operators.similarity import ndcg_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ndcg_report(emb, ANN_MULTI_IDS, ANN_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -6226,18 +6267,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1-8 are the 8 round-10 additions (split_drift_audit,
     dedup_snm_multikey, negative_sample_stratified,
     epoch_allocation, retrieval_mrr, classifier_auc,
-    heavy_hitters_cms, cell_pyramid); slots 9-17 are the 9 round-11
+    heavy_hitters_cms, cell_pyramid); slots 9-20 are the 12 round-11
     additions (curriculum_order, shard_balance, padding_waste,
     bloom_filter_audit, conformal_coverage, calibration_bins,
-    embedding_diversity, label_knn_agreement, retrieval_map) -- all
-    17 verified exact by tools/check_oracles.py at add time; slots
-    18-50 are the 33 longest-unchecked queries from the staleness
-    ledger: 21 r5-era entries (association_rules .. lang_id, last
-    driver row round 5) then the 12 oldest r6-era entries
-    (orphan_check .. zipf_fit, last driver row round 6),
-    registry-order ties.  The 9 youngest r6-era canaries
-    (embedding_outliers .. hybrid_search_rrf) sit just behind the
-    window and re-enter in round 12.
+    embedding_diversity, label_knn_agreement, retrieval_map,
+    lang_confusion, lang_kappa, retrieval_ndcg) -- all 20 verified
+    exact by tools/check_oracles.py at add time; slots 21-50 are the
+    30 longest-unchecked queries from the staleness ledger: 21
+    r5-era entries (association_rules .. lang_id, last driver row
+    round 5) then the 9 oldest r6-era entries (orphan_check ..
+    weekday_seasonality, last driver row round 6), registry-order
+    ties.  The 12 youngest r6-era canaries (mad_anomalies ..
+    hybrid_search_rrf) sit just behind the window and re-enter in
+    round 12.
 
     Deliberately NOT registered: ``maintain_rollup_stream`` — it is a
     Structured Streaming writer with no DuckDB twin (a batch oracle
@@ -6276,7 +6318,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_diversity": _q_embedding_diversity,
         "label_knn_agreement": _q_label_knn_agreement,
         "retrieval_map": _q_retrieval_map,
-        # --- slots 18-50: the 33 longest-unchecked queries from
+        # --- slots 18-20: late round-11 additions (landed after the
+        # first rotation of the round, before the driver check —
+        # same never-driver-checked-first rule)
+        "lang_confusion": _q_lang_confusion,
+        "lang_kappa": _q_lang_kappa,
+        "retrieval_ndcg": _q_retrieval_ndcg,
+        # --- slots 21-50: the 30 longest-unchecked queries from
         # the staleness ledger (r5-era last-row-round-5 entries
         # continuing where round 10's window stopped, then the
         # oldest r6-era rows; registry-order ties)
@@ -6310,11 +6358,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lone_returned_supplier": _q_lone_returned_supplier,
         "autocorr_daily": _q_autocorr_daily,
         "weekday_seasonality": _q_weekday_seasonality,
+        # --- behind the window (slots 51+): the 12 r6-era canaries
+        # displaced by the round-11 additions re-enter in round 12
         "mad_anomalies": _q_mad_anomalies,
         "collocations_pmi": _q_collocations_pmi,
         "zipf_fit": _q_zipf_fit,
-        # --- behind the window (slots 51+): the 9 r6-era canaries
-        # displaced by the round-11 additions re-enter in round 12
         "embedding_outliers": _q_embedding_outliers,
         "node_jaccard": _q_node_jaccard,
         "bounce_rate": _q_bounce_rate,
@@ -10512,6 +10560,113 @@ def oracle_sql() -> dict[str, str]:
               // (2520 * least(lh.lcnt - 1, {ANN_K})))::BIGINT
            END AS ap_micro
     FROM per JOIN lh ON lh.label = per.label
+    """,
+        # language-ID confusion: the lang_sql prediction cascade vs
+        # the truth column; per-class PRF via the integer identities
+        # (drift.py:confusion_report)
+        "lang_confusion": f"""
+    WITH f AS (
+      SELECT CASE WHEN {en} >= {fr} AND {en} >= {de} AND {en} >= {es} AND {en} > 0 THEN 'en'
+                  WHEN {fr} >= {de} AND {fr} >= {es} AND {fr} > 0 THEN 'fr'
+                  WHEN {de} >= {es} AND {de} > 0 THEN 'de'
+                  WHEN {es} > 0 THEN 'es'
+                  ELSE 'und' END AS pred,
+             lang AS truth
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    cells AS (SELECT truth, pred, count(*)::BIGINT AS n
+              FROM f GROUP BY 1, 2),
+    bt AS (SELECT truth AS label, sum(n)::BIGINT AS n_true,
+                  COALESCE(sum(CASE WHEN pred = truth THEN n END),
+                           0)::BIGINT AS tp
+           FROM cells GROUP BY 1),
+    bp AS (SELECT pred AS label, sum(n)::BIGINT AS n_pred
+           FROM cells GROUP BY 1),
+    per AS (
+      SELECT COALESCE(bt.label, bp.label) AS label,
+             COALESCE(n_true, 0)::BIGINT AS n_true,
+             COALESCE(n_pred, 0)::BIGINT AS n_pred,
+             COALESCE(tp, 0)::BIGINT AS tp
+      FROM bt FULL JOIN bp ON bt.label = bp.label
+    )
+    SELECT label, n_true, n_pred, tp,
+           (n_pred - tp)::BIGINT AS fp, (n_true - tp)::BIGINT AS fn,
+           ((1000 * tp) // nullif(n_pred, 0))::BIGINT
+             AS precision_milli,
+           ((1000 * tp) // nullif(n_true, 0))::BIGINT AS recall_milli,
+           ((2000 * tp) // nullif(n_pred + n_true, 0))::BIGINT
+             AS f1_milli
+    FROM per
+    """,
+        # Cohen's kappa in exact rationals: (n·agree − S) / (n² − S),
+        # HUGEINT cells (drift.py:cohens_kappa)
+        "lang_kappa": f"""
+    WITH f AS (
+      SELECT CASE WHEN {en} >= {fr} AND {en} >= {de} AND {en} >= {es} AND {en} > 0 THEN 'en'
+                  WHEN {fr} >= {de} AND {fr} >= {es} AND {fr} > 0 THEN 'fr'
+                  WHEN {de} >= {es} AND {de} > 0 THEN 'de'
+                  WHEN {es} > 0 THEN 'es'
+                  ELSE 'und' END AS a,
+             lang AS b
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    cells AS (SELECT a, b, count(*)::HUGEINT AS n FROM f GROUP BY 1, 2),
+    ma AS (SELECT a, sum(n) AS na FROM cells GROUP BY 1),
+    mb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY 1),
+    s AS (SELECT COALESCE(sum(na * nb), 0) AS s
+          FROM ma JOIN mb ON ma.a = mb.b),
+    t AS (SELECT sum(n) AS n_items,
+                 COALESCE(sum(CASE WHEN a = b THEN n END), 0) AS n_agree
+          FROM cells)
+    SELECT n_items::BIGINT AS n_items, n_agree::BIGINT AS n_agree,
+           ((1000 * n_agree) // nullif(n_items, 0))::BIGINT
+             AS agree_milli,
+           ((1000000 * (n_items * n_agree - s.s))
+            // nullif(n_items * n_items - s.s, 0))::BIGINT
+             AS kappa_micro
+    FROM t, s
+    """,
+        # NDCG@k on the shared integer nano-gain spec
+        # (similarity.py:ndcg_report — NDCG_GAIN_NANO literals)
+        "retrieval_ndcg": f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlbl
+      FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in ANN_MULTI_IDS)})
+    ),
+    nb AS (
+      SELECT query_id, qlbl, nlbl, rnk FROM (
+        SELECT q.query_id, q.qlbl, e.label AS nlbl,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_cos('e.embedding', 'q.qv')} DESC,
+                          e.vec_id ASC) AS rnk
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+      ) WHERE rnk <= {ANN_K}
+    ),
+    per AS (
+      SELECT query_id, qlbl AS label,
+             sum(CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END)::BIGINT
+               AS n_rel_topk,
+             CAST(sum(CASE WHEN nlbl = qlbl THEN
+                 (CASE {" ".join(f"WHEN rnk = {i} THEN {g}" for i, g in enumerate(NDCG_GAIN_NANO[:ANN_K], 1))} ELSE 0 END)
+               ELSE 0 END) AS BIGINT) AS dcg_nano
+      FROM nb GROUP BY 1, 2
+    ),
+    lh AS (SELECT label, count(*)::BIGINT AS lcnt
+           FROM embeddings GROUP BY label),
+    j AS (
+      SELECT per.query_id, per.label, per.n_rel_topk,
+             (lh.lcnt - 1)::BIGINT AS n_rel_total, per.dcg_nano,
+             least(lh.lcnt - 1, {ANN_K}) AS m
+      FROM per JOIN lh ON lh.label = per.label
+    )
+    SELECT query_id, label, n_rel_topk, n_rel_total, dcg_nano,
+           (CASE {" ".join(f"WHEN m = {mm} THEN {s}" for mm, s in enumerate(NDCG_IDEAL_NANO[:ANN_K], 1))} END)::BIGINT
+             AS idcg_nano,
+           ((1000000 * dcg_nano)
+            // nullif((CASE {" ".join(f"WHEN m = {mm} THEN {s}" for mm, s in enumerate(NDCG_IDEAL_NANO[:ANN_K], 1))} END), 0))::BIGINT
+             AS ndcg_micro
+    FROM j
     """,
     }
     if ann_ivf_sql is not None:

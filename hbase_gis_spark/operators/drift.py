@@ -1625,3 +1625,146 @@ def calibration_bins(
         .cast("bigint")
         .alias("gap_milli"),
     )
+
+
+def confusion_report(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+) -> DataFrame:
+    """Multi-class CONFUSION summary with per-class precision /
+    recall / F1 — the first table anyone reads off a classifier. One
+    row per class observed in either column, all metrics as exact
+    div-truncated milli integers; F1 uses the integer identity
+    ``f1 = 2·tp / (2·tp + fp + fn)`` so no float harmonic mean ever
+    appears. Rows with a NULL prediction or truth are dropped
+    (stated convention).
+
+    Output: (label, n_true, n_pred, tp, fp, fn, precision_milli,
+    recall_milli, f1_milli) — the milli columns NULL when their
+    denominator is 0 (class never predicted / never true).
+
+    Scale shape: ONE map-side-combined cell aggregate to
+    |classes_pred × classes_true| rows; marginals and the per-class
+    join run on that bounded cell dim. Nothing after the first
+    aggregate touches fact scale."""
+    cells = (
+        df.filter(
+            F.col(pred_col).isNotNull() & F.col(truth_col).isNotNull()
+        )
+        .groupBy(
+            F.col(truth_col).alias("__t"), F.col(pred_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    by_true = cells.groupBy(F.col("__t").alias("label")).agg(
+        F.sum("__n").cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("__p") == F.col("__t"), F.col("__n")))
+        .cast("bigint")
+        .alias("__tp_t"),
+    )
+    by_pred = cells.groupBy(F.col("__p").alias("label")).agg(
+        F.sum("__n").cast("bigint").alias("n_pred")
+    )
+    per = (
+        by_true.join(by_pred, "label", "full")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("__tp_t", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    return per.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("n_true") - F.col("tp")).cast("bigint").alias("fn"),
+        F.expr("CAST((1000 * tp) div nullif(n_pred, 0) AS BIGINT)")
+        .alias("precision_milli"),
+        F.expr("CAST((1000 * tp) div nullif(n_true, 0) AS BIGINT)")
+        .alias("recall_milli"),
+        F.expr(
+            "CAST((2000 * tp) div nullif(n_pred + n_true, 0) AS BIGINT)"
+        ).alias("f1_milli"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between two categorical labelings —
+    chance-corrected agreement, the inter-annotator (or
+    model-vs-truth) scalar reported next to the confusion table.
+
+    Exact-rational form: with n items, ``agree`` exact matches, and
+    S = Σ_k n_a(k)·n_b(k) the chance-agreement mass,
+
+        kappa = (n·agree − S) / (n² − S)
+
+    reported as ``kappa_micro = 1000000 · num div den`` (div
+    truncates toward zero in both engines, negatives included — kappa
+    < 0 means worse-than-chance). Overflow bound: n·agree, S, and n²
+    pass int64 near n ≈ 3·10⁹ rows, so every product and sum runs in
+    decimal(38,0) (exact to 10^38) and only the final micro ratio
+    casts back to BIGINT. ``den = 0`` (a single identical category on
+    both sides — pe = 1, kappa undefined) reports NULL. NULL labels
+    on either side drop the row (stated convention).
+
+    Output: ONE row — (n_items, n_agree, agree_milli, kappa_micro).
+
+    Scale shape: ONE cell aggregate to |A×B| rows; marginals and the
+    kappa arithmetic run on that bounded dim and two 1-row frames."""
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    marg = (
+        cells.groupBy("__a")
+        .agg(F.sum("__n").alias("__na"))
+        .join(
+            F.broadcast(
+                cells.groupBy("__b").agg(F.sum("__n").alias("__nb"))
+            ),
+            F.col("__a") == F.col("__b"),
+        )
+        .agg(
+            F.sum(
+                F.col("__na").cast("decimal(19,0)")
+                * F.col("__nb").cast("decimal(19,0)")
+            ).alias("__s")
+        )
+        .select(F.coalesce(F.col("__s"), F.lit(0)).alias("__s"))
+    )
+    totals = cells.agg(
+        F.sum("__n").cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n")))
+        .alias("__agree"),
+    ).select(
+        "n_items",
+        F.coalesce(F.col("__agree"), F.lit(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(marg))
+        .select(
+            "n_items",
+            "n_agree",
+            F.expr(
+                "CAST((1000 * n_agree) div nullif(n_items, 0) AS BIGINT)"
+            ).alias("agree_milli"),
+            F.expr(
+                "CAST((1000000 * (CAST(n_items AS DECIMAL(19,0))"
+                " * n_agree - __s)) div nullif("
+                "CAST(n_items AS DECIMAL(19,0))"
+                " * CAST(n_items AS DECIMAL(19,0)) - __s, 0)"
+                " AS BIGINT)"
+            ).alias("kappa_micro"),
+        )
+    )

@@ -2207,3 +2207,112 @@ def retrieval_map_report(
             ).alias("ap_micro"),
         )
     )
+
+
+# nano-scaled DCG gain table: NDCG_GAIN_NANO[i-1] = round(1e9 /
+# log2(i + 1)) for rank i — the log-discount quantized ONCE to an
+# integer spec so both engines do pure order-free integer sums (the
+# x2520 discipline applied to an irrational gain); exact for k <= 10
+NDCG_GAIN_NANO = (
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+)
+NDCG_IDEAL_NANO = tuple(
+    sum(NDCG_GAIN_NANO[:m]) for m in range(1, 11)
+)
+
+
+def ndcg_report(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """NDCG@k per probe query (Järvelin & Kekäläinen 2002) — the
+    position-discounted complement of :func:`retrieval_map_report`
+    (AP weights hits by precision; NDCG by 1/log2(rank+1)): exact
+    cosine top-k retrieval, same-label relevance, and the normalized
+    discounted cumulative gain over that ranked list.
+
+    Engine-exactness: the log2 discount is quantized ONCE into the
+    integer ``NDCG_GAIN_NANO`` table (round(1e9/log2(i+1)), the spec
+    both engines share as literals), so dcg_nano is an order-free
+    BIGINT sum, idcg_nano a table lookup at min(n_rel_total, k), and
+    ``ndcg_micro = 1000000 · dcg_nano div idcg_nano`` divides once.
+    ``k > 10`` is rejected (the table bakes in the envelope, like
+    the x2520 contract). A query whose label has no other members
+    reports NULL ndcg. Overflow bound: dcg_nano sums at most k <= 10
+    terms of <= 10^9 each (<= 10^10), and the micro ratio multiplies
+    by 10^6 (<= 10^16) — far inside int64, no wide accumulator
+    needed.
+
+    Output: one row per query — (query_id, label, n_rel_topk,
+    n_rel_total, dcg_nano, idcg_nano, ndcg_micro).
+
+    Scale shape: the one-scan batched top-k (broadcast query dim,
+    bounded per-query windows), label joins on |queries|·k rows, and
+    a broadcast |labels|-row histogram. Nothing after the top-k
+    touches fact scale."""
+    if k > len(NDCG_GAIN_NANO):
+        raise ValueError(
+            f"k={k} exceeds the NDCG_GAIN_NANO table (len "
+            f"{len(NDCG_GAIN_NANO)}) — the nano-gain spec is exact "
+            "only for k <= 10 (the schema bakes in the scale)"
+        )
+    nb = cosine_topk_multi(df, query_ids, k, id_col, vec_col).select(
+        "query_id", F.col(id_col).alias("__nid"), "rnk"
+    )
+    labels = df.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lbl")
+    )
+    qlab = labels.filter(
+        F.col("__lid").isin([int(i) for i in query_ids])
+    ).select(
+        F.col("__lid").alias("query_id"), F.col("__lbl").alias("label")
+    )
+    lhist = labels.groupBy(F.col("__lbl").alias("__hlbl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__lcnt")
+    )
+    gain = F.lit(0).cast("bigint")
+    for i, g in enumerate(NDCG_GAIN_NANO[:k], start=1):
+        gain = F.when(F.col("rnk") == i, F.lit(g).cast("bigint")).otherwise(
+            gain
+        )
+    per = (
+        nb.join(labels, nb["__nid"] == labels["__lid"])
+        .withColumnRenamed("__lbl", "__nlbl")
+        .join(F.broadcast(qlab), "query_id")
+        .withColumn(
+            "__rel",
+            F.when(F.col("__nlbl") == F.col("label"), 1).otherwise(0),
+        )
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum("__rel").cast("bigint").alias("n_rel_topk"),
+            F.sum(F.col("__rel") * gain).cast("bigint").alias("dcg_nano"),
+        )
+    )
+    ideal = F.lit(None).cast("bigint")
+    for m, s in enumerate(NDCG_IDEAL_NANO[:k], start=1):
+        ideal = F.when(
+            F.least(F.col("__lcnt") - 1, F.lit(int(k))) == m,
+            F.lit(s).cast("bigint"),
+        ).otherwise(ideal)
+    return (
+        per.join(F.broadcast(lhist), per["label"] == lhist["__hlbl"])
+        .withColumn("idcg_nano", ideal)
+        .select(
+            "query_id",
+            "label",
+            "n_rel_topk",
+            (F.col("__lcnt") - 1).cast("bigint").alias("n_rel_total"),
+            "dcg_nano",
+            "idcg_nano",
+            F.expr(
+                "CAST((1000000 * dcg_nano) div nullif(idcg_nano, 0)"
+                " AS BIGINT)"
+            ).alias("ndcg_micro"),
+        )
+    )

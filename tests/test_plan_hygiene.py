@@ -118,6 +118,7 @@ def test_registry_window_contract():
         "bloom_filter_audit", "conformal_coverage",
         "calibration_bins", "embedding_diversity",
         "label_knn_agreement", "retrieval_map",
+        "lang_confusion", "lang_kappa", "retrieval_ndcg",
     ]
     stale_canaries = [
         # 21 r5-era (last driver row: round 5)
@@ -129,17 +130,16 @@ def test_registry_window_contract():
         "asof_join", "sessionize_events", "binned_limit",
         "dedup_geocell", "dedup_exact", "dedup_minhash_lsh",
         "lang_id",
-        # 12 oldest r6-era (last driver row: round 6); the 9
+        # 9 oldest r6-era (last driver row: round 6); the 12
         # youngest r6-era canaries re-enter in round 12
         "orphan_check", "uniqueness_audit", "benford_revenue",
         "split_leakage", "supplier_part_variety",
         "potential_promotion", "lone_returned_supplier",
-        "autocorr_daily", "weekday_seasonality", "mad_anomalies",
-        "collocations_pmi", "zipf_fit",
+        "autocorr_daily", "weekday_seasonality",
     ]
     assert qs[:8] == r10_additions
-    assert qs[8:17] == r11_additions
-    assert qs[17:50] == stale_canaries
+    assert qs[8:20] == r11_additions
+    assert qs[20:50] == stale_canaries
     missing = [q for q in qs[:50] if q not in oracles]
     assert missing == [], f"window queries without oracles: {missing}"
     # registry entries stay unique (dict literal would silently drop dups

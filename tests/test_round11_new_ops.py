@@ -389,3 +389,94 @@ def test_retrieval_map_exact_ap(spark):
     assert got.ap_micro == (1000000 * sum_prec) // (2520 * 3)
     with _pytest.raises(ValueError, match="x2520"):
         retrieval_map_report(df, [0], 11)
+
+
+def test_confusion_report_exact_replay(spark):
+    """Hand-built predictions: cells, marginals (including a class
+    never predicted and a class never true), and the integer PRF
+    identities replay; NULLs drop."""
+    from hbase_gis_spark.operators.drift import confusion_report
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),     # a predicted 3x
+        ("b", "b"), ("b", "a"),                 # b predicted 2x
+        ("c", "a"),                             # c never true
+        (None, "a"), ("a", None),               # dropped
+    ]
+    df = spark.createDataFrame(rows, "pred string, truth string")
+    got = {
+        r.label: (r.n_true, r.n_pred, r.tp, r.fp, r.fn,
+                  r.precision_milli, r.recall_milli, r.f1_milli)
+        for r in confusion_report(df, "pred", "truth").collect()
+    }
+    # truth counts: a=4 (aa, aa, ba, ca), b=2 (ab, bb)
+    assert got["a"] == (4, 3, 2, 1, 2, 2000 // 3, 500, 4000 // 7)
+    assert got["b"] == (2, 2, 1, 1, 1, 500, 500, 500)
+    assert got["c"] == (0, 1, 0, 1, 0, 0, None, 0)
+    assert set(got) == {"a", "b", "c"}
+
+
+def test_cohens_kappa_exact_and_edges(spark):
+    """Textbook kappa replays exactly; perfect agreement gives
+    1000000; a single shared category (pe = 1) gives NULL."""
+    from hbase_gis_spark.operators.drift import cohens_kappa
+
+    # classic 2x2: a: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = cohens_kappa(df, "a", "b").collect()[0]
+    n, agree = 50, 35
+    s = 25 * 30 + 25 * 20  # na(y)*nb(y) + na(n)*nb(n)
+    num, den = n * agree - s, n * n - s
+    assert (got.n_items, got.n_agree, got.agree_milli,
+            got.kappa_micro) == (n, agree, 1000 * agree // n,
+                                 1000000 * num // den)
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z")], "a string, b string"
+    )
+    assert cohens_kappa(perfect, "a", "b").collect()[0].kappa_micro \
+        == 1000000
+
+    degenerate = spark.createDataFrame(
+        [("x", "x"), ("x", "x")], "a string, b string"
+    )
+    assert cohens_kappa(degenerate, "a", "b").collect()[0].kappa_micro \
+        is None
+
+
+def test_ndcg_report_exact_gains(spark):
+    """Known ranking (the retrieval_map geometry): dcg_nano is the
+    sum of the nano gains at the hit ranks, idcg_nano the ideal
+    prefix at min(R, k), and k > 10 is rejected."""
+    import pytest as _pytest
+
+    from hbase_gis_spark.operators.similarity import (
+        NDCG_GAIN_NANO,
+        NDCG_IDEAL_NANO,
+        ndcg_report,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.1], 0),    # rank 1, relevant
+        (2, [1.0, 0.2], 1),    # rank 2
+        (3, [1.0, 0.3], 0),    # rank 3, relevant
+        (4, [1.0, 0.4], 1),    # rank 4
+        (5, [1.0, 0.5], 0),    # rank 5, relevant
+        (6, [1.0, 0.6], 1),    # rank 6
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = ndcg_report(df, [0], 4).collect()[0]
+    dcg = NDCG_GAIN_NANO[0] + NDCG_GAIN_NANO[2]  # hits at ranks 1, 3
+    idcg = NDCG_IDEAL_NANO[2]  # min(R=3, k=4) = 3
+    assert (got.query_id, got.label, got.n_rel_topk, got.n_rel_total,
+            got.dcg_nano, got.idcg_nano, got.ndcg_micro) == (
+        0, 0, 2, 3, dcg, idcg, 1000000 * dcg // idcg)
+    with _pytest.raises(ValueError, match="NDCG_GAIN_NANO"):
+        ndcg_report(df, [0], 11)

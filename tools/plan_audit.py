@@ -105,6 +105,8 @@ BNLJ_SANCTIONED = {
     # distinct-score cardinality) + 1-row n_cal/threshold broadcasts
     "label_knn_agreement",  # broadcast |queries|-row dim (ann_cosine shape)
     "retrieval_map",  # same broadcast query dim; post-top-k is bounded
+    "lang_kappa",  # 1-row totals x 1-row chance-mass assembly
+    "retrieval_ndcg",  # broadcast |queries|-row dim (ann_cosine shape)
 }
 
 
