@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from hbase_gis_spark.operators.drift import count_min_audit, mann_whitney_auc
@@ -128,6 +129,12 @@ def test_cell_pyramid_bins_match_geohash_prefix(klon, klat, p):
     assert (lb, tb) == (lon_bits, lat_bits)
 
 
+@pytest.mark.filterwarnings(
+    # the tie-mass skew RuntimeWarning is the operator WORKING as
+    # documented on hypothesis-generated all-equal keys — asserted on
+    # purpose-built inputs elsewhere; here it is seed-dependent noise
+    "ignore:range_sharded tie-mass skew:RuntimeWarning"
+)
 @settings(max_examples=5, deadline=None)
 @given(
     texts=st.lists(
