@@ -469,11 +469,25 @@ def bootstrap_means(
             f"hash_fn must be 'md5' (engine-portable, oracle-exact) or "
             f"'xxhash64' (Spark-only fast path), got {hash_fn!r}"
         )
+    from hbase_gis_spark.operators.dedup import _spread
+
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    base = df.select(
-        F.col(id_col).alias("__id"), v.cast("bigint").alias("__x")
+    base = _spread(
+        df.select(F.col(id_col).alias("__id"), v.cast("bigint").alias("__x"))
     )
-    aggs = []
+    # STAGE the per-replicate uniform draws as projected columns, then
+    # aggregate over the staged frame (optimization r11; guide §1.2
+    # per-task work): the Poisson inverse-CDF ladder references its
+    # uniform ~10x (one per `when` arm) and the weight feeds TWO
+    # aggregates, so an inline hash expression gets re-evaluated many
+    # times per row inside the aggregate (aggregate-mode codegen does
+    # not reliably CSE across aggregate functions) — staging pins ONE
+    # md5 per (row, replicate). _spread parallelizes the ladder when
+    # the scan arrives as a single row group (no-op at scale).
+    # Interleaved one-JVM A/B at sf0.1 orders: see bench note in
+    # OPTIMIZATION_r11.md. Output bit-identical (same draws, same
+    # integer sums; the aggregate is order-independent).
+    ucols = []
     for b in range(replicates):
         if hash_fn == "md5":
             u = content_hash(f"{salt}:{b}", "__id", 1_000_000)
@@ -482,7 +496,11 @@ def bootstrap_means(
                 F.abs(F.xxhash64(F.lit(f"{salt}:{b}"), F.col("__id")))
                 % 1_000_000
             )
-        w = _poisson1_weight(u)
+        ucols.append(u.alias(f"__u{b}"))
+    staged = base.select(F.col("__x"), *ucols)
+    aggs = []
+    for b in range(replicates):
+        w = _poisson1_weight(F.col(f"__u{b}"))
         aggs.append(
             F.sum(w.cast("bigint")).alias(f"__n{b}")
         )
@@ -491,7 +509,7 @@ def bootstrap_means(
                 (w.cast("bigint") * F.col("__x")).cast("decimal(38,0)")
             ).alias(f"__s{b}")
         )
-    row = base.agg(*aggs)
+    row = staged.agg(*aggs)
     stack_args = ", ".join(
         f"{b}, __n{b}, CAST(__s{b} AS DECIMAL(38,0))"
         for b in range(replicates)
