@@ -222,27 +222,45 @@ def ngram_contamination(
     Shingles are joined as plain strings for oracle portability;
     swap in ``shingle_hashes32`` postings at scale to shrink the
     shuffle key (same plan shape).
-    """
-    from hbase_gis_spark.operators.dedup import word_shingles
 
-    tr = train.select(
+    Optimization r11 (guide §1.2 remove passes / §3.1 broadcast): the
+    train side is shingled ONCE — ``explode_outer`` keeps zero-gram
+    docs in the posting stream, a MARKER left join against the
+    broadcast test-gram set flags hits in place, and one aggregate
+    keyed by (id, n_grams) yields the annotation. The previous shape
+    shingled train twice (postings branch + n_grams branch) and
+    re-joined them by id — one full tokenization pass and one
+    train-scale shuffle join more than needed. Output identical:
+    postings are distinct per doc, the marker side is distinct, nulls
+    from empty arrays never match."""
+    from hbase_gis_spark.operators.dedup import _spread, word_shingles
+
+    tr = _spread(train).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("s")
     )
     te = test.select(word_shingles(text_col, n).alias("s"))
-    tr_post = tr.select("id", F.explode("s").alias("g"))
-    te_grams = te.select(F.explode("s").alias("g")).distinct()
-    hits = (
-        tr_post.join(te_grams, "g")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))  # postings are distinct
+    tr_post = tr.select(
+        "id",
+        F.size("s").alias("n_grams"),
+        F.explode_outer("s").alias("g"),
+    )
+    te_grams = (
+        te.select(F.explode("s").alias("g"))
+        .distinct()
+        .withColumn("__m", F.lit(1))
     )
     return (
-        tr.select("id", F.size("s").alias("n_grams"))
-        .join(hits, "id", "left")
+        tr_post.join(F.broadcast(te_grams), "g", "left")
+        .groupBy("id", "n_grams")
+        .agg(
+            F.coalesce(F.sum("__m"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits")
+        )
         .select(
             F.col("id").alias(id_col),
             "n_grams",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "n_hits",
         )
     )
 
