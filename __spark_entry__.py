@@ -3473,13 +3473,13 @@ def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces ANSI NTILE exactly, so the oracle is unchanged.
 
     The per-customer base is persist()ed (MEMORY_AND_DISK): the
-    chained ntiles consume it repeatedly (each does a boundary-sketch
-    pass + a shard-size pass + the rank join), and without a cache
-    the orders aggregate would recompute per pass. Unlike the old
-    eager localCheckpoint this keeps LINEAGE — a lost executor
-    recomputes the partition instead of failing the job — and the
-    cached frame is CUSTOMER-scale (one row per customer, ~1/10 the
-    fact rows), not a fact-table copy."""
+    batched planning edge (one 3-column boundary sketch + one 3-key
+    shard-size aggregate; optimization r11) and the final plan read
+    it three times, and without a cache the orders aggregate would
+    recompute per read. Unlike the old eager localCheckpoint this
+    keeps LINEAGE — a lost executor recomputes the partition instead
+    of failing the job — and the cached frame is CUSTOMER-scale (one
+    row per customer, ~1/10 the fact rows), not a fact-table copy."""
     from pyspark import StorageLevel
 
     o = load_table(spark, sf_dir, "orders")
@@ -3495,17 +3495,25 @@ def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
-    from hbase_gis_spark.operators.rank import sharded_ntile
+    from hbase_gis_spark.operators.rank import sharded_ntiles
 
+    # BATCHED ntile planning (optimization r11, guide §1.2): one
+    # three-column boundary sketch + one three-key shard-size
+    # aggregate replace the six former eager driver jobs, and the
+    # three rank windows chain in ONE lazy plan — the per-step
+    # persists existed only to keep those eager jobs from replaying
+    # the upstream ntile, so they go too (the per_cust persist stays:
+    # the two planning jobs + the final plan still read it 3x).
+    # Scores identical (same boundaries/offsets/ANSI arithmetic).
     per_cust = per_cust.persist(StorageLevel.MEMORY_AND_DISK)
-    out = sharded_ntile(
-        per_cust, RFM_BUCKETS, ["last_day", "o_custkey"], "r_score"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    out = sharded_ntile(
-        out, RFM_BUCKETS, ["n_orders", "o_custkey"], "f_score"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    out = sharded_ntile(
-        out, RFM_BUCKETS, ["total_cents", "o_custkey"], "m_score"
+    out = sharded_ntiles(
+        per_cust,
+        RFM_BUCKETS,
+        [
+            (["last_day", "o_custkey"], "r_score"),
+            (["n_orders", "o_custkey"], "f_score"),
+            (["total_cents", "o_custkey"], "m_score"),
+        ],
     )
     return out.select(
         "o_custkey",

@@ -937,7 +937,11 @@ def sorted_neighborhood_pairs(
     with :func:`jaccard_pairs`."""
     from functools import reduce
 
-    from hbase_gis_spark.operators.rank import range_sharded
+    from hbase_gis_spark.operators.rank import (
+        apply_range_shards,
+        shard_boundaries_multi,
+        shard_offsets_multi,
+    )
 
     if window < 2:
         raise ValueError("window must be >= 2 (a 1-window has no pairs)")
@@ -955,18 +959,51 @@ def sorted_neighborhood_pairs(
         F.col(id_col).alias("id"), F.col(text_col).alias("t"), *keys
     )
 
-    def _candidates(key: str) -> DataFrame:
-        exprs = _snm_sort_exprs(base, key)
-        order = [f"__sk{i}" for i in range(len(exprs))] + ["id"]
-        keyed = base.select(
-            "id", *[e.alias(f"__sk{i}") for i, e in enumerate(exprs)]
-        )
-        sharded, odf, _total = range_sharded(keyed, order, n_shards)
-        w = Window.partitionBy("__shard").orderBy(
+    # BATCHED planning (optimization r11, guide §1.2): one combined
+    # frame carries every key's sort expressions, so ONE multi-column
+    # boundary sketch + ONE multi-key shard-size aggregate replace the
+    # former 2-eager-jobs-per-key planning edge. Persisting the shared
+    # sharded frame (or the per-key (id, rank) frames) was A/B'd and
+    # measured SLOWER at bench scale in both single- and multi-key
+    # form — the materialization barrier outweighs the saved
+    # re-evaluation — so the per-join-side subtree duplication stays
+    # (status quo ante; a cluster deployment re-ranking a 100 TB
+    # corpus can flip a persist on `sharded` without changing
+    # candidates). Candidates identical to the per-key form.
+    exprs_per_key = [_snm_sort_exprs(base, k) for k in keys]
+    keyed = base.select(
+        "id",
+        *[
+            e.alias(f"__k{j}_sk{i}")
+            for j, exprs in enumerate(exprs_per_key)
+            for i, e in enumerate(exprs)
+        ],
+    )
+    shard_keys = [f"__k{j}_sk0" for j in range(len(keys))]
+    bmap = shard_boundaries_multi(keyed, shard_keys, n_shards)
+    sharded = keyed
+    for j, sk in enumerate(shard_keys):
+        sharded = apply_range_shards(sharded, sk, bmap[sk], f"__shard{j}")
+    omap = shard_offsets_multi(
+        sharded,
+        [
+            (keys[j], f"__shard{j}", len(bmap[sk]))
+            for j, sk in enumerate(shard_keys)
+        ],
+        n_shards,
+    )
+
+    def _candidates(j: int) -> DataFrame:
+        order = [
+            f"__k{j}_sk{i}" for i in range(len(exprs_per_key[j]))
+        ] + ["id"]
+        odf, _total = omap[keys[j]]
+        w = Window.partitionBy(f"__shard{j}").orderBy(
             *[F.col(c).asc() for c in order]
         )
         ranked = (
-            sharded.join(F.broadcast(odf), "__shard")
+            sharded.select("id", *order[:-1], f"__shard{j}")
+            .join(F.broadcast(odf), f"__shard{j}")
             .withColumn("__gr", F.row_number().over(w) + F.col("__off"))
             .select("id", "__gr")
         )
@@ -986,10 +1023,12 @@ def sorted_neighborhood_pairs(
             F.greatest("__ia", "__ib").alias("id_b"),
         )
 
-    cand = _candidates(keys[0])
+    cand = _candidates(0)
     if len(keys) > 1:
         cand = reduce(
-            DataFrame.unionByName, [_candidates(k) for k in keys[1:]], cand
+            DataFrame.unionByName,
+            [_candidates(j) for j in range(1, len(keys))],
+            cand,
         ).distinct()
     sh = base.select("id", word_shingles(F.col("t"), n).alias("s"))
     return (

@@ -681,8 +681,9 @@ def spearman_corr(
     the two rank frames never need re-pairing: no row-identity join,
     no synthetic id, no checkpoint in any path, deterministic lineage
     end to end. ``id_col`` is retained for API compatibility and
-    ignored. Cost: two bounded boundary sketches + two bounded
-    shard-size collects (driver artifacts) and ONE lazy plan with
+    ignored. Cost: ONE bounded two-column boundary sketch + ONE
+    bounded two-key shard-size aggregate (the four former per-column
+    driver jobs, batched in optimization r11) and ONE lazy plan with
     exactly two exchanges (x-shards, y-shards) + one aggregate —
     every stage parallel over n_shards; partition-less
     ``Window.orderBy`` stays banned repo-wide
@@ -694,15 +695,22 @@ def spearman_corr(
         F.col(x_col).cast("double").alias("__x"),
         F.col(y_col).cast("double").alias("__y"),
     ]
-    base = df.select(*proj).filter(
-        F.col("__x").isNotNull() & ~F.isnan("__x")
-        & F.col("__y").isNotNull() & ~F.isnan("__y")
+    from hbase_gis_spark.operators.dedup import _spread
+
+    base = _spread(
+        df.select(*proj).filter(
+            F.col("__x").isNotNull() & ~F.isnan("__x")
+            & F.col("__y").isNotNull() & ~F.isnan("__y")
+        )
     )
     if cache:
-        # the 2-column projected frame feeds five consumptions (two
-        # boundary sketches, two shard-size aggregates, the chained
-        # rank plan); a lineage-KEPT persist computes it once and stays
-        # recoverable — it is a narrow projection, never the fact table
+        # the 2-column projected frame feeds three consumptions (the
+        # batched boundary sketch, the batched shard-size aggregate,
+        # the chained rank plan); a lineage-KEPT persist computes it
+        # once and stays recoverable — it is a narrow projection,
+        # never the fact table. _spread (no-op at scale) keeps the
+        # cached partitions, and every job over them, parallel when
+        # the input arrives as one row group.
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
@@ -714,11 +722,7 @@ def spearman_corr(
     # sizes depend only on the y values, identical before and after
     # the x pass), so every driver action is a cheap cache/projection
     # read, never a window recompute.
-    from hbase_gis_spark.operators.rank import (
-        apply_range_shards,
-        shard_boundaries,
-        shard_offsets,
-    )
+    from hbase_gis_spark.operators.rank import apply_range_shards
 
     def hr2(order_col: str, shard_col: str):
         w = Window.partitionBy(shard_col).orderBy(F.col(order_col).asc())
@@ -729,16 +733,29 @@ def spearman_corr(
             - 1
         )
 
-    bx = shard_boundaries(base, "__x", n_shards)
-    ox, _ = shard_offsets(
-        apply_range_shards(base, "__x", bx, "__sx"),
-        "__x", len(bx), n_shards, "__sx",
+    # BATCHED planning edge (optimization r11, guide §1.2): one
+    # two-column sketch pass + one two-key size aggregate replace the
+    # former four eager driver jobs (x sketch, x sizes, y sketch, y
+    # sizes). Boundaries, offsets and totals are identical (the multi
+    # helpers compute each column independently; base is pre-filtered
+    # for NaN/null in both columns, satisfying the batch contract),
+    # so the lazy rank plan below is byte-identical.
+    from hbase_gis_spark.operators.rank import (
+        shard_boundaries_multi,
+        shard_offsets_multi,
     )
-    by = shard_boundaries(base, "__y", n_shards)
-    oy, _ = shard_offsets(
-        apply_range_shards(base, "__y", by, "__sy"),
-        "__y", len(by), n_shards, "__sy",
+
+    bmap = shard_boundaries_multi(base, ["__x", "__y"], n_shards)
+    bx, by = bmap["__x"], bmap["__y"]
+    omap = shard_offsets_multi(
+        apply_range_shards(
+            apply_range_shards(base, "__x", bx, "__sx"), "__y", by, "__sy"
+        ),
+        [("__x", "__sx", len(bx)), ("__y", "__sy", len(by))],
+        n_shards,
     )
+    ox, _ = omap["__x"]
+    oy, _ = omap["__y"]
     ranked_x = (
         apply_range_shards(base, "__x", bx, "__sx")
         .join(F.broadcast(ox), "__sx")

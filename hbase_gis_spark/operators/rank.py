@@ -102,6 +102,45 @@ def apply_range_shards(
     return df.withColumn(shard_col, shard.cast("int"))
 
 
+def _offsets_from_sizes(
+    spark,
+    sizes: dict[int, int],
+    key: str,
+    n_bounds: int,
+    n_shards: int,
+    shard_col: str = "__shard",
+) -> tuple[DataFrame, int]:
+    """Shared driver-side tail of :func:`shard_offsets` /
+    :func:`shard_offsets_multi`: tie-mass skew warning + prefix-sum
+    offsets frame from a per-shard size map."""
+    total = sum(sizes.values())
+    if total and len(sizes) >= 1 and n_shards > 1:
+        max_size = max(sizes.values())
+        max_frac = max_size / total
+        n_eff = n_bounds + 1
+        # skew = fattest shard far above the IDEAL ceil(total/n_shards)
+        # AND a dominant fraction — the absolute leg keeps tiny frames
+        # (where even perfect balance is a big fraction) quiet
+        ideal = -(-total // n_shards)
+        if max_frac > max(0.25, 4.0 / n_shards) and max_size > 4 * ideal:
+            warnings.warn(
+                f"range_sharded tie-mass skew on {key!r}: fattest shard "
+                f"holds {max_frac:.0%} of {total} rows across {n_eff} "
+                "effective shards (equal keys cannot split). Rank a "
+                "finer quantization or add a tiebreak column.",
+                RuntimeWarning,
+                stacklevel=4,
+            )
+    offsets, acc = [], 0
+    for sid in sorted(sizes):
+        offsets.append((int(sid), int(acc)))
+        acc += sizes[sid]
+    odf = spark.createDataFrame(
+        offsets or [(0, 0)], f"{shard_col} int, __off bigint"
+    )
+    return odf, total
+
+
 def shard_offsets(
     sharded: DataFrame,
     key: str,
@@ -121,33 +160,86 @@ def shard_offsets(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
-    total = sum(sizes.values())
-    if total and len(sizes) >= 1 and n_shards > 1:
-        max_size = max(sizes.values())
-        max_frac = max_size / total
-        n_eff = n_bounds + 1
-        # skew = fattest shard far above the IDEAL ceil(total/n_shards)
-        # AND a dominant fraction — the absolute leg keeps tiny frames
-        # (where even perfect balance is a big fraction) quiet
-        ideal = -(-total // n_shards)
-        if max_frac > max(0.25, 4.0 / n_shards) and max_size > 4 * ideal:
-            warnings.warn(
-                f"range_sharded tie-mass skew on {key!r}: fattest shard "
-                f"holds {max_frac:.0%} of {total} rows across {n_eff} "
-                "effective shards (equal keys cannot split). Rank a "
-                "finer quantization or add a tiebreak column.",
-                RuntimeWarning,
-                stacklevel=3,
-            )
-    offsets, acc = [], 0
-    for sid in sorted(sizes):
-        offsets.append((int(sid), int(acc)))
-        acc += sizes[sid]
-    spark = sharded.sparkSession
-    odf = spark.createDataFrame(
-        offsets or [(0, 0)], f"{shard_col} int, __off bigint"
+    return _offsets_from_sizes(
+        sharded.sparkSession, sizes, key, n_bounds, n_shards, shard_col
     )
-    return odf, total
+
+
+def shard_boundaries_multi(
+    df: DataFrame, cols: list[str], n_shards: int
+) -> dict[str, list]:
+    """:func:`shard_boundaries` for SEVERAL columns in ONE bounded
+    sketch pass (optimization r11; guide §1.2 — the per-call eager
+    sketch job was the dominant build cost of multi-metric rank
+    consumers). ``approxQuantile`` computes each column independently
+    with the same Greenwald–Khanna sketch and error, so the per-column
+    cuts are identical to ``shard_boundaries(df, col, n_shards)``
+    (pinned by tests/test_rank_property.py).
+
+    CALLER CONTRACT: ``df`` must already be free of NaN in every
+    requested column (the single-column helper filters per column;
+    one combined pass cannot) — nulls are ignored by the sketch
+    itself. All rank consumers batch columns of one pre-filtered
+    frame, so the contract is free where this is used."""
+    if n_shards <= 1:
+        return {c: [] for c in cols}
+    dtypes = dict(df.dtypes)
+    probs = [i / n_shards for i in range(1, n_shards)]
+    err = max(0.001, 0.25 / n_shards)
+    proj = df.select(
+        *[
+            F.col(c).cast("double").alias(f"__aq{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    raws = proj.stat.approxQuantile(
+        [f"__aq{i}" for i in range(len(cols))], probs, err
+    )
+    out: dict[str, list] = {}
+    for c, raw in zip(cols, raws):
+        vals = [b for b in raw if b == b]  # drop NaN defensively
+        if dtypes[c] in _INTEGRAL_TYPES:
+            vals = [int(b // 1) for b in vals]
+        out[c] = sorted(set(vals))
+    return out
+
+
+def shard_offsets_multi(
+    sharded: DataFrame,
+    specs: list[tuple[str, str, int]],
+    n_shards: int,
+) -> dict[str, tuple[DataFrame, int]]:
+    """:func:`shard_offsets` for SEVERAL shard columns of ONE frame in
+    ONE aggregate job (optimization r11): ``specs`` is a list of
+    ``(key_label, shard_col, n_bounds)``. Each shard column's rows
+    explode to (which-key, shard) pairs that the map-side partial
+    aggregate collapses to at most ``len(specs) * n_shards`` groups
+    before the exchange — the collect stays bounded exactly like the
+    single-key version, and the per-key size maps, offsets frames,
+    totals, and tie-mass skew warnings are identical."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("k"),
+                F.col(sc).cast("int").alias("s"),
+            )
+            for i, (_, sc, _nb) in enumerate(specs)
+        ]
+    )
+    rows = (
+        sharded.select(F.explode(arr).alias("e"))
+        .groupBy(F.col("e.k").alias("k"), F.col("e.s").alias("s"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    spark = sharded.sparkSession
+    out: dict[str, tuple[DataFrame, int]] = {}
+    for i, (key, shard_col, n_bounds) in enumerate(specs):
+        sizes = {r["s"]: r["cnt"] for r in rows if r["k"] == i}
+        out[key] = _offsets_from_sizes(
+            spark, sizes, key, n_bounds, n_shards, shard_col
+        )
+    return out
 
 
 def pair_shard_boundaries(
@@ -279,6 +371,62 @@ def sharded_ntile(
         ranked.withColumn(out_col, bucket.cast("int"))
         .drop("__shard", "__off", "__gr")
     )
+
+
+def sharded_ntiles(
+    df: DataFrame,
+    n: int,
+    specs: list[tuple[list[str], str]],
+    n_shards: int = 64,
+) -> DataFrame:
+    """SEVERAL :func:`sharded_ntile` scores over ONE frame with the
+    planning edge batched (optimization r11): one multi-column
+    boundary sketch + one multi-key shard-size aggregate replace the
+    former ``2 * len(specs)`` eager driver jobs, and the per-metric
+    rank windows chain in one lazy plan (no intermediate persists
+    needed — nothing eager consumes the intermediates anymore).
+
+    ``specs`` is a list of ``(order_cols, out_col)``; each metric's
+    bucket is EXACTLY what ``sharded_ntile(df, n, order_cols,
+    out_col)`` assigns (same boundaries, same offsets, same total,
+    same ANSI NTILE arithmetic). Caller contract: the first column of
+    every spec must be NaN-free (the :func:`shard_boundaries_multi`
+    batch contract); each spec's ``order_cols`` must be a total order
+    for deterministic output."""
+    keys = [order_cols[0] for order_cols, _ in specs]
+    bmap = shard_boundaries_multi(df, keys, n_shards)
+    cur = df
+    for i, key in enumerate(keys):
+        cur = apply_range_shards(cur, key, bmap[key], f"__shard{i}")
+    omap = shard_offsets_multi(
+        cur,
+        [(key, f"__shard{i}", len(bmap[key])) for i, key in enumerate(keys)],
+        n_shards,
+    )
+    out = cur
+    for i, (order_cols, out_col) in enumerate(specs):
+        odf, total = omap[keys[i]]
+        w = Window.partitionBy(f"__shard{i}").orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+        out = out.join(F.broadcast(odf), f"__shard{i}").withColumn(
+            "__gr", F.row_number().over(w) + F.col("__off")
+        )
+        q, rem = divmod(total, n)
+        if q == 0:
+            bucket = F.col("__gr")
+        else:
+            head = rem * (q + 1)
+            bucket = F.when(
+                F.col("__gr") <= F.lit(head),
+                F.expr(f"(__gr + {q}) div {q + 1}"),
+            ).otherwise(
+                F.expr(f"{rem} + (__gr - {head} + {q - 1}) div {q}")
+            )
+        out = out.withColumn(out_col, bucket.cast("int")).drop(
+            "__off", "__gr"
+        )
+    return out.drop(*[f"__shard{i}" for i in range(len(keys))])
 
 
 def global_percentiles(

@@ -66,3 +66,67 @@ def test_half_ranks_property(spark, vals):
         cnt = s.count(v)
         want[i] = 2 * lo + cnt - 1  # 2 * (lo + (cnt-1)/2)
     assert got == want
+
+
+@given(vals=VALS)
+@_SETTINGS
+def test_batched_planning_matches_single(spark, vals):
+    """shard_boundaries_multi / shard_offsets_multi (optimization r11)
+    produce exactly the per-column boundaries, offsets frames, and
+    totals of the single-key helpers, and sharded_ntiles assigns
+    exactly sharded_ntile's buckets per spec."""
+    from hbase_gis_spark.operators.rank import (
+        apply_range_shards,
+        shard_boundaries,
+        shard_boundaries_multi,
+        shard_offsets,
+        shard_offsets_multi,
+        sharded_ntile,
+        sharded_ntiles,
+    )
+
+    rows = [(i, v, (v * 7 + i) % 11) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint, w bigint")
+    n_shards = 4
+    bm = shard_boundaries_multi(df, ["v", "w"], n_shards)
+    sh = df
+    for j, c in enumerate(["v", "w"]):
+        assert bm[c] == shard_boundaries(df, c, n_shards)
+        sh = apply_range_shards(sh, c, bm[c], f"__shard{j}")
+    om = shard_offsets_multi(
+        sh,
+        [("v", "__shard0", len(bm["v"])), ("w", "__shard1", len(bm["w"]))],
+        n_shards,
+    )
+    for j, c in enumerate(["v", "w"]):
+        odf_s, tot_s = shard_offsets(
+            apply_range_shards(df, c, bm[c], f"__shard{j}"),
+            c,
+            len(bm[c]),
+            n_shards,
+            f"__shard{j}",
+        )
+        odf_m, tot_m = om[c]
+        assert tot_s == tot_m
+        assert sorted(map(tuple, odf_s.collect())) == sorted(
+            map(tuple, odf_m.collect())
+        )
+
+    multi = {
+        (r.id): (r.bv, r.bw)
+        for r in sharded_ntiles(
+            df,
+            3,
+            [(["v", "id"], "bv"), (["w", "id"], "bw")],
+            n_shards=n_shards,
+        ).collect()
+    }
+    sv = {
+        r.id: r.bv
+        for r in sharded_ntile(df, 3, ["v", "id"], "bv", n_shards).collect()
+    }
+    sw = {
+        r.id: r.bw
+        for r in sharded_ntile(df, 3, ["w", "id"], "bw", n_shards).collect()
+    }
+    assert multi == {i: (sv[i], sw[i]) for i in sv}
