@@ -760,11 +760,19 @@ def semdedup(
     C = train_ivf_centroids(
         df, nlist, id_col, vec_col, train_rows=train_rows, seed=seed
     )
+    from pyspark import StorageLevel
+
+    # cell assignment runs a Python (Arrow) kernel over every vector
+    # and the frame feeds FOUR plan branches (cell sizes, both pair
+    # join sides, the final kept join) — persist it so the Python
+    # boundary is crossed once, not four times (optimization r11,
+    # guide §4.1/§5; lineage kept, frame is (id, vec, cell) — linear,
+    # no wider than the input)
     cells = df.select(
         F.col(id_col),
         F.col(vec_col),
         ivf_cell_expr(F.col(vec_col), C).alias("cell"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
     small = cells.join(
         F.broadcast(sizes.filter(F.col("__cn") <= max_cell)), "cell"
