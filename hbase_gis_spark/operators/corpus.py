@@ -446,7 +446,14 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     ``explode`` of a literal struct array. min/max cast to string
     AFTER aggregating in the native type (so '9' < '10' issues cannot
     corrupt numeric ranges)."""
+    from hbase_gis_spark.operators.dedup import _spread
+
     cols = columns or df.columns
+    # project to the profiled columns BEFORE the Expand amplification
+    # (guide §2.3) and spread a single-split scan so the |cols|-way
+    # expanded aggregate runs parallel, not on one task (no-op at
+    # scale) — optimization r11
+    df = _spread(df.select(*cols))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
