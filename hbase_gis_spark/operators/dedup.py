@@ -1313,9 +1313,16 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
+    from pyspark import StorageLevel
+
+    # the shingle table feeds the signature pipeline AND both verify
+    # join sides — three tokenize+shingle evaluations of the corpus.
+    # A lineage-kept persist computes it once (optimization r11, guide
+    # §1.2); the frame is (id, shingle array), linear in the corpus,
+    # and MEMORY_AND_DISK spills rather than evicting to recompute.
     sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("s")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # staged projections: shingles → 32-bit hashes → signature. Each
     # stage's output is referenced many times downstream, so Catalyst
     # keeps the boundaries (no CollapseProject) and nothing re-hashes.

@@ -1575,13 +1575,22 @@ def heaps_law_fit(
         F.col(id_col).cast("bigint").alias("id"),
         tokens(text_col).alias("__w"),
     )
+    from pyspark import StorageLevel
+
+    # per_doc is consumed by global_percentiles' two bounded planning
+    # jobs, its lazy rank-selection subtree, and the prefix token
+    # aggregate — each consumption re-ran the tokenizer over the whole
+    # corpus. Persist the NARROW (id, n_tokens) frame (lineage kept;
+    # 16 bytes/row at any scale) so tokenization runs once here and
+    # once in the term-dim pass below — 5 corpus tokenizations -> 2
+    # (optimization r11, guide §1.2/§5).
     per_doc = toks.select(
         "id",
         F.when(F.length(F.trim(F.concat_ws(" ", "__w"))) == 0, F.lit(0))
         .otherwise(F.size("__w"))
         .cast("bigint")
         .alias("__nt"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     first = (
         toks.select("id", F.explode("__w").alias("t"))
         .groupBy("t")
