@@ -5549,11 +5549,16 @@ def _q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("__key"), "quality_score"
     )
     keepers = q.groupBy("__key").agg(F.min("doc_id").alias("__kid"))
+    # the ntile planning edge + lazy window consume this 3x; without a
+    # persist each consumption replays quality_features + the keeper
+    # join over the corpus (optimization r11; narrow 3-column frame)
+    from pyspark import StorageLevel
+
     flagged = q.join(keepers, "__key").select(
         "doc_id",
         "quality_score",
         (F.col("doc_id") != F.col("__kid")).cast("int").alias("__dup"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tiled = sharded_ntile(
         flagged, QDC_BUCKETS, ["quality_score", "doc_id"], "decile"
     )

@@ -1173,10 +1173,15 @@ def gini_coefficient(
     1-row aggregate."""
     from hbase_gis_spark.operators.rank import global_half_ranks
 
+    from pyspark import StorageLevel
+
     v = F.col(value_col) if isinstance(value_col, str) else value_col
+    # consumed by global_half_ranks' planning jobs, its lazy rank
+    # window, and the id-keyed value join — persist so the caller's
+    # per-entity aggregate runs once (optimization r11)
     base = df.select(
         F.col(id_col).alias("__id"), v.cast("bigint").alias("__x")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hr = global_half_ranks(base, "__x", "__id", n_shards)
     joined = base.join(hr, "__id")
     agg = joined.agg(
@@ -1238,10 +1243,15 @@ def lorenz_curve(
     (buckets² pairs — 100 for deciles; no window, no global sort)."""
     from hbase_gis_spark.operators.rank import sharded_ntile
 
+    from pyspark import StorageLevel
+
     v = F.col(value_col) if isinstance(value_col, str) else value_col
+    # callers pass an aggregated per-entity frame; the ntile planning
+    # edge (sketch + sizes) and the lazy rank window each consume it —
+    # persist so the producing aggregate runs once (optimization r11)
     base = df.select(
         F.col(id_col).alias("__id"), v.cast("bigint").alias("__x")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tiled = sharded_ntile(
         base, buckets, ["__x", "__id"], "__b", n_shards
     )

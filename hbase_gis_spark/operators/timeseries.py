@@ -621,12 +621,21 @@ def theil_sen_slope(
     degenerated to one task (VERDICT r7 defect #1; fixed round 8).
     n_pairs is the closed form n(n−1)/2 — never a second count over
     the pairs."""
+    from pyspark import StorageLevel
+
     from hbase_gis_spark.operators.rank import global_percentiles
 
+    # the day dim is calendar-bounded but its producing aggregate
+    # scans the fact table, and the pair frame feeds
+    # global_percentiles' two planning jobs plus the lazy selection
+    # (each referencing d on BOTH join sides) — persist so the fact
+    # scan+aggregate runs once (optimization r11, guide §5)
     d = days.select(
         F.col(day_col).cast("bigint").alias("__d"),
         F.col(value_col).cast("bigint").alias("__y"),
-    ).filter(F.col("__y").isNotNull() & F.col("__d").isNotNull())
+    ).filter(
+        F.col("__y").isNotNull() & F.col("__d").isNotNull()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = d.select(F.col("__d").alias("__d1"), F.col("__y").alias("__y1"))
     b = d.select(F.col("__d").alias("__d2"), F.col("__y").alias("__y2"))
     # broadcast the second day frame: the non-equi pair join plans as
@@ -705,10 +714,16 @@ def mann_kendall_trend(
     Scale shape: per-DAY input by contract → the pair self-join is
     calendar²-bounded (the theil_sen argument); ONE aggregate over the
     pairs, no window anywhere."""
+    from pyspark import StorageLevel
+
+    # d feeds both pair-join sides and the day count — persist so the
+    # fact scan+aggregate runs once (optimization r11)
     d = days.select(
         F.col(day_col).cast("bigint").alias("__d"),
         F.col(value_col).cast("bigint").alias("__y"),
-    ).filter(F.col("__y").isNotNull() & F.col("__d").isNotNull())
+    ).filter(
+        F.col("__y").isNotNull() & F.col("__d").isNotNull()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = d.select(F.col("__d").alias("__d1"), F.col("__y").alias("__y1"))
     b = d.select(F.col("__d").alias("__d2"), F.col("__y").alias("__y2"))
     s = (
@@ -767,6 +782,10 @@ def kendall_tau_xy(
     Scale shape: per-DAY input by contract → the pair self-join is
     calendar²-bounded (the theil_sen/mann_kendall argument, broadcast
     both sides); ONE aggregate over the pairs, no window anywhere."""
+    from pyspark import StorageLevel
+
+    # d feeds both pair-join sides — persist so the fact
+    # scan+aggregate runs once (optimization r11)
     d = days.select(
         F.col(day_col).cast("bigint").alias("__d"),
         F.col(x_col).cast("bigint").alias("__x"),
@@ -775,7 +794,7 @@ def kendall_tau_xy(
         F.col("__d").isNotNull()
         & F.col("__x").isNotNull()
         & F.col("__y").isNotNull()
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = d.select(
         F.col("__d").alias("__d1"),
         F.col("__x").alias("__x1"),
