@@ -1427,11 +1427,18 @@ def simhash_pairs(
     any qualifying pair must agree on at least one whole block, so the
     candidate join is a plain equality shuffle, then exact popcount.
     """
+    from pyspark import StorageLevel
+
     blocks = max_hamming + 1
     width = _SIMHASH_BITS // blocks
+    # the SimHash itself (one md5 per word) is the expensive stage and
+    # the banded frame feeds BOTH self-join sides — persist the tiny
+    # (id, 60-bit signature) frame so the signature pipeline runs once
+    # (optimization r11, guide §1.2/§5); the block keys derive from it
+    # with shift/mask only
     base = _spread(df).select(
         F.col(id_col).alias("id"), simhash(text_col).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     block_structs = F.array(
         *[
             F.struct(
