@@ -75,6 +75,18 @@ def main() -> None:
             if name in failed:
                 continue
             try:
+                # Cache hygiene (measurement-bug fix, OPTIMIZATION_r12.md):
+                # Spark's CacheManager substitutes ANY matching analyzed
+                # subtree, so operator-internal persists from one query
+                # would otherwise be read back by later queries sharing
+                # the subtree and by rounds 2..N of the interleave —
+                # `min` would partially measure cached reads. Clearing
+                # before each timed query (outside the timed region)
+                # makes every sample compute from the parquet inputs.
+                # A persist INSIDE a query's own timed plan still counts
+                # toward that query: that is the operator's real
+                # cost/benefit.
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0

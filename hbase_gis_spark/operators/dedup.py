@@ -924,14 +924,21 @@ def sorted_neighborhood_pairs(
 
     Scale shape: the total order comes from the sharded-rank
     machinery (:func:`rank.range_sharded` — approx-quantile range
-    shards + per-shard partitioned row_number + broadcast prefix
-    offsets; the bounded per-shard-size collect is the module's
+    shards + per-shard partitioned row_number, offsets baked in as
+    plan LITERALS; the bounded per-shard-size collect is the module's
     documented planning edge, never a single-task global sort). The
-    successor pairing is a pure EQUI-join on ``rank + d`` for
-    d ∈ 1..window−1 (an offset explode — no range join, no window
-    over the pair stream), and the verify joins shingle sets back by
-    id. NULL/NaN sort keys follow the rank module's deterministic
-    placement (NULL first, NaN last).
+    successor pairing is SINGLE-PASS (optimization r12): within-shard
+    successors come from ``lead()`` over the shard window, and
+    boundary-crossing ones from a bounded carry — each row explodes
+    into every shard its ``window−1`` successor ranks reach (at most
+    ``n_shards·(window−1)`` extra rows in total), a second window per
+    target shard restores the contiguous global-rank order, and a
+    pair is emitted only where the successor row is non-carried, so
+    every true successor pair appears exactly once. No self-join, no
+    ``(window−1)×`` exploded rank shuffle, and the ranked subtree is
+    evaluated once instead of twice per key. The verify joins shingle
+    sets back by id. NULL/NaN sort keys follow the rank module's
+    deterministic placement (NULL first, NaN last).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b — interchangeable
     with :func:`jaccard_pairs`."""
@@ -940,7 +947,8 @@ def sorted_neighborhood_pairs(
     from hbase_gis_spark.operators.rank import (
         apply_range_shards,
         shard_boundaries_multi,
-        shard_offsets_multi,
+        shard_size_maps_multi,
+        warn_tie_mass,
     )
 
     if window < 2:
@@ -963,13 +971,12 @@ def sorted_neighborhood_pairs(
     # frame carries every key's sort expressions, so ONE multi-column
     # boundary sketch + ONE multi-key shard-size aggregate replace the
     # former 2-eager-jobs-per-key planning edge. Persisting the shared
-    # sharded frame (or the per-key (id, rank) frames) was A/B'd and
-    # measured SLOWER at bench scale in both single- and multi-key
-    # form — the materialization barrier outweighs the saved
-    # re-evaluation — so the per-join-side subtree duplication stays
-    # (status quo ante; a cluster deployment re-ranking a 100 TB
-    # corpus can flip a persist on `sharded` without changing
-    # candidates). Candidates identical to the per-key form.
+    # sharded frame was A/B'd and measured SLOWER at bench scale —
+    # the materialization barrier outweighs the saved re-evaluation —
+    # so multi-key passes re-evaluate `sharded` per key (a cluster
+    # deployment re-ranking a 100 TB corpus can flip a persist on
+    # `sharded` without changing candidates). Candidates identical to
+    # the per-key form.
     exprs_per_key = [_snm_sort_exprs(base, k) for k in keys]
     keyed = base.select(
         "id",
@@ -984,52 +991,149 @@ def sorted_neighborhood_pairs(
     sharded = keyed
     for j, sk in enumerate(shard_keys):
         sharded = apply_range_shards(sharded, sk, bmap[sk], f"__shard{j}")
-    omap = shard_offsets_multi(
-        sharded,
-        [
-            (keys[j], f"__shard{j}", len(bmap[sk]))
-            for j, sk in enumerate(shard_keys)
-        ],
-        n_shards,
+    size_maps = shard_size_maps_multi(
+        sharded, [f"__shard{j}" for j in range(len(keys))]
     )
+    for j, sk in enumerate(shard_keys):
+        warn_tie_mass(size_maps[j], keys[j], len(bmap[sk]), n_shards)
 
-    def _candidates(j: int) -> DataFrame:
+    # SINGLE-PASS successor pairing (optimization r12, guide §2.4/§3):
+    # the former formulation evaluated the ranked subtree TWICE (both
+    # sides of an equi-join on rank+d) and shuffled a (window-1)x
+    # exploded rank stream into that join. Shard sizes are already
+    # driver-known (the bounded planning collect above), so the global
+    # rank is `local row_number + offset literal` (no broadcast-join),
+    # within-shard successors come from lead() in ONE window pass, and
+    # the only rows that need help are the <= (window-1) rows before
+    # each shard boundary: each row is EXPLODED into every shard its
+    # successor window reaches (a carry — +epsilon rows, bounded by
+    # n_shards*(window-1) extras), a second window per TARGET shard
+    # orders the contiguous global-rank interval, and a pair is
+    # emitted only where the SUCCESSOR is non-carried — each true
+    # successor pair materializes exactly once, in the shard where the
+    # successor is real. Candidates are identical to the join form
+    # (property-pinned incl. shards smaller than the window:
+    # tests/test_rank_property.py::test_snm_lead_carry_matches_join).
+    def _aug(j: int) -> DataFrame | None:
         order = [
             f"__k{j}_sk{i}" for i in range(len(exprs_per_key[j]))
         ] + ["id"]
-        odf, _total = omap[keys[j]]
-        w = Window.partitionBy(f"__shard{j}").orderBy(
+        sizes = size_maps[j]
+        sids = sorted(sizes)  # non-empty shard ids, ascending
+        if not sids:
+            return None
+        offs, acc = [], 0
+        for sid in sids:
+            offs.append(acc)
+            acc += sizes[sid]
+        # shard id -> dense index / prefix offset, baked in as plan
+        # constants (no broadcast join). Built as ONE SQL string per
+        # expression: the equivalent Column-API construction issues
+        # hundreds of py4j round-trips for the n_shards-entry literal
+        # maps, measured ~2 s of pure driver time per build at
+        # n_shards=64 (guide §1.2 — the planning edge must stay
+        # bounded AND cheap).
+        off_case = (
+            f"CASE __shard{j} "
+            + " ".join(
+                f"WHEN {sid} THEN {o}" for sid, o in zip(sids, offs)
+            )
+            + " END"
+        )
+        idx_case = (
+            f"CASE __shard{j} "
+            + " ".join(
+                f"WHEN {sid} THEN {i}" for i, sid in enumerate(sids)
+            )
+            + " END"
+        )
+        w1 = Window.partitionBy(f"__shard{j}").orderBy(
             *[F.col(c).asc() for c in order]
         )
         ranked = (
             sharded.select("id", *order[:-1], f"__shard{j}")
-            .join(F.broadcast(odf), f"__shard{j}")
-            .withColumn("__gr", F.row_number().over(w) + F.col("__off"))
-            .select("id", "__gr")
+            .withColumn("__r", F.row_number().over(w1))
+            .select(
+                "id",
+                F.expr(
+                    f"__r + CAST(({off_case}) AS BIGINT)"
+                ).alias("__g"),
+                F.expr(f"CAST(({idx_case}) AS INT)").alias("__si"),
+            )
         )
-        lead = ranked.select(
-            F.col("id").alias("__ia"),
+        # highest shard index this row's successor window reaches:
+        # count of shard-start offsets <= g + window - 2 (offs[0] = 0
+        # is always counted, so __tmax >= __si)
+        tmax = F.expr(
+            "CAST(("
+            + " + ".join(
+                f"IF({o} <= __g + {window - 2}, 1, 0)" for o in offs
+            )
+            + " - 1) AS INT)"
+        )
+        return ranked.select(
+            "id",
+            "__g",
+            "__si",
+            F.lit(j).alias("__kj"),
             F.explode(
-                F.sequence(F.col("__gr") + 1, F.col("__gr") + (window - 1))
-            ).alias("__gr2"),
-        )
-        return lead.join(
-            ranked.select(
-                F.col("id").alias("__ib"), F.col("__gr").alias("__gr2")
-            ),
-            "__gr2",
+                F.sequence(F.col("__si"), tmax)
+            ).alias("__ti"),
         ).select(
-            F.least("__ia", "__ib").alias("id_a"),
-            F.greatest("__ia", "__ib").alias("id_b"),
+            "id",
+            "__g",
+            "__kj",
+            "__ti",
+            (F.col("__ti") != F.col("__si")).alias("__c"),
         )
 
-    cand = _candidates(0)
+    # every key's carry frame goes through ONE lead window (partitioned
+    # by (key, target shard)) — a single exchange+sort stage for the
+    # whole multi-pass union instead of one per key
+    augs = [a for a in (_aug(j) for j in range(len(keys))) if a is not None]
+    if not augs:
+        cand = sharded.select(
+            F.col("id").alias("id_a"), F.col("id").alias("id_b")
+        ).limit(0)
+    else:
+        aug = reduce(DataFrame.unionByName, augs)
+        w2 = Window.partitionBy("__kj", "__ti").orderBy(F.col("__g").asc())
+        led = aug.select(
+            "id",
+            *[
+                F.lead("id", d).over(w2).alias(f"__b{d}")
+                for d in range(1, window)
+            ],
+            *[
+                F.lead("__c", d).over(w2).alias(f"__cb{d}")
+                for d in range(1, window)
+            ],
+        )
+        cand = (
+            led.select(
+                "id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.when(
+                                ~F.coalesce(
+                                    F.col(f"__cb{d}"), F.lit(True)
+                                ),
+                                F.col(f"__b{d}"),
+                            )
+                            for d in range(1, window)
+                        ]
+                    )
+                ).alias("__ib"),
+            )
+            .filter(F.col("__ib").isNotNull())
+            .select(
+                F.least("id", "__ib").alias("id_a"),
+                F.greatest("id", "__ib").alias("id_b"),
+            )
+        )
     if len(keys) > 1:
-        cand = reduce(
-            DataFrame.unionByName,
-            [_candidates(j) for j in range(1, len(keys))],
-            cand,
-        ).distinct()
+        cand = cand.distinct()
     sh = base.select("id", word_shingles(F.col("t"), n).alias("s"))
     return (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))

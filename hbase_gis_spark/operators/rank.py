@@ -102,17 +102,17 @@ def apply_range_shards(
     return df.withColumn(shard_col, shard.cast("int"))
 
 
-def _offsets_from_sizes(
-    spark,
+def warn_tie_mass(
     sizes: dict[int, int],
     key: str,
     n_bounds: int,
     n_shards: int,
-    shard_col: str = "__shard",
-) -> tuple[DataFrame, int]:
-    """Shared driver-side tail of :func:`shard_offsets` /
-    :func:`shard_offsets_multi`: tie-mass skew warning + prefix-sum
-    offsets frame from a per-shard size map."""
+) -> int:
+    """Raise the tie-mass skew ``RuntimeWarning`` when one shard holds
+    > max(25%, 4/n_shards) of the rows AND far above the ideal share
+    (the module-header contract: equal keys cannot split). Returns the
+    total row count. Shared by the offsets helpers and callers that
+    consume raw size maps directly."""
     total = sum(sizes.values())
     if total and len(sizes) >= 1 and n_shards > 1:
         max_size = max(sizes.values())
@@ -129,8 +129,23 @@ def _offsets_from_sizes(
                 "effective shards (equal keys cannot split). Rank a "
                 "finer quantization or add a tiebreak column.",
                 RuntimeWarning,
-                stacklevel=4,
+                stacklevel=5,
             )
+    return total
+
+
+def _offsets_from_sizes(
+    spark,
+    sizes: dict[int, int],
+    key: str,
+    n_bounds: int,
+    n_shards: int,
+    shard_col: str = "__shard",
+) -> tuple[DataFrame, int]:
+    """Shared driver-side tail of :func:`shard_offsets` /
+    :func:`shard_offsets_multi`: tie-mass skew warning + prefix-sum
+    offsets frame from a per-shard size map."""
+    total = warn_tie_mass(sizes, key, n_bounds, n_shards)
     offsets, acc = [], 0
     for sid in sorted(sizes):
         offsets.append((int(sid), int(acc)))
@@ -176,22 +191,27 @@ def shard_boundaries_multi(
     cuts are identical to ``shard_boundaries(df, col, n_shards)``
     (pinned by tests/test_rank_property.py).
 
-    CALLER CONTRACT: ``df`` must already be free of NaN in every
-    requested column (the single-column helper filters per column;
-    one combined pass cannot) — nulls are ignored by the sketch
-    itself. All rank consumers batch columns of one pre-filtered
-    frame, so the contract is free where this is used."""
+    NaN and null values are excluded per column inside the combined
+    projection (NaN → null, and nulls are ignored by the sketch), so
+    the cuts match the single-column helper for all inputs — the old
+    "caller must pre-filter NaN" contract is gone (ADVICE r11 #3)."""
     if n_shards <= 1:
         return {c: [] for c in cols}
     dtypes = dict(df.dtypes)
     probs = [i / n_shards for i in range(1, n_shards)]
     err = max(0.001, 0.25 / n_shards)
-    proj = df.select(
-        *[
-            F.col(c).cast("double").alias(f"__aq{i}")
-            for i, c in enumerate(cols)
-        ]
-    )
+    # NaN-proofing (ADVICE r11 #3): null-out NaN per floating column in
+    # the projection itself — nulls are ignored by the sketch, so the
+    # batched cuts match the single-column helper (which pre-filters
+    # NaN per column) for ALL inputs, not just pre-filtered callers.
+    # Integral/decimal columns cannot hold NaN; skip the branch there.
+    def _clean(c: str, i: int):
+        e = F.col(c).cast("double")
+        if dtypes[c] in ("float", "double"):
+            e = F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(e)
+        return e.alias(f"__aq{i}")
+
+    proj = df.select(*[_clean(c, i) for i, c in enumerate(cols)])
     raws = proj.stat.approxQuantile(
         [f"__aq{i}" for i in range(len(cols))], probs, err
     )
@@ -204,26 +224,25 @@ def shard_boundaries_multi(
     return out
 
 
-def shard_offsets_multi(
+def shard_size_maps_multi(
     sharded: DataFrame,
-    specs: list[tuple[str, str, int]],
-    n_shards: int,
-) -> dict[str, tuple[DataFrame, int]]:
-    """:func:`shard_offsets` for SEVERAL shard columns of ONE frame in
-    ONE aggregate job (optimization r11): ``specs`` is a list of
-    ``(key_label, shard_col, n_bounds)``. Each shard column's rows
-    explode to (which-key, shard) pairs that the map-side partial
-    aggregate collapses to at most ``len(specs) * n_shards`` groups
-    before the exchange — the collect stays bounded exactly like the
-    single-key version, and the per-key size maps, offsets frames,
-    totals, and tie-mass skew warnings are identical."""
+    shard_cols: list[str],
+) -> list[dict[int, int]]:
+    """Per-shard row counts for SEVERAL shard columns of ONE frame in
+    ONE aggregate job: each shard column's rows explode to
+    (which-column, shard) pairs that the map-side partial aggregate
+    collapses to at most ``len(shard_cols) * n_shards`` groups before
+    the exchange — the collect is bounded exactly like
+    :func:`shard_offsets`. Returns one ``{shard_id: count}`` map per
+    shard column, POSITIONALLY aligned with ``shard_cols`` (so
+    duplicate key labels cannot collide — ADVICE r11 #1)."""
     arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("k"),
                 F.col(sc).cast("int").alias("s"),
             )
-            for i, (_, sc, _nb) in enumerate(specs)
+            for i, sc in enumerate(shard_cols)
         ]
     )
     rows = (
@@ -232,10 +251,39 @@ def shard_offsets_multi(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
+    return [
+        {r["s"]: r["cnt"] for r in rows if r["k"] == i}
+        for i in range(len(shard_cols))
+    ]
+
+
+def shard_offsets_multi(
+    sharded: DataFrame,
+    specs: list[tuple[str, str, int]],
+    n_shards: int,
+) -> dict[str, tuple[DataFrame, int]]:
+    """:func:`shard_offsets` for SEVERAL shard columns of ONE frame in
+    ONE aggregate job (optimization r11): ``specs`` is a list of
+    ``(key_label, shard_col, n_bounds)``. The per-key size maps,
+    offsets frames, totals, and tie-mass skew warnings are identical
+    to the single-key version. The result dict is keyed by key_label,
+    so duplicate labels would collide silently — they raise instead
+    (ADVICE r11 #1; use :func:`shard_size_maps_multi` directly when
+    specs can repeat a label)."""
+    labels = [key for key, _sc, _nb in specs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            "shard_offsets_multi: duplicate key labels "
+            f"{sorted({k for k in labels if labels.count(k) > 1})} would "
+            "collide in the label-keyed result; deduplicate the specs or "
+            "use shard_size_maps_multi (position-aligned) instead"
+        )
+    size_maps = shard_size_maps_multi(
+        sharded, [sc for _key, sc, _nb in specs]
+    )
     spark = sharded.sparkSession
     out: dict[str, tuple[DataFrame, int]] = {}
-    for i, (key, shard_col, n_bounds) in enumerate(specs):
-        sizes = {r["s"]: r["cnt"] for r in rows if r["k"] == i}
+    for (key, shard_col, n_bounds), sizes in zip(specs, size_maps):
         out[key] = _offsets_from_sizes(
             spark, sizes, key, n_bounds, n_shards, shard_col
         )
@@ -435,6 +483,7 @@ def global_percentiles(
     percentiles: dict[str, tuple[int, int]],
     n_shards: int = 64,
     tiebreak_col: str | None = None,
+    cache: bool = False,
 ) -> DataFrame:
     """One row holding the EXACT value at global rank
     ``ceil(num*N/den)`` for each ``name: (num, den)`` requested —
@@ -451,20 +500,38 @@ def global_percentiles(
     all-ties slope frame was the motivating case). The selected
     values are unchanged: ties carry equal values, so the value at
     global rank k under ``(v, t)`` order IS the k-th smallest v."""
+    def _cache(frame: DataFrame) -> DataFrame:
+        # ``cache=True`` (optimization r12, guide §5): the narrow
+        # projection feeds three bounded planning jobs plus the lazy
+        # rank plan — persist computes the source scan once. Opt-in
+        # (spearman_corr's knob pattern); lineage kept; released by
+        # the session's ContextCleaner or clearCache.
+        if not cache:
+            return frame
+        from pyspark import StorageLevel
+
+        from hbase_gis_spark.operators.dedup import _spread
+
+        return _spread(frame).persist(StorageLevel.MEMORY_AND_DISK)
+
     if tiebreak_col is not None:
-        prepped = df.select(
-            F.col(value_col).cast("double").alias("__v"),
-            F.col(tiebreak_col).alias("__t"),
-        ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+        prepped = _cache(
+            df.select(
+                F.col(value_col).cast("double").alias("__v"),
+                F.col(tiebreak_col).alias("__t"),
+            ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+        )
         bounds = pair_shard_boundaries(prepped, "__v", "__t", n_shards)
         sharded = apply_pair_range_shards(prepped, "__v", "__t", bounds)
         odf, total = shard_offsets(
             sharded, f"({value_col},{tiebreak_col})", len(bounds), n_shards
         )
     else:
-        prepped = df.select(
-            F.col(value_col).cast("double").alias("__v")
-        ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+        prepped = _cache(
+            df.select(
+                F.col(value_col).cast("double").alias("__v")
+            ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+        )
         sharded, odf, total = range_sharded(prepped, ["__v"], n_shards)
     # ceil(num*N/den) as (num*N + den-1) div den: positive operands,
     # identical on Spark `div` and DuckDB `//`
@@ -526,6 +593,7 @@ def quantile_transform(
     col: str,
     id_col: str,
     n_shards: int = 64,
+    cache: bool = False,
 ) -> DataFrame:
     """Global quantile (rank) normalization of a column — the
     feature transform that maps any distribution to ~uniform [0, 1]
@@ -542,9 +610,19 @@ def quantile_transform(
     n_shards-integer driver prefix, and the total row count as a plan
     LITERAL (known from the same bounded collect) — never a
     single-task global sort, no totals join."""
-    sharded, odf, total = range_sharded(
-        df.select(id_col, col), [col], n_shards
-    )
+    narrow = df.select(id_col, col)
+    if cache:
+        # cache=True (optimization r12, guide §5): the (id, value)
+        # projection feeds the boundary sketch, the shard-size
+        # aggregate, and the per-row rank plan — persist computes the
+        # source scan once. Opt-in; lineage kept; ContextCleaner or
+        # clearCache releases it.
+        from pyspark import StorageLevel
+
+        from hbase_gis_spark.operators.dedup import _spread
+
+        narrow = _spread(narrow).persist(StorageLevel.MEMORY_AND_DISK)
+    sharded, odf, total = range_sharded(narrow, [col], n_shards)
     w = Window.partitionBy("__shard").orderBy(F.col(col).asc())
     tie = Window.partitionBy("__shard", col)
     hr2 = (

@@ -130,3 +130,39 @@ def test_batched_planning_matches_single(spark, vals):
         for r in sharded_ntile(df, 3, ["w", "id"], "bw", n_shards).collect()
     }
     assert multi == {i: (sv[i], sw[i]) for i in sv}
+
+
+@given(
+    vals=VALS,
+    window=st.integers(min_value=2, max_value=9),
+    n_shards=st.integers(min_value=1, max_value=24),
+)
+@_SETTINGS
+def test_snm_lead_carry_matches_join(spark, vals, window, n_shards):
+    """The r12 single-pass successor pairing (per-shard lead() +
+    boundary carry) emits EXACTLY the window-candidate set of the old
+    rank-equi-join form: every (a, b) with |global_rank(a) -
+    global_rank(b)| < window, each exactly once — including when
+    shards are smaller than the window (n_shards up to 24 over <= 60
+    rows forces 1-3-row shards), ties everywhere, and singletons."""
+    from hbase_gis_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, f"t{i} t{i} t{i}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, k bigint")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df,
+            sort_col="k",
+            window=window,
+            threshold=0.0,  # keep every candidate: pairing is the SUT
+            n_shards=n_shards,
+        ).collect()
+    )
+    order = sorted(rows, key=lambda r: (r[2], r[0]))
+    want = sorted(
+        tuple(sorted((a[0], b[0])))
+        for i, a in enumerate(order)
+        for b in order[i + 1 : i + window]
+    )
+    assert got == want
