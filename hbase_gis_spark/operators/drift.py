@@ -595,6 +595,7 @@ def global_quantile_cuts(
     value_col: str,
     n_bins: int = 20,
     n_shards: int = 64,
+    cache: bool = False,
 ) -> DataFrame:
     """EXACT global quantile boundaries of a numeric column with NO
     single-task global sort — the keyless companion of
@@ -621,6 +622,19 @@ def global_quantile_cuts(
     prepped = df.select(
         F.col(value_col).cast("double").alias("__v")
     ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    if cache:
+        # ``cache=True`` (optimization r12, guide §5): the 1-column
+        # projection feeds three consumptions (boundary sketch,
+        # shard-size aggregate, rank window) — persist computes the
+        # source scan once instead of three times. Lineage-kept,
+        # narrow (one double per row), opt-in like spearman_corr's
+        # knob; release is the session's ContextCleaner (or
+        # clearCache) — see the rank.py module note.
+        from pyspark import StorageLevel
+
+        from hbase_gis_spark.operators.dedup import _spread
+
+        prepped = _spread(prepped).persist(StorageLevel.MEMORY_AND_DISK)
     # range_sharded derives __shard from boundary LITERALS frozen in
     # the plan, so both consumptions of the sharded frame (size
     # aggregate + rank window) agree deterministically — retry-safe,
