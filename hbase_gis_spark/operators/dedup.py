@@ -395,11 +395,14 @@ def near_dup_clusters(
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     # materialize the edge list once — every propagation round joins it,
     # and without the checkpoint each round would re-run the entire
-    # upstream pair-discovery pipeline
+    # upstream pair-discovery pipeline. LAZY (optimization r12): under
+    # AQE the checkpoint's shuffle stages execute at build either way;
+    # eager=True added one more full job (the materializing count) per
+    # query, while lazy folds the final stage + block write into the
+    # round-1 aggregate that consumes it next.
     sym = truncate_lineage(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))),
         mode=checkpoint_mode,
-        eager=True,
     )
     # iterate ONLY over nodes that appear in the pair graph (usually a
     # tiny fraction of the corpus); singletons label themselves in the
@@ -447,23 +450,38 @@ def near_dup_clusters(
             F.coalesce(F.col("label"), ids["id"]).alias("cluster_id"),
         )
     labels = labels.select("id", "label")
+    ltype = dict(labels.dtypes)["label"]
     history: list[int] = []
     for _ in range(max_iter - 1):
-        nbr_min = (
+        # ONE join + ONE aggregate per step (optimization r12): the
+        # node's own label rides into the neighbor-min aggregate as a
+        # tagged union branch (a narrow |V|-row stream over the
+        # checkpointed labels), so min(label) = least(own, nbr-min)
+        # and max(__own) recovers the previous label for the
+        # convergence filter — the former left-join-back of nbr_min
+        # onto labels (a second |V| shuffle join per round) is gone.
+        contrib = (
             sym.join(labels, sym["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr"))
+            .select(
+                sym["a"].alias("a"),
+                F.col("label"),
+                F.lit(None).cast(ltype).alias("__own"),
+            )
+            .unionByName(
+                labels.select(
+                    F.col("id").alias("a"),
+                    F.col("label"),
+                    F.col("label").alias("__own"),
+                )
+            )
         )
-        # keep the previous label alongside so convergence is a filter
-        # on this same checkpointed frame, not another join
-        stepped = labels.join(
-            nbr_min, labels["id"] == nbr_min["a"], "left"
-        ).select(
-            F.col("id"),
-            F.col("label").alias("__old"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))
-            ).alias("label"),
+        stepped = (
+            contrib.groupBy("a")
+            .agg(
+                F.min("label").alias("label"),
+                F.max("__own").alias("__old"),
+            )
+            .select(F.col("a").alias("id"), "__old", "label")
         )
         # double pointer jump (see docstring A/B); lazy checkpoint: the
         # convergence count below is the round's ONE action and

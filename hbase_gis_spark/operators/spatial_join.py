@@ -334,6 +334,10 @@ def dbscan(
     )
     from hbase_gis_spark.operators.checkpointing import truncate_lineage
 
+    # LAZY checkpoint (optimization r12): under AQE the shuffle stages
+    # execute at build either way; eager=True added one more full
+    # materializing job — lazy folds the final stage + block write
+    # into the first consumer.
     sym = truncate_lineage(
         e.union(
             e.select(
@@ -341,7 +345,6 @@ def dbscan(
             )
         ),
         mode=checkpoint_mode,
-        eager=True,
     )
     deg = sym.groupBy(F.col("id_a").alias("id")).agg(
         F.count(F.lit(1)).alias("__n")
