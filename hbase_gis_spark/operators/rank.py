@@ -84,6 +84,20 @@ def shard_boundaries(
     return sorted(set(vals))
 
 
+def _sql_literal(v) -> str | None:
+    """Exact SQL rendering of an int/float boundary literal, or None
+    when the value needs the Column API (non-numeric). Floats render
+    via ``DOUBLE('<repr>')``: repr round-trips every double exactly
+    (incl. inf) and the quoted form parses as DOUBLE, never DECIMAL."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return f"DOUBLE('{v!r}')"
+    return None
+
+
 def apply_range_shards(
     df: DataFrame,
     key: str,
@@ -95,7 +109,20 @@ def apply_range_shards(
     ``shard_col``. NULL keys compare NULL against every boundary and
     land in shard 0, matching ASC NULLS FIRST window order; NaN
     compares greater than every boundary (Spark NaN ordering) and
-    lands in the last shard, matching NaN-sorts-last."""
+    lands in the last shard, matching NaN-sorts-last.
+
+    Built as ONE SQL expression string (optimization r12): the former
+    chained-``F.when`` construction issued ~4 py4j calls per boundary
+    — ~0.8-1.1 s of pure driver time per call at n_shards=64, paid by
+    EVERY rank consumer (guide §1.2: the planning edge must be cheap,
+    not just bounded). ``IF(key > b, 1, 0)`` is the identical
+    expression (NULL condition → 0, same NaN/type coercions)."""
+    lits = [_sql_literal(b) for b in bounds]
+    if bounds and all(x is not None for x in lits):
+        terms = " + ".join(f"IF(`{key}` > {x}, 1, 0)" for x in lits)
+        return df.withColumn(
+            shard_col, F.expr(f"CAST(({terms}) AS INT)")
+        )
     shard = F.lit(0)
     for b in bounds:
         shard = shard + F.when(F.col(key) > F.lit(b), 1).otherwise(0)
@@ -350,7 +377,19 @@ def apply_pair_range_shards(
     ``(vkey, tkey)``: how many boundary pairs the row strictly
     exceeds under ``(v > bv) OR (v = bv AND t > bt)``. NULL
     tiebreaks never exceed an equal-value cut, matching the window's
-    ASC NULLS FIRST ordering of ``tkey``."""
+    ASC NULLS FIRST ordering of ``tkey``. One SQL expression string
+    when every cut is int/float (the apply_range_shards py4j-cost
+    note); Column-API fallback otherwise."""
+    lits = [(_sql_literal(bv), _sql_literal(bt)) for bv, bt in bounds]
+    if bounds and all(a is not None and b is not None for a, b in lits):
+        terms = " + ".join(
+            f"IF(`{vkey}` > {a} OR (`{vkey}` = {a} AND `{tkey}` > {b})"
+            ", 1, 0)"
+            for a, b in lits
+        )
+        return df.withColumn(
+            shard_col, F.expr(f"CAST(({terms}) AS INT)")
+        )
     shard = F.lit(0)
     for bv, bt in bounds:
         gt = (F.col(vkey) > F.lit(bv)) | (

@@ -223,6 +223,14 @@ def ngram_contamination(
     swap in ``shingle_hashes32`` postings at scale to shrink the
     shuffle key (same plan shape).
 
+    CALLER CONTRACT (ADVICE r11 #2): the ``F.broadcast`` hint below
+    OVERRIDES autoBroadcastJoinThreshold, so the TEST side must be
+    broadcast-sized — distinct test grams have to fit the driver and
+    every executor (a held-out benchmark suite does by construction;
+    Spark hard-caps broadcasts at 8 GB / 512M rows). For an unbounded
+    test corpus, drop the hint at the call site and let the planner
+    degrade to a shuffle join instead of OOMing the driver.
+
     Optimization r11 (guide §1.2 remove passes / §3.1 broadcast): the
     train side is shingled ONCE — ``explode_outer`` keeps zero-gram
     docs in the posting stream, a MARKER left join against the

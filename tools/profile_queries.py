@@ -4,13 +4,12 @@ For each named query (default: the TOP_N most expensive from the last
 full bench artifact) this measures, in ONE warm JVM with the exact
 bench session configuration:
 
-- build_s    — DataFrame construction time (includes any eager
-               driver-side planning collects, e.g. rank.py shards)
-- plan_s     — time for explain("formatted") (analysis+optimization)
-- exec_s     — noop-sink execution wall (min over rounds)
-- jobs       — Spark jobs launched by one execution
-- stages     — stages launched by one execution (incl. skipped)
-- tasks      — tasks launched by one execution
+- build_s     — DataFrame construction time (includes any eager
+                driver-side planning collects, e.g. rank.py shards)
+- plan_s      — time for explain("formatted") (analysis+optimization)
+- exec_s      — noop-sink execution wall (min over rounds)
+- n_jobs      — Spark jobs launched by the query (build + first exec)
+- n_exchange / n_pyeval — physical-plan node counts
 
 Usage: python tools/profile_queries.py [sf_dir] [query ...]
 Writes /tmp/profile_queries.json and prints a sorted table.
@@ -64,6 +63,9 @@ def main() -> None:
     sc = spark.sparkContext
     tracker = sc.statusTracker()
 
+    def _all_job_ids() -> set[int]:
+        return set(tracker.getJobIdsForGroup(None) or [])
+
     # warm
     try:
         next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
@@ -76,11 +78,11 @@ def main() -> None:
         fn = qs[name]
         rec = {"build_s": None, "plan_s": None, "exec_s": None}
         try:
+            jobs0 = _all_job_ids()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             rec["build_s"] = round(time.perf_counter() - t0, 4)
             t0 = time.perf_counter()
-            df._sc = sc  # no-op, keep lint quiet
             _plan = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
@@ -93,12 +95,14 @@ def main() -> None:
             ) + _plan.count("MapInPandas")
             best = None
             for r in range(rounds):
-                jobs_before = set(tracker.getJobIdsForGroup(None) or [])
-                all_before = set(tracker.getActiveJobsIds() or [])
                 t0 = time.perf_counter()
                 df2 = fn(spark, sf_dir) if r > 0 else df
                 df2.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
+                if r == 0:
+                    # jobs attributable to this query: build (eager
+                    # planning collects / checkpoint stages) + one exec
+                    rec["n_jobs"] = len(_all_job_ids() - jobs0)
                 best = dt if best is None else min(best, dt)
             rec["exec_s"] = round(best, 4)
         except Exception as e:  # noqa: BLE001
@@ -106,8 +110,8 @@ def main() -> None:
         out[name] = rec
         print(
             f"{name:32s} build={rec.get('build_s')} plan={rec.get('plan_s')} "
-            f"exec={rec.get('exec_s')} exch={rec.get('n_exchange')} "
-            f"py={rec.get('n_pyeval')}",
+            f"exec={rec.get('exec_s')} jobs={rec.get('n_jobs')} "
+            f"exch={rec.get('n_exchange')} py={rec.get('n_pyeval')}",
             flush=True,
         )
 
