@@ -77,10 +77,24 @@ def pagerank_int(
 
     ew = truncate_lineage(e.join(out_w, "src"), mode=checkpoint_mode)
 
+    # Loop shape (optimization r12): the old recurrence consumed
+    # rank_{k-1} TWICE per iteration (contrib probe + the left join
+    # keeping zero-contrib nodes), so the logical plan DOUBLED per
+    # iteration — 2^iters copies of the base subtree, 108 Exchange
+    # nodes at iters=3 (guide §3.3 planning-time blowup). The
+    # zero-contrib keeper side only needs the LOOP-INVARIANT
+    # (node, __n) table, so that is materialized once and the
+    # recurrence becomes rank_k = nodesN ⟕ agg(ew ⋈ rank_{k-1}) —
+    # one use of rank per iteration, linear plan depth, identical
+    # arithmetic on the identical node set.
+    nodes_n = truncate_lineage(
+        nodes.crossJoin(F.broadcast(n1)), mode=checkpoint_mode
+    )
+
     # integer floor division throughout — `div` in expr form because
     # the Python / operator on Columns goes through double
-    rank = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", F.expr(f"{RANK_SCALE} div __n").alias("rank"), "__n"
+    rank = nodes_n.select(
+        "node", F.expr(f"{RANK_SCALE} div __n").alias("rank")
     )
     for _ in range(iters):
         contrib = (
@@ -95,10 +109,9 @@ def pagerank_int(
             .agg(F.sum("c").alias("contrib"))
         )
         rank = (
-            rank.join(contrib, "node", "left")
+            nodes_n.join(contrib, "node", "left")
             .select(
                 "node",
-                "__n",
                 F.expr(
                     f"cast(({1000 - damping_milli} * {RANK_SCALE}) "
                     f"div (1000 * __n) as bigint) "
