@@ -1619,7 +1619,17 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = docs.withColumn("lang_pred", _lang_id("text")).filter(
         F.col("lang_pred") != "und"
     )
-    ex = dedup_exact(gated)
+    # persist the exact-dedup survivors, projected to the union of
+    # what the two consumers need (minhash: doc_id+text; the survivor
+    # chain: doc_id+lang_pred+source) — the lang_id regex cascade and
+    # the dedup_exact aggregate+semijoin otherwise re-run per consumer
+    # (optimization r12, guide §5; lineage kept, A/B 4.69 -> 4.08 s
+    # med, rows identical). ContextCleaner/clearCache releases it.
+    from pyspark import StorageLevel
+
+    ex = dedup_exact(gated).select(
+        "doc_id", "text", "lang_pred", "source"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_lsh_pairs(ex, n=JACCARD_N, threshold=JACCARD_T)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     nd = ex.join(drop, "doc_id", "left_anti")
@@ -1643,7 +1653,13 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = docs.withColumn("lang_pred", _lang_id("text")).filter(
         F.col("lang_pred") != "und"
     )
-    ex = dedup_exact(gated)
+    # same projected persist as _q_corpus_pipeline (the funnel tail
+    # consumes ex once more than the pipeline does)
+    from pyspark import StorageLevel
+
+    ex = dedup_exact(gated).select(
+        "doc_id", "text", "lang_pred", "source"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_lsh_pairs(ex, n=JACCARD_N, threshold=JACCARD_T)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     # the three tail counts come from ONE evaluation of the flagged
