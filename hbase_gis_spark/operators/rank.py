@@ -47,6 +47,16 @@ sketch, so integral order columns beyond 2**53 could see cast
 round-trips disagree with native ordering near a cut. Ranked columns
 in this repo are milli/cent units << 2**53; the guard is documented
 here rather than paid for per row.
+
+Persist/release policy (ADVICE r11 #4): operator-level persists across
+the repo (the ``cache=True`` knobs here and in drift.py, plus the
+always-on narrow persists in dedup/similarity/textstats) are
+lineage-kept MEMORY_AND_DISK frames that the operator cannot unpersist
+itself — the returned DataFrame still reads them lazily. Release is
+the caller's session lifecycle: ``spark.catalog.clearCache()`` between
+units of work (bench.py does this before every timed query), or the
+ContextCleaner when the frames are GC'd. Long-lived sessions composing
+many operators should clear between pipelines.
 """
 
 from __future__ import annotations
